@@ -1,0 +1,80 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to full materialization (count over the result) after a
+warm-up of the session; input scans are NOT pre-cached — the measurement
+includes the parquet scan, which is what matters at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_window_topn",
+    "q_rollup",
+    "q_count_distinct",
+    "q_filter_predicates",
+    "q_cte_case_cast",
+]
+
+EXT_HEADLINE = [
+    "d_dedup_exact",
+    "d_minhash_lsh_pairs",
+    "s_ann_bruteforce_topk",
+    "x_token_count",
+    "e_sessionize",
+    "e_asof_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from polars_view_spark.catalog import entries
+    from polars_view_spark.session import get_spark
+
+    spark = get_spark("polars_view_spark_bench")
+    cat = entries()
+    names = [n for n in HEADLINE + EXT_HEADLINE if n in cat]
+
+    # JVM/session warm-up on the smallest SF so the first timed query does
+    # not pay classloading/codegen costs that a long-lived cluster never sees.
+    cat["q1_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = cat[name].spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,625 @@
+"""Query catalog — the driver-facing inventory.
+
+Each entry pairs a Spark implementation ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL oracle string DuckDB can run over the same
+parquet tables.  This module is the executable form of SURVEY.md §2: every
+demonstrated SQL construct, every pipeline transform, plus the scale
+extensions, shows up here as at least one named query.
+
+Conventions (driver contract, see __spark_entry__.py):
+- every computed/aggregate column is aliased identically on both sides;
+- float aggregates are ROUND()ed on both sides so accumulation-order
+  differences between Spark's partial aggregation and DuckDB's sequential
+  sum can't flip the value hash;
+- timestamps in outputs are cast to DATE (or formatted) to dodge
+  session-timezone representation differences.
+
+Scale notes are inline per query — the point of each plan is that it would
+still be the right plan at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_view_spark.plans.dialect import rewrite_query
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read + register the named parquet tables as temp views.
+
+    Plain lazy scans — filter pushdown / column pruning happen per-query.
+    """
+    out: dict[str, DataFrame] = {}
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
+
+
+@dataclass
+class CatalogEntry:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    tables: tuple[str, ...] = ()
+    doc: str = ""
+
+
+_ENTRIES: dict[str, CatalogEntry] = {}
+
+
+def register(
+    name: str,
+    *,
+    oracle: str | None,
+    tables: tuple[str, ...],
+    doc: str = "",
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        _ENTRIES[name] = CatalogEntry(name, fn, oracle, tables, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def sql_query(
+    name: str,
+    sql: str,
+    tables: tuple[str, ...],
+    oracle: str | None = "same",
+    doc: str = "",
+) -> None:
+    """Register a query whose Spark side is the dialect-shimmed SQL string
+    itself.  ``oracle='same'`` → DuckDB runs the identical statement."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir, *tables)
+        return spark.sql(rewrite_query(sql, spark))
+
+    _ENTRIES[name] = CatalogEntry(name, fn, sql if oracle == "same" else oracle, tables, doc)
+
+
+def entries() -> dict[str, CatalogEntry]:
+    # import for registration side effects
+    from polars_view_spark import catalog_ext  # noqa: F401
+
+    _register_core()
+    return dict(_ENTRIES)
+
+
+_core_done = False
+
+
+def _register_core() -> None:
+    global _core_done
+    if _core_done:
+        return
+    _core_done = True
+
+    # ----- aggregation surface (SURVEY §2C: GROUP BY, SUM/AVG/MIN/MAX,
+    # COUNT(*), COUNT(DISTINCT), HAVING-on-alias, ORDER BY alias) -----
+
+    sql_query(
+        "q1_pricing_summary",
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity) + 1e-6, 2)                                    AS sum_qty,
+               ROUND(SUM(l_extendedprice) + 1e-6, 2)                               AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)            AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-6, 2) AS sum_charge,
+               ROUND(AVG(l_quantity) + 1e-6, 2)                                    AS avg_qty,
+               ROUND(AVG(l_extendedprice) + 1e-6, 2)                               AS avg_price,
+               ROUND(AVG(l_discount) + 1e-9, 4)                                    AS avg_disc,
+               COUNT(*)                                                     AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        ("lineitem",),
+        doc="TPC-H Q1 shape: scan-filter-partial-agg; shuffle carries only "
+        "6 groups × partials — the 100 TB plan is identical.",
+    )
+
+    sql_query(
+        "q_count_distinct",
+        """
+        SELECT o_orderstatus,
+               COUNT(*)                         AS n_orders,
+               COUNT(DISTINCT o_custkey)        AS n_customers,
+               ROUND(MIN(o_totalprice), 2)      AS min_price,
+               ROUND(MAX(o_totalprice), 2)      AS max_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        ("orders",),
+    )
+
+    sql_query(
+        "q_having_alias",
+        """
+        SELECT o_custkey, ROUND(SUM(o_totalprice) + 1e-6, 2) AS total_spent
+        FROM orders
+        GROUP BY o_custkey
+        HAVING total_spent > 400000
+        ORDER BY total_spent DESC
+        """,
+        ("orders",),
+        doc="HAVING references the aggregate ALIAS (Polars dialect habit, "
+        "SURVEY §2C) — native in Spark ≥4, pinned here.",
+    )
+
+    # ----- joins (inherited capability, §2C end) + broadcast strategy -----
+
+    sql_query(
+        "q3_shipping_priority",
+        """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue,
+               STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1998-03-15'
+          AND l_shipdate  > DATE '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """,
+        ("customer", "orders", "lineitem"),
+        doc="3-way join + top-k: Catalyst broadcasts customer (small side), "
+        "AQE picks shuffle strategy for orders⋈lineitem; ORDER BY + LIMIT "
+        "executes as TakeOrderedAndProject (no total sort).",
+    )
+
+    def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multi-join star query, DataFrame API with explicit broadcast of
+        the dimension chain — at 100 TB the fact table (lineitem) never
+        shuffles for dimension joins."""
+        t = load_tables(
+            spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+        )
+        dims = (
+            t["customer"]
+            .join(
+                F.broadcast(
+                    t["nation"].join(
+                        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+                        F.col("n_regionkey") == F.col("r_regionkey"),
+                    )
+                ),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+        )
+        orders = t["orders"].filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        return (
+            t["lineitem"]
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                t["supplier"],
+                (F.col("l_suppkey") == F.col("s_suppkey"))
+                & (F.col("c_nationkey") == F.col("s_nationkey")),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2).alias(
+                    "revenue"
+                )
+            )
+            .orderBy(F.col("revenue").desc())
+        )
+
+    register(
+        "q5_local_supplier",
+        oracle="""
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC
+        """,
+        tables=("region", "nation", "customer", "supplier", "orders", "lineitem"),
+    )(q5)
+
+    sql_query(
+        "q_semi_anti_join",
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers_without_orders
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+        ("customer", "orders"),
+        doc="anti-join via NOT EXISTS → BroadcastHashJoin(LeftAnti) in Spark.",
+    )
+
+    # ----- filters / predicates (§2C WHERE surface) -----
+
+    sql_query(
+        "q_filter_predicates",
+        """
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               ROUND(o_totalprice, 2) AS totalprice
+        FROM orders
+        WHERE o_totalprice BETWEEN 10000 AND 20000
+          AND o_orderstatus IN ('O', 'F')
+          AND o_orderpriority LIKE '1%'
+          AND o_custkey IS NOT NULL
+          AND (o_orderdate >= DATE '1996-06-01' OR o_orderdate < DATE '1995-06-01')
+        ORDER BY o_orderkey
+        """,
+        ("orders",),
+        doc="BETWEEN / IN / LIKE / IS NOT NULL / AND-OR groups — all pushed "
+        "to the parquet scan (PushedFilters).",
+    )
+
+    sql_query(
+        "q_ilike_substr",
+        """
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE p_name ILIKE '%aqua%'
+          AND SUBSTR(p_brand, 1, 5) = 'Brand'
+        ORDER BY p_partkey
+        """,
+        ("part",),
+        doc="ILIKE (case-insensitive LIKE) + 1-based SUBSTR on an expression.",
+    )
+
+    # ----- projection modifiers (§2C: EXCEPT / RENAME / REPLACE shims) -----
+
+    sql_query(
+        "q_select_except",
+        "SELECT * EXCEPT (o_comment_missing) FROM "
+        "(SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice,2) AS o_totalprice_r, "
+        "'x' AS o_comment_missing FROM orders) t ORDER BY o_orderkey LIMIT 100",
+        ("orders",),
+        oracle="SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice,2) AS o_totalprice_r "
+        "FROM orders ORDER BY o_orderkey LIMIT 100",
+        doc="Polars star-EXCEPT column-exclusion modifier (native in Spark 4).",
+    )
+
+    sql_query(
+        "q_select_rename",
+        """
+        SELECT * RENAME (n_name AS nation_name, n_nationkey AS nation_key)
+        FROM nation ORDER BY nation_key
+        """,
+        ("nation",),
+        oracle="SELECT n_nationkey AS nation_key, n_name AS nation_name, n_regionkey "
+        "FROM nation ORDER BY nation_key",
+        doc="Polars star-RENAME modifier → dialect shim expands the star.",
+    )
+
+    sql_query(
+        "q_select_replace",
+        """
+        SELECT * REPLACE (ROUND(s_acctbal * 1.1 + 1e-6, 2) AS s_acctbal)
+        FROM supplier ORDER BY s_suppkey
+        """,
+        ("supplier",),
+        oracle="SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal * 1.1 + 1e-6, 2) AS s_acctbal "
+        "FROM supplier ORDER BY s_suppkey",
+        doc="Polars star-REPLACE modifier → dialect shim.",
+    )
+
+    sql_query(
+        "q_select_combined_modifiers",
+        """
+        SELECT *
+        EXCEPT (`c_acctbal`)
+        REPLACE (UPPER("c_name") AS "c_name")
+        RENAME ("c_mktsegment" AS "segment", c_nationkey AS nation_key)
+        FROM customer
+        ORDER BY c_custkey
+        """,
+        ("customer",),
+        oracle="SELECT c_custkey, UPPER(c_name) AS c_name, c_nationkey AS nation_key, "
+        "c_mktsegment AS segment FROM customer ORDER BY c_custkey",
+        doc="EXCEPT + REPLACE + RENAME combined in one SELECT "
+        "(reference: src/sqls.rs:192-217) incl. double-quoted identifiers.",
+    )
+
+    # ----- CTE / CASE / CAST / DISTINCT / set ops / window / rollup -----
+
+    sql_query(
+        "q_cte_case_cast",
+        """
+        WITH yearly AS (
+          SELECT CAST(STRFTIME(o_orderdate, '%Y') AS INTEGER) AS order_year,
+                 CASE WHEN o_totalprice > 300000 THEN 'big'
+                      WHEN o_totalprice > 100000 THEN 'mid'
+                      ELSE 'small' END AS bucket,
+                 o_totalprice
+          FROM orders
+        )
+        SELECT order_year, bucket,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice) + 1e-6, 2) AS total
+        FROM yearly
+        WHERE order_year >= 1996
+        GROUP BY order_year, bucket
+        ORDER BY order_year, bucket
+        """,
+        ("orders",),
+        doc="CTE + CASE WHEN + CAST + STRFTIME shim in one statement "
+        "(mirrors testes-sqls.txt:63-104 structure).",
+    )
+
+    sql_query(
+        "q_distinct",
+        """
+        SELECT DISTINCT c_mktsegment, c_nationkey
+        FROM customer
+        ORDER BY c_mktsegment, c_nationkey
+        """,
+        ("customer",),
+    )
+
+    sql_query(
+        "q_strftime_format",
+        """
+        SELECT o_orderkey,
+               STRFTIME(o_orderdate, '%d/%m/%Y') AS order_date_br,
+               STRFTIME(o_orderdate, '%Y-%m') AS order_month
+        FROM orders
+        ORDER BY o_orderkey LIMIT 500
+        """,
+        ("orders",),
+        oracle="""
+        SELECT o_orderkey,
+               STRFTIME(o_orderdate, '%d/%m/%Y') AS order_date_br,
+               STRFTIME(o_orderdate, '%Y-%m') AS order_month
+        FROM orders ORDER BY o_orderkey LIMIT 500
+        """,
+        doc="STRFTIME chrono tokens → DATE_FORMAT JVM pattern (shim); DuckDB "
+        "runs strftime natively with the same tokens.",
+    )
+
+    sql_query(
+        "q_union_intersect",
+        """
+        SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0
+        UNION
+        SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10
+        INTERSECT
+        SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 20
+        ORDER BY k
+        """,
+        ("nation",),
+        doc="set operations (inherited capability, §2C end).",
+    )
+
+    sql_query(
+        "q_window_topn",
+        """
+        SELECT *
+        FROM (
+          SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        ) t
+        WHERE rn <= 2
+        ORDER BY o_custkey, rn
+        """,
+        ("orders",),
+        doc="windowed top-N per key — one hash-partitioned shuffle by "
+        "o_custkey; deterministic tiebreak on o_orderkey.",
+    )
+
+    sql_query(
+        "q_window_running",
+        """
+        SELECT o_custkey, o_orderkey,
+               ROUND(1e-6 + SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders
+        WHERE o_custkey < 100
+        ORDER BY o_custkey, o_orderkey
+        """,
+        ("orders",),
+        doc="running-sum frame (ROWS BETWEEN) with deterministic ordering.",
+    )
+
+    sql_query(
+        "q_rollup",
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               ROUND(SUM(l_quantity) + 1e-6, 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+        """,
+        ("lineitem",),
+        doc="ROLLUP grouping sets (inherited, §2C end); COALESCE folds the "
+        "NULL super-aggregate markers into stable keys for hashing.",
+    )
+
+    # ----- transform parity queries (§2B pipeline ops, each with oracle) ---
+
+    def t_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Euro-number normalization (reference src/polars/normalize.rs):
+        build a euro-formatted string column, run the real transform."""
+        from polars_view_spark.operators.transforms import normalize_float_strings_by_regex
+
+        t = load_tables(spark, sf_dir, "lineitem")
+        euro = t["lineitem"].select(
+            "l_orderkey",
+            "l_linenumber",
+            F.replace(F.col("l_quantity").cast("string"), F.lit("."), F.lit(",")).alias(
+                "qty_euro"
+            ),
+        )
+        out = normalize_float_strings_by_regex(euro, "^qty_euro$")
+        return out.orderBy("l_orderkey", "l_linenumber").limit(1000)
+
+    register(
+        "t_normalize_euro",
+        oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity AS qty_euro
+        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000
+        """,
+        tables=("lineitem",),
+    )(t_normalize)
+
+    def t_replace_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Null-marker replacement (reference src/polars/replace.rs):
+        markers are trimmed-compared against string columns only."""
+        from polars_view_spark.operators.transforms import replace_values_with_null
+
+        t = load_tables(spark, sf_dir, "documents")
+        out = replace_values_with_null(
+            t["documents"].select("doc_id", "lang", "source"), ["src0", "src1", "zh"]
+        )
+        return out.orderBy("doc_id")
+
+    register(
+        "t_replace_nulls",
+        oracle="""
+        SELECT doc_id,
+               CASE WHEN TRIM(lang)   IN ('src0','src1','zh') THEN NULL ELSE lang   END AS lang,
+               CASE WHEN TRIM(source) IN ('src0','src1','zh') THEN NULL ELSE source END AS source
+        FROM documents ORDER BY doc_id
+        """,
+        tables=("documents",),
+    )(t_replace_nulls)
+
+    def t_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Regex column drop (reference src/polars/drop.rs)."""
+        from polars_view_spark.operators.transforms import drop_columns_by_regex
+
+        t = load_tables(spark, sf_dir, "lineitem")
+        out = drop_columns_by_regex(t["lineitem"], "^l_(tax|discount|comment)$")
+        return out.select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        ).orderBy("l_orderkey", "l_linenumber")
+
+    register(
+        "t_drop_columns_regex",
+        oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        tables=("lineitem",),
+    )(t_drop)
+
+    def t_rowindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Contiguous distributed row index (reference src/polars/add.rs) on
+        a deterministically sorted frame."""
+        from polars_view_spark.operators.rowindex import add_row_index
+
+        t = load_tables(spark, sf_dir, "nation")
+        ordered = t["nation"].orderBy("n_nationkey")
+        return add_row_index(ordered, "row_number", 1)
+
+    register(
+        "t_add_row_index",
+        oracle="""
+        SELECT ROW_NUMBER() OVER (ORDER BY n_nationkey) AS row_number,
+               n_nationkey, n_name, n_regionkey
+        FROM nation
+        """,
+        tables=("nation",),
+    )(t_rowindex)
+
+    def t_remove_null_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """All-null column removal (reference src/polars/remove.rs): an
+        injected all-null column disappears, populated ones survive."""
+        from polars_view_spark.operators.transforms import remove_null_columns
+
+        t = load_tables(spark, sf_dir, "region")
+        with_null = t["region"].withColumn("all_null_col", F.lit(None).cast("int"))
+        return remove_null_columns(with_null).orderBy("r_regionkey")
+
+    register(
+        "t_remove_null_columns",
+        oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+        tables=("region",),
+    )(t_remove_null_cols)
+
+    def t_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multi-column sort with explicit null placement
+        (reference src/data_container.rs:247-309 + src/sort.rs)."""
+        from polars_view_spark.config import SortBy
+        from polars_view_spark.operators.sort import apply_sort
+
+        t = load_tables(spark, sf_dir, "customer")
+        # inject some nulls deterministically so placement matters
+        df = t["customer"].select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+            "c_mktsegment",
+        )
+        out = apply_sort(
+            df,
+            [
+                SortBy("c_mktsegment", ascending=True, nulls_last=False),
+                SortBy("acctbal", ascending=False, nulls_last=True),
+            ],
+            stable=False,
+        )
+        return out
+
+    register(
+        "t_multi_sort_nulls",
+        oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS acctbal,
+               c_mktsegment
+        FROM customer
+        ORDER BY c_mktsegment ASC, acctbal DESC NULLS LAST
+        """,
+        tables=("customer",),
+    )(t_sort)
+
+    def t_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Float rounding, half-away-from-zero (reference src/traits.rs:344-359)."""
+        from polars_view_spark.operators.transforms import round_float_columns
+
+        t = load_tables(spark, sf_dir, "supplier")
+        return round_float_columns(t["supplier"], 1).orderBy("s_suppkey")
+
+    register(
+        "t_round_floats",
+        oracle="""
+        SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 1) AS s_acctbal
+        FROM supplier ORDER BY s_suppkey
+        """,
+        tables=("supplier",),
+    )(t_round)

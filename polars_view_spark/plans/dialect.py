@@ -1,0 +1,385 @@
+"""SQL dialect shim.
+
+The reference delegates SQL to Polars SQL (reference:
+src/polars/transforms.rs:86-94); its demonstrated dialect (SURVEY.md §2C)
+includes constructs Spark SQL doesn't parse.  This module rewrites a query
+string into Spark SQL *before* ``spark.sql`` sees it:
+
+- double-quoted identifiers → backticks (Polars/ANSI treats ``"x"`` as an
+  identifier; Spark default treats it as a string literal);
+- ``STRFTIME(expr, '%d/%m/%Y')`` → ``DATE_FORMAT(expr, 'dd/MM/yyyy')`` with
+  a chrono-token → JVM-pattern translator;
+- ``SELECT * REPLACE (expr AS col)`` / ``SELECT * RENAME (col AS new)``
+  (Polars SELECT-modifier extensions) → an explicit select list.  The star's
+  column set is obtained by *analyzing* (not executing) the query with the
+  modifier groups stripped — ``spark.sql(q).schema`` is a catalyst-only
+  round trip, so this costs no cluster work;
+- ``SELECT * EXCEPT (…)``, ``ILIKE``, HAVING-on-alias are native in
+  Spark ≥4 (probed) and pass through untouched.
+
+Everything here is driver-side string/AST work — zero effect on the
+distributed plan beyond the query it produces.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+from polars_view_spark.errors import SqlDialectError
+
+# --- chrono strftime → java.time.DateTimeFormatter tokens -------------------
+
+_STRFTIME_TOKENS = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%e": "d",
+    "%H": "HH",
+    "%k": "H",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%j": "DDD",
+    "%b": "MMM",
+    "%B": "MMMM",
+    "%a": "EEE",
+    "%A": "EEEE",
+    "%p": "a",
+    "%F": "yyyy-MM-dd",
+    "%T": "HH:mm:ss",
+    "%%": "%",
+}
+
+_LETTERS = re.compile(r"[A-Za-z]+")
+
+
+def translate_strftime_pattern(fmt: str) -> str:
+    """Translate a chrono strftime pattern to a JVM datetime pattern.
+
+    Literal alphabetic runs are single-quote-escaped (JVM patterns treat
+    letters as field specifiers).
+    """
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            token = fmt[i : i + 2]
+            mapped = _STRFTIME_TOKENS.get(token)
+            if mapped is None:
+                raise SqlDialectError(f"unsupported strftime token {token!r} in {fmt!r}")
+            out.append(mapped)
+            i += 2
+        else:
+            j = i
+            while j < len(fmt) and not (fmt[j] == "%"):
+                j += 1
+            literal = fmt[i:j]
+            # quote alphabetic runs so the JVM formatter treats them literally
+            literal = _LETTERS.sub(lambda m: f"'{m.group(0)}'", literal)
+            out.append(literal)
+            i = j
+    return "".join(out)
+
+
+# --- lexer-ish helpers -------------------------------------------------------
+
+
+def _scan_string(q: str, i: int, quote: str) -> int:
+    """Return index just past a quoted region starting at ``i`` (q[i]==quote).
+    Doubled quotes escape themselves (SQL style)."""
+    i += 1
+    n = len(q)
+    while i < n:
+        if q[i] == quote:
+            if i + 1 < n and q[i + 1] == quote:
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return n
+
+
+def strip_comments(q: str) -> str:
+    """Remove ``-- …`` and ``/* … */`` comments outside quoted regions."""
+    out: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        ch = q[i]
+        if ch in ("'", '"', "`"):
+            j = _scan_string(q, i, ch)
+            out.append(q[i:j])
+            i = j
+        elif ch == "-" and q[i : i + 2] == "--":
+            j = q.find("\n", i)
+            i = n if j == -1 else j  # keep the newline
+        elif ch == "/" and q[i : i + 2] == "/*":
+            j = q.find("*/", i)
+            i = n if j == -1 else j + 2
+            out.append(" ")
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def double_quotes_to_backticks(q: str) -> str:
+    """Rewrite ``"identifier"`` → `` `identifier` `` outside single-quoted
+    strings, matching Polars/ANSI identifier semantics."""
+    out: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        ch = q[i]
+        if ch == "'":
+            j = _scan_string(q, i, "'")
+            out.append(q[i:j])
+            i = j
+        elif ch == "`":
+            j = _scan_string(q, i, "`")
+            out.append(q[i:j])
+            i = j
+        elif ch == '"':
+            j = _scan_string(q, i, '"')
+            inner = q[i + 1 : j - 1].replace('""', '"').replace("`", "``")
+            out.append(f"`{inner}`")
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _find_matching_paren(q: str, open_idx: int) -> int:
+    depth = 0
+    i, n = open_idx, len(q)
+    while i < n:
+        ch = q[i]
+        if ch in ("'", '"', "`"):
+            i = _scan_string(q, i, ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise SqlDialectError("unbalanced parentheses in query")
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"', "`"):
+            j = _scan_string(s, i, ch)
+            cur.append(s[i:j])
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+_AS_SPLIT = re.compile(r"\s+AS\s+", re.IGNORECASE)
+
+
+def _split_last_as(item: str) -> tuple[str, str]:
+    """Split ``expr AS name`` on the LAST top-level AS."""
+    depth = 0
+    i, n = 0, len(item)
+    last = -1
+    while i < n:
+        ch = item[i]
+        if ch in ("'", '"', "`"):
+            i = _scan_string(item, i, ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "aA"
+            and re.match(r"AS\b", item[i : i + 3], re.IGNORECASE)
+            and (i == 0 or not (item[i - 1].isalnum() or item[i - 1] in "_`"))
+        ):
+            last = i
+        i += 1
+    if last == -1:
+        raise SqlDialectError(f"expected 'expr AS name' in modifier item: {item!r}")
+    return item[:last].strip(), item[last + 2 :].strip()
+
+
+def _unquote_ident(name: str) -> str:
+    name = name.strip()
+    if len(name) >= 2 and name[0] == "`" and name[-1] == "`":
+        return name[1:-1].replace("``", "`")
+    return name
+
+
+def _quote_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+_STRFTIME_CALL = re.compile(r"\bSTRFTIME\s*\(", re.IGNORECASE)
+_MODIFIER_KW = re.compile(r"^\s*(EXCEPT|REPLACE|RENAME)\s*\(", re.IGNORECASE)
+
+
+def rewrite_strftime(q: str) -> str:
+    """Rewrite every STRFTIME(expr, 'fmt') call to DATE_FORMAT."""
+    while True:
+        m = _STRFTIME_CALL.search(q)
+        if m is None:
+            return q
+        open_idx = q.index("(", m.start())
+        close_idx = _find_matching_paren(q, open_idx)
+        args = _split_top_level(q[open_idx + 1 : close_idx])
+        if len(args) != 2:
+            raise SqlDialectError(f"STRFTIME expects 2 args, got {len(args)}")
+        fmt_arg = args[1].strip()
+        if not (fmt_arg.startswith("'") and fmt_arg.endswith("'")):
+            raise SqlDialectError("STRFTIME format must be a string literal")
+        fmt = fmt_arg[1:-1].replace("''", "'")
+        translated = translate_strftime_pattern(fmt).replace("'", "''")
+        q = q[: m.start()] + f"DATE_FORMAT({args[0]}, '{translated}')" + q[close_idx + 1 :]
+
+
+def _parse_star_modifiers(q: str, star_idx: int):
+    """From a ``*`` at ``star_idx``, parse trailing EXCEPT/REPLACE/RENAME
+    groups.  Returns (end_index, except_src, replace_items, rename_pairs)
+    where except_src is the raw EXCEPT group text (kept native)."""
+    i = star_idx + 1
+    except_src: str | None = None
+    replace_items: list[tuple[str, str]] = []
+    rename_pairs: list[tuple[str, str]] = []
+    while True:
+        m = _MODIFIER_KW.match(q[i:])
+        if m is None:
+            break
+        kw = m.group(1).upper()
+        open_idx = i + m.end() - 1
+        close_idx = _find_matching_paren(q, open_idx)
+        body = q[open_idx + 1 : close_idx]
+        if kw == "EXCEPT":
+            except_src = body
+        elif kw == "REPLACE":
+            for item in _split_top_level(body):
+                expr, name = _split_last_as(item)
+                replace_items.append((_unquote_ident(name), expr))
+        else:  # RENAME
+            for item in _split_top_level(body):
+                old, new = _split_last_as(item)
+                rename_pairs.append((_unquote_ident(old), _unquote_ident(new)))
+        i = close_idx + 1
+        while i < len(q) and q[i].isspace():
+            i += 1
+    return i, except_src, replace_items, rename_pairs
+
+
+def _strip_order_by(q: str) -> str:
+    """Remove a top-level ORDER BY … (up to LIMIT/OFFSET or end) — used only
+    for the schema-analysis copy, where ORDER BY may reference aliases the
+    modifier-stripped query doesn't have yet."""
+    i, n = 0, len(q)
+    depth = 0
+    while i < n:
+        ch = q[i]
+        if ch in ("'", '"', "`"):
+            i = _scan_string(q, i, ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and re.match(r"ORDER\s+BY\b", q[i:], re.IGNORECASE)
+            and (i == 0 or not (q[i - 1].isalnum() or q[i - 1] in "_`"))
+        ):
+            m = re.search(r"\b(LIMIT|OFFSET)\b", q[i:], re.IGNORECASE)
+            end = i + m.start() if m else n
+            return q[:i] + q[end:]
+        i += 1
+    return q
+
+
+def rewrite_star_modifiers(q: str, spark: SparkSession) -> str:
+    """Expand ``SELECT * [EXCEPT(…)] [REPLACE(…)] [RENAME(…)]`` into an
+    explicit select list.  EXCEPT alone is Spark-native and left untouched;
+    REPLACE/RENAME require expansion, for which the star's column set is
+    resolved by analyzing the modifier-stripped query (schema-only, no job).
+    """
+    # find a star followed by modifier keywords
+    i, n = 0, len(q)
+    while i < n:
+        ch = q[i]
+        if ch in ("'", '"', "`"):
+            i = _scan_string(q, i, ch)
+            continue
+        if ch == "*":
+            end, except_src, replace_items, rename_pairs = _parse_star_modifiers(q, i)
+            if replace_items or rename_pairs:
+                star_block = "*" if except_src is None else f"* EXCEPT ({except_src})"
+                stripped = _strip_order_by(q[:i] + star_block + " " + q[end:]).rstrip()
+                stripped = stripped.rstrip(";")
+                try:
+                    star_cols = [f.name for f in spark.sql(stripped).schema.fields]
+                except Exception as exc:
+                    raise SqlDialectError(
+                        f"could not resolve star columns for modifier rewrite: {exc}"
+                    ) from exc
+                replace_map = dict(replace_items)
+                rename_map = dict(rename_pairs)
+                items = []
+                for col in star_cols:
+                    expr = replace_map.pop(col, None)
+                    alias = rename_map.pop(col, col)
+                    if expr is not None:
+                        items.append(f"{expr} AS {_quote_ident(alias)}")
+                    elif alias != col:
+                        items.append(f"{_quote_ident(col)} AS {_quote_ident(alias)}")
+                    else:
+                        items.append(_quote_ident(col))
+                if replace_map:
+                    raise SqlDialectError(
+                        f"REPLACE targets not in star columns: {sorted(replace_map)}"
+                    )
+                if rename_map:
+                    raise SqlDialectError(
+                        f"RENAME targets not in star columns: {sorted(rename_map)}"
+                    )
+                q = q[:i] + ",\n    ".join(items) + " " + q[end:]
+                n = len(q)
+                i += 1
+                continue
+            if except_src is not None:
+                i = end
+                continue
+        i += 1
+    return q
+
+
+def rewrite_query(query: str, spark: SparkSession, table_name: str = "AllData") -> str:
+    """Full dialect pipeline: strip comments → `"x"` → backticks →
+    STRFTIME → star-modifier expansion → trailing-semicolon strip."""
+    q = strip_comments(query)
+    q = double_quotes_to_backticks(q)
+    q = rewrite_strftime(q)
+    q = rewrite_star_modifiers(q, spark)
+    return q.strip().rstrip(";").strip()

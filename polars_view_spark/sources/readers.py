@@ -1,0 +1,156 @@
+"""File readers: format dispatch, CSV with sniffing + force-string override,
+JSON (single doc/array), NDJSON, Parquet.
+
+Capability parity with the reference's reader stack (reference:
+src/data_filter.rs:257-295 dispatch, 392-591 CSV, 304-351 JSON/NDJSON,
+357-383 Parquet) expressed as lazy Spark scans: nothing here collects — the
+returned DataFrame is a logical plan, so Catalyst pushes filters/projections
+from later stages *into* these scans (visible as PushedFilters/ReadSchema in
+``.explain``), which the reference's eager collect-per-stage model could
+never do.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from polars_view_spark.config import LoadConfig
+from polars_view_spark.errors import UnsupportedFormatError
+from polars_view_spark.sources.sniff import sniff_delimiter
+
+
+class FileFormat:
+    CSV = "csv"
+    JSON = "json"
+    NDJSON = "ndjson"
+    PARQUET = "parquet"
+
+
+_EXTENSION_MAP = {
+    ".csv": FileFormat.CSV,
+    ".tsv": FileFormat.CSV,
+    ".txt": FileFormat.CSV,
+    ".json": FileFormat.JSON,
+    ".ndjson": FileFormat.NDJSON,
+    ".jsonl": FileFormat.NDJSON,
+    ".parquet": FileFormat.PARQUET,
+    ".pq": FileFormat.PARQUET,
+}
+
+
+def detect_format(path: str) -> str:
+    """Extension → format dispatch (reference: src/file_extension.rs:6-36)."""
+    suffix = Path(path).suffix.lower()
+    try:
+        return _EXTENSION_MAP[suffix]
+    except KeyError:
+        raise UnsupportedFormatError(
+            f"Unsupported or missing extension {suffix!r} for {path!r} "
+            f"(expected one of {sorted(set(_EXTENSION_MAP))})"
+        ) from None
+
+
+def force_string_schema(schema: T.StructType, pattern: str) -> T.StructType:
+    """Rewrite fields whose names match ``pattern`` to StringType.
+
+    This is the force-string dtype override (reference:
+    src/data_filter.rs:1133-1191): long numeric ID columns would otherwise be
+    inferred as Int64 and overflow to all-null.  ``pattern`` is ``*`` (all
+    columns) or an anchored ``^…$`` regex, validated upstream.
+    """
+    if pattern == "*":
+        matcher = None
+    else:
+        compiled = re.compile(pattern)
+        matcher = compiled.fullmatch
+    fields = []
+    for f in schema.fields:
+        if matcher is None or matcher(f.name):
+            fields.append(T.StructField(f.name, T.StringType(), True))
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
+def read_csv(spark: SparkSession, cfg: LoadConfig) -> tuple[DataFrame, str]:
+    """CSV scan with delimiter sniffing and force-string override.
+
+    Two-phase like the reference (src/data_filter.rs:484-594): a bounded
+    driver-side probe picks the delimiter, a schema-inference pass pins
+    dtypes (bounded by ``infer_schema_rows`` via samplingRatio on a LIMIT'd
+    read), then the full *lazy* scan uses the pinned schema — the big read
+    never pays inference.
+
+    Returns ``(df, detected_delimiter)`` so callers can write the delimiter
+    back into config (reference: src/data_filter.rs:285-287).
+    """
+    delimiter = sniff_delimiter(cfg.path, cfg.csv_delimiter)
+    reader_opts = {
+        "sep": delimiter,
+        "header": "true",
+        "mode": "PERMISSIVE",  # unparseable cells → null (ignore-errors parity)
+        "nullValue": "",
+        "encoding": "UTF-8",
+        "inferSchema": "true",
+        "timestampFormat": "yyyy-MM-dd HH:mm:ss",
+        "dateFormat": "yyyy-MM-dd",
+    }
+    # Schema probe: bounded inference read (driver-cheap — Spark samples the
+    # file head; the limit mirrors infer_schema_rows=200).
+    probe = (
+        spark.read.options(**reader_opts)
+        .csv(cfg.path)
+        .limit(max(cfg.infer_schema_rows, 1))
+    )
+    schema = probe.schema
+    if cfg.force_string_patterns:
+        schema = force_string_schema(schema, cfg.force_string_patterns)
+    df = (
+        spark.read.options(
+            **{k: v for k, v in reader_opts.items() if k != "inferSchema"}
+        )
+        .schema(schema)
+        .csv(cfg.path)
+    )
+    return df, delimiter
+
+
+def read_json(spark: SparkSession, cfg: LoadConfig) -> DataFrame:
+    """Single-document / array JSON (reference: src/data_filter.rs:304-320)."""
+    return spark.read.option("multiLine", "true").option("mode", "PERMISSIVE").json(cfg.path)
+
+
+def read_ndjson(spark: SparkSession, cfg: LoadConfig) -> DataFrame:
+    """Line-delimited JSON (reference: src/data_filter.rs:327-351).
+
+    Line-delimited is Spark's native JSON layout, so this scan is fully
+    splittable — one 100 TB NDJSON dataset fans out across all executors.
+    """
+    return spark.read.option("mode", "PERMISSIVE").json(cfg.path)
+
+
+def read_parquet(spark: SparkSession, cfg: LoadConfig) -> DataFrame:
+    """Parquet scan (reference: src/data_filter.rs:357-383). Schema comes
+    from file metadata; filter pushdown + column pruning are automatic."""
+    return spark.read.parquet(cfg.path)
+
+
+def read_any(spark: SparkSession, cfg: LoadConfig) -> tuple[DataFrame, str, LoadConfig]:
+    """Dispatch on extension; returns (df, format, possibly-updated config).
+
+    The detected CSV delimiter is written back into the returned config,
+    mirroring the reference (src/data_filter.rs:285-287).
+    """
+    fmt = detect_format(cfg.path)
+    if fmt == FileFormat.CSV:
+        df, delim = read_csv(spark, cfg)
+        return df, fmt, cfg.with_(csv_delimiter=delim)
+    if fmt == FileFormat.JSON:
+        return read_json(spark, cfg), fmt, cfg
+    if fmt == FileFormat.NDJSON:
+        return read_ndjson(spark, cfg), fmt, cfg
+    return read_parquet(spark, cfg), fmt, cfg

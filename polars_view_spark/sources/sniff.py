@@ -1,0 +1,69 @@
+"""CSV delimiter sniffing.
+
+Reproduces the reference's probe loop (reference:
+src/data_filter.rs:392-466 and 484-531): try the configured delimiter first,
+then the candidates ``, ; | \\t :`` (deduplicated, preserving order); for
+each candidate parse at most ``ROW_LIMIT`` (100) data rows; the first
+candidate producing **more than one column** wins and is written back into
+the config.
+
+Spark-first note: the probe is a deliberate *driver-side* step over the file
+head — at 100 TB you never want a cluster job per candidate delimiter just
+to guess structure.  Only the winning delimiter triggers the distributed
+read.  The probe reads a bounded byte window, so its cost is O(1) in file
+size.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+
+ROW_LIMIT = 100  # reference: src/data_filter.rs:492
+CANDIDATE_DELIMITERS = (",", ";", "|", "\t", ":")
+_PROBE_BYTES = 1 << 20  # 1 MiB head window comfortably covers 100 rows
+
+
+def _probe_head(path: str) -> str:
+    with open(path, "rb") as fh:
+        head = fh.read(_PROBE_BYTES)
+    return head.decode("utf-8", errors="replace")
+
+
+def _column_count(text: str, delimiter: str) -> int:
+    """Parse up to ROW_LIMIT rows with the csv module; return the minimum
+    consistent column count (0 when rows disagree wildly or parsing fails)."""
+    try:
+        reader = _csv.reader(io.StringIO(text), delimiter=delimiter)
+        widths: list[int] = []
+        for i, row in enumerate(reader):
+            if i > ROW_LIMIT:
+                break
+            if row:
+                widths.append(len(row))
+        if not widths:
+            return 0
+        # Header must agree with the probed data rows, mirroring the
+        # reference's width check (src/data_filter.rs:507-522).
+        return widths[0] if all(w == widths[0] for w in widths) else 0
+    except _csv.Error:
+        return 0
+
+
+def sniff_delimiter(path: str, configured: str | None = None) -> str:
+    """Return the winning delimiter for ``path``.
+
+    Candidate order: configured first, then ``, ; | \\t :`` deduplicated.
+    A candidate wins when the 100-row probe yields a consistent width of
+    more than one column.  Falls back to the configured delimiter (or ``,``)
+    when nothing wins — single-column files are legal.
+    """
+    head = _probe_head(path)
+    candidates: list[str] = []
+    for d in ((configured,) if configured else ()) + CANDIDATE_DELIMITERS:
+        if d and d not in candidates:
+            candidates.append(d)
+    for d in candidates:
+        if _column_count(head, d) > 1:
+            return d
+    return configured or ","

@@ -1,0 +1,118 @@
+"""File writers: CSV / JSON (single array) / NDJSON / Parquet, plus the
+save-in-place extension guard.
+
+Parity targets (reference: src/file_dialog.rs:59-278).  Two modes:
+
+- ``save`` / ``save_as`` — *single-file* semantics like the reference (a
+  desktop viewer saves one file).  Implemented as a distributed write to a
+  temp directory followed by a driver-side rename of the single part file
+  when the plan has one partition, else ``coalesce(1)``.  This is the
+  human-scale path; it is NOT the 100 TB path and says so.
+- ``write_dataset`` — the scale path: plain partitioned directory writes,
+  optionally bucketed/partitioned, no coalesce.  At 100 TB you always want
+  this one.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+from polars_view_spark.config import LoadConfig
+from polars_view_spark.errors import SaveFormatMismatchError, UnsupportedFormatError
+from polars_view_spark.sources.readers import FileFormat, detect_format
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    fmt: str = FileFormat.PARQUET,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    csv_delimiter: str = ";",
+) -> None:
+    """Distributed directory write — the 100 TB path.
+
+    ``partition_by`` produces hive-style partition dirs, which later reads
+    prune automatically (partition pruning).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == FileFormat.PARQUET:
+        writer.parquet(path)
+    elif fmt == FileFormat.CSV:
+        writer.option("sep", csv_delimiter).option("header", "true").csv(path)
+    elif fmt == FileFormat.NDJSON:
+        writer.json(path)
+    elif fmt == FileFormat.JSON:
+        raise UnsupportedFormatError(
+            "single-document JSON has no distributed writer; use save_as() "
+            "(driver-side) or NDJSON for datasets"
+        )
+    else:
+        raise UnsupportedFormatError(f"unknown format {fmt!r}")
+
+
+def _single_file_write(df: DataFrame, target: str, fmt: str, csv_delimiter: str) -> None:
+    """Write ``df`` as ONE file at ``target`` (viewer save semantics).
+
+    Coalesces to one partition — documented driver-adjacent bottleneck,
+    acceptable because a viewer save is human-scale output.  Large outputs
+    should use ``write_dataset``.
+    """
+    tmpdir = tempfile.mkdtemp(prefix="pvs_write_")
+    try:
+        out = os.path.join(tmpdir, "out")
+        one = df.coalesce(1)
+        if fmt == FileFormat.CSV:
+            one.write.option("sep", csv_delimiter).option("header", "true").mode(
+                "overwrite"
+            ).csv(out)
+            part = glob.glob(os.path.join(out, "part-*"))[0]
+        elif fmt == FileFormat.NDJSON:
+            one.write.mode("overwrite").json(out)
+            part = glob.glob(os.path.join(out, "part-*"))[0]
+        elif fmt == FileFormat.PARQUET:
+            one.write.mode("overwrite").parquet(out)
+            part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        elif fmt == FileFormat.JSON:
+            # Single JSON array document (reference: src/file_dialog.rs:216-225).
+            # No distributed writer exists for this layout; the reference's
+            # output is human-scale, so a driver-side collect is the
+            # documented cost (SURVEY.md §7.4 item 5).
+            rows = [row.asDict(recursive=True) for row in df.collect()]
+            with open(target, "w", encoding="utf-8") as fh:
+                json.dump(rows, fh, ensure_ascii=False, default=str)
+            return
+        else:
+            raise UnsupportedFormatError(f"unknown format {fmt!r}")
+        shutil.move(part, target)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def save(df: DataFrame, cfg: LoadConfig, loaded_format: str) -> None:
+    """Save-in-place: refuses when the target extension maps to a different
+    format than the one loaded (reference: src/file_dialog.rs:86-127)."""
+    target_fmt = detect_format(cfg.path)
+    if target_fmt != loaded_format:
+        raise SaveFormatMismatchError(
+            f"refusing to save {loaded_format} data to a .{target_fmt} path "
+            f"({cfg.path!r}); use save_as() to convert"
+        )
+    _single_file_write(df, cfg.path, target_fmt, cfg.csv_delimiter)
+
+
+def save_as(df: DataFrame, path: str, csv_delimiter: str = ";") -> str:
+    """Save-as: format chosen by the new extension, any conversion allowed
+    (reference: src/file_dialog.rs:162-278). Returns the format written."""
+    fmt = detect_format(path)
+    _single_file_write(df, path, fmt, csv_delimiter)
+    return fmt

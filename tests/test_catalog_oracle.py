@@ -1,0 +1,38 @@
+"""Every catalog entry with an oracle must match DuckDB — the same gate the
+driver runs at sf0.01 (locally defaulted to sf0.001 for speed; set
+PVS_TEST_SF_DIR=/root/testdata/sf0.01 for the full check)."""
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+from tests.oracle_util import compare, duck_con
+
+
+def _catalog():
+    from polars_view_spark.catalog import entries
+
+    return entries()
+
+
+def _names():
+    return sorted(_catalog())
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duck_con(SF_CORRECT)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _names())
+def test_oracle_match(spark, oracle_con, name):
+    entry = _catalog()[name]
+    spark_df = entry.spark_fn(spark, SF_CORRECT)
+    assert spark_df.columns, f"{name}: empty schema"
+    if entry.oracle is None:
+        # rows-only check, mirroring the driver's weaker gate
+        assert spark_df.count() >= 0
+        return
+    want = oracle_con.sql(entry.oracle).df()
+    compare(spark_df, want, name)
