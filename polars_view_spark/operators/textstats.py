@@ -1,0 +1,113 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure JVM-side column expressions (regexp + arithmetic) so they run
+inside whole-stage codegen at full scan speed — exactly what a 100 TB
+pre-training-data pipeline needs for its first filtering pass.  The DuckDB
+oracles in catalog_ext.py replicate the same arithmetic from the same
+constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polars_view_spark.functions.texthash import TOKEN_REGEX
+
+#: Tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic.  Deliberately minimal + deterministic; at production scale
+#: you'd swap in fastText via mapInPandas (see operators/multimodal.py for
+#: the UDF plumbing pattern).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "que", "es", "y"),
+    "fr": ("le", "la", "les", "et", "est", "que"),
+    "zh": ("de5", "shi4", "bu4", "le5", "zai4"),  # pinyin-ish placeholders
+}
+
+PUNCT_REGEX = r"[^A-Za-z0-9\s]"
+
+
+def _word_regex(words: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def _spark_sql_regex(pat: str) -> str:
+    """Escape a regex for embedding in a Spark SQL string literal — Spark's
+    parser processes backslash escapes inside '...' (Hive style), DuckDB's
+    does not, so only the Spark side doubles backslashes."""
+    return pat.replace("\\", "\\\\")
+
+
+def stopword_count_sql(col: str, lang: str) -> str:
+    """Count of stopword occurrences (Spark SQL; DuckDB mirror in catalog)."""
+    pat = _spark_sql_regex(_word_regex(STOPWORDS[lang]))
+    return f"size(regexp_extract_all(lower({col}), '{pat}', 0))"
+
+
+def duck_stopword_count_sql(col: str, lang: str) -> str:
+    pat = _word_regex(STOPWORDS[lang])
+    return f"len(regexp_extract_all(lower({col}), '{pat}'))"
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language by argmax of per-language stopword counts.
+
+    Deterministic tie-break: language code ascending (greatest count wins;
+    equal counts → alphabetically first).  Pure expression — the scan stays
+    in codegen.
+    """
+    langs = sorted(STOPWORDS)
+    counted = df.select(
+        "*",
+        *[F.expr(stopword_count_sql(text_col, lg)).alias(f"sw_{lg}") for lg in langs],
+    )
+    # argmax via array_max over (count, inverted-lang-rank) struct ordering
+    best = None
+    for lg in langs:
+        cand = F.struct(F.col(f"sw_{lg}").alias("n"), F.lit(lg).alias("lg"))
+        best = cand if best is None else F.when(F.col(f"sw_{lg}") > best["n"], cand).otherwise(best)
+    return counted.withColumn("predicted_lang", best["lg"]).drop(
+        *[f"sw_{lg}" for lg in langs]
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace word count + BPE-ish regex token count."""
+    return df.withColumn(
+        "n_words", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).withColumn(
+        "n_tokens",
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{_spark_sql_regex(TOKEN_REGEX)}', 0)")),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> Column | DataFrame:
+    """Composite quality score in [0,1]:
+
+    0.4·min(words/100, 1) + 0.3·(1 − punct_ratio) + 0.3·min(stop_ratio·5, 1)
+
+    length favors substantive docs, punctuation ratio penalizes markup/noise,
+    stopword ratio rewards natural running text.  Zero-length guarded (ANSI
+    division).
+    """
+    words = f"size(split(trim({text_col}), '\\\\s+'))"
+    punct = f"size(regexp_extract_all({text_col}, '{_spark_sql_regex(PUNCT_REGEX)}', 0))"
+    chars = f"greatest(length({text_col}), 1)"
+    stops = stopword_count_sql(text_col, "en")
+    expr = (
+        f"round(0.4 * least({words} / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - {punct} / CAST({chars} AS DOUBLE))"
+        f" + 0.3 * least({stops} / CAST(greatest({words}, 1) AS DOUBLE) * 5.0, 1.0), 6)"
+    )
+    return df.withColumn("quality", F.expr(expr))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized
+    lowercased text.  Identical-content docs (modulo spacing/case) collide —
+    the exact-dedup key for text."""
+    normalized = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    return df.withColumn("fingerprint", F.expr(f"md5({normalized})"))
