@@ -55,7 +55,13 @@ class DataContainer:
         else:
             source, fmt, cfg = read_any(spark, cfg)
             if cache:
+                # Materialize the cache NOW (the reference loads eagerly;
+                # re-query must survive the file disappearing).  This is the
+                # interactive-viewer surface — batch pipelines use the
+                # operators/catalog APIs, which stay fully lazy so scans
+                # keep column pruning / filter pushdown.
                 source = source.cache()
+                source.count()
         result = apply_pipeline(source, cfg)
         return cls(df=result, df_original=result, cfg=cfg, loaded_format=fmt, _source=source)
 

@@ -76,8 +76,10 @@ def add_row_index(df: DataFrame, name: str = "Row Number", offset: int = 1) -> D
         cum += row["cnt"]
 
     if not offsets:
-        # Empty frame: just add an empty long column.
-        return df.withColumn(resolved, F.lit(None).cast("long"))
+        # Empty frame: just add an empty long column (index-first like the
+        # reference, src/polars/add.rs).
+        empty = df.withColumn(resolved, F.lit(None).cast("long"))
+        return empty.select(resolved, *df.columns)
 
     spark = df.sparkSession
     offset_df = spark.createDataFrame(offsets, schema=f"{_PID} long, {_OFFSET} long")

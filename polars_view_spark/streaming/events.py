@@ -1,0 +1,143 @@
+"""Structured Streaming flavors of the event operators.
+
+The reference has no event streaming (its "streaming" flag is out-of-core
+batch execution — SURVEY.md §2C end); this module is the forward extension:
+the SAME tumbling-window aggregation as operators/events.py:tumbling_agg,
+expressed over an unbounded stream with watermark-bounded state, plus a
+custom stateful operator via ``applyInPandasWithState``.
+
+Semantics contract (tested): a stream processed with
+``trigger(availableNow=True)`` over a static file produces exactly the
+batch operator's result — batch/stream parity is what makes the operators
+safe to promote from backfill to live pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events table schema with nanosecond ts already normalized to long
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (directory or glob).
+
+    ``maxFilesPerTrigger`` keeps micro-batches bounded on a backfill; the
+    nanosecond timestamp is normalized exactly like the batch reader
+    (catalog.load_tables).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", "1")
+    if path.endswith(".parquet"):
+        # the file source wants a DIRECTORY; stream the parent filtered to
+        # this one file (live pipelines point at a landing directory)
+        import os
+
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_agg(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) are finalized and dropped, so state size is O(active
+    windows), independent of stream length — the property that lets this
+    run forever on a 100 TB/day firehose.  Late events inside the watermark
+    update their window; later ones are dropped (documented, standard).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-6), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_running_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count + last-seen timestamp.
+
+    Demonstrates the arbitrary-state API (GroupState with explicit
+    timeout): state is one tuple per user, updated per micro-batch in
+    Arrow-batched pandas — the pattern for anything the built-in windowed
+    aggregates can't express (e.g. online sessionization, CEP).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("last_seen", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n_new = 0
+        last = None
+        for pdf in pdfs:
+            n_new += len(pdf)
+            mx = pdf["ts"].max()
+            last = mx if last is None else max(last, mx)
+        (n_prev,) = state.get if state.exists else (0,)
+        total = n_prev + n_new
+        state.update((total,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [total], "last_seen": [last]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a (finite) stream into an in-memory table with
+    ``availableNow`` — the batch-parity test harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

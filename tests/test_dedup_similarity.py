@@ -1,0 +1,139 @@
+"""Semantic tests for the dedup/similarity operators: recall of the LSH
+path against brute-force truth, determinism of exact dedup."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    from polars_view_spark.catalog import load_tables
+
+    return load_tables(spark, SF, "documents")["documents"]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    from polars_view_spark.catalog import load_tables
+
+    return load_tables(spark, SF, "embeddings")["embeddings"]
+
+
+class TestMinHashRecall:
+    def test_lsh_finds_all_high_jaccard_pairs(self, spark, documents):
+        """Every true pair with Jaccard >= 0.8 must survive the banded-LSH
+        candidate stage (4 bands × 2 rows ⇒ P(miss | j=0.8) ≈ 2e-3)."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.functions.texthash import shingles_expr
+        from polars_view_spark.operators.dedup import minhash_lsh_pairs
+
+        got = {
+            (r["doc1"], r["doc2"])
+            for r in minhash_lsh_pairs(documents, "doc_id", "text", 0.8).collect()
+        }
+
+        # brute-force truth over all pairs (500 docs -> fine here)
+        sh = documents.select(
+            F.col("doc_id").alias("doc"), shingles_expr("text").alias("s")
+        )
+        a, b = sh.alias("a"), sh.alias("b")
+        truth = {
+            (r["d1"], r["d2"])
+            for r in a.join(b, F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("d1"),
+                F.col("b.doc").alias("d2"),
+                (
+                    F.size(F.array_intersect("a.s", "b.s"))
+                    / (
+                        F.size("a.s")
+                        + F.size("b.s")
+                        - F.size(F.array_intersect("a.s", "b.s"))
+                    )
+                ).alias("j"),
+            )
+            .filter(F.col("j") >= 0.8)
+            .collect()
+        }
+        assert truth, "corpus should contain planted near-dups"
+        assert got == truth
+
+    def test_minhash_estimates_jaccard(self, spark, documents):
+        """Signature agreement rate approximates true Jaccard for a known
+        near-dup pair."""
+        from polars_view_spark.operators.dedup import minhash_signatures
+
+        sigs = {r["doc"]: r for r in minhash_signatures(documents, "doc_id", "text").collect()}
+        from polars_view_spark.operators.dedup import minhash_lsh_pairs
+
+        pair = minhash_lsh_pairs(documents, "doc_id", "text", 0.9).first()
+        assert pair is not None
+        s1, s2 = sigs[pair["doc1"]], sigs[pair["doc2"]]
+        agree = sum(s1[f"mh{i}"] == s2[f"mh{i}"] for i in range(8)) / 8
+        assert agree >= 0.5  # j>=0.9 -> expected agreement ~0.9
+
+
+class TestExactDedup:
+    def test_deterministic_survivor(self, spark):
+        from polars_view_spark.operators.dedup import dedup_exact
+
+        df = spark.createDataFrame(
+            [(3, "k"), (1, "k"), (2, "k"), (9, "j")], "id long, key string"
+        ).repartition(4)
+        out = dedup_exact(df, ["key"], "id")
+        assert {(r["id"], r["key"]) for r in out.collect()} == {(1, "k"), (9, "j")}
+
+
+class TestSimHash:
+    def test_near_dups_have_close_fingerprints(self, spark, documents):
+        from polars_view_spark.operators.dedup import minhash_lsh_pairs, simhash16
+
+        fps = {r["doc"]: r["simhash"] for r in simhash16(documents, "doc_id", "text").collect()}
+        pair = minhash_lsh_pairs(documents, "doc_id", "text", 0.9).first()
+        hamming = bin(fps[pair["doc1"]] ^ fps[pair["doc2"]]).count("1")
+        assert hamming <= 4  # 16-bit simhash of 0.9-jaccard docs is close
+
+
+class TestAnn:
+    def test_bruteforce_is_true_topk(self, spark, embeddings):
+        import numpy as np
+
+        from polars_view_spark.operators.similarity import brute_force_topk
+
+        from pyspark.sql import functions as F
+
+        got = brute_force_topk(
+            embeddings, embeddings.filter(F.col("vec_id") == 0), k=3
+        ).collect()
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in embeddings.collect()}
+        q = vecs[0]
+        scores = {
+            i: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for i, v in vecs.items()
+            if i != 0
+        }
+        want = sorted(scores, key=lambda i: (-round(scores[i], 6), i))[:3]
+        assert [r["neighbor_id"] for r in got] == want
+
+    def test_lsh_topk_subset_of_bucket(self, spark, embeddings):
+        """LSH top-k returns only same-bucket neighbors, ranked like the
+        brute-force scorer restricted to the bucket."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.functions.vectors import lsh_bucket_sql
+        from polars_view_spark.operators.similarity import lsh_topk
+
+        out = lsh_topk(
+            embeddings, embeddings.filter(F.col("vec_id") == 0), k=5, n_bits=4, dim=64
+        ).collect()
+        buckets = {
+            r["vec_id"]: r["b"]
+            for r in embeddings.select(
+                "vec_id", F.expr(lsh_bucket_sql("embedding", 4, 64)).alias("b")
+            ).collect()
+        }
+        qb = buckets[0]
+        assert all(buckets[r["neighbor_id"]] == qb for r in out)
+        assert len(out) > 0

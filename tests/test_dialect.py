@@ -1,0 +1,127 @@
+"""Dialect shim unit tests: strftime translation, dquote identifiers,
+comment stripping, star-modifier expansion (SURVEY.md §2C flags)."""
+
+import pytest
+
+from polars_view_spark.errors import SqlDialectError
+from polars_view_spark.plans.dialect import (
+    double_quotes_to_backticks,
+    rewrite_query,
+    strip_comments,
+    translate_strftime_pattern,
+)
+
+
+class TestStrftime:
+    @pytest.mark.parametrize(
+        "src,want",
+        [
+            ("%d/%m/%Y", "dd/MM/yyyy"),
+            ("%Y-%m-%d %H:%M:%S", "yyyy-MM-dd HH:mm:ss"),
+            ("%Y-%m", "yyyy-MM"),
+            ("%H:%M", "HH:mm"),
+            ("%d %B %Y", "dd MMMM yyyy"),
+            ("%F", "yyyy-MM-dd"),
+            ("%%", "%"),
+        ],
+    )
+    def test_tokens(self, src, want):
+        assert translate_strftime_pattern(src) == want
+
+    def test_literal_letters_quoted(self):
+        # alphabetic literals must be quoted for the JVM formatter
+        assert translate_strftime_pattern("%Yyr") == "yyyy'yr'"
+
+    def test_unknown_token_errors(self):
+        with pytest.raises(SqlDialectError):
+            translate_strftime_pattern("%Q")
+
+
+class TestDquote:
+    def test_identifier(self):
+        assert double_quotes_to_backticks('SELECT "a b" FROM t') == "SELECT `a b` FROM t"
+
+    def test_single_quoted_untouched(self):
+        q = "SELECT 'say \"hi\"' FROM t"
+        assert double_quotes_to_backticks(q) == q
+
+    def test_escaped_dquote(self):
+        assert double_quotes_to_backticks('SELECT "a""b" FROM t') == 'SELECT `a"b` FROM t'
+
+
+class TestComments:
+    def test_line_and_block(self):
+        q = "SELECT a, -- comment\n b /* block */ FROM t"
+        s = strip_comments(q)
+        assert "comment" not in s and "block" not in s
+        assert "SELECT a," in s and "FROM t" in s
+
+    def test_comment_chars_in_string(self):
+        q = "SELECT '--not a comment' FROM t"
+        assert strip_comments(q) == q
+
+
+class TestStarModifiers:
+    @pytest.fixture(scope="class", autouse=True)
+    def table(self, spark):
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5)], "id int, name string, val double"
+        ).createOrReplaceTempView("AllData")
+
+    def test_rename(self, spark):
+        df = spark.sql(rewrite_query("SELECT * RENAME (val AS v2) FROM AllData", spark))
+        assert df.columns == ["id", "name", "v2"]
+
+    def test_replace(self, spark):
+        df = spark.sql(
+            rewrite_query("SELECT * REPLACE (val * 2 AS val) FROM AllData", spark)
+        )
+        assert sorted(r["val"] for r in df.collect()) == [3.0, 5.0]
+
+    def test_combined_order(self, spark):
+        # EXCEPT applies first, then REPLACE, then RENAME — reference
+        # example shape (src/sqls.rs:192-217)
+        q = """SELECT *
+        EXCEPT (id)
+        REPLACE (upper(name) AS name)
+        RENAME (name AS loud_name)
+        FROM AllData ORDER BY loud_name"""
+        df = spark.sql(rewrite_query(q, spark))
+        assert df.columns == ["loud_name", "val"]
+        assert [r["loud_name"] for r in df.collect()] == ["A", "B"]
+
+    def test_cte_with_modifiers_and_where(self, spark):
+        # the full testes-sqls.txt:63-104 shape: CTE + EXCEPT + REPLACE +
+        # RENAME + WHERE on a CTE column + ORDER BY the renamed column
+        q = """
+        WITH extended AS (
+          SELECT *, id * 10 AS big FROM AllData
+        )
+        SELECT *
+        EXCEPT ("val")
+        REPLACE (SubStr("name", 1, 1) AS "name")
+        RENAME ("name" AS "initial")
+        FROM extended
+        WHERE big >= 10
+        ORDER BY "initial" DESC
+        """
+        df = spark.sql(rewrite_query(q, spark))
+        assert df.columns == ["id", "initial", "big"]
+        assert [r["initial"] for r in df.collect()] == ["b", "a"]
+
+    def test_replace_unknown_target_errors(self, spark):
+        with pytest.raises(SqlDialectError):
+            rewrite_query("SELECT * REPLACE (1 AS nope) FROM AllData", spark)
+
+    def test_strftime_in_query(self, spark):
+        spark.sql("SELECT timestamp'2024-03-05 01:02:03' AS ts").createOrReplaceTempView(
+            "T1"
+        )
+        df = spark.sql(
+            rewrite_query("SELECT STRFTIME(ts, '%d/%m/%Y') AS d FROM T1", spark)
+        )
+        assert df.first()["d"] == "05/03/2024"
+
+    def test_trailing_semicolon(self, spark):
+        df = spark.sql(rewrite_query("SELECT * FROM AllData;", spark))
+        assert df.count() == 2

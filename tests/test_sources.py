@@ -1,0 +1,138 @@
+"""Reader/writer tests ported from the reference's end-to-end temp-file
+suites (reference: src/data_filter.rs:1273-1439, src/file_dialog.rs)."""
+
+import os
+
+import pytest
+
+from polars_view_spark.config import LoadConfig, parse_null_markers
+from polars_view_spark.errors import SaveFormatMismatchError, UnsupportedFormatError
+from polars_view_spark.sources.readers import detect_format, force_string_schema, read_any
+from polars_view_spark.sources.sniff import sniff_delimiter
+from polars_view_spark.sources.writers import save, save_as, write_dataset
+
+
+class TestSniffer:
+    def make(self, tmp_path, text, name="f.csv"):
+        p = tmp_path / name
+        p.write_text(text)
+        return str(p)
+
+    def test_semicolon(self, tmp_path):
+        p = self.make(tmp_path, "a;b;c\n1;2;3\n")
+        assert sniff_delimiter(p, ",") == ";"
+
+    def test_configured_first(self, tmp_path):
+        # both ',' and ';' would parse; the configured one wins
+        p = self.make(tmp_path, "a,b;c\n1,2;3\n")
+        assert sniff_delimiter(p, ",") == ","
+        assert sniff_delimiter(p, ";") == ";"
+
+    def test_tab_and_pipe(self, tmp_path):
+        assert sniff_delimiter(self.make(tmp_path, "a\tb\n1\t2\n")) == "\t"
+        assert sniff_delimiter(self.make(tmp_path, "a|b\n1|2\n")) == "|"
+
+    def test_single_column_falls_back(self, tmp_path):
+        p = self.make(tmp_path, "lonely\n1\n2\n")
+        assert sniff_delimiter(p, ";") == ";"
+
+
+class TestForceString:
+    def test_positive(self, spark, tmp_path):
+        # reference F1 fixture: 44-digit IDs must stay strings under the
+        # override (src/data_filter.rs:1309-1326)
+        p = tmp_path / "ids.csv"
+        big = "9" * 44
+        p.write_text(f"long_id;value\n{big};1.5\n{big[:30]};2.5\n")
+        cfg = LoadConfig(path=str(p), force_string_patterns="^long_id$")
+        df, fmt, cfg2 = read_any(spark, cfg)
+        assert dict(df.dtypes)["long_id"] == "string"
+        assert df.orderBy("value").first()["long_id"] == big
+
+    def test_negative_control(self, spark, tmp_path):
+        # without the override, inference must NOT produce usable values
+        # (the reference's negative control: all-null Int64)
+        p = tmp_path / "ids.csv"
+        big = "9" * 44
+        p.write_text(f"long_id;value\n{big};1.5\n")
+        df, _, _ = read_any(spark, LoadConfig(path=str(p)))
+        assert dict(df.dtypes)["long_id"] != "string" or df.first()["long_id"] == big
+
+    def test_schema_rewrite(self, spark):
+        from pyspark.sql import types as T
+
+        s = T.StructType(
+            [T.StructField("a_id", T.LongType()), T.StructField("b", T.DoubleType())]
+        )
+        out = force_string_schema(s, "^.*_id$")
+        assert out["a_id"].dataType == T.StringType()
+        assert out["b"].dataType == T.DoubleType()
+        out_all = force_string_schema(s, "*")
+        assert all(f.dataType == T.StringType() for f in out_all.fields)
+
+
+class TestFormats:
+    def test_detect(self):
+        assert detect_format("x.CSV") == "csv"
+        assert detect_format("x.jsonl") == "ndjson"
+        assert detect_format("x.parquet") == "parquet"
+        with pytest.raises(UnsupportedFormatError):
+            detect_format("x.xlsx")
+        with pytest.raises(UnsupportedFormatError):
+            detect_format("noext")
+
+    def test_null_markers(self):
+        assert parse_null_markers('"", <N/D>') == ["", "<N/D>"]
+        assert parse_null_markers("'x', y") == ["x", "y"]
+
+
+class TestRoundTrips:
+    @pytest.fixture()
+    def df(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", None)], "id int, name string, val double"
+        )
+
+    def test_csv_roundtrip(self, spark, df, tmp_path):
+        target = str(tmp_path / "out.csv")
+        save_as(df, target, csv_delimiter=";")
+        assert os.path.isfile(target)
+        back, _, _ = read_any(spark, LoadConfig(path=target))
+        assert back.count() == 2
+        assert [r["name"] for r in back.orderBy("id").collect()] == ["a", "b"]
+
+    def test_ndjson_roundtrip(self, spark, df, tmp_path):
+        target = str(tmp_path / "out.ndjson")
+        save_as(df, target)
+        back, fmt, _ = read_any(spark, LoadConfig(path=target))
+        assert fmt == "ndjson"
+        assert back.count() == 2
+
+    def test_parquet_roundtrip(self, spark, df, tmp_path):
+        target = str(tmp_path / "out.parquet")
+        save_as(df, target)
+        back, _, _ = read_any(spark, LoadConfig(path=target))
+        assert sorted(back.columns) == ["id", "name", "val"]
+
+    def test_json_single_doc(self, spark, df, tmp_path):
+        import json
+
+        target = str(tmp_path / "out.json")
+        save_as(df, target)
+        doc = json.load(open(target))
+        assert isinstance(doc, list) and len(doc) == 2
+        back, fmt, _ = read_any(spark, LoadConfig(path=target))
+        assert fmt == "json" and back.count() == 2
+
+    def test_save_guard(self, df, tmp_path):
+        with pytest.raises(SaveFormatMismatchError):
+            save(df, LoadConfig(path=str(tmp_path / "out.parquet")), "csv")
+
+    def test_write_dataset_partitioned(self, spark, df, tmp_path):
+        out = str(tmp_path / "ds")
+        write_dataset(df, out, partition_by=["name"])
+        assert os.path.isdir(os.path.join(out, "name=a"))
+        back = spark.read.parquet(out)
+        # partition pruning: filter on the partition column prunes files
+        plan = back.filter(back.name == "a")._jdf.queryExecution().executedPlan().toString()
+        assert back.filter(back.name == "a").count() == 1
