@@ -82,20 +82,31 @@ def tokens_expr(col: str) -> Column:
     return F.split(F.lower(F.trim(F.col(col))), r"\s+")
 
 
-def shingles_sql(col: str, width: int = SHINGLE_WIDTH) -> str:
-    """Spark SQL for distinct word ``width``-shingles.
+def shingles_from_tokens_sql(tok_col: str, width: int = SHINGLE_WIDTH) -> str:
+    """Spark SQL for distinct word ``width``-shingles over an ALREADY
+    MATERIALIZED token-array column.
+
+    Keeping the tokens in their own column matters for throughput: inlining
+    the ``split()`` into every lambda element access makes Spark re-split
+    the text once per shingle element (measured 3-4× slowdown on the
+    signature stage); a column reference is evaluated once per row.
 
     Spark arrays are 0-based: windows start at 0 .. size-width.  Documents
     shorter than ``width`` words yield an empty array (guarded — ``sequence``
     with a negative end would error).
     """
-    toks = tokens_sql(col)
-    parts = ", ' ', ".join(f"{toks}[i + {k}]" for k in range(width))
+    parts = ", ' ', ".join(f"{tok_col}[i + {k}]" for k in range(width))
     return (
-        f"CASE WHEN size({toks}) >= {width} THEN "
-        f"array_distinct(transform(sequence(0, size({toks}) - {width}), "
+        f"CASE WHEN size({tok_col}) >= {width} THEN "
+        f"array_distinct(transform(sequence(0, size({tok_col}) - {width}), "
         f"i -> concat({parts}))) ELSE array() END"
     )
+
+
+def shingles_sql(col: str, width: int = SHINGLE_WIDTH) -> str:
+    """One-expression form (re-splits per element — prefer the two-step
+    tokens → :func:`shingles_from_tokens_sql` in hot paths)."""
+    return shingles_from_tokens_sql(tokens_sql(col), width)
 
 
 def shingles_expr(col: str, width: int = SHINGLE_WIDTH) -> Column:

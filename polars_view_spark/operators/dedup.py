@@ -54,9 +54,15 @@ def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, shingle) exploded table of distinct word 3-shingles."""
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles_expr(text_col)).alias("shingle")
+    """(id, shingle) exploded table of distinct word 3-shingles.
+
+    Two-step tokens → shingles so the tokenizing split runs once per row,
+    not once per shingle element (see shingles_from_tokens_sql)."""
+    from polars_view_spark.functions.texthash import shingles_from_tokens_sql
+
+    toks = df.select(F.col(id_col).alias("doc"), tokens_expr(text_col).alias("__t"))
+    return toks.select(
+        "doc", F.explode(F.expr(shingles_from_tokens_sql("__t"))).alias("shingle")
     )
 
 
@@ -120,6 +126,7 @@ def minhash_lsh_pairs(
         left.join(right, join_cond)
         .select(F.col("l.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
         .distinct()
+        .cache()  # reused by intersection + left-join in the verify stage
     )
 
     verified = exact_jaccard_for_pairs(df, candidates, id_col, text_col)
@@ -137,7 +144,9 @@ def exact_jaccard_for_pairs(
     set sizes via one small aggregate broadcast back.  No list materialization
     on the driver.
     """
-    sh = shingle_table(df, id_col, text_col)
+    # the shingle table feeds three consumers (both join sides + sizes) —
+    # cache it so the tokenize+shingle scan runs once
+    sh = shingle_table(df, id_col, text_col).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     sh1 = sh.select(F.col("doc").alias("doc1"), F.col("shingle"))

@@ -1,0 +1,101 @@
+"""Physical-plan quality gates — the properties that make these plans
+survive a 100× scale-up, asserted so a regression fails CI:
+
+- filters reach the parquet scan (PushedFilters)
+- projections prune the read schema (ReadSchema)
+- dimension joins broadcast (BroadcastHashJoin), the fact table never
+  shuffles for them
+- ORDER BY + LIMIT compiles to TakeOrderedAndProject (top-k, no total sort)
+- aggregations are partial (two HashAggregate phases, map-side combine)
+- sessionize's two window functions share ONE shuffle
+"""
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, final: bool = False) -> str:
+    # metadata strings (PushedFilters/ReadSchema) truncate at 100 chars by
+    # default; raise the limit so assertions see the full lists
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    if final:
+        df.collect()  # let AQE finalize so codegen markers appear
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def cat():
+    from polars_view_spark.catalog import entries
+
+    return entries()
+
+
+def test_filter_pushdown(spark, cat):
+    plan = plan_of(cat["q_filter_predicates"].spark_fn(spark, SF))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no pushed filters in scan"
+    pushed = m.group(1)
+    assert "o_totalprice" in pushed and "o_orderstatus" in pushed
+
+
+def test_column_pruning(spark, cat):
+    plan = plan_of(cat["q1_pricing_summary"].spark_fn(spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m
+    read_cols = m.group(1)
+    # q1 needs 7 of the 11 lineitem columns; the scan must not read the rest
+    assert "l_orderkey" not in read_cols
+    assert "l_partkey" not in read_cols
+    assert "l_quantity" in read_cols
+
+
+def test_broadcast_dimension_joins(spark, cat):
+    plan = plan_of(cat["q5_local_supplier"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the big fact side must not go through a sort-merge join for dims
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_no_total_sort(spark, cat):
+    plan = plan_of(cat["q3_shipping_priority"].spark_fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation(spark, cat):
+    plan = plan_of(cat["q1_pricing_summary"].spark_fn(spark, SF))
+    # partial + final hash aggregate = map-side combine before the shuffle
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_sessionize_single_shuffle(spark, cat):
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.events import sessionize
+
+    events = load_tables(spark, SF, "events")["events"]
+    plan = plan_of(sessionize(events))
+    # lag + running-sum share the (user_id) partitioning; groupBy(user, sid)
+    # can AQE-reuse it -> at most 2 exchanges total, never 3
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_asof_no_cartesian(spark, cat):
+    plan = plan_of(cat["e_asof_join"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_on_scan_paths(spark, cat):
+    plan = plan_of(cat["x_quality_score"].spark_fn(spark, SF), final=True)
+    assert "*(" in plan  # WholeStageCodegen stage markers
+    # no Python evaluation in the text-stats hot path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multimodal_is_arrow_batched(spark, cat):
+    plan = plan_of(cat["x_multimodal_decode"].spark_fn(spark, SF))
+    # mapInPandas shows up as MapInPandas (Arrow), NOT row-at-a-time Python
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
