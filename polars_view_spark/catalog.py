@@ -52,6 +52,10 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     a microsecond TimestampType with integer division — exactly the
     truncation DuckDB applies when it reads the same file.
     """
+    # timestamp formatting (date_format/strftime outputs) depends on the
+    # session timezone; pin UTC so results match the (naive) DuckDB oracle
+    # regardless of how the calling session was built
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for n in names:
         if n == "events":
@@ -437,8 +441,8 @@ def _register_core() -> None:
         SELECT *
         FROM (
           SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
-                 ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
           FROM orders
         ) t
         WHERE rn <= 2
@@ -629,7 +633,7 @@ def _register_core() -> None:
         SELECT c_mktsegment,
                COUNT(*) AS n_rows,
                COUNT(o_orderkey) AS n_orders,
-               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orderless
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
@@ -681,14 +685,14 @@ def _register_core() -> None:
         SELECT p_partkey,
                UPPER(p_brand)                   AS brand_u,
                LOWER(p_type)                    AS type_l,
-               LENGTH(p_name)                   AS name_len,
+               CAST(LENGTH(p_name) AS BIGINT)   AS name_len,
                SUBSTR(p_name, 1, 5)             AS name_head,
                CONCAT(p_brand, ':', p_type)     AS brand_type,
                COALESCE(NULLIF(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other,
                ABS(p_size - 25)                 AS size_dev,
                p_size % 5                       AS size_mod,
-               FLOOR(p_retailprice)             AS price_floor,
-               CEIL(p_retailprice)              AS price_ceil
+               CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+               CAST(CEIL(p_retailprice) AS BIGINT)  AS price_ceil
         FROM part
         ORDER BY p_partkey LIMIT 500
         """,

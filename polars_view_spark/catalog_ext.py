@@ -302,6 +302,21 @@ register(
     tables=("embeddings",),
 )(_s_ann_lsh)
 
+def _s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cell) approximate top-k
+    (operators/similarity.py:ivf_topk).  Centroid-dependent → rows-only
+    driver check; recall is pinned against brute force in pytest."""
+    from polars_view_spark.operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    out = ivf_topk(e, e.filter(F.col("vec_id") < ANN_N_QUERIES), k=ANN_K)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+register("s_ann_ivf_topk", oracle=None, tables=("embeddings",))(_s_ann_ivf)
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------

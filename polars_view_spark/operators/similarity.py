@@ -98,6 +98,70 @@ def lsh_topk(
     return _ranked_topk(scored, k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means-partition the corpus,
+    search only the ``n_probe`` nearest cells per query.
+
+    The classic ANN scale path: the corpus is clustered ONCE (training
+    samples a fraction; assignment is one map pass), stored
+    partitioned-by-cell, and every query touches n_probe/n_clusters of the
+    data.  Uses pyspark.ml KMeans — results depend on the trained centroids,
+    so this operator is validated by recall-vs-brute-force tests rather than
+    a cross-engine oracle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell").fit(
+        corpus_v.select("features")
+    )
+    assigned = model.transform(corpus_v).select("neighbor_id", "cvec", "cell")
+
+    # per-query n_probe nearest centroids (centroids are tiny — broadcast math)
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(centers, "cell int, center array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("dist", F.expr(
+            "aggregate(zip_with(qvec, center, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(F.expr(cosine_sql("qvec", "cvec")), 6))
+        .drop("qvec", "cvec", "cell")
+    )
+    return _ranked_topk(scored, k)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
