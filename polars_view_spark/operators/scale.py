@@ -1,0 +1,68 @@
+"""Shuffle-engineering utilities — the knobs that decide whether a plan
+survives 100 TB: bucketing (co-located joins, zero shuffle), salting
+(skewed-key joins), and partitioning helpers.
+
+These are deliberately thin over Spark primitives: the value is choosing
+and *testing* the right physical property, not wrapping the API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (+ optionally sorted) managed table.
+
+    Two tables bucketed identically on their join key hash-join WITHOUT a
+    shuffle — each bucket pair joins locally.  At 100 TB this converts the
+    recurring fact⋈fact join from a full network shuffle into a local merge
+    per bucket; the cost moves to write time, paid once.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explode the (small) right side into
+    ``salt_buckets`` copies, salt the left side's key randomly-but-
+    deterministically, join on (key, salt).
+
+    Use when one key dominates (power-law ids, null-heavy keys) and AQE's
+    skew splitting isn't enough — the hot key's rows spread across
+    ``salt_buckets`` tasks instead of one straggler.  The right side grows
+    ×salt_buckets, so use for small-to-medium right sides (dimension or
+    aggregated sides), or pre-filter the hot keys and salt only those.
+    """
+    salted_left = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    salted_right = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = salted_left.join(salted_right, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def repartition_by_key(df: DataFrame, cols: list[str], n: int | None = None) -> DataFrame:
+    """Explicit hash partitioning — pre-shuffle once, reuse the layout for
+    several downstream keyed operations (Catalyst recognizes the
+    partitioning and elides the later exchanges)."""
+    return df.repartition(n, *[F.col(c) for c in cols]) if n else df.repartition(*[F.col(c) for c in cols])

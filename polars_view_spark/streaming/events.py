@@ -80,6 +80,49 @@ def streaming_tumbling_agg(
     )
 
 
+def streaming_sliding_agg(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (overlapping) windows: each event lands in width/slide
+    windows; state is still watermark-bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (``session_window``): gap-based sessions with
+    merge-on-overlap — the streaming twin of operators/events.py:sessionize.
+    State per (user, open session); closed sessions emit once the watermark
+    passes the gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_running_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: running
     per-user event count + last-seen timestamp.

@@ -56,6 +56,46 @@ def test_streaming_running_counts(spark):
     assert {u: got[u] for u in want} == want
 
 
+def test_streaming_sliding_windows(spark):
+    """Sliding windows: each event appears in width/slide = 2 windows."""
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_sliding_agg,
+    )
+
+    stream = read_event_stream(spark, f"{SF}/events.parquet")
+    run_stream_to_memory(streaming_sliding_agg(stream), "stream_sliding")
+    out = spark.table("stream_sliding")
+    total_windowed = out.groupBy().sum("n_events").first()[0]
+    n_events = 1000  # sf0.001 events rows
+    assert total_windowed == 2 * n_events
+
+
+def test_streaming_session_windows_match_batch(spark):
+    """Native session_window sessions == the batch sessionize operator
+    (same gap, same users) on a finite stream."""
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.events import sessionize
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_session_windows,
+    )
+
+    stream = read_event_stream(spark, f"{SF}/events.parquet")
+    run_stream_to_memory(streaming_session_windows(stream), "stream_sessions")
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("stream_sessions").collect()
+    }
+    batch = sessionize(load_tables(spark, SF, "events")["events"], gap_minutes=30)
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
+    }
+    assert got == want
+
+
 def test_watermark_bounds_state(spark):
     """The watermarked plan carries an EventTimeWatermark node (state is
     bounded — the property that matters at firehose scale)."""
