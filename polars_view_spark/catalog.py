@@ -533,6 +533,37 @@ def _register_core() -> None:
         tables=("documents",),
     )(t_replace_nulls)
 
+    def t_replace_universal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Universal (cast-everything) null-replacement mode: every column
+        is cast to string for the trim+compare, original value kept
+        otherwise.  Pins the '3' ≠ '3.0' distinction the reference tests
+        (src/polars/replace.rs:346-352): marker '3' nulls the INT 3 but not
+        the DOUBLE 3.0."""
+        from polars_view_spark.operators.transforms import replace_values_with_null
+
+        t = load_tables(spark, sf_dir, "lineitem")
+        subset = t["lineitem"].select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        )
+        out = replace_values_with_null(subset, ["N", "3"], all_columns=True)
+        return out.orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+    register(
+        "t_replace_nulls_universal",
+        oracle="""
+        SELECT CASE WHEN TRIM(CAST(l_orderkey AS VARCHAR)) IN ('N','3') THEN NULL
+                    ELSE l_orderkey END AS l_orderkey,
+               CASE WHEN TRIM(CAST(l_linenumber AS VARCHAR)) IN ('N','3') THEN NULL
+                    ELSE l_linenumber END AS l_linenumber,
+               CASE WHEN TRIM(CAST(l_quantity AS VARCHAR)) IN ('N','3') THEN NULL
+                    ELSE l_quantity END AS l_quantity,
+               CASE WHEN TRIM(l_returnflag) IN ('N','3') THEN NULL
+                    ELSE l_returnflag END AS l_returnflag
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity
+        """,
+        tables=("lineitem",),
+    )(t_replace_universal)
+
     def t_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Regex column drop (reference src/polars/drop.rs)."""
         from polars_view_spark.operators.transforms import drop_columns_by_regex
