@@ -71,6 +71,77 @@ register(
 )(_d_dedup_exact)
 
 
+def _d_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-dedup: md5 fingerprint of normalized text as the exact-dup
+    key, deterministic min-id survivor (textstats.fingerprint +
+    dedup.dedup_exact composed)."""
+    from polars_view_spark.operators.dedup import dedup_exact
+    from polars_view_spark.operators.textstats import fingerprint
+
+    t = load_tables(spark, sf_dir, "documents")
+    fp = fingerprint(t["documents"])
+    return (
+        dedup_exact(fp, ["fingerprint"], "doc_id")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "d_dedup_by_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint FROM (
+      SELECT doc_id, fingerprint,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM fp) t
+    WHERE rn = 1 ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_d_dedup_fingerprint)
+
+
+def _t_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCT path end-to-end through the driver gate: DataContainer
+    loads the parquet, folds the reference-ordered pipeline (drop-regex →
+    replace-nulls → SQL → row-index) and the result must match a plain SQL
+    oracle — proving the interactive engine computes what the SQL says."""
+    from polars_view_spark.config import LoadConfig
+    from polars_view_spark.container import DataContainer
+
+    cfg = LoadConfig(
+        path=f"{sf_dir}/lineitem.parquet",
+        drop=True,
+        drop_regex="^l_(tax|partkey|suppkey)$",
+        apply_sql=True,
+        query=(
+            "SELECT l_returnflag, COUNT(*) AS n, "
+            "ROUND(SUM(l_quantity) + 1e-6, 2) AS qty "
+            "FROM AllData GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        add_row_index=True,
+        row_index_name="row_number",
+    )
+    container = DataContainer.load_data(spark, cfg, cache=False)
+    return container.df
+
+
+register(
+    "t_pipeline_full",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_returnflag) AS BIGINT) AS row_number,
+           l_returnflag, COUNT(*) AS n,
+           ROUND(SUM(l_quantity) + 1e-6, 2) AS qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tables=("lineitem",),
+)(_t_pipeline_full)
+
+
 def _duck_minhash_oracle() -> str:
     p = MINHASH_PRIME
     mh_aggs = ",\n         ".join(

@@ -66,14 +66,17 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """One row per doc: ``doc, mh0..mh{k-1}`` MinHash signature.
 
     Plan shape: explode shingles → hash each shingle once (``h31``) → single
     groupBy computing all k minima simultaneously (one shuffle, k aggregates
-    share the hashed input).
+    share the hashed input).  Pass a precomputed (cached) ``shingles`` table
+    to share the tokenize+shingle scan with other consumers.
     """
-    sh = shingle_table(df, id_col, text_col).withColumn(
+    sh = (shingles if shingles is not None else shingle_table(df, id_col, text_col)).withColumn(
         "h31", F.expr(f"{hex64_sql('shingle')} % {MINHASH_PRIME}")
     )
     aggs = [
@@ -101,7 +104,8 @@ def minhash_lsh_pairs(
     the final verify joins the shingle table only for candidate pairs.
     Skewed buckets (boilerplate text) are handled by AQE skew-join.
     """
-    sigs = minhash_signatures(df, id_col, text_col).cache()
+    sh = shingle_table(df, id_col, text_col).cache()
+    sigs = minhash_signatures(df, id_col, text_col, shingles=sh).cache()
     k = len(MINHASH_COEFFS)
     n_bands = k // MINHASH_BAND_ROWS
 
@@ -129,14 +133,18 @@ def minhash_lsh_pairs(
         .cache()  # reused by intersection + left-join in the verify stage
     )
 
-    verified = exact_jaccard_for_pairs(df, candidates, id_col, text_col)
+    verified = exact_jaccard_for_pairs(df, candidates, id_col, text_col, shingles=sh)
     return verified.filter(F.col("jaccard") >= jaccard_threshold).select(
         "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
     )
 
 
 def exact_jaccard_for_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle Jaccard for given (doc1, doc2) pairs.
 
@@ -145,8 +153,9 @@ def exact_jaccard_for_pairs(
     on the driver.
     """
     # the shingle table feeds three consumers (both join sides + sizes) —
-    # cache it so the tokenize+shingle scan runs once
-    sh = shingle_table(df, id_col, text_col).cache()
+    # cache it so the tokenize+shingle scan runs once; callers that already
+    # hold a cached copy pass it in
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     sh1 = sh.select(F.col("doc").alias("doc1"), F.col("shingle"))
