@@ -495,6 +495,59 @@ register(
 )(_x_fingerprint)
 
 
+def _x_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints
+    (operators/textstats.py:winnow_fingerprints), aggregated per doc for a
+    compact oracle surface."""
+    from polars_view_spark.operators.textstats import winnow_fingerprints
+
+    t = load_tables(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(t["documents"])
+    return (
+        fps.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.min("fingerprint").alias("min_fp"),
+            F.max("fingerprint").alias("max_fp"),
+        )
+        .orderBy("id")
+    )
+
+
+def _duck_winnow_oracle() -> str:
+    from polars_view_spark.operators.textstats import WINNOW_K, WINNOW_W
+
+    k, w = WINNOW_K, WINNOW_W
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    grams = (
+        f"CASE WHEN length({norm}) >= {k} THEN "
+        f"list_transform(range(1, length({norm}) - {k} + 2), i -> substr({norm}, i, {k})) "
+        f"ELSE [] END"
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id AS id,
+             list_transform({grams}, g -> {duck_hex64_sql('g')}) AS h
+      FROM documents
+    ),
+    winnowed AS (
+      SELECT id, unnest(list_distinct(
+        CASE WHEN len(h) >= {w} THEN
+          list_transform(range(1, len(h) - {w} + 2), j -> list_min(h[j:j+{w}-1]))
+        WHEN len(h) > 0 THEN [list_min(h)]
+        ELSE [] END)) AS fingerprint
+      FROM hashed
+    )
+    SELECT id, COUNT(*) AS n_fp, MIN(fingerprint) AS min_fp, MAX(fingerprint) AS max_fp
+    FROM winnowed GROUP BY id ORDER BY id
+    """
+
+
+register("x_winnow_fingerprints", oracle=_duck_winnow_oracle(), tables=("documents",))(
+    _x_winnow
+)
+
+
 def _x_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: pack text → binary + metadata struct, then
     Arrow-batched mapInPandas 'decode' (operators/multimodal.py).  The

@@ -105,6 +105,49 @@ def quality_score(df: DataFrame, text_col: str = "text") -> Column | DataFrame:
     return df.withColumn("quality", F.expr(expr))
 
 
+WINNOW_K = 8  # k-gram width (characters)
+WINNOW_W = 4  # winnowing window (hashes)
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = WINNOW_K, w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every character k-gram, keep the minimum hash of each window of
+    ``w`` consecutive k-gram hashes, deduplicate — a compact position-robust
+    fingerprint set for plagiarism/near-dup detection.
+
+    A streaming implementation uses a *rolling* hash to update each k-gram
+    from the previous one; in a vectorized scan engine the same output
+    comes from positional hashing inside array lambdas (one pass, codegen,
+    no Python).  Hash = md5-prefix (cross-engine deterministic, see
+    functions/texthash.py) of each k-gram.
+
+    Returns (id, fingerprint) exploded rows.
+    """
+    from polars_view_spark.functions.texthash import hex64_sql
+
+    norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    grams = (
+        f"CASE WHEN length({norm}) >= {k} THEN "
+        f"transform(sequence(1, length({norm}) - {k} + 1), i -> substr({norm}, i, {k})) "
+        f"ELSE array() END"
+    )
+    expr = f"""
+      CASE WHEN size(__h) >= {w} THEN
+        array_distinct(transform(sequence(1, size(__h) - {w} + 1),
+                       j -> array_min(slice(__h, j, {w}))))
+      ELSE array_distinct(CASE WHEN size(__h) > 0 THEN array(array_min(__h)) ELSE array() END)
+      END
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({grams}, g -> {hex64_sql('g')})").alias("__h"),
+    )
+    return hashed.select("id", F.explode(F.expr(expr)).alias("fingerprint"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercased text.  Identical-content docs (modulo spacing/case) collide —
