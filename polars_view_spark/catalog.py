@@ -778,6 +778,74 @@ def _register_core() -> None:
         ("orders",),
     )
 
+    sql_query(
+        "q_percentiles",
+        """
+        SELECT c_mktsegment,
+               ROUND(PERCENTILE(c_acctbal, 0.5) + 1e-6, 2)  AS median_bal,
+               ROUND(PERCENTILE(c_acctbal, 0.9) + 1e-6, 2)  AS p90_bal
+        FROM customer
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        ("customer",),
+        oracle="""
+        SELECT c_mktsegment,
+               ROUND(QUANTILE_CONT(c_acctbal, 0.5) + 1e-6, 2) AS median_bal,
+               ROUND(QUANTILE_CONT(c_acctbal, 0.9) + 1e-6, 2) AS p90_bal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        doc="exact interpolated percentiles (Spark PERCENTILE ≡ DuckDB "
+        "QUANTILE_CONT); approximate sketch flavor in q_approx_aggregates.",
+    )
+
+    sql_query(
+        "q_string_agg",
+        """
+        SELECT n_regionkey,
+               ARRAY_JOIN(ARRAY_SORT(COLLECT_SET(n_name)), ',') AS nations
+        FROM nation
+        GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        ("nation",),
+        oracle="""
+        SELECT n_regionkey,
+               STRING_AGG(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        doc="ordered string aggregation: COLLECT_SET is unordered by "
+        "design (distributed!), so determinism comes from ARRAY_SORT "
+        "before joining — mirrors STRING_AGG ... ORDER BY.",
+    )
+
+    sql_query(
+        "q_datetime_functions",
+        """
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS BIGINT)      AS y,
+               CAST(MONTH(o_orderdate) AS BIGINT)     AS m,
+               CAST(DAY(o_orderdate) AS BIGINT)       AS d,
+               CAST(QUARTER(o_orderdate) AS BIGINT)   AS q,
+               STRFTIME(DATE_TRUNC('MONTH', o_orderdate), '%Y-%m-%d') AS month_start,
+               CAST(DATEDIFF(DATE '2000-01-01', o_orderdate) AS BIGINT) AS days_to_y2k
+        FROM orders
+        ORDER BY o_orderkey LIMIT 500
+        """,
+        ("orders",),
+        oracle="""
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS BIGINT)    AS y,
+               CAST(MONTH(o_orderdate) AS BIGINT)   AS m,
+               CAST(DAY(o_orderdate) AS BIGINT)     AS d,
+               CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
+               STRFTIME(DATE_TRUNC('MONTH', o_orderdate), '%Y-%m-%d') AS month_start,
+               CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT)
+                 AS days_to_y2k
+        FROM orders ORDER BY o_orderkey LIMIT 500
+        """,
+        doc="temporal extraction + truncation + difference (argument order "
+        "of DATEDIFF differs across engines — mirrored in the oracle).",
+    )
+
     def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Pivot via the DataFrame API (explicit value list keeps the plan
         one-pass; without it Spark needs an extra distinct-values job)."""

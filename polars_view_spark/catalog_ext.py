@@ -579,6 +579,59 @@ register(
     tables=("documents",),
 )(_x_multimodal)
 
+def _x_grouped_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas operator: per-language percentile rank of each
+    document's length, computed with ``groupBy().applyInPandas`` — the
+    Arrow-batched per-group path for logic that wants a whole group in
+    memory (here deliberately integer-exact so a window-SQL oracle verifies
+    the pandas path value-for-value)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    t = load_tables(spark, sf_dir, "documents")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("len_rank", T.LongType()),
+            T.StructField("group_size", T.LongType()),
+        ]
+    )
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "len_rank": range(1, len(pdf) + 1),
+                "group_size": len(pdf),
+            }
+        )
+
+    return (
+        t["documents"]
+        .select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(rank_group, out_schema)
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "x_grouped_rank_pandas",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT)
+             AS len_rank,
+           CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS group_size
+    FROM documents ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_x_grouped_rank)
+
+
 # --------------------------------------------------------------------------
 # event operators (batch; streaming flavors in streaming/events.py)
 # --------------------------------------------------------------------------

@@ -123,6 +123,51 @@ def streaming_session_windows(
     )
 
 
+def streaming_error_after_click(
+    events: DataFrame,
+    max_gap_minutes: int = 10,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair each ``error`` event with every
+    ``click`` by the same user in the preceding ``max_gap_minutes``.
+
+    Both sides carry watermarks and the join has a time-range condition, so
+    Spark can expire buffered state for either side once the watermark
+    passes — the requirement that makes stream-stream joins runnable
+    forever.  The batch equivalent (same DataFrame code on a static frame)
+    is the parity test.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr(f"INTERVAL {max_gap_minutes} MINUTES"))
+    )
+    return clicks.join(errors, cond).select(
+        F.col("e_user").alias("user_id"),
+        "error_id",
+        "click_id",
+        (F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts")).alias("gap_sec"),
+    )
+
+
 def streaming_running_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: running
     per-user event count + last-seen timestamp.

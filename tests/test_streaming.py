@@ -96,6 +96,34 @@ def test_streaming_session_windows_match_batch(spark):
     assert got == want
 
 
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream interval join == the same join on the
+    static frame (append mode, finite input)."""
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_error_after_click,
+    )
+
+    stream = read_event_stream(spark, f"{SF}/events.parquet")
+    run_stream_to_memory(
+        streaming_error_after_click(stream), "stream_ss_join", output_mode="append"
+    )
+    got = {
+        (r["user_id"], r["error_id"], r["click_id"], r["gap_sec"])
+        for r in spark.table("stream_ss_join").collect()
+    }
+
+    batch_events = load_tables(spark, SF, "events")["events"]
+    want = {
+        (r["user_id"], r["error_id"], r["click_id"], r["gap_sec"])
+        for r in streaming_error_after_click(batch_events).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
 def test_watermark_bounds_state(spark):
     """The watermarked plan carries an EventTimeWatermark node (state is
     bounded — the property that matters at firehose scale)."""
