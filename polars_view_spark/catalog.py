@@ -436,6 +436,20 @@ def _register_core() -> None:
     )
 
     sql_query(
+        "q_setop_except",
+        """
+        SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 15
+        EXCEPT
+        SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0
+        ORDER BY k
+        """,
+        ("nation",),
+        doc="EXCEPT as a SET OPERATION — distinct from the star-EXCEPT "
+        "column modifier; the dialect shim must leave it untouched "
+        "(fuzz + unit tested).",
+    )
+
+    sql_query(
         "q_window_topn",
         """
         SELECT *

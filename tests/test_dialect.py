@@ -122,6 +122,14 @@ class TestStarModifiers:
         )
         assert df.first()["d"] == "05/03/2024"
 
+    def test_setop_except_untouched(self, spark):
+        # EXCEPT as a set operation must NOT be treated as the star modifier
+        q = (
+            "SELECT id FROM AllData EXCEPT SELECT id FROM AllData WHERE id = 1"
+        )
+        out = spark.sql(rewrite_query(q, spark))
+        assert [r["id"] for r in out.collect()] == [2]
+
     def test_trailing_semicolon(self, spark):
         df = spark.sql(rewrite_query("SELECT * FROM AllData;", spark))
         assert df.count() == 2
