@@ -885,6 +885,81 @@ def _register_core() -> None:
         tables=("lineitem",),
     )(q_pivot)
 
+    def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Wide→long unpivot (DataFrame.unpivot / SQL UNPIVOT): per-region
+        customer-vs-supplier account-balance totals as (region, kind, total)."""
+        t = load_tables(spark, sf_dir, "customer", "supplier", "nation")
+        wide = (
+            t["nation"]
+            .join(
+                t["customer"].groupBy("c_nationkey").agg(F.sum("c_acctbal").alias("cust_bal")),
+                F.col("n_nationkey") == F.col("c_nationkey"),
+                "left",
+            )
+            .join(
+                t["supplier"].groupBy("s_nationkey").agg(F.sum("s_acctbal").alias("supp_bal")),
+                F.col("n_nationkey") == F.col("s_nationkey"),
+                "left",
+            )
+            .groupBy("n_regionkey")
+            .agg(
+                F.round(F.sum("cust_bal") + F.lit(1e-6), 2).alias("cust_bal"),
+                F.round(F.sum("supp_bal") + F.lit(1e-6), 2).alias("supp_bal"),
+            )
+        )
+        return wide.unpivot(
+            "n_regionkey", ["cust_bal", "supp_bal"], "kind", "total"
+        ).orderBy("n_regionkey", "kind")
+
+    register(
+        "q_unpivot",
+        oracle="""
+        WITH wide AS (
+          SELECT n_regionkey,
+                 ROUND(SUM(cb) + 1e-6, 2) AS cust_bal,
+                 ROUND(SUM(sb) + 1e-6, 2) AS supp_bal
+          FROM nation
+          LEFT JOIN (SELECT c_nationkey, SUM(c_acctbal) AS cb FROM customer GROUP BY 1) c
+            ON n_nationkey = c_nationkey
+          LEFT JOIN (SELECT s_nationkey, SUM(s_acctbal) AS sb FROM supplier GROUP BY 1) s
+            ON n_nationkey = s_nationkey
+          GROUP BY n_regionkey
+        )
+        SELECT n_regionkey, 'cust_bal' AS kind, cust_bal AS total FROM wide
+        UNION ALL
+        SELECT n_regionkey, 'supp_bal' AS kind, supp_bal AS total FROM wide
+        ORDER BY n_regionkey, kind
+        """,
+        tables=("customer", "supplier", "nation"),
+    )(q_unpivot)
+
+    sql_query(
+        "q_explode_word_counts",
+        """
+        SELECT word, COUNT(*) AS n
+        FROM (
+          SELECT EXPLODE(SPLIT(LOWER(TRIM(text)), '\\\\s+')) AS word
+          FROM documents
+        ) t
+        GROUP BY word
+        HAVING COUNT(*) >= 100
+        ORDER BY n DESC, word
+        """,
+        ("documents",),
+        oracle="""
+        SELECT word, COUNT(*) AS n
+        FROM (
+          SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS word
+          FROM documents
+        ) t
+        GROUP BY word
+        HAVING COUNT(*) >= 100
+        ORDER BY n DESC, word
+        """,
+        doc="array explode → frequency count (the canonical distributed "
+        "word count; EXPLODE ≡ UNNEST).",
+    )
+
     def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Approximate aggregates (HyperLogLog++ / quantile sketches) — the
         constant-memory path for 100 TB cardinalities.  No cross-engine
