@@ -758,6 +758,35 @@ register(
 )(_e_asof)
 
 
+def _e_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup pyramid (hour+day) in one pass
+    (operators/events.py:multi_granularity_rollup)."""
+    from polars_view_spark.operators.events import multi_granularity_rollup
+
+    t = load_tables(spark, sf_dir, "events")
+    return multi_granularity_rollup(t["events"]).orderBy(
+        "granularity", "bucket", "event_type"
+    )
+
+
+register(
+    "e_rollup_pyramid",
+    oracle="""
+    SELECT 'hour' AS granularity,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS bucket,
+           event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value) + 1e-6, 2) AS sum_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M'),
+           event_type, COUNT(*), ROUND(SUM(value) + 1e-6, 2)
+    FROM events GROUP BY 2, 3
+    ORDER BY granularity, bucket, event_type
+    """,
+    tables=("events",),
+)(_e_rollup_pyramid)
+
+
 def _e_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: events bucketed by value bands via a broadcast
     interval table (operators/events.py:range_join)."""

@@ -139,6 +139,47 @@ def asof_join(
     )
 
 
+def multi_granularity_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    granularities: tuple[str, ...] = ("hour", "day"),
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate pyramid: counts/sums at
+    several time granularities in ONE pass via GROUPING SETS over the
+    truncated timestamps.
+
+    The scan is read once; each grouping set gets its own partial
+    aggregation sharing the same shuffle — at 100 TB this replaces N
+    separate rollup jobs with one.  Output is long-form
+    (granularity, bucket, group, n, sum) ready to serve dashboards or to be
+    written as a partitioned rollup table.
+    """
+    truncs = [
+        F.date_format(F.date_trunc(g, F.col(ts_col)), "yyyy-MM-dd HH:mm").alias(f"__b_{g}")
+        for g in granularities
+    ]
+    base = events.select(*truncs, *group_cols, "value")
+    sets = ", ".join(f"(__b_{g}, {', '.join(group_cols)})" for g in granularities)
+    base.createOrReplaceTempView("__pvs_rollup_base")
+    bucket_case = " ".join(
+        f"WHEN __b_{g} IS NOT NULL THEN '{g}'" for g in granularities
+    )
+    bucket_val = "COALESCE(" + ", ".join(f"__b_{g}" for g in granularities) + ")"
+    spark = events.sparkSession
+    return spark.sql(
+        f"""
+        SELECT CASE {bucket_case} END AS granularity,
+               {bucket_val} AS bucket,
+               {', '.join(group_cols)},
+               COUNT(*) AS n_events,
+               ROUND(SUM(value) + 1e-6, 2) AS sum_value
+        FROM __pvs_rollup_base
+        GROUP BY GROUPING SETS ({sets})
+        """
+    )
+
+
 def range_join(
     facts: DataFrame,
     buckets: DataFrame,
