@@ -758,6 +758,39 @@ register(
 )(_e_asof)
 
 
+def _e_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a typed field from the JSON
+    ``props`` string (GET_JSON_OBJECT ≡ json_extract) and aggregate on it —
+    the pattern for event payloads that arrive as JSON blobs."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k") + F.lit(1e-9), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "e_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT))   AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT))   AS max_k,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)) + 1e-9, 4) AS avg_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tables=("events",),
+)(_e_json_props)
+
+
 def _e_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity rollup pyramid (hour+day) in one pass
     (operators/events.py:multi_granularity_rollup)."""

@@ -25,6 +25,17 @@ def oracle_con():
     con.close()
 
 
+def test_survives_foreign_session_timezone(spark, oracle_con):
+    """Driver-session emulation: a sibling session pinned to a non-UTC
+    timezone must still produce oracle-identical formatted timestamps
+    (load_tables repins UTC at runtime)."""
+    foreign = spark.newSession()
+    foreign.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    entry = _catalog()["e_tumbling_agg"]
+    compare(entry.spark_fn(foreign, SF_CORRECT), oracle_con.sql(entry.oracle).df(),
+            "e_tumbling_agg@Tokyo")
+
+
 @pytest.mark.parametrize("name", _names())
 def test_oracle_match(spark, oracle_con, name):
     entry = _catalog()[name]
