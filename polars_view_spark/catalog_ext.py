@@ -270,6 +270,47 @@ register(
 )(_d_ngram_jaccard)
 
 
+def _d_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy dedup: language-blocked pairs whose text heads
+    are within a small Levenshtein distance — the char-level complement of
+    the token-level (Jaccard) and bit-level (SimHash) flavors.  The
+    64-char head bounds the DP cost per pair; blocking bounds the pairs."""
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id", "lang", F.substring(F.lower(F.trim("text")), 1, 64).alias("head")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc1"), F.col("lang"), F.col("head").alias("h1")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc2"), F.col("lang"), F.col("head").alias("h2")
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .withColumn("edit_dist", F.levenshtein("h1", "h2").cast("long"))
+        .filter(F.col("edit_dist") <= 12)
+        .select("doc1", "doc2", "edit_dist")
+        .orderBy("doc1", "doc2")
+    )
+
+
+register(
+    "d_fuzzy_levenshtein",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, substr(lower(trim(text)), 1, 64) AS head FROM documents
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 12
+    ORDER BY doc1, doc2
+    """,
+    tables=("documents",),
+)(_d_fuzzy_levenshtein)
+
+
 def _d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label
     (operators/similarity.py pattern with semantic blocking)."""
