@@ -620,6 +620,37 @@ register(
     tables=("documents",),
 )(_x_multimodal)
 
+def _x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profiler (meta/profile.py:profile_columns) —
+    n_rows / n_nulls / n_distinct for every orders column."""
+    from polars_view_spark.meta.profile import profile_columns
+
+    t = load_tables(spark, sf_dir, "orders")
+    return profile_columns(t["orders"]).orderBy("column")
+
+
+register(
+    "x_profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey) FROM orders
+    UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus) FROM orders
+    UNION ALL SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice) FROM orders
+    UNION ALL SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate) FROM orders
+    UNION ALL SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority) FROM orders
+    ORDER BY "column"
+    """,
+    tables=("orders",),
+)(_x_profile)
+
+
 def _x_grouped_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map pandas operator: per-language percentile rank of each
     document's length, computed with ``groupBy().applyInPandas`` — the
