@@ -50,9 +50,16 @@ def main() -> None:
     cat = entries()
     names = [n for n in HEADLINE + EXT_HEADLINE if n in cat]
 
-    # JVM/session warm-up on the smallest SF so the first timed query does
-    # not pay classloading/codegen costs that a long-lived cluster never sees.
-    cat["q1_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001").collect()
+    # JVM/session warm-up on the smallest SF so the timed queries do not
+    # pay classloading/codegen costs that a long-lived cluster never sees;
+    # each headline query is warmed so its generated code is JIT'd.
+    for name in names:
+        try:
+            cat[name].spark_fn(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in names:
