@@ -270,23 +270,39 @@ register(
 )(_d_ngram_jaccard)
 
 
+LEV_BAND_CHARS = 100  # length-band width for the compound blocking key
+LEV_PREFIX_CHARS = 8  # normalized-head prefix length in the blocking key
+
+
 def _d_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy dedup: language-blocked pairs whose text heads
-    are within a small Levenshtein distance — the char-level complement of
-    the token-level (Jaccard) and bit-level (SimHash) flavors.  The
-    64-char head bounds the DP cost per pair; blocking bounds the pairs."""
+    """Edit-distance fuzzy dedup: pairs whose text heads are within a small
+    Levenshtein distance — the char-level complement of the token-level
+    (Jaccard) and bit-level (SimHash) flavors.
+
+    Blocking is the COMPOUND key ``(lang, n_chars div 100, head[:8])``, not
+    language alone: at 100 TB a language block is ~the whole corpus (O(n²)
+    pairs), while length-band × 8-char-prefix blocks stay small and
+    near-constant-sized as the corpus grows, so the self-join is a hash join
+    over many tiny buckets.  Recall trade-off (standard for blocked dedup):
+    a true pair straddling a band boundary or differing in its first 8
+    normalized chars is missed; such pairs are MinHash-LSH's job
+    (d_minhash_lsh_pairs).  The 64-char head bounds the DP cost per pair.
+    """
     t = load_tables(spark, sf_dir, "documents")
     d = t["documents"].select(
-        "doc_id", "lang", F.substring(F.lower(F.trim("text")), 1, 64).alias("head")
-    )
+        "doc_id",
+        "lang",
+        (F.col("n_chars").cast("long") / LEV_BAND_CHARS).cast("long").alias("band"),
+        F.substring(F.lower(F.trim("text")), 1, 64).alias("head"),
+    ).withColumn("pfx", F.substring("head", 1, LEV_PREFIX_CHARS))
     a = d.select(
-        F.col("doc_id").alias("doc1"), F.col("lang"), F.col("head").alias("h1")
+        F.col("doc_id").alias("doc1"), "lang", "band", "pfx", F.col("head").alias("h1")
     )
     b = d.select(
-        F.col("doc_id").alias("doc2"), F.col("lang"), F.col("head").alias("h2")
+        F.col("doc_id").alias("doc2"), "lang", "band", "pfx", F.col("head").alias("h2")
     )
     return (
-        a.join(b, "lang")
+        a.join(b, ["lang", "band", "pfx"])
         .filter(F.col("doc1") < F.col("doc2"))
         .withColumn("edit_dist", F.levenshtein("h1", "h2").cast("long"))
         .filter(F.col("edit_dist") <= 12)
@@ -297,13 +313,19 @@ def _d_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "d_fuzzy_levenshtein",
-    oracle="""
+    oracle=f"""
     WITH d AS (
-      SELECT doc_id, lang, substr(lower(trim(text)), 1, 64) AS head FROM documents
+      SELECT doc_id, lang,
+             CAST(n_chars // {LEV_BAND_CHARS} AS BIGINT) AS band,
+             substr(lower(trim(text)), 1, 64) AS head,
+             substr(lower(trim(text)), 1, {LEV_PREFIX_CHARS}) AS pfx
+      FROM documents
     )
     SELECT a.doc_id AS doc1, b.doc_id AS doc2,
            CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
-    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.band = b.band AND a.pfx = b.pfx
+     AND a.doc_id < b.doc_id
     WHERE levenshtein(a.head, b.head) <= 12
     ORDER BY doc1, doc2
     """,
@@ -312,24 +334,20 @@ register(
 
 
 def _d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label
-    (operators/similarity.py pattern with semantic blocking)."""
-    from polars_view_spark.functions.vectors import cosine_sql
+    """Embedding-cosine near-dup pairs within sign-LSH buckets
+    (operators/similarity.py:embedding_near_dup_pairs) — the scale path:
+    the self-join key is the hyperplane bucket id (~n/2^bits rows each),
+    never a label/semantic block that can cover the whole corpus.  The
+    oracle replicates the exact bucket arithmetic (functions/vectors.py),
+    so recall trade-offs are identical on both engines."""
+    from polars_view_spark.operators.similarity import embedding_near_dup_pairs
 
     t = load_tables(spark, sf_dir, "embeddings")
-    e = t["embeddings"]
-    a = e.select(
-        F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"), F.col("label")
-    )
-    b = e.select(
-        F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"), F.col("label")
-    )
     return (
-        a.join(b, "label")
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", F.round(F.expr(cosine_sql("v1", "v2")), 6))
-        .filter(F.col("cosine") >= NEAR_DUP_COS)
-        .select("id1", "id2", "cosine")
+        embedding_near_dup_pairs(
+            t["embeddings"], "vec_id", "embedding",
+            threshold=NEAR_DUP_COS, n_bits=LSH_BITS, dim=EMB_DIM,
+        )
         .orderBy("id1", "id2")
     )
 
@@ -337,10 +355,14 @@ def _d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "d_embedding_near_dup",
     oracle=f"""
+    WITH k AS (
+      SELECT vec_id, embedding, {lsh_bucket_sql("embedding", LSH_BITS, EMB_DIM, duck=True)} AS bucket
+      FROM embeddings
+    )
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            round({duck_cosine_sql("a.embedding", "b.embedding")}, 6) AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM k a JOIN k b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round({duck_cosine_sql("a.embedding", "b.embedding")}, 6) >= {NEAR_DUP_COS}
     ORDER BY id1, id2
     """,
@@ -414,19 +436,78 @@ register(
     tables=("embeddings",),
 )(_s_ann_lsh)
 
+IVF_SEED_MOD = 37
+IVF_N_PROBE = 2
+IVF_SCALE = 1000
+
+
 def _s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means cell) approximate top-k
-    (operators/similarity.py:ivf_topk).  Centroid-dependent → rows-only
-    driver check; recall is pinned against brute force in pytest."""
-    from polars_view_spark.operators.similarity import ivf_topk
+    """IVF-flat approximate top-k with deterministic seed centroids
+    (operators/similarity.py:ivf_flat_topk) — every step (integer-quantized
+    cell assignment, n_probe probing, cosine rank) is replicated in the
+    DuckDB oracle, so this gets a full value-hash check.  The trained
+    k-means flavor (ivf_topk) stays recall-gated in pytest."""
+    from polars_view_spark.operators.similarity import ivf_flat_topk
 
     t = load_tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
-    out = ivf_topk(e, e.filter(F.col("vec_id") < ANN_N_QUERIES), k=ANN_K)
+    out = ivf_flat_topk(
+        e,
+        e.filter(F.col("vec_id") < ANN_N_QUERIES),
+        k=ANN_K,
+        seed_mod=IVF_SEED_MOD,
+        n_probe=IVF_N_PROBE,
+        scale=IVF_SCALE,
+    )
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
-register("s_ann_ivf_topk", oracle=None, tables=("embeddings",))(_s_ann_ivf)
+register(
+    "s_ann_ivf_topk",
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {IVF_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cell, qv AS sv FROM qz WHERE vec_id % {IVF_SEED_MOD} = 0),
+    dists AS (
+      SELECT a.vec_id, s.cell,
+             list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                      i -> (a.qv[i] - s.sv[i]) * (a.qv[i] - s.sv[i]))) AS d
+      FROM qz a CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists) t
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists WHERE vec_id < {ANN_N_QUERIES}) t
+      WHERE rn <= {IVF_N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round({duck_cosine_sql("q.embedding", "e.embedding")}, 6) AS score
+      FROM probes p
+      JOIN assigned c USING (cell)
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      WHERE c.vec_id != p.query_id
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM r
+    WHERE rank <= {ANN_K} ORDER BY query_id, rank
+    """,
+    tables=("embeddings",),
+)(_s_ann_ivf)
 
 
 # --------------------------------------------------------------------------

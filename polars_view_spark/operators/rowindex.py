@@ -64,6 +64,13 @@ def add_row_index(df: DataFrame, name: str = "Row Number", offset: int = 1) -> D
     tagged = df.withColumn(_MID, F.monotonically_increasing_id())
     tagged = tagged.withColumn(_PID, F.shiftright(F.col(_MID), _PARTITION_SHIFT))
 
+    # monotonically_increasing_id() is NON-deterministic: the count job below
+    # and the final indexed plan would otherwise evaluate it in two
+    # independent jobs, and any re-planning between them (AQE, task retry, a
+    # non-deterministic source) could shift partition ids and silently
+    # misalign (or drop, via the inner join) rows.  Pin ONE evaluation.
+    tagged = tagged.persist()
+
     # Tiny aggregate: one row per partition. Collected to the driver (a few
     # thousand rows even at 100 TB), cumulative offsets computed there.
     counts = (
@@ -78,20 +85,32 @@ def add_row_index(df: DataFrame, name: str = "Row Number", offset: int = 1) -> D
     if not offsets:
         # Empty frame: just add an empty long column (index-first like the
         # reference, src/polars/add.rs).
+        tagged.unpersist()
         empty = df.withColumn(resolved, F.lit(None).cast("long"))
         return empty.select(resolved, *df.columns)
 
     spark = df.sparkSession
     offset_df = spark.createDataFrame(offsets, schema=f"{_PID} long, {_OFFSET} long")
+    # LEFT join + null check: if the persisted lineage were ever recomputed
+    # with different partition ids, the unmatched rows surface as an error
+    # (raise_error below) instead of vanishing through an inner join.
     indexed = (
-        tagged.join(F.broadcast(offset_df), _PID, "inner")
+        tagged.join(F.broadcast(offset_df), _PID, "left")
         .withColumn(
             resolved,
-            (
-                F.col(_OFFSET)
-                + (F.col(_MID).bitwiseAND(F.lit(_LOCAL_MASK)))
-                + F.lit(offset)
-            ).cast("long"),
+            F.when(
+                F.col(_OFFSET).isNull(),
+                F.expr(
+                    "raise_error('add_row_index: partition ids changed between "
+                    "the count and index jobs — persisted lineage was lost')"
+                ).cast("long"),
+            ).otherwise(
+                (
+                    F.col(_OFFSET)
+                    + (F.col(_MID).bitwiseAND(F.lit(_LOCAL_MASK)))
+                    + F.lit(offset)
+                ).cast("long")
+            ),
         )
         .drop(_MID, _PID, _OFFSET)
     )

@@ -162,6 +162,113 @@ def ivf_topk(
     return _ranked_topk(scored, k)
 
 
+def _quantize_sql(vec_col: str, scale: int) -> str:
+    """Integer-quantized copy of an embedding column — the same bit-exact
+    cross-engine trick as the sign-LSH projection (functions/vectors.py):
+    both engines run ``round(x*scale)`` on identical doubles, so every
+    subsequent distance comparison is integer arithmetic."""
+    return (
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+
+
+def ivf_flat_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    seed_mod: int = 37,
+    n_probe: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-flat approximate top-k with DETERMINISTIC seed centroids.
+
+    Same inverted-file shape as :func:`ivf_topk` (assign corpus to cells
+    once; each query probes only ``n_probe`` cells) but the centroids are
+    the corpus rows with ``id % seed_mod == 0`` instead of trained k-means
+    centers, and cell assignment uses integer-quantized squared-L2 — which
+    makes every step replicable in ANSI SQL, so the operator gets a full
+    value-hash oracle instead of a rows-only check.  (``ivf_topk`` keeps
+    the trained-centroid flavor; its recall is pinned in pytest.)
+
+    Scale shape: the seed set is tiny and collected once (the analogue of a
+    trained model's centers); assignment is a pure PROJECTION against
+    literal centroid arrays — no join, no shuffle of the corpus; candidates
+    reach the scorer through one broadcast hash join on the cell id.
+    """
+    spark = corpus.sparkSession
+    seed_rows = (
+        corpus.filter((F.col(id_col) % seed_mod) == 0)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("sv"))
+        .orderBy("cell")
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError(f"no seed centroids: no {id_col} % {seed_mod} == 0 rows")
+    cells = [int(r["cell"]) for r in seed_rows]
+    # seed vectors inlined as literal arrays, quantized by the SQL round on
+    # BOTH engines (float repr round-trips exactly; never quantize in Python
+    # — Python round() is half-even, SQL round is half-away-from-zero)
+    seed_arrays = [
+        "array("
+        + ", ".join(
+            f"CAST(round(CAST({float(x)!r} AS DOUBLE) * {scale}) AS BIGINT)" for x in r["sv"]
+        )
+        + ")"
+        for r in seed_rows
+    ]
+
+    def with_dists(df: DataFrame) -> DataFrame:
+        out = df.withColumn("__qv", F.expr(_quantize_sql(vec_col, scale)))
+        for i, arr in enumerate(seed_arrays):
+            out = out.withColumn(
+                f"__d{i}",
+                F.expr(
+                    f"aggregate(zip_with(__qv, {arr}, (x, y) -> (x - y) * (x - y)), "
+                    f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+                ),
+            )
+        return out
+
+    # corpus assignment: chained CASE on the integer distances — first match
+    # wins, so ties go to the lowest cell id (mirrors ORDER BY (dist, cell))
+    assigned = with_dists(corpus)
+    min_d = F.least(*[F.col(f"__d{i}") for i in range(len(cells))])
+    cell_expr = F.when(F.col("__d0") == min_d, F.lit(cells[0]))
+    for i in range(1, len(cells)):
+        cell_expr = cell_expr.when(F.col(f"__d{i}") == min_d, F.lit(cells[i]))
+    assigned = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        cell_expr.alias("cell"),
+    )
+
+    # query probes: sorted (dist, cell) struct array → first n_probe cells
+    probe_structs = F.array(
+        *[
+            F.struct(F.col(f"__d{i}").alias("d"), F.lit(cells[i]).alias("cell"))
+            for i in range(len(cells))
+        ]
+    )
+    q_cells = (
+        with_dists(queries)
+        .withColumn("__probe", F.slice(F.sort_array(probe_structs), 1, n_probe))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode("__probe.cell").alias("cell"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(F.expr(cosine_sql("qvec", "cvec")), 6))
+        .drop("qvec", "cvec", "cell")
+    )
+    return _ranked_topk(scored, k)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -319,6 +319,26 @@ def _strip_order_by(q: str) -> str:
     return q
 
 
+def _is_select_list_star(q: str, star_idx: int) -> bool:
+    """A ``*`` is a select-list star (not multiplication) iff the preceding
+    non-space token is SELECT/DISTINCT/ALL, a comma, an opening paren, or a
+    ``.`` (qualified star).  Anything else — an identifier, a literal, a
+    closing paren — makes it an arithmetic operator, and the modifier
+    keywords that may follow (e.g. the REPLACE *function*) must be left
+    alone."""
+    j = star_idx - 1
+    while j >= 0 and q[j].isspace():
+        j -= 1
+    if j < 0:
+        return False
+    if q[j] in (",", "(", "."):
+        return True
+    end = j + 1
+    while j >= 0 and (q[j].isalnum() or q[j] == "_"):
+        j -= 1
+    return q[j + 1 : end].upper() in ("SELECT", "DISTINCT", "ALL")
+
+
 def rewrite_star_modifiers(q: str, spark: SparkSession) -> str:
     """Expand ``SELECT * [EXCEPT(…)] [REPLACE(…)] [RENAME(…)]`` into an
     explicit select list.  EXCEPT alone is Spark-native and left untouched;
@@ -332,7 +352,7 @@ def rewrite_star_modifiers(q: str, spark: SparkSession) -> str:
         if ch in ("'", '"', "`"):
             i = _scan_string(q, i, ch)
             continue
-        if ch == "*":
+        if ch == "*" and _is_select_list_star(q, i):
             end, except_src, replace_items, rename_pairs = _parse_star_modifiers(q, i)
             if replace_items or rename_pairs:
                 star_block = "*" if except_src is None else f"* EXCEPT ({except_src})"

@@ -20,7 +20,6 @@ from pyspark.sql import types as T
 
 from polars_view_spark.config import LoadConfig
 from polars_view_spark.errors import UnsupportedFormatError
-from polars_view_spark.sources.sniff import sniff_delimiter
 
 
 class FileFormat:
@@ -79,43 +78,50 @@ def force_string_schema(schema: T.StructType, pattern: str) -> T.StructType:
 def read_csv(spark: SparkSession, cfg: LoadConfig) -> tuple[DataFrame, str]:
     """CSV scan with delimiter sniffing and force-string override.
 
-    Two-phase like the reference (src/data_filter.rs:484-594): a bounded
-    driver-side probe picks the delimiter, a schema-inference pass pins
-    dtypes (bounded by ``infer_schema_rows`` via samplingRatio on a LIMIT'd
-    read), then the full *lazy* scan uses the pinned schema — the big read
-    never pays inference.
+    Two-phase like the reference (src/data_filter.rs:484-594): ONE bounded
+    head sample (≤ ``infer_schema_rows``+1 lines, O(1) bytes for local
+    paths, a ``text().limit()`` CollectLimit for remote URIs) feeds both the
+    delimiter probe and schema inference — inference runs on the sampled
+    lines only (mirroring the reference's 200-row ``infer_schema_rows``,
+    src/data_filter.rs:42,582), NEVER as ``inferSchema=true`` over the full
+    path, which would parse the entire file before any limit applies.  The
+    full *lazy* scan then uses the pinned schema, so the big read never pays
+    inference.
 
     Returns ``(df, detected_delimiter)`` so callers can write the delimiter
     back into config (reference: src/data_filter.rs:285-287).
     """
-    delimiter = sniff_delimiter(cfg.path, cfg.csv_delimiter)
+    from polars_view_spark.sources.sniff import probe_head_lines, sniff_delimiter_from_lines
+
+    n_sample = max(cfg.infer_schema_rows, 1) + 1  # + header line
+    head_lines = probe_head_lines(cfg.path, spark, max_lines=n_sample)
+    delimiter = sniff_delimiter_from_lines(head_lines, cfg.csv_delimiter)
     reader_opts = {
         "sep": delimiter,
         "header": "true",
         "mode": "PERMISSIVE",  # unparseable cells → null (ignore-errors parity)
         "nullValue": "",
         "encoding": "UTF-8",
-        "inferSchema": "true",
         "timestampFormat": "yyyy-MM-dd HH:mm:ss",
         "dateFormat": "yyyy-MM-dd",
     }
-    # Schema probe: bounded inference read (driver-cheap — Spark samples the
-    # file head; the limit mirrors infer_schema_rows=200).
-    probe = (
-        spark.read.options(**reader_opts)
-        .csv(cfg.path)
-        .limit(max(cfg.infer_schema_rows, 1))
-    )
-    schema = probe.schema
+    # Schema probe: run the CSV parser + inference over the in-memory head
+    # sample only (an RDD of lines — the csv reader accepts one).
+    if head_lines:
+        probe = (
+            spark.read.options(**reader_opts)
+            .option("inferSchema", "true")
+            .csv(spark.sparkContext.parallelize(head_lines, 1))
+        )
+        schema = probe.schema
+    else:
+        # Unprobeable (e.g. empty remote listing): let Spark resolve column
+        # names only; everything arrives as string, like the reference's
+        # no-infer fallback.
+        schema = spark.read.options(**reader_opts).csv(cfg.path).limit(0).schema
     if cfg.force_string_patterns:
         schema = force_string_schema(schema, cfg.force_string_patterns)
-    df = (
-        spark.read.options(
-            **{k: v for k, v in reader_opts.items() if k != "inferSchema"}
-        )
-        .schema(schema)
-        .csv(cfg.path)
-    )
+    df = spark.read.options(**reader_opts).schema(schema).csv(cfg.path)
     return df, delimiter
 
 

@@ -18,16 +18,46 @@ from __future__ import annotations
 
 import csv as _csv
 import io
+import re
 
 ROW_LIMIT = 100  # reference: src/data_filter.rs:492
 CANDIDATE_DELIMITERS = (",", ";", "|", "\t", ":")
 _PROBE_BYTES = 1 << 20  # 1 MiB head window comfortably covers 100 rows
 
+# Anything with a URI scheme (s3://, hdfs://, abfss://, file://…) or the
+# dbfs:/ form is not readable with builtin open() on the driver.
+_REMOTE_URI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def is_remote_path(path: str) -> bool:
+    return bool(_REMOTE_URI.match(path)) or path.startswith("dbfs:/")
+
+
+def probe_head_lines(path: str, spark=None, max_lines: int = ROW_LIMIT + 1) -> list[str]:
+    """Bounded head sample of ``path`` as text lines.
+
+    Local paths: one driver-side 1 MiB read (O(1) in file size).  Remote
+    URIs (s3://, hdfs://, dbfs:/…): a ``spark.read.text().limit(n)`` probe —
+    a CollectLimit over the first split, never a full scan, and no builtin
+    ``open()`` that would crash on a non-driver-local filesystem.  Returns
+    ``[]`` when no probe is possible (remote path, no session) — callers
+    fall back to configured defaults.
+    """
+    if not is_remote_path(path):
+        with open(path, "rb") as fh:
+            head = fh.read(_PROBE_BYTES)
+        text = head.decode("utf-8", errors="replace")
+        lines = text.splitlines()
+        if len(head) == _PROBE_BYTES and lines:
+            lines.pop()  # the window may have cut the last line mid-row
+        return lines[:max_lines]
+    if spark is not None:
+        return [r[0] for r in spark.read.text(path).limit(max_lines).collect()]
+    return []
+
 
 def _probe_head(path: str) -> str:
-    with open(path, "rb") as fh:
-        head = fh.read(_PROBE_BYTES)
-    return head.decode("utf-8", errors="replace")
+    return "\n".join(probe_head_lines(path))
 
 
 def _column_count(text: str, delimiter: str) -> int:
@@ -50,7 +80,7 @@ def _column_count(text: str, delimiter: str) -> int:
         return 0
 
 
-def sniff_delimiter(path: str, configured: str | None = None) -> str:
+def sniff_delimiter(path: str, configured: str | None = None, spark=None) -> str:
     """Return the winning delimiter for ``path``.
 
     Candidate order: configured first, then ``, ; | \\t :`` deduplicated.
@@ -58,7 +88,12 @@ def sniff_delimiter(path: str, configured: str | None = None) -> str:
     more than one column.  Falls back to the configured delimiter (or ``,``)
     when nothing wins — single-column files are legal.
     """
-    head = _probe_head(path)
+    return sniff_delimiter_from_lines(probe_head_lines(path, spark), configured)
+
+
+def sniff_delimiter_from_lines(lines: list[str], configured: str | None = None) -> str:
+    """Delimiter probe over an already-fetched head sample."""
+    head = "\n".join(lines)
     candidates: list[str] = []
     for d in ((configured,) if configured else ()) + CANDIDATE_DELIMITERS:
         if d and d not in candidates:
