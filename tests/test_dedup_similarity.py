@@ -137,3 +137,66 @@ class TestAnn:
         qb = buckets[0]
         assert all(buckets[r["neighbor_id"]] == qb for r in out)
         assert len(out) > 0
+
+
+class TestHotBucketGuard:
+    def test_boilerplate_bucket_dropped(self, spark):
+        """A mega-cluster of identical docs (boilerplate) must be excluded
+        from LSH candidate generation by the bucket-size cap — its pairs
+        are exact-dedup's job — while genuinely distinct near-dups keep
+        matching."""
+        from polars_view_spark.operators.dedup import minhash_lsh_pairs
+
+        boiler = [(i, "the same license header text repeated verbatim in every file "
+                      "of the corpus with nothing else inside it at all") for i in range(100)]
+        near = [
+            (1000, "a quick brown fox jumps over the lazy dog near the river bank today"),
+            (1001, "a quick brown fox jumps over the lazy dog near the river bank tonight"),
+        ]
+        df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+        out = minhash_lsh_pairs(df, "doc_id", "text", 0.5, max_bucket_size=16)
+        pairs = {(r["doc1"], r["doc2"]) for r in out.collect()}
+        assert (1000, 1001) in pairs
+        # none of the 100*99/2 boilerplate pairs may survive the guard
+        assert all(p == (1000, 1001) for p in pairs)
+
+    def test_cap_off_restores_quadratic_pairs(self, spark):
+        from polars_view_spark.operators.dedup import minhash_lsh_pairs
+
+        boiler = [(i, "exactly identical text body shared by every row here") for i in range(12)]
+        df = spark.createDataFrame(boiler, "doc_id long, text string")
+        out = minhash_lsh_pairs(df, "doc_id", "text", 0.5, max_bucket_size=1000)
+        assert out.count() == 12 * 11 // 2
+
+
+class TestLevenshteinBlocking:
+    def test_blocks_stay_subquadratic(self, spark):
+        """The compound (lang, length-band, prefix) blocking key must keep
+        candidate pairs far below the language-block quadratic — the bound
+        that makes edit-distance dedup feasible at corpus scale."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.catalog import load_tables
+        from polars_view_spark.catalog_ext import LEV_BAND_CHARS, LEV_PREFIX_CHARS
+
+        docs = load_tables(spark, SF, "documents")["documents"]
+        n = docs.count()
+        blocks = (
+            docs.select(
+                "lang",
+                (F.col("n_chars").cast("long") / LEV_BAND_CHARS).cast("long").alias("band"),
+                F.substring(F.lower(F.trim("text")), 1, LEV_PREFIX_CHARS).alias("pfx"),
+            )
+            .groupBy("lang", "band", "pfx")
+            .count()
+        )
+        cand_pairs = blocks.select(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")
+        ).collect()[0]["p"]
+        lang_pairs = (
+            docs.groupBy("lang").count()
+            .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p"))
+            .collect()[0]["p"]
+        )
+        assert cand_pairs <= 5 * n, (cand_pairs, n)
+        assert cand_pairs < lang_pairs / 20, (cand_pairs, lang_pairs)

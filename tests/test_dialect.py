@@ -133,3 +133,36 @@ class TestStarModifiers:
     def test_trailing_semicolon(self, spark):
         df = spark.sql(rewrite_query("SELECT * FROM AllData;", spark))
         assert df.count() == 2
+
+
+class TestStarVsMultiplication:
+    """The star-modifier parser must only fire on select-list stars — a
+    ``*`` used as multiplication followed by the REPLACE string *function*
+    is valid SQL and must pass through untouched (regression)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def table(self, spark):
+        spark.createDataFrame(
+            [(2, "NA"), (3, "aN")], "qty int, flag string"
+        ).createOrReplaceTempView("MulData")
+
+    def test_multiplication_then_replace_function(self, spark):
+        q = "SELECT qty * LENGTH(REPLACE(flag, 'N', 'XX')) AS v FROM MulData ORDER BY v"
+        df = spark.sql(rewrite_query(q, spark))
+        assert [r["v"] for r in df.collect()] == [6, 9]
+
+    def test_multiplication_then_rename_like_call(self, spark):
+        # no RENAME function exists; the point is the rewriter must not
+        # consume it after an arithmetic star and corrupt the query text
+        q = "SELECT qty * 2 AS v FROM MulData ORDER BY v"
+        df = spark.sql(rewrite_query(q, spark))
+        assert [r["v"] for r in df.collect()] == [4, 6]
+
+    def test_count_star_untouched(self, spark):
+        q = "SELECT COUNT(*) AS n FROM MulData"
+        assert spark.sql(rewrite_query(q, spark)).collect()[0]["n"] == 2
+
+    def test_qualified_star_modifier_still_fires(self, spark):
+        q = "SELECT m.* RENAME (flag AS f) FROM MulData m"
+        df = spark.sql(rewrite_query(q, spark))
+        assert df.columns == ["qty", "f"]

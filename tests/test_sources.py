@@ -7,7 +7,7 @@ import pytest
 
 from polars_view_spark.config import LoadConfig, parse_null_markers
 from polars_view_spark.errors import SaveFormatMismatchError, UnsupportedFormatError
-from polars_view_spark.sources.readers import detect_format, force_string_schema, read_any
+from polars_view_spark.sources.readers import detect_format, force_string_schema, read_any, read_csv
 from polars_view_spark.sources.sniff import sniff_delimiter
 from polars_view_spark.sources.writers import save, save_as, write_dataset
 
@@ -136,3 +136,39 @@ class TestRoundTrips:
         # partition pruning: filter on the partition column prunes files
         plan = back.filter(back.name == "a")._jdf.queryExecution().executedPlan().toString()
         assert back.filter(back.name == "a").count() == 1
+
+
+class TestBoundedInference:
+    """The CSV schema probe must infer from ≤ infer_schema_rows sampled
+    lines, never from the whole file (a full inferSchema pass at 100 TB is
+    a second full read)."""
+
+    def test_inference_ignores_rows_past_sample(self, spark, tmp_path):
+        # 200 clean integer rows inside the sample window, a poison string
+        # row far past it: bounded inference must type the column int (the
+        # poison row then nulls out under PERMISSIVE), full-file inference
+        # would have typed it string.
+        p = str(tmp_path / "big.csv")
+        with open(p, "w") as f:
+            f.write("a;b\n")
+            for i in range(400):
+                f.write(f"{i};{i * 2}\n")
+            f.write("poison;not_an_int\n")
+        df, delim = read_csv(spark, LoadConfig(path=p, infer_schema_rows=200))
+        assert delim == ";"
+        assert dict(df.dtypes)["a"] == "int"
+        rows = df.count()
+        assert rows == 401  # poison row present (as nulls), not dropped
+
+    def test_remote_uri_sniff_falls_back(self):
+        from polars_view_spark.sources.sniff import is_remote_path, sniff_delimiter
+
+        assert is_remote_path("s3://bucket/key.csv")
+        assert is_remote_path("hdfs://nn/path.csv")
+        assert is_remote_path("dbfs:/mnt/x.csv")
+        assert not is_remote_path("/local/path.csv")
+        assert not is_remote_path("relative/path.csv")
+        # no spark session passed → no probe possible → configured wins,
+        # and crucially no builtin open() crash
+        assert sniff_delimiter("s3://bucket/key.csv", ";") == ";"
+        assert sniff_delimiter("s3://bucket/key.csv") == ","

@@ -213,3 +213,23 @@ class TestRound:
     def test_nulls_kept(self, spark):
         df = spark.createDataFrame([(None,)], "a double")
         assert round_float_columns(df, 2).first()["a"] is None
+
+
+class TestRowIndexPerturbation:
+    def test_perturbed_upstream_contiguity(self, spark):
+        """Shuffled + filtered upstream (AQE-subject exchange): the index
+        must stay contiguous, and re-materializing the SAME frame must not
+        shift it — the persisted tag pins one evaluation of
+        monotonically_increasing_id across the count and index jobs."""
+        df = (
+            spark.range(0, 5000, 1, 8)
+            .toDF("v")
+            .repartition(13, "v")
+            .filter("v % 3 != 0")
+        )
+        n = df.count()
+        out = add_row_index(df, "idx", 1)
+        got = sorted(r["idx"] for r in out.collect())
+        assert got == list(range(1, n + 1))
+        got2 = sorted(r["idx"] for r in out.collect())
+        assert got2 == got
