@@ -42,6 +42,19 @@ TABLES = (
 )
 
 
+# session → {(sf_dir, table): registered DataFrame}.  Re-running the same
+# catalog query (bench loops, the driver's 50-query sweep) re-pays parquet
+# file listing + footer schema reads + view registration otherwise; the
+# scans are lazy so reusing the DataFrame object is semantics-free.  Keyed
+# by sf_dir, so switching scale factors never serves stale tables; weakly
+# keyed by session, so a stopped session's plans are dropped, never reused.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read + register the named parquet tables as temp views.
 
@@ -56,8 +69,18 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     # session timezone; pin UTC so results match the (naive) DuckDB oracle
     # regardless of how the calling session was built
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        session_cache = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # un-weakref-able session stand-ins (tests/mocks)
+        session_cache = {}
     out: dict[str, DataFrame] = {}
     for n in names:
+        cached = session_cache.get((sf_dir, n))
+        if cached is not None:
+            # re-register: another sf_dir may have claimed the view name
+            cached.createOrReplaceTempView(n)
+            out[n] = cached
+            continue
         if n == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
@@ -66,6 +89,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
         else:
             df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
         df.createOrReplaceTempView(n)
+        session_cache[(sf_dir, n)] = df
         out[n] = df
     return out
 

@@ -26,13 +26,28 @@ def _base_type(simple: str) -> str:
     return simple.split("(")[0]
 
 
-def format_value(value, dtype_simple: str, cfg: ViewConfig) -> str:
+# format-special: columns whose NAME contains one of these markers render
+# floats with 4 decimals and center-aligned, overriding the per-dtype rules
+# (reference: src/decimal_and_layout_v2.rs:10-11 COL_SPECIAL/COL_DECIMAL,
+# 20-50 get_decimal_and_layout).
+SPECIAL_COLUMN_MARKERS = ("Alíq", "Aliq")
+SPECIAL_COLUMN_DECIMALS = 4
+
+
+def is_special_column(column_name: str) -> bool:
+    return any(m in column_name for m in SPECIAL_COLUMN_MARKERS)
+
+
+def format_value(value, dtype_simple: str, cfg: ViewConfig, column_name: str = "") -> str:
     """One cell → display string.  NULL → '' (reference behavior)."""
     if value is None:
         return ""
     base = _base_type(dtype_simple)
     if base in ("float", "double"):
-        return f"{value:.{cfg.float_decimals}f}"
+        decimals = (
+            SPECIAL_COLUMN_DECIMALS if is_special_column(column_name) else cfg.float_decimals
+        )
+        return f"{value:.{decimals}f}"
     if base == "timestamp" or base == "timestamp_ntz":
         return value.strftime("%Y-%m-%d %H:%M:%S") if isinstance(value, _dt.datetime) else str(value)
     if base == "date":
@@ -42,7 +57,9 @@ def format_value(value, dtype_simple: str, cfg: ViewConfig) -> str:
     return str(value)
 
 
-def alignment_for(dtype_simple: str, cfg: ViewConfig) -> Alignment:
+def alignment_for(dtype_simple: str, cfg: ViewConfig, column_name: str = "") -> Alignment:
+    if is_special_column(column_name) and _base_type(dtype_simple) in ("float", "double"):
+        return Alignment.CENTER
     return cfg.alignments.get(_base_type(dtype_simple), Alignment.LEFT)
 
 
@@ -63,7 +80,9 @@ def format_page(
     page = df.offset(offset).limit(limit).collect() if offset else df.limit(limit).collect()
     rows = [[str(c) for c in df.columns]]
     for row in page:
-        rows.append([format_value(v, t, cfg) for v, t in zip(row, dtypes)])
+        rows.append(
+            [format_value(v, t, cfg, n) for v, t, n in zip(row, dtypes, df.columns)]
+        )
     return rows
 
 

@@ -139,6 +139,10 @@ def minhash_lsh_pairs(
     for b in band_rows[1:]:
         bands = bands.unionByName(b)
 
+    # hot-bucket guard as a bucket-key window: the count shares the bucket
+    # hashpartitioning the self-join needs (exchange reuse at scale), and an
+    # A/B at sf0.1 measured it ~free vs an anti-join's blocking broadcast
+    # build (+1.5 s)
     bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
     from pyspark.sql import Window
 

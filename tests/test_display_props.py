@@ -99,3 +99,31 @@ class TestIvfRecall:
         # search must still find a reasonable fraction of true neighbors
         assert recall >= 0.2, recall
         assert all(len([p for p in approx if p[0] == q]) <= 5 for q in range(5))
+
+
+class TestFormatSpecial:
+    """format-special parity: columns whose name contains 'Alíq'/'Aliq'
+    render floats with 4 decimals, centered (reference:
+    src/decimal_and_layout_v2.rs:10-11, 20-50 — COL_SPECIAL/COL_DECIMAL)."""
+
+    def test_special_column_four_decimals(self):
+        cfg = ViewConfig(float_decimals=2)
+        assert format_value(0.1234567, "double", cfg, "Alíquota ICMS") == "0.1235"
+        assert format_value(0.1234567, "double", cfg, "Aliq PIS") == "0.1235"
+        # non-special float columns keep the configured decimals
+        assert format_value(0.1234567, "double", cfg, "price") == "0.12"
+
+    def test_special_column_centered(self):
+        cfg = ViewConfig()
+        assert alignment_for("double", cfg, "Alíquota") == Alignment.CENTER
+        assert alignment_for("double", cfg, "price") == Alignment.RIGHT
+        # the special rule only applies to floats (reference gates on
+        # dtype.is_float())
+        assert alignment_for("string", cfg, "Aliq label") == Alignment.LEFT
+
+    def test_page_uses_column_names(self, spark):
+        from polars_view_spark.meta.display import format_page
+
+        df = spark.createDataFrame([(0.123456, 0.123456)], "`Aliq x` double, y double")
+        page = format_page(df, ViewConfig(float_decimals=2))
+        assert page[1] == ["0.1235", "0.12"]
