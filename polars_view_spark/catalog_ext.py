@@ -375,6 +375,162 @@ register(
     tables=("embeddings",),
 )(_d_embedding_near_dup)
 
+def _d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the MinHash pair graph: iterative min-label
+    propagation (operators/dedup.py:dedup_clusters) — the step that turns
+    pairs into dedup groups.  The oracle computes the same connected
+    components with a recursive CTE over the identical pair set."""
+    from polars_view_spark.operators.dedup import dedup_clusters
+
+    t = load_tables(spark, sf_dir, "documents")
+    return dedup_clusters(t["documents"], "doc_id", "text", JACCARD_T).orderBy("doc_id")
+
+
+register(
+    "d_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_duck_minhash_oracle()}),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc2 AS src, doc1 AS dst FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.v = e.dst
+    )
+    SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach
+    GROUP BY v ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_d_dedup_clusters)
+
+
+# deterministic per-language sampling rates (percent) — stratified corpus
+# downsampling, e.g. rebalancing an English-heavy crawl
+SAMPLE_RATES = {"en": 50, "de": 30, "es": 30, "fr": 30, "zh": 30}
+_SAMPLE_DEFAULT = 10
+
+
+def _sample_case(col: str) -> str:
+    whens = " ".join(f"WHEN '{lg}' THEN {r}" for lg, r in sorted(SAMPLE_RATES.items()))
+    return f"(CASE {col} {whens} ELSE {_SAMPLE_DEFAULT} END)"
+
+
+def _x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff
+    ``md5-hash(doc_id) mod 100 < rate(lang)``.  Pure projection + filter —
+    ZERO shuffles, trivially parallel at any scale, reproducible across
+    runs and engines (the md5→BIGINT bridge is the proven cross-engine
+    hash).  The per-stratum rate table is the training-mix knob."""
+    t = load_tables(spark, sf_dir, "documents")
+    h = "conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) % 100"
+    return (
+        t["documents"]
+        .withColumn("bucket", F.expr(h).cast("long"))
+        .filter(F.col("bucket") < F.expr(_sample_case("lang")))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "x_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) AS bucket
+    FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)
+          < {_sample_case("lang")}
+    ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_x_stratified_sample)
+
+
+VOCAB_TOP_K = 10
+
+
+def _x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary top-k: explode tokens → one (lang, token)
+    count aggregation (map-side partial combine) → windowed top-k.  The
+    shuffle payload is the distinct vocabulary, not the corpus."""
+    t = load_tables(spark, sf_dir, "documents")
+    from polars_view_spark.functions.texthash import tokens_expr
+    from pyspark.sql import Window
+
+    counts = (
+        t["documents"]
+        .select("lang", F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= VOCAB_TOP_K)
+        .orderBy("lang", "rank")
+    )
+
+
+register(
+    "x_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({duck_tokens_sql("text")}) AS token FROM documents
+    ),
+    counts AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+      FROM counts
+    )
+    SELECT lang, token, n, CAST(rank AS BIGINT) AS rank FROM ranked
+    WHERE rank <= {VOCAB_TOP_K} ORDER BY lang, rank
+    """,
+    tables=("documents",),
+)(_x_vocab_topk)
+
+
+# denylist scrubbing: mask benchmark/contamination phrases before training —
+# the redaction pattern also covers PII-style masking (same plan shape)
+SCRUB_TERMS = ("hash", "merge", "window")
+_SCRUB_RE = "\\b(" + "|".join(SCRUB_TERMS) + ")\\b"
+
+
+def _x_scrub_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing: count and mask denylisted terms per document —
+    pure codegen ``regexp_replace``/``regexp_extract_all`` projection, zero
+    shuffles.  The masked text is surfaced as an md5 so the oracle verifies
+    every masked byte without hauling full texts through the compare."""
+    t = load_tables(spark, sf_dir, "documents")
+    # Spark string literals eat backslashes (Hive-style) → double them
+    spark_re = _SCRUB_RE.replace("\\", "\\\\")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.expr(f"CAST(size(regexp_extract_all(text, '{spark_re}', 0)) AS BIGINT)").alias(
+                "n_hits"
+            ),
+            F.expr(f"md5(regexp_replace(text, '{spark_re}', '[X]'))").alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "x_scrub_denylist",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SCRUB_RE}')) AS BIGINT) AS n_hits,
+           md5(regexp_replace(text, '{_SCRUB_RE}', '[X]', 'g')) AS scrubbed_md5
+    FROM documents ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_x_scrub_denylist)
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------

@@ -250,6 +250,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.5,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the MinHash near-dup graph: each document
+    that belongs to at least one near-dup pair gets a ``cluster_id`` = the
+    minimum doc id reachable through near-dup edges.  This is the step that
+    turns PAIRS into dedup GROUPS (keep one representative per cluster).
+
+    Implementation is iterative min-label propagation — the standard
+    large-graph pattern on Spark (cf. Hash-to-Min / GraphX CC): per round,
+    every vertex takes the min label among itself and its neighbors; rounds
+    ≤ graph diameter (near-dup clusters are shallow).  Each round is ONE
+    join + ONE groupBy on the edge list; labels are ``localCheckpoint``ed
+    per round so lineage stays flat (no exponential re-planning), and the
+    loop early-stops when a round changes nothing.  The driver never holds
+    vertices — only the per-round change count crosses over.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, jaccard_threshold)
+    edges = (
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .union(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("__chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash fingerprint per document.
 

@@ -200,3 +200,43 @@ class TestLevenshteinBlocking:
         )
         assert cand_pairs <= 5 * n, (cand_pairs, n)
         assert cand_pairs < lang_pairs / 20, (cand_pairs, lang_pairs)
+
+
+class TestDedupClusters:
+    def test_clusters_consistent_with_pairs(self, spark, documents):
+        """Every near-dup pair must share a cluster id, and each cluster id
+        must be the minimum doc id of its members (canonical
+        representative)."""
+        from polars_view_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+        pairs = {(r["doc1"], r["doc2"])
+                 for r in minhash_lsh_pairs(documents, "doc_id", "text", 0.5).collect()}
+        clusters = {r["doc_id"]: r["cluster_id"]
+                    for r in dedup_clusters(documents, "doc_id", "text", 0.5).collect()}
+        for a, b in pairs:
+            assert clusters[a] == clusters[b], (a, b)
+        by_cluster = {}
+        for doc, c in clusters.items():
+            by_cluster.setdefault(c, []).append(doc)
+        for c, members in by_cluster.items():
+            assert c == min(members), (c, members)
+
+    def test_transitive_chain_collapses(self, spark):
+        """a~b and b~c but a!~c: label propagation must still put all three
+        in one cluster (the pairwise output alone would not)."""
+        from polars_view_spark.operators.dedup import dedup_clusters
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lamda mu nu xi omicron pi rho sigma tau upsilon")
+        words = base.split()
+        a = " ".join(words)
+        b = " ".join(words[:18] + ["other", "words"])       # ~b close to a
+        c = " ".join(words[:16] + ["other", "words", "even", "more"])
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, c), (9, "entirely different content here with nothing shared at all")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in dedup_clusters(df, "doc_id", "text", 0.3).collect()}
+        assert out.get(1) == out.get(2) == out.get(3) == 1, out
+        assert 9 not in out  # singletons aren't cluster members
