@@ -229,3 +229,22 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: emit each key's FIRST arrival, drop replays.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only inside the
+    watermark horizon, so an at-least-once source (Kafka replays, file
+    redeliveries, backfill overlap) becomes effectively-once with O(keys
+    within watermark) state — the streaming twin of
+    operators/dedup.py:dedup_exact.  Keys whose duplicates can straddle
+    more than ``watermark`` of event time need the batch pass instead.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -99,3 +99,42 @@ def test_multimodal_is_arrow_batched(spark, cat):
     # mapInPandas shows up as MapInPandas (Arrow), NOT row-at-a-time Python
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_no_shuffle(spark, cat):
+    # deterministic sampling is a pure projection+filter — the plan may
+    # contain NO exchange at all (any shuffle at 100 TB would be a bug)
+    plan = plan_of(cat["x_stratified_sample"].spark_fn(spark, SF))
+    pre_sort = plan.split("Sort", 1)[0]  # the orderBy is presentation-only
+    assert "Exchange hashpartitioning" not in pre_sort
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_topk_partial_agg_single_shuffle(spark, cat):
+    plan = plan_of(cat["x_vocab_topk"].spark_fn(spark, SF))
+    # explode → count must map-side combine (partial+final HashAggregate),
+    # so the shuffle carries the distinct vocabulary, not the token stream
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_scrub_denylist_codegen_only(spark, cat):
+    plan = plan_of(cat["x_scrub_denylist"].spark_fn(spark, SF), final=True)
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_assignment_is_projection(spark, cat):
+    # IVF-flat cell assignment must be a pure projection against literal
+    # centroids — no join/shuffle of the corpus for assignment; candidates
+    # reach the scorer through a broadcast hash join only
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.similarity import ivf_flat_topk
+    from pyspark.sql import functions as F
+
+    e = load_tables(spark, SF, "embeddings")["embeddings"]
+    out = ivf_flat_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -137,3 +137,35 @@ def test_watermark_bounds_state(spark):
     assert agg.isStreaming
     plan = agg._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_streaming_dedup_drops_redelivered_files(spark, tmp_path):
+    """Two identical files in the landing dir = an at-least-once
+    redelivery; streaming dedup must emit each event_id exactly once and
+    match the batch distinct count."""
+    import shutil
+
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{SF}/events.parquet", landing / "delivery_1.parquet")
+    shutil.copy(f"{SF}/events.parquet", landing / "delivery_2.parquet")
+
+    stream = read_event_stream(spark, str(landing))
+    run_stream_to_memory(streaming_dedup(stream), "stream_dedup", output_mode="append")
+
+    got = spark.table("stream_dedup").count()
+    want = (
+        spark.read.option("mergeSchema", "false").parquet(f"{SF}/events.parquet").count()
+    )
+    assert got == want, (got, want)
+    # and each id exactly once
+    dup = (
+        spark.table("stream_dedup").groupBy("event_id").count().filter("count > 1").count()
+    )
+    assert dup == 0
