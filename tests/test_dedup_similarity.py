@@ -240,3 +240,29 @@ class TestDedupClusters:
                for r in dedup_clusters(df, "doc_id", "text", 0.3).collect()}
         assert out.get(1) == out.get(2) == out.get(3) == 1, out
         assert 9 not in out  # singletons aren't cluster members
+
+
+class TestIncrementalMinHash:
+    def test_equals_full_pairing_filtered(self, spark, documents):
+        """Incremental (new batch vs corpus) must equal the full pairing
+        filtered to pairs touching a new doc — no missed or phantom
+        pairs."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_lsh_pairs_incremental,
+        )
+
+        new = documents.filter(F.col("doc_id") % 10 == 0)
+        base = documents.filter(F.col("doc_id") % 10 != 0)
+        got = {
+            (r["doc1"], r["doc2"])
+            for r in minhash_lsh_pairs_incremental(base, new, "doc_id", "text", 0.5).collect()
+        }
+        want = {
+            (r["doc1"], r["doc2"])
+            for r in minhash_lsh_pairs(documents, "doc_id", "text", 0.5).collect()
+            if r["doc1"] % 10 == 0 or r["doc2"] % 10 == 0
+        }
+        assert got == want
