@@ -1106,16 +1106,42 @@ def _register_core() -> None:
 
     def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Approximate aggregates (HyperLogLog++ / quantile sketches) — the
-        constant-memory path for 100 TB cardinalities.  No cross-engine
-        oracle: sketch results are engine-specific by design; the pytest
-        suite bounds the error against exact counts instead."""
+        constant-memory path for 100 TB cardinalities.  Sketch values are
+        engine-specific by design, so raw-value cross-engine comparison is
+        impossible; instead the query emits the EXACT values alongside
+        booleans asserting the sketches landed within their error bounds
+        (HLL rsd=0.01, checked at 5σ; quantile sketch at 5%), and the
+        oracle states those booleans as TRUE — a driver-visible gate on the
+        sketch contract itself."""
         t = load_tables(spark, sf_dir, "lineitem")
-        return t["lineitem"].agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        agg = t["lineitem"].agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.expr("approx_count_distinct(l_orderkey, 0.01)").alias("__hll"),
+            F.expr("percentile_approx(l_extendedprice, 0.5D)").alias("__amed"),
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("__emed"),
+        )
+        return agg.select(
+            F.col("exact_orders").cast("long").alias("exact_orders"),
+            (
+                F.abs(F.col("__hll") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= 0.05
+            ).alias("hll_within_5pct"),
+            (F.abs(F.col("__amed") - F.col("__emed")) / F.col("__emed") <= 0.05).alias(
+                "quantile_within_5pct"
+            ),
         )
 
-    register("q_approx_aggregates", oracle=None, tables=("lineitem",))(q_approx)
+    register(
+        "q_approx_aggregates",
+        oracle="""
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               TRUE AS hll_within_5pct,
+               TRUE AS quantile_within_5pct
+        FROM lineitem
+        """,
+        tables=("lineitem",),
+    )(q_approx)
 
     sql_query(
         "q_qualified_star",
