@@ -150,7 +150,8 @@ DRIVER_PRIORITY = [
     "d_embedding_near_dup", "s_ann_ivf_topk", "d_minhash_lsh_pairs",
     "t_add_row_index", "t_pipeline_full", "d_dedup_clusters",
     "x_stratified_sample", "x_vocab_topk", "x_scrub_denylist",
-    "d_minhash_incremental",
+    "d_minhash_incremental", "x_gopher_quality", "x_sequence_pack",
+    "d_contamination", "x_mixture_sample",
     # (b) no driver row in round 1
     "t_remove_null_columns", "t_multi_sort_nulls", "t_round_floats",
     "q_scalar_functions", "q_qualified_star", "q_outer_join",
@@ -161,10 +162,8 @@ DRIVER_PRIORITY = [
     # (c) regression anchors (headline bench set + one per operator family)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_window_topn", "q_rollup", "q_count_distinct", "q_filter_predicates",
-    "q_cte_case_cast", "d_dedup_exact", "s_ann_bruteforce_topk",
-    "s_ann_lsh_topk", "x_token_count", "x_quality_score",
-    "x_multimodal_decode", "e_tumbling_agg", "e_sessionize", "e_asof_join",
-    "e_range_join",
+    "d_dedup_exact", "s_ann_bruteforce_topk", "x_token_count",
+    "x_multimodal_decode", "e_sessionize", "e_asof_join", "e_range_join",
 ]
 
 

@@ -563,6 +563,203 @@ register(
 )(_x_scrub_denylist)
 
 
+def _x_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape quality rules
+    (operators/textstats.py:gopher_quality) — the first-pass scan filter of
+    a pre-training pipeline; zero shuffles, pure codegen."""
+    from polars_view_spark.operators.textstats import gopher_quality
+
+    t = load_tables(spark, sf_dir, "documents")
+    return gopher_quality(t["documents"]).select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "dup_2gram_frac",
+        "mean_word_len",
+        "frac_alpha_words",
+        "passes_gopher",
+    ).orderBy("doc_id")
+
+
+def _duck_gopher_oracle() -> str:
+    from polars_view_spark.operators.textstats import (
+        GOPHER_MAX_DUP_2GRAM_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    nw = f"len({toks})"
+    dup_w = f"1.0 - len(list_distinct({toks})) / CAST({nw} AS DOUBLE)"
+    dup_2g = (
+        f"CASE WHEN {nw} >= 2 THEN "
+        f"1.0 - len({duck_shingles_sql('text', 2)}) / CAST({nw} - 1 AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+    mwl = (
+        "length(regexp_replace(text, '\\s', '', 'g'))"
+        f" / CAST(greatest({nw}, 1) AS DOUBLE)"
+    )
+    alpha = (
+        f"len(list_filter({toks}, x -> regexp_matches(x, '[a-z]')))"
+        f" / CAST(greatest({nw}, 1) AS DOUBLE)"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({nw} AS BIGINT) AS n_words,
+           round({dup_w}, 6) AS dup_word_frac,
+           round({dup_2g}, 6) AS dup_2gram_frac,
+           round({mwl}, 6) AS mean_word_len,
+           round({alpha}, 6) AS frac_alpha_words,
+           (({nw} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND ({dup_2g}) <= {GOPHER_MAX_DUP_2GRAM_FRAC}
+            AND ({mwl}) BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+            AND ({alpha}) >= {GOPHER_MIN_ALPHA_WORD_FRAC}) AS passes_gopher
+    FROM documents ORDER BY doc_id
+    """
+
+
+register(
+    "x_gopher_quality", oracle=_duck_gopher_oracle(), tables=("documents",)
+)(_x_gopher_quality)
+
+
+def _x_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.py:pack_token_stream):
+    per-shard token-stream chunking into fixed context windows; reports
+    (lang, chunk_id, n_docs, n_tokens) per chunk."""
+    from polars_view_spark.operators.packing import CONTEXT_TOKENS, pack_token_stream
+
+    t = load_tables(spark, sf_dir, "documents")
+    out = pack_token_stream(t["documents"], capacity=CONTEXT_TOKENS)
+    return out.select(
+        "lang",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("lang", "chunk_id")
+
+
+def _duck_pack_oracle() -> str:
+    from polars_view_spark.operators.packing import CONTEXT_TOKENS as C
+
+    ntok = f"len(regexp_extract_all(text, '{TOKEN_REGEX}'))"
+    return f"""
+    WITH base AS (
+      SELECT lang, doc_id, CAST({ntok} AS BIGINT) AS n_tokens
+      FROM documents WHERE {ntok} > 0
+    ), offs AS (
+      SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS end_off
+      FROM base
+    ), spanned AS (
+      SELECT lang, end_off, end_off - n_tokens AS start_off,
+             CAST(unnest(generate_series(
+               CAST(floor((end_off - n_tokens) / {C}.0) AS BIGINT),
+               CAST(floor((end_off - 1) / {C}.0) AS BIGINT))) AS BIGINT) AS chunk_id
+      FROM offs
+    )
+    SELECT lang, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(least(end_off, (chunk_id + 1) * {C})
+                    - greatest(start_off, chunk_id * {C})) AS BIGINT) AS n_tokens
+    FROM spanned GROUP BY lang, chunk_id ORDER BY lang, chunk_id
+    """
+
+
+register(
+    "x_sequence_pack", oracle=_duck_pack_oracle(), tables=("documents",)
+)(_x_sequence_pack)
+
+
+#: benchmark membership predicate for the contamination scan — stands in
+#: for "doc_id appears in the eval-suite manifest"
+CONTAM_BENCH_MOD = 97
+CONTAM_MIN_OVERLAP = 3
+
+
+def _d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (operators/dedup.py:contamination_pairs):
+    corpus docs sharing ≥ N distinct word-shingles with any benchmark doc.
+    Benchmark side is broadcast — the corpus never shuffles."""
+    from polars_view_spark.operators.dedup import contamination_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    out = contamination_pairs(docs, bench, min_overlap=CONTAM_MIN_OVERLAP)
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "bench_id",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+    ).orderBy("doc_id", "bench_id")
+
+
+def _duck_contamination_oracle() -> str:
+    sh = duck_shingles_sql("text")
+    return f"""
+    WITH c AS (
+      SELECT doc_id AS doc, unnest({sh}) AS shingle FROM documents
+    ), b AS (
+      SELECT doc_id AS bench_id, unnest({sh}) AS shingle FROM documents
+      WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    )
+    SELECT c.doc AS doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM c JOIN b USING (shingle)
+    WHERE c.doc <> b.bench_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {CONTAM_MIN_OVERLAP}
+    ORDER BY doc_id, bench_id
+    """
+
+
+register(
+    "d_contamination", oracle=_duck_contamination_oracle(), tables=("documents",)
+)(_d_contamination)
+
+
+def _x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture resampling
+    (operators/packing.py:mixture_resample): each doc appears
+    floor(rate(source)) times plus a deterministic md5-bucket extra for the
+    fractional part — upsampling AND downsampling in one zero-shuffle op."""
+    from polars_view_spark.operators.packing import mixture_resample
+
+    t = load_tables(spark, sf_dir, "documents")
+    return mixture_resample(t["documents"]).orderBy("doc_id", "epoch")
+
+
+def _duck_mixture_oracle() -> str:
+    from polars_view_spark.operators.packing import epochs_case_sql
+
+    rate = epochs_case_sql("source")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)
+               AS bucket,
+             {rate} AS rate
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, source,
+             CAST(floor(rate) AS BIGINT)
+               + CASE WHEN bucket < CAST(round((rate - floor(rate)) * 100, 0) AS BIGINT)
+                      THEN 1 ELSE 0 END AS copies
+      FROM base
+    )
+    SELECT doc_id, source, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+    FROM counted WHERE copies > 0
+    ORDER BY doc_id, epoch
+    """
+
+
+register(
+    "x_mixture_sample", oracle=_duck_mixture_oracle(), tables=("documents",)
+)(_x_mixture_sample)
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------

@@ -327,6 +327,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus document, count the
+    distinct word shingles it shares with each benchmark document; report
+    pairs with ≥ ``min_overlap`` shared shingles as
+    ``(doc_id, bench_id, n_overlap)``.
+
+    This is the train/test decontamination step of an LLM data pipeline
+    (n-gram collision against held-out eval sets).  Scale shape: the
+    benchmark side is small by construction (eval suites are KBs–MBs, the
+    corpus is the 100 TB side), so its exploded shingle table is BROADCAST
+    and the corpus-side scan streams through a broadcast hash join — no
+    corpus shuffle at all; the only exchange is the final
+    (doc, bench) count aggregation, whose cardinality is bounded by the
+    number of *contaminated* pairs, not the corpus.
+    """
+    c_sh = shingle_table(corpus, id_col, text_col)
+    b_sh = shingle_table(benchmark, id_col, text_col).withColumnRenamed(
+        "doc", "bench_id"
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .filter(F.col("doc") != F.col("bench_id"))
+        .groupBy("doc", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str,

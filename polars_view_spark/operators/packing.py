@@ -1,0 +1,132 @@
+"""Training-batch assembly operators: token-stream sequence packing and
+epoch-weighted mixture resampling.
+
+Both are pure DataFrame expressions (codegen regexp + window cumsum +
+``sequence`` explode) — no Python in the data plane, so they run at scan
+speed on any corpus size.  The DuckDB oracles in catalog_ext.py replicate
+the identical arithmetic.
+
+These cover the step *after* filtering/dedup in a pre-training pipeline:
+deciding how many times each document appears in the mix (mixture epochs)
+and how the token stream chops into fixed context windows (packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_view_spark.functions.texthash import TOKEN_REGEX
+
+#: default context-window capacity (tokens) for packing
+CONTEXT_TOKENS = 512
+
+
+def pack_token_stream(
+    df: DataFrame,
+    capacity: int = CONTEXT_TOKENS,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LM-pretraining sequence packing: concatenate every document's tokens
+    in deterministic (shard, id) order and chop the stream into fixed
+    ``capacity``-token context windows (GPT-style concat-and-chop, documents
+    split across window boundaries).  Returns per-chunk stats:
+    ``(shard, chunk_id, n_docs, n_tokens)``.
+
+    Scale shape: token counting is a codegen regexp projection; the running
+    offset is ONE window cumsum partitioned by ``shard_col`` — shards pack
+    independently, which is the 100 TB layout (a single global order would
+    serialize the cumsum into one partition).  Chunk membership explodes
+    each doc onto the ``floor(start/C)..floor((end-1)/C)`` range it overlaps
+    (``sequence()``, still codegen) and one groupBy aggregates.  Two
+    shuffles total (window + groupBy), both on the same shard-dominated
+    keys, regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    n_tok = f"size(regexp_extract_all({text_col}, '{_sq(TOKEN_REGEX)}', 0))"
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    base = df.select(
+        shard_col, id_col, F.expr(n_tok).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    spanned = (
+        base.withColumn("end_off", F.sum("n_tokens").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+        .withColumn(
+            "chunk_id",
+            F.explode(
+                F.expr(
+                    f"sequence(CAST(floor(start_off / {capacity}) AS BIGINT), "
+                    f"CAST(floor((end_off - 1) / {capacity}) AS BIGINT))"
+                )
+            ),
+        )
+    )
+    return spanned.groupBy(shard_col, "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.expr(
+                f"least(end_off, (chunk_id + 1) * {capacity})"
+                f" - greatest(start_off, chunk_id * {capacity})"
+            )
+        ).alias("n_tokens"),
+    )
+
+
+#: expected epochs per source — >1 upsamples (duplicate copies), <1
+#: downsamples, absent sources default to 1.0.  The knob a mixture tuner
+#: (e.g. DoReMi-style reweighting) would write.
+MIXTURE_EPOCHS: dict[str, float] = {
+    "src0": 2.5,
+    "src1": 2.0,
+    "src2": 1.5,
+    "src3": 0.5,
+    "src4": 0.25,
+}
+MIXTURE_DEFAULT = 1.0
+
+
+def _sq(pat: str) -> str:
+    """Regex → Spark SQL string literal (Hive-style backslash doubling)."""
+    return pat.replace("\\", "\\\\")
+
+
+def epochs_case_sql(source_col: str) -> str:
+    """Shared CASE expression for the per-source epoch rate (valid in both
+    Spark SQL and DuckDB — single-sourced so the oracle cannot drift)."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(MIXTURE_EPOCHS.items())
+    )
+    return f"(CASE {source_col} {whens} ELSE {MIXTURE_DEFAULT} END)"
+
+
+def mixture_resample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Epoch-weighted mixture resampling: emit each document
+    ``floor(rate)`` times, plus one extra copy iff its deterministic
+    md5-bucket falls under the fractional part — so a source with rate 2.5
+    appears 2 or 3 times (expectation 2.5) and rate 0.25 keeps 25% of docs.
+    Returns ``(id, source, epoch)`` rows, ``epoch`` in 1..copies.
+
+    Zero shuffles: rate lookup is a CASE projection, the copy count is pure
+    arithmetic on an md5 hash (reproducible across runs AND engines — same
+    bridge as stratified sampling), and the duplication is a ``sequence``
+    explode.  Embarrassingly parallel at any scale.
+    """
+    rate = epochs_case_sql(source_col)
+    bucket = f"(conv(substr(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) % 100)"
+    copies = (
+        f"(CAST(floor({rate}) AS BIGINT)"
+        f" + IF({bucket} < CAST(round(({rate} - floor({rate})) * 100, 0) AS BIGINT), 1, 0))"
+    )
+    return (
+        df.withColumn("copies", F.expr(copies))
+        .filter(F.col("copies") > 0)
+        .withColumn("epoch", F.explode(F.expr("sequence(1L, copies)")))
+        .select(id_col, source_col, F.col("epoch").cast("long").alias("epoch"))
+    )

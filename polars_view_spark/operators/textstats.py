@@ -105,6 +105,67 @@ def quality_score(df: DataFrame, text_col: str = "text") -> Column | DataFrame:
     return df.withColumn("quality", F.expr(expr))
 
 
+#: Gopher-rule thresholds (Rae et al. 2021-style repetition/shape filters,
+#: adapted to word/2-gram repetition since the corpus has no line structure)
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MAX_DUP_2GRAM_FRAC = 0.60
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/shape quality rules, one codegen pass:
+
+    - ``n_words``           whitespace word count
+    - ``dup_word_frac``     1 − distinct words / words (repetition)
+    - ``dup_2gram_frac``    1 − distinct word-2-grams / (words − 1)
+    - ``mean_word_len``     non-space characters / words
+    - ``frac_alpha_words``  words containing ≥1 ASCII letter / words
+    - ``passes_gopher``     the conjunctive keep/drop verdict
+
+    All array-lambda + regexp expressions (no shuffle, no Python) — this is
+    the first-pass scan filter of a pre-training pipeline, so it must run at
+    full scan throughput.  Fractions are rounded to 6 decimals; the verdict
+    compares the *unrounded* doubles, whose arithmetic is identical IEEE on
+    both engines (oracle mirror in catalog_ext.py).
+    """
+    from polars_view_spark.functions.texthash import shingles_from_tokens_sql
+
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    nw = f"size({toks})"
+    dup_w = f"1.0 - size(array_distinct({toks})) / CAST({nw} AS DOUBLE)"
+    dup_2g = (
+        f"CASE WHEN {nw} >= 2 THEN "
+        f"1.0 - size({shingles_from_tokens_sql('__t', 2)}) / CAST({nw} - 1 AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+    mwl = (
+        f"length(regexp_replace({text_col}, '\\\\s', ''))"
+        f" / CAST(greatest({nw}, 1) AS DOUBLE)"
+    )
+    alpha = (
+        f"size(filter({toks}, x -> x rlike '[a-z]'))"
+        f" / CAST(greatest({nw}, 1) AS DOUBLE)"
+    )
+    out = df.withColumn("__t", F.expr(toks)).select(
+        "*",
+        F.expr(nw).cast("long").alias("n_words"),
+        F.expr(f"round({dup_w}, 6)").alias("dup_word_frac"),
+        F.expr(f"round({dup_2g}, 6)").alias("dup_2gram_frac"),
+        F.expr(f"round({mwl}, 6)").alias("mean_word_len"),
+        F.expr(f"round({alpha}, 6)").alias("frac_alpha_words"),
+        F.expr(
+            f"({nw} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})"
+            f" AND ({dup_2g}) <= {GOPHER_MAX_DUP_2GRAM_FRAC}"
+            f" AND ({mwl}) BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}"
+            f" AND ({alpha}) >= {GOPHER_MIN_ALPHA_WORD_FRAC}"
+        ).alias("passes_gopher"),
+    )
+    return out.drop("__t")
+
+
 WINNOW_K = 8  # k-gram width (characters)
 WINNOW_W = 4  # winnowing window (hashes)
 

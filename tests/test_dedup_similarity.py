@@ -266,3 +266,99 @@ class TestIncrementalMinHash:
             if r["doc1"] % 10 == 0 or r["doc2"] % 10 == 0
         }
         assert got == want
+
+
+class TestPackingMixture:
+    def test_pack_conserves_tokens_and_fills_chunks(self, spark, documents):
+        """Packing invariants: (1) chunk token occupancy sums to the exact
+        corpus token total per shard; (2) every chunk except the last of
+        each shard holds exactly `capacity` tokens (concat-and-chop leaves
+        no gaps); (3) chunk ids are contiguous from 0."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.packing import pack_token_stream
+        from polars_view_spark.functions.texthash import TOKEN_REGEX
+
+        cap = 256
+        out = pack_token_stream(documents, capacity=cap).collect()
+        spark_re = TOKEN_REGEX.replace("\\", "\\\\")
+        totals = {
+            r["lang"]: r["total"]
+            for r in documents.groupBy("lang")
+            .agg(
+                F.sum(
+                    F.expr(f"size(regexp_extract_all(text, '{spark_re}', 0))")
+                ).alias("total")
+            )
+            .collect()
+        }
+        by_lang: dict[str, list] = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], []).append(r)
+        assert set(by_lang) == set(totals)
+        for lang, rows in by_lang.items():
+            rows.sort(key=lambda r: r["chunk_id"])
+            assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+            assert sum(r["n_tokens"] for r in rows) == totals[lang]
+            for r in rows[:-1]:
+                assert r["n_tokens"] == cap, (lang, r)
+            assert 0 < rows[-1]["n_tokens"] <= cap
+
+    def test_mixture_multiplicities(self, spark, documents):
+        """Every emitted multiplicity must be floor(rate) or ceil(rate) for
+        the doc's source, epochs numbered 1..copies, and full-epoch sources
+        keep every doc."""
+        import math
+
+        from polars_view_spark.operators.packing import (
+            MIXTURE_DEFAULT,
+            MIXTURE_EPOCHS,
+            mixture_resample,
+        )
+
+        rows = mixture_resample(documents).collect()
+        n_docs = documents.count()
+        seen: dict[int, list] = {}
+        src_of: dict[int, str] = {}
+        for r in rows:
+            seen.setdefault(r["doc_id"], []).append(r["epoch"])
+            src_of[r["doc_id"]] = r["source"]
+        for doc_id, epochs in seen.items():
+            rate = MIXTURE_EPOCHS.get(src_of[doc_id], MIXTURE_DEFAULT)
+            assert sorted(epochs) == list(range(1, len(epochs) + 1))
+            assert len(epochs) in {math.floor(rate), math.ceil(rate)}
+        # sources with integral rate >= 1 keep every doc exactly rate times
+        kept = documents.filter("source = 'src1'").count()
+        got = sum(len(e) for d, e in seen.items() if src_of[d] == "src1")
+        assert got == 2 * kept and kept > 0
+        assert len({d for d in seen}) <= n_docs
+
+    def test_contamination_catches_planted_near_dups(self, spark, documents):
+        """A benchmark doc's planted near-duplicate (jaccard >= 0.9) shares
+        nearly all shingles, so it MUST be flagged; and every reported
+        overlap count is symmetric ground truth from exact shingle sets."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.dedup import (
+            contamination_pairs,
+            minhash_lsh_pairs,
+        )
+
+        bench = documents.filter(F.col("doc_id") % 97 == 0)
+        bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+        flagged = {
+            (r["doc"], r["bench_id"])
+            for r in contamination_pairs(documents, bench).collect()
+        }
+        near = minhash_lsh_pairs(documents, "doc_id", "text", 0.85).collect()
+        planted = [
+            (a, b)
+            for r in near
+            for a, b in [(r["doc1"], r["doc2"])]
+            if a in bench_ids or b in bench_ids
+        ]
+        for a, b in planted:
+            if b in bench_ids:
+                assert (a, b) in flagged, (a, b)
+            if a in bench_ids:
+                assert (b, a) in flagged, (b, a)

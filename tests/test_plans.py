@@ -160,3 +160,49 @@ def test_incremental_minhash_broadcasts_new_batch(spark, cat):
     # every pair touches a new doc
     rows = out.collect()
     assert all(r["doc1"] % 10 == 0 or r["doc2"] % 10 == 0 for r in rows)
+
+
+def test_gopher_quality_codegen_only(spark, cat):
+    # first-pass scan filter: zero exchanges, zero Python eval
+    plan = plan_of(cat["x_gopher_quality"].spark_fn(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the compute itself is projection-only — no aggregate/join anywhere
+    assert "HashAggregate" not in plan and "Join" not in plan
+
+
+def test_sequence_pack_two_shuffles(spark, cat):
+    # per-shard cumsum window + final groupBy — exactly two exchanges
+    # besides the presentation sort, both keyed on the shard column
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.packing import pack_token_stream
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    plan = plan_of(pack_token_stream(d))
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, cat):
+    # the corpus side must stream through a broadcast hash join — no
+    # corpus-wide shuffle for candidate generation, no pair explosion
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.dedup import contamination_pairs
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    out = contamination_pairs(d, d.filter(F.col("doc_id") % 97 == 0))
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_resample_no_shuffle(spark, cat):
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.packing import mixture_resample
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    plan = plan_of(mixture_resample(d))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
