@@ -151,7 +151,7 @@ DRIVER_PRIORITY = [
     "t_add_row_index", "t_pipeline_full", "d_dedup_clusters",
     "x_stratified_sample", "x_vocab_topk", "x_scrub_denylist",
     "d_minhash_incremental", "x_gopher_quality", "x_sequence_pack",
-    "d_contamination", "x_mixture_sample",
+    "d_contamination", "x_mixture_sample", "t_partitioned_roundtrip",
     # (b) no driver row in round 1
     "t_remove_null_columns", "t_multi_sort_nulls", "t_round_floats",
     "q_scalar_functions", "q_qualified_star", "q_outer_join",
@@ -161,7 +161,7 @@ DRIVER_PRIORITY = [
     "q_explode_word_counts", "q_approx_aggregates",
     # (c) regression anchors (headline bench set + one per operator family)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q_window_topn", "q_rollup", "q_count_distinct", "q_filter_predicates",
+    "q_window_topn", "q_rollup", "q_filter_predicates",
     "d_dedup_exact", "s_ann_bruteforce_topk", "x_token_count",
     "x_multimodal_decode", "e_sessionize", "e_asof_join", "e_range_join",
 ]
@@ -240,6 +240,35 @@ def _t_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2A scale sink end-to-end: hive-partitioned dataset write
+    (sources/writers.py:write_dataset, the 100 TB path — ``save_as``'s
+    ``coalesce(1)`` is the viewer path) → re-read → partition-filtered
+    aggregate.  The filter on the partition column must prune directories
+    at planning time, not scan-and-discard (PartitionFilters plan gate in
+    tests/test_plans.py); the oracle runs the same aggregate on the
+    original parquet, so value corruption anywhere in the write/read/prune
+    chain breaks the hash."""
+    import os
+    import tempfile
+
+    from polars_view_spark.sources.writers import write_dataset
+
+    t = load_tables(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="pvs_part_rt_"), "ds")
+    write_dataset(t["orders"], out, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice") + F.lit(1e-6), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 _core_done = False
 
 
@@ -275,6 +304,17 @@ def _register_core() -> None:
         """,
         tables=("orders",),
     )(_t_ndjson_roundtrip)
+
+    register(
+        "t_partitioned_roundtrip",
+        oracle="""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice) + 1e-6, 2) AS total
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        tables=("orders",),
+    )(_t_partitioned_roundtrip)
 
     sql_query(
         "q1_pricing_summary",

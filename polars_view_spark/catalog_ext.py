@@ -627,45 +627,58 @@ register(
 )(_x_gopher_quality)
 
 
+#: packing shards per language — the shard key the pack window partitions
+#: on is (lang × doc_id mod N).  At 100 TB, N scales with the cluster so
+#: the per-shard cumsum stays parallel (5 bare languages would mean 5
+#: reducers owning the whole corpus); each shard is an independent token
+#: stream, exactly how real pre-training jobs pack per output file.
+PACK_SHARDS_PER_LANG = 4
+
+
 def _x_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py:pack_token_stream):
     per-shard token-stream chunking into fixed context windows; reports
-    (lang, chunk_id, n_docs, n_tokens) per chunk."""
+    (pack_shard, chunk_id, n_docs, n_tokens) per chunk."""
     from polars_view_spark.operators.packing import CONTEXT_TOKENS, pack_token_stream
 
     t = load_tables(spark, sf_dir, "documents")
-    out = pack_token_stream(t["documents"], capacity=CONTEXT_TOKENS)
+    docs = t["documents"].withColumn(
+        "pack_shard",
+        F.expr(f"concat(lang, '/', CAST(doc_id % {PACK_SHARDS_PER_LANG} AS STRING))"),
+    )
+    out = pack_token_stream(docs, capacity=CONTEXT_TOKENS, shard_col="pack_shard")
     return out.select(
-        "lang",
+        "pack_shard",
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
-    ).orderBy("lang", "chunk_id")
+    ).orderBy("pack_shard", "chunk_id")
 
 
 def _duck_pack_oracle() -> str:
     from polars_view_spark.operators.packing import CONTEXT_TOKENS as C
 
     ntok = f"len(regexp_extract_all(text, '{TOKEN_REGEX}'))"
+    shard = f"lang || '/' || CAST(doc_id % {PACK_SHARDS_PER_LANG} AS VARCHAR)"
     return f"""
     WITH base AS (
-      SELECT lang, doc_id, CAST({ntok} AS BIGINT) AS n_tokens
+      SELECT {shard} AS pack_shard, doc_id, CAST({ntok} AS BIGINT) AS n_tokens
       FROM documents WHERE {ntok} > 0
     ), offs AS (
-      SELECT lang, doc_id, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS end_off
+      SELECT pack_shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id) AS end_off
       FROM base
     ), spanned AS (
-      SELECT lang, end_off, end_off - n_tokens AS start_off,
+      SELECT pack_shard, end_off, end_off - n_tokens AS start_off,
              CAST(unnest(generate_series(
                CAST(floor((end_off - n_tokens) / {C}.0) AS BIGINT),
                CAST(floor((end_off - 1) / {C}.0) AS BIGINT))) AS BIGINT) AS chunk_id
       FROM offs
     )
-    SELECT lang, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    SELECT pack_shard, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(least(end_off, (chunk_id + 1) * {C})
                     - greatest(start_off, chunk_id * {C})) AS BIGINT) AS n_tokens
-    FROM spanned GROUP BY lang, chunk_id ORDER BY lang, chunk_id
+    FROM spanned GROUP BY pack_shard, chunk_id ORDER BY pack_shard, chunk_id
     """
 
 

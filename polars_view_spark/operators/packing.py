@@ -38,7 +38,10 @@ def pack_token_stream(
     Scale shape: token counting is a codegen regexp projection; the running
     offset is ONE window cumsum partitioned by ``shard_col`` — shards pack
     independently, which is the 100 TB layout (a single global order would
-    serialize the cumsum into one partition).  Chunk membership explodes
+    serialize the cumsum into one partition).  The caller must pick a shard
+    key whose cardinality scales with the cluster — e.g. language × hash
+    bucket, as the catalog entry does — since each shard's cumsum runs on
+    one reducer.  Chunk membership explodes
     each doc onto the ``floor(start/C)..floor((end-1)/C)`` range it overlaps
     (``sequence()``, still codegen) and one groupBy aggregates.  Two
     shuffles total (window + groupBy), both on the same shard-dominated

@@ -206,3 +206,11 @@ def test_mixture_resample_no_shuffle(spark, cat):
     plan = plan_of(mixture_resample(d))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partitioned_roundtrip_prunes(spark, cat):
+    # the partition-column filter must appear in PartitionFilters on the
+    # re-read scan — directory-level pruning, the reason to partition at all
+    plan = plan_of(cat["t_partitioned_roundtrip"].spark_fn(spark, SF))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderpriority" in m.group(1), plan

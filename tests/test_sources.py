@@ -133,8 +133,14 @@ class TestRoundTrips:
         write_dataset(df, out, partition_by=["name"])
         assert os.path.isdir(os.path.join(out, "name=a"))
         back = spark.read.parquet(out)
-        # partition pruning: filter on the partition column prunes files
+        # partition pruning: the filter must land in PartitionFilters (the
+        # scan lists only matching directories — planning-time pruning, not
+        # scan-and-discard)
         plan = back.filter(back.name == "a")._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "name" in m.group(1), plan
         assert back.filter(back.name == "a").count() == 1
 
 
