@@ -484,10 +484,18 @@ register(
 VOCAB_TOP_K = 10
 
 
+VOCAB_TOPK_BUCKETS = 32
+
+
 def _x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language vocabulary top-k: explode tokens → one (lang, token)
-    count aggregation (map-side partial combine) → windowed top-k.  The
-    shuffle payload is the distinct vocabulary, not the corpus."""
+    """Per-language vocabulary top-k, TWO-PHASE: explode tokens → one
+    (lang, token) count aggregation (map-side partial combine) → per
+    (lang, token-hash-bucket) top-k → final top-k over the ≤ k·buckets
+    survivors.  The shuffle payload is the distinct vocabulary, and no
+    single reducer ever ranks a whole language's vocabulary (a bare
+    per-lang window would put ~all tokens of a language on one task at
+    100 TB); the pre-filter is lossless — any global top-k token is top-k
+    within its own bucket under the same total order."""
     t = load_tables(spark, sf_dir, "documents")
     from polars_view_spark.functions.texthash import tokens_expr
     from pyspark.sql import Window
@@ -498,10 +506,18 @@ def _x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    order = [F.col("n").desc(), F.col("token").asc()]
+    wb = Window.partitionBy("lang", "bucket").orderBy(*order)
+    w = Window.partitionBy("lang").orderBy(*order)
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        counts.withColumn(
+            "bucket", F.pmod(F.hash("token"), F.lit(VOCAB_TOPK_BUCKETS))
+        )
+        .withColumn("__brank", F.row_number().over(wb))
+        .filter(F.col("__brank") <= VOCAB_TOP_K)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= VOCAB_TOP_K)
+        .select("lang", "token", "n", "rank")
         .orderBy("lang", "rank")
     )
 
