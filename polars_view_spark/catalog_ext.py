@@ -789,6 +789,102 @@ register(
 )(_x_mixture_sample)
 
 
+def _x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token budgeting
+    (operators/packing.py:token_budget_cap): keep docs in id order until
+    the source's running token total exceeds the budget.  Pure integer
+    window cumsum — bit-identical across engines."""
+    from polars_view_spark.operators.packing import TOKEN_BUDGET, token_budget_cap
+
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        token_budget_cap(t["documents"], budget=TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_budget_oracle() -> str:
+    from polars_view_spark.operators.packing import TOKEN_BUDGET
+
+    ntok = f"len(regexp_extract_all(text, '{TOKEN_REGEX}'))"
+    return f"""
+    WITH c AS (
+      SELECT doc_id, source, CAST({ntok} AS BIGINT) AS n_tokens,
+             SUM(CAST({ntok} AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id) AS cum_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET} ORDER BY doc_id
+    """
+
+
+register(
+    "x_token_budget", oracle=_duck_budget_oracle(), tables=("documents",)
+)(_x_token_budget)
+
+
+#: BM25 query — terms drawn from the synthetic vocabulary
+BM25_QUERY = ("data", "query", "window")
+BM25_TOPK = 20
+
+
+def _s_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/retrieval.py:bm25_topk): postings
+    filtered to the query before the shuffle, stats broadcast, top-k via
+    TakeOrderedAndProject.  Ranked on the rounded score (id tiebreak) so
+    ordering is engine-reproducible."""
+    from polars_view_spark.operators.retrieval import bm25_topk
+
+    t = load_tables(spark, sf_dir, "documents")
+    return bm25_topk(t["documents"], BM25_QUERY, k=BM25_TOPK)
+
+
+def _duck_bm25_oracle() -> str:
+    from polars_view_spark.operators.retrieval import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(dl) / COUNT(*) AS avgdl
+      FROM base
+    ), tf AS (
+      SELECT b.doc, b.dl, u.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM base b, unnest(b.toks) AS u(term)
+      WHERE u.term IN ({terms})
+      GROUP BY b.doc, b.dl, u.term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc,
+             round(SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                   + {BM25_B} * tf.dl / s.avgdl))) + 1e-9, 6) AS score
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+      GROUP BY tf.doc
+    )
+    SELECT doc AS doc_id, score FROM scored
+    ORDER BY score DESC, doc ASC LIMIT {BM25_TOPK}
+    """
+
+
+register(
+    "s_bm25_topk", oracle=_duck_bm25_oracle(), tables=("documents",)
+)(_s_bm25_topk)
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------

@@ -78,6 +78,40 @@ def pack_token_stream(
     )
 
 
+#: per-source token budget for greedy budget capping (tokens)
+TOKEN_BUDGET = 1000
+
+
+def token_budget_cap(
+    df: DataFrame,
+    budget: int = TOKEN_BUDGET,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy per-source token budgeting: keep documents in deterministic
+    ``id_col`` order while the source's running token total stays within
+    ``budget`` — the "cap each domain's contribution" step of mixture
+    construction.  Returns ``(id, source, n_tokens, cum_tokens)`` for the
+    kept docs.
+
+    One window cumsum partitioned by source — pure integer arithmetic, so
+    it is bit-identical across engines.  Sources are numerous at corpus
+    scale (domains, crawls), keeping the window parallel; a pathological
+    mega-source would use the same hash-bucket sharding as
+    :func:`pack_token_stream`.
+    """
+    from pyspark.sql import Window
+
+    n_tok = f"size(regexp_extract_all({text_col}, '{_sq(TOKEN_REGEX)}', 0))"
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    return (
+        df.select(id_col, source_col, F.expr(n_tok).cast("long").alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
 #: expected epochs per source — >1 upsamples (duplicate copies), <1
 #: downsamples, absent sources default to 1.0.  The knob a mixture tuner
 #: (e.g. DoReMi-style reweighting) would write.

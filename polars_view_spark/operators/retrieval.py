@@ -1,0 +1,80 @@
+"""Keyword retrieval: BM25 scoring and top-k over a document corpus.
+
+The classic inverted-index ranking, re-expressed as DataFrame algebra so it
+runs distributed without a server-side index: term frequencies come from
+one explode+groupBy pass (filtered to query terms BEFORE the shuffle, so
+the aggregate only sees postings for the query), document length and
+corpus statistics ride along via a 1-row broadcast, and the final ranking
+is ORDER BY + LIMIT → TakeOrderedAndProject (per-partition top-k, no total
+sort).  The DuckDB oracle in catalog_ext.py replicates the identical
+formula from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for a bag-of-terms query.
+
+    ``score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl))`` with
+    ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))``.
+
+    Scale shape: the token explosion is filtered to the query's terms
+    before the (doc, term) aggregate, so the shuffle carries only postings
+    matching the query — the corpus-sized stream never shuffles; per-term
+    document frequencies and the corpus aggregates (N, avgdl) are tiny and
+    reach the scorer via broadcast joins; ranking is a top-k, not a sort.
+    Scores are ranked on their ROUNDED value (6 dp, epsilon-shifted) with
+    an id tiebreak, so ordering is reproducible across engines.
+    """
+    terms_list = ", ".join(f"'{t}'" for t in query_terms)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__t"),
+    ).select("doc", "__t", F.size("__t").cast("long").alias("dl"))
+
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    tf = (
+        base.select("doc", "dl", F.explode("__t").alias("term"))
+        .filter(F.expr(f"term IN ({terms_list})"))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.expr("ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))")
+        )
+        .withColumn(
+            "part",
+            F.expr(
+                f"idf * tf / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+            ),
+        )
+        .groupBy("doc")
+        .agg(F.expr("round(sum(part) + 1e-9, 6)").alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(k)
+        .select(F.col("doc").alias(id_col), "score")
+    )

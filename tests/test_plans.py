@@ -214,3 +214,23 @@ def test_partitioned_roundtrip_prunes(spark, cat):
     plan = plan_of(cat["t_partitioned_roundtrip"].spark_fn(spark, SF))
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_orderpriority" in m.group(1), plan
+
+
+def test_bm25_topk_broadcast_and_topk(spark, cat):
+    # postings shuffle only; df/stats reach the scorer via broadcast, and
+    # the ranking is per-partition top-k, never a total sort
+    plan = plan_of(cat["s_bm25_topk"].spark_fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_budget_single_shuffle(spark, cat):
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.packing import token_budget_cap
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    plan = plan_of(token_budget_cap(d))
+    assert plan.count("Exchange") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
