@@ -248,3 +248,51 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+DOCUMENT_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a documents parquet landing directory —
+    the arrival path of a continuously-ingested corpus."""
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    )
+    if path.endswith(".parquet"):
+        import os
+
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def streaming_contamination(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Streaming twin of operators/dedup.py:contamination_pairs — flag
+    arriving documents against a STATIC benchmark set as they land.
+
+    Stream-static join: the benchmark's exploded shingles are a broadcast
+    static side, so each micro-batch streams through the hash join without
+    shuffling its raw text; only matched postings reach the running
+    (doc, bench) count.  Complete output mode — state is bounded by the
+    number of *contaminated* pairs, not the stream (an unbounded-corpus
+    deployment would add a doc-id watermark and append mode)."""
+    from polars_view_spark.operators.dedup import shingle_table
+
+    c_sh = shingle_table(docs_stream, "doc_id", "text")
+    b_sh = shingle_table(benchmark, "doc_id", "text").withColumnRenamed(
+        "doc", "bench_id"
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .filter(F.col("doc") != F.col("bench_id"))
+        .groupBy("doc", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

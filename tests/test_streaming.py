@@ -169,3 +169,33 @@ def test_streaming_dedup_drops_redelivered_files(spark, tmp_path):
         spark.table("stream_dedup").groupBy("event_id").count().filter("count > 1").count()
     )
     assert dup == 0
+
+
+def test_streaming_contamination_matches_batch(spark):
+    """Arriving docs flagged against the static benchmark set must equal
+    the batch decontamination operator over the same corpus."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.dedup import contamination_pairs
+    from polars_view_spark.streaming.events import (
+        read_document_stream,
+        run_stream_to_memory,
+        streaming_contamination,
+    )
+
+    docs = load_tables(spark, SF, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    stream = read_document_stream(spark, f"{SF}/documents.parquet")
+    run_stream_to_memory(
+        streaming_contamination(stream, bench), "stream_contam"
+    )
+    got = {
+        (r["doc"], r["bench_id"], r["n_overlap"])
+        for r in spark.table("stream_contam").collect()
+    }
+    want = {
+        (r["doc"], r["bench_id"], r["n_overlap"])
+        for r in contamination_pairs(docs, bench).collect()
+    }
+    assert got == want and len(want) > 0
