@@ -362,3 +362,55 @@ class TestPackingMixture:
                 assert (a, b) in flagged, (a, b)
             if a in bench_ids:
                 assert (b, a) in flagged, (b, a)
+
+
+class TestPackingEdges:
+    def test_doc_larger_than_capacity_spans_chunks(self, spark):
+        """A document longer than the context window must split across
+        consecutive chunks with no token lost or duplicated — the path real
+        corpora hit constantly (books vs 4k contexts) that sf docs (~60
+        tokens) never exercise."""
+        rows = [
+            ("s", 0, " ".join(["w"] * 150)),   # spans chunks 0,1,2 at cap 64
+            ("s", 1, " ".join(["x"] * 10)),
+            ("s", 2, " ".join(["y"] * 100)),
+        ]
+        df = spark.createDataFrame(rows, ["lang", "doc_id", "text"])
+        from polars_view_spark.operators.packing import pack_token_stream
+
+        out = sorted(
+            (r["chunk_id"], r["n_docs"], r["n_tokens"])
+            for r in pack_token_stream(df, capacity=64).collect()
+        )
+        # 260 tokens -> chunks 0..4, last holds 4; doc0 covers 0-2, doc1+doc2
+        # share chunk 2, doc2 covers 2-4
+        assert out == [(0, 1, 64), (1, 1, 64), (2, 3, 64), (3, 1, 64), (4, 1, 4)]
+
+    def test_budget_keeps_exact_prefix(self, spark):
+        """Budget capping keeps the maximal id-ordered prefix whose cumsum
+        fits, per source — the first doc over the line is excluded even if a
+        later smaller doc would fit (greedy order semantics, pinned)."""
+        rows = [
+            ("a", 0, "t " * 50), ("a", 1, "t " * 60), ("a", 2, "t " * 5),
+            ("b", 3, "t " * 200),
+        ]
+        df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+        from polars_view_spark.operators.packing import token_budget_cap
+
+        kept = sorted(
+            r["doc_id"] for r in token_budget_cap(df, budget=100).collect()
+        )
+        assert kept == [0]  # doc1 overflows; doc2 NOT back-filled; b empty
+
+    def test_gopher_edge_values(self, spark):
+        """Hand-computed Gopher stats on degenerate docs: all-repeat text,
+        single word, numeric-only words."""
+        rows = [(0, "spam spam spam spam"), (1, "word"), (2, "1 2 3 4")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from polars_view_spark.operators.textstats import gopher_quality
+
+        got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+        assert got[0]["dup_word_frac"] == 0.75 and got[0]["dup_2gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+        assert got[0]["passes_gopher"] is False  # < 20 words
+        assert got[1]["n_words"] == 1 and got[1]["dup_2gram_frac"] == 0.0
+        assert got[2]["frac_alpha_words"] == 0.0
