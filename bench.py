@@ -5,9 +5,13 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed to full materialization (count over the result) after a
-warm-up of the session; input scans are NOT pre-cached — the measurement
-includes the parquet scan, which is what matters at scale.
+Each query is timed to full materialization (noop sink) after a warm-up of
+the session; input scans are NOT pre-cached — the measurement includes the
+parquet scan, which is what matters at scale.  Per query the reported
+number is the MEDIAN of 3 timed runs: single-run timings of sub-second
+queries swing ±25% with co-tenant load, and the median is the honest
+steady-state figure a long-lived cluster sees (min would flatter, mean
+inherits outliers).
 """
 
 from __future__ import annotations
@@ -63,10 +67,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = cat[name].spark_fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = cat[name].spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 4)
 
     total = round(sum(timings.values()), 4)
     print(
