@@ -25,14 +25,22 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    """Flagship on /root/testdata/sf0.001; driver checks rows>0.
 
-    Exercises the full product path: parquet scan → pipeline (replace-nulls)
-    → dialect-shimmed SQL (GROUP BY / aggregate aliases / ORDER BY alias).
+    The end-to-end training-data pipeline in ONE lazy Catalyst plan:
+    Gopher quality filter → fingerprint dedup → decontamination vs a
+    benchmark set → epoch-weighted mixture resample → sequence packing
+    (operators/packing.py:build_training_mix) — every stage is an operator
+    the catalog also gates individually against a DuckDB oracle.
     """
-    from polars_view_spark.catalog import entries
+    from pyspark.sql import functions as F
 
-    return entries()["q1_pricing_summary"].spark_fn(spark, SMOKE_SF_DIR)
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.packing import build_training_mix
+
+    docs = load_tables(spark, SMOKE_SF_DIR, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return build_training_mix(docs, bench).orderBy("pack_shard", "chunk_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

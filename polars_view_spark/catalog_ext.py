@@ -885,6 +885,133 @@ register(
 )(_s_bm25_topk)
 
 
+def _x_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five-stage training-data pipeline END-TO-END
+    (operators/packing.py:build_training_mix): Gopher quality filter →
+    fingerprint dedup → decontamination → mixture resample → sequence
+    packing, composed into one lazy plan — and the oracle replays every
+    stage in DuckDB from the same shared fragments, so the driver verifies
+    the COMPOSITION, not just the stages."""
+    from polars_view_spark.operators.packing import build_training_mix
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    out = build_training_mix(docs, bench)
+    return out.select(
+        "pack_shard",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("pack_shard", "chunk_id")
+
+
+def _duck_training_mix_oracle() -> str:
+    from polars_view_spark.operators.packing import (
+        CONTEXT_TOKENS as C,
+        epochs_case_sql,
+    )
+    from polars_view_spark.operators.textstats import (
+        GOPHER_MAX_DUP_2GRAM_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    nw = f"len({toks})"
+    dup_2g = (
+        f"CASE WHEN {nw} >= 2 THEN "
+        f"1.0 - len({duck_shingles_sql('text', 2)}) / CAST({nw} - 1 AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+    mwl = (
+        "length(regexp_replace(text, '\\s', '', 'g'))"
+        f" / CAST(greatest({nw}, 1) AS DOUBLE)"
+    )
+    alpha = (
+        f"len(list_filter({toks}, x -> regexp_matches(x, '[a-z]')))"
+        f" / CAST(greatest({nw}, 1) AS DOUBLE)"
+    )
+    gopher_pass = (
+        f"({nw} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})"
+        f" AND ({dup_2g}) <= {GOPHER_MAX_DUP_2GRAM_FRAC}"
+        f" AND ({mwl}) BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}"
+        f" AND ({alpha}) >= {GOPHER_MIN_ALPHA_WORD_FRAC}"
+    )
+    sh = duck_shingles_sql("text")
+    rate = epochs_case_sql("source")
+    ntok = f"len(regexp_extract_all(text, '{TOKEN_REGEX}'))"
+    shards = "4"
+    return f"""
+    WITH quality AS (
+      SELECT doc_id, text, lang, source FROM documents WHERE {gopher_pass}
+    ), fp AS (
+      SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint
+      FROM quality
+    ), deduped AS (
+      SELECT doc_id, text, lang, source FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM fp) t WHERE rn = 1
+    ), bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ), c_sh AS (
+      SELECT doc_id AS doc, unnest({sh}) AS shingle FROM deduped
+    ), b_sh AS (
+      SELECT doc_id AS bench_id, unnest({sh}) AS shingle FROM bench
+    ), flagged AS (
+      SELECT DISTINCT doc FROM (
+        SELECT c.doc, b.bench_id FROM c_sh c JOIN b_sh b USING (shingle)
+        WHERE c.doc <> b.bench_id
+        GROUP BY c.doc, b.bench_id HAVING COUNT(*) >= {CONTAM_MIN_OVERLAP}) t
+    ), clean AS (
+      SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc FROM flagged)
+    ), counted AS (
+      SELECT doc_id, lang, text,
+             CAST(floor({rate}) AS BIGINT)
+               + CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)
+                      < CAST(round(({rate} - floor({rate})) * 100, 0) AS BIGINT)
+                      THEN 1 ELSE 0 END AS copies
+      FROM clean
+    ), expanded AS (
+      SELECT doc_id, lang, text,
+             CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+      FROM counted WHERE copies > 0
+    ), packbase AS (
+      SELECT lang || '/' || CAST((doc_id * 100 + epoch) % {shards} AS VARCHAR)
+               AS pack_shard,
+             doc_id * 100 + epoch AS pack_id,
+             CAST({ntok} AS BIGINT) AS n_tokens
+      FROM expanded WHERE {ntok} > 0
+    ), offs AS (
+      SELECT pack_shard, pack_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY pack_shard ORDER BY pack_id)
+               AS end_off
+      FROM packbase
+    ), spanned AS (
+      SELECT pack_shard, end_off, end_off - n_tokens AS start_off,
+             CAST(unnest(generate_series(
+               CAST(floor((end_off - n_tokens) / {C}.0) AS BIGINT),
+               CAST(floor((end_off - 1) / {C}.0) AS BIGINT))) AS BIGINT) AS chunk_id
+      FROM offs
+    )
+    SELECT pack_shard, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(least(end_off, (chunk_id + 1) * {C})
+                    - greatest(start_off, chunk_id * {C})) AS BIGINT) AS n_tokens
+    FROM spanned GROUP BY pack_shard, chunk_id ORDER BY pack_shard, chunk_id
+    """
+
+
+register(
+    "x_training_mix_e2e",
+    oracle=_duck_training_mix_oracle(),
+    tables=("documents",),
+)(_x_training_mix)
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------

@@ -130,6 +130,50 @@ def _sq(pat: str) -> str:
     return pat.replace("\\", "\\\\")
 
 
+def build_training_mix(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    capacity: int = CONTEXT_TOKENS,
+    shards_per_lang: int = 4,
+) -> DataFrame:
+    """The whole pre-training data pipeline composed into ONE lazy plan:
+
+    quality-filter (Gopher rules) → exact content dedup (md5 fingerprint)
+    → decontaminate against the benchmark set (left-anti on flagged docs)
+    → epoch-weighted mixture resample → pack the token stream into fixed
+    context windows.  Returns per-(shard, chunk) stats.
+
+    Every stage is the same operator the catalog gates individually; the
+    value of composing them unmaterialized is that Catalyst plans the
+    five stages together — the Gopher projection fuses into the scan, the
+    contamination anti-join broadcasts the (tiny) flagged-doc list, and
+    nothing is persisted between stages.  This is the flagship
+    ``__spark_entry__.entry()`` plan.
+    """
+    from polars_view_spark.operators.dedup import contamination_pairs, dedup_exact
+    from polars_view_spark.operators.textstats import fingerprint, gopher_quality
+
+    quality = gopher_quality(docs).filter(F.col("passes_gopher"))
+    deduped = dedup_exact(fingerprint(quality), ["fingerprint"], "doc_id")
+    flagged = contamination_pairs(deduped, benchmark).select(
+        F.col("doc").alias("doc_id")
+    ).distinct()
+    clean = deduped.join(F.broadcast(flagged), "doc_id", "left_anti")
+    mixed = mixture_resample(clean).join(
+        clean.select("doc_id", "lang", "text"), "doc_id"
+    )
+    sharded = mixed.withColumn(
+        "pack_shard",
+        F.expr(
+            f"concat(lang, '/', CAST((doc_id * 100 + epoch) % {shards_per_lang}"
+            " AS STRING))"
+        ),
+    ).withColumn("pack_id", F.expr("doc_id * 100 + epoch"))
+    return pack_token_stream(
+        sharded, capacity=capacity, shard_col="pack_shard", id_col="pack_id"
+    )
+
+
 def epochs_case_sql(source_col: str) -> str:
     """Shared CASE expression for the per-source epoch rate (valid in both
     Spark SQL and DuckDB — single-sourced so the oracle cannot drift)."""
