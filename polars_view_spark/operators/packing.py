@@ -159,9 +159,7 @@ def build_training_mix(
         F.col("doc").alias("doc_id")
     ).distinct()
     clean = deduped.join(F.broadcast(flagged), "doc_id", "left_anti")
-    mixed = mixture_resample(clean).join(
-        clean.select("doc_id", "lang", "text"), "doc_id"
-    )
+    mixed = mixture_resample(clean, passthrough=("lang", "text"))
     sharded = mixed.withColumn(
         "pack_shard",
         F.expr(
@@ -187,6 +185,7 @@ def mixture_resample(
     df: DataFrame,
     id_col: str = "doc_id",
     source_col: str = "source",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Epoch-weighted mixture resampling: emit each document
     ``floor(rate)`` times, plus one extra copy iff its deterministic
@@ -197,7 +196,9 @@ def mixture_resample(
     Zero shuffles: rate lookup is a CASE projection, the copy count is pure
     arithmetic on an md5 hash (reproducible across runs AND engines — same
     bridge as stratified sampling), and the duplication is a ``sequence``
-    explode.  Embarrassingly parallel at any scale.
+    explode.  Embarrassingly parallel at any scale.  ``passthrough``
+    columns ride through the explode — cheaper than re-joining the corpus
+    on id afterwards (which would shuffle it twice).
     """
     rate = epochs_case_sql(source_col)
     bucket = f"(conv(substr(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) % 100)"
@@ -209,5 +210,10 @@ def mixture_resample(
         df.withColumn("copies", F.expr(copies))
         .filter(F.col("copies") > 0)
         .withColumn("epoch", F.explode(F.expr("sequence(1L, copies)")))
-        .select(id_col, source_col, F.col("epoch").cast("long").alias("epoch"))
+        .select(
+            id_col,
+            source_col,
+            F.col("epoch").cast("long").alias("epoch"),
+            *passthrough,
+        )
     )

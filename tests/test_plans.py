@@ -234,3 +234,21 @@ def test_token_budget_single_shuffle(spark, cat):
     plan = plan_of(token_budget_cap(d))
     assert plan.count("Exchange") <= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_training_mix_no_corpus_rejoin(spark, cat):
+    # the composed five-stage plan must never sort-merge-join the corpus
+    # against itself: contamination + anti-join are broadcast, resampled
+    # text rides through the explode (no id re-join), packing reuses the
+    # shard partitioning
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.packing import build_training_mix
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    out = build_training_mix(d, d.filter(F.col("doc_id") % 97 == 0))
+    plan = plan_of(out)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
