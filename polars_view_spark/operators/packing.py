@@ -49,6 +49,8 @@ def pack_token_stream(
     """
     from pyspark.sql import Window
 
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
     n_tok = f"size(regexp_extract_all({text_col}, '{_sq(TOKEN_REGEX)}', 0))"
     w = Window.partitionBy(shard_col).orderBy(id_col)
     base = df.select(
@@ -103,6 +105,8 @@ def token_budget_cap(
     """
     from pyspark.sql import Window
 
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     n_tok = f"size(regexp_extract_all({text_col}, '{_sq(TOKEN_REGEX)}', 0))"
     w = Window.partitionBy(source_col).orderBy(id_col)
     return (

@@ -39,6 +39,11 @@ def bm25_topk(
     Scores are ranked on their ROUNDED value (6 dp, epsilon-shifted) with
     an id tiebreak, so ordering is reproducible across engines.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    bad = [t for t in query_terms if "'" in t or not t]
+    if bad:
+        raise ValueError(f"query terms must be non-empty and quote-free: {bad}")
     terms_list = ", ".join(f"'{t}'" for t in query_terms)
     base = df.select(
         F.col(id_col).alias("doc"),

@@ -414,3 +414,25 @@ class TestPackingEdges:
         assert got[0]["passes_gopher"] is False  # < 20 words
         assert got[1]["n_words"] == 1 and got[1]["dup_2gram_frac"] == 0.0
         assert got[2]["frac_alpha_words"] == 0.0
+
+    def test_argument_guards(self, spark):
+        """Misconfiguration fails fast at plan-build time, not as a cryptic
+        executor error mid-job."""
+        import pytest as _pt
+
+        from polars_view_spark.operators.packing import (
+            pack_token_stream,
+            token_budget_cap,
+        )
+        from polars_view_spark.operators.retrieval import bm25_topk
+
+        df = spark.createDataFrame([("a", 0, "x", "s")],
+                                   ["lang", "doc_id", "text", "source"])
+        with _pt.raises(ValueError):
+            pack_token_stream(df, capacity=0)
+        with _pt.raises(ValueError):
+            token_budget_cap(df, budget=-5)
+        with _pt.raises(ValueError):
+            bm25_topk(df, ())
+        with _pt.raises(ValueError):
+            bm25_topk(df, ("it's",))
