@@ -139,6 +139,7 @@ def build_training_mix(
     benchmark: DataFrame,
     capacity: int = CONTEXT_TOKENS,
     shards_per_lang: int = 4,
+    materialize_dedup: bool = False,
 ) -> DataFrame:
     """The whole pre-training data pipeline composed into ONE lazy plan:
 
@@ -153,12 +154,21 @@ def build_training_mix(
     contamination anti-join broadcasts the (tiny) flagged-doc list, and
     nothing is persisted between stages.  This is the flagship
     ``__spark_entry__.entry()`` plan.
+
+    One deliberate tradeoff: the quality→dedup subtree feeds BOTH the
+    contamination scan and the clean side, so the fully-lazy plan computes
+    it twice (each pass is still scan-bounded).  ``materialize_dedup=True``
+    pins that frame instead — the right call once recompute beats one
+    materialization, i.e. on every at-scale run; a production pipeline
+    would write ``deduped`` to a table here and join the incremental modes.
     """
     from polars_view_spark.operators.dedup import contamination_pairs, dedup_exact
     from polars_view_spark.operators.textstats import fingerprint, gopher_quality
 
     quality = gopher_quality(docs).filter(F.col("passes_gopher"))
     deduped = dedup_exact(fingerprint(quality), ["fingerprint"], "doc_id")
+    if materialize_dedup:
+        deduped = deduped.localCheckpoint(eager=False)
     flagged = contamination_pairs(deduped, benchmark).select(
         F.col("doc").alias("doc_id")
     ).distinct()

@@ -436,3 +436,17 @@ class TestPackingEdges:
             bm25_topk(df, ())
         with _pt.raises(ValueError):
             bm25_topk(df, ("it's",))
+
+    def test_training_mix_materialized_equals_lazy(self, spark, documents):
+        """materialize_dedup pins the shared subtree without changing the
+        result — the at-scale escape hatch is semantics-preserving."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.packing import build_training_mix
+
+        bench = documents.filter(F.col("doc_id") % 97 == 0)
+        key = lambda r: (r["pack_shard"], r["chunk_id"], r["n_docs"], r["n_tokens"])
+        lazy = sorted(map(key, build_training_mix(documents, bench).collect()))
+        mat = sorted(map(key,
+            build_training_mix(documents, bench, materialize_dedup=True).collect()))
+        assert lazy == mat and len(lazy) > 0
