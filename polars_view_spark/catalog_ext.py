@@ -439,6 +439,46 @@ register(
 )(_d_dedup_clusters)
 
 
+def _d_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compaction (operators/dedup.py:dedup_apply): drop every
+    non-representative near-dup cluster member, keep singletons and
+    representatives — pairs → clusters → deduplicated corpus, the end
+    product a pipeline actually trains on."""
+    from polars_view_spark.operators.dedup import dedup_apply
+
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        dedup_apply(t["documents"], "doc_id", "text", JACCARD_T)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "d_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_duck_minhash_oracle()}),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc2 AS src, doc1 AS dst FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.v = e.dst
+    ),
+    members AS (
+      SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE doc_id <> cluster_id)
+    ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_d_dedup_apply)
+
+
 # deterministic per-language sampling rates (percent) — stratified corpus
 # downsampling, e.g. rebalancing an English-heavy crawl
 SAMPLE_RATES = {"en": 50, "de": 30, "es": 30, "fr": 30, "zh": 30}

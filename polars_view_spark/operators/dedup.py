@@ -327,6 +327,30 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Corpus compaction — the step that turns near-dup CLUSTERS into a
+    deduplicated corpus: every document that belongs to a near-dup cluster
+    and is not its representative (minimum id) is dropped; singletons and
+    representatives survive.
+
+    Scale shape: the drop-list is the set of non-representative cluster
+    members — a small fraction of the corpus by construction (it is the
+    redundancy being removed) — applied with one LEFT ANTI join; AQE turns
+    it into a broadcast join whenever the list fits, and the corpus is
+    never shuffled more than once.
+    """
+    members = dedup_clusters(df, id_col, text_col, jaccard_threshold)
+    drop = members.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,
