@@ -183,6 +183,23 @@ def entries() -> dict[str, CatalogEntry]:
     return ordered
 
 
+def _scratch_dir(entry: str, sf_dir: str) -> str:
+    """Fixed per-(entry, sf) scratch directory, cleared on entry: repeated
+    invocations (median-of-3 bench, driver sweeps, pytest) overwrite ONE
+    copy instead of leaking a fresh mkdtemp per run.  Cleared at the START
+    of the next run — the returned (lazy) frame still reads this run's
+    files when the caller materializes it."""
+    import os
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), "pvs_rt", f"{entry}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _t_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full §2A CSV path end-to-end: parquet → single-file ``;``-CSV sink
     (sources/writers.py:save_as) → delimiter sniffer (fed a WRONG configured
@@ -192,14 +209,13 @@ def _t_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sink→sniff→read chain breaks the hash.  Reference tests mirrored:
     src/data_filter.rs:1273-1439 (roundtrip + delimiter detection)."""
     import os
-    import tempfile
 
     from polars_view_spark.config import LoadConfig
     from polars_view_spark.sources.readers import read_any
     from polars_view_spark.sources.writers import save_as
 
     t = load_tables(spark, sf_dir, "nation")
-    path = os.path.join(tempfile.mkdtemp(prefix="pvs_csv_rt_"), "nation.csv")
+    path = os.path.join(_scratch_dir("csv_rt", sf_dir), "nation.csv")
     save_as(t["nation"], path, csv_delimiter=";")
     df, fmt, cfg = read_any(spark, LoadConfig(path=path, csv_delimiter=","))
     assert fmt == "csv" and cfg.csv_delimiter == ";", (fmt, cfg.csv_delimiter)
@@ -220,14 +236,13 @@ def _t_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, oracled against the original parquet.  Doubles survive via
     Jackson round-trip serialization."""
     import os
-    import tempfile
 
     from polars_view_spark.config import LoadConfig
     from polars_view_spark.sources.readers import read_any
     from polars_view_spark.sources.writers import save_as
 
     t = load_tables(spark, sf_dir, "orders")
-    path = os.path.join(tempfile.mkdtemp(prefix="pvs_nd_rt_"), "orders.ndjson")
+    path = os.path.join(_scratch_dir("nd_rt", sf_dir), "orders.ndjson")
     save_as(t["orders"], path)
     df, fmt, _cfg = read_any(spark, LoadConfig(path=path))
     assert fmt == "ndjson", fmt
@@ -251,12 +266,11 @@ def _t_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     original parquet, so value corruption anywhere in the write/read/prune
     chain breaks the hash."""
     import os
-    import tempfile
 
     from polars_view_spark.sources.writers import write_dataset
 
     t = load_tables(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="pvs_part_rt_"), "ds")
+    out = os.path.join(_scratch_dir("part_rt", sf_dir), "ds")
     write_dataset(t["orders"], out, partition_by=["o_orderpriority"])
     back = spark.read.parquet(out)
     return (

@@ -889,7 +889,7 @@ def _s_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_bm25_oracle() -> str:
     from polars_view_spark.operators.retrieval import BM25_B, BM25_K1
 
-    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    terms = ", ".join(f"'{t.lower()}'" for t in BM25_QUERY)
     return f"""
     WITH base AS (
       SELECT doc_id AS doc,
@@ -1008,7 +1008,9 @@ def _duck_training_mix_oracle() -> str:
         WHERE c.doc <> b.bench_id
         GROUP BY c.doc, b.bench_id HAVING COUNT(*) >= {CONTAM_MIN_OVERLAP}) t
     ), clean AS (
-      SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc FROM flagged)
+      SELECT * FROM deduped
+      WHERE doc_id NOT IN (SELECT doc FROM flagged)
+        AND doc_id NOT IN (SELECT doc_id FROM bench)
     ), counted AS (
       SELECT doc_id, lang, text,
              CAST(floor({rate}) AS BIGINT)
@@ -1122,6 +1124,7 @@ register(
 IVF_SEED_MOD = 37
 IVF_N_PROBE = 2
 IVF_SCALE = 1000
+IVF_MAX_SEEDS = 64
 
 
 def _s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,6 +1144,7 @@ def _s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_mod=IVF_SEED_MOD,
         n_probe=IVF_N_PROBE,
         scale=IVF_SCALE,
+        max_seeds=IVF_MAX_SEEDS,
     )
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
@@ -1154,7 +1158,7 @@ register(
                             x -> CAST(round(x * {IVF_SCALE}) AS BIGINT)) AS qv
       FROM embeddings
     ),
-    seeds AS (SELECT vec_id AS cell, qv AS sv FROM qz WHERE vec_id % {IVF_SEED_MOD} = 0),
+    seeds AS (SELECT vec_id AS cell, qv AS sv FROM qz WHERE vec_id % {IVF_SEED_MOD} = 0 ORDER BY vec_id LIMIT {IVF_MAX_SEEDS}),
     dists AS (
       SELECT a.vec_id, s.cell,
              list_sum(list_transform(range(1, {EMB_DIM} + 1),

@@ -89,6 +89,42 @@ def minhash_signatures(
 MAX_LSH_BUCKET = 64  # hot-bucket guard: buckets larger than this are dropped
 
 
+def _band_table(sigs: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Long-form LSH band table ``(band, v0..v{rows-1}, doc)`` with the
+    hot-bucket guard applied.
+
+    Single source for both the full self-join and the incremental path —
+    banding/guard semantics must never drift between them (the
+    incremental-equals-filtered-full oracle depends on it).  The
+    bucket-size count is a window over the bucket key, so it shares the
+    hashpartitioning the downstream join needs (no extra shuffle; an A/B
+    at sf0.1 measured it ~free vs +1.5 s for a broadcast anti-join).
+    """
+    from pyspark.sql import Window
+
+    k = len(MINHASH_COEFFS)
+    n_bands = k // MINHASH_BAND_ROWS
+    band_rows = []
+    for band in range(n_bands):
+        cols = [
+            F.col(f"mh{band * MINHASH_BAND_ROWS + r}").alias(f"v{r}")
+            for r in range(MINHASH_BAND_ROWS)
+        ]
+        band_rows.append(sigs.select(F.lit(band).alias("band"), *cols, F.col("doc")))
+    bands = band_rows[0]
+    for b in band_rows[1:]:
+        bands = bands.unionByName(b)
+
+    bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
+    return (
+        bands.withColumn(
+            "__bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+        )
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -124,35 +160,7 @@ def minhash_lsh_pairs(
     """
     sh = shingle_table(df, id_col, text_col).cache()
     sigs = minhash_signatures(df, id_col, text_col, shingles=sh).cache()
-    k = len(MINHASH_COEFFS)
-    n_bands = k // MINHASH_BAND_ROWS
-
-    # long form: (band, v0, v1, doc)
-    band_rows = []
-    for band in range(n_bands):
-        cols = [
-            F.col(f"mh{band * MINHASH_BAND_ROWS + r}").alias(f"v{r}")
-            for r in range(MINHASH_BAND_ROWS)
-        ]
-        band_rows.append(sigs.select(F.lit(band).alias("band"), *cols, F.col("doc")))
-    bands = band_rows[0]
-    for b in band_rows[1:]:
-        bands = bands.unionByName(b)
-
-    # hot-bucket guard as a bucket-key window: the count shares the bucket
-    # hashpartitioning the self-join needs (exchange reuse at scale), and an
-    # A/B at sf0.1 measured it ~free vs an anti-join's blocking broadcast
-    # build (+1.5 s)
-    bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
-    from pyspark.sql import Window
-
-    bands = (
-        bands.withColumn(
-            "__bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
-        )
-        .filter(F.col("__bsz") <= max_bucket_size)
-        .drop("__bsz")
-    )
+    bands = _band_table(sigs, max_bucket_size)
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -201,30 +209,7 @@ def minhash_lsh_pairs_incremental(
     full = base.unionByName(new)
     sh = shingle_table(full, id_col, text_col).cache()
     sigs = minhash_signatures(full, id_col, text_col, shingles=sh).cache()
-    k = len(MINHASH_COEFFS)
-    n_bands = k // MINHASH_BAND_ROWS
-
-    band_rows = []
-    for band in range(n_bands):
-        cols = [
-            F.col(f"mh{band * MINHASH_BAND_ROWS + r}").alias(f"v{r}")
-            for r in range(MINHASH_BAND_ROWS)
-        ]
-        band_rows.append(sigs.select(F.lit(band).alias("band"), *cols, F.col("doc")))
-    bands = band_rows[0]
-    for b in band_rows[1:]:
-        bands = bands.unionByName(b)
-
-    bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
-    from pyspark.sql import Window
-
-    bands = (
-        bands.withColumn(
-            "__bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
-        )
-        .filter(F.col("__bsz") <= max_bucket_size)
-        .drop("__bsz")
-    )
+    bands = _band_table(sigs, max_bucket_size)
 
     new_ids = new.select(F.col(id_col).alias("doc"))
     bands_new = bands.join(F.broadcast(new_ids), "doc")
@@ -371,6 +356,12 @@ def contamination_pairs(
     corpus shuffle at all; the only exchange is the final
     (doc, bench) count aggregation, whose cardinality is bounded by the
     number of *contaminated* pairs, not the corpus.
+
+    The ``doc != bench_id`` filter drops only the trivial self-pair when
+    the benchmark is carved out of the corpus itself (shared id space); a
+    caller DECONTAMINATING a training set must additionally drop the
+    benchmark ids themselves — flagging reports lookalikes, it does not
+    exempt the originals (build_training_mix does both).
     """
     c_sh = shingle_table(corpus, id_col, text_col)
     b_sh = shingle_table(benchmark, id_col, text_col).withColumnRenamed(
@@ -435,6 +426,15 @@ def dedup_clusters(
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    else:
+        # loop exhausted with labels still moving: clusters would be
+        # partially merged (same pair, different cluster ids) — refuse to
+        # return silently-wrong groups
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} rounds "
+            f"({changed} labels still changing); the near-dup graph has a "
+            f"longer chain than expected — raise max_iterations"
+        )
 
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")

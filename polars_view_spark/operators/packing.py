@@ -169,9 +169,15 @@ def build_training_mix(
     deduped = dedup_exact(fingerprint(quality), ["fingerprint"], "doc_id")
     if materialize_dedup:
         deduped = deduped.localCheckpoint(eager=False)
-    flagged = contamination_pairs(deduped, benchmark).select(
-        F.col("doc").alias("doc_id")
-    ).distinct()
+    # drop BOTH the flagged lookalikes AND the benchmark documents
+    # themselves — contamination_pairs skips the trivial self-pair, so the
+    # originals would otherwise sail through into the training mix
+    flagged = (
+        contamination_pairs(deduped, benchmark)
+        .select(F.col("doc").alias("doc_id"))
+        .unionByName(benchmark.select("doc_id"))
+        .distinct()
+    )
     clean = deduped.join(F.broadcast(flagged), "doc_id", "left_anti")
     mixed = mixture_resample(clean, passthrough=("lang", "text"))
     sharded = mixed.withColumn(

@@ -41,9 +41,13 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    bad = [t for t in query_terms if "'" in t or not t]
+    bad = [t for t in query_terms if not t or "'" in t or "\\" in t]
     if bad:
-        raise ValueError(f"query terms must be non-empty and quote-free: {bad}")
+        raise ValueError(
+            f"query terms must be non-empty, quote- and backslash-free: {bad}"
+        )
+    # documents are tokenized lowercase — match the query to the index
+    query_terms = tuple(t.lower() for t in query_terms)
     terms_list = ", ".join(f"'{t}'" for t in query_terms)
     base = df.select(
         F.col(id_col).alias("doc"),

@@ -69,7 +69,12 @@ def add_row_index(df: DataFrame, name: str = "Row Number", offset: int = 1) -> D
     # independent jobs, and any re-planning between them (AQE, task retry, a
     # non-deterministic source) could shift partition ids and silently
     # misalign (or drop, via the inner join) rows.  Pin ONE evaluation.
-    tagged = tagged.persist()
+    # localCheckpoint (not persist): it cuts the lineage, so the id can
+    # never be recomputed, AND its RDD blocks are released by the
+    # ContextCleaner once the result is unreachable — a DataFrame persist
+    # would sit in the CacheManager for the session lifetime (one full
+    # input copy leaked per call).
+    tagged = tagged.localCheckpoint(eager=True)
 
     # Tiny aggregate: one row per partition. Collected to the driver (a few
     # thousand rows even at 100 TB), cumulative offsets computed there.
@@ -85,7 +90,6 @@ def add_row_index(df: DataFrame, name: str = "Row Number", offset: int = 1) -> D
     if not offsets:
         # Empty frame: just add an empty long column (index-first like the
         # reference, src/polars/add.rs).
-        tagged.unpersist()
         empty = df.withColumn(resolved, F.lit(None).cast("long"))
         return empty.select(resolved, *df.columns)
 

@@ -181,6 +181,7 @@ def ivf_flat_topk(
     seed_mod: int = 37,
     n_probe: int = 2,
     scale: int = 1000,
+    max_seeds: int = 64,
 ) -> DataFrame:
     """IVF-flat approximate top-k with DETERMINISTIC seed centroids.
 
@@ -192,16 +193,21 @@ def ivf_flat_topk(
     value-hash oracle instead of a rows-only check.  (``ivf_topk`` keeps
     the trained-centroid flavor; its recall is pinned in pytest.)
 
-    Scale shape: the seed set is tiny and collected once (the analogue of a
-    trained model's centers); assignment is a pure PROJECTION against
-    literal centroid arrays — no join, no shuffle of the corpus; candidates
-    reach the scorer through one broadcast hash join on the cell id.
+    Scale shape: the seed set is BOUNDED (the ``max_seeds`` lowest matching
+    ids) and collected once — the cell count is a hyperparameter like a
+    trained index's, never data-proportional, so driver memory and the
+    assignment plan stay O(max_seeds) on any corpus (an uncapped modulus
+    would inline corpus_size/seed_mod literal arrays into the plan);
+    assignment is a pure PROJECTION against literal centroid arrays — no
+    join, no shuffle of the corpus; candidates reach the scorer through one
+    broadcast hash join on the cell id.
     """
     spark = corpus.sparkSession
     seed_rows = (
         corpus.filter((F.col(id_col) % seed_mod) == 0)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("sv"))
         .orderBy("cell")
+        .limit(max_seeds)
         .collect()
     )
     if not seed_rows:

@@ -327,8 +327,19 @@ def _is_select_list_star(q: str, star_idx: int) -> bool:
     keywords that may follow (e.g. the REPLACE *function*) must be left
     alone."""
     j = star_idx - 1
-    while j >= 0 and q[j].isspace():
-        j -= 1
+    while j >= 0:
+        while j >= 0 and q[j].isspace():
+            j -= 1
+        # skip a /*+ hint */ or /* comment */ ending just before the star —
+        # `SELECT /*+ REPARTITION(4) */ * RENAME (…)` is still a select-list
+        # star
+        if j >= 1 and q[j - 1 : j + 1] == "*/":
+            close = q.rfind("/*", 0, j - 1)
+            if close < 0:
+                return False
+            j = close - 1
+            continue
+        break
     if j < 0:
         return False
     if q[j] in (",", "(", "."):

@@ -40,13 +40,7 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", "1")
-    if path.endswith(".parquet"):
-        # the file source wants a DIRECTORY; stream the parent filtered to
-        # this one file (live pipelines point at a landing directory)
-        import os
-
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
+    path = _single_file_to_glob(reader, path)
     raw = reader.parquet(path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
@@ -255,17 +249,27 @@ DOCUMENT_SCHEMA = (
 )
 
 
+def _single_file_to_glob(reader, path: str) -> str:
+    """The file source wants a DIRECTORY; a path to one local ``.parquet``
+    FILE streams its parent filtered to that basename.  A *directory*
+    merely named ``*.parquet`` (Spark's own dataset layout) is already the
+    right shape — globbing its basename against the parent would match
+    zero files and stream silently forever."""
+    import os
+
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        reader.option("pathGlobFilter", os.path.basename(path))
+        return os.path.dirname(path)
+    return path
+
+
 def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over a documents parquet landing directory —
     the arrival path of a continuously-ingested corpus."""
     reader = spark.readStream.schema(DOCUMENT_SCHEMA).option(
         "maxFilesPerTrigger", "1"
     )
-    if path.endswith(".parquet"):
-        import os
-
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
+    path = _single_file_to_glob(reader, path)
     return reader.parquet(path)
 
 
@@ -282,17 +286,11 @@ def streaming_contamination(
     shuffling its raw text; only matched postings reach the running
     (doc, bench) count.  Complete output mode — state is bounded by the
     number of *contaminated* pairs, not the stream (an unbounded-corpus
-    deployment would add a doc-id watermark and append mode)."""
-    from polars_view_spark.operators.dedup import shingle_table
+    deployment would add a doc-id watermark and append mode).
 
-    c_sh = shingle_table(docs_stream, "doc_id", "text")
-    b_sh = shingle_table(benchmark, "doc_id", "text").withColumnRenamed(
-        "doc", "bench_id"
-    )
-    return (
-        c_sh.join(F.broadcast(b_sh), "shingle")
-        .filter(F.col("doc") != F.col("bench_id"))
-        .groupBy("doc", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-        .filter(F.col("n_overlap") >= min_overlap)
-    )
+    Delegates to the batch operator verbatim — it is pure DataFrame
+    algebra, valid on a streaming frame, so batch/stream parity is by
+    construction, not by keeping two copies in sync."""
+    from polars_view_spark.operators.dedup import contamination_pairs
+
+    return contamination_pairs(docs_stream, benchmark, min_overlap=min_overlap)

@@ -450,3 +450,34 @@ class TestPackingEdges:
         mat = sorted(map(key,
             build_training_mix(documents, bench, materialize_dedup=True).collect()))
         assert lazy == mat and len(lazy) > 0
+
+    def test_training_mix_drops_benchmark_docs(self, spark, documents):
+        """Benchmark documents must NOT appear in the packed training mix —
+        neither as themselves nor via the self-pair loophole."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.dedup import (
+            contamination_pairs,
+            dedup_exact,
+        )
+        from polars_view_spark.operators.textstats import fingerprint, gopher_quality
+
+        bench = documents.filter(F.col("doc_id") % 97 == 0)
+        bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+        # replicate the pipeline's clean stage and check the survivor ids
+        quality = gopher_quality(documents).filter(F.col("passes_gopher"))
+        deduped = dedup_exact(fingerprint(quality), ["fingerprint"], "doc_id")
+        flagged = (
+            contamination_pairs(deduped, bench)
+            .select(F.col("doc").alias("doc_id"))
+            .unionByName(bench.select("doc_id"))
+            .distinct()
+        )
+        clean_ids = {
+            r["doc_id"]
+            for r in deduped.join(flagged, "doc_id", "left_anti")
+            .select("doc_id")
+            .collect()
+        }
+        assert clean_ids, "clean stage emptied the corpus"
+        assert not (clean_ids & bench_ids), clean_ids & bench_ids

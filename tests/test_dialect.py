@@ -166,3 +166,18 @@ class TestStarVsMultiplication:
         q = "SELECT m.* RENAME (flag AS f) FROM MulData m"
         df = spark.sql(rewrite_query(q, spark))
         assert df.columns == ["qty", "f"]
+
+
+class TestStarAfterHint:
+    def test_hint_then_star_modifier(self, spark):
+        """A /*+ hint */ between SELECT and * must not demote the star to
+        multiplication — the RENAME modifier still expands."""
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        df = spark.createDataFrame([(1, "x")], ["a", "b"])
+        df.createOrReplaceTempView("HintData")
+        q = rewrite_query(
+            'SELECT /*+ REPARTITION(2) */ * RENAME (a AS k) FROM HintData', spark
+        )
+        out = spark.sql(q)
+        assert out.columns == ["k", "b"], out.columns
