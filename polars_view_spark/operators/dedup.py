@@ -1,7 +1,7 @@
 """Deduplication operators for large-scale text corpora.
 
-Five flavors, all partition-first (no driver-side data plane, no Python
-UDFs in hot paths):
+All partition-first (no driver-side data plane, no Python UDFs in hot
+paths):
 
 - exact:        hash-groupBy on a key expression (``dropDuplicates`` /
                 keep-min-id variants)
@@ -14,6 +14,10 @@ UDFs in hot paths):
 - n-gram Jaccard: exact Jaccard within cheap blocking buckets — the
                 brute-force baseline the LSH path is measured against.
 - embedding cosine: near-dup by cosine ≥ threshold within sign-LSH buckets.
+- incremental:  new-batch-vs-corpus MinHash pairing (broadcast batch bands).
+- clusters/apply: min-label-propagation connected components over the pair
+                graph, then corpus compaction (drop non-representatives).
+- contamination: corpus-vs-benchmark shingle overlap, benchmark broadcast.
 
 Everything is expressed with JVM-side ``F.expr`` chains built from
 functions/texthash.py so the DuckDB oracles (catalog_ext.py) replicate the
