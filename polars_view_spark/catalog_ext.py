@@ -619,6 +619,59 @@ register(
 )(_x_scrub_denylist)
 
 
+# PII injection prelude: the synthetic corpus carries no real PII, so the
+# entry deterministically plants an email / IPv4 / phone in a doc_id-keyed
+# subset of documents, then redacts them back out.  The expression is plain
+# ANSI (CASE/concat/lpad/CAST AS STRING) so the SAME string runs on both
+# engines — injection cannot drift between Spark and the oracle.
+_PII_SEED_SQL = """concat(text,
+  CASE WHEN doc_id % 3 = 0
+       THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com')
+       ELSE '' END,
+  CASE WHEN doc_id % 4 = 0
+       THEN concat(' from 10.', CAST(doc_id % 256 AS STRING), '.0.',
+                   CAST(doc_id % 100 AS STRING))
+       ELSE '' END,
+  CASE WHEN doc_id % 5 = 0
+       THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),
+                   '-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+       ELSE '' END)"""
+
+
+def _x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/textstats.py:redact_pii): mask emails /
+    IPv4s / phone numbers and count each category — zero-shuffle codegen
+    projection, the compliance pass before sequence packing.  Surfaces the
+    masked text as an md5 so the oracle verifies every redacted byte."""
+    from polars_view_spark.operators.textstats import redact_pii
+
+    t = load_tables(spark, sf_dir, "documents")
+    seeded = t["documents"].select("doc_id", F.expr(_PII_SEED_SQL).alias("text"))
+    return (
+        redact_pii(seeded, "text")
+        .select("doc_id", "n_email", "n_ipv4", "n_phone",
+                F.expr("md5(redacted)").alias("redacted_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def _duck_pii_oracle() -> str:
+    from polars_view_spark.operators.textstats import duck_redact_sql
+
+    counts, red = duck_redact_sql("text")
+    cols = ", ".join(counts)
+    return f"""
+    WITH seeded AS (SELECT doc_id, {_PII_SEED_SQL} AS text FROM documents)
+    SELECT doc_id, {cols}, md5({red}) AS redacted_md5
+    FROM seeded ORDER BY doc_id
+    """
+
+
+register(
+    "x_pii_redact", oracle=_duck_pii_oracle(), tables=("documents",)
+)(_x_pii_redact)
+
+
 def _x_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/shape quality rules
     (operators/textstats.py:gopher_quality) — the first-pass scan filter of

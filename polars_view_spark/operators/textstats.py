@@ -215,3 +215,53 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     the exact-dedup key for text."""
     normalized = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
     return df.withColumn("fingerprint", F.expr(f"md5({normalized})"))
+
+
+#: PII patterns → replacement tokens.  Kept to constructs that parse
+#: identically in Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+#: backreferences.  Order matters — emails are masked before the bare-word
+#: pass so the user part is never half-eaten by another rule.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: mask emails / IPv4 addresses / phone numbers and count
+    each category — the compliance pass every training-data pipeline runs
+    before packing.
+
+    Adds ``n_email``/``n_ipv4``/``n_phone`` (match counts on the ORIGINAL
+    text) and ``redacted`` (the masked text).  Pure codegen
+    ``regexp_extract_all``/``regexp_replace`` projection: zero shuffles,
+    zero Python in the row path, so it composes into the first full-scan
+    filter stage at 100 TB.  Counts are computed before any masking so a
+    later rule never under-counts an earlier category.
+    """
+    counts = [
+        F.expr(
+            f"CAST(size(regexp_extract_all({text_col}, "
+            f"'{_spark_sql_regex(pat)}', 0)) AS BIGINT)"
+        ).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = text_col
+    for name, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{_spark_sql_regex(pat)}', '{token}')"
+    return df.select("*", *counts, F.expr(red).alias("redacted"))
+
+
+def duck_redact_sql(text_col: str) -> tuple[list[str], str]:
+    """DuckDB mirror of :func:`redact_pii`: (count expressions, redacted
+    expression), generated from the same ``PII_PATTERNS`` constants so the
+    two engines cannot drift."""
+    counts = [
+        f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = text_col
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return counts, red

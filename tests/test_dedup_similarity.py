@@ -415,6 +415,28 @@ class TestPackingEdges:
         assert got[1]["n_words"] == 1 and got[1]["dup_2gram_frac"] == 0.0
         assert got[2]["frac_alpha_words"] == 0.0
 
+    def test_pii_redaction_semantics(self, spark):
+        """Hand-checked PII masking: multiple hits per category, counts
+        taken on the ORIGINAL text, masked text never re-matches."""
+        rows = [
+            (0, "mail a@b.co and c.d+x@e-f.org end"),
+            (1, "ip 10.0.0.1 then 255.255.255.255"),
+            (2, "call +321 654 9870 or 555-123-4567"),
+            (3, "clean text only"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from polars_view_spark.operators.textstats import redact_pii
+
+        got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+        assert got[0]["n_email"] == 2 and "<EMAIL>" in got[0]["redacted"]
+        assert "@" not in got[0]["redacted"].replace("<EMAIL>", "")
+        assert got[1]["n_ipv4"] == 2
+        assert got[1]["redacted"] == "ip <IP> then <IP>"
+        assert got[2]["n_phone"] == 2
+        assert got[2]["redacted"] == "call <PHONE> or <PHONE>"
+        assert got[3]["redacted"] == "clean text only"
+        assert all(got[3][f"n_{k}"] == 0 for k in ("email", "ipv4", "phone"))
+
     def test_argument_guards(self, spark):
         """Misconfiguration fails fast at plan-build time, not as a cryptic
         executor error mid-job."""

@@ -124,6 +124,14 @@ def test_scrub_denylist_codegen_only(spark, cat):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pii_redact_codegen_only(spark, cat):
+    # compliance pass runs at scan speed: pure whole-stage-codegen
+    # projection, no shuffle of the corpus, no Python in the row path
+    plan = plan_of(cat["x_pii_redact"].spark_fn(spark, SF), final=True)
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ivf_assignment_is_projection(spark, cat):
     # IVF-flat cell assignment must be a pure projection against literal
     # centroids — no join/shuffle of the corpus for assignment; candidates
