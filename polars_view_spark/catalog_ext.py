@@ -672,6 +672,58 @@ register(
 )(_x_pii_redact)
 
 
+def _d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal (operators/dedup.py:span_dedup): fixed-width
+    word chunks, global first-occurrence keep, per-doc reassembly — one
+    shuffle end-to-end.  Surfaces the cleaned text as an md5 so the oracle
+    verifies every surviving byte, not just the counts."""
+    from polars_view_spark.operators.dedup import span_dedup
+
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        span_dedup(t["documents"], "doc_id", "text")
+        .select(
+            F.col("id").alias("doc_id"), "n_chunks", "n_kept",
+            F.expr("md5(clean_text)").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_span_oracle() -> str:
+    from polars_view_spark.operators.dedup import SPAN_CHUNK_WORDS
+
+    c = SPAN_CHUNK_WORDS
+    toks = duck_tokens_sql("text")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len({toks}) / {c}.0) AS BIGINT)),
+               i -> array_to_string(list_slice({toks}, i * {c} + 1, i * {c} + {c}), ' ')
+             ) AS chunks
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx, chunks[i] AS chunk
+      FROM base, unnest(generate_series(1, len(chunks))) AS t(i)
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                        FILTER (WHERE rn = 1), '')) AS clean_md5
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+register(
+    "d_span_dedup", oracle=_duck_span_oracle(), tables=("documents",)
+)(_d_span_dedup)
+
+
 def _x_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/shape quality rules
     (operators/textstats.py:gopher_quality) — the first-pass scan filter of

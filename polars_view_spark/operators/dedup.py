@@ -463,3 +463,57 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sums = toks.groupBy("doc").agg(*aggs)
     fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
     return sums.select("doc", F.expr(fp).alias("simhash"))
+
+
+#: Fixed chunk width (words) for duplicated-span removal.
+SPAN_CHUNK_WORDS = 8
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = SPAN_CHUNK_WORDS,
+) -> DataFrame:
+    """Duplicated-span removal (C4/RefinedWeb-style): split every document
+    into fixed-width word chunks, keep only the globally FIRST occurrence
+    of each distinct chunk (ordered by ``(id, chunk_idx)``), and reassemble
+    the surviving text per document.
+
+    Returns one row per input document: ``(id, n_chunks, n_kept,
+    clean_text)`` — a fully-deduplicated doc keeps its text, a boilerplate
+    echo collapses to the empty string.
+
+    Scale shape: two shuffles, both linear in the chunk stream — chunking
+    is a codegen projection (split + sequence/slice lambdas, no Python),
+    first-occurrence is a row_number window hash-partitioned by chunk
+    text, reassembly regroups by document id.  Nothing is quadratic.
+    Ultra-hot boilerplate chunks concentrate on one reducer only up to
+    their own copy count (row_number over a single key), which AQE skew
+    splitting absorbs; hash the chunk to a 64-bit key upstream if shuffle
+    bytes ever dominate.
+    """
+    if chunk_words < 1:
+        raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
+    from pyspark.sql import Window
+
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    chunks = (
+        f"transform(sequence(0, CAST(ceil(size({toks}) / {chunk_words}.0) AS INT) - 1), "
+        f"i -> array_join(slice({toks}, i * {chunk_words} + 1, {chunk_words}), ' '))"
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("id", "chunk_idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(CASE WHEN rn = 1 THEN struct(chunk_idx, chunk) END)"
+            "), s -> s.chunk), ' ')"
+        ).alias("clean_text"),
+    )

@@ -415,6 +415,34 @@ class TestPackingEdges:
         assert got[1]["n_words"] == 1 and got[1]["dup_2gram_frac"] == 0.0
         assert got[2]["frac_alpha_words"] == 0.0
 
+    def test_span_dedup_semantics(self, spark):
+        """First occurrence (by id, chunk_idx) wins globally; repeats
+        within AND across docs are dropped; a fully-copied doc empties."""
+        from polars_view_spark.operators.dedup import span_dedup
+
+        rows = [
+            (0, "a b c d"),          # chunks (w=2): 'a b', 'c d'
+            (1, "a b a b x y"),      # 'a b'×2 dup of doc0, 'x y' fresh
+            (2, "c d"),              # fully duplicated → empty
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["id"]: r for r in span_dedup(df, "doc_id", "text", 2).collect()}
+        assert (got[0]["n_chunks"], got[0]["n_kept"]) == (2, 2)
+        assert got[0]["clean_text"] == "a b c d"
+        assert (got[1]["n_chunks"], got[1]["n_kept"]) == (3, 1)
+        assert got[1]["clean_text"] == "x y"
+        assert (got[2]["n_chunks"], got[2]["n_kept"]) == (1, 0)
+        assert got[2]["clean_text"] == ""
+        # ragged tail: 5 words at width 2 → 3 chunks, last is 1 word
+        tail = span_dedup(
+            spark.createDataFrame([(7, "p q r s t")], ["doc_id", "text"]),
+            "doc_id", "text", 2,
+        ).collect()[0]
+        assert tail["n_chunks"] == 3 and tail["clean_text"] == "p q r s t"
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            span_dedup(df, chunk_words=0)
+
     def test_pii_redaction_semantics(self, spark):
         """Hand-checked PII masking: multiple hits per category, counts
         taken on the ORIGINAL text, masked text never re-matches."""

@@ -124,6 +124,14 @@ def test_scrub_denylist_codegen_only(spark, cat):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_span_dedup_two_linear_shuffles(spark, cat):
+    # chunk explode is a codegen projection; the only exchanges are the
+    # window-by-chunk and the regroup-by-doc — both linear, no Python
+    plan = plan_of(cat["d_span_dedup"].spark_fn(spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
 def test_pii_redact_codegen_only(spark, cat):
     # compliance pass runs at scan speed: pure whole-stage-codegen
     # projection, no shuffle of the corpus, no Python in the row path
