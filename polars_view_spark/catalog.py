@@ -153,7 +153,7 @@ DRIVER_PRIORITY = [
     "d_minhash_incremental", "x_gopher_quality", "x_sequence_pack",
     "d_contamination", "x_mixture_sample", "t_partitioned_roundtrip",
     "x_token_budget", "s_bm25_topk", "x_training_mix_e2e", "d_dedup_apply",
-    "x_pii_redact", "d_span_dedup",
+    "x_pii_redact", "d_span_dedup", "t_merge_upsert", "t_snapshot_diff",
     # (b) no driver row in round 1
     "t_remove_null_columns", "t_multi_sort_nulls", "t_round_floats",
     "q_scalar_functions", "q_qualified_star", "q_outer_join",
@@ -162,8 +162,8 @@ DRIVER_PRIORITY = [
     "q_string_agg", "q_datetime_functions", "q_pivot", "q_unpivot",
     "q_explode_word_counts", "q_approx_aggregates",
     # (c) regression anchors (headline bench set + one per operator family)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "d_dedup_exact", "s_ann_bruteforce_topk",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "d_dedup_exact",
     "x_multimodal_decode", "e_sessionize",
 ]
 

@@ -724,6 +724,92 @@ register(
 )(_d_span_dedup)
 
 
+# Snapshot maintenance fixtures: a deterministic 80% "old snapshot" of
+# orders plus a change batch (every 3rd key: price bump, every 12th: delete
+# marker) derived from the same table — pure ANSI fragments shared by both
+# engines so the fixture cannot drift.
+_SNAP_BASE_SQL = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 10 < 8"
+)
+_SNAP_CHG_SQL = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "round(o_totalprice * 1.1 + 1e-6, 2) AS o_totalprice, "
+    "(o_orderkey % 12 = 0) AS is_delete "
+    "FROM orders WHERE o_orderkey % 3 = 0"
+)
+_SNAP_MERGED_SQL = f"""
+    SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+    FROM ({_SNAP_BASE_SQL}) b FULL OUTER JOIN ({_SNAP_CHG_SQL}) c
+      ON b.o_orderkey = c.o_orderkey
+    WHERE NOT COALESCE(c.is_delete, FALSE)
+"""
+
+
+def _snap_frames(spark: SparkSession, sf_dir: str):
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(_SNAP_BASE_SQL), spark.sql(_SNAP_CHG_SQL)
+
+
+def _t_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE (operators/snapshot.py:merge_upsert): change batch
+    applied to an orders snapshot — update / insert / delete in one
+    full-outer join that AQE broadcasts when the batch is small."""
+    from polars_view_spark.operators.snapshot import merge_upsert
+
+    base, chg = _snap_frames(spark, sf_dir)
+    return merge_upsert(base, chg, ["o_orderkey"], "is_delete").orderBy("o_orderkey")
+
+
+register(
+    "t_merge_upsert",
+    oracle=f"{_SNAP_MERGED_SQL} ORDER BY o_orderkey",
+    tables=("orders",),
+)(_t_merge_upsert)
+
+
+def _t_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC audit (operators/snapshot.py:snapshot_diff): diff the
+    old snapshot against the merged one — the emitted insert/delete/update
+    rows are exactly the change batch merge_upsert just applied, so the
+    entry also closes the loop on the MERGE semantics."""
+    from polars_view_spark.operators.snapshot import merge_upsert, snapshot_diff
+
+    base, chg = _snap_frames(spark, sf_dir)
+    merged = merge_upsert(base, chg, ["o_orderkey"], "is_delete")
+    return snapshot_diff(base, merged, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+register(
+    "t_snapshot_diff",
+    oracle=f"""
+    WITH merged AS ({_SNAP_MERGED_SQL}),
+    labeled AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                            AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                            AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                  THEN 'update' END AS change_type,
+             o.o_custkey AS old_o_custkey,
+             o.o_orderstatus AS old_o_orderstatus,
+             o.o_totalprice AS old_o_totalprice,
+             n.o_custkey AS new_o_custkey,
+             n.o_orderstatus AS new_o_orderstatus,
+             n.o_totalprice AS new_o_totalprice
+      FROM ({_SNAP_BASE_SQL}) o FULL OUTER JOIN merged n
+        ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM labeled WHERE change_type IS NOT NULL ORDER BY o_orderkey
+    """,
+    tables=("orders",),
+)(_t_snapshot_diff)
+
+
 def _x_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/shape quality rules
     (operators/textstats.py:gopher_quality) — the first-pass scan filter of

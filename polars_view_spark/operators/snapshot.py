@@ -1,0 +1,110 @@
+"""Snapshot maintenance operators: Delta-style MERGE upsert and snapshot
+diff — the incremental-refresh half of a training-data pipeline (apply a
+change batch to the corpus snapshot; audit what changed between two
+snapshots).
+
+Both are single full-outer joins on the key — one shuffle per side, and
+when the change batch is small relative to the snapshot (the normal case)
+AQE converts it to a broadcast join so the snapshot is never shuffled.
+No Python in the row path; every column decision is a codegen CASE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PRESENT = "__pvs_present"
+
+
+def _validate(base: DataFrame, changes: DataFrame, key_cols: list[str],
+              extra_change_cols: tuple[str, ...] = ()) -> list[str]:
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for k in key_cols:
+        if k not in base.columns or k not in changes.columns:
+            raise ValueError(f"key column {k!r} missing from base or changes")
+    missing = [c for c in base.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing base columns: {missing}")
+    return [c for c in base.columns if c not in key_cols]
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Delta-style ``MERGE INTO base USING changes ON key``:
+
+    - matched and ``changes[delete_col]`` → row is DELETED
+    - matched otherwise → row is UPDATED to the change values
+    - not matched → change row is INSERTED
+    - base rows with no change → carried through unchanged
+
+    Returns the new snapshot with ``base``'s exact column set.  Keys are
+    compared null-safely, so a null key upserts like any other value
+    instead of silently duplicating.
+    """
+    data_cols = _validate(base, changes, key_cols)
+    if delete_col is not None and delete_col not in changes.columns:
+        raise ValueError(f"delete column {delete_col!r} missing from changes")
+
+    c = changes.withColumn(_PRESENT, F.lit(True)).alias("c")
+    b = base.alias("b")
+    cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}")) for k in key_cols]
+    joined = b.join(c, cond, "full_outer")
+    if delete_col is not None:
+        joined = joined.filter(
+            ~F.coalesce(F.col(f"c.{delete_col}"), F.lit(False))
+        )
+    out_keys = [
+        F.when(F.col(f"c.{_PRESENT}"), F.col(f"c.{k}"))
+        .otherwise(F.col(f"b.{k}")).alias(k)
+        for k in key_cols
+    ]
+    out_data = [
+        F.when(F.col(f"c.{_PRESENT}"), F.col(f"c.{d}"))
+        .otherwise(F.col(f"b.{d}")).alias(d)
+        for d in data_cols
+    ]
+    return joined.select(*out_keys, *out_data)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Audit the change set between two snapshots sharing a schema: one row
+    per key whose content changed, labeled ``insert`` / ``delete`` /
+    ``update``.  Unchanged rows (all non-key columns null-safe-equal) are
+    dropped, so the output is the minimal CDC batch that replays old→new
+    through :func:`merge_upsert`.
+
+    Output: key columns (coalesced), ``change_type``, then each non-key
+    column twice as ``old_<col>`` / ``new_<col>``.
+    """
+    data_cols = _validate(old, new, key_cols)
+    o = old.withColumn(_PRESENT, F.lit(True)).alias("o")
+    n = new.withColumn(_PRESENT, F.lit(True)).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.coalesce(F.col(f"o.{_PRESENT}"), F.lit(False))
+    in_new = F.coalesce(F.col(f"n.{_PRESENT}"), F.lit(False))
+    same = F.lit(True)
+    for d in data_cols:
+        same = same & F.col(f"o.{d}").eqNullSafe(F.col(f"n.{d}"))
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    keys = [F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key_cols]
+    olds = [F.col(f"o.{d}").alias(f"old_{d}") for d in data_cols]
+    news = [F.col(f"n.{d}").alias(f"new_{d}") for d in data_cols]
+    return (
+        joined.select(*keys, change.alias("change_type"), *olds, *news)
+        .filter(F.col("change_type").isNotNull())
+    )

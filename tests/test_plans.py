@@ -124,6 +124,15 @@ def test_scrub_denylist_codegen_only(spark, cat):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_merge_upsert_single_join_no_cartesian(spark, cat):
+    # one full-outer hash join on the key; change-batch application must
+    # never degrade to a nested-loop product or drop into Python
+    plan = plan_of(cat["t_merge_upsert"].spark_fn(spark, SF), final=True)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") >= 1
+    assert "BatchEvalPython" not in plan
+
+
 def test_span_dedup_two_linear_shuffles(spark, cat):
     # chunk explode is a codegen projection; the only exchanges are the
     # window-by-chunk and the regroup-by-doc — both linear, no Python
