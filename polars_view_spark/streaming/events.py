@@ -294,3 +294,62 @@ def streaming_contamination(
     from polars_view_spark.operators.dedup import contamination_pairs
 
     return contamination_pairs(docs_stream, benchmark, min_overlap=min_overlap)
+
+
+def streaming_upsert(
+    changes_stream: DataFrame,
+    snapshot_dir: str,
+    key_cols: list[str],
+    delete_col: str | None = None,
+):
+    """Incremental snapshot maintenance — the streaming twin of
+    operators/snapshot.py:merge_upsert via the ``foreachBatch`` MERGE
+    pattern: every micro-batch of change rows is merged into a parquet
+    snapshot (update / insert / delete), so a CDC feed keeps a queryable
+    table continuously current.
+
+    Each batch writes the merged snapshot to a sibling temp directory and
+    swaps it in only after the write succeeds, so readers never observe a
+    half-written snapshot and a failed batch leaves the previous one
+    intact.  The swap is the local-filesystem stand-in for a transactional
+    table commit — on a real cluster the same ``foreachBatch`` body targets
+    a transactional table format (e.g. an Iceberg/Delta MERGE) instead of a
+    directory rename, and nothing upstream changes.  Within one micro-batch
+    changes are deduplicated to one row per key (arbitrary winner), so the
+    result is deterministic only when a source emits at most one change per
+    key per batch — sources that batch several must carry a sequence column
+    and pre-reduce on it before handing the stream here.
+
+    Returns the started StreamingQuery (``availableNow`` trigger — drains
+    what exists, then stops; swap for a processing-time trigger in a
+    long-lived deployment).
+    """
+    import os
+    import shutil
+
+    from polars_view_spark.operators.snapshot import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates(key_cols)
+        if os.path.exists(snapshot_dir):
+            base = spark.read.parquet(snapshot_dir)
+            merged = merge_upsert(base, batch_df, key_cols, delete_col)
+        else:
+            merged = batch_df
+            if delete_col is not None:
+                merged = merged.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+        tmp = snapshot_dir.rstrip("/") + ".__pvs_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(tmp, snapshot_dir)
+
+    return (
+        changes_stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", snapshot_dir.rstrip("/") + ".__pvs_ckpt")
+        .start()
+    )

@@ -199,3 +199,53 @@ def test_streaming_contamination_matches_batch(spark):
         for r in contamination_pairs(docs, bench).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_upsert_matches_sequential_batch_merge(spark, tmp_path):
+    """Two change files drained one per micro-batch through the
+    foreachBatch MERGE must leave the same snapshot as applying the two
+    batches sequentially with the batch merge_upsert — and survive a
+    mid-stream delete + re-insert of the same key."""
+    from polars_view_spark.operators.snapshot import merge_upsert
+    from polars_view_spark.streaming.events import streaming_upsert
+
+    schema = "k INT, s STRING, v DOUBLE, is_delete BOOLEAN"
+    b1 = [(1, "one", 1.0, False), (2, "two", 2.0, False), (3, "three", 3.0, False)]
+    b2 = [(2, "two2", 2.5, False), (3, None, 0.0, True), (4, "four", 4.0, False)]
+    landing = tmp_path / "changes"
+    landing.mkdir()
+    # one PLAIN parquet file per micro-batch (a write.parquet() directory
+    # would be invisible to the non-recursive file stream source)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_batch(rows, name):
+        cols = list(zip(*rows))
+        tbl = pa.table(
+            {
+                "k": pa.array(cols[0], pa.int32()),
+                "s": pa.array(cols[1], pa.string()),
+                "v": pa.array(cols[2], pa.float64()),
+                "is_delete": pa.array(cols[3], pa.bool_()),
+            }
+        )
+        pq.write_table(tbl, str(landing / name))
+
+    write_batch(b1, "b1.parquet")
+    write_batch(b2, "b2.parquet")
+
+    snap = str(tmp_path / "snapshot")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing))
+    )
+    streaming_upsert(stream, snap, ["k"], "is_delete").awaitTermination()
+
+    got = sorted(map(tuple, spark.read.parquet(snap).select("k", "s", "v").collect()))
+
+    base = spark.createDataFrame(b1, schema).filter("NOT is_delete").drop("is_delete")
+    want_df = merge_upsert(base, spark.createDataFrame(b2, schema), ["k"], "is_delete")
+    want = sorted(map(tuple, want_df.select("k", "s", "v").collect()))
+    assert got == want, (got, want)
+    assert [r[0] for r in got] == [1, 2, 4]
