@@ -754,6 +754,56 @@ def _snap_frames(spark: SparkSession, sf_dir: str):
     return spark.sql(_SNAP_BASE_SQL), spark.sql(_SNAP_CHG_SQL)
 
 
+def _x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (operators/similarity.py:quantize_int8):
+    per-vector scale, bit-exact codes (md5 over the code string), and a
+    self-asserting dequantization-error bound — zero-shuffle codegen."""
+    from polars_view_spark.operators.similarity import quantize_int8
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    return (
+        quantize_int8(t["embeddings"])
+        .select(
+            "vec_id",
+            F.expr("round(scale, 6)").alias("scale_r"),
+            F.expr(
+                "md5(array_join(transform(q, v -> CAST(v AS STRING)), ','))"
+            ).alias("q_md5"),
+            F.expr("max_abs_err <= 0.5 / scale + 1e-9").alias("recon_ok"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_QUANT_DUCK_X = "CAST(v AS DOUBLE)"
+_QUANT_DUCK_MAXABS = f"list_max(list_transform(embedding, v -> abs({_QUANT_DUCK_X})))"
+
+register(
+    "x_embedding_quantize",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             CASE WHEN {_QUANT_DUCK_MAXABS} = 0.0 THEN 1.0
+                  ELSE 127.0 / {_QUANT_DUCK_MAXABS} END AS s
+      FROM embeddings
+    ), coded AS (
+      SELECT vec_id, embedding, s,
+             list_transform(embedding,
+               v -> CAST(round({_QUANT_DUCK_X} * s + 1e-9) AS INTEGER)) AS q
+      FROM scaled
+    )
+    SELECT vec_id,
+           round(s, 6) AS scale_r,
+           md5(array_to_string(q, ',')) AS q_md5,
+           list_max(list_transform(range(1, len(embedding) + 1),
+             i -> abs(CAST(embedding[i] AS DOUBLE) - q[i] / s)))
+             <= 0.5 / s + 1e-9 AS recon_ok
+    FROM coded ORDER BY vec_id
+    """,
+    tables=("embeddings",),
+)(_x_embedding_quantize)
+
+
 def _t_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-style MERGE (operators/snapshot.py:merge_upsert): change batch
     applied to an orders snapshot — update / insert / delete in one

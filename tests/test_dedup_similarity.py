@@ -415,6 +415,22 @@ class TestPackingEdges:
         assert got[1]["n_words"] == 1 and got[1]["dup_2gram_frac"] == 0.0
         assert got[2]["frac_alpha_words"] == 0.0
 
+    def test_quantize_int8_semantics(self, spark):
+        """Codes bounded to [-127,127], extreme dims hit ±127 exactly,
+        all-zero vectors degrade gracefully, dequant error within bound."""
+        from polars_view_spark.operators.similarity import quantize_int8
+
+        rows = [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0]), (2, [3.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+        assert got[0]["q"] == [64, -127, 32]  # scale = 63.5
+        assert got[0]["max_abs_err"] <= 0.5 / got[0]["scale"] + 1e-9
+        assert got[1]["q"] == [0, 0, 0] and got[1]["scale"] == 1.0
+        assert got[2]["q"] == [127]
+        assert all(
+            -127 <= v <= 127 for r in got.values() for v in r["q"]
+        )
+
     def test_span_dedup_semantics(self, spark):
         """First occurrence (by id, chunk_idx) wins globally; repeats
         within AND across docs are dropped; a fully-copied doc empties."""

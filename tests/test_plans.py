@@ -124,6 +124,14 @@ def test_scrub_denylist_codegen_only(spark, cat):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_embedding_quantize_codegen_only(spark, cat):
+    # quantization must run at scan speed: projection-only, no exchange,
+    # no Python in the row path
+    plan = plan_of(cat["x_embedding_quantize"].spark_fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_merge_upsert_single_join_no_cartesian(spark, cat):
     # one full-outer hash join on the key; change-batch application must
     # never degrade to a nested-loop product or drop into Python
