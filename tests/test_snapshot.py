@@ -36,6 +36,19 @@ class TestMergeUpsert:
         out = merge_upsert(_base(spark), changes, ["k"]).collect()
         assert len(out) == 3  # pure upsert, nothing deleted
 
+    def test_composite_key(self, spark):
+        base = spark.createDataFrame(
+            [(1, "x", 10.0), (1, "y", 11.0)], "k int, k2 string, v double"
+        )
+        changes = spark.createDataFrame(
+            [(1, "y", 99.0, False), (2, "x", 20.0, False)],
+            "k int, k2 string, v double, is_delete boolean",
+        )
+        got = sorted(
+            map(tuple, merge_upsert(base, changes, ["k", "k2"], "is_delete").collect())
+        )
+        assert got == [(1, "x", 10.0), (1, "y", 99.0), (2, "x", 20.0)]
+
     def test_validation(self, spark):
         bad = spark.createDataFrame([(1, "x")], "k int, s string")  # missing v
         with pytest.raises(ValueError, match="missing base columns"):
