@@ -459,6 +459,33 @@ class TestPackingEdges:
         with _pt.raises(ValueError):
             span_dedup(df, chunk_words=0)
 
+    def test_span_dedup_global_uniqueness_property(self, spark):
+        """On a corpus with heavy cross-doc repetition, the operator's
+        invariant holds globally: every surviving chunk is unique across
+        the whole output, and chunk counts are conserved."""
+        import itertools
+
+        words = ["w%d" % (i % 7) for i in range(10)]
+        rows = [
+            (i, " ".join(itertools.islice(itertools.cycle(words), i % 5, i % 5 + 12)))
+            for i in range(40)
+        ]
+        from polars_view_spark.operators.dedup import span_dedup
+
+        out = span_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), chunk_words=3
+        ).collect()
+        # re-chunk every surviving text and assert global uniqueness
+        seen = set()
+        for r in out:
+            toks = r["clean_text"].split() if r["clean_text"] else []
+            chunks = [" ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)]
+            for c in chunks:
+                assert c not in seen, f"chunk {c!r} survived twice"
+                seen.add(c)
+        assert sum(r["n_kept"] for r in out) == len(seen)
+        assert all(r["n_kept"] <= r["n_chunks"] for r in out)
+
     def test_pii_redaction_semantics(self, spark):
         """Hand-checked PII masking: multiple hits per category, counts
         taken on the ORIGINAL text, masked text never re-matches."""
