@@ -415,6 +415,27 @@ class TestPackingEdges:
         assert got[1]["n_words"] == 1 and got[1]["dup_2gram_frac"] == 0.0
         assert got[2]["frac_alpha_words"] == 0.0
 
+    def test_quantized_topk_recall_vs_float(self, spark, embeddings):
+        """Top-k over int8 codes must recover ≥90% of the float-cosine
+        top-k neighbors (64-dim codes keep relative angles within
+        quantization error)."""
+        from polars_view_spark.operators.similarity import (
+            brute_force_topk,
+            quantized_topk,
+        )
+
+        queries = embeddings.orderBy("vec_id").limit(5)
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(embeddings, queries, k=10).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in quantized_topk(embeddings, queries, k=10).collect()
+        }
+        recall = len(truth & approx) / len(truth)
+        assert recall >= 0.9, recall
+
     def test_quantize_int8_semantics(self, spark):
         """Codes bounded to [-127,127], extreme dims hit ±127 exactly,
         all-zero vectors degrade gracefully, dequant error within bound."""
