@@ -249,3 +249,28 @@ def test_streaming_upsert_matches_sequential_batch_merge(spark, tmp_path):
     want = sorted(map(tuple, want_df.select("k", "s", "v").collect()))
     assert got == want, (got, want)
     assert [r[0] for r in got] == [1, 2, 4]
+
+
+def test_scan_operators_run_on_the_ingest_stream(spark):
+    """gopher_quality + redact_pii are pure projections, so the SAME
+    operator objects run on a streaming frame — the first-pass filter
+    happens at ingest, matching the batch pass bit-for-bit."""
+    from polars_view_spark.operators.textstats import gopher_quality, redact_pii
+    from polars_view_spark.streaming.events import (
+        read_document_stream,
+        run_stream_to_memory,
+    )
+
+    path = f"{SF}/documents.parquet"
+
+    def transform(df):
+        return redact_pii(gopher_quality(df)).select(
+            "doc_id", "passes_gopher", "dup_2gram_frac", "n_email", "redacted"
+        )
+
+    stream = transform(read_document_stream(spark, path))
+    run_stream_to_memory(stream, "stream_scan_ops", output_mode="append")
+
+    got = sorted(map(tuple, spark.table("stream_scan_ops").collect()))
+    want = sorted(map(tuple, transform(spark.read.parquet(path)).collect()))
+    assert got == want and len(got) > 0
