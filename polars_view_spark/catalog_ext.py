@@ -375,6 +375,73 @@ register(
     tables=("embeddings",),
 )(_d_embedding_near_dup)
 
+SEMDEDUP_SEED_MOD = 37
+SEMDEDUP_SCALE = 1000
+SEMDEDUP_MAX_SEEDS = 64
+SEMDEDUP_MAX_CELL = 10_000
+
+
+def _d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py:semantic_dedup,
+    after Abbas et al. arXiv:2303.09540): deterministic-seed cell assignment
+    → within-cell cosine pairs → first-occurrence-wins keep verdict.  The
+    oracle replays every stage (the assignment CTEs are shared with
+    s_ann_ivf_topk), so the keep/drop decision is value-hash checked."""
+    from polars_view_spark.operators.similarity import semantic_dedup
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        t["embeddings"], "vec_id", "embedding",
+        threshold=NEAR_DUP_COS, seed_mod=SEMDEDUP_SEED_MOD,
+        scale=SEMDEDUP_SCALE, max_seeds=SEMDEDUP_MAX_SEEDS,
+        max_cell_size=SEMDEDUP_MAX_CELL,
+    ).orderBy("vec_id")
+
+
+register(
+    "d_semantic_dedup",
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {SEMDEDUP_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cell, qv AS sv FROM qz
+              WHERE vec_id % {SEMDEDUP_SEED_MOD} = 0 ORDER BY vec_id LIMIT {SEMDEDUP_MAX_SEEDS}),
+    dists AS (
+      SELECT a.vec_id, s.cell,
+             list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                      i -> (a.qv[i] - s.sv[i]) * (a.qv[i] - s.sv[i]))) AS d
+      FROM qz a CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists) t
+      WHERE rn = 1
+    ),
+    sized AS (
+      SELECT a.vec_id, a.cell, e.embedding,
+             COUNT(*) OVER (PARTITION BY a.cell) > {SEMDEDUP_MAX_CELL} AS cell_capped
+      FROM assigned a JOIN embeddings e USING (vec_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM sized a JOIN sized b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE NOT a.cell_capped AND NOT b.cell_capped
+        AND round({duck_cosine_sql("a.embedding", "b.embedding")}, 6) >= {NEAR_DUP_COS}
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell, s.cell_capped,
+           (d.vec_id IS NULL) AS kept
+    FROM sized s LEFT JOIN dropped d USING (vec_id)
+    ORDER BY vec_id
+    """,
+    tables=("embeddings",),
+)(_d_semantic_dedup)
+
+
 INCR_NEW_MOD = 10  # docs with doc_id % 10 == 0 play the "new batch" role
 
 

@@ -172,6 +172,74 @@ def _quantize_sql(vec_col: str, scale: int) -> str:
     )
 
 
+def _seed_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seed_mod: int,
+    scale: int,
+    max_seeds: int,
+) -> tuple[list[int], list[str]]:
+    """Bounded deterministic seed centroids: the ``max_seeds`` lowest rows
+    with ``id % seed_mod == 0``, collected once and inlined as
+    integer-quantized literal arrays.
+
+    Seed vectors are quantized by the SQL round on BOTH engines (float repr
+    round-trips exactly; never quantize in Python — Python round() is
+    half-even, SQL round is half-away-from-zero).  The seed set is BOUNDED,
+    so driver memory and plan size stay O(max_seeds) on any corpus — the
+    cell count is a hyperparameter like a trained index's, never
+    data-proportional.  Returns ``(cell_ids, quantized_literal_arrays)``.
+    """
+    seed_rows = (
+        corpus.filter((F.col(id_col) % seed_mod) == 0)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("sv"))
+        .orderBy("cell")
+        .limit(max_seeds)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError(f"no seed centroids: no {id_col} % {seed_mod} == 0 rows")
+    cells = [int(r["cell"]) for r in seed_rows]
+    seed_arrays = [
+        "array("
+        + ", ".join(
+            f"CAST(round(CAST({float(x)!r} AS DOUBLE) * {scale}) AS BIGINT)" for x in r["sv"]
+        )
+        + ")"
+        for r in seed_rows
+    ]
+    return cells, seed_arrays
+
+
+def _with_seed_dists(
+    df: DataFrame, vec_col: str, seed_arrays: list[str], scale: int
+) -> DataFrame:
+    """Add ``__qv`` (quantized copy of ``vec_col``) and one integer squared-L2
+    distance column ``__d{i}`` per seed centroid — a pure projection, no join,
+    no shuffle."""
+    out = df.withColumn("__qv", F.expr(_quantize_sql(vec_col, scale)))
+    for i, arr in enumerate(seed_arrays):
+        out = out.withColumn(
+            f"__d{i}",
+            F.expr(
+                f"aggregate(zip_with(__qv, {arr}, (x, y) -> (x - y) * (x - y)), "
+                f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ),
+        )
+    return out
+
+
+def _argmin_cell_expr(cells: list[int]):
+    """Chained CASE over the ``__d{i}`` distances — first match wins, so
+    ties go to the lowest cell id (mirrors ``ORDER BY (dist, cell)``)."""
+    min_d = F.least(*[F.col(f"__d{i}") for i in range(len(cells))])
+    cell_expr = F.when(F.col("__d0") == min_d, F.lit(cells[0]))
+    for i in range(1, len(cells)):
+        cell_expr = cell_expr.when(F.col(f"__d{i}") == min_d, F.lit(cells[i]))
+    return cell_expr
+
+
 def ivf_flat_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -193,57 +261,20 @@ def ivf_flat_topk(
     value-hash oracle instead of a rows-only check.  (``ivf_topk`` keeps
     the trained-centroid flavor; its recall is pinned in pytest.)
 
-    Scale shape: the seed set is BOUNDED (the ``max_seeds`` lowest matching
-    ids) and collected once — the cell count is a hyperparameter like a
-    trained index's, never data-proportional, so driver memory and the
-    assignment plan stay O(max_seeds) on any corpus (an uncapped modulus
-    would inline corpus_size/seed_mod literal arrays into the plan);
+    Scale shape: seed collection is bounded (see :func:`_seed_centroids`);
     assignment is a pure PROJECTION against literal centroid arrays — no
     join, no shuffle of the corpus; candidates reach the scorer through one
     broadcast hash join on the cell id.
     """
-    spark = corpus.sparkSession
-    seed_rows = (
-        corpus.filter((F.col(id_col) % seed_mod) == 0)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("sv"))
-        .orderBy("cell")
-        .limit(max_seeds)
-        .collect()
+    cells, seed_arrays = _seed_centroids(
+        corpus, id_col, vec_col, seed_mod, scale, max_seeds
     )
-    if not seed_rows:
-        raise ValueError(f"no seed centroids: no {id_col} % {seed_mod} == 0 rows")
-    cells = [int(r["cell"]) for r in seed_rows]
-    # seed vectors inlined as literal arrays, quantized by the SQL round on
-    # BOTH engines (float repr round-trips exactly; never quantize in Python
-    # — Python round() is half-even, SQL round is half-away-from-zero)
-    seed_arrays = [
-        "array("
-        + ", ".join(
-            f"CAST(round(CAST({float(x)!r} AS DOUBLE) * {scale}) AS BIGINT)" for x in r["sv"]
-        )
-        + ")"
-        for r in seed_rows
-    ]
 
     def with_dists(df: DataFrame) -> DataFrame:
-        out = df.withColumn("__qv", F.expr(_quantize_sql(vec_col, scale)))
-        for i, arr in enumerate(seed_arrays):
-            out = out.withColumn(
-                f"__d{i}",
-                F.expr(
-                    f"aggregate(zip_with(__qv, {arr}, (x, y) -> (x - y) * (x - y)), "
-                    f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-                ),
-            )
-        return out
+        return _with_seed_dists(df, vec_col, seed_arrays, scale)
 
-    # corpus assignment: chained CASE on the integer distances — first match
-    # wins, so ties go to the lowest cell id (mirrors ORDER BY (dist, cell))
     assigned = with_dists(corpus)
-    min_d = F.least(*[F.col(f"__d{i}") for i in range(len(cells))])
-    cell_expr = F.when(F.col("__d0") == min_d, F.lit(cells[0]))
-    for i in range(1, len(cells)):
-        cell_expr = cell_expr.when(F.col(f"__d{i}") == min_d, F.lit(cells[i]))
+    cell_expr = _argmin_cell_expr(cells)
     assigned = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -273,6 +304,80 @@ def ivf_flat_topk(
         .drop("qvec", "cvec", "cell")
     )
     return _ranked_topk(scored, k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    seed_mod: int = 37,
+    scale: int = 1000,
+    max_seeds: int = 64,
+    max_cell_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., SemDeDup,
+    arXiv:2303.09540 — public paper): cluster the embedding space, then
+    drop documents whose embedding has a high-cosine neighbor *within the
+    same cluster cell*.
+
+    Pipeline shape (all JVM-side, two shuffles total):
+
+    1. Assign every vector to a cell — deterministic seed centroids +
+       integer-quantized squared-L2 argmin (:func:`_seed_centroids`), a
+       pure projection, so the oracle replicates it bit-exactly (the paper
+       uses trained k-means; the seed variant keeps the same inverted-file
+       geometry while staying ANSI-SQL-replicable, exactly like
+       :func:`ivf_flat_topk` vs :func:`ivf_topk`).
+    2. Self-join WITHIN the cell (hash join on the cell id — never a cross
+       product; the cell count is the knob that bounds the quadratic term,
+       scaled like an IVF index's nlist ~ √n at 100 TB).
+    3. Verdict per vector: ``kept = false`` iff some SAME-CELL vector with
+       a smaller id has cosine ≥ threshold (first-occurrence-wins, the
+       same deterministic keep rule as dedup_exact; the paper keeps the
+       member farthest from the centroid — any one-per-group choice is
+       valid, ours is cross-engine reproducible).
+
+    Hot-cell guard (same convention as dedup._band_table): cells holding
+    more than ``max_cell_size`` vectors skip pair generation entirely —
+    their members are kept verbatim and flagged via ``cell_capped`` so the
+    drop is visible, not silent.  The size count is a window over the cell
+    id, sharing the hashpartitioning the self-join needs.
+
+    Returns ``(vec_id, cell, cell_capped, kept)`` — one row per input
+    vector; downstream keeps ``kept`` rows (the dedup_apply analogue).
+    """
+    cells, seed_arrays = _seed_centroids(
+        corpus, id_col, vec_col, seed_mod, scale, max_seeds
+    )
+    assigned = _with_seed_dists(corpus, vec_col, seed_arrays, scale).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _argmin_cell_expr(cells).alias("cell"),
+    )
+    sized = assigned.withColumn(
+        "cell_capped",
+        F.count(F.lit(1)).over(Window.partitionBy("cell")) > max_cell_size,
+    )
+    pairable = sized.filter(~F.col("cell_capped"))
+    a = pairable.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"), "cell")
+    b = pairable.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"), "cell")
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(F.round(F.expr(cosine_sql("v1", "v2")), 6) >= threshold)
+        .select(F.col("id2").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        sized.join(dropped.withColumn("__drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            "cell_capped",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )
 
 
 def embedding_near_dup_pairs(

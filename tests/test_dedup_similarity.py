@@ -595,3 +595,54 @@ class TestPackingEdges:
         }
         assert clean_ids, "clean stage emptied the corpus"
         assert not (clean_ids & bench_ids), clean_ids & bench_ids
+
+
+class TestSemanticDedup:
+    def test_verdict_matches_bruteforce(self, spark, embeddings):
+        """Every dropped vector must have a SMALLER-id same-cell neighbor
+        with cosine >= threshold, and every kept vector must have none —
+        re-derived brute-force from the operator's own cell assignment."""
+        import numpy as np
+
+        from polars_view_spark.operators.similarity import semantic_dedup
+
+        out = semantic_dedup(embeddings, threshold=0.4).collect()
+        assert len(out) == embeddings.count()
+        vecs = {
+            r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in embeddings.collect()
+        }
+        by_cell: dict[int, list[int]] = {}
+        for r in out:
+            by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+        verdict = {r["vec_id"]: r["kept"] for r in out}
+        assert not any(r["cell_capped"] for r in out)
+        for cell, members in by_cell.items():
+            for vid in members:
+                v = vecs[vid]
+                has_smaller_dup = any(
+                    round(
+                        float(
+                            vecs[o] @ v / (np.linalg.norm(vecs[o]) * np.linalg.norm(v))
+                        ),
+                        6,
+                    )
+                    >= 0.4
+                    for o in members
+                    if o < vid
+                )
+                assert verdict[vid] == (not has_smaller_dup), (cell, vid)
+        assert any(not k for k in verdict.values()), "no drops — test has no teeth"
+
+    def test_hot_cell_guard_keeps_capped_cells(self, spark, embeddings):
+        """max_cell_size=1: every multi-member cell is capped, skips pair
+        generation, and its members are all kept (visible, not silent)."""
+        from polars_view_spark.operators.similarity import semantic_dedup
+
+        out = semantic_dedup(embeddings, threshold=0.4, max_cell_size=1).collect()
+        sizes: dict[int, int] = {}
+        for r in out:
+            sizes[r["cell"]] = sizes.get(r["cell"], 0) + 1
+        for r in out:
+            assert r["cell_capped"] == (sizes[r["cell"]] > 1), r
+            assert r["kept"] is True

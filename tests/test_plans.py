@@ -285,3 +285,17 @@ def test_training_mix_no_corpus_rejoin(spark, cat):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_cell_join_no_cross_product(spark):
+    # SemDeDup plan shape: cell assignment is a pure projection against
+    # literal centroids; the pair stage is a hash join ON THE CELL ID —
+    # never a cross product — and the whole path stays JVM-side
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.similarity import semantic_dedup
+
+    e = load_tables(spark, SF, "embeddings")["embeddings"]
+    plan = plan_of(semantic_dedup(e, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
