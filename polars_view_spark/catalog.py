@@ -154,7 +154,7 @@ DRIVER_PRIORITY = [
     "d_contamination", "x_mixture_sample", "t_partitioned_roundtrip",
     "x_token_budget", "s_bm25_topk", "x_training_mix_e2e", "d_dedup_apply",
     "x_pii_redact", "d_span_dedup", "t_merge_upsert", "t_snapshot_diff",
-    "x_embedding_quantize", "d_semantic_dedup",
+    "x_embedding_quantize", "d_semantic_dedup", "t_orc_roundtrip",
     # (b) no driver row in round 1
     "t_remove_null_columns", "t_multi_sort_nulls", "t_round_floats",
     "q_scalar_functions", "q_qualified_star", "q_outer_join",
@@ -165,7 +165,6 @@ DRIVER_PRIORITY = [
     # (c) regression anchors (one per otherwise-unrepresented operator
     # family; q1_pricing_summary + d_dedup_exact rotated out for round-2
     # session-3 additions — both r01-green, q1 still exercised by bench)
-    "d_dedup_exact",
     "x_multimodal_decode", "e_sessionize",
 ]
 
@@ -258,6 +257,39 @@ def _t_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference format breadth: parquet → single-file ORC sink
+    (sources/writers.py) → extension-dispatched ORC reader
+    (sources/readers.py:read_orc) → aggregate, oracled against the original
+    parquet.  ORC is the second Hadoop-native columnar format; Spark ships a
+    vectorized reader/writer for it, so the whole §2A dispatch/sink/guard
+    surface extends to it with the same pushdown story as parquet.
+    Numerics roundtrip bit-exactly (columnar binary encoding, no text
+    parse), so the double sum only needs the usual half-boundary epsilon."""
+    import os
+
+    from polars_view_spark.config import LoadConfig
+    from polars_view_spark.sources.readers import read_any
+    from polars_view_spark.sources.writers import save_as
+
+    t = load_tables(spark, sf_dir, "supplier")
+    path = os.path.join(_scratch_dir("orc_rt", sf_dir), "supplier.orc")
+    fmt = save_as(t["supplier"], path)
+    assert fmt == "orc", fmt
+    df, fmt, _cfg = read_any(spark, LoadConfig(path=path))
+    assert fmt == "orc", fmt
+    return (
+        df.groupBy(F.col("s_nationkey").cast("long").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s_suppkey").cast("long").alias("sum_key"),
+            F.round(F.sum("s_acctbal") + F.lit(1e-6), 2).alias("acctbal"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("nation")
+    )
+
+
 def _t_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2A scale sink end-to-end: hive-partitioned dataset write
     (sources/writers.py:write_dataset, the 100 TB path — ``save_as``'s
@@ -321,6 +353,18 @@ def _register_core() -> None:
         """,
         tables=("orders",),
     )(_t_ndjson_roundtrip)
+
+    register(
+        "t_orc_roundtrip",
+        oracle="""
+        SELECT CAST(s_nationkey AS BIGINT) AS nation, COUNT(*) AS n,
+               CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+               ROUND(SUM(s_acctbal) + 1e-6, 2) AS acctbal,
+               MIN(s_name) AS first_name
+        FROM supplier GROUP BY 1 ORDER BY 1
+        """,
+        tables=("supplier",),
+    )(_t_orc_roundtrip)
 
     register(
         "t_partitioned_roundtrip",

@@ -1,5 +1,5 @@
 """File readers: format dispatch, CSV with sniffing + force-string override,
-JSON (single doc/array), NDJSON, Parquet.
+JSON (single doc/array), NDJSON, Parquet, ORC (beyond-reference).
 
 Capability parity with the reference's reader stack (reference:
 src/data_filter.rs:257-295 dispatch, 392-591 CSV, 304-351 JSON/NDJSON,
@@ -27,6 +27,7 @@ class FileFormat:
     JSON = "json"
     NDJSON = "ndjson"
     PARQUET = "parquet"
+    ORC = "orc"  # beyond-reference: Spark-native columnar format
 
 
 _EXTENSION_MAP = {
@@ -38,6 +39,7 @@ _EXTENSION_MAP = {
     ".jsonl": FileFormat.NDJSON,
     ".parquet": FileFormat.PARQUET,
     ".pq": FileFormat.PARQUET,
+    ".orc": FileFormat.ORC,
 }
 
 
@@ -145,6 +147,14 @@ def read_parquet(spark: SparkSession, cfg: LoadConfig) -> DataFrame:
     return spark.read.parquet(cfg.path)
 
 
+def read_orc(spark: SparkSession, cfg: LoadConfig) -> DataFrame:
+    """ORC scan — beyond-reference format (the reference reads CSV/JSON/
+    NDJSON/Parquet only; ORC is the other Hadoop-native columnar format and
+    Spark ships a vectorized reader for it).  Same pushdown/pruning story
+    as parquet: schema from file metadata, PushedFilters reach the scan."""
+    return spark.read.orc(cfg.path)
+
+
 def read_any(spark: SparkSession, cfg: LoadConfig) -> tuple[DataFrame, str, LoadConfig]:
     """Dispatch on extension; returns (df, format, possibly-updated config).
 
@@ -159,4 +169,6 @@ def read_any(spark: SparkSession, cfg: LoadConfig) -> tuple[DataFrame, str, Load
         return read_json(spark, cfg), fmt, cfg
     if fmt == FileFormat.NDJSON:
         return read_ndjson(spark, cfg), fmt, cfg
+    if fmt == FileFormat.ORC:
+        return read_orc(spark, cfg), fmt, cfg
     return read_parquet(spark, cfg), fmt, cfg

@@ -1,5 +1,5 @@
-"""File writers: CSV / JSON (single array) / NDJSON / Parquet, plus the
-save-in-place extension guard.
+"""File writers: CSV / JSON (single array) / NDJSON / Parquet / ORC, plus
+the save-in-place extension guard.
 
 Parity targets (reference: src/file_dialog.rs:59-278).  Two modes:
 
@@ -47,6 +47,8 @@ def write_dataset(
         writer = writer.partitionBy(*partition_by)
     if fmt == FileFormat.PARQUET:
         writer.parquet(path)
+    elif fmt == FileFormat.ORC:
+        writer.orc(path)
     elif fmt == FileFormat.CSV:
         writer.option("sep", csv_delimiter).option("header", "true").csv(path)
     elif fmt == FileFormat.NDJSON:
@@ -82,6 +84,9 @@ def _single_file_write(df: DataFrame, target: str, fmt: str, csv_delimiter: str)
         elif fmt == FileFormat.PARQUET:
             one.write.mode("overwrite").parquet(out)
             part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        elif fmt == FileFormat.ORC:
+            one.write.mode("overwrite").orc(out)
+            part = glob.glob(os.path.join(out, "part-*.orc"))[0]
         elif fmt == FileFormat.JSON:
             # Single JSON array document (reference: src/file_dialog.rs:216-225).
             # No distributed writer exists for this layout; the reference's

@@ -114,6 +114,18 @@ class TestRoundTrips:
         back, _, _ = read_any(spark, LoadConfig(path=target))
         assert sorted(back.columns) == ["id", "name", "val"]
 
+    def test_orc_roundtrip(self, spark, df, tmp_path):
+        target = str(tmp_path / "out.orc")
+        fmt = save_as(df, target)
+        assert fmt == "orc" and os.path.isfile(target)
+        back, fmt, _ = read_any(spark, LoadConfig(path=target))
+        assert fmt == "orc"
+        got = back.orderBy("id").collect()
+        assert [(r["id"], r["name"], r["val"]) for r in got] == [
+            (1, "a", 1.5),
+            (2, "b", None),
+        ]
+
     def test_json_single_doc(self, spark, df, tmp_path):
         import json
 
