@@ -155,6 +155,7 @@ DRIVER_PRIORITY = [
     "x_token_budget", "s_bm25_topk", "x_training_mix_e2e", "d_dedup_apply",
     "x_pii_redact", "d_span_dedup", "t_merge_upsert", "t_snapshot_diff",
     "x_embedding_quantize", "d_semantic_dedup", "t_orc_roundtrip",
+    "x_lm_score",
     # (b) no driver row in round 1
     "t_remove_null_columns", "t_multi_sort_nulls", "t_round_floats",
     "q_scalar_functions", "q_qualified_star", "q_outer_join",
@@ -162,10 +163,11 @@ DRIVER_PRIORITY = [
     "q_window_analytics", "q_grouping_sets", "q_cube", "q_percentiles",
     "q_string_agg", "q_datetime_functions", "q_pivot", "q_unpivot",
     "q_explode_word_counts", "q_approx_aggregates",
-    # (c) regression anchors (one per otherwise-unrepresented operator
-    # family; q1_pricing_summary + d_dedup_exact rotated out for round-2
-    # session-3 additions — both r01-green, q1 still exercised by bench)
-    "x_multimodal_decode", "e_sessionize",
+    # (c) regression anchor (q1_pricing_summary, d_dedup_exact, e_sessionize
+    # rotated out for round-2 session-3 additions — all r01-green and still
+    # covered by pytest + the local sf0.01 sweep; multimodal stays, it is
+    # the one family with no other window representation)
+    "x_multimodal_decode",
 ]
 
 

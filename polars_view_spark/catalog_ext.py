@@ -22,6 +22,7 @@ from polars_view_spark.functions.texthash import (
     MINHASH_PRIME,
     TOKEN_REGEX,
     duck_hex64_sql,
+    duck_ngrams_sql,
     duck_shingles_sql,
     duck_tokens_sql,
 )
@@ -592,6 +593,65 @@ VOCAB_TOP_K = 10
 
 
 VOCAB_TOPK_BUCKETS = 32
+
+
+LM_REF_LANG = "en"  # the LM-training slice (CCNet trains on Wikipedia; the
+# en-labeled docs play that role on the synthetic corpus)
+
+
+def _x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality score
+    (operators/textstats.py:ngram_lm_score, after Wenzek et al.
+    arXiv:1911.00359): model trained on the ``lang='en'`` slice via a
+    lossless two-phase top-k, broadcast to an explode → left-join → groupBy
+    scorer.  The oracle replays the model cut and the add-one-smoothed
+    log-prob arithmetic; the average is epsilon-rounded to 6 decimals."""
+    from polars_view_spark.operators.textstats import LM_TOP_NGRAMS, ngram_lm_score
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    return ngram_lm_score(
+        d, d.filter(F.col("lang") == LM_REF_LANG), "doc_id", "text",
+        top_ngrams=LM_TOP_NGRAMS,
+    ).orderBy("doc_id")
+
+
+from polars_view_spark.operators.textstats import LM_TOP_NGRAMS as _LM_V  # noqa: E402
+
+register(
+    "x_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {duck_tokens_sql("text")} AS t FROM documents
+    ),
+    refg AS (
+      SELECT unnest({duck_ngrams_sql("t", 2)}) AS g
+      FROM toks WHERE lang = '{LM_REF_LANG}'
+    ),
+    counts AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM refg GROUP BY g),
+    model AS (
+      SELECT g, c FROM (
+        SELECT g, c, ROW_NUMBER() OVER (ORDER BY c DESC, g) AS r FROM counts) x
+      WHERE r <= {_LM_V}
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM model),
+    docg AS (
+      SELECT doc_id, unnest({duck_ngrams_sql("t", 2)}) AS g FROM toks
+    ),
+    lp AS (
+      SELECT doc_id, ln((COALESCE(m.c, 0) + 1) / (tot.total + {_LM_V}.0)) AS l
+      FROM docg LEFT JOIN model m USING (g) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(-avg(l) + 1e-9, 6) AS avg_neg_logprob
+      FROM lp GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_neg_logprob
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """,
+    tables=("documents",),
+)(_x_lm_score)
 
 
 def _x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,6 +103,30 @@ def shingles_from_tokens_sql(tok_col: str, width: int = SHINGLE_WIDTH) -> str:
     )
 
 
+def ngrams_from_tokens_sql(tok_col: str, width: int = 2) -> str:
+    """Word ``width``-grams WITH MULTIPLICITY over a materialized token-array
+    column — the LM-counting sibling of :func:`shingles_from_tokens_sql`
+    (which dedups for set-similarity).  Same guard: short docs yield an
+    empty array (an unguarded ``sequence(0, -1)`` would DESCEND)."""
+    parts = ", ' ', ".join(f"{tok_col}[i + {k}]" for k in range(width))
+    return (
+        f"CASE WHEN size({tok_col}) >= {width} THEN "
+        f"transform(sequence(0, size({tok_col}) - {width}), "
+        f"i -> concat({parts})) ELSE array() END"
+    )
+
+
+def duck_ngrams_sql(tok_col: str, width: int = 2) -> str:
+    """DuckDB mirror of :func:`ngrams_from_tokens_sql` (1-based lists;
+    ``range(a, b)`` is end-exclusive and empty when b <= a, so short docs
+    need no guard)."""
+    parts = " || ' ' || ".join(f"{tok_col}[i + {k}]" for k in range(width))
+    return (
+        f"list_transform(range(1, len({tok_col}) - {width} + 2), "
+        f"i -> {parts})"
+    )
+
+
 def shingles_sql(col: str, width: int = SHINGLE_WIDTH) -> str:
     """One-expression form (re-splits per element — prefer the two-step
     tokens → :func:`shingles_from_tokens_sql` in hot paths)."""

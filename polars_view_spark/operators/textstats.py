@@ -166,6 +166,98 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop("__t")
 
 
+LM_TOP_NGRAMS = 50_000  # model size cap = smoothing vocabulary V
+LM_BUCKETS = 64  # pre-rank buckets (lossless two-phase top-k)
+
+
+def ngram_lm_score(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ngrams: int = LM_TOP_NGRAMS,
+) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (Wenzek et al.,
+    arXiv:1911.00359 — public paper): train a word-bigram language model on
+    a high-quality ``reference`` slice, score every corpus document by its
+    average negative log-probability under that model.  Low score = close
+    to the reference distribution; the downstream filter buckets on it
+    (CCNet's head/middle/tail split).
+
+    Model: bigram counts on the reference, kept to the ``top_ngrams`` most
+    frequent (ties broken by gram text — a total order, so the cut is
+    deterministic).  The cut is a lossless TWO-PHASE top-k (per-hash-bucket
+    rank then final rank, same shape as vocab_topk): no single reducer
+    ever ranks the full reference vocabulary, and the final rank runs over
+    ≤ buckets·k bounded survivors.  Add-one smoothing over V=``top_ngrams``
+    keeps unseen bigrams finite: ``lp = ln((c+1)/(total+V))``.
+
+    Scale shape: the model is BOUNDED (top_ngrams rows) → broadcast to the
+    scorer; the corpus side is explode → broadcast-left-join → one groupBy
+    on the doc id.  Nothing quadratic, nothing data-proportional on the
+    driver.  Docs with < 2 words score NULL with ``n_bigrams = 0`` (kept,
+    visible — a length filter is a separate policy decision).
+
+    Returns ``(id_col, n_bigrams, avg_neg_logprob)``, one row per corpus
+    document.
+    """
+    from pyspark.sql import Window
+
+    from polars_view_spark.functions.texthash import (
+        ngrams_from_tokens_sql,
+        tokens_sql,
+    )
+
+    toks = tokens_sql(text_col)
+    grams = ngrams_from_tokens_sql("__t", 2)
+
+    ref_g = (
+        reference.withColumn("__t", F.expr(toks))
+        .select(F.explode(F.expr(grams)).alias("g"))
+    )
+    counts = ref_g.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    order = [F.col("c").desc(), F.col("g").asc()]
+    bucketed = counts.withColumn("bucket", F.pmod(F.hash("g"), F.lit(LM_BUCKETS)))
+    model = (
+        bucketed.withColumn(
+            "__br", F.row_number().over(Window.partitionBy("bucket").orderBy(*order))
+        )
+        .filter(F.col("__br") <= top_ngrams)
+        .withColumn("__r", F.row_number().over(Window.orderBy(*order)))
+        .filter(F.col("__r") <= top_ngrams)
+        .select("g", "c")
+    )
+    total = model.agg(F.sum("c").cast("double").alias("__total"))
+
+    doc_g = (
+        corpus.withColumn("__t", F.expr(toks))
+        .select(F.col(id_col), F.explode(F.expr(grams)).alias("g"))
+    )
+    agg = (
+        doc_g.join(F.broadcast(model), "g", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__lp",
+            F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
+                  / (F.col("__total") + F.lit(float(top_ngrams)))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(-F.avg("__lp") + F.lit(1e-9), 6).alias("avg_neg_logprob"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "avg_neg_logprob",
+        )
+    )
+
+
 WINNOW_K = 8  # k-gram width (characters)
 WINNOW_W = 4  # winnowing window (hashes)
 

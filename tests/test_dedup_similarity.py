@@ -646,3 +646,55 @@ class TestSemanticDedup:
         for r in out:
             assert r["cell_capped"] == (sizes[r["cell"]] > 1), r
             assert r["kept"] is True
+
+
+class TestLmScore:
+    def test_reference_like_text_scores_lower(self, spark):
+        """A doc repeating the reference's bigrams must score (avg neg
+        logprob) strictly lower than out-of-vocabulary gibberish, and a
+        sub-bigram doc must surface as n_bigrams=0 with NULL score."""
+        from polars_view_spark.operators.textstats import ngram_lm_score
+
+        ref = spark.createDataFrame(
+            [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),
+                (2, "zxq wvut plonk gribble frax"),
+                (3, "single"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in ngram_lm_score(corpus, ref).collect()}
+        assert len(got) == 3
+        assert got[1]["avg_neg_logprob"] < got[2]["avg_neg_logprob"]
+        assert got[3]["n_bigrams"] == 0 and got[3]["avg_neg_logprob"] is None
+        assert got[1]["n_bigrams"] == 4 and got[2]["n_bigrams"] == 4
+
+    def test_model_cut_is_deterministic_topk(self, spark):
+        """With top_ngrams=2 only the 2 most frequent reference bigrams are
+        in-model; scores must reflect exactly that cut (tie → gram text)."""
+        import math
+
+        from polars_view_spark.operators.textstats import ngram_lm_score
+
+        # reference bigrams: "a a" x3, "a b" x2, "b c" x2 -> top2 = "a a","a b"
+        ref = spark.createDataFrame(
+            [(1, "a a a a"), (2, "a b"), (3, "a b"), (4, "b c"), (5, "b c")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(10, "a a"), (11, "b c"), (12, "q q")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["avg_neg_logprob"] for r in
+               ngram_lm_score(corpus, ref, top_ngrams=2).collect()}
+        total = 3 + 2  # kept model mass: "a a"=3, "a b"=2
+        exp = {
+            10: -math.log((3 + 1) / (total + 2.0)),
+            11: -math.log((0 + 1) / (total + 2.0)),  # "b c" fell out of model
+            12: -math.log((0 + 1) / (total + 2.0)),
+        }
+        for k, v in exp.items():
+            assert abs(got[k] - v) < 1e-6, (k, got[k], v)

@@ -299,3 +299,19 @@ def test_semantic_dedup_cell_join_no_cross_product(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_score_model_is_broadcast(spark):
+    # the bounded LM model must reach the corpus scorer via broadcast hash
+    # join (never a sort-merge shuffle of the exploded corpus against it),
+    # and the whole scoring path stays JVM-side
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.textstats import ngram_lm_score
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    plan = plan_of(ngram_lm_score(d, d.filter(F.col("lang") == "en")))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
