@@ -258,6 +258,113 @@ def ngram_lm_score(
     )
 
 
+DSIR_BUCKETS = 8192  # hashed-feature dimensionality (paper uses 10k)
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., Data Selection via
+    Importance Resampling, arXiv:2302.03169 — public paper): score every
+    corpus document by how much more likely its hashed-bigram bag is under
+    a ``target``-domain unigram-over-buckets model than under the raw
+    corpus model.  Downstream, sampling ∝ exp(weight) tilts the mixture
+    toward the target domain (the resampling step itself is
+    ``packing.mixture_resample``-shaped policy and stays separate).
+
+    Both feature models are bag-of-hashed-bigrams with add-one smoothing
+    over the FIXED ``n_buckets`` dimensionality, so each model is a bounded
+    ``n_buckets``-row table — broadcast to the scorer regardless of corpus
+    size.  Per document: ``log_importance = Σ_g [ln p_tgt(b(g)) −
+    ln p_raw(b(g))]`` over its bigram multiset (sum, not average — longer
+    in-domain evidence accumulates, as in the paper).
+
+    Scale shape: two bounded count aggregations (map-side combine over the
+    bucket id) + one explode → broadcast join → groupBy(doc).  Nothing
+    data-proportional is collected; the feature hash is Spark's
+    Murmur3-based ``hash`` (seed-stable across sessions).
+
+    Returns ``(id_col, n_bigrams, log_importance, avg_log_importance)``;
+    docs with < 2 words surface as ``n_bigrams = 0`` with NULL weights.
+    """
+    from polars_view_spark.functions.texthash import (
+        ngrams_from_tokens_sql,
+        tokens_sql,
+    )
+
+    toks = tokens_sql(text_col)
+    grams = ngrams_from_tokens_sql("__t", 2)
+
+    def bucketed(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        return (
+            df.withColumn("__t", F.expr(toks))
+            .select(*cols, F.explode(F.expr(grams)).alias("g"))
+            .withColumn("b", F.pmod(F.hash("g"), F.lit(n_buckets)))
+            .drop("g")
+        )
+
+    def model(feats: DataFrame, prob_col: str) -> DataFrame:
+        counts = feats.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        total = counts.agg(F.sum("c").cast("double").alias("__tot"))
+        return (
+            counts.crossJoin(F.broadcast(total))
+            .select(
+                "b",
+                F.log((F.col("c") + F.lit(1)) / (F.col("__tot") + F.lit(float(n_buckets))))
+                .alias(prob_col),
+                (-F.log(F.col("__tot") + F.lit(float(n_buckets)))).alias(f"{prob_col}_floor"),
+            )
+        )
+
+    from pyspark.sql import Window
+
+    all_rows = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tgt = model(bucketed(target, keep_id=False), "lp_tgt")
+    raw = model(bucketed(corpus, keep_id=False), "lp_raw")
+    # full outer on the bucket id: a bucket seen in only one model falls
+    # back to that model's smoothing floor ln(1/(total+V)); the window runs
+    # over the BOUNDED joined model table (≤ 2·n_buckets rows), never data
+    table = (
+        tgt.join(raw, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("lp_tgt", F.max("lp_tgt_floor").over(all_rows)).alias("lp_tgt"),
+            F.coalesce("lp_raw", F.max("lp_raw_floor").over(all_rows)).alias("lp_raw"),
+        )
+    )
+    agg = (
+        bucketed(corpus, keep_id=True)
+        .join(F.broadcast(table), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("lp_tgt") - F.col("lp_raw")) + F.lit(1e-9), 6).alias(
+                "log_importance"
+            ),
+            F.round(F.avg(F.col("lp_tgt") - F.col("lp_raw")) + F.lit(1e-9), 6).alias(
+                "avg_log_importance"
+            ),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "log_importance",
+            "avg_log_importance",
+        )
+    )
+
+
 WINNOW_K = 8  # k-gram width (characters)
 WINNOW_W = 4  # winnowing window (hashes)
 

@@ -698,3 +698,63 @@ class TestLmScore:
         }
         for k, v in exp.items():
             assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+
+
+class TestDsirWeights:
+    def test_target_like_docs_rank_higher(self, spark):
+        """In-domain docs must get strictly higher log-importance than
+        out-of-domain docs; sub-bigram docs surface as NULL, and weights
+        are finite even for buckets unseen in the target model."""
+        from polars_view_spark.operators.textstats import dsir_weights
+
+        target = spark.createDataFrame(
+            [(100 + i, "cats purr and cats nap in sunny windows") for i in range(5)],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "cats purr and cats nap"),
+                (2, "stock markets fell sharply on tuesday trading"),
+                (3, "single"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in dsir_weights(corpus, target).collect()}
+        assert len(got) == 3
+        assert got[1]["log_importance"] > got[2]["log_importance"]
+        assert got[1]["avg_log_importance"] > got[2]["avg_log_importance"]
+        assert got[2]["log_importance"] is not None  # unseen buckets -> floor, not NULL/inf
+        assert got[3]["n_bigrams"] == 0 and got[3]["log_importance"] is None
+
+    def test_weights_match_formula_exactly(self, spark):
+        """Pin the arithmetic: log_importance must equal
+        Σ_g [ln((c_tgt+1)/(tot_tgt+V)) − ln((c_raw+1)/(tot_raw+V))] computed
+        by hand from gram counts (8192 buckets ⇒ no collisions among the 4
+        distinct grams here; a collision would fail deterministically)."""
+        import math
+
+        from polars_view_spark.operators.textstats import dsir_weights
+
+        target = spark.createDataFrame(
+            [(100, "alpha beta gamma delta alpha beta")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma delta alpha beta gamma")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in dsir_weights(corpus, target).collect()}
+        V = 8192.0
+        # target grams: ab:2 bg:1 gd:1 da:1 (tot 5); corpus grams over both
+        # docs: ab:3 bg:3 gd:1 da:1 (tot 8)
+        tgt = {"ab": 2, "bg": 1, "gd": 1, "da": 1}
+        raw = {"ab": 3, "bg": 3, "gd": 1, "da": 1}
+
+        def lp(g):
+            return math.log((tgt[g] + 1) / (5 + V)) - math.log((raw[g] + 1) / (8 + V))
+
+        want1 = lp("ab") + lp("bg")
+        want2 = lp("ab") * 2 + lp("bg") * 2 + lp("gd") + lp("da")
+        assert got[1]["n_bigrams"] == 2 and got[2]["n_bigrams"] == 6
+        assert abs(got[1]["log_importance"] - want1) < 1e-5, (got[1], want1)
+        assert abs(got[2]["log_importance"] - want2) < 1e-5, (got[2], want2)
+        assert abs(got[2]["avg_log_importance"] - want2 / 6) < 1e-5

@@ -315,3 +315,18 @@ def test_lm_score_model_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_models_are_broadcast(spark):
+    # both bounded feature models reach the scorer via broadcast hash join;
+    # the corpus explode path stays JVM-side with no cross product
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.textstats import dsir_weights
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    plan = plan_of(dsir_weights(d, d.filter(F.col("lang") == "en")))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
