@@ -330,3 +330,18 @@ def test_dsir_models_are_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_apply_vocab_broadcast_jvm_side(spark):
+    # the trained segmentation table reaches the tokenizer via broadcast
+    # hash join; segmentation itself is array-fold codegen — no Python in
+    # the apply path, no cross product
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.bpe import apply_bpe, word_freq_table
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    vocab = word_freq_table(d).limit(100)  # plan shape, not trained quality
+    plan = plan_of(apply_bpe(d, vocab))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
