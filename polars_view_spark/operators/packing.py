@@ -237,3 +237,29 @@ def mixture_resample(
             *passthrough,
         )
     )
+
+
+def select_top_fraction(
+    df: DataFrame,
+    weight_col: str,
+    keep_frac: float,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Keep (approximately) the top ``keep_frac`` of rows by ``weight_col``
+    — the selection step downstream of a scoring operator (DSIR importance
+    weights, LM quality scores negated, …).
+
+    Scale shape: "top 10% of 100 TB" cannot be a global sort; the scalable
+    pattern is ONE quantile-sketch pass (Greenwald–Khanna via
+    ``approxQuantile`` — a single O(1)-driver scalar) followed by ONE
+    filter pass at scan speed.  ``rel_err`` trades sketch memory for cut
+    precision; rows with NULL weight are excluded (unscored docs are a
+    policy decision upstream, cf. ``n_bigrams = 0`` markers).
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    scored = df.filter(F.col(weight_col).isNotNull())
+    if keep_frac == 1.0:
+        return scored
+    thr = scored.stat.approxQuantile(weight_col, [1.0 - keep_frac], rel_err)[0]
+    return scored.filter(F.col(weight_col) >= thr)

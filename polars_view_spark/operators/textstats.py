@@ -365,6 +365,35 @@ def dsir_weights(
     )
 
 
+def dedup_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style within-document line deduplication (Raffel et al., T5/C4,
+    arXiv:1910.10683 keeps one occurrence of each line per page): drop
+    repeated lines inside each document, keeping the first occurrence and
+    preserving line order.
+
+    Pure array-fold projection — zero shuffles, fuses into the scan like
+    the other first-pass filters (cf. ``span_dedup`` for the CROSS-document
+    flavor, which needs the global shuffle).  The fold membership check is
+    O(lines²) per document — bounded by document size, never by corpus
+    size.  Adds ``text_deduped`` and ``n_dup_lines``.
+    """
+    lines = f"split({text_col}, '\\n')"
+    kept = (
+        f"aggregate({lines}, CAST(array() AS ARRAY<STRING>), "
+        f"(acc, l) -> CASE WHEN array_contains(acc, l) THEN acc "
+        f"ELSE array_append(acc, l) END)"
+    )
+    return (
+        df.withColumn("__kept", F.expr(kept))
+        .withColumn("text_deduped", F.array_join("__kept", "\n"))
+        .withColumn(
+            "n_dup_lines",
+            (F.size(F.expr(lines)) - F.size("__kept")).cast("long"),
+        )
+        .drop("__kept")
+    )
+
+
 WINNOW_K = 8  # k-gram width (characters)
 WINNOW_W = 4  # winnowing window (hashes)
 

@@ -758,3 +758,71 @@ class TestDsirWeights:
         assert abs(got[1]["log_importance"] - want1) < 1e-5, (got[1], want1)
         assert abs(got[2]["log_importance"] - want2) < 1e-5, (got[2], want2)
         assert abs(got[2]["avg_log_importance"] - want2 / 6) < 1e-5
+
+
+class TestLineDedupAndSelection:
+    def test_within_doc_line_dedup(self, spark):
+        from polars_view_spark.operators.textstats import dedup_lines
+
+        df = spark.createDataFrame(
+            [
+                (1, "keep me\nboilerplate\nkeep me\nboilerplate\nunique"),
+                (2, "no repeats\nhere"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+        assert got[1]["text_deduped"] == "keep me\nboilerplate\nunique"
+        assert got[1]["n_dup_lines"] == 2
+        assert got[2]["text_deduped"] == "no repeats\nhere"
+        assert got[2]["n_dup_lines"] == 0
+
+    def test_select_top_fraction(self, spark):
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.packing import select_top_fraction
+
+        df = spark.range(1, 101).withColumn("w", F.col("id").cast("double"))
+        df = df.unionByName(
+            df.sparkSession.createDataFrame([(999, None)], "id long, w double")
+        )
+        kept = select_top_fraction(df, "w", 0.2, rel_err=0.0001)
+        ids = {r["id"] for r in kept.collect()}
+        assert 999 not in ids  # NULL weight excluded
+        assert min(ids) >= 80 and 100 in ids and len(ids) <= 22
+
+    def test_select_composes_with_dsir(self, spark):
+        """End-to-end selection flow: DSIR weights -> top-fraction cut must
+        prefer the in-domain doc."""
+        from polars_view_spark.operators.packing import select_top_fraction
+        from polars_view_spark.operators.textstats import dsir_weights
+
+        target = spark.createDataFrame(
+            [(100 + i, "cats purr and cats nap in sunny windows") for i in range(5)],
+            "doc_id long, text string",
+        )
+        fillers = ["one", "two", "three", "four"]
+        corpus = spark.createDataFrame(
+            [(1, "cats purr and cats nap")] +
+            [(k, f"stock markets fell sharply on {fillers[k - 2]} trading")
+             for k in range(2, 6)],
+            "doc_id long, text string",
+        )
+        w = dsir_weights(corpus, target)
+        kept = {r["doc_id"] for r in
+                select_top_fraction(w, "log_importance", 0.1, rel_err=0.0001).collect()}
+        assert kept == {1}
+
+    def test_select_guards(self, spark):
+        import pytest as _pt
+
+        from polars_view_spark.operators.packing import select_top_fraction
+
+        df = spark.range(3).withColumn("w", F.col("id").cast("double")) if False else None
+        from pyspark.sql import functions as F2
+        df = spark.range(3).withColumn("w", F2.col("id").cast("double"))
+        with _pt.raises(ValueError):
+            select_top_fraction(df, "w", 0.0)
+        with _pt.raises(ValueError):
+            select_top_fraction(df, "w", 1.5)
+        assert select_top_fraction(df, "w", 1.0).count() == 3

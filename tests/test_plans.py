@@ -345,3 +345,15 @@ def test_bpe_apply_vocab_broadcast_jvm_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_line_dedup_is_projection_only(spark):
+    # within-doc line dedup must fuse into the scan: no exchange, no
+    # Python — it's a first-pass filter like gopher_quality
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.textstats import dedup_lines
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    plan = plan_of(dedup_lines(d))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
