@@ -199,8 +199,29 @@ def ngram_lm_score(
     visible — a length filter is a separate policy decision).
 
     Returns ``(id_col, n_bigrams, avg_neg_logprob)``, one row per corpus
-    document.
+    document.  Split as :func:`lm_train` (offline model) + :func:`lm_score`
+    (streaming-safe scorer) for the stream-ingest path.
     """
+    model, total = lm_train(reference, text_col, top_ngrams)
+    agg = lm_score(corpus, model, total, id_col, text_col, top_ngrams)
+    return (
+        corpus.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "avg_neg_logprob",
+        )
+    )
+
+
+def lm_train(
+    reference: DataFrame, text_col: str = "text", top_ngrams: int = LM_TOP_NGRAMS
+) -> tuple[DataFrame, DataFrame]:
+    """Build the bounded bigram model from the reference slice — the
+    offline half of :func:`ngram_lm_score`.  Returns ``(model, total)``:
+    the top-``top_ngrams`` ``(g, c)`` count table (lossless two-phase cut)
+    and its 1-row summed mass."""
     from pyspark.sql import Window
 
     from polars_view_spark.functions.texthash import (
@@ -208,12 +229,9 @@ def ngram_lm_score(
         tokens_sql,
     )
 
-    toks = tokens_sql(text_col)
-    grams = ngrams_from_tokens_sql("__t", 2)
-
     ref_g = (
-        reference.withColumn("__t", F.expr(toks))
-        .select(F.explode(F.expr(grams)).alias("g"))
+        reference.withColumn("__t", F.expr(tokens_sql(text_col)))
+        .select(F.explode(F.expr(ngrams_from_tokens_sql("__t", 2))).alias("g"))
     )
     counts = ref_g.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
     order = [F.col("c").desc(), F.col("g").asc()]
@@ -228,12 +246,33 @@ def ngram_lm_score(
         .select("g", "c")
     )
     total = model.agg(F.sum("c").cast("double").alias("__total"))
+    return model, total
+
+
+def lm_score(
+    corpus: DataFrame,
+    model: DataFrame,
+    total: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ngrams: int = LM_TOP_NGRAMS,
+) -> DataFrame:
+    """Score documents against a trained (static) model — the online half
+    of :func:`ngram_lm_score`: explode → broadcast stream-static join →
+    per-doc aggregation.  STREAMING-SAFE: ``corpus`` may be a streaming
+    DataFrame (the model/total sides must be static; run the sink in
+    update mode — documents with zero bigrams simply never emit a row,
+    whereas the batch wrapper left-joins them back as ``n_bigrams = 0``)."""
+    from polars_view_spark.functions.texthash import (
+        ngrams_from_tokens_sql,
+        tokens_sql,
+    )
 
     doc_g = (
-        corpus.withColumn("__t", F.expr(toks))
-        .select(F.col(id_col), F.explode(F.expr(grams)).alias("g"))
+        corpus.withColumn("__t", F.expr(tokens_sql(text_col)))
+        .select(F.col(id_col), F.explode(F.expr(ngrams_from_tokens_sql("__t", 2))).alias("g"))
     )
-    agg = (
+    return (
         doc_g.join(F.broadcast(model), "g", "left")
         .crossJoin(F.broadcast(total))
         .withColumn(
@@ -245,15 +284,6 @@ def ngram_lm_score(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.round(-F.avg("__lp") + F.lit(1e-9), 6).alias("avg_neg_logprob"),
-        )
-    )
-    return (
-        corpus.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            "avg_neg_logprob",
         )
     )
 

@@ -274,3 +274,29 @@ def test_scan_operators_run_on_the_ingest_stream(spark):
     got = sorted(map(tuple, spark.table("stream_scan_ops").collect()))
     want = sorted(map(tuple, transform(spark.read.parquet(path)).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_lm_score_matches_batch(spark):
+    """LM quality scoring at ingest: the model is trained OFFLINE on the
+    static reference slice (lm_train), then the SAME lm_score operator runs
+    on the arriving document stream via a stream-static broadcast join —
+    per-doc scores must equal the batch pass exactly (update mode; docs
+    with zero bigrams never emit, which the batch wrapper handles)."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.operators.textstats import lm_score, lm_train
+    from polars_view_spark.streaming.events import (
+        read_document_stream,
+        run_stream_to_memory,
+    )
+
+    path = f"{SF}/documents.parquet"
+    batch_docs = spark.read.parquet(path)
+    model, total = lm_train(batch_docs.filter(F.col("lang") == "en"))
+
+    stream = lm_score(read_document_stream(spark, path), model, total)
+    run_stream_to_memory(stream, "stream_lm", output_mode="update")
+
+    got = sorted(map(tuple, spark.table("stream_lm").collect()))
+    want = sorted(map(tuple, lm_score(batch_docs, model, total).collect()))
+    assert got == want and len(got) > 0
