@@ -35,13 +35,29 @@ def write_dataset(
     *,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    cluster_partitions: int | None = None,
     csv_delimiter: str = ";",
 ) -> None:
     """Distributed directory write — the 100 TB path.
 
     ``partition_by`` produces hive-style partition dirs, which later reads
-    prune automatically (partition pruning).
+    prune automatically (partition pruning).  ``cluster_by`` range-
+    repartitions and sorts within partitions on the given keys before
+    writing, so each output file covers a narrow key range — parquet
+    row-group/file min-max statistics then let later point/range filters
+    skip most files entirely (data skipping, the poor man's Z-order; for
+    multi-key use the leading key's selectivity dominates).
     """
+    if cluster_by:
+        cols = [df[c] for c in cluster_by]
+        # default: let AQE size the range partitions (the at-scale choice);
+        # cluster_partitions pins the count for deterministic file layouts
+        df = (
+            df.repartitionByRange(cluster_partitions, *cols)
+            if cluster_partitions
+            else df.repartitionByRange(*cols)
+        ).sortWithinPartitions(*cols)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -190,3 +190,58 @@ class TestBoundedInference:
         # and crucially no builtin open() crash
         assert sniff_delimiter("s3://bucket/key.csv", ";") == ";"
         assert sniff_delimiter("s3://bucket/key.csv") == ","
+
+
+class TestStorageLayout:
+    def test_cluster_by_gives_disjoint_file_ranges(self, spark, tmp_path):
+        """cluster_by must produce files whose min/max key ranges are
+        (near-)disjoint — the parquet-footer property that lets a filtered
+        scan skip files.  Verified against the real footers via pyarrow."""
+        import glob as g
+
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 10_000).withColumn(
+            "k", (F.col("id") * 7919) % 10_000  # shuffled key
+        )
+        out = str(tmp_path / "clustered")
+        write_dataset(df, out, cluster_by=["k"], cluster_partitions=8)
+        files = sorted(g.glob(f"{out}/part-*.parquet"))
+        assert len(files) > 1, "need multiple files to demonstrate skipping"
+        ranges = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "k"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+        # and the data survives intact
+        back = spark.read.parquet(out)
+        assert back.count() == 10_000
+
+    def test_schema_evolution_merge(self, spark, tmp_path):
+        """Appending a batch with an extra column must be readable as one
+        dataset via mergeSchema — old rows surface NULL for the new column
+        (the 100 TB reality: datasets evolve; readers must not break)."""
+        out = str(tmp_path / "evolving")
+        v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+        v2 = spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, name string, score double"
+        )
+        write_dataset(v1, out, mode="overwrite")
+        write_dataset(v2, out, mode="append")
+        back = spark.read.option("mergeSchema", "true").parquet(out)
+        assert sorted(back.columns) == ["id", "name", "score"]
+        rows = {r["id"]: r for r in back.collect()}
+        assert rows[1]["score"] is None and rows[2]["score"] == 9.5
