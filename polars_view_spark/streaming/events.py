@@ -35,14 +35,29 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events parquet (directory or glob).
 
     ``maxFilesPerTrigger`` keeps micro-batches bounded on a backfill; the
-    nanosecond timestamp is normalized exactly like the batch reader
-    (catalog.load_tables).
+    timestamp is normalized exactly like the batch reader
+    (catalog.load_tables): a one-file batch schema probe (footer read,
+    O(1) in data size) decides whether ``ts`` arrives as TIMESTAMP(MICROS)
+    (pass through) or TIMESTAMP(NANOS)-as-long (convert with the same
+    integer division DuckDB applies).  Hard-coding either variant breaks
+    the other — stream and batch must agree on event time or watermarks
+    and window joins silently diverge.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", "1")
+    probe = spark.read.parquet(path)
+    nanos = dict(probe.dtypes).get("ts") == "bigint"
+    schema = EVENT_SCHEMA if nanos else probe.schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
     path = _single_file_to_glob(reader, path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        # watermarks require TIMESTAMP (LTZ); the session TZ is pinned UTC
+        # everywhere (session.py, load_tables), so the cast is wall-clock
+        # preserving and date_format output matches the batch path exactly
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_tumbling_agg(
