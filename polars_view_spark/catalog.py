@@ -971,6 +971,43 @@ def _register_core() -> None:
     )
 
     sql_query(
+        "q_exists_correlated",
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '5-LOW'
+        )
+        ORDER BY c_custkey
+        """,
+        ("customer", "orders"),
+        doc="correlated EXISTS / NOT EXISTS — Catalyst decorrelates both "
+        "into one left-semi and one left-anti hash join on o_custkey "
+        "(never a per-row re-scan), so cost is two shuffles of the "
+        "filtered orders side regardless of customer count.",
+    )
+
+    sql_query(
+        "q_scalar_subquery",
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders
+        WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+        """,
+        ("orders",),
+        doc="uncorrelated scalar subquery — computed once as a one-row "
+        "subquery broadcast into the filter, not per row; the orders scan "
+        "runs twice (agg + filter), both with column pruning to "
+        "o_totalprice/o_orderkey.",
+    )
+
+    sql_query(
         "q_scalar_functions",
         """
         SELECT p_partkey,

@@ -2061,3 +2061,42 @@ register(
     """,
     tables=("events",),
 )(_e_range_join)
+
+
+# ---------------------------------------------------------------------------
+# document chunking (RAG / long-context window prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_CHARS = 512
+CHUNK_OVERLAP = 64
+_CHUNK_STEP = CHUNK_CHARS - CHUNK_OVERLAP
+
+
+def _x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width character chunks per document
+    (operators/packing.py:chunk_documents) — projection + explode only,
+    no shuffle; the oracle replicates the exact start/step arithmetic."""
+    from polars_view_spark.operators.packing import chunk_documents
+
+    t = load_tables(spark, sf_dir, "documents")
+    return chunk_documents(
+        t["documents"], chunk_chars=CHUNK_CHARS, overlap=CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_id")
+
+
+register(
+    "x_chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((u.start - 1) // {_CHUNK_STEP} AS BIGINT) AS chunk_id,
+           CAST(u.start AS BIGINT) AS chunk_start,
+           substr(text, CAST(u.start AS INT), {CHUNK_CHARS}) AS chunk_text,
+           CAST(length(substr(text, CAST(u.start AS INT), {CHUNK_CHARS})) AS BIGINT)
+             AS n_chunk_chars
+    FROM documents,
+         UNNEST(generate_series(1, greatest(length(text), 1), {_CHUNK_STEP}))
+           AS u(start)
+    ORDER BY doc_id, chunk_id
+    """,
+    tables=("documents",),
+)(_x_chunk_documents)

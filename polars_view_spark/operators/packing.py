@@ -263,3 +263,50 @@ def select_top_fraction(
         return scored
     thr = scored.stat.approxQuantile(weight_col, [1.0 - keep_frac], rel_err)[0]
     return scored.filter(F.col(weight_col) >= thr)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-width character windows —
+    the RAG / long-context preprocessing step that turns a corpus into
+    retrieval- or training-sized chunks while preserving ``overlap``
+    characters of context across boundaries (documents stay intact per
+    chunk, unlike ``pack_token_stream``'s concat-and-chop).
+
+    Returns ``(id_col, chunk_id, chunk_start, chunk_text, n_chunk_chars)``
+    with ``chunk_start`` 1-based and ``chunk_id = (chunk_start-1) / step``
+    (exact integer arithmetic, replicated verbatim by the DuckDB oracle).
+
+    Scale shape: a pure projection + ``posexplode(sequence(...))`` — no
+    shuffle, no Python; output rows ≈ n_chars/step regardless of document
+    skew, so a 1 GB outlier document fans out into rows, never into one
+    hot task.  Runs at scan speed on 100 TB.
+    """
+    if chunk_chars <= 0:
+        raise ValueError(f"chunk_chars must be positive, got {chunk_chars}")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(
+            f"overlap must be in [0, chunk_chars), got {overlap} vs {chunk_chars}"
+        )
+    step = chunk_chars - overlap
+    starts = (
+        f"sequence(1, CAST(greatest(length({text_col}), 1) AS INT), {step})"
+    )
+    return df.select(
+        id_col,
+        F.expr(f"explode({starts})").alias("chunk_start"),
+        F.col(text_col).alias("__txt"),
+    ).select(
+        id_col,
+        F.expr(f"CAST((chunk_start - 1) DIV {step} AS BIGINT)").alias("chunk_id"),
+        F.col("chunk_start").cast("long"),
+        F.expr(f"substring(__txt, chunk_start, {chunk_chars})").alias("chunk_text"),
+        F.expr(f"CAST(length(substring(__txt, chunk_start, {chunk_chars})) AS BIGINT)").alias(
+            "n_chunk_chars"
+        ),
+    )

@@ -357,3 +357,35 @@ def test_line_dedup_is_projection_only(spark):
     plan = plan_of(dedup_lines(d))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_documents_projection_only(spark):
+    """chunk_documents is explode + projection — zero exchanges, zero
+    Python eval: it must run at scan speed on a 100 TB corpus."""
+    import pytest as _pytest
+
+    from polars_view_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = chunk_documents(docs, chunk_chars=100, overlap=20)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # coverage + overlap semantics on a known string
+    row_doc = spark.createDataFrame([(1, "a" * 250)], "doc_id long, text string")
+    chunks = chunk_documents(row_doc, chunk_chars=100, overlap=20).collect()
+    starts = [r["chunk_start"] for r in chunks]
+    assert starts == [1, 81, 161, 241]
+    assert [r["n_chunk_chars"] for r in chunks] == [100, 100, 90, 10]
+    assert "".join(c["chunk_text"][: 100 - 20] for c in chunks[:-1]) + chunks[-1][
+        "chunk_text"
+    ] == "a" * 250
+
+    # empty text still yields exactly one (empty) chunk; bad params raise
+    empty = chunk_documents(
+        spark.createDataFrame([(2, "")], "doc_id long, text string")
+    ).collect()
+    assert len(empty) == 1 and empty[0]["n_chunk_chars"] == 0
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_chars=10, overlap=10)
