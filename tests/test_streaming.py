@@ -300,3 +300,41 @@ def test_streaming_lm_score_matches_batch(spark):
     got = sorted(map(tuple, spark.table("stream_lm").collect()))
     want = sorted(map(tuple, lm_score(batch_docs, model, total).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
+    """Union of per-trigger near-dup pairs over an arriving corpus equals
+    the one-shot batch pairing of the final corpus — every pair discovered
+    exactly once, in the trigger where its later member lands."""
+    from polars_view_spark.operators.dedup import minhash_lsh_pairs
+    from polars_view_spark.streaming.events import streaming_minhash_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    landing = str(tmp_path / "landing")
+    # three landing files → three micro-batches (maxFilesPerTrigger=1)
+    docs.withColumn("__f", docs.doc_id % 3).repartition(3, "__f").drop(
+        "__f"
+    ).write.parquet(landing)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    q = streaming_minhash_dedup(
+        stream, str(tmp_path / "corpus"), str(tmp_path / "pairs")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert want, "fixture must contain near-dup pairs"
+    assert got == want
+    # corpus snapshot accumulated every document exactly once
+    assert spark.read.parquet(str(tmp_path / "corpus")).count() == docs.count()
