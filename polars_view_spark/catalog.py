@@ -971,6 +971,79 @@ def _register_core() -> None:
     )
 
     sql_query(
+        "q7_volume_shipping",
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume) + 1e-6, 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+            AND n2.n_name IN ('NATION_1', 'NATION_2')
+            AND n1.n_name <> n2.n_name
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """,
+        ("lineitem", "supplier", "orders", "customer", "nation"),
+        doc="TPC-H Q7 shape: 5-way snowflake join + year rollup. Both "
+        "nation joins and supplier broadcast (dims); the lineitem fact "
+        "never shuffles for them — only the orders/customer bridge "
+        "shuffles, on the orderkey/custkey chain Catalyst reorders.",
+    )
+
+    sql_query(
+        "q10_returned_items",
+        """
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+        ("customer", "orders", "lineitem", "nation"),
+        doc="TPC-H Q10 shape: returned-item revenue top-20 — selective "
+        "fact filter, 3 joins, agg, TakeOrderedAndProject top-k (no "
+        "total sort); c_custkey tiebreak keeps the cut deterministic.",
+    )
+
+    sql_query(
+        "q18_large_orders",
+        """
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS STRING) AS orderdate,
+               ROUND(o_totalprice, 2) AS totalprice,
+               ROUND(SUM(l_quantity) + 1e-6, 2) AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY totalprice DESC, o_orderkey
+        LIMIT 100
+        """,
+        ("customer", "orders", "lineitem"),
+        doc="TPC-H Q18 shape: HAVING-qualified IN-subquery (left-semi "
+        "join against a pre-aggregated key list) feeding a 3-way join + "
+        "re-aggregation + top-k.",
+    )
+
+    sql_query(
         "q_exists_correlated",
         """
         SELECT c_custkey, c_name

@@ -389,3 +389,25 @@ def test_chunk_documents_projection_only(spark):
     assert len(empty) == 1 and empty[0]["n_chunk_chars"] == 0
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_chars=10, overlap=10)
+
+
+def test_q7_snowflake_broadcasts_dims(spark, cat):
+    """Q7 shape: nation/supplier dims must broadcast — the lineitem fact
+    shuffles only for the orders/customer bridge, never for dims."""
+    plan = plan_of(cat["q7_volume_shipping"].spark_fn(spark, SF))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_no_total_sort(spark, cat):
+    plan = plan_of(cat["q10_returned_items"].spark_fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 1
+
+
+def test_q18_semi_join_for_in_subquery(spark, cat):
+    """The HAVING-qualified IN list becomes a semi join (hash or
+    broadcast), never a per-row subquery re-execution."""
+    plan = plan_of(cat["q18_large_orders"].spark_fn(spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
