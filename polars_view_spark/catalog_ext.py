@@ -2100,3 +2100,56 @@ register(
     """,
     tables=("documents",),
 )(_x_chunk_documents)
+
+
+# ---------------------------------------------------------------------------
+# contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+NEG_K = 3
+NEG_BUCKETS = 32
+
+
+def _x_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives (operators/retrieval.py:
+    negative_pairs): every doc whose id % 97 == 0 is a query; each gets
+    NEG_K md5-bucket-drawn negatives.  No cross join, no rand(), no global
+    index — the oracle replicates the md5 arithmetic verbatim."""
+    from polars_view_spark.operators.retrieval import negative_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    return negative_pairs(
+        docs.filter(F.col("doc_id") % 97 == 0), docs, k=NEG_K, n_buckets=NEG_BUCKETS
+    ).orderBy("qid", "neg_slot")
+
+
+register(
+    "x_negative_pairs",
+    oracle=f"""
+    WITH q AS (SELECT doc_id AS qid FROM documents WHERE doc_id % 97 = 0),
+    qi AS (
+      SELECT qid, CAST(u.i AS BIGINT) AS neg_slot,
+             {duck_hex64_sql("qid::VARCHAR || ':' || u.i::VARCHAR")} % {NEG_BUCKETS} AS bucket
+      FROM q, UNNEST(generate_series(0, {NEG_K - 1})) AS u(i)
+    ),
+    c AS (
+      SELECT doc_id AS neg_id,
+             {duck_hex64_sql("doc_id::VARCHAR")} % {NEG_BUCKETS} AS bucket
+      FROM documents
+    ),
+    cand AS (
+      SELECT qid, neg_slot, neg_id,
+             {duck_hex64_sql("qid::VARCHAR || ':' || neg_slot::VARCHAR || ':' || neg_id::VARCHAR")} AS h
+      FROM qi JOIN c USING (bucket)
+      WHERE neg_id <> qid
+    )
+    SELECT qid, neg_slot, neg_id
+    FROM (SELECT qid, neg_slot, neg_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid, neg_slot ORDER BY h, neg_id) AS rn
+          FROM cand)
+    WHERE rn = 1
+    ORDER BY qid, neg_slot
+    """,
+    tables=("documents",),
+)(_x_negative_pairs)

@@ -87,3 +87,71 @@ def bm25_topk(
         .limit(k)
         .select(F.col("doc").alias(id_col), "score")
     )
+
+
+def negative_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 4,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic pseudo-random negative sampling for contrastive
+    training: pair each query document with ``k`` negatives drawn from the
+    corpus — WITHOUT a cross join, without ``rand()`` (irreproducible
+    across retries), and without a global index (a row_number over the
+    corpus would serialize into one reducer).
+
+    Scheme: corpus docs land in ``n_buckets`` md5 buckets; slot ``i`` of
+    query ``q`` hashes to one bucket and picks the member minimizing a
+    per-(q, i, candidate) hash.  Everything is the 60-bit md5 bridge
+    (functions/texthash.py:hex64_sql) that DuckDB replicates exactly, so
+    the oracle states the identical arithmetic.  Sampling is
+    with-replacement across slots (two slots of one query can draw the
+    same doc — at corpus scale, vanishingly rare); the query's own doc is
+    excluded before ranking, so a slot whose bucket holds only the query
+    doc itself yields nothing rather than a self-pair.
+
+    Cost: one equi-join producing |queries| × k × (|corpus|/n_buckets)
+    candidate rows and one (q, slot)-partitioned window over them — size
+    ``n_buckets`` ∝ |corpus| to hold candidate volume at
+    O(|queries| × k × const) on a 100 TB corpus.
+    """
+    from polars_view_spark.functions.texthash import hex64_sql
+
+    if k <= 0 or n_buckets <= 0:
+        raise ValueError(f"k and n_buckets must be positive, got {k}, {n_buckets}")
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.expr(
+            f"{hex64_sql(f'CAST({id_col} AS STRING)')} % {n_buckets}"
+        ).alias("bucket"),
+    )
+    qi = queries.select(F.col(id_col).alias("qid")).withColumn(
+        "neg_slot", F.explode(F.expr(f"sequence(0L, {k - 1}L)"))
+    )
+    slot_key = "concat(CAST(qid AS STRING), ':', CAST(neg_slot AS STRING))"
+    qi = qi.withColumn(
+        "bucket", F.expr(f"{hex64_sql(slot_key)} % {n_buckets}")
+    )
+    cand = (
+        qi.join(c, "bucket")
+        .filter(F.col("neg_id") != F.col("qid"))
+        .withColumn(
+            "h",
+            F.expr(
+                hex64_sql(
+                    "concat(CAST(qid AS STRING), ':', CAST(neg_slot AS STRING),"
+                    " ':', CAST(neg_id AS STRING))"
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("qid", "neg_slot").orderBy("h", "neg_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "neg_slot", "neg_id")
+    )

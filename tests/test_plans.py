@@ -411,3 +411,27 @@ def test_q18_semi_join_for_in_subquery(spark, cat):
     plan = plan_of(cat["q18_large_orders"].spark_fn(spark, SF))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_negative_pairs_no_cross_join(spark):
+    """Negative sampling must be an equi-join on the md5 bucket — never a
+    cross product — and deterministic across invocations."""
+    from polars_view_spark.operators.retrieval import negative_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter("doc_id % 97 = 0")
+    df = negative_pairs(q, docs, k=3, n_buckets=16)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    rows = df.collect()
+    again = {tuple(r) for r in negative_pairs(q, docs, k=3, n_buckets=16).collect()}
+    assert {tuple(r) for r in rows} == again  # reproducible, no rand()
+    n_queries = q.count()
+    assert 0 < len(rows) <= n_queries * 3
+    assert all(r["neg_id"] != r["qid"] for r in rows)
+    # every slot picks at most one negative
+    from collections import Counter
+
+    slots = Counter((r["qid"], r["neg_slot"]) for r in rows)
+    assert max(slots.values()) == 1
