@@ -29,13 +29,16 @@ Layers (mirrors SURVEY.md §7.1):
 
 from polars_view_spark.config import LoadConfig, SortBy, ViewConfig
 from polars_view_spark.container import DataContainer
+from polars_view_spark.plans.audit import PlanAudit, audit_plan
 from polars_view_spark.session import get_spark
 
 __all__ = [
     "DataContainer",
     "LoadConfig",
+    "PlanAudit",
     "SortBy",
     "ViewConfig",
+    "audit_plan",
     "get_spark",
 ]
 
