@@ -2153,3 +2153,63 @@ register(
     """,
     tables=("documents",),
 )(_x_negative_pairs)
+
+
+# ---------------------------------------------------------------------------
+# mergeable sketch rollups (incremental distinct counts / quantiles)
+# ---------------------------------------------------------------------------
+
+
+def _x_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-user counts via mergeable HLL sketches
+    (operators/sketches.py): per-(event_type, day) partial sketches are
+    merged up to per-type totals — the persist-partials-merge-later
+    pattern that answers rollups at 100 TB without rescanning raw data.
+
+    Sketch estimates are engine-specific, so (q_approx_aggregates idiom)
+    the query emits EXACT counts plus self-asserting booleans: the merged
+    estimate equals the sketch-the-whole-input estimate exactly
+    (losslessness of the union), and lands within 5% of truth (HLL at
+    lg_k=12 is ~1.6% σ); the oracle states both as TRUE."""
+    from polars_view_spark.operators.sketches import (
+        hll_merge_estimate,
+        hll_partial_sketches,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].withColumn("day", F.to_date("ts"))
+    partials = hll_partial_sketches(ev, ["event_type"], "day", "user_id")
+    merged = hll_merge_estimate(partials, ["event_type"])
+    whole = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("__whole"),
+    )
+    return (
+        merged.join(whole, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_users").cast("long"),
+            (F.col("est_distinct") == F.col("__whole")).alias("merged_equals_whole"),
+            (
+                F.abs(F.col("est_distinct") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "x_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_equals_whole,
+           TRUE AS est_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tables=("events",),
+)(_x_sketch_rollup)

@@ -435,3 +435,56 @@ def test_negative_pairs_no_cross_join(spark):
 
     slots = Counter((r["qid"], r["neg_slot"]) for r in rows)
     assert max(slots.values()) == 1
+
+
+def test_sketch_rollup_is_jvm_partial_agg(spark):
+    """Sketch building/merging must be JVM ObjectHashAggregate with
+    map-side partials — no Python, one shuffle per aggregation level —
+    and merging arbitrary slice subsets must compose associatively."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.operators.sketches import (
+        hll_merge_estimate,
+        hll_partial_sketches,
+        kll_merge_quantiles,
+        kll_partial_sketches,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":  # nanos variant
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = ev.withColumn("day", F.to_date("ts"))
+    partials = hll_partial_sketches(ev, ["event_type"], "day", "user_id")
+    plan = plan_of(hll_merge_estimate(partials, ["event_type"]))
+    assert "partial_hll_sketch_agg" in plan, "no map-side sketch partials"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # associativity: merging day-partials == sketching the whole input
+    merged = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_merge_estimate(partials, ["event_type"]).collect()
+    }
+    whole = {
+        r["event_type"]: r["w"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("w"))
+        .collect()
+    }
+    assert merged == whole
+
+    # KLL quantiles: merged partials within rank tolerance of exact
+    kparts = kll_partial_sketches(ev, ["event_type"], "day", "value")
+    q = {
+        r["event_type"]: r["q5"]
+        for r in kll_merge_quantiles(kparts, ["event_type"], (0.5,)).collect()
+    }
+    exact = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5D)").alias("m"))
+        .collect()
+    }
+    for et, est in q.items():
+        # KLL guarantees rank error, not value error; at this distribution
+        # 10% value slack is comfortably above the rank-1.7% envelope
+        assert abs(est - exact[et]) / abs(exact[et]) < 0.10, (et, est, exact[et])
