@@ -106,3 +106,11 @@ class DataContainer:
 
     def schema_listing(self) -> list[tuple[int, str, str]]:
         return [(i, f.name, f.dataType.simpleString()) for i, f in enumerate(self.df.schema.fields)]
+
+    def audit(self):
+        """Scale review of the current view's physical plan
+        (plans/audit.py) — what a ``.explain()`` reader would flag before
+        running this pipeline on a big table."""
+        from polars_view_spark.plans.audit import audit_plan
+
+        return audit_plan(self.df)

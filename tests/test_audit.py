@@ -60,3 +60,17 @@ def test_scan_inventory_sees_pushdown(spark):
     a = audit_plan(cat["q_filter_predicates"].spark_fn(spark, SF))
     assert a.scans, "no scans found in plan"
     assert any(s.pushed_filters for s in a.scans), "pushdown not visible"
+
+
+def test_container_audit(spark, tmp_path):
+    import pandas as pd
+
+    from polars_view_spark import DataContainer, LoadConfig
+
+    p = str(tmp_path / "t.csv")
+    pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_csv(p, index=False)
+    c = DataContainer.load_data(
+        spark, LoadConfig(path=p, apply_sql=True, query="SELECT a FROM AllData")
+    )
+    a = c.audit()
+    assert not a.has_cartesian and not a.has_python_row_eval
