@@ -2213,3 +2213,110 @@ register(
     """,
     tables=("events",),
 )(_x_sketch_rollup)
+
+
+def _x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy hitters (operators/sketches.py:topk_partial_states
+    / topk_merge): per-day frequent-items states combined into the global
+    top-3 event types.  Tracked capacity exceeds the distinct-item count
+    here, so estimates are exact and the oracle can state them; at real
+    vocabulary scale the same pipeline degrades to bounded-error
+    estimates (documented), which the self-asserting flavor
+    (q_approx_aggregates idiom) would gate instead."""
+    from polars_view_spark.operators.sketches import topk_merge, topk_partial_states
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].withColumn("day", F.to_date("ts"))
+    states = topk_partial_states(ev, "day", "event_type", k=3)
+    return topk_merge(states, 3).orderBy(F.col("est_count").desc(), "item")
+
+
+register(
+    "x_heavy_hitters",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM events GROUP BY event_type
+    ORDER BY est_count DESC, item LIMIT 3
+    """,
+    tables=("events",),
+)(_x_heavy_hitters)
+
+
+def _x_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (operators/sketches.py): distinct-user
+    union / intersection / difference of the 'click' and 'purchase'
+    audiences estimated purely from two per-segment sketches — no join of
+    raw events.  Emits the EXACT set sizes plus booleans asserting each
+    sketch estimate is within 5% (q_approx_aggregates idiom)."""
+    from polars_view_spark.operators.sketches import (
+        theta_partial_sketches,
+        theta_set_estimates,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].filter(F.col("event_type").isin("click", "purchase"))
+    sk = theta_partial_sketches(ev, ["event_type"], "user_id")
+    wide = sk.groupBy().pivot("event_type", ["click", "purchase"]).agg(
+        F.first("theta_sketch")
+    )
+    est = theta_set_estimates("click", "purchase")
+    ests = wide.select(
+        F.expr(est["union"]).alias("__u"),
+        F.expr(est["intersection"]).alias("__i"),
+        F.expr(est["difference"]).alias("__d"),
+    )
+    exact = t["events"].agg(
+        F.countDistinct(
+            F.when(F.col("event_type").isin("click", "purchase"), F.col("user_id"))
+        ).alias("exact_union"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("__c"),
+    )
+    exact_i = (
+        t["events"]
+        .filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            t["events"].filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    row = ests.crossJoin(exact).crossJoin(exact_i)
+    tol = 0.05
+    return row.select(
+        F.col("exact_union").cast("long"),
+        F.col("exact_intersection").cast("long"),
+        (F.col("__c") - F.col("exact_intersection")).cast("long").alias(
+            "exact_click_only"
+        ),
+        (F.abs(F.col("__u") - F.col("exact_union")) <= F.col("exact_union") * F.lit(tol)).alias(
+            "union_within_5pct"
+        ),
+        (
+            F.abs(F.col("__i") - F.col("exact_intersection"))
+            <= F.greatest(F.col("exact_intersection") * F.lit(tol), F.lit(1.0))
+        ).alias("intersection_within_5pct"),
+        (
+            F.abs(F.col("__d") - (F.col("__c") - F.col("exact_intersection")))
+            <= F.greatest(
+                (F.col("__c") - F.col("exact_intersection")) * F.lit(tol), F.lit(1.0)
+            )
+        ).alias("difference_within_5pct"),
+    )
+
+
+register(
+    "x_audience_overlap",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT COUNT(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS BIGINT) AS exact_union,
+           CAST((SELECT COUNT(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)) AS BIGINT) AS exact_intersection,
+           CAST((SELECT COUNT(*) FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)) AS BIGINT) AS exact_click_only,
+           TRUE AS union_within_5pct,
+           TRUE AS intersection_within_5pct,
+           TRUE AS difference_within_5pct
+    """,
+    tables=("events",),
+)(_x_audience_overlap)

@@ -87,3 +87,61 @@ def kll_merge_quantiles(
             for q in quantiles
         ],
     )
+
+
+def topk_partial_states(
+    df: DataFrame,
+    slice_col: str,
+    item_col: str,
+    k: int,
+    max_tracked: int = 10_000,
+) -> DataFrame:
+    """Per-slice mergeable heavy-hitter states (DataSketches frequent
+    items via ``approx_top_k_accumulate``) — the persistable partial for
+    incremental top-k maintenance.  Estimates are exact while a slice's
+    distinct-item count stays ≤ ``max_tracked``; beyond that the sketch
+    degrades gracefully with a documented error bound."""
+    return df.groupBy(slice_col).agg(
+        F.expr(f"approx_top_k_accumulate({item_col}, {max_tracked})").alias(
+            "topk_state"
+        )
+    )
+
+
+def topk_merge(states: DataFrame, k: int) -> DataFrame:
+    """Combine per-slice states and emit the global top-``k`` as
+    ``(item, est_count)`` rows — any subset of slices merges freely."""
+    merged = states.agg(
+        F.expr(f"approx_top_k_estimate(approx_top_k_combine(topk_state), {k})").alias(
+            "top"
+        )
+    )
+    return merged.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("est_count")
+    )
+
+
+def theta_partial_sketches(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Per-key Theta sketches of ``value_col`` — unlike HLL, Theta
+    sketches support full set algebra (union / intersection / difference),
+    so persisted per-segment sketches answer audience-overlap questions
+    without joining raw data."""
+    return df.groupBy(*keys).agg(
+        F.expr(f"theta_sketch_agg({value_col})").alias("theta_sketch")
+    )
+
+
+def theta_set_estimates(sketch_a, sketch_b) -> dict[str, str]:
+    """SQL expression strings estimating |A∪B|, |A∩B|, |A\\B| from two
+    sketch columns — compose into any select."""
+    return {
+        "union": f"theta_sketch_estimate(theta_union({sketch_a}, {sketch_b}))",
+        "intersection": (
+            f"theta_sketch_estimate(theta_intersection({sketch_a}, {sketch_b}))"
+        ),
+        "difference": (
+            f"theta_sketch_estimate(theta_difference({sketch_a}, {sketch_b}))"
+        ),
+    }

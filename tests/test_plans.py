@@ -488,3 +488,47 @@ def test_sketch_rollup_is_jvm_partial_agg(spark):
         # KLL guarantees rank error, not value error; at this distribution
         # 10% value slack is comfortably above the rank-1.7% envelope
         assert abs(est - exact[et]) / abs(exact[et]) < 0.10, (et, est, exact[et])
+
+
+def test_topk_and_theta_merge_semantics(spark):
+    """Heavy-hitter states combined from slices must equal the direct
+    sketch over the whole input; theta algebra must satisfy
+    |A| = |A∩B| + |A\\B| on exact-regime inputs."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.operators.sketches import (
+        theta_partial_sketches,
+        theta_set_estimates,
+        topk_merge,
+        topk_partial_states,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = ev.withColumn("day", F.to_date("ts"))
+
+    merged = topk_merge(topk_partial_states(ev, "day", "event_type", 3), 3).collect()
+    direct = (
+        ev.groupBy("event_type")
+        .count()
+        .orderBy(F.desc("count"), "event_type")
+        .limit(3)
+        .collect()
+    )
+    assert [(r["item"], r["est_count"]) for r in merged] == [
+        (r["event_type"], r["count"]) for r in direct
+    ]
+
+    sk = theta_partial_sketches(
+        ev.filter(F.col("event_type").isin("click", "error")), ["event_type"], "user_id"
+    )
+    wide = sk.groupBy().pivot("event_type", ["click", "error"]).agg(
+        F.first("theta_sketch")
+    )
+    est = theta_set_estimates("click", "error")
+    r = wide.select(
+        F.expr(est["intersection"]).alias("i"), F.expr(est["difference"]).alias("d")
+    ).collect()[0]
+    n_click = ev.filter("event_type = 'click'").select("user_id").distinct().count()
+    assert r["i"] + r["d"] == n_click
