@@ -1044,6 +1044,43 @@ def _register_core() -> None:
     )
 
     sql_query(
+        "q_window_range_frame",
+        """
+        SELECT o_custkey, o_orderkey,
+               ROUND(1e-6 + SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice
+                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2) AS near_sum
+        FROM orders
+        WHERE o_custkey < 20
+        ORDER BY o_custkey, o_orderkey
+        """,
+        ("orders",),
+        doc="RANGE window frame (value-based, vs the ROWS frame in "
+        "q_window_running): the frame is every peer within 1000 price "
+        "units — one hash-partitioned shuffle, in-partition sort.",
+    )
+
+    sql_query(
+        "q_lateral_subquery",
+        """
+        SELECT c_custkey, t.o_orderkey, t.totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c_custkey < 30
+        ORDER BY c_custkey, totalprice DESC, o_orderkey
+        """,
+        ("customer", "orders"),
+        doc="correlated LATERAL subquery (top-2 orders per customer) — "
+        "Catalyst decorrelates the per-row subquery into a windowed "
+        "rank + join, so it never re-executes orders per customer row.",
+    )
+
+    sql_query(
         "q_exists_correlated",
         """
         SELECT c_custkey, c_name
