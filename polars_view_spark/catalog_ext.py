@@ -2320,3 +2320,63 @@ register(
     """,
     tables=("events",),
 )(_x_audience_overlap)
+
+
+def _x_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style stride frame sampling over binary payloads
+    (operators/multimodal.py:frame_sample) — Arrow-batched mapInPandas;
+    payloads are ASCII here so the oracle mirrors byte frames with
+    substr + md5."""
+    from polars_view_spark.operators.multimodal import frame_sample, pack_binary
+
+    t = load_tables(spark, sf_dir, "documents")
+    packed = pack_binary(t["documents"], "text", "source")
+    return frame_sample(packed, stride=2, frame_bytes=64).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+register(
+    "x_multimodal_framesample",
+    oracle="""
+    SELECT doc_id,
+           CAST(u.i AS BIGINT) AS frame_idx,
+           CAST(length(substr(text, CAST(u.i AS INT) * 64 + 1, 64)) AS BIGINT)
+             AS n_frame_bytes,
+           md5(substr(text, CAST(u.i AS INT) * 64 + 1, 64)) AS frame_md5
+    FROM documents,
+         UNNEST(generate_series(0, CAST(ceil(length(text) / 64.0) AS INT) - 1, 2))
+           AS u(i)
+    ORDER BY doc_id, frame_idx
+    """,
+    tables=("documents",),
+)(_x_multimodal_framesample)
+
+
+def _x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-style byte-grid downsample (operators/multimodal.py:
+    resize_payload): keep every 4th byte; oracle rebuilds the thumb with
+    an ordered string_agg over the same stride."""
+    from polars_view_spark.operators.multimodal import pack_binary, resize_payload
+
+    t = load_tables(spark, sf_dir, "documents")
+    packed = pack_binary(t["documents"], "text", "source")
+    return resize_payload(packed, factor=4).orderBy("doc_id")
+
+
+register(
+    "x_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes_in,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes_out,
+           md5(string_agg(c, '' ORDER BY i)) AS thumb_md5
+    FROM (
+      SELECT doc_id, text, u.i, substr(text, CAST(u.i AS INT), 1) AS c
+      FROM documents, UNNEST(generate_series(1, length(text), 4)) AS u(i)
+    )
+    GROUP BY doc_id, text
+    ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_x_multimodal_resize)

@@ -106,3 +106,90 @@ def decode_real(df: DataFrame) -> DataFrame:
         "use decode_features() for the deterministic stub with identical "
         "Spark-side plumbing"
     )
+
+
+FRAME_BYTES = 64
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    stride: int = 2,
+    frame_bytes: int = FRAME_BYTES,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video-style frame sampling over a binary payload: the payload is a
+    sequence of fixed-size ``frame_bytes`` frames; keep every
+    ``stride``-th one.  Real plumbing, fake frames — swap the fixed-width
+    slicing for a container demuxer (PyAV) and the mapInPandas contract,
+    schema, and fan-out shape are unchanged.  Emits the frame's md5, not
+    the bytes, so the DuckDB oracle (ASCII payloads: byte == char offsets)
+    states identical values without shipping payloads through the gate.
+
+    Scale shape: one Arrow-batched pass, output rows ≈ n_bytes /
+    (frame_bytes × stride) per doc — a skewed 1 GB payload fans out into
+    rows, never into one hot task downstream.
+    """
+    import hashlib
+
+    if stride <= 0 or frame_bytes <= 0:
+        raise ValueError(f"stride/frame_bytes must be positive: {stride}, {frame_bytes}")
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frame_bytes": [], "frame_md5": []}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = -(-len(b) // frame_bytes) if b else 0
+                for i in range(0, n_frames, stride):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(i)
+                    out["n_frame_bytes"].append(len(fr))
+                    out["frame_md5"].append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(_sample, _FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes_in", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_payload(df: DataFrame, factor: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Image-style downsample: keep every ``factor``-th byte of the
+    payload (the grid-subsample a real resize generalizes).  Same honest
+    split as decode_features: the byte arithmetic is a stand-in, the
+    Arrow-batched contract and the deterministic oracle are real."""
+    import hashlib
+
+    if factor <= 0:
+        raise ValueError(f"factor must be positive, got {factor}")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "n_bytes_in": [], "n_bytes_out": [], "thumb_md5": []}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                thumb = b[::factor]
+                rows["doc_id"].append(int(did))
+                rows["n_bytes_in"].append(len(b))
+                rows["n_bytes_out"].append(len(thumb))
+                rows["thumb_md5"].append(hashlib.md5(thumb).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(_resize, _RESIZE_SCHEMA)

@@ -95,10 +95,15 @@ def test_whole_stage_codegen_on_scan_paths(spark, cat):
 
 
 def test_multimodal_is_arrow_batched(spark, cat):
-    plan = plan_of(cat["x_multimodal_decode"].spark_fn(spark, SF))
-    # mapInPandas shows up as MapInPandas (Arrow), NOT row-at-a-time Python
-    assert "MapInPandas" in plan
-    assert "BatchEvalPython" not in plan
+    for entry in (
+        "x_multimodal_decode",
+        "x_multimodal_framesample",
+        "x_multimodal_resize",
+    ):
+        plan = plan_of(cat[entry].spark_fn(spark, SF))
+        # mapInPandas shows up as MapInPandas (Arrow), NOT row-at-a-time
+        assert "MapInPandas" in plan, entry
+        assert "BatchEvalPython" not in plan, entry
 
 
 def test_stratified_sample_no_shuffle(spark, cat):
