@@ -2380,3 +2380,48 @@ register(
     """,
     tables=("documents",),
 )(_x_multimodal_resize)
+
+
+GROUP_SAMPLE_K = 5
+
+
+def _x_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k-per-group sampling: rank each (lang, source)
+    group by the md5 hash of its ids and keep the first k — the
+    reproducible replacement for per-group reservoir sampling when
+    building eval slices.  ONE hash-partitioned shuffle (the rank
+    window); the hash order is uniform, so the pick is an unbiased
+    without-replacement sample that never changes across runs, retries,
+    or engines."""
+    t = load_tables(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    w = Window.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id"))
+    return (
+        t["documents"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+        .select("doc_id", "lang", "source", F.col("rn").cast("long").alias("sample_rank"))
+        .orderBy("lang", "source", "sample_rank")
+    )
+
+
+register(
+    "x_group_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT),
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= {GROUP_SAMPLE_K}
+    ORDER BY lang, source, sample_rank
+    """,
+    tables=("documents",),
+)(_x_group_sample)
