@@ -338,3 +338,24 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     assert got == want
     # corpus snapshot accumulated every document exactly once
     assert spark.read.parquet(str(tmp_path / "corpus")).count() == docs.count()
+
+
+def test_chunking_runs_on_the_ingest_stream(spark):
+    """chunk_documents is explode + projection, so the SAME operator runs
+    on the arriving corpus — RAG chunking at ingest, byte-for-byte equal
+    to the batch pass."""
+    from polars_view_spark.operators.packing import chunk_documents
+    from polars_view_spark.streaming.events import (
+        read_document_stream,
+        run_stream_to_memory,
+    )
+
+    path = f"{SF}/documents.parquet"
+    stream = chunk_documents(read_document_stream(spark, path), 200, 50)
+    run_stream_to_memory(stream, "stream_chunks", output_mode="append")
+
+    got = sorted(map(tuple, spark.table("stream_chunks").collect()))
+    want = sorted(
+        map(tuple, chunk_documents(spark.read.parquet(path), 200, 50).collect())
+    )
+    assert got == want and len(got) > 0
