@@ -212,32 +212,32 @@ def _seed_centroids(
     return cells, seed_arrays
 
 
-def _with_seed_dists(
-    df: DataFrame, vec_col: str, seed_arrays: list[str], scale: int
+def _with_sorted_cells(
+    df: DataFrame, vec_col: str, cells: list[int], seed_arrays: list[str], scale: int
 ) -> DataFrame:
-    """Add ``__qv`` (quantized copy of ``vec_col``) and one integer squared-L2
-    distance column ``__d{i}`` per seed centroid — a pure projection, no join,
-    no shuffle."""
-    out = df.withColumn("__qv", F.expr(_quantize_sql(vec_col, scale)))
-    for i, arr in enumerate(seed_arrays):
-        out = out.withColumn(
-            f"__d{i}",
-            F.expr(
-                f"aggregate(zip_with(__qv, {arr}, (x, y) -> (x - y) * (x - y)), "
-                f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-            ),
-        )
-    return out
+    """Add ``__sp``: the (distance, cell) struct array over ALL seed
+    centroids, sorted ascending by (d, cell) — ONE expression per row.
 
-
-def _argmin_cell_expr(cells: list[int]):
-    """Chained CASE over the ``__d{i}`` distances — first match wins, so
-    ties go to the lowest cell id (mirrors ``ORDER BY (dist, cell)``)."""
-    min_d = F.least(*[F.col(f"__d{i}") for i in range(len(cells))])
-    cell_expr = F.when(F.col("__d0") == min_d, F.lit(cells[0]))
-    for i in range(1, len(cells)):
-        cell_expr = cell_expr.when(F.col(f"__d{i}") == min_d, F.lit(cells[i]))
-    return cell_expr
+    The first implementation materialized one ``withColumn`` distance per
+    seed and chained a CASE over them; projection collapse then inlined
+    every distance expression into every CASE branch, and the analyzer
+    went quadratic-to-exponential in seed count (a 64-seed plan at sf0.1
+    never finished analysis).  A single ``transform`` over an
+    array-of-seed-literals keeps the expression tree O(seeds), and the
+    struct sort reproduces the oracle's ``ORDER BY d, cell`` tiebreak."""
+    seeds_arr = "array(" + ", ".join(seed_arrays) + ")"
+    cells_arr = "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cells) + ")"
+    dists = (
+        f"transform({seeds_arr}, c -> aggregate(zip_with(__qv, c, "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v))"
+    )
+    return df.withColumn("__qv", F.expr(_quantize_sql(vec_col, scale))).withColumn(
+        "__sp",
+        F.expr(
+            f"sort_array(zip_with({dists}, {cells_arr}, "
+            f"(d, c) -> struct(d AS d, c AS cell)))"
+        ),
+    )
 
 
 def ivf_flat_topk(
@@ -270,27 +270,19 @@ def ivf_flat_topk(
         corpus, id_col, vec_col, seed_mod, scale, max_seeds
     )
 
-    def with_dists(df: DataFrame) -> DataFrame:
-        return _with_seed_dists(df, vec_col, seed_arrays, scale)
+    def with_cells(df: DataFrame) -> DataFrame:
+        return _with_sorted_cells(df, vec_col, cells, seed_arrays, scale)
 
-    assigned = with_dists(corpus)
-    cell_expr = _argmin_cell_expr(cells)
-    assigned = assigned.select(
+    assigned = with_cells(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        cell_expr.alias("cell"),
+        F.expr("__sp[0].cell").alias("cell"),
     )
 
-    # query probes: sorted (dist, cell) struct array → first n_probe cells
-    probe_structs = F.array(
-        *[
-            F.struct(F.col(f"__d{i}").alias("d"), F.lit(cells[i]).alias("cell"))
-            for i in range(len(cells))
-        ]
-    )
+    # query probes: first n_probe cells of the sorted (dist, cell) array
     q_cells = (
-        with_dists(queries)
-        .withColumn("__probe", F.slice(F.sort_array(probe_structs), 1, n_probe))
+        with_cells(queries)
+        .withColumn("__probe", F.expr(f"slice(__sp, 1, {n_probe})"))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
@@ -350,10 +342,10 @@ def semantic_dedup(
     cells, seed_arrays = _seed_centroids(
         corpus, id_col, vec_col, seed_mod, scale, max_seeds
     )
-    assigned = _with_seed_dists(corpus, vec_col, seed_arrays, scale).select(
+    assigned = _with_sorted_cells(corpus, vec_col, cells, seed_arrays, scale).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        _argmin_cell_expr(cells).alias("cell"),
+        F.expr("__sp[0].cell").alias("cell"),
     )
     sized = assigned.withColumn(
         "cell_capped",
