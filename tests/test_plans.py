@@ -464,7 +464,9 @@ def test_sketch_rollup_is_jvm_partial_agg(spark):
     assert "partial_hll_sketch_agg" in plan, "no map-side sketch partials"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
-    # associativity: merging day-partials == sketching the whole input
+    # associativity: merging day-partials tracks sketching the whole input
+    # (exactly equal in the sparse regime, within 1% once the union path
+    # promotes to dense HLL mode — pinned at sf0.1 by the oracle entry)
     merged = {
         r["event_type"]: r["est_distinct"]
         for r in hll_merge_estimate(partials, ["event_type"]).collect()
@@ -475,7 +477,9 @@ def test_sketch_rollup_is_jvm_partial_agg(spark):
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("w"))
         .collect()
     }
-    assert merged == whole
+    assert set(merged) == set(whole)
+    for et in whole:
+        assert abs(merged[et] - whole[et]) <= max(0.01 * whole[et], 1), et
 
     # KLL quantiles: merged partials within rank tolerance of exact
     kparts = kll_partial_sketches(ev, ["event_type"], "day", "value")
