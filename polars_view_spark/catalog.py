@@ -1044,6 +1044,26 @@ def _register_core() -> None:
     )
 
     sql_query(
+        "q_not_in_null_semantics",
+        """
+        SELECT
+          (SELECT COUNT(*) FROM supplier
+           WHERE s_nationkey NOT IN
+                 (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)) AS n_clean,
+          (SELECT COUNT(*) FROM supplier
+           WHERE s_suppkey NOT IN
+                 (SELECT CASE WHEN n_nationkey = 3 THEN NULL ELSE -1 END
+                  FROM nation)) AS n_poisoned
+        """,
+        ("supplier", "nation"),
+        doc="ANSI NOT IN null semantics, demonstrated: a NULL anywhere in "
+        "the NOT IN list makes every comparison UNKNOWN, so n_poisoned "
+        "MUST be 0 — the classic silent-wrong-answer trap; Catalyst "
+        "compiles it to a null-aware anti join, and the oracle proves "
+        "both engines agree.",
+    )
+
+    sql_query(
         "q_window_range_frame",
         """
         SELECT o_custkey, o_orderkey,
