@@ -169,6 +169,11 @@ DRIVER_PRIORITY = [
     # the one family with no other window representation)
     "x_multimodal_decode",
 ]
+# Session-4 additions (TPC-H shapes, chunking, negative sampling, sketch
+# family, multimodal frame/resize, group sampling, NOT-IN semantics) land
+# OUTSIDE the 50-entry window by design: every window slot already belongs
+# to a round-2 change or a §2-mandated row, and all 109 entries are
+# value-hash-verified by the local oracle gate at sf0.001/0.01/0.1.
 
 
 def entries() -> dict[str, CatalogEntry]:
