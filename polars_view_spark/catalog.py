@@ -325,6 +325,39 @@ def _t_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_clustered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered dataset write end-to-end (write_dataset
+    ``cluster_by`` — the data-skipping layout): events clustered on
+    user_id into pinned range partitions → re-read → selective range
+    aggregate.  Each output file covers a narrow user_id range, so the
+    filtered scan skips most files via parquet min/max footers
+    (file-level assertion in tests/test_sources.py); the oracle runs the
+    same aggregate on the original parquet, so any corruption in the
+    repartition/sort/write/read chain breaks the hash."""
+    import os
+
+    from polars_view_spark.sources.writers import write_dataset
+
+    t = load_tables(spark, sf_dir, "events")
+    out = os.path.join(_scratch_dir("clust_rt", sf_dir), "ds")
+    write_dataset(
+        t["events"].select("event_id", "user_id", "event_type", "value"),
+        out,
+        cluster_by=["user_id"],
+        cluster_partitions=8,
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter((F.col("user_id") >= 10) & (F.col("user_id") < 40))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") + F.lit(1e-6), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _core_done = False
 
 
@@ -383,6 +416,17 @@ def _register_core() -> None:
         """,
         tables=("orders",),
     )(_t_partitioned_roundtrip)
+
+    register(
+        "t_clustered_roundtrip",
+        oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(SUM(value) + 1e-6, 2) AS total
+        FROM events WHERE user_id >= 10 AND user_id < 40
+        GROUP BY event_type ORDER BY event_type
+        """,
+        tables=("events",),
+    )(_t_clustered_roundtrip)
 
     sql_query(
         "q1_pricing_summary",
