@@ -430,3 +430,46 @@ def streaming_minhash_dedup(
         .option("checkpointLocation", corpus_dir.rstrip("/") + ".__pvs_ckpt")
         .start()
     )
+
+
+def streaming_trending(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 3,
+) -> DataFrame:
+    """Trending items per tumbling window: watermarked per-(window, item)
+    counts, then the top-``k`` per window by a rank over the *finalized*
+    aggregate.  Rank-over-stream isn't expressible inside one streaming
+    query (no windowed row_number on an updating aggregate), so this
+    returns the watermarked count stream; :func:`topk_per_window` applies
+    the rank — on the drained memory sink for a backfill, or inside a
+    ``foreachBatch`` on the complete-mode output for a live deployment.
+    State stays O(active windows × distinct items in them).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def topk_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank a (window_start, event_type, n_events) frame to the top-``k``
+    per window — deterministic tiebreak on the item name."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("window_start", "rank")
+    )

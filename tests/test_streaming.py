@@ -359,3 +359,25 @@ def test_chunking_runs_on_the_ingest_stream(spark):
         map(tuple, chunk_documents(spark.read.parquet(path), 200, 50).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_trending_matches_batch(spark):
+    """Drained trending counts + the top-k rank equal the batch pass: the
+    same per-window top-3 event types, same counts."""
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_trending,
+        topk_per_window,
+    )
+
+    stream = read_event_stream(spark, f"{SF}/events.parquet")
+    run_stream_to_memory(streaming_trending(stream), "stream_trend")
+    got = [
+        tuple(r) for r in topk_per_window(spark.table("stream_trend")).collect()
+    ]
+
+    batch_counts = streaming_trending(load_tables(spark, SF, "events")["events"])
+    want = [tuple(r) for r in topk_per_window(batch_counts).collect()]
+    assert got == want and len(got) > 0
