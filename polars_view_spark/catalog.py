@@ -1093,6 +1093,26 @@ def _register_core() -> None:
     )
 
     sql_query(
+        "q_group_by_all_values",
+        """
+        SELECT o.o_orderstatus, p.label, COUNT(*) AS n,
+               ROUND(SUM(o.o_totalprice) + 1e-6, 2) AS total
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 'rush'), ('2-HIGH', 'rush'),
+                     ('3-MEDIUM', 'normal'), ('4-NOT SPECIFIED', 'normal'),
+                     ('5-LOW', 'slow')) AS p(prio, label)
+          ON o.o_orderpriority = p.prio
+        GROUP BY ALL
+        ORDER BY o_orderstatus, label
+        """,
+        ("orders",),
+        doc="inline VALUES table constructor (broadcast literal dim) + "
+        "GROUP BY ALL (keys inferred from the non-aggregate select "
+        "list) — both modern-SQL conveniences, identical in Spark 4 and "
+        "DuckDB.",
+    )
+
+    sql_query(
         "q_not_in_null_semantics",
         """
         SELECT

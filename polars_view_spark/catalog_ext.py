@@ -2431,3 +2431,39 @@ register(
     """,
     tables=("documents",),
 )(_x_group_sample)
+
+
+def _x_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-backed snapshot drift report (operators/sketches.py:
+    snapshot_drift): the 'old' snapshot is the user_id < 75 slice, the
+    'new' one the full events table — one row per metric with exact
+    old/new/relative-change values and a self-asserting
+    sketch-tracks-exact boolean (q_approx_aggregates idiom)."""
+    from polars_view_spark.operators.sketches import snapshot_drift
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    return snapshot_drift(
+        ev.filter(F.col("user_id") < 75), ev, "user_id", "value"
+    ).orderBy("metric")
+
+
+register(
+    "x_snapshot_drift",
+    oracle="""
+    WITH o AS (SELECT CAST(COUNT(*) AS DOUBLE) AS r, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS d,
+                      quantile_cont(value, 0.5) AS m
+               FROM events WHERE user_id < 75),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS r, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS d,
+                      quantile_cont(value, 0.5) AS m
+               FROM events)
+    SELECT 'distinct_keys' AS metric, ROUND(o.d, 4) AS old_exact, ROUND(n.d, 4) AS new_exact,
+           ROUND((n.d - o.d) / o.d, 6) AS rel_change, TRUE AS sketch_ok FROM o, n
+    UNION ALL
+    SELECT 'rows', ROUND(o.r, 4), ROUND(n.r, 4), ROUND((n.r - o.r) / o.r, 6), TRUE FROM o, n
+    UNION ALL
+    SELECT 'value_median', ROUND(o.m, 4), ROUND(n.m, 4), ROUND((n.m - o.m) / o.m, 6), TRUE FROM o, n
+    ORDER BY metric
+    """,
+    tables=("events",),
+)(_x_snapshot_drift)

@@ -145,3 +145,65 @@ def theta_set_estimates(sketch_a, sketch_b) -> dict[str, str]:
             f"theta_sketch_estimate(theta_difference({sketch_a}, {sketch_b}))"
         ),
     }
+
+
+def snapshot_drift(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots, one aggregate pass
+    per side: row count, distinct ``key_col``, and the ``value_col``
+    median, each as (old, new, relative change) — the data-quality gate a
+    daily 100 TB pipeline runs before promoting a snapshot.
+
+    Exact metrics carry the comparison (cross-engine reproducible);
+    alongside each, the sketch estimate (HLL distinct, KLL median) is
+    checked against its exact twin and reported as a self-asserting
+    within-bound boolean — because at real scale the EXACT pass is the
+    one you drop first, and the boolean is the evidence the sketch-only
+    mode tracks it.  Both profiles are single partial-aggregated jobs;
+    the result is one row per metric.
+    """
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("double").alias(f"{tag}_rows"),
+            F.countDistinct(key_col).cast("double").alias(f"{tag}_distinct"),
+            F.expr(f"percentile({value_col}, 0.5D)").alias(f"{tag}_median"),
+            F.hll_sketch_estimate(F.hll_sketch_agg(key_col, F.lit(12)))
+            .cast("double")
+            .alias(f"{tag}_hll"),
+            F.expr(
+                f"kll_sketch_get_quantile_double("
+                f"kll_sketch_agg_double(CAST({value_col} AS DOUBLE)), 0.5D)"
+            ).alias(f"{tag}_kll"),
+        )
+
+    wide = profile(old, "o").crossJoin(profile(new, "n"))
+
+    def metric(name: str, o: str, n: str, sk_o: str, sk_n: str, tol: float):
+        return (
+            F.lit(name).alias("metric"),
+            F.round(F.col(o), 4).alias("old_exact"),
+            F.round(F.col(n), 4).alias("new_exact"),
+            F.round((F.col(n) - F.col(o)) / F.col(o), 6).alias("rel_change"),
+            (
+                (F.abs(F.col(sk_o) - F.col(o)) <= F.abs(F.col(o)) * tol)
+                & (F.abs(F.col(sk_n) - F.col(n)) <= F.abs(F.col(n)) * tol)
+            ).alias("sketch_ok"),
+        )
+
+    rows = wide.select(
+        F.array(
+            F.struct(*metric("rows", "o_rows", "n_rows", "o_rows", "n_rows", 0.0)),
+            F.struct(
+                *metric("distinct_keys", "o_distinct", "n_distinct", "o_hll", "n_hll", 0.05)
+            ),
+            F.struct(
+                *metric("value_median", "o_median", "n_median", "o_kll", "n_kll", 0.05)
+            ),
+        ).alias("ms")
+    )
+    return rows.select(F.explode("ms").alias("m")).select("m.*")
