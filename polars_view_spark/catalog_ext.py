@@ -2467,3 +2467,94 @@ register(
     """,
     tables=("events",),
 )(_x_snapshot_drift)
+
+
+SPLIT_VAL_PCT = 10
+SPLIT_TEST_PCT = 10
+
+
+def _x_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment: the doc's md5
+    bucket (mod 100) maps to test / val / train bands — reproducible
+    across runs, engines, and task retries (no rand()), stratified by
+    construction since the hash is independent of lang/source.  Emits the
+    per-(lang, split) counts so the gate checks the whole assignment."""
+    t = load_tables(spark, sf_dir, "documents")
+    h = "conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) % 100"
+    split = (
+        f"CASE WHEN {h} < {SPLIT_TEST_PCT} THEN 'test' "
+        f"WHEN {h} < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val' "
+        f"ELSE 'train' END"
+    )
+    return (
+        t["documents"]
+        .withColumn("split", F.expr(split))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+register(
+    "x_train_val_test_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN h < {SPLIT_TEST_PCT} THEN 'test'
+                WHEN h < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n_docs
+    FROM (SELECT lang,
+                 (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) AS h
+          FROM documents)
+    GROUP BY 1, 2 ORDER BY lang, split
+    """,
+    tables=("documents",),
+)(_x_train_val_test_split)
+
+
+OUTLIER_MAD_K = 3.0  # robust z-score cut: |x - median| > K * MAD
+
+
+def _x_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier filtering on events.value via median/MAD (exact
+    percentiles — both engines interpolate identically): drop rows whose
+    robust z-score exceeds K.  TWO aggregate passes (median, then MAD)
+    plus one filter pass at scan speed — never a sort; the
+    sketch-quantile variant for 100 TB swaps ``percentile`` for the KLL
+    path (operators/sketches.py) with identical plumbing.  Emits
+    per-event-type surviving counts + the cut bounds."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    med = ev.agg(F.expr("percentile(value, 0.5D)").alias("med"))
+    mad = ev.crossJoin(med).agg(
+        F.expr("percentile(abs(value - med), 0.5D)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    kept = (
+        ev.crossJoin(mad)
+        .filter(F.abs(F.col("value") - F.col("med")) <= OUTLIER_MAD_K * F.col("mad"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.min("value"), 4).alias("min_kept"),
+            F.round(F.max("value"), 4).alias("max_kept"),
+        )
+        .orderBy("event_type")
+    )
+    return kept
+
+
+register(
+    "x_outlier_filter",
+    oracle=f"""
+    WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+         d AS (SELECT quantile_cont(abs(value - med), 0.5) AS mad, ANY_VALUE(med) AS med
+               FROM events, m)
+    SELECT event_type, COUNT(*) AS n_kept,
+           ROUND(MIN(value), 4) AS min_kept, ROUND(MAX(value), 4) AS max_kept
+    FROM events, d
+    WHERE abs(value - med) <= {OUTLIER_MAD_K} * mad
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tables=("events",),
+)(_x_outlier_filter)
