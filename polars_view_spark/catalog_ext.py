@@ -2558,3 +2558,39 @@ register(
     """,
     tables=("events",),
 )(_x_outlier_filter)
+
+
+def _x_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (operators/scale.py:salted_join),
+    driver-gated: events (user_id is the skewable key) join a small
+    per-user aggregate through the salt, then re-aggregate.  The salt is
+    execution-layout only — results must equal a plain join, which is
+    exactly what the oracle states (no salt in the SQL)."""
+    from polars_view_spark.operators.scale import salted_join
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user_events"))
+    joined = salted_join(ev.select("event_id", "user_id", "value"), dim, "user_id")
+    return (
+        joined.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("value") * F.col("n_user_events")) + F.lit(1e-6), 2).alias(
+                "weighted_sum"
+            ),
+        )
+    )
+
+
+register(
+    "x_salted_skew_join",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(value * n_user_events) + 1e-6, 2) AS weighted_sum
+    FROM events e
+    JOIN (SELECT user_id, COUNT(*) AS n_user_events FROM events GROUP BY 1) d
+      USING (user_id)
+    """,
+    tables=("events",),
+)(_x_salted_skew_join)
