@@ -1093,6 +1093,33 @@ def _register_core() -> None:
     )
 
     sql_query(
+        "q_event_funnel",
+        """
+        WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN s ON e.user_id = s.user_id AND e.ts > s.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+               (SELECT COUNT(*) FROM c) AS n_click_after_signup,
+               (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+               (SELECT STRFTIME(MIN(t2), '%Y-%m-%d %H:%M:%S') FROM c) AS first_click,
+               (SELECT STRFTIME(MAX(t3), '%Y-%m-%d %H:%M:%S') FROM p) AS last_purchase
+        """,
+        ("events",),
+        doc="ordered three-stage funnel (signup → later click → later "
+        "purchase): each stage is an equi-join on user_id with a "
+        "time-range residual — never an inequality-only join — plus a "
+        "min-aggregate, so the whole funnel is three linear shuffles. "
+        "The fixture is dense (every user completes the funnel), so the "
+        "stage-boundary timestamps pin the ordering logic the saturated "
+        "counts cannot.",
+    )
+
+    sql_query(
         "q_group_by_all_values",
         """
         SELECT o.o_orderstatus, p.label, COUNT(*) AS n,
