@@ -1093,6 +1093,67 @@ def _register_core() -> None:
     )
 
     sql_query(
+        "q_value_histogram",
+        """
+        SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               ROUND(MIN(value), 4) AS lo,
+               ROUND(MAX(value), 4) AS hi
+        FROM events
+        GROUP BY 1
+        ORDER BY bucket
+        """,
+        ("events",),
+        doc="fixed-width histogram via arithmetic bucketing — one "
+        "partial-aggregated shuffle carrying #buckets groups regardless "
+        "of input size; the per-bucket min/max pin the bucket-boundary "
+        "arithmetic.",
+    )
+
+    def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cohort retention: users grouped by first-seen day, distinct
+        actives at day offsets 0/1/7 — the first-seen aggregate shuffles
+        once on user_id and broadcasts back into the event scan, then one
+        count-distinct shuffle per the (cohort, offset) keys."""
+        load_tables(spark, sf_dir, "events")
+        return spark.sql(
+            """
+            WITH first_seen AS (
+              SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+              FROM events GROUP BY user_id
+            )
+            SELECT CAST(f.cohort AS STRING) AS cohort,
+                   DATEDIFF(CAST(e.ts AS DATE), f.cohort) AS day_offset,
+                   COUNT(DISTINCT e.user_id) AS active_users
+            FROM events e JOIN first_seen f ON e.user_id = f.user_id
+            WHERE DATEDIFF(CAST(e.ts AS DATE), f.cohort) IN (0, 1, 7)
+            GROUP BY f.cohort, 2
+            ORDER BY cohort, day_offset
+            """
+        )
+
+    register(
+        "q_retention_cohorts",
+        oracle="""
+        WITH first_seen AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+          FROM events GROUP BY user_id
+        )
+        SELECT CAST(f.cohort AS VARCHAR) AS cohort,
+               DATEDIFF('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        WHERE DATEDIFF('day', f.cohort, CAST(e.ts AS DATE)) IN (0, 1, 7)
+        GROUP BY f.cohort, 2
+        ORDER BY cohort, day_offset
+        """,
+        tables=("events",),
+        doc="cohort retention (DATEDIFF argument order differs between "
+        "engines, hence the separate oracle text; the arithmetic is "
+        "identical).",
+    )(_q_retention)
+
+    sql_query(
         "q_event_funnel",
         """
         WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
