@@ -1110,6 +1110,62 @@ def _register_core() -> None:
         "arithmetic.",
     )
 
+    def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gap-filled hourly series: a generated hour spine LEFT JOINs the
+        per-hour purchase counts so silent hours appear as explicit zero
+        rows — the shape every downstream window/forecast op needs.  The
+        spine is sequence()+explode over the observed [min, max] range (a
+        two-row aggregate broadcast), so no driver-side loop and no
+        assumption the range is known ahead."""
+        load_tables(spark, sf_dir, "events")
+        return spark.sql(
+            """
+            WITH bounds AS (
+              SELECT date_trunc('hour', MIN(ts)) AS lo,
+                     date_trunc('hour', MAX(ts)) AS hi
+              FROM events WHERE event_type = 'purchase'
+            ),
+            spine AS (
+              SELECT explode(sequence(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+            ),
+            counts AS (
+              SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT date_format(s.hour, 'yyyy-MM-dd HH:mm') AS hour,
+                   COALESCE(n, 0) AS n_purchases
+            FROM spine s LEFT JOIN counts c ON s.hour = c.hour
+            ORDER BY hour
+            LIMIT 200
+            """
+        )
+
+    register(
+        "q_gap_fill_series",
+        oracle="""
+        WITH bounds AS (
+          SELECT date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi
+          FROM events WHERE event_type = 'purchase'
+        ),
+        spine AS (
+          SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+        ),
+        counts AS (
+          SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT strftime(s.hour, '%Y-%m-%d %H:%M') AS hour,
+               COALESCE(n, 0) AS n_purchases
+        FROM spine s LEFT JOIN counts c ON s.hour = c.hour
+        ORDER BY hour
+        LIMIT 200
+        """,
+        tables=("events",),
+        doc="gap-filled hourly series (spine-generation syntax differs "
+        "per engine; identical arithmetic).",
+    )(_q_gap_fill)
+
     def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Cohort retention: users grouped by first-seen day, distinct
         actives at day offsets 0/1/7 — the first-seen aggregate shuffles
