@@ -1110,6 +1110,57 @@ def _register_core() -> None:
         "arithmetic.",
     )
 
+    def _q_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-event dwell time (seconds until the same user's next event,
+        LEAD over a (user, time, id) ordering) aggregated per event type —
+        one hash-partitioned shuffle on user_id, in-partition sort.
+        Engines differ on sub-second epoch handling (Spark truncates,
+        DuckDB keeps the fraction), so both sides floor to whole seconds
+        before differencing."""
+        load_tables(spark, sf_dir, "events")
+        return spark.sql(
+            """
+            WITH t AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(to_unix_timestamp(ts) AS BIGINT) AS u
+              FROM events
+            ),
+            d AS (
+              SELECT event_type,
+                     LEAD(u) OVER (PARTITION BY user_id ORDER BY u, event_id) - u
+                       AS dwell
+              FROM t
+            )
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(dwell) AS BIGINT) AS total_dwell_sec,
+                   ROUND(AVG(dwell) + 1e-6, 2) AS avg_dwell_sec
+            FROM d WHERE dwell IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+            """
+        )
+
+    register(
+        "q_dwell_time",
+        oracle="""
+        WITH t AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS u
+          FROM events
+        ),
+        d AS (
+          SELECT event_type,
+                 LEAD(u) OVER (PARTITION BY user_id ORDER BY u, event_id) - u AS dwell
+          FROM t
+        )
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(dwell) AS BIGINT) AS total_dwell_sec,
+               ROUND(AVG(dwell) + 1e-6, 2) AS avg_dwell_sec
+        FROM d WHERE dwell IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+        """,
+        tables=("events",),
+    )(_q_dwell)
+
     def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Gap-filled hourly series: a generated hour spine LEFT JOINs the
         per-hour purchase counts so silent hours appear as explicit zero
