@@ -2594,3 +2594,53 @@ register(
     """,
     tables=("events",),
 )(_x_salted_skew_join)
+
+
+def _x_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus card: document count, total whitespace tokens,
+    length stats, and the language-distribution entropy (nats) — the
+    summary block of a dataset datasheet.  Two aggregates total: one
+    per-language pass (counts ride the same shuffle as the entropy
+    terms), one 1-row rollup; no sort, no Python."""
+    t = load_tables(spark, sf_dir, "documents")
+    toks = "size(split(trim(text), '\\\\s+'))"
+    per_lang = (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(toks)).alias("tok"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+    )
+    return per_lang.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.round(F.sum("chars") / F.sum("n"), 4).alias("mean_chars_per_doc"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        # H = ln(T) - sum(n*ln n)/T  (algebraic form: plain sums, no window)
+        F.round(
+            F.log(F.sum("n")) - F.sum(F.col("n") * F.log("n")) / F.sum("n") + 1e-9, 4
+        ).alias("lang_entropy_nats"),
+    )
+
+
+register(
+    "x_corpus_card",
+    oracle="""
+    WITH pl AS (
+      SELECT lang, COUNT(*) AS n,
+             SUM(length(regexp_split_to_array(trim(text), '\\s+'))) AS tok,
+             SUM(length(text)) AS chars
+      FROM documents GROUP BY lang
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           ROUND(SUM(chars) / SUM(n), 4) AS mean_chars_per_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n) + 1e-9, 4)
+             AS lang_entropy_nats
+    FROM pl
+    """,
+    tables=("documents",),
+)(_x_corpus_card)
