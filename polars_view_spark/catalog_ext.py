@@ -1868,6 +1868,45 @@ register(
 )(_e_tumbling)
 
 
+def _e_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation, driver-gated: the
+    watermarked stream (streaming/events.py:streaming_tumbling_agg) over the
+    events parquet is drained with ``trigger(availableNow=True)`` into a
+    complete-mode memory sink and returned as a plain DataFrame.  The oracle
+    is the identical batch SQL — this makes the batch/stream parity the
+    pytest suite asserts (tests/test_streaming.py) visible to the driver's
+    value-hash gate.  Complete-mode memory sink is the finite-backfill
+    harness only; a live deployment writes append-mode to a real sink and
+    lets the watermark finalize windows incrementally."""
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_tumbling_agg,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_memory(
+        streaming_tumbling_agg(stream), "e_streaming_tumbling_sink"
+    )
+    return spark.table("e_streaming_tumbling_sink").orderBy(
+        "window_start", "event_type"
+    )
+
+
+register(
+    "e_streaming_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value) + 1e-6, 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tables=("events",),
+)(_e_streaming_tumbling)
+
+
 def _e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/events.py:sessionize)."""
     from polars_view_spark.operators.events import sessionize
@@ -2233,7 +2272,7 @@ def _x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "events")
     ev = t["events"].withColumn("day", F.to_date("ts"))
-    states = topk_partial_states(ev, "day", "event_type", k=3)
+    states = topk_partial_states(ev, "day", "event_type")
     return topk_merge(states, 3).orderBy(F.col("est_count").desc(), "item")
 
 

@@ -93,14 +93,15 @@ def topk_partial_states(
     df: DataFrame,
     slice_col: str,
     item_col: str,
-    k: int,
     max_tracked: int = 10_000,
 ) -> DataFrame:
     """Per-slice mergeable heavy-hitter states (DataSketches frequent
     items via ``approx_top_k_accumulate``) — the persistable partial for
     incremental top-k maintenance.  Estimates are exact while a slice's
     distinct-item count stays ≤ ``max_tracked``; beyond that the sketch
-    degrades gracefully with a documented error bound."""
+    degrades gracefully with a documented error bound.  The output bound
+    ``k`` is applied at merge time (:func:`topk_merge`) — states carry the
+    full tracked set so one persisted partial serves any ``k``."""
     return df.groupBy(slice_col).agg(
         F.expr(f"approx_top_k_accumulate({item_col}, {max_tracked})").alias(
             "topk_state"

@@ -31,6 +31,31 @@ class ScanInfo:
     relation: str
     pushed_filters: str
     read_schema: str
+    #: top-level column count of ``read_schema`` (nesting-aware — commas
+    #: inside array/struct/map element types are not field separators)
+    n_columns: int = 0
+
+
+def _count_struct_fields(read_schema: str) -> int:
+    """Top-level field count of a ``struct<...>`` schema string, counting
+    commas only at nesting depth zero so ``struct<a:array<struct<x:int,
+    y:int>>,b:int>`` counts 2, not 3."""
+    m = re.match(r"struct<(.*)>\s*$", read_schema.strip(), re.DOTALL)
+    if not m:
+        return 0
+    body = m.group(1)
+    if not body.strip():
+        return 0
+    depth = 0
+    fields = 1
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields += 1
+    return fields
 
 
 @dataclass
@@ -69,9 +94,9 @@ class PlanAudit:
                 "partitions (sortWithinPartitions) if per-file order suffices"
             )
         for s in self.scans:
-            if s.read_schema.count(",") >= 9 and "*" not in s.read_schema:
+            if s.n_columns >= 10:
                 out.append(
-                    f"scan of {s.relation} reads {s.read_schema.count(',') + 1} "
+                    f"scan of {s.relation} reads {s.n_columns} "
                     "columns — select only what downstream uses so the "
                     "parquet reader prunes"
                 )
@@ -86,19 +111,36 @@ class PlanAudit:
 
 def audit_plan(df: DataFrame) -> PlanAudit:
     """Audit a DataFrame's executed physical plan for scale risks."""
-    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "4000")
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    conf = df.sparkSession.conf
+    prev_len = conf.get("spark.sql.maxMetadataStringLength", "100")
+    conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        conf.set("spark.sql.maxMetadataStringLength", prev_len)
 
     scans = []
     for m in re.finditer(r"FileScan \w+ ([^\[ ]*)\[[^\]]*\]([^\n]*)", plan):
         rest = m.group(2)
         pf = re.search(r"PushedFilters: \[([^\]]*)\]", rest)
-        rs = re.search(r"ReadSchema: ([^,\n]*(?:<[^\n]*?>)?)", rest)
+        # ReadSchema is the last key on the FileScan line; take everything
+        # after the marker (the struct contains commas, so a comma-bounded
+        # capture truncates at the first field)
+        rs = re.search(r"ReadSchema: (.*)$", rest)
+        read_schema = rs.group(1).strip() if rs else ""
+        relation = m.group(1)
+        if not relation:
+            # path-based scan (`FileScan parquet [cols...]`): name it from
+            # the Location's first path
+            loc = re.search(r"Location: [^\[\n]*\[([^\],\n]+)", rest)
+            if loc:
+                relation = loc.group(1).rstrip("/").rsplit("/", 1)[-1]
         scans.append(
             ScanInfo(
-                relation=m.group(1),
+                relation=relation,
                 pushed_filters=pf.group(1) if pf else "",
-                read_schema=rs.group(1) if rs else "",
+                read_schema=read_schema,
+                n_columns=_count_struct_fields(read_schema),
             )
         )
 
@@ -108,7 +150,10 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         re.search(r"Sort \[[^\]]*\], true", plan) is not None and not has_limit_sort
     )
     return PlanAudit(
-        n_exchanges=len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
+        # any materialized Exchange (hash / range / SinglePartition — the
+        # global-agg collect is a real network pass too); \bExchange does
+        # not match inside ReusedExchange (no word boundary after "Reused")
+        n_exchanges=len(re.findall(r"\bExchange ", plan)),
         n_broadcast_joins=len(re.findall(r"BroadcastHashJoin", plan)),
         n_sort_merge_joins=len(re.findall(r"SortMergeJoin", plan)),
         n_shuffled_hash_joins=len(re.findall(r"ShuffledHashJoin", plan)),

@@ -31,7 +31,9 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
     """File-source stream over the events parquet (directory or glob).
 
     ``maxFilesPerTrigger`` keeps micro-batches bounded on a backfill; the
@@ -42,11 +44,25 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     integer division DuckDB applies).  Hard-coding either variant breaks
     the other — stream and batch must agree on event time or watermarks
     and window joins silently diverge.
+
+    A genuine streaming source may start on an EMPTY directory (files land
+    after the query begins), where the probe has nothing to infer from; the
+    stream then starts on the caller-supplied ``schema`` (wins whenever
+    given) or :data:`EVENT_SCHEMA` rather than failing — the pre-r02
+    behavior a live deployment depends on.
     """
+    from pyspark.errors import AnalysisException
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.parquet(path)
-    nanos = dict(probe.dtypes).get("ts") == "bigint"
-    schema = EVENT_SCHEMA if nanos else probe.schema
+    if schema is not None:
+        nanos = isinstance(schema["ts"].dataType, T.LongType)
+    else:
+        try:
+            probe = spark.read.parquet(path)
+            nanos = dict(probe.dtypes).get("ts") == "bigint"
+            schema = EVENT_SCHEMA if nanos else probe.schema
+        except AnalysisException:  # empty dir: nothing to infer from yet
+            schema, nanos = EVENT_SCHEMA, True
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
     path = _single_file_to_glob(reader, path)
     raw = reader.parquet(path)
@@ -399,13 +415,26 @@ def streaming_minhash_dedup(
     bucket that only later crosses the cap can contribute early pairs a
     final-corpus batch run would have dropped — more recall, never less.
 
-    ``availableNow`` trigger + checkpoint → each landing file processed
-    exactly once; swap the trigger for processing-time in a long-lived
+    Delivery: ``foreachBatch`` is at-least-once — a crash between the two
+    writes, or a retry after a partial write, re-runs the batch.  Both
+    sinks are therefore partitioned by the (replay-stable) ``batch_id``
+    and written with dynamic partition OVERWRITE, so a re-run replaces its
+    own partition instead of appending a duplicate — at-least-once
+    delivery + idempotent writes = effectively-once output.  Swap the
+    ``availableNow`` trigger for processing-time in a long-lived
     deployment.
     """
     import os
 
     from polars_view_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    def _overwrite_own_partition(df: DataFrame, part_col: str, out_dir: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(out_dir)
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -413,16 +442,24 @@ def streaming_minhash_dedup(
         if batch_df.isEmpty():
             return
         if os.path.exists(corpus_dir):
-            base = spark.read.parquet(corpus_dir)
+            # a replayed batch must pair against the corpus as it stood
+            # BEFORE its own (possibly partial) earlier attempt
+            base = spark.read.parquet(corpus_dir).filter(
+                F.col("ingest_batch") != batch_id
+            ).drop("ingest_batch")
         else:
             base = spark.createDataFrame([], batch_df.schema)
         pairs = minhash_lsh_pairs_incremental(
             base, batch_df, id_col, text_col, jaccard_threshold
         )
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            pairs_dir
+        _overwrite_own_partition(
+            pairs.withColumn("batch_id", F.lit(batch_id)), "batch_id", pairs_dir
         )
-        batch_df.write.mode("append").parquet(corpus_dir)
+        _overwrite_own_partition(
+            batch_df.withColumn("ingest_batch", F.lit(batch_id)),
+            "ingest_batch",
+            corpus_dir,
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(apply_batch)
@@ -436,11 +473,10 @@ def streaming_trending(
     events: DataFrame,
     width: str = "1 hour",
     watermark: str = "2 hours",
-    k: int = 3,
 ) -> DataFrame:
     """Trending items per tumbling window: watermarked per-(window, item)
-    counts, then the top-``k`` per window by a rank over the *finalized*
-    aggregate.  Rank-over-stream isn't expressible inside one streaming
+    counts; the top-``k`` bound is applied at rank time by
+    :func:`topk_per_window` over the *finalized* aggregate.  Rank-over-stream isn't expressible inside one streaming
     query (no windowed row_number on an updating aggregate), so this
     returns the watermarked count stream; :func:`topk_per_window` applies
     the rank — on the drained memory sink for a backfill, or inside a

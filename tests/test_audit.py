@@ -62,6 +62,53 @@ def test_scan_inventory_sees_pushdown(spark):
     assert any(s.pushed_filters for s in a.scans), "pushdown not visible"
 
 
+def test_unpruned_scan_warning_fires(spark):
+    """A select-* scan of a wide table must trip the pruning warning — the
+    regression ADVICE r02 found: the old comma-bounded ReadSchema capture
+    truncated the struct so the warning was dead code."""
+    from polars_view_spark.plans.audit import audit_plan
+
+    wide = spark.read.parquet(f"{SF}/lineitem.parquet")  # 11 columns
+    a = audit_plan(wide)
+    assert a.scans, "no scans found"
+    s = a.scans[0]
+    assert s.n_columns == 11, (s.n_columns, s.read_schema)
+    assert s.read_schema.startswith("struct<") and s.read_schema.endswith(">")
+    assert "lineitem" in s.relation, s.relation  # path-based Location name
+    assert any("select only what downstream uses" in w for w in a.warnings())
+    # and a pruned projection of the same table stays quiet
+    pruned = audit_plan(wide.select("l_orderkey", "l_quantity"))
+    assert pruned.scans[0].n_columns == 2
+    assert not any("select only" in w for w in pruned.warnings())
+
+
+def test_struct_field_count_nesting_aware():
+    from polars_view_spark.plans.audit import _count_struct_fields
+
+    assert _count_struct_fields("struct<a:int>") == 1
+    assert _count_struct_fields("struct<a:int,b:string>") == 2
+    assert (
+        _count_struct_fields("struct<a:array<struct<x:int,y:int>>,b:int>") == 2
+    )
+    assert _count_struct_fields("struct<m:map<string,int>,b:int>") == 2
+    assert _count_struct_fields("struct<>") == 0
+    assert _count_struct_fields("not a struct") == 0
+
+
+def test_single_partition_exchange_counted_and_conf_restored(spark):
+    """Global aggregates collect through Exchange SinglePartition — that is
+    a real network pass and must count; audit_plan must also leave
+    spark.sql.maxMetadataStringLength as it found it."""
+    from polars_view_spark.plans.audit import audit_plan
+
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").groupBy().count()
+    a = audit_plan(df)
+    assert "Exchange SinglePartition" in a.plan
+    assert a.n_exchanges >= 1
+    assert spark.conf.get("spark.sql.maxMetadataStringLength") == prev
+
+
 def test_container_audit(spark, tmp_path):
     import pandas as pd
 

@@ -517,7 +517,7 @@ def test_topk_and_theta_merge_semantics(spark):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ev = ev.withColumn("day", F.to_date("ts"))
 
-    merged = topk_merge(topk_partial_states(ev, "day", "event_type", 3), 3).collect()
+    merged = topk_merge(topk_partial_states(ev, "day", "event_type"), 3).collect()
     direct = (
         ev.groupBy("event_type")
         .count()

@@ -339,6 +339,56 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     # corpus snapshot accumulated every document exactly once
     assert spark.read.parquet(str(tmp_path / "corpus")).count() == docs.count()
 
+    # at-least-once replay safety (ADVICE r02): re-running the whole stream
+    # with a fresh checkpoint replays every batch against the already-
+    # populated sinks; the batch_id-partitioned dynamic-overwrite writes
+    # must replace, not duplicate
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "corpus.__pvs_ckpt"))
+    q2 = streaming_minhash_dedup(
+        stream, str(tmp_path / "corpus"), str(tmp_path / "pairs")
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert got2 == want
+    assert spark.read.parquet(str(tmp_path / "corpus")).count() == docs.count()
+
+
+def test_event_stream_starts_on_empty_directory(spark, tmp_path):
+    """A live source whose directory is empty at query start (files land
+    later) must still construct — the schema probe falls back to
+    EVENT_SCHEMA / a caller-supplied schema instead of raising (ADVICE
+    r02)."""
+    from polars_view_spark.streaming.events import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        streaming_tumbling_agg,
+    )
+
+    empty = str(tmp_path / "landing")
+    import os
+
+    os.makedirs(empty)
+    stream = read_event_stream(spark, empty)
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"  # nanos-long converted
+    # the downstream watermark agg builds on the fallback schema too
+    assert streaming_tumbling_agg(stream).isStreaming
+
+    # caller-supplied schema wins over the probe
+    from pyspark.sql import types as T
+
+    custom = T.StructType(
+        [f for f in EVENT_SCHEMA if f.name != "ts"]
+        + [T.StructField("ts", T.TimestampType())]
+    )
+    s2 = read_event_stream(spark, empty, schema=custom)
+    assert dict(s2.dtypes)["ts"] == "timestamp"
+
 
 def test_chunking_runs_on_the_ingest_stream(spark):
     """chunk_documents is explode + projection, so the SAME operator runs
