@@ -6,12 +6,12 @@ feature-extract / resize / frame-sample run as Arrow-batched pandas
 functions over ``mapInPandas`` so each executor processes whole record
 batches without JVM↔Python per-row costs.
 
-The decode step itself is STUBBED (image/audio libraries are not in this
-container): ``decode_features`` computes a deterministic fake feature
-vector from the raw bytes, and ``decode_real`` raises NotImplementedError
-with the integration point documented.  Everything around the stub — the
-schema, the batch iteration, the partitioning behavior — is real and
-tested.
+Decode comes in two flavors: ``decode_features`` is the deterministic
+byte-derived stub the DuckDB oracle value-checks, and ``decode_real`` is
+the real decoder — a pure-stdlib magic-byte header parser (PNG/JPEG/GIF/
+BMP/WAV format + dimensions / sample rate) that upgrades per-payload to a
+full Pillow decode when the library is importable.  The schema, batch
+iteration, and partitioning behavior are shared and tested either way.
 """
 
 from __future__ import annotations
@@ -94,18 +94,131 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(_fake_decode_batch, _DECODE_SCHEMA)
 
 
-def decode_real(df: DataFrame) -> DataFrame:
-    """Integration point for a real decoder (PIL / torchaudio / PyAV).
+_REAL_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
 
-    Not available in this container — the function documents the contract:
-    same mapInPandas shape as :func:`decode_features`, with the batch body
-    calling the media library per payload.
+
+def sniff_media_header(b: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """Parse (format, width, height, sample_rate) from a payload's magic
+    bytes — pure stdlib ``struct``, no media library.  Covers PNG / JPEG /
+    GIF / BMP / WAV; anything else is ``("unknown", None, None, None)``.
+    Truncated or corrupt headers degrade to the bare format name rather
+    than raising — a 100 TB crawl always contains damaged files, and one
+    bad payload must not kill the stage."""
+    import struct
+
+    try:
+        if b.startswith(b"\x89PNG\r\n\x1a\n") and len(b) >= 24:
+            w, h = struct.unpack(">II", b[16:24])
+            return "png", w, h, None
+        if b.startswith(b"\x89PNG"):
+            return "png", None, None, None
+        if b.startswith((b"GIF87a", b"GIF89a")):
+            if len(b) >= 10:
+                w, h = struct.unpack("<HH", b[6:10])
+                return "gif", w, h, None
+            return "gif", None, None, None
+        if b.startswith(b"BM"):
+            if len(b) >= 26:
+                w, h = struct.unpack("<ii", b[18:26])
+                return "bmp", w, abs(h), None  # negative height = top-down rows
+            return "bmp", None, None, None
+        if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+            if len(b) >= 28:
+                rate = struct.unpack("<I", b[24:28])[0]
+                return "wav", None, None, rate
+            return "wav", None, None, None
+        if b.startswith(b"\xff\xd8"):
+            # JPEG: walk the marker stream to the first SOFn frame header
+            i = 2
+            while i + 9 <= len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return "jpeg", w, h, None
+                i += 2 + seg_len
+            return "jpeg", None, None, None
+    except struct.error:
+        pass
+    return "unknown", None, None, None
+
+
+def decode_real(
+    df: DataFrame, id_col: str = "doc_id", prefer_pillow: bool = True
+) -> DataFrame:
+    """REAL media decode over the same Arrow-batched ``mapInPandas``
+    contract as :func:`decode_features`.
+
+    Two tiers, chosen per executor at import time:
+
+    - **header** (always on, pure stdlib): :func:`sniff_media_header`
+      struct-parses format + dimensions / sample rate from magic bytes —
+      enough for format routing, size filtering, and corpus stats without
+      decompressing a single pixel (at 100 TB that IS the common decode
+      question).
+    - **pillow** (import-guarded): when Pillow is installed and the
+      payload actually decodes, full ``Image.open`` decode — dimensions
+      from the pixel grid, format from the codec.  Per-payload failures
+      fall back to the header tier instead of failing the task.
+
+    The ``decoder`` column records which tier produced each row, so a
+    mixed fleet (some executors with Pillow, some without) stays
+    auditable.  :func:`decode_features` remains the deterministic stub the
+    DuckDB oracle checks.
     """
-    raise NotImplementedError(
-        "media decode libraries are not installed in this environment; "
-        "use decode_features() for the deterministic stub with identical "
-        "Spark-side plumbing"
-    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # guarded: media libs are optional everywhere
+            from PIL import Image  # type: ignore
+
+            pil = Image if prefer_pillow else None
+        except ImportError:
+            pil = None
+        import io
+
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in _REAL_DECODE_SCHEMA}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                fmt, w, h, rate = sniff_media_header(b)
+                decoder = "header"
+                if pil is not None:
+                    try:
+                        with pil.open(io.BytesIO(b)) as img:
+                            fmt = (img.format or fmt).lower()
+                            w, h = img.size
+                            decoder = "pillow"
+                    except Exception:
+                        pass  # not an image Pillow knows; keep header tier
+                rows["doc_id"].append(int(did))
+                rows["n_bytes"].append(len(b))
+                rows["format"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sample_rate"].append(rate)
+                rows["decoder"].append(decoder)
+            # nullable Int64 keeps missing dims as NULLs (a float column
+            # with NaN would not round-trip to LongType through Arrow)
+            for col in ("width", "height", "sample_rate"):
+                rows[col] = pd.array(rows[col], dtype="Int64")
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(_decode, _REAL_DECODE_SCHEMA)
 
 
 FRAME_BYTES = 64

@@ -241,6 +241,36 @@ class TestDedupClusters:
         assert out.get(1) == out.get(2) == out.get(3) == 1, out
         assert 9 not in out  # singletons aren't cluster members
 
+    def test_long_chain_converges_logarithmically(self, spark):
+        """Path halving makes rounds O(log diameter): a 100-vertex path
+        graph (diameter 99) must converge within 7 rounds — plain
+        min-label propagation would need 99 and hit the loud
+        non-convergence guard."""
+        from polars_view_spark.operators.dedup import connected_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(99)], "doc1 long, doc2 long"
+        )
+        labels = {
+            r["v"]: r["label"]
+            for r in connected_components(chain, max_iterations=7).collect()
+        }
+        assert len(labels) == 100
+        assert all(lab == 0 for lab in labels.values()), labels
+
+    def test_nonconvergence_raises_loudly(self, spark):
+        """Too few rounds must raise, never return partially-merged
+        clusters."""
+        import pytest
+
+        from polars_view_spark.operators.dedup import connected_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(99)], "doc1 long, doc2 long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iterations=3)
+
 
 class TestIncrementalMinHash:
     def test_equals_full_pairing_filtered(self, spark, documents):

@@ -1,0 +1,130 @@
+"""Multimodal decode: the real decoder (header tier always on, Pillow tier
+import-guarded) and its mapInPandas contract.
+
+The stubbed ``decode_features`` stays oracle-checked through the catalog
+(x_multimodal_decode); this file covers ``decode_real``, which r02's
+verdict flagged as the one remaining NotImplementedError.
+"""
+
+import struct
+
+import pytest
+
+from polars_view_spark.operators.multimodal import decode_real, sniff_media_header
+
+
+def png_bytes(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00"
+    )
+
+
+def gif_bytes(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+
+
+def bmp_bytes(w: int, h: int) -> bytes:
+    return b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", w, h)
+
+
+def wav_bytes(rate: int) -> bytes:
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36)
+        + b"WAVEfmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HH", 1, 2)
+        + struct.pack("<I", rate)
+        + b"\x00" * 8
+    )
+
+
+def jpeg_bytes(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w)
+    return b"\xff\xd8" + app0 + sof0 + b"\x00" * 12
+
+
+class TestHeaderSniffer:
+    def test_all_formats(self):
+        assert sniff_media_header(png_bytes(640, 480)) == ("png", 640, 480, None)
+        assert sniff_media_header(gif_bytes(320, 200)) == ("gif", 320, 200, None)
+        assert sniff_media_header(bmp_bytes(100, 50)) == ("bmp", 100, 50, None)
+        assert sniff_media_header(wav_bytes(44100)) == ("wav", None, None, 44100)
+        assert sniff_media_header(jpeg_bytes(640, 480)) == ("jpeg", 640, 480, None)
+
+    def test_bmp_topdown_height_is_positive(self):
+        # negative BMP height means top-down row order, not a negative size
+        assert sniff_media_header(bmp_bytes(100, -50)) == ("bmp", 100, 50, None)
+
+    def test_truncated_headers_degrade_to_format_only(self):
+        assert sniff_media_header(b"\x89PNG") == ("png", None, None, None)
+        assert sniff_media_header(b"GIF89a") == ("gif", None, None, None)
+        assert sniff_media_header(b"RIFF1234WAVE") == ("wav", None, None, None)
+        assert sniff_media_header(b"\xff\xd8\xff") == ("jpeg", None, None, None)
+
+    def test_unknown_and_empty(self):
+        assert sniff_media_header(b"plain text content")[0] == "unknown"
+        assert sniff_media_header(b"")[0] == "unknown"
+
+
+def test_decode_real_end_to_end(spark):
+    """decode_real runs on the default path (no NotImplementedError), the
+    header tier fills format/dims/rate, and unknowns come back NULL — one
+    Arrow-batched pass."""
+    rows = [
+        (1, png_bytes(640, 480)),
+        (2, wav_bytes(16000)),
+        (3, b"just some text payload"),
+        (4, jpeg_bytes(32, 16)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in decode_real(df).collect()}
+    assert got[1]["format"] == "png" and (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert got[2]["format"] == "wav" and got[2]["sample_rate"] == 16000
+    assert got[3]["format"] == "unknown" and got[3]["width"] is None
+    assert got[4]["format"] == "jpeg" and got[4]["width"] == 32
+    try:
+        import PIL  # noqa: F401
+
+        # header-only blobs aren't full images, so even with Pillow present
+        # these rows fall back to the header tier
+        assert all(v["decoder"] == "header" for v in got.values())
+    except ImportError:
+        assert all(v["decoder"] == "header" for v in got.values())
+    assert all(v["n_bytes"] > 0 for v in got.values())
+
+
+def test_decode_real_is_arrow_batched(spark):
+    from polars_view_spark.plans.audit import audit_plan
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    a = audit_plan(decode_real(df))
+    assert a.has_arrow_python_eval and not a.has_python_row_eval
+
+
+def _has_pillow() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pillow(), reason="Pillow not installed")
+def test_decode_real_pillow_tier(spark, tmp_path):
+    """With Pillow installed, a genuine image decodes through the pillow
+    tier with dimensions from the pixel grid."""
+    from PIL import Image
+
+    p = tmp_path / "img.png"
+    Image.new("RGB", (12, 7)).save(p)
+    df = spark.createDataFrame([(1, p.read_bytes())], "doc_id long, payload binary")
+    (row,) = decode_real(df).collect()
+    assert row["decoder"] == "pillow"
+    assert (row["width"], row["height"]) == (12, 7)
