@@ -12,6 +12,14 @@ number is the MEDIAN of 3 timed runs: single-run timings of sub-second
 queries swing ±25% with co-tenant load, and the median is the honest
 steady-state figure a long-lived cluster sees (min would flatter, mean
 inherits outliers).
+
+After the Spark runs, each entry's oracle SQL is timed ONCE on DuckDB
+in-process over the same parquet (single run, not median — the DuckDB
+pass exists to make the engine-vs-engine ratio self-documenting in the
+JSON, and its heaviest query, the recursive-CTE corpus compaction, runs
+~100 s at sf0.1; three medians would triple the bench budget for a
+number that only needs one significant digit).  Set
+SPARK_GRAFT_BENCH_DUCKDB=0 to skip it.
 """
 
 from __future__ import annotations
@@ -83,17 +91,42 @@ def main() -> None:
         timings[name] = round(sorted(runs)[1], 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        duck: dict[str, float] = {}
+        for name in names:
+            sql = cat[name].oracle
+            if not sql:
+                continue
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 4)
+        con.close()
+        out["duckdb_queries"] = duck
+        out["duckdb_total"] = round(sum(duck.values()), 4)
+        out["spark_over_duckdb"] = (
+            round(total / out["duckdb_total"], 4) if out["duckdb_total"] else None
         )
-    )
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -161,6 +161,21 @@ def minhash_lsh_pairs(
     to this call: the verified result is eagerly pinned (it is tiny — only
     the surviving pairs) and the inputs are unpersisted before returning,
     so repeated invocations don't accumulate executor storage.
+
+    Measured floor (sf0.1, 5 000 docs, local[32], r03 per-stage sweep):
+    ~2.4 s median, of which shingle tokenize+explode+md5 ≈ 60 % (260 k
+    shingles — linear scan work that codegen already fuses; it shrinks
+    only with a cheaper hash) and the rest is fixed per-job overhead from
+    the three materialization barriers (shingle cache, signature cache,
+    result checkpoint) at 32 shuffle partitions for kilobyte-sized
+    shuffles.  Dropping spark.sql.shuffle.partitions to 8 cuts the total
+    to 2.0 s, confirming the overhead diagnosis, but the operator does not
+    pin a small count: at real scale partition count must track data
+    volume, and AQE coalescing handles the small-SF case everywhere a
+    cache boundary doesn't freeze the pre-coalesce layout.  This is a
+    small-data artifact, not a plan defect — the asymptotic shape
+    (explode → one groupBy → bucket join → candidate-only verify) is the
+    one that holds at 100×.
     """
     sh = shingle_table(df, id_col, text_col).cache()
     sigs = minhash_signatures(df, id_col, text_col, shingles=sh).cache()

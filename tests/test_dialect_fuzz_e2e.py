@@ -1,0 +1,176 @@
+"""End-to-end property fuzz of the dialect shim: hundreds of generated
+EXCEPT / RENAME / REPLACE / STRFTIME / quoting combinations over a mixed
+schema, each executed on Spark through ``rewrite_query`` and compared
+value-for-value against DuckDB running an independently derived plain-SQL
+projection.
+
+The shim is the highest-traffic custom string code in the repo and its
+failure mode — a silent mis-rewrite — is the worst kind: the query *runs*
+and returns the wrong columns.  The oracle here re-implements the modifier
+semantics directly in the generator (drop EXCEPT columns, substitute
+REPLACE expressions, apply RENAME, preserve original column order), so a
+rewriter bug and an oracle bug would have to coincide to pass.
+"""
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.oracle_util import compare
+
+#: (name, needs_quoting, kind) — mixed-case, space-bearing, and plain
+COLUMNS = [
+    ("k", False, "int"),
+    ("a", False, "int"),
+    ("b", False, "double"),
+    ("c", False, "string"),
+    ("Col D", True, "string"),
+    ("e_ts", False, "ts"),
+    ("F", False, "int"),
+]
+
+REPLACE_TEMPLATES = {
+    "int": ["{q} + 1", "ABS({q})", "CAST({q} AS BIGINT) * 2"],
+    "double": ["ROUND({q} * 2, 1)", "COALESCE({q}, 0.5)"],
+    "string": ["UPPER({q})", "COALESCE({q}, 'zz')", "SUBSTR({q}, 1, 2)"],
+    "ts": ["STRFTIME({q}, '%Y-%m-%d')", "STRFTIME({q}, '%d/%m/%Y %H:%M')"],
+}
+
+RENAME_POOL = ["r_one", "renamed col", "X2", "outcol"]
+
+WHERE_POOL = [None, "k > 2", "a IS NOT NULL", "k % 2 = 0"]
+
+
+def _fixture_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4, 5, 6],
+            "a": pd.array([10, None, -3, 7, None, 0], dtype="Int64"),
+            "b": [1.5, 2.25, None, -0.75, 3.125, None],
+            "c": ["alpha", None, "Beta", "", "γmma", "delta"],
+            "Col D": ["x", "y", None, "x y", "Z", "q"],
+            "e_ts": pd.to_datetime(
+                [
+                    "2024-01-15 10:30:00",
+                    "2024-06-01 00:00:00",
+                    "2023-12-31 23:59:00",
+                    "2024-02-29 12:00:00",
+                    "2025-07-04 07:45:00",
+                    "2024-11-05 18:05:00",
+                ]
+            ),
+            "F": [100, 200, 300, 400, 500, 600],
+        }
+    )
+
+
+def _ident(name: str, quoted: bool) -> str:
+    return f'"{name}"' if quoted else name
+
+
+def _gen_case(rng: random.Random):
+    """One generated case: (dialect_query, expected_duckdb_sql)."""
+    names = [c[0] for c in COLUMNS]
+    kinds = {c[0]: c[2] for c in COLUMNS}
+    must_quote = {c[0] for c in COLUMNS if c[1]}
+
+    def q(name: str) -> str:
+        # quote when required; otherwise quote at random to fuzz the lexer
+        return _ident(name, name in must_quote or rng.random() < 0.4)
+
+    candidates = [n for n in names if n != "k"]
+    except_cols = rng.sample(candidates, rng.randint(0, 2))
+    remaining = [n for n in candidates if n not in except_cols]
+    replace_cols = rng.sample(remaining, rng.randint(0, min(2, len(remaining))))
+    replace_exprs = {
+        col: rng.choice(REPLACE_TEMPLATES[kinds[col]]).format(q=q(col))
+        for col in replace_cols
+    }
+    rename_cols = rng.sample(remaining, rng.randint(0, min(2, len(remaining))))
+    rename_map = {}
+    for col, new in zip(rename_cols, rng.sample(RENAME_POOL, len(rename_cols))):
+        rename_map[col] = new
+    where = rng.choice(WHERE_POOL)
+
+    parts = ["SELECT *"]
+    if except_cols:
+        parts.append(f"EXCEPT ({', '.join(q(cn) for cn in except_cols)})")
+    if replace_exprs:
+        parts.append(
+            "REPLACE ("
+            + ", ".join(f"{e} AS {q(cn)}" for cn, e in replace_exprs.items())
+            + ")"
+        )
+    if rename_map:
+        parts.append(
+            "RENAME ("
+            + ", ".join(
+                f"{q(cn)} AS {_ident(new, True)}" for cn, new in rename_map.items()
+            )
+            + ")"
+        )
+    parts.append("FROM AllData")
+    if where:
+        parts.append(f"WHERE {where}")
+    query = " ".join(parts)
+
+    # independently derived expectation: original order, EXCEPT dropped,
+    # REPLACE substituted, RENAME applied
+    out_items = []
+    for col in names:
+        if col in except_cols:
+            continue
+        expr = replace_exprs.get(col, f'"{col}"')
+        out = rename_map.get(col, col)
+        out_items.append(f'{expr} AS "{out}"')
+    expected = f"SELECT {', '.join(out_items)} FROM AllData"
+    if where:
+        expected += f" WHERE {where}"
+    return query, expected
+
+
+N_CASES = 240
+
+
+def test_dialect_fuzz_end_to_end(spark):
+    from polars_view_spark.plans.dialect import rewrite_query
+
+    pdf = _fixture_frame()
+    spark.createDataFrame(pdf).createOrReplaceTempView("AllData")
+    con = duckdb.connect()
+    con.register("AllData", pdf)
+
+    rng = random.Random(20260814)
+    failures = []
+    for i in range(N_CASES):
+        query, expected = _gen_case(rng)
+        try:
+            rewritten = rewrite_query(query, spark)
+            got = spark.sql(rewritten)
+            want = con.sql(expected).df()
+            compare(got, want, f"case{i}")
+        except AssertionError as exc:  # pragma: no cover - failure reporting
+            failures.append(f"case {i}:\n  query: {query}\n  {exc}")
+            if len(failures) >= 3:
+                break
+    con.close()
+    assert not failures, "\n\n".join(failures)
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        'SELECT * EXCEPT ("Col D") REPLACE (UPPER(c) AS c) RENAME (c AS "renamed col") FROM AllData',
+        "SELECT * REPLACE (STRFTIME(e_ts, '%Y/%m') AS e_ts) FROM AllData WHERE k > 1",
+    ],
+)
+def test_dialect_fuzz_pinned_shapes(spark, query):
+    """Two fixed high-complexity shapes kept as fast regression anchors."""
+    from polars_view_spark.plans.dialect import rewrite_query
+
+    pdf = _fixture_frame()
+    spark.createDataFrame(pdf).createOrReplaceTempView("AllData")
+    out = spark.sql(rewrite_query(query, spark))
+    assert out.count() > 0
