@@ -164,13 +164,17 @@ DRIVER_PRIORITY = [
     "e_streaming_tumbling", "x_training_mix_e2e", "x_multimodal_decode",
     "d_dedup_clusters", "d_dedup_apply", "d_minhash_lsh_pairs",
     "d_minhash_incremental",
-    # (c) regression anchors + round-1-green entries whose code paths were
-    # touched by round-2 refactors and deserve a fresh stamp
-    "q1_pricing_summary", "t_pipeline_full", "q_having_alias",
-    "q_semi_anti_join", "q_distinct", "q_strftime_format",
-    "t_drop_columns_regex", "t_normalize_euro", "t_replace_nulls",
-    "t_replace_nulls_universal", "e_sessionize", "e_asof_join",
-    "d_dedup_exact", "q3_shipping_priority", "q5_local_supplier",
+    # (c) regression anchors + the 13 structurally richest queries of the
+    # new TPC-H completion set (catalog_tpch.py).  q6/q12/q13 — the three
+    # simplest shapes — wait for the next rotation; they are covered by the
+    # local oracle gate meanwhile, like every demoted entry.
+    "q1_pricing_summary", "t_pipeline_full",
+    "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
+    "q9_product_profit", "q11_important_stock", "q14_promo_revenue",
+    "q15_top_supplier", "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue", "q19_discounted_revenue",
+    "q20_potential_promotion", "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
 ]
 # Everything demoted out of the window is green in CORRECTNESS_r01/r02 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
@@ -179,7 +183,7 @@ DRIVER_PRIORITY = [
 
 def entries() -> dict[str, CatalogEntry]:
     # import for registration side effects
-    from polars_view_spark import catalog_ext  # noqa: F401
+    from polars_view_spark import catalog_ext, catalog_tpch  # noqa: F401
 
     _register_core()
     ordered: dict[str, CatalogEntry] = {}
