@@ -1293,6 +1293,129 @@ register(
 )(_s_bm25_topk)
 
 
+def _x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic vocabulary: top-5 terms by TF-IDF
+    (operators/retrieval.py:tfidf_top_terms).  One tokenize pass feeds
+    both aggregates; df + N broadcast; bounded per-group window rank."""
+    from polars_view_spark.operators.retrieval import tfidf_top_terms
+
+    t = load_tables(spark, sf_dir, "documents")
+    return tfidf_top_terms(t["documents"], k=5)
+
+
+register(
+    "x_tfidf_top_terms",
+    oracle="""
+    WITH w AS (
+      SELECT source, doc_id,
+             UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    wnz AS (SELECT * FROM w WHERE term <> ''),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM wnz GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM wnz GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / dfreq.df) + 1e-9, 6) AS score
+      FROM tf, dfreq, n WHERE tf.term = dfreq.term
+    )
+    SELECT source, CAST(rn AS INT) AS rank, term, score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER
+               (PARTITION BY source ORDER BY score DESC, term) AS rn
+      FROM scored
+    ) ranked
+    WHERE rn <= 5
+    ORDER BY source, rn
+    """,
+    tables=("documents",),
+)(_x_tfidf_top_terms)
+
+
+def _x_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-iteration Lloyd k-means (k=4) over the embeddings
+    table (operators/similarity.py:kmeans_clusters).  Integer quantization
+    makes every distance/update exact, so the oracle replays BOTH
+    iterations in SQL and the value hash pins the whole trajectory."""
+    from polars_view_spark.operators.similarity import kmeans_clusters
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    return kmeans_clusters(t["embeddings"], k=4, iterations=2)
+
+
+def _duck_kmeans_oracle(k: int = 4, scale: int = 1_000_000, dim: int = 64) -> str:
+    """Replay the exact k-means trajectory in DuckDB: quantize → init from
+    the k lowest ids → (assign, update) × 2 → summarize.  All distance and
+    sum arithmetic is on BIGINTs (order-free); the only float ops —
+    quantize, the update's round(sum/n), the final norm — use the same
+    operand values as Spark, so results are bit-identical."""
+    it = """
+    d{n} AS (
+      SELECT qx.vec_id, c.cid,
+             SUM((qx.val - c.cval) * (qx.val - c.cval)) AS dist
+      FROM qx JOIN c{p} c ON qx.i = c.i
+      GROUP BY qx.vec_id, c.cid
+    ),
+    a{n} AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d{n}
+      ) r WHERE rn = 1
+    ),
+    c{n} AS (
+      SELECT a.cid, qx.i,
+             CAST(round(SUM(qx.val) * 1.0 / COUNT(*)) AS BIGINT) AS cval
+      FROM a{n} a JOIN qx ON a.vec_id = qx.vec_id
+      GROUP BY a.cid, qx.i
+    )"""
+    return (
+        f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    dims AS (SELECT i FROM generate_series(1, {dim}) t(i)),
+    qx AS (SELECT vec_id, i, v[i] AS val FROM q, dims),
+    c0r AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k}),
+    c0i AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v FROM c0r),
+    c0 AS (SELECT cid, i, v[i] AS cval FROM c0i, dims),"""
+        + it.format(n=1, p=0)
+        + ","
+        + it.format(n=2, p=1)
+        + ","
+        # the returned membership is the assignment against the FINAL
+        # centroids (c2) — one more assign pass, matching kmeans_clusters'
+        # trailing assign(q); c3 is generated by the template but unused
+        + it.format(n=3, p=2)
+        + f"""
+    SELECT CAST(m.cid AS INT) AS cluster_id,
+           m.n_members, m.exemplar, nrm.centroid_norm
+    FROM (
+      SELECT cid, COUNT(*) AS n_members, MIN(vec_id) AS exemplar
+      FROM a3 GROUP BY cid
+    ) m
+    JOIN (
+      SELECT cid,
+             ROUND(sqrt(CAST(SUM(cval * cval) AS DOUBLE)) / {scale} + 1e-9, 4)
+               AS centroid_norm
+      FROM c2 GROUP BY cid
+    ) nrm ON m.cid = nrm.cid
+    ORDER BY cluster_id
+    """
+    )
+
+
+register(
+    "x_kmeans_clusters",
+    oracle=_duck_kmeans_oracle(),
+    tables=("embeddings",),
+)(_x_kmeans_clusters)
+
+
 def _x_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The five-stage training-data pipeline END-TO-END
     (operators/packing.py:build_training_mix): Gopher quality filter →
@@ -1905,6 +2028,106 @@ register(
     """,
     tables=("events",),
 )(_e_streaming_tumbling)
+
+
+def _e_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows driver-gated: ``session_window``
+    (streaming/events.py:streaming_session_windows) drained with
+    ``availableNow`` into a complete-mode memory sink.  The oracle derives
+    the identical gap sessions with a lag/cumsum split — Spark's
+    session-window end is EXCLUSIVE (an event landing exactly ``gap`` after
+    the previous one opens a NEW session), so the oracle splits on
+    ``>= gap``, unlike e_sessionize's ``>`` convention."""
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_session_windows,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_memory(
+        streaming_session_windows(stream), "e_streaming_sessions_sink"
+    )
+    return spark.table("e_streaming_sessions_sink").orderBy(
+        "user_id", "session_start"
+    )
+
+
+register(
+    "e_streaming_sessions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT *, SUM(new_s) OVER
+               (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tables=("events",),
+)(_e_streaming_sessions)
+
+
+def _e_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows driver-gated: 1 h windows every 30 min
+    (streaming/events.py:streaming_sliding_agg), availableNow drain.  Each
+    event lands in exactly width/slide = 2 windows; the oracle materializes
+    both 30-minute-aligned window starts per event with a UNION ALL and
+    re-aggregates — same counts, no window function needed."""
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_sliding_agg,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_memory(
+        streaming_sliding_agg(stream), "e_streaming_sliding_sink"
+    )
+    return spark.table("e_streaming_sliding_sink").orderBy(
+        "window_start", "event_type"
+    )
+
+
+register(
+    "e_streaming_sliding",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+             event_type
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+           strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M') AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM buckets
+    GROUP BY ws, event_type
+    ORDER BY window_start, event_type
+    """,
+    tables=("events",),
+)(_e_streaming_sliding)
 
 
 def _e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -155,3 +155,68 @@ def negative_pairs(
         .filter(F.col("rn") == 1)
         .select("qid", "neg_slot", "neg_id")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` most characteristic terms per group by TF-IDF:
+    ``score(g, t) = tf(g, t) · ln(N / df(t))`` where ``tf`` counts the
+    term's occurrences inside the group, ``df`` counts distinct documents
+    containing it corpus-wide, and ``N`` is the corpus document count.
+
+    Scale shape: one tokenize+explode pass feeds both aggregates — the
+    (group, term) frequency and the per-term document frequency; ``df``
+    and the 1-row ``N`` reach the scorer via broadcast; ranking is a
+    bounded per-group window (row_number ≤ k), not a global sort.  Like
+    bm25_topk, ranking happens on the ROUNDED score (6 dp,
+    epsilon-shifted) with a term tiebreak so ordering is reproducible
+    across engines.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tf = words.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = (
+        words.select("doc", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", F.expr("round(tf * ln(n_docs * 1.0 / df) + 1e-9, 6)")
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            "score",
+        )
+        .orderBy(group_col, "rank")
+    )

@@ -467,3 +467,115 @@ def quantize_int8(
         .withColumn("max_abs_err", F.expr(err))
         .withColumnRenamed("__scale", "scale")
     )
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column, expressed as
+    DataFrame algebra — the iterative-ML pattern on Spark.
+
+    Every step is EXACTLY replicable in ANSI SQL, so the operator carries a
+    full value-hash oracle (catalog entry ``x_kmeans_clusters``) instead of
+    the rows-only check iterative algorithms usually get:
+
+    - vectors are integer-quantized in-engine (``round(x·scale)`` — SQL
+      round on both sides, never Python's half-even round), so distance
+      sums are integer arithmetic: exact in ANY accumulation order, on
+      both engines;
+    - init centroids are the ``k`` lowest-id vectors (no RNG);
+    - assignment is ``array_min`` over (distance, cluster) structs —
+      nearest centroid, lowest cluster id on ties — a pure projection
+      against literal centroid arrays, no join, no shuffle of the corpus;
+    - the update step re-quantizes via ``round(sum·1.0/count)``: the two
+      operands are exact integers, so the double division and round are
+      bit-identical across engines.
+
+    Scale shape: per iteration ONE shuffle (the k-group aggregate of 64
+    partial sums; map-side combine makes the exchange k×dims rows) and an
+    O(k·dims) driver collect for the next round's literals — the same
+    bounded driver state as a trained index's centroid table
+    (cf. _seed_centroids).  Empty clusters drop out, matching the SQL
+    oracle's semantics.
+    """
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("kmeans_clusters: empty input")
+    dim = int(dim_row["d"])
+
+    q = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+
+    init_rows = q.orderBy("vid").limit(k).collect()
+    centroids: dict[int, list[int]] = {
+        cid: [int(x) for x in r["v"]] for cid, r in enumerate(init_rows)
+    }
+
+    def assign(frame: DataFrame) -> DataFrame:
+        structs = ", ".join(
+            "struct(aggregate(zip_with(v, array("
+            + ", ".join(f"{x}L" for x in vec)
+            + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)"
+            f" AS d, {cid} AS cid)"
+            for cid, vec in sorted(centroids.items())
+        )
+        return frame.withColumn("cid", F.expr(f"array_min(array({structs})).cid"))
+
+    for _ in range(iterations):
+        rows = (
+            assign(q)
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.expr(
+                        f"CAST(round(SUM(v[{i}]) * 1.0 / COUNT(1)) AS BIGINT)"
+                    ).alias(f"c{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        centroids = {
+            int(r["cid"]): [int(r[f"c{i}"]) for i in range(dim)] for r in rows
+        }
+
+    members = (
+        assign(q)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("vid").cast("long").alias("exemplar"),
+        )
+    )
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(centroids.items())],
+        "cid INT, c ARRAY<BIGINT>",
+    ).withColumn(
+        "centroid_norm",
+        F.expr(
+            "ROUND(sqrt(CAST(aggregate(transform(c, x -> x * x), 0L,"
+            f" (a, b) -> a + b) AS DOUBLE)) / {scale} + 1e-9, 4)"
+        ),
+    )
+    return (
+        members.join(F.broadcast(cent_df.select("cid", "centroid_norm")), "cid")
+        .select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            "n_members",
+            "exemplar",
+            "centroid_norm",
+        )
+        .orderBy("cluster_id")
+    )

@@ -856,3 +856,50 @@ class TestLineDedupAndSelection:
         with _pt.raises(ValueError):
             select_top_fraction(df, "w", 1.5)
         assert select_top_fraction(df, "w", 1.0).count() == 3
+
+
+class TestKMeans:
+    SF = "/root/testdata/sf0.001"
+
+    def _emb(self, spark):
+        return spark.read.parquet(f"{self.SF}/embeddings.parquet")
+
+    def test_partitions_whole_corpus(self, spark):
+        """Final clusters are a partition: sizes sum to the corpus count,
+        exemplars are distinct, every cluster id is one of the k init ids."""
+        from polars_view_spark.operators.similarity import kmeans_clusters
+
+        emb = self._emb(spark)
+        out = kmeans_clusters(emb, k=4, iterations=2).collect()
+        assert sum(r["n_members"] for r in out) == emb.count()
+        assert len({r["exemplar"] for r in out}) == len(out)
+        assert {r["cluster_id"] for r in out} <= set(range(4))
+
+    def test_deterministic(self, spark):
+        """No RNG anywhere: two runs produce identical rows."""
+        from polars_view_spark.operators.similarity import kmeans_clusters
+
+        emb = self._emb(spark)
+        a = [tuple(r) for r in kmeans_clusters(emb, k=3, iterations=2).collect()]
+        b = [tuple(r) for r in kmeans_clusters(emb, k=3, iterations=2).collect()]
+        assert a == b
+
+    def test_empty_cluster_drops_out(self, spark):
+        """k larger than the number of distinct points: duplicate-heavy
+        input collapses clusters; the survivors still partition the rows
+        (empty clusters disappear rather than emitting 0-rows)."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.similarity import kmeans_clusters
+
+        # 20 copies of each of two distinct vectors
+        base = self._emb(spark).limit(2).select(
+            "embedding", F.col("vec_id").alias("seed")
+        )
+        dup = (
+            base.crossJoin(spark.range(20).select(F.col("id").alias("rep")))
+            .select((F.col("seed") * 100 + F.col("rep")).alias("vec_id"), "embedding")
+        )
+        out = kmeans_clusters(dup, k=6, iterations=2).collect()
+        assert sum(r["n_members"] for r in out) == 40
+        assert len(out) <= 6

@@ -541,3 +541,29 @@ def test_topk_and_theta_merge_semantics(spark):
     ).collect()[0]
     n_click = ev.filter("event_type = 'click'").select("user_id").distinct().count()
     assert r["i"] + r["d"] == n_click
+
+
+def test_tfidf_broadcast_stats_and_bounded_rank(spark, cat):
+    """df/N reach the scorer via broadcast; the rank is a per-group window
+    (one hash partitioning on the group), never a global sort of terms."""
+    df = cat["x_tfidf_top_terms"].spark_fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastExchange") >= 2, "df/N stats not broadcast"
+    assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin is the 1-row N crossJoin — allowed only there
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_kmeans_assignment_is_projection(spark):
+    """The per-iteration assignment must be a pure projection against
+    literal centroid arrays — no join touches the corpus before the
+    k-group aggregate, and the aggregate is partial (map-side combine)."""
+    from polars_view_spark.operators.similarity import kmeans_clusters
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = kmeans_clusters(emb, k=4, iterations=1)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    # final summary join is centroid-side broadcast
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2, "aggregate not partial"
