@@ -40,6 +40,11 @@ HEADLINE = [
     "q_count_distinct",
     "q_filter_predicates",
     "q_cte_case_cast",
+    # round-3 TPC-H completion set representatives: the 7-table two-role
+    # snowflake and the double-EXISTS fact self-join — the two join shapes
+    # the rest of the suite stresses hardest
+    "q8_market_share",
+    "q21_suppliers_kept_waiting",
 ]
 
 EXT_HEADLINE = [
@@ -56,6 +61,9 @@ EXT_HEADLINE = [
     # same oracle SQL 17× / 1.2× slower at sf0.1)
     "d_dedup_apply",
     "x_training_mix_e2e",
+    # round 3: deterministic Lloyd k-means — the iterative-algorithm
+    # representative (2 assignment+update rounds, exact-arithmetic oracle)
+    "x_kmeans_clusters",
 ]
 
 
