@@ -184,6 +184,11 @@ DRIVER_PRIORITY = [
 # Everything demoted out of the window is green in CORRECTNESS_r01/r02 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
 # sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
+# Next rotation (round 4) must lead with the round-3 additions that did not
+# fit this window: q6_forecast_revenue, q12_ship_priority_class,
+# q13_customer_distribution, q14_promo_revenue, q19_discounted_revenue,
+# x_tfidf_top_terms, x_kmeans_clusters, t_csv_gz_roundtrip (all green in
+# the local gate at all three SFs).
 
 
 def entries() -> dict[str, CatalogEntry]:
@@ -234,6 +239,34 @@ def _t_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "nation")
     path = os.path.join(_scratch_dir("csv_rt", sf_dir), "nation.csv")
+    save_as(t["nation"], path, csv_delimiter=";")
+    df, fmt, cfg = read_any(spark, LoadConfig(path=path, csv_delimiter=","))
+    assert fmt == "csv" and cfg.csv_delimiter == ";", (fmt, cfg.csv_delimiter)
+    return (
+        df.groupBy(F.col("n_regionkey").cast("long").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").cast("long").alias("sum_key"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("region")
+    )
+
+
+def _t_csv_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed flavor of the §2A CSV path (beyond-reference: the
+    reference's FileExtension treats .gz as Unknown): parquet → gzipped
+    single-file ``;``-CSV sink → decompressing delimiter sniffer (wrong
+    configured delimiter) → bounded-infer read (Hadoop codec decompresses
+    the scan) → aggregate, oracled against the original parquet."""
+    import os
+
+    from polars_view_spark.config import LoadConfig
+    from polars_view_spark.sources.readers import read_any
+    from polars_view_spark.sources.writers import save_as
+
+    t = load_tables(spark, sf_dir, "nation")
+    path = os.path.join(_scratch_dir("csv_gz_rt", sf_dir), "nation.csv.gz")
     save_as(t["nation"], path, csv_delimiter=";")
     df, fmt, cfg = read_any(spark, LoadConfig(path=path, csv_delimiter=","))
     assert fmt == "csv" and cfg.csv_delimiter == ";", (fmt, cfg.csv_delimiter)
@@ -393,6 +426,17 @@ def _register_core() -> None:
         """,
         tables=("nation",),
     )(_t_csv_roundtrip)
+
+    register(
+        "t_csv_gz_roundtrip",
+        oracle="""
+        SELECT CAST(n_regionkey AS BIGINT) AS region, COUNT(*) AS n,
+               CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+               MIN(n_name) AS first_name
+        FROM nation GROUP BY 1 ORDER BY 1
+        """,
+        tables=("nation",),
+    )(_t_csv_gz_roundtrip)
 
     register(
         "t_ndjson_roundtrip",

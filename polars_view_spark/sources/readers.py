@@ -43,16 +43,43 @@ _EXTENSION_MAP = {
 }
 
 
-def detect_format(path: str) -> str:
-    """Extension → format dispatch (reference: src/file_extension.rs:6-36)."""
+# Transparent text compression (beyond-reference: the reference's
+# FileExtension treats .gz as Unknown).  Spark/Hadoop decompress these by
+# extension on read with pure-Java codecs, so only format DISPATCH and the
+# driver-side head probe need awareness.  Parquet/ORC compress internally —
+# an outer codec suffix on them is an error, not a feature.
+_COMPRESSION_SUFFIXES = {".gz": "gzip", ".bz2": "bzip2"}
+_TEXT_FORMATS = frozenset({"csv", "json", "ndjson"})
+
+
+def split_compression(path: str) -> tuple[str, str | None]:
+    """``data.csv.gz`` → ``('data.csv', 'gzip')``; plain paths → (path, None)."""
     suffix = Path(path).suffix.lower()
-    try:
-        return _EXTENSION_MAP[suffix]
-    except KeyError:
+    codec = _COMPRESSION_SUFFIXES.get(suffix)
+    if codec is None:
+        return path, None
+    return path[: -len(suffix)], codec
+
+
+def detect_format(path: str) -> str:
+    """Extension → format dispatch (reference: src/file_extension.rs:6-36),
+    looking through one trailing compression suffix for text formats."""
+    inner, codec = split_compression(path)
+    suffix = Path(inner).suffix.lower()
+    fmt = _EXTENSION_MAP.get(suffix)
+    if fmt is None:
+        shown = Path(path).suffix.lower()
         raise UnsupportedFormatError(
-            f"Unsupported or missing extension {suffix!r} for {path!r} "
-            f"(expected one of {sorted(set(_EXTENSION_MAP))})"
-        ) from None
+            f"Unsupported or missing extension {shown!r} for {path!r} "
+            f"(expected one of {sorted(set(_EXTENSION_MAP))}, optionally "
+            f"+ {sorted(_COMPRESSION_SUFFIXES)} for text formats)"
+        )
+    if codec is not None and fmt not in _TEXT_FORMATS:
+        raise UnsupportedFormatError(
+            f"{path!r}: {fmt} compresses internally — write plain "
+            f".{fmt} instead of wrapping it in {codec}"
+        )
+    return fmt
 
 
 def force_string_schema(schema: T.StructType, pattern: str) -> T.StructType:

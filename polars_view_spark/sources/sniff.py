@@ -44,16 +44,37 @@ def probe_head_lines(path: str, spark=None, max_lines: int = ROW_LIMIT + 1) -> l
     fall back to configured defaults.
     """
     if not is_remote_path(path):
-        with open(path, "rb") as fh:
-            head = fh.read(_PROBE_BYTES)
+        head = _read_head_bytes(path)
         text = head.decode("utf-8", errors="replace")
         lines = text.splitlines()
         if len(head) == _PROBE_BYTES and lines:
             lines.pop()  # the window may have cut the last line mid-row
         return lines[:max_lines]
     if spark is not None:
+        # spark.read.text decompresses .gz/.bz2 transparently (Hadoop codec)
         return [r[0] for r in spark.read.text(path).limit(max_lines).collect()]
     return []
+
+
+def _read_head_bytes(path: str) -> bytes:
+    """Bounded head read, decompressing one trailing .gz/.bz2 suffix.
+
+    Both stdlib decompressors stream: ``read(n)`` pulls only the compressed
+    bytes needed for ``n`` decompressed bytes, so the probe stays O(1) in
+    file size for compressed inputs too."""
+    lower = path.lower()
+    if lower.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as fh:
+            return fh.read(_PROBE_BYTES)
+    if lower.endswith(".bz2"):
+        import bz2
+
+        with bz2.open(path, "rb") as fh:
+            return fh.read(_PROBE_BYTES)
+    with open(path, "rb") as fh:
+        return fh.read(_PROBE_BYTES)
 
 
 def _probe_head(path: str) -> str:

@@ -85,17 +85,24 @@ def _single_file_write(df: DataFrame, target: str, fmt: str, csv_delimiter: str)
     acceptable because a viewer save is human-scale output.  Large outputs
     should use ``write_dataset``.
     """
+    from polars_view_spark.sources.readers import split_compression
+
+    _, codec = split_compression(target)
     tmpdir = tempfile.mkdtemp(prefix="pvs_write_")
     try:
         out = os.path.join(tmpdir, "out")
         one = df.coalesce(1)
         if fmt == FileFormat.CSV:
-            one.write.option("sep", csv_delimiter).option("header", "true").mode(
-                "overwrite"
-            ).csv(out)
+            w = one.write.option("sep", csv_delimiter).option("header", "true")
+            if codec:
+                w = w.option("compression", codec)
+            w.mode("overwrite").csv(out)
             part = glob.glob(os.path.join(out, "part-*"))[0]
         elif fmt == FileFormat.NDJSON:
-            one.write.mode("overwrite").json(out)
+            w = one.write
+            if codec:
+                w = w.option("compression", codec)
+            w.mode("overwrite").json(out)
             part = glob.glob(os.path.join(out, "part-*"))[0]
         elif fmt == FileFormat.PARQUET:
             one.write.mode("overwrite").parquet(out)
@@ -109,7 +116,17 @@ def _single_file_write(df: DataFrame, target: str, fmt: str, csv_delimiter: str)
             # output is human-scale, so a driver-side collect is the
             # documented cost (SURVEY.md §7.4 item 5).
             rows = [row.asDict(recursive=True) for row in df.collect()]
-            with open(target, "w", encoding="utf-8") as fh:
+            if codec == "gzip":
+                import gzip
+
+                opener = lambda: gzip.open(target, "wt", encoding="utf-8")  # noqa: E731
+            elif codec == "bzip2":
+                import bz2
+
+                opener = lambda: bz2.open(target, "wt", encoding="utf-8")  # noqa: E731
+            else:
+                opener = lambda: open(target, "w", encoding="utf-8")  # noqa: E731
+            with opener() as fh:
                 json.dump(rows, fh, ensure_ascii=False, default=str)
             return
         else:
