@@ -187,8 +187,8 @@ DRIVER_PRIORITY = [
 # Next rotation (round 4) must lead with the round-3 additions that did not
 # fit this window: q6_forecast_revenue, q12_ship_priority_class,
 # q13_customer_distribution, q14_promo_revenue, q19_discounted_revenue,
-# x_tfidf_top_terms, x_kmeans_clusters, t_csv_gz_roundtrip (all green in
-# the local gate at all three SFs).
+# x_tfidf_top_terms, x_kmeans_clusters, t_csv_gz_roundtrip,
+# q21_single_pass (all green in the local gate at all three SFs).
 
 
 def entries() -> dict[str, CatalogEntry]:

@@ -427,6 +427,123 @@ def register_tpch() -> None:
         "main join (one exchange amortized three ways under AQE).",
     )
 
+    # ---- Q21 hand-optimized: same semantics, one lineitem derivation.
+    # The decorrelated SQL form scans the fact table three times (main +
+    # EXISTS + NOT EXISTS).  This variant derives per-(order, supplier)
+    # ship maxima once and answers both subqueries with windows over the
+    # REDUCED frame: "another supplier exists" = order's supplier count,
+    # "no other supplier shipped later" = this row's shipdate ≥ the max
+    # shipdate among other suppliers, reconstructed from (top max, count
+    # of suppliers at the top max, second max).  Oracle = the identical
+    # q21 statement, so the rewrite's equivalence is value-hash-proven.
+    def q21_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        t = load_tables(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+        # per-(order, supplier) maxima over RAW lineitem — no orders join
+        # here: sup rows only matter where the qualified side (already
+        # F-restricted) joins them, so restricting sup too would just scan
+        # orders twice for identical results
+        sup = t["lineitem"].groupBy("l_orderkey", "l_suppkey").agg(
+            F.max("l_shipdate").alias("smax")
+        )
+        li = t["lineitem"].join(
+            t["orders"].filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+        wo = Window.partitionBy("l_orderkey")
+        sup = (
+            sup.withColumn("n_sups", F.count(F.lit(1)).over(wo))
+            .withColumn("r1", F.max("smax").over(wo))
+            .withColumn(
+                "cnt_r1",
+                F.sum(F.when(F.col("smax") == F.col("r1"), 1).otherwise(0)).over(wo),
+            )
+            .withColumn(
+                "r2",
+                F.max(F.when(F.col("smax") < F.col("r1"), F.col("smax"))).over(wo),
+            )
+            .withColumn(
+                "max_other",
+                F.when(
+                    (F.col("smax") < F.col("r1")) | (F.col("cnt_r1") > 1),
+                    F.col("r1"),
+                ).otherwise(F.col("r2")),
+            )
+        )
+        qualified = (
+            li.filter(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            )
+            .join(sup, ["l_orderkey", "l_suppkey"])
+            .filter(
+                (F.col("n_sups") > 1)
+                & (
+                    F.col("max_other").isNull()
+                    | (F.col("l_shipdate") >= F.col("max_other"))
+                )
+            )
+        )
+        return (
+            qualified.join(
+                F.broadcast(
+                    t["supplier"].join(
+                        F.broadcast(
+                            t["nation"].filter(F.col("n_name") == "NATION_11")
+                        ),
+                        F.col("s_nationkey") == F.col("n_nationkey"),
+                    )
+                ),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+            )
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(100)
+        )
+
+    register(
+        "q21_single_pass",
+        oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate
+          )
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_11'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """,
+        tables=("supplier", "lineitem", "orders", "nation"),
+        doc="Q21 rewritten to avoid the triple fact scan: per-(order, "
+        "supplier) maxima once, both EXISTS answered by windows over the "
+        "reduced frame; equivalence proven by running the ORIGINAL q21 "
+        "SQL as the oracle.  The at-scale claim: 3 lineitem scans + 3 "
+        "fact-sized shuffles (the semi/anti pair can't broadcast a 100 TB "
+        "lineitem) → 2 scans + ONE fact-sized shuffle (the map-side-"
+        "combined sup aggregate; the window and join run on the reduced "
+        "frame).  At sf0.1 the DECORRELATED form is faster (~1.1 s vs "
+        "~2.3 s) because 3 MB lineitem subqueries broadcast — this entry "
+        "exists for the regime where they cannot, and the plan gate "
+        "(test_q21_single_pass_two_scans) pins the structural claim "
+        "rather than a small-scale timing.",
+    )(q21_single_pass)
+
     # ---- Q22: global sales opportunity (phone country code → nation key),
     # anti join + scalar AVG threshold preserved.
     sql_query(

@@ -120,3 +120,21 @@ def test_q15_topk_equality_single_revenue_pass(spark, cat):
     the exchange instead of recomputing the lineitem aggregation."""
     plan = plan_of(cat["q15_top_supplier"].spark_fn(spark, SF))
     assert "ReusedExchange" in plan or plan.count("FileScan parquet") <= 3
+
+
+def test_q21_single_pass_two_scans(spark, cat):
+    """The rewrite's reason to exist: the decorrelated q21 plan scans
+    lineitem 3× (main + semi + anti); the window form must scan it at most
+    2× and contain NO semi/anti join."""
+    plan = plan_of(cat["q21_single_pass"].spark_fn(spark, SF))
+    assert plan.count("FileScan parquet") <= 5  # 2×lineitem + orders + supplier + nation
+    li_scans = len(
+        [ln for ln in plan.splitlines() if "FileScan parquet" in ln and "lineitem" in ln]
+    )
+    assert li_scans <= 2, f"{li_scans} lineitem scans"
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    baseline = plan_of(cat["q21_suppliers_kept_waiting"].spark_fn(spark, SF))
+    base_li = len(
+        [ln for ln in baseline.splitlines() if "FileScan parquet" in ln and "lineitem" in ln]
+    )
+    assert base_li >= 3, "baseline no longer triple-scans; update the doc"
