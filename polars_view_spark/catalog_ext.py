@@ -2086,6 +2086,48 @@ register(
 )(_e_streaming_sessions)
 
 
+def _e_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join driver-gated: error↔click pairing
+    (streaming/events.py:streaming_error_after_click) drained with
+    ``availableNow`` in APPEND mode (the only mode stream-stream joins
+    support).  A single-parquet-file source drains in one micro-batch, so
+    no row is late relative to the watermark and the result equals the
+    batch join — making a FULL value-hash oracle possible for the one
+    streaming family member that previously had only pytest parity."""
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_error_after_click,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_memory(
+        streaming_error_after_click(stream),
+        "e_streaming_join_sink",
+        output_mode="append",
+    )
+    return spark.table("e_streaming_join_sink").orderBy(
+        "user_id", "error_id", "click_id"
+    )
+
+
+register(
+    "e_streaming_join",
+    oracle="""
+    SELECT e.user_id,
+           e.event_id AS error_id,
+           c.event_id AS click_id,
+           CAST(floor(epoch(e.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 10 MINUTE
+    ORDER BY e.user_id, error_id, click_id
+    """,
+    tables=("events",),
+)(_e_streaming_join)
+
+
 def _e_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding windows driver-gated: 1 h windows every 30 min
     (streaming/events.py:streaming_sliding_agg), availableNow drain.  Each
