@@ -537,8 +537,8 @@ def register_tpch() -> None:
         "fact-sized shuffles (the semi/anti pair can't broadcast a 100 TB "
         "lineitem) → 2 scans + ONE fact-sized shuffle (the map-side-"
         "combined sup aggregate; the window and join run on the reduced "
-        "frame).  At sf0.1 the DECORRELATED form is faster (~1.1 s vs "
-        "~2.3 s) because 3 MB lineitem subqueries broadcast — this entry "
+        "frame).  At sf0.1 the DECORRELATED form is faster (median 0.9 s "
+        "vs 2.2 s) because 3 MB lineitem subqueries broadcast — this entry "
         "exists for the regime where they cannot, and the plan gate "
         "(test_q21_single_pass_two_scans) pins the structural claim "
         "rather than a small-scale timing.",

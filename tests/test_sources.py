@@ -327,3 +327,79 @@ class TestCompressedText:
         assert os.path.isfile(target)
         with pytest.raises(SaveFormatMismatchError):
             save(df, LoadConfig(path=str(tmp_path / "o.parquet")), "csv")
+
+
+class TestSnifferFuzz:
+    """Property fuzz for the delimiter sniffer — the highest-traffic
+    ingestion heuristic.  Generated CSVs with a random candidate delimiter,
+    random quoting, and cells drawn to include the OTHER candidates as
+    content must still sniff to the writing delimiter."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _CELLS = st.text(
+        alphabet="abcXYZ 0123456789.,;|:\t",
+        min_size=0,
+        max_size=12,
+    )
+
+    @staticmethod
+    def _render(rows, delim):
+        import csv as _csv
+        import io
+
+        buf = io.StringIO()
+        w = _csv.writer(buf, delimiter=delim, quoting=_csv.QUOTE_MINIMAL)
+        w.writerows(rows)
+        return buf.getvalue()
+
+    @given(
+        delim=st.sampled_from([",", ";", "|", "\t", ":"]),
+        n_cols=st.integers(min_value=2, max_value=6),
+        n_rows=st.integers(min_value=1, max_value=30),
+        data=st.data(),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_sniffs_writing_delimiter(self, delim, n_cols, n_rows, data):
+        from polars_view_spark.sources.sniff import sniff_delimiter_from_lines
+
+        rows = [
+            [
+                data.draw(self._CELLS, label=f"cell{r}x{c}")
+                for c in range(n_cols)
+            ]
+            for r in range(n_rows + 1)  # +1 header-ish row
+        ]
+        text = self._render(rows, delim)
+        lines = text.splitlines()
+        got = sniff_delimiter_from_lines(lines, configured=None)
+        # The sniffer picks the first candidate with a CONSISTENT width > 1
+        # column.  The writing delimiter always parses consistently; an
+        # earlier candidate may legitimately win only if the generated
+        # cells happen to form a consistent multi-column table under it —
+        # verify the winner actually parses consistently rather than
+        # demanding the exact delimiter back.
+        import csv as _csv
+        import io
+
+        widths = {
+            len(row)
+            for row in _csv.reader(io.StringIO("\n".join(lines)), delimiter=got)
+            if row
+        }
+        assert len(widths) == 1, (delim, got, widths)
+        assert widths.pop() > 1 or got == delim
+
+    @given(
+        delim=st.sampled_from([",", ";", "|"]),
+        junk=st.text(alphabet="abc123", min_size=1, max_size=40),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_single_column_falls_back_to_configured(self, delim, junk):
+        """A file with NO delimiter anywhere must fall back to the
+        configured delimiter, never crash or invent one."""
+        from polars_view_spark.sources.sniff import sniff_delimiter_from_lines
+
+        got = sniff_delimiter_from_lines([junk, junk], configured=delim)
+        assert got == delim
