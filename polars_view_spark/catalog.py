@@ -164,10 +164,10 @@ DRIVER_PRIORITY = [
     "e_streaming_tumbling", "x_training_mix_e2e", "x_multimodal_decode",
     "d_dedup_clusters", "d_dedup_apply", "d_minhash_lsh_pairs",
     "d_minhash_incremental",
-    # (c) regression anchors + the 13 structurally richest queries of the
-    # new TPC-H completion set (catalog_tpch.py).  q6/q12/q13 — the three
-    # simplest shapes — wait for the next rotation; they are covered by the
-    # local oracle gate meanwhile, like every demoted entry.
+    # (c) regression anchors + 11 of the new TPC-H completion set
+    # (catalog_tpch.py); q6/q12/q13/q14/q19 — the five simplest shapes —
+    # wait for the next rotation (see the list after this block) and are
+    # covered by the local oracle gate meanwhile, like every demoted entry.
     "q1_pricing_summary", "t_pipeline_full",
     "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
     "q9_product_profit", "q11_important_stock",

@@ -1295,8 +1295,9 @@ register(
 
 def _x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source characteristic vocabulary: top-5 terms by TF-IDF
-    (operators/retrieval.py:tfidf_top_terms).  One tokenize pass feeds
-    both aggregates; df + N broadcast; bounded per-group window rank."""
+    (operators/retrieval.py:tfidf_top_terms).  One tokenize pass reduces
+    to a pinned per-(doc, term) count that feeds both aggregates; df + N
+    broadcast; bounded per-group window rank."""
     from polars_view_spark.operators.retrieval import tfidf_top_terms
 
     t = load_tables(spark, sf_dir, "documents")

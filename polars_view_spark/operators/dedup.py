@@ -426,6 +426,11 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    if max_iterations <= 0:
+        # guard up front: the for/else error path below formats the
+        # per-round change count, which never exists if the loop body
+        # never ran — this would otherwise surface as a NameError
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     labels = (
         edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
     ).localCheckpoint(eager=True)

@@ -133,9 +133,17 @@ def sniff_media_header(b: bytes) -> tuple[str, int | None, int | None, int | Non
                 return "bmp", w, abs(h), None  # negative height = top-down rows
             return "bmp", None, None, None
         if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
-            if len(b) >= 28:
-                rate = struct.unpack("<I", b[24:28])[0]
-                return "wav", None, None, rate
+            # walk RIFF chunks to the 'fmt ' chunk: tagging tools commonly
+            # emit LIST/INFO (or other) chunks first, so a fixed offset 24
+            # would read garbage as the sample rate
+            i = 12
+            while i + 8 <= len(b):
+                chunk_id = b[i : i + 4]
+                chunk_len = struct.unpack("<I", b[i + 4 : i + 8])[0]
+                if chunk_id == b"fmt " and i + 16 <= len(b):
+                    rate = struct.unpack("<I", b[i + 12 : i + 16])[0]
+                    return "wav", None, None, rate
+                i += 8 + chunk_len + (chunk_len & 1)  # chunks are word-aligned
             return "wav", None, None, None
         if b.startswith(b"\xff\xd8"):
             # JPEG: walk the marker stream to the first SOFn frame header
@@ -144,6 +152,9 @@ def sniff_media_header(b: bytes) -> tuple[str, int | None, int | None, int | Non
                 if b[i] != 0xFF:
                     break
                 marker = b[i + 1]
+                if marker == 0xFF:
+                    i += 1  # spec-legal 0xFF fill byte before a marker
+                    continue
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue

@@ -169,13 +169,16 @@ def tfidf_top_terms(
     term's occurrences inside the group, ``df`` counts distinct documents
     containing it corpus-wide, and ``N`` is the corpus document count.
 
-    Scale shape: one tokenize+explode pass feeds both aggregates — the
-    (group, term) frequency and the per-term document frequency; ``df``
-    and the 1-row ``N`` reach the scorer via broadcast; ranking is a
-    bounded per-group window (row_number ≤ k), not a global sort.  Like
-    bm25_topk, ranking happens on the ROUNDED score (6 dp,
-    epsilon-shifted) with a term tiebreak so ordering is reproducible
-    across engines.
+    Scale shape: ONE tokenize+explode pass reduces to a per-(doc, term)
+    count, which is pinned (localCheckpoint) because two aggregates
+    consume it — the (group, term) frequency and the per-term document
+    frequency; left lazy, Catalyst would re-run the corpus explode per
+    consumer.  The pinned frame is bounded by distinct (doc, term) pairs,
+    far smaller than the raw token stream.  ``df`` and the 1-row ``N``
+    reach the scorer via broadcast; ranking is a bounded per-group window
+    (row_number ≤ k), not a global sort.  Like bm25_topk, ranking happens
+    on the ROUNDED score (6 dp, epsilon-shifted) with a term tiebreak so
+    ordering is reproducible across engines.
     """
     from pyspark.sql import Window
 
@@ -189,15 +192,18 @@ def tfidf_top_terms(
         )
         .filter(F.col("term") != "")
     )
-    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    tf = words.groupBy("grp", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # grp rides along for free: doc → grp is functional, so grouping by it
+    # does not change cardinality
+    per_doc = (
+        words.groupBy("doc", "grp", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    dfreq = (
-        words.select("doc", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tf = per_doc.groupBy("grp", "term").agg(F.sum("c").cast("long").alias("tf"))
+    # per_doc is unique per (doc, term), so df(t) is a plain row count
+    dfreq = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")

@@ -443,9 +443,13 @@ def streaming_minhash_dedup(
             return
         if os.path.exists(corpus_dir):
             # a replayed batch must pair against the corpus as it stood
-            # BEFORE its own (possibly partial) earlier attempt
+            # BEFORE its own earlier attempt: strictly EARLIER batches
+            # only.  `< batch_id` (not `!=`): after a checkpoint reset, a
+            # replayed batch 0 must not see batches 1..n — pairing against
+            # later batches would rediscover their cross-batch pairs and
+            # write them twice (once per side's partition)
             base = spark.read.parquet(corpus_dir).filter(
-                F.col("ingest_batch") != batch_id
+                F.col("ingest_batch") < batch_id
             ).drop("ingest_batch")
         else:
             base = spark.createDataFrame([], batch_df.schema)

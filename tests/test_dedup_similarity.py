@@ -903,3 +903,15 @@ class TestKMeans:
         out = kmeans_clusters(dup, k=6, iterations=2).collect()
         assert sum(r["n_members"] for r in out) == 40
         assert len(out) <= 6
+
+
+def test_connected_components_rejects_nonpositive_iterations(spark):
+    """max_iterations <= 0 must raise the typed ValueError up front, not a
+    NameError from the exhausted-loop error path (review regression)."""
+    import pytest as _pytest
+
+    from polars_view_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "doc1 long, doc2 long")
+    with _pytest.raises(ValueError, match="max_iterations"):
+        connected_components(pairs, max_iterations=0)

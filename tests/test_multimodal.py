@@ -128,3 +128,56 @@ def test_decode_real_pillow_tier(spark, tmp_path):
     (row,) = decode_real(df).collect()
     assert row["decoder"] == "pillow"
     assert (row["width"], row["height"]) == (12, 7)
+
+
+class TestHeaderSnifferEdgeLayouts:
+    """Regressions from review: real-world layouts the fixed-offset /
+    naive-walker versions misparsed."""
+
+    def test_wav_with_list_chunk_before_fmt(self):
+        """Tagging tools commonly emit a LIST/INFO chunk before fmt —
+        the parser must walk chunks, not read offset 24 blind."""
+        import struct
+
+        info = b"INFOISFT" + struct.pack("<I", 4) + b"lame"
+        list_chunk = b"LIST" + struct.pack("<I", len(info)) + info
+        fmt = (
+            b"fmt "
+            + struct.pack("<I", 16)
+            + struct.pack("<HH", 1, 2)
+            + struct.pack("<I", 22050)
+            + b"\x00" * 8
+        )
+        payload = b"RIFF" + struct.pack("<I", 4 + len(list_chunk) + len(fmt)) + b"WAVE" + list_chunk + fmt
+        assert sniff_media_header(payload) == ("wav", None, None, 22050)
+
+    def test_wav_odd_sized_chunk_is_word_aligned(self):
+        """RIFF chunks pad odd sizes to word boundaries; the walker must
+        account for the pad byte or every later offset is off by one."""
+        import struct
+
+        odd = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 + pad
+        fmt = (
+            b"fmt "
+            + struct.pack("<I", 16)
+            + struct.pack("<HH", 1, 1)
+            + struct.pack("<I", 8000)
+            + b"\x00" * 8
+        )
+        payload = b"RIFF" + struct.pack("<I", 40) + b"WAVE" + odd + fmt
+        assert sniff_media_header(payload) == ("wav", None, None, 8000)
+
+    def test_wav_without_fmt_degrades_to_bare_format(self):
+        import struct
+
+        payload = b"RIFF" + struct.pack("<I", 12) + b"WAVE" + b"LIST" + struct.pack("<I", 0)
+        assert sniff_media_header(payload) == ("wav", None, None, None)
+
+    def test_jpeg_with_fill_bytes_before_marker(self):
+        """0xFF fill bytes before a marker are spec-legal padding; the
+        walker must skip them instead of misreading segment lengths."""
+        import struct
+
+        sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640)
+        payload = b"\xff\xd8" + b"\xff\xff\xff" + sof0 + b"\x00" * 12
+        assert sniff_media_header(payload) == ("jpeg", 640, 480, None)

@@ -545,13 +545,21 @@ def test_topk_and_theta_merge_semantics(spark):
 
 def test_tfidf_broadcast_stats_and_bounded_rank(spark, cat):
     """df/N reach the scorer via broadcast; the rank is a per-group window
-    (one hash partitioning on the group), never a global sort of terms."""
+    (one hash partitioning on the group), never a global sort of terms.
+    The corpus explode happens ONCE, inside the pinned per-(doc, term)
+    reduction — the final plan must contain no Generate and scan the raw
+    documents at most once (the n_docs count)."""
     df = cat["x_tfidf_top_terms"].spark_fn(spark, SF)
     plan = plan_of(df)
     assert plan.count("BroadcastExchange") >= 2, "df/N stats not broadcast"
     assert "CartesianProduct" not in plan
     # BroadcastNestedLoopJoin is the 1-row N crossJoin — allowed only there
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "Generate" not in plan, "explode re-ran downstream of the pin"
+    doc_scans = len(
+        [ln for ln in plan.splitlines() if "FileScan parquet" in ln and "documents" in ln]
+    )
+    assert doc_scans <= 1, f"{doc_scans} raw documents scans"
 
 
 def test_kmeans_assignment_is_projection(spark):

@@ -350,11 +350,15 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
         stream, str(tmp_path / "corpus"), str(tmp_path / "pairs")
     )
     q2.awaitTermination(120)
-    got2 = {
+    # compare as a sorted LIST, not a set: the regression this guards
+    # (a replayed batch pairing against LATER batches' corpus) produces
+    # duplicate rows across batch_id partitions, which a set would
+    # silently collapse
+    got2 = sorted(
         (r["doc1"], r["doc2"], r["jaccard"])
         for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
-    }
-    assert got2 == want
+    )
+    assert got2 == sorted(want), "replay duplicated or lost pair rows"
     assert spark.read.parquet(str(tmp_path / "corpus")).count() == docs.count()
 
 
