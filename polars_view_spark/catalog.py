@@ -188,8 +188,8 @@ DRIVER_PRIORITY = [
 # fit this window: q6_forecast_revenue, q12_ship_priority_class,
 # q13_customer_distribution, q14_promo_revenue, q19_discounted_revenue,
 # x_tfidf_top_terms, x_kmeans_clusters, t_csv_gz_roundtrip,
-# q21_single_pass, e_streaming_join (all green in the local gate at all
-# three SFs).
+# q21_single_pass, e_streaming_join, x_bigram_pmi (all green in the local
+# gate at all three SFs).
 
 
 def entries() -> dict[str, CatalogEntry]:

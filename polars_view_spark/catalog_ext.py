@@ -1318,7 +1318,7 @@ register(
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.source, tf.term,
-             ROUND(tf.tf * ln(n.n_docs * 1.0 / dfreq.df) + 1e-9, 6) AS score
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / dfreq.df) + 1e-9, 4) AS score
       FROM tf, dfreq, n WHERE tf.term = dfreq.term
     )
     SELECT source, CAST(rn AS INT) AS rank, term, score
@@ -1332,6 +1332,47 @@ register(
     """,
     tables=("documents",),
 )(_x_tfidf_top_terms)
+
+
+def _x_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI rank (operators/textstats.py:bigram_pmi,
+    emitting the exact lift ratio — ln-free because Java's Math.log is
+    1-ulp off libm at rounding boundaries; ln is monotone so the rank is
+    PMI's).  Integer counts + one IEEE division make it exactly
+    oracle-able."""
+    from polars_view_spark.operators.textstats import bigram_pmi
+
+    t = load_tables(spark, sf_dir, "documents")
+    return bigram_pmi(t["documents"], k=20, min_count=5)
+
+
+register(
+    "x_bigram_pmi",
+    oracle="""
+    WITH w AS (
+      SELECT regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    idx AS (
+      SELECT ws, UNNEST(generate_series(1, len(ws) - 1)) AS i FROM w
+    ),
+    bi AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM idx
+      WHERE ws[i] <> '' AND ws[i + 1] <> ''
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    uc1 AS (SELECT w1 AS wd, COUNT(*) AS c1 FROM bi GROUP BY 1),
+    uc2 AS (SELECT w2 AS wd, COUNT(*) AS c2 FROM bi GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nb FROM bi)
+    SELECT w1, w2, bc.c,
+           ROUND(bc.c * 1.0 * n.nb / (uc1.c1 * uc2.c2) + 1e-9, 6) AS lift
+    FROM bc, uc1, uc2, n
+    WHERE bc.w1 = uc1.wd AND bc.w2 = uc2.wd AND bc.c >= 5
+    ORDER BY lift DESC, w1, w2
+    LIMIT 20
+    """,
+    tables=("documents",),
+)(_x_bigram_pmi)
 
 
 def _x_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -177,8 +177,12 @@ def tfidf_top_terms(
     far smaller than the raw token stream.  ``df`` and the 1-row ``N``
     reach the scorer via broadcast; ranking is a bounded per-group window
     (row_number ≤ k), not a global sort.  Like bm25_topk, ranking happens
-    on the ROUNDED score (6 dp, epsilon-shifted) with a term tiebreak so
-    ordering is reproducible across engines.
+    on the ROUNDED score with a term tiebreak so ordering is reproducible
+    across engines — at 4 dp, not 6: the score contains an ``ln``, and
+    Java's ``Math.log`` is permitted 1-ulp error vs libm's, which can
+    flip a fine-grained rounding at boundary values and cascade into a
+    different top-k row set (observed with the 6-dp PMI prototype —
+    see bigram_pmi, which went fully ln-free instead).
     """
     from pyspark.sql import Window
 
@@ -209,7 +213,7 @@ def tfidf_top_terms(
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
-            "score", F.expr("round(tf * ln(n_docs * 1.0 / df) + 1e-9, 6)")
+            "score", F.expr("round(tf * ln(n_docs * 1.0 / df) + 1e-9, 4)")
         )
     )
     w = Window.partitionBy("grp").orderBy(

@@ -523,3 +523,74 @@ def duck_redact_sql(text_col: str) -> tuple[list[str], str]:
     for _, pat, token in PII_PATTERNS:
         red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
     return counts, red
+
+
+def bigram_pmi(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` word bigrams by pointwise mutual information, reported
+    as the exact association ratio ``lift(x, y) = c(x,y) · N /
+    (c(x,·) · c(·,y))`` (PMI = ln(lift); ln is monotone, so ranking by
+    lift IS ranking by PMI) — the classic collocation statistic for
+    tokenizer-merge and embedding-vocabulary decisions.
+
+    Exactness: every input is an integer count and the float expression
+    uses the SAME operand order on both engines (``c * 1.0 * nb /
+    (c1 * c2)``); with products under 2^53 the division is a single
+    IEEE-correctly-rounded op, bit-identical across engines, so the value
+    hash pins the result (catalog entry ``x_bigram_pmi``).  The ln itself
+    is deliberately NOT in the gated output: Java's ``Math.log`` is
+    permitted 1-ulp error vs libm's, which measurably flips a 6-dp
+    rounding at ratio values that land on a boundary.  (Beyond ~2^53
+    total bigrams the products lose exactness; ranking drift is then at
+    most 1 ulp — document-scale noise, not a correctness cliff.)
+
+    Scale shape: ONE tokenize+explode pass reduces to bigram counts,
+    which are pinned (localCheckpoint) because three aggregates consume
+    them — left/right marginals and the total.  Marginal joins run on the
+    bigram-vocabulary-sized frame, never the token stream; the total is a
+    1-row broadcast; the final ranking is a top-k.  The ``min_count``
+    filter applies BEFORE the joins (inner joins commute with it), so
+    rare-bigram noise never shuffles.
+    """
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # guard size < 2: Spark's sequence(0, -1) would generate DESCENDING
+    bi = (
+        df.select(ws.alias("ws"))
+        .select(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> struct(ws[i] AS w1, ws[i + 1] AS w2)) "
+                "ELSE array() END"
+            ).alias("bs")
+        )
+        .select(F.explode("bs").alias("b"))
+        .select("b.w1", "b.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    uc1 = bc.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
+    uc2 = bc.groupBy("w2").agg(F.sum("c").cast("long").alias("c2"))
+    nb = bc.agg(F.sum("c").cast("long").alias("nb"))
+    return (
+        bc.filter(F.col("c") >= min_count)
+        .join(uc1, "w1")
+        .join(uc2, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.expr("ROUND(c * 1.0 * nb / (c1 * c2) + 1e-9, 6)").alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(k)
+    )
