@@ -1279,7 +1279,7 @@ def _duck_bm25_oracle() -> str:
       SELECT tf.doc,
              round(SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
                    * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
-                   + {BM25_B} * tf.dl / s.avgdl))) + 1e-9, 6) AS score
+                   + {BM25_B} * tf.dl / s.avgdl))) + 1e-9, 4) AS score
       FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
       GROUP BY tf.doc
     )

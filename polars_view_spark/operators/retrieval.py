@@ -80,7 +80,11 @@ def bm25_topk(
             ),
         )
         .groupBy("doc")
-        .agg(F.expr("round(sum(part) + 1e-9, 6)").alias("score"))
+        # 4 dp, not 6: the per-term part contains ln and a division by the
+        # accumulation-order-dependent avgdl; coarser rounding keeps a
+        # 1-ulp cross-engine drift from flipping the ranked hash (same
+        # hazard class the 6-dp PMI prototype hit — see bigram_pmi)
+        .agg(F.expr("round(sum(part) + 1e-9, 4)").alias("score"))
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col("doc").asc())
