@@ -644,7 +644,7 @@ register(
     ),
     agg AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             round(-avg(l) + 1e-9, 6) AS avg_neg_logprob
+             round(-avg(l) + 1e-9, 4) AS avg_neg_logprob
       FROM lp GROUP BY doc_id
     )
     SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_neg_logprob

@@ -283,7 +283,10 @@ def lm_score(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(-F.avg("__lp") + F.lit(1e-9), 6).alias("avg_neg_logprob"),
+            # 4 dp: per-token ln (Java Math.log is 1-ulp loose vs libm) + an
+            # accumulation-order-dependent avg — coarser rounding keeps the
+            # drift from flipping the cross-engine hash (see bigram_pmi)
+            F.round(-F.avg("__lp") + F.lit(1e-9), 4).alias("avg_neg_logprob"),
         )
     )
 
@@ -375,10 +378,10 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(F.sum(F.col("lp_tgt") - F.col("lp_raw")) + F.lit(1e-9), 6).alias(
+            F.round(F.sum(F.col("lp_tgt") - F.col("lp_raw")) + F.lit(1e-9), 4).alias(
                 "log_importance"
             ),
-            F.round(F.avg(F.col("lp_tgt") - F.col("lp_raw")) + F.lit(1e-9), 6).alias(
+            F.round(F.avg(F.col("lp_tgt") - F.col("lp_raw")) + F.lit(1e-9), 4).alias(
                 "avg_log_importance"
             ),
         )
