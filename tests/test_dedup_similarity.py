@@ -727,7 +727,8 @@ class TestLmScore:
             12: -math.log((0 + 1) / (total + 2.0)),
         }
         for k, v in exp.items():
-            assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+            # scores are rounded to 4 dp (cross-engine float stability)
+            assert abs(got[k] - v) < 6e-5, (k, got[k], v)
 
 
 class TestDsirWeights:
@@ -785,9 +786,10 @@ class TestDsirWeights:
         want1 = lp("ab") + lp("bg")
         want2 = lp("ab") * 2 + lp("bg") * 2 + lp("gd") + lp("da")
         assert got[1]["n_bigrams"] == 2 and got[2]["n_bigrams"] == 6
-        assert abs(got[1]["log_importance"] - want1) < 1e-5, (got[1], want1)
-        assert abs(got[2]["log_importance"] - want2) < 1e-5, (got[2], want2)
-        assert abs(got[2]["avg_log_importance"] - want2 / 6) < 1e-5
+        # outputs are rounded to 4 dp (cross-engine float stability)
+        assert abs(got[1]["log_importance"] - want1) < 6e-5, (got[1], want1)
+        assert abs(got[2]["log_importance"] - want2) < 6e-5, (got[2], want2)
+        assert abs(got[2]["avg_log_importance"] - want2 / 6) < 6e-5
 
 
 class TestLineDedupAndSelection:
