@@ -22,3 +22,27 @@ def test_driver_priority_names_are_registered():
     known = set(entries())
     ghost = [n for n in DRIVER_PRIORITY if n not in known]
     assert not ghost, f"DRIVER_PRIORITY names with no registration: {ghost}"
+
+
+def test_no_fine_rounding_of_transcendental_oracles():
+    """Float-stability lint (from the PMI incident): an oracle line that
+    ROUNDs an ln()/log()/sqrt-of-aggregate expression at 5+ decimals is one
+    1-ulp engine divergence away from a hash flip — Java's Math.log is
+    permitted 1-ulp error vs libm's.  Keep transcendental outputs at ≤4 dp
+    or restructure them to exact arithmetic (see bigram_pmi's lift)."""
+    import re
+
+    from polars_view_spark.catalog import entries
+
+    offenders = []
+    for name, e in entries().items():
+        if not e.oracle:
+            continue
+        for ln_no, line in enumerate(e.oracle.splitlines(), 1):
+            low = line.lower()
+            if ("ln(" in low or "log(" in low) and re.search(r",\s*[5-9]\s*\)", low):
+                offenders.append(f"{name}:{ln_no}: {line.strip()}")
+    assert not offenders, (
+        "transcendental expressions rounded at >=5 dp in oracles:\n"
+        + "\n".join(offenders)
+    )
