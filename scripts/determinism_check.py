@@ -1,0 +1,88 @@
+"""Two-conf determinism cross-check for the 50 driver-window entries.
+
+The driver's Spark conf is unknown; our oracle gate proves Spark == DuckDB
+under OUR conf (local[32], 32 shuffle partitions, AQE on).  This script
+re-runs every window entry under a deliberately different layout
+(local[5], 7 shuffle partitions, AQE coalescing off) and asserts the
+canonicalized result is byte-identical — catching any partitioning- or
+parallelism-dependent output (unordered top-k ties, sample drift,
+nondeterministic aggregation order) before the driver does.
+
+Usage (each conf needs its own process for a fresh JVM):
+
+    python scripts/determinism_check.py a        # conf A -> /tmp/det_a.json
+    python scripts/determinism_check.py b        # conf B -> /tmp/det_b.json
+    python scripts/determinism_check.py compare  # exit 1 on any mismatch
+
+Last run (r03, sf0.01): checked 50 entries, mismatches: 0.
+"""
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import pandas as pd
+from oracle_util import _normalize
+
+SF = "/root/testdata/sf0.01"
+N = 50
+
+
+def canon_hash(pdf: pd.DataFrame) -> str:
+    norm = _normalize(pdf)
+    payload = repr([list(norm.columns)] + [tuple(r) for r in norm.itertuples(index=False)])
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def run_all(master: str, shuffle: str, coalesce: str) -> dict:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(master)
+        .appName("determinism_check")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    from polars_view_spark.catalog import entries
+
+    out = {}
+    for name, e in list(entries().items())[:N]:
+        try:
+            out[name] = canon_hash(e.spark_fn(spark, SF).toPandas())
+        except Exception as ex:  # noqa: BLE001
+            out[name] = f"ERROR: {ex!r}"[:200]
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    # each conf in its own process (fresh JVM); then `compare`
+    mode = sys.argv[1]
+    if mode == "a":
+        res = run_all("local[32]", "32", "true")
+    elif mode == "b":
+        res = run_all("local[5]", "7", "false")
+    else:
+        import json
+
+        a = json.load(open("/tmp/det_a.json"))
+        b = json.load(open("/tmp/det_b.json"))
+        bad = [n for n in a if a[n] != b.get(n)]
+        for n in bad:
+            print(f"MISMATCH {n}\n  A={a[n]}\n  B={b[n]}")
+        print(f"checked {len(a)} entries, mismatches: {len(bad)}")
+        sys.exit(1 if bad else 0)
+    import json
+
+    json.dump(res, open(f"/tmp/det_{mode}.json", "w"), indent=1)
+    errs = {n: v for n, v in res.items() if str(v).startswith("ERROR")}
+    print(f"mode {mode}: {len(res)} entries, errors: {errs or 'none'}")
