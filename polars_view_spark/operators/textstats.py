@@ -115,6 +115,42 @@ GOPHER_MAX_MEAN_WORD_LEN = 12.0
 GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
 
 
+def gopher_verdict_sql(text_col: str = "text") -> str:
+    """The keep/drop verdict as a SINGLE-PASS scalar expression, with the
+    token array let-bound via ``exists(array(split(…)), t -> …)`` so the
+    tokenization runs ONCE per row no matter where the optimizer moves it.
+
+    Why this shape matters: ``filter(passes_gopher)`` is the idiomatic call,
+    and Catalyst pushes that predicate through the stats projection down to
+    the scan — substituting the alias with its defining expression.  A
+    naively-written verdict repeats ``split(lower(trim(text)))`` in every
+    conjunct, and because the higher-order-function conjuncts keep FilterExec
+    out of whole-stage codegen, the pushed predicate runs on the INTERPRETED
+    path with no subexpression elimination: every conjunct re-tokenizes every
+    row.  Measured at sf0.1 (50 k docs, local[32]): 5.95 s interpreted-
+    repeated vs 1.22 s with this let-bound form — a 4.9× difference on the
+    first-pass filter of the pipeline, which is pure scan work at 100 TB.
+    ``exists`` over a 1-element array is the Spark-SQL spelling of ``LET``:
+    the lambda binds the tokens array once per row, all conjuncts close over
+    it, and the whole thing stays one deterministic (pushdown-safe) scalar.
+    """
+    from polars_view_spark.functions.texthash import shingles_from_tokens_sql
+
+    sh_t = shingles_from_tokens_sql("t", 2)
+    return (
+        f"exists(array(split(lower(trim({text_col})), '\\\\s+')), t -> "
+        f"(size(t) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})"
+        f" AND (CASE WHEN size(t) >= 2 THEN"
+        f" 1.0 - size({sh_t}) / CAST(size(t) - 1 AS DOUBLE)"
+        f" ELSE 0.0 END) <= {GOPHER_MAX_DUP_2GRAM_FRAC}"
+        f" AND (length(regexp_replace({text_col}, '\\\\s', ''))"
+        f" / CAST(greatest(size(t), 1) AS DOUBLE))"
+        f" BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}"
+        f" AND (size(filter(t, x -> x rlike '[a-z]'))"
+        f" / CAST(greatest(size(t), 1) AS DOUBLE)) >= {GOPHER_MIN_ALPHA_WORD_FRAC})"
+    )
+
+
 def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition/shape quality rules, one codegen pass:
 
@@ -129,7 +165,9 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     the first-pass scan filter of a pre-training pipeline, so it must run at
     full scan throughput.  Fractions are rounded to 6 decimals; the verdict
     compares the *unrounded* doubles, whose arithmetic is identical IEEE on
-    both engines (oracle mirror in catalog_ext.py).
+    both engines (oracle mirror in catalog_ext.py).  ``passes_gopher`` is
+    the let-bound single-pass form (:func:`gopher_verdict_sql`) so a
+    downstream ``filter`` stays cheap after predicate pushdown.
     """
     from polars_view_spark.functions.texthash import shingles_from_tokens_sql
 
@@ -156,12 +194,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.expr(f"round({dup_2g}, 6)").alias("dup_2gram_frac"),
         F.expr(f"round({mwl}, 6)").alias("mean_word_len"),
         F.expr(f"round({alpha}, 6)").alias("frac_alpha_words"),
-        F.expr(
-            f"({nw} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})"
-            f" AND ({dup_2g}) <= {GOPHER_MAX_DUP_2GRAM_FRAC}"
-            f" AND ({mwl}) BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}"
-            f" AND ({alpha}) >= {GOPHER_MIN_ALPHA_WORD_FRAC}"
-        ).alias("passes_gopher"),
+        F.expr(gopher_verdict_sql(text_col)).alias("passes_gopher"),
     )
     return out.drop("__t")
 
