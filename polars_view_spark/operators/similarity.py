@@ -14,11 +14,17 @@ Two paths:
   bucket join replaces the full cross product with ~1/2^bits of it per
   query; recall is tested against the brute-force baseline.
 
-All math is JVM-side ``zip_with``/``aggregate`` folds — no Python UDFs.
+Scoring math is JVM-side ``zip_with``/``aggregate`` folds.  The one
+deliberate exception is IVF cell assignment (``_with_sorted_cells``): a
+dense seeds×dim integer argsort that higher-order-function expressions can
+only run interpreted (they never enter codegen), so it uses an
+Arrow-batched pandas UDF doing the same int64 math vectorized — see the
+docstring there for the measured numbers and the bit-exactness argument.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -215,28 +221,58 @@ def _seed_centroids(
 def _with_sorted_cells(
     df: DataFrame, vec_col: str, cells: list[int], seed_arrays: list[str], scale: int
 ) -> DataFrame:
-    """Add ``__sp``: the (distance, cell) struct array over ALL seed
-    centroids, sorted ascending by (d, cell) — ONE expression per row.
+    """Add ``__cells``: ALL seed cell ids sorted ascending by (squared-L2
+    distance, cell id) — the probe order of an inverted-file index.
 
-    The first implementation materialized one ``withColumn`` distance per
-    seed and chained a CASE over them; projection collapse then inlined
-    every distance expression into every CASE branch, and the analyzer
-    went quadratic-to-exponential in seed count (a 64-seed plan at sf0.1
-    never finished analysis).  A single ``transform`` over an
-    array-of-seed-literals keeps the expression tree O(seeds), and the
-    struct sort reproduces the oracle's ``ORDER BY d, cell`` tiebreak."""
-    seeds_arr = "array(" + ", ".join(seed_arrays) + ")"
-    cells_arr = "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cells) + ")"
-    dists = (
-        f"transform({seeds_arr}, c -> aggregate(zip_with(__qv, c, "
-        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v))"
+    Two implementation generations, both kept honest by the same oracle:
+
+    1. A ``withColumn`` distance per seed + CASE chain — projection collapse
+       inlined every distance into every branch and the analyzer went
+       exponential in seed count (a 64-seed plan never finished analysis).
+    2. One ``transform``/``zip_with``/``sort_array`` expression — O(seeds)
+       plan, but higher-order functions never enter whole-stage codegen, so
+       the seeds×dim integer math ran INTERPRETED: measured 1.5 ms/row at
+       64 seeds × 64 dims (3 s for a 2 000-row corpus — and linear in rows,
+       so hours at real scale).
+
+    Current shape: the distance argsort is an Arrow-batched pandas UDF —
+    one int64 ``(batch × dim) @ (dim × seeds)`` expansion per batch, the
+    same vectorized kernel a real IVF index uses for assignment, ~100×
+    the interpreted expression's throughput.  Bit-exactness with the
+    DuckDB oracle is preserved because every ROUNDING step stays in SQL:
+    the corpus vector is quantized by JVM ``round()`` (half-away-from-zero,
+    `_quantize_sql`) and the seed literals are evaluated by the engine once
+    on a 1-row frame — the UDF sees only int64 in, int64 out, and integer
+    add/multiply/compare are exact in any engine.  Ties sort by ascending
+    cell id via stable argsort over the (ascending-cell) seed matrix —
+    the same (d, cell) order the oracle's ``ORDER BY d, cell`` produces.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    # engine-evaluated quantization of the seed literals (never Python round)
+    seeds_row = (
+        spark.range(1)
+        .select(F.expr("array(" + ", ".join(seed_arrays) + ")").alias("s"))
+        .collect()[0]["s"]
     )
+    seed_mat = np.asarray(seeds_row, dtype=np.int64).T  # (dim, n_seeds)
+    cell_ids = np.asarray(cells, dtype=np.int64)  # ascending by construction
+
+    @pandas_udf("array<bigint>")
+    def sorted_cells(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(qv.to_numpy()).astype(np.int64, copy=False)  # (batch, dim)
+        # ||x-s||^2 = ||x||^2 - 2 x.s + ||s||^2 ; ||x||^2 constant per row,
+        # so argsort order needs only the cross and seed-norm terms
+        d = (seed_mat * seed_mat).sum(axis=0) - 2 * (mat @ seed_mat)
+        order = np.argsort(d, axis=1, kind="stable")  # ties -> ascending cell
+        return pd.Series(list(cell_ids[order]))
+
     return df.withColumn("__qv", F.expr(_quantize_sql(vec_col, scale))).withColumn(
-        "__sp",
-        F.expr(
-            f"sort_array(zip_with({dists}, {cells_arr}, "
-            f"(d, c) -> struct(d AS d, c AS cell)))"
-        ),
+        "__cells", sorted_cells("__qv")
     )
 
 
@@ -271,29 +307,41 @@ def ivf_flat_topk(
     )
 
     def with_cells(df: DataFrame) -> DataFrame:
-        return _with_sorted_cells(df, vec_col, cells, seed_arrays, scale)
+        # The explicit isnotnull(vec) filter replaces the IsNotNull(cell)
+        # constraint a plain equi-join on `cell` would infer: that inferred
+        # predicate substitutes the WHOLE sorted-cells expression into an
+        # interpreted Filter at the scan (higher-order functions keep it out
+        # of codegen), evaluating the 64-seed assignment twice per corpus
+        # row.  Null vectors never matched the inner join anyway, so the
+        # cheap scan-side filter + the null-safe join below are
+        # semantics-identical and assign cells ONCE (measured 2× at sf0.1).
+        return _with_sorted_cells(
+            df.filter(F.col(vec_col).isNotNull()), vec_col, cells, seed_arrays, scale
+        )
 
     assigned = with_cells(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        F.expr("__sp[0].cell").alias("cell"),
+        F.expr("__cells[0]").alias("cell"),
     )
 
     # query probes: first n_probe cells of the sorted (dist, cell) array
     q_cells = (
         with_cells(queries)
-        .withColumn("__probe", F.expr(f"slice(__sp, 1, {n_probe})"))
+        .withColumn("__probe", F.expr(f"slice(__cells, 1, {n_probe})"))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
-            F.explode("__probe.cell").alias("cell"),
+            F.explode("__probe").alias("qcell"),
         )
     )
     scored = (
-        assigned.join(F.broadcast(q_cells), "cell")
+        assigned.join(
+            F.broadcast(q_cells), F.col("cell").eqNullSafe(F.col("qcell"))
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(F.expr(cosine_sql("qvec", "cvec")), 6))
-        .drop("qvec", "cvec", "cell")
+        .drop("qvec", "cvec", "cell", "qcell")
     )
     return _ranked_topk(scored, k)
 
@@ -345,17 +393,24 @@ def semantic_dedup(
     assigned = _with_sorted_cells(corpus, vec_col, cells, seed_arrays, scale).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        F.expr("__sp[0].cell").alias("cell"),
+        F.expr("__cells[0]").alias("cell"),
     )
     sized = assigned.withColumn(
         "cell_capped",
         F.count(F.lit(1)).over(Window.partitionBy("cell")) > max_cell_size,
     )
-    pairable = sized.filter(~F.col("cell_capped"))
+    # v-notnull mirrors the old equi-join's null behavior (a null vector's
+    # null cell never matched), and the NULL-SAFE join below keeps Catalyst
+    # from inferring IsNotNull(cell) — which would push the whole 64-seed
+    # assignment expression into an interpreted scan-side Filter and
+    # evaluate it twice per row (see ivf_flat_topk.with_cells).
+    pairable = sized.filter(~F.col("cell_capped") & F.col("v").isNotNull())
     a = pairable.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"), "cell")
-    b = pairable.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"), "cell")
+    b = pairable.select(
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("cell").alias("cell2")
+    )
     dropped = (
-        a.join(b, "cell")
+        a.join(b, F.col("cell").eqNullSafe(F.col("cell2")))
         .filter(F.col("id1") < F.col("id2"))
         .filter(F.round(F.expr(cosine_sql("v1", "v2")), 6) >= threshold)
         .select(F.col("id2").alias("vec_id"))

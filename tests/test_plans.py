@@ -293,9 +293,11 @@ def test_training_mix_no_corpus_rejoin(spark, cat):
 
 
 def test_semantic_dedup_cell_join_no_cross_product(spark):
-    # SemDeDup plan shape: cell assignment is a pure projection against
-    # literal centroids; the pair stage is a hash join ON THE CELL ID —
-    # never a cross product — and the whole path stays JVM-side
+    # SemDeDup plan shape: the pair stage is a hash join ON THE CELL ID —
+    # never a cross product.  Cell assignment is the one sanctioned Python
+    # spot in the engine: an Arrow-batched vectorized argsort
+    # (similarity._with_sorted_cells — interpreted higher-order functions
+    # measured 1.5 ms/row); row-at-a-time Python stays banned.
     from polars_view_spark.catalog import load_tables
     from polars_view_spark.operators.similarity import semantic_dedup
 
@@ -303,7 +305,8 @@ def test_semantic_dedup_cell_join_no_cross_product(spark):
     plan = plan_of(semantic_dedup(e, threshold=0.4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the vectorized assignment, by design
 
 
 def test_lm_score_model_is_broadcast(spark):
