@@ -84,22 +84,31 @@ def lsh_topk(
     corpus rows in the SAME bucket as the query (single equi-join — at scale
     this is a hash join on the bucket id instead of a cross product).
     """
+    from polars_view_spark.functions.vectors import dot_sql, norm_sql
+
     bucket = lsh_bucket_sql(vec_col, n_bits, dim)
-    q = queries.select(
+    # norms hoisted per-row; null-safe bucket join — see
+    # embedding_near_dup_pairs for both rationales (same doubles, and no
+    # IsNotNull(bucket) re-derivation in a scan-side filter)
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        F.expr(norm_sql(vec_col)).alias("qn"),
         F.expr(bucket).alias("bucket"),
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        F.expr(bucket).alias("bucket"),
+        F.expr(norm_sql(vec_col)).alias("cn"),
+        F.expr(bucket).alias("cbucket"),
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), F.col("cbucket").eqNullSafe(F.col("bucket")))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(F.expr(cosine_sql("qvec", "cvec")), 6))
-        .drop("qvec", "cvec", "bucket")
+        .withColumn(
+            "score", F.round(F.expr(f"({dot_sql('qvec', 'cvec')}) / (qn * cn)"), 6)
+        )
+        .drop("qvec", "cvec", "bucket", "cbucket", "qn", "cn")
     )
     return _ranked_topk(scored, k)
 
@@ -405,14 +414,24 @@ def semantic_dedup(
     # assignment expression into an interpreted scan-side Filter and
     # evaluate it twice per row (see ivf_flat_topk.with_cells).
     pairable = sized.filter(~F.col("cell_capped") & F.col("v").isNotNull())
-    a = pairable.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"), "cell")
+    # norms hoisted to the per-ROW side so the per-PAIR stage is one dot
+    # fold, not three (same doubles — see embedding_near_dup_pairs)
+    from polars_view_spark.functions.vectors import dot_sql, norm_sql
+
+    a = pairable.select(
+        F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
+        F.expr(norm_sql("v")).alias("nv1"), "cell",
+    )
     b = pairable.select(
-        F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("cell").alias("cell2")
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+        F.expr(norm_sql("v")).alias("nv2"), F.col("cell").alias("cell2"),
     )
     dropped = (
         a.join(b, F.col("cell").eqNullSafe(F.col("cell2")))
         .filter(F.col("id1") < F.col("id2"))
-        .filter(F.round(F.expr(cosine_sql("v1", "v2")), 6) >= threshold)
+        .filter(
+            F.round(F.expr(f"({dot_sql('v1', 'v2')}) / (nv1 * nv2)"), 6) >= threshold
+        )
         .select(F.col("id2").alias("vec_id"))
         .distinct()
     )
@@ -440,21 +459,40 @@ def embedding_near_dup_pairs(
     Self-join on the bucket id with ``id1 < id2`` — the embedding-space
     analogue of MinHash dedup.  Bucketing trades recall (sign-LSH may split
     a true pair) for a join that scales; recall is pinned in tests.
+
+    Per-row vector norms are computed BEFORE the join: the cosine's three
+    interpreted folds (dot + two norms — ``zip_with``/``aggregate`` never
+    enter codegen) would otherwise run per CANDIDATE PAIR, an O(pairs·dim)
+    interpreted cost; hoisting the norms makes the pair stage a single dot
+    fold.  Same doubles — nv is the identical sqrt-of-fold either way.
+    The null-safe bucket join + isnotnull(vec) pre-filter mirror the
+    IsNotNull-pushdown fix in :func:`ivf_flat_topk`: a plain equi-join
+    would re-derive the whole bucket expression in a scan-side filter.
     """
+    from polars_view_spark.functions.vectors import dot_sql, norm_sql
+
     bucket = lsh_bucket_sql(vec_col, n_bits, dim)
-    keyed = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.expr(bucket).alias("bucket")
+    keyed = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(norm_sql(vec_col)).alias("nv"),
+        F.expr(bucket).alias("bucket"),
     )
     a = keyed.select(
-        F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("bucket")
+        F.col("id").alias("id1"), F.col("v").alias("v1"),
+        F.col("nv").alias("nv1"), F.col("bucket"),
     )
     b = keyed.select(
-        F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("bucket")
+        F.col("id").alias("id2"), F.col("v").alias("v2"),
+        F.col("nv").alias("nv2"), F.col("bucket").alias("bucket2"),
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, F.col("bucket").eqNullSafe(F.col("bucket2")))
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", F.round(F.expr(cosine_sql("v1", "v2")), 6))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(f"({dot_sql('v1', 'v2')}) / (nv1 * nv2)"), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
