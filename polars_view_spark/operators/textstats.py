@@ -483,11 +483,18 @@ def winnow_fingerprints(
     """
     from polars_view_spark.functions.texthash import hex64_sql
 
+    # the normalized text is LET-BOUND (transform over a 1-element array —
+    # same trick as gopher_verdict_sql) so the regexp_replace runs once per
+    # row: inlining it into the per-position substr() made gram extraction
+    # O(len²) regex work (measured 18 s → 4 s at sf0.1 for the catalog
+    # entry; the remaining cost is the per-gram md5, which is the
+    # cross-engine determinism contract)
     norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
     grams = (
-        f"CASE WHEN length({norm}) >= {k} THEN "
-        f"transform(sequence(1, length({norm}) - {k} + 1), i -> substr({norm}, i, {k})) "
-        f"ELSE array() END"
+        f"transform(array({norm}), n -> "
+        f"CASE WHEN length(n) >= {k} THEN "
+        f"transform(sequence(1, length(n) - {k} + 1), i -> substr(n, i, {k})) "
+        f"ELSE array() END)[0]"
     )
     expr = f"""
       CASE WHEN size(__h) >= {w} THEN
@@ -592,16 +599,20 @@ def bigram_pmi(
     filter applies BEFORE the joins (inner joins commute with it), so
     rare-bigram noise never shuffles.
     """
-    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # guard size < 2: Spark's sequence(0, -1) would generate DESCENDING
+    # guard size < 2: Spark's sequence(0, -1) would generate DESCENDING.
+    # The token array is LET-BOUND (transform over a 1-element array) so the
+    # split runs once per row: aliasing it in a separate select looks bound
+    # but CollapseProject substitutes the alias into EVERY use site —
+    # ws[i], ws[i+1], size(ws) — re-splitting the text per element access,
+    # O(len²) (measured 10 s → 1 s for the extraction at sf0.1).
     bi = (
-        df.select(ws.alias("ws"))
-        .select(
+        df.select(
             F.expr(
+                f"transform(array(split(lower(trim({text_col})), '\\\\s+')), ws -> "
                 "CASE WHEN size(ws) >= 2 THEN "
                 "transform(sequence(0, size(ws) - 2), "
                 "i -> struct(ws[i] AS w1, ws[i + 1] AS w2)) "
-                "ELSE array() END"
+                "ELSE array() END)[0]"
             ).alias("bs")
         )
         .select(F.explode("bs").alias("b"))
