@@ -578,3 +578,61 @@ def test_kmeans_assignment_is_projection(spark):
     # final summary join is centroid-side broadcast
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2, "aggregate not partial"
+
+
+def test_single_tokenize_in_pushed_filters_and_projects(spark):
+    """Regression guard for the CollapseProject / pushdown inlining trap:
+    higher-order-function expressions never enter whole-stage codegen, so
+    any plan node whose text repeats the tokenizing ``split(`` N times
+    evaluates it N times per row on the interpreted path.  The let-binding
+    idiom (``exists(array(split(...)), t -> ...)`` / ``transform(array(...),
+    x -> ...)[0]``) holds the count at one per row.  Each assertion pins the
+    worst node of a plan that regressed before: gopher's pushed verdict
+    filter (5.95 s -> 1.22 s at sf0.1), bigram extraction (10 s -> 1 s),
+    winnow's per-position substr (18 s -> 4 s)."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.operators.textstats import (
+        gopher_quality,
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def max_occurrences(df, needle: str, node_prefix: str | None = None) -> int:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = [
+            ln for ln in plan.splitlines()
+            if node_prefix is None or node_prefix in ln
+        ]
+        return max((ln.count(needle) for ln in lines), default=0)
+
+    # the pushed-down verdict FILTER runs per input row — must tokenize once.
+    # (The stats Project above it keeps one split per output column — a
+    # bounded constant paid only by that operator, not the scan filter.)
+    kept = gopher_quality(docs).filter(F.col("passes_gopher"))
+    assert max_occurrences(kept, "split(", node_prefix="Filter ") <= 1
+
+    # winnow: one regexp-normalize and one md5 chain per row, anywhere
+    w = winnow_fingerprints(docs)
+    assert max_occurrences(w, "regexp_replace(") <= 1
+    assert max_occurrences(w, "md5(") <= 1
+    # bigram_pmi's extraction sits behind an eager localCheckpoint (its
+    # counts feed three aggregates), so its plan is not inspectable here;
+    # its single-tokenize shape is pinned by the 1 s catalog timing and the
+    # let-bound expression itself (textstats.bigram_pmi).
+
+
+def test_no_distinct_plus_sketch_expand(spark, cat):
+    """q_approx_aggregates must NOT plan COUNT(DISTINCT) and the sketch
+    aggregates through one Expand rewrite — that shape duplicates the
+    16 KB HLL buffer once per distinct key through the shuffle (measured
+    150 s at sf0.1; split into two aggregations it is ~2 s)."""
+    df = cat["q_approx_aggregates"].spark_fn(spark, SF)
+    plan = plan_of(df)
+    for ln in plan.splitlines():
+        if "Expand" in ln:
+            nxt = plan[plan.index(ln):]
+            assert "approx_count_distinct" not in ln and "percentile" not in ln, (
+                "sketch aggregates ride the distinct Expand again:\n" + nxt[:500]
+            )
