@@ -354,6 +354,11 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
     )
+    # same cache discipline as minhash_lsh_pairs: eagerly pin the (tiny)
+    # surviving-pairs result, then release the big shingle cache so
+    # repeated calls don't accumulate executor storage
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 

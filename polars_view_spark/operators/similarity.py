@@ -194,7 +194,7 @@ def _seed_centroids(
     seed_mod: int,
     scale: int,
     max_seeds: int,
-) -> tuple[list[int], list[str]]:
+) -> tuple[list[int], list[str], list[list[int]]]:
     """Bounded deterministic seed centroids: the ``max_seeds`` lowest rows
     with ``id % seed_mod == 0``, collected once and inlined as
     integer-quantized literal arrays.
@@ -204,7 +204,9 @@ def _seed_centroids(
     half-even, SQL round is half-away-from-zero).  The seed set is BOUNDED,
     so driver memory and plan size stay O(max_seeds) on any corpus — the
     cell count is a hyperparameter like a trained index's, never
-    data-proportional.  Returns ``(cell_ids, quantized_literal_arrays)``.
+    data-proportional.  Returns ``(cell_ids, quantized_literal_arrays,
+    quantized_int_rows)`` — the int rows are the engine-evaluated values
+    of the literal arrays, for the vectorized assignment UDF.
     """
     seed_rows = (
         corpus.filter((F.col(id_col) % seed_mod) == 0)
@@ -224,11 +226,24 @@ def _seed_centroids(
         + ")"
         for r in seed_rows
     ]
-    return cells, seed_arrays
+    # engine-evaluated quantization of the seed literals (never Python
+    # round — SQL round is half-away-from-zero, Python's is half-even),
+    # done ONCE here so per-frame assignment adds no extra driver job
+    spark = corpus.sparkSession
+    seed_ints = (
+        spark.range(1)
+        .select(F.expr("array(" + ", ".join(seed_arrays) + ")").alias("s"))
+        .collect()[0]["s"]
+    )
+    return cells, seed_arrays, [[int(x) for x in v] for v in seed_ints]
 
 
 def _with_sorted_cells(
-    df: DataFrame, vec_col: str, cells: list[int], seed_arrays: list[str], scale: int
+    df: DataFrame,
+    vec_col: str,
+    cells: list[int],
+    seed_ints: list[list[int]],
+    scale: int,
 ) -> DataFrame:
     """Add ``__cells``: ALL seed cell ids sorted ascending by (squared-L2
     distance, cell id) — the probe order of an inverted-file index.
@@ -259,26 +274,26 @@ def _with_sorted_cells(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    spark = df.sparkSession
-    # engine-evaluated quantization of the seed literals (never Python round)
-    seeds_row = (
-        spark.range(1)
-        .select(F.expr("array(" + ", ".join(seed_arrays) + ")").alias("s"))
-        .collect()[0]["s"]
-    )
-    seed_mat = np.asarray(seeds_row, dtype=np.int64).T  # (dim, n_seeds)
+    seed_mat = np.asarray(seed_ints, dtype=np.int64).T  # (dim, n_seeds)
     cell_ids = np.asarray(cells, dtype=np.int64)  # ascending by construction
 
     @pandas_udf("array<bigint>")
     def sorted_cells(qv: pd.Series) -> pd.Series:
-        if len(qv) == 0:
-            return pd.Series([], dtype=object)
-        mat = np.stack(qv.to_numpy()).astype(np.int64, copy=False)  # (batch, dim)
-        # ||x-s||^2 = ||x||^2 - 2 x.s + ||s||^2 ; ||x||^2 constant per row,
-        # so argsort order needs only the cross and seed-norm terms
-        d = (seed_mat * seed_mat).sum(axis=0) - 2 * (mat @ seed_mat)
-        order = np.argsort(d, axis=1, kind="stable")  # ties -> ascending cell
-        return pd.Series(list(cell_ids[order]))
+        # null-tolerant: a null vector gets a null cell list (the SQL
+        # expression's behavior), so callers keep their one-row-per-input
+        # contract without pre-filtering
+        vals = qv.to_numpy()
+        mask = np.array([v is not None for v in vals])
+        out = np.full(len(vals), None, dtype=object)
+        if mask.any():
+            mat = np.stack(vals[mask]).astype(np.int64, copy=False)  # (n, dim)
+            # ||x-s||^2 = ||x||^2 - 2 x.s + ||s||^2 ; ||x||^2 constant per
+            # row, so argsort order needs only the cross and seed-norm terms
+            d = (seed_mat * seed_mat).sum(axis=0) - 2 * (mat @ seed_mat)
+            order = np.argsort(d, axis=1, kind="stable")  # ties -> asc cell
+            sorted_ids = cell_ids[order]
+            out[np.flatnonzero(mask)] = list(sorted_ids)
+        return pd.Series(out)
 
     return df.withColumn("__qv", F.expr(_quantize_sql(vec_col, scale))).withColumn(
         "__cells", sorted_cells("__qv")
@@ -311,7 +326,7 @@ def ivf_flat_topk(
     join, no shuffle of the corpus; candidates reach the scorer through one
     broadcast hash join on the cell id.
     """
-    cells, seed_arrays = _seed_centroids(
+    cells, _seed_arrays, seed_ints = _seed_centroids(
         corpus, id_col, vec_col, seed_mod, scale, max_seeds
     )
 
@@ -325,12 +340,17 @@ def ivf_flat_topk(
         # cheap scan-side filter + the null-safe join below are
         # semantics-identical and assign cells ONCE (measured 2× at sf0.1).
         return _with_sorted_cells(
-            df.filter(F.col(vec_col).isNotNull()), vec_col, cells, seed_arrays, scale
+            df.filter(F.col(vec_col).isNotNull()), vec_col, cells, seed_ints, scale
         )
 
+    from polars_view_spark.functions.vectors import dot_sql, norm_sql
+
+    # norms hoisted per-row so the candidate stage pays one dot fold, not
+    # three interpreted folds per pair (same doubles — see lsh_topk)
     assigned = with_cells(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        F.expr(norm_sql(vec_col)).alias("cn"),
         F.expr("__cells[0]").alias("cell"),
     )
 
@@ -341,6 +361,7 @@ def ivf_flat_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
+            F.expr(norm_sql(vec_col)).alias("qn"),
             F.explode("__probe").alias("qcell"),
         )
     )
@@ -349,8 +370,10 @@ def ivf_flat_topk(
             F.broadcast(q_cells), F.col("cell").eqNullSafe(F.col("qcell"))
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(F.expr(cosine_sql("qvec", "cvec")), 6))
-        .drop("qvec", "cvec", "cell", "qcell")
+        .withColumn(
+            "score", F.round(F.expr(f"({dot_sql('qvec', 'cvec')}) / (qn * cn)"), 6)
+        )
+        .drop("qvec", "cvec", "cell", "qcell", "qn", "cn")
     )
     return _ranked_topk(scored, k)
 
@@ -396,10 +419,10 @@ def semantic_dedup(
     Returns ``(vec_id, cell, cell_capped, kept)`` — one row per input
     vector; downstream keeps ``kept`` rows (the dedup_apply analogue).
     """
-    cells, seed_arrays = _seed_centroids(
+    cells, _seed_arrays, seed_ints = _seed_centroids(
         corpus, id_col, vec_col, seed_mod, scale, max_seeds
     )
-    assigned = _with_sorted_cells(corpus, vec_col, cells, seed_arrays, scale).select(
+    assigned = _with_sorted_cells(corpus, vec_col, cells, seed_ints, scale).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         F.expr("__cells[0]").alias("cell"),

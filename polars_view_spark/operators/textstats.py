@@ -115,6 +115,34 @@ GOPHER_MAX_MEAN_WORD_LEN = 12.0
 GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
 
 
+def _gopher_formulas(tok: str, text_col: str) -> dict[str, str]:
+    """The five Gopher statistics as SQL templates over a token-array
+    reference ``tok`` — the SINGLE source both the stats projection
+    (:func:`gopher_quality`, ``tok='__t'``) and the let-bound verdict
+    (:func:`gopher_verdict_sql`, ``tok='t'`` inside the lambda) instantiate,
+    so the displayed stats and the keep/drop decision cannot drift."""
+    from polars_view_spark.functions.texthash import shingles_from_tokens_sql
+
+    nw = f"size({tok})"
+    return {
+        "nw": nw,
+        "dup_w": f"1.0 - size(array_distinct({tok})) / CAST({nw} AS DOUBLE)",
+        "dup_2g": (
+            f"CASE WHEN {nw} >= 2 THEN "
+            f"1.0 - size({shingles_from_tokens_sql(tok, 2)}) / CAST({nw} - 1 AS DOUBLE) "
+            f"ELSE 0.0 END"
+        ),
+        "mwl": (
+            f"length(regexp_replace({text_col}, '\\\\s', ''))"
+            f" / CAST(greatest({nw}, 1) AS DOUBLE)"
+        ),
+        "alpha": (
+            f"size(filter({tok}, x -> x rlike '[a-z]'))"
+            f" / CAST(greatest({nw}, 1) AS DOUBLE)"
+        ),
+    }
+
+
 def gopher_verdict_sql(text_col: str = "text") -> str:
     """The keep/drop verdict as a SINGLE-PASS scalar expression, with the
     token array let-bound via ``exists(array(split(…)), t -> …)`` so the
@@ -134,20 +162,14 @@ def gopher_verdict_sql(text_col: str = "text") -> str:
     the lambda binds the tokens array once per row, all conjuncts close over
     it, and the whole thing stays one deterministic (pushdown-safe) scalar.
     """
-    from polars_view_spark.functions.texthash import shingles_from_tokens_sql
-
-    sh_t = shingles_from_tokens_sql("t", 2)
+    f = _gopher_formulas("t", text_col)
     return (
         f"exists(array(split(lower(trim({text_col})), '\\\\s+')), t -> "
-        f"(size(t) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})"
-        f" AND (CASE WHEN size(t) >= 2 THEN"
-        f" 1.0 - size({sh_t}) / CAST(size(t) - 1 AS DOUBLE)"
-        f" ELSE 0.0 END) <= {GOPHER_MAX_DUP_2GRAM_FRAC}"
-        f" AND (length(regexp_replace({text_col}, '\\\\s', ''))"
-        f" / CAST(greatest(size(t), 1) AS DOUBLE))"
+        f"({f['nw']} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})"
+        f" AND ({f['dup_2g']}) <= {GOPHER_MAX_DUP_2GRAM_FRAC}"
+        f" AND ({f['mwl']})"
         f" BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}"
-        f" AND (size(filter(t, x -> x rlike '[a-z]'))"
-        f" / CAST(greatest(size(t), 1) AS DOUBLE)) >= {GOPHER_MIN_ALPHA_WORD_FRAC})"
+        f" AND ({f['alpha']}) >= {GOPHER_MIN_ALPHA_WORD_FRAC})"
     )
 
 
@@ -169,31 +191,15 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     the let-bound single-pass form (:func:`gopher_verdict_sql`) so a
     downstream ``filter`` stays cheap after predicate pushdown.
     """
-    from polars_view_spark.functions.texthash import shingles_from_tokens_sql
-
     toks = f"split(lower(trim({text_col})), '\\\\s+')"
-    nw = f"size({toks})"
-    dup_w = f"1.0 - size(array_distinct({toks})) / CAST({nw} AS DOUBLE)"
-    dup_2g = (
-        f"CASE WHEN {nw} >= 2 THEN "
-        f"1.0 - size({shingles_from_tokens_sql('__t', 2)}) / CAST({nw} - 1 AS DOUBLE) "
-        f"ELSE 0.0 END"
-    )
-    mwl = (
-        f"length(regexp_replace({text_col}, '\\\\s', ''))"
-        f" / CAST(greatest({nw}, 1) AS DOUBLE)"
-    )
-    alpha = (
-        f"size(filter({toks}, x -> x rlike '[a-z]'))"
-        f" / CAST(greatest({nw}, 1) AS DOUBLE)"
-    )
+    f = _gopher_formulas("__t", text_col)
     out = df.withColumn("__t", F.expr(toks)).select(
         "*",
-        F.expr(nw).cast("long").alias("n_words"),
-        F.expr(f"round({dup_w}, 6)").alias("dup_word_frac"),
-        F.expr(f"round({dup_2g}, 6)").alias("dup_2gram_frac"),
-        F.expr(f"round({mwl}, 6)").alias("mean_word_len"),
-        F.expr(f"round({alpha}, 6)").alias("frac_alpha_words"),
+        F.expr(f["nw"]).cast("long").alias("n_words"),
+        F.expr(f"round({f['dup_w']}, 6)").alias("dup_word_frac"),
+        F.expr(f"round({f['dup_2g']}, 6)").alias("dup_2gram_frac"),
+        F.expr(f"round({f['mwl']}, 6)").alias("mean_word_len"),
+        F.expr(f"round({f['alpha']}, 6)").alias("frac_alpha_words"),
         F.expr(gopher_verdict_sql(text_col)).alias("passes_gopher"),
     )
     return out.drop("__t")

@@ -917,3 +917,23 @@ def test_connected_components_rejects_nonpositive_iterations(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc1 long, doc2 long")
     with _pytest.raises(ValueError, match="max_iterations"):
         connected_components(pairs, max_iterations=0)
+
+
+def test_semantic_dedup_null_vector_contract(spark):
+    """A NULL embedding must flow through semantic_dedup as (cell=null,
+    kept=true) — the one-row-per-input contract.  Regression: the first
+    vectorized cell-assignment UDF np.stack'ed the raw batch and crashed
+    on None elements."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    corpus = emb.unionByName(
+        spark.createDataFrame([(9999, None, 0)], schema=emb.schema)
+    )
+    out = {r["vec_id"]: (r["cell"], r["kept"]) for r in semantic_dedup(
+        corpus, threshold=0.4
+    ).collect()}
+    assert len(out) == 51
+    assert out[9999] == (None, True)

@@ -599,8 +599,16 @@ def test_single_tokenize_in_pushed_filters_and_projects(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
 
+    # plan strings truncate by default (maxToStringFields / metadata
+    # limits), which could HIDE repeated occurrences and green-wash a
+    # regression — raise the limits and assert the needle count exactly
+    # (== 1, not <= 1), so a truncated-away expression also fails loudly
+    spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+
     def max_occurrences(df, needle: str, node_prefix: str | None = None) -> int:
         plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "... " not in plan or "more fields" not in plan, "plan truncated"
         lines = [
             ln for ln in plan.splitlines()
             if node_prefix is None or node_prefix in ln
@@ -611,12 +619,12 @@ def test_single_tokenize_in_pushed_filters_and_projects(spark):
     # (The stats Project above it keeps one split per output column — a
     # bounded constant paid only by that operator, not the scan filter.)
     kept = gopher_quality(docs).filter(F.col("passes_gopher"))
-    assert max_occurrences(kept, "split(", node_prefix="Filter ") <= 1
+    assert max_occurrences(kept, "split(", node_prefix="Filter ") == 1
 
     # winnow: one regexp-normalize and one md5 chain per row, anywhere
     w = winnow_fingerprints(docs)
-    assert max_occurrences(w, "regexp_replace(") <= 1
-    assert max_occurrences(w, "md5(") <= 1
+    assert max_occurrences(w, "regexp_replace(") == 1
+    assert max_occurrences(w, "md5(") == 1
     # bigram_pmi's extraction sits behind an eager localCheckpoint (its
     # counts feed three aggregates), so its plan is not inspectable here;
     # its single-tokenize shape is pinned by the 1 s catalog timing and the
@@ -625,14 +633,24 @@ def test_single_tokenize_in_pushed_filters_and_projects(spark):
 
 def test_no_distinct_plus_sketch_expand(spark, cat):
     """q_approx_aggregates must NOT plan COUNT(DISTINCT) and the sketch
-    aggregates through one Expand rewrite — that shape duplicates the
-    16 KB HLL buffer once per distinct key through the shuffle (measured
-    150 s at sf0.1; split into two aggregations it is ~2 s)."""
+    aggregates through one fused rewrite — that shape computes the sketch
+    partials inside an aggregate KEYED BY the distinct column, so every
+    distinct key carries the 16 KB HLL + quantile-summaries buffers
+    through the shuffle (measured 150 s at sf0.1; split into two
+    aggregations it is ~2 s).  The gate: sketch functions may only appear
+    in GLOBAL (keys=[]) aggregates.  (An earlier version looked for an
+    Expand node — this Spark version plans the fused shape via
+    planAggregateWithOneDistinct with no Expand, so that gate was vacuous;
+    verified by reverting the fix and watching this assertion fail.)"""
     df = cat["q_approx_aggregates"].spark_fn(spark, SF)
     plan = plan_of(df)
-    for ln in plan.splitlines():
-        if "Expand" in ln:
-            nxt = plan[plan.index(ln):]
-            assert "approx_count_distinct" not in ln and "percentile" not in ln, (
-                "sketch aggregates ride the distinct Expand again:\n" + nxt[:500]
-            )
+    keyed_agg = re.compile(r"Aggregate\(keys=\[[^\]]")  # non-empty keys
+    sketchy = [
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if keyed_agg.search(ln)
+        and ("approx_count_distinct" in ln or "percentile" in ln)
+    ]
+    assert not sketchy, "sketch partials keyed by the distinct column:\n" + "\n".join(sketchy)
+    # and the sketches must actually be in the plan somewhere (global aggs)
+    assert "approx_count_distinct" in plan and "percentile" in plan
