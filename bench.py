@@ -64,6 +64,12 @@ EXT_HEADLINE = [
     # round 3: deterministic Lloyd k-means — the iterative-algorithm
     # representative (2 assignment+update rounds, exact-arithmetic oracle)
     "x_kmeans_clusters",
+    # round 3 perf-sweep graduates: the vectorized IVF assignment and the
+    # norm-hoisted LSH pair stage — the two ANN shapes that run at scan
+    # speed after the interpreted-HOF fixes (SCALE.md expression-engine
+    # findings); benched so a regression in either shows up per-round
+    "s_ann_ivf_topk",
+    "d_embedding_near_dup",
 ]
 
 

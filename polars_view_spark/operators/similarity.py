@@ -477,22 +477,30 @@ def embedding_near_dup_pairs(
     n_bits: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ threshold) within LSH buckets.
+    """Near-duplicate vector pairs (cosine ≥ threshold) within LSH buckets —
+    the embedding-space analogue of MinHash dedup.  Bucketing trades recall
+    (sign-LSH may split a true pair) for per-bucket work that scales;
+    recall is pinned in tests.
 
-    Self-join on the bucket id with ``id1 < id2`` — the embedding-space
-    analogue of MinHash dedup.  Bucketing trades recall (sign-LSH may split
-    a true pair) for a join that scales; recall is pinned in tests.
+    The pair stage is ``applyInPandas`` over the bucket groups: each bucket's
+    vectors ship through Arrow ONCE (per-row, not per-pair — the earlier
+    join-the-vectors shape moved ~90 MB of duplicated arrays for 175 k
+    candidate pairs at sf0.1), and the bucket's pairwise dot matrix is 64
+    sequential outer-product accumulations — vectorized over the pair grid
+    but element-SEQUENTIAL over dims, so every pair's double replays the
+    exact IEEE order of `dot_sql`'s fold / DuckDB's list_dot_product.  The
+    UDF emits RAW cosines pre-filtered with a 1e-6 slack; the 6-dp ROUND
+    and the exact threshold cut stay in SQL (SQL round is half-away-from-
+    zero, numpy's is half-even — rounding never happens in Python).
+    Norms come in as SQL sqrt-of-fold columns, same doubles as ever.
 
-    Per-row vector norms are computed BEFORE the join: the cosine's three
-    interpreted folds (dot + two norms — ``zip_with``/``aggregate`` never
-    enter codegen) would otherwise run per CANDIDATE PAIR, an O(pairs·dim)
-    interpreted cost; hoisting the norms makes the pair stage a single dot
-    fold.  Same doubles — nv is the identical sqrt-of-fold either way.
-    The null-safe bucket join + isnotnull(vec) pre-filter mirror the
-    IsNotNull-pushdown fix in :func:`ivf_flat_topk`: a plain equi-join
-    would re-derive the whole bucket expression in a scan-side filter.
+    At scale the group size is bounded by the bucket granularity knob
+    (``n_bits``) exactly as before; a bucket is one Arrow batch, the same
+    unit the join shape shuffled.
     """
-    from polars_view_spark.functions.vectors import dot_sql, norm_sql
+    import numpy as np
+
+    from polars_view_spark.functions.vectors import norm_sql
 
     bucket = lsh_bucket_sql(vec_col, n_bits, dim)
     keyed = corpus.filter(F.col(vec_col).isNotNull()).select(
@@ -501,21 +509,35 @@ def embedding_near_dup_pairs(
         F.expr(norm_sql(vec_col)).alias("nv"),
         F.expr(bucket).alias("bucket"),
     )
-    a = keyed.select(
-        F.col("id").alias("id1"), F.col("v").alias("v1"),
-        F.col("nv").alias("nv1"), F.col("bucket"),
-    )
-    b = keyed.select(
-        F.col("id").alias("id2"), F.col("v").alias("v2"),
-        F.col("nv").alias("nv2"), F.col("bucket").alias("bucket2"),
+
+    slack = threshold - 1e-6
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine": []}).astype(
+                {"id1": "int64", "id2": "int64", "cosine": "float64"}
+            )
+        pdf = pdf.sort_values("id")  # pair order: id1 < id2
+        x = np.stack(pdf["v"].to_numpy()).astype(np.float64)  # (n, dim)
+        nv = pdf["nv"].to_numpy(dtype=np.float64)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        acc = np.zeros((n, n), dtype=np.float64)
+        for i in range(x.shape[1]):  # sequential over dims = the fold order
+            col = x[:, i]
+            acc += np.outer(col, col)
+        cos = acc / np.outer(nv, nv)
+        i1, i2 = np.triu_indices(n, k=1)
+        keep = cos[i1, i2] >= slack
+        return pd.DataFrame(
+            {"id1": ids[i1[keep]], "id2": ids[i2[keep]], "cosine": cos[i1, i2][keep]}
+        )
+
+    raw = keyed.groupBy("bucket").applyInPandas(
+        bucket_pairs, "id1 long, id2 long, cosine double"
     )
     return (
-        a.join(b, F.col("bucket").eqNullSafe(F.col("bucket2")))
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn(
-            "cosine",
-            F.round(F.expr(f"({dot_sql('v1', 'v2')}) / (nv1 * nv2)"), 6),
-        )
+        raw.withColumn("cosine", F.round("cosine", 6))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
