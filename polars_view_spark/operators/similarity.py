@@ -437,24 +437,20 @@ def semantic_dedup(
     # assignment expression into an interpreted scan-side Filter and
     # evaluate it twice per row (see ivf_flat_topk.with_cells).
     pairable = sized.filter(~F.col("cell_capped") & F.col("v").isNotNull())
-    # norms hoisted to the per-ROW side so the per-PAIR stage is one dot
-    # fold, not three (same doubles — see embedding_near_dup_pairs)
-    from polars_view_spark.functions.vectors import dot_sql, norm_sql
+    # the quadratic-within-cell verify runs in the shared per-group Arrow
+    # kernel — the within-cell pair grid grows with the square of cell
+    # membership, and the interpreted fold went super-linear in wall-clock
+    # on a 10× corpus (44 s) where the kernel stays linear-ish
+    from polars_view_spark.functions.vectors import norm_sql
 
-    a = pairable.select(
-        F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
-        F.expr(norm_sql("v")).alias("nv1"), "cell",
-    )
-    b = pairable.select(
-        F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
-        F.expr(norm_sql("v")).alias("nv2"), F.col("cell").alias("cell2"),
+    keyed = pairable.select(
+        F.col("vec_id").alias("id"),
+        "v",
+        F.expr(norm_sql("v")).alias("nv"),
+        "cell",
     )
     dropped = (
-        a.join(b, F.col("cell").eqNullSafe(F.col("cell2")))
-        .filter(F.col("id1") < F.col("id2"))
-        .filter(
-            F.round(F.expr(f"({dot_sql('v1', 'v2')}) / (nv1 * nv2)"), 6) >= threshold
-        )
+        _pairwise_cosine_in_groups(keyed, "cell", threshold)
         .select(F.col("id2").alias("vec_id"))
         .distinct()
     )
@@ -469,6 +465,68 @@ def semantic_dedup(
     )
 
 
+def _pairwise_cosine_in_groups(
+    keyed: DataFrame, group_col: str, threshold: float
+) -> DataFrame:
+    """All (id1 < id2, cosine) pairs with cosine ≥ threshold WITHIN each
+    ``group_col`` group of ``keyed (id, v, nv, <group_col>)`` — the shared
+    quadratic-within-group kernel behind embedding near-dup and SemDeDup.
+
+    ``applyInPandas`` over the groups: each vector crosses Arrow once
+    (per-row, not per-pair), and the group's pairwise dot matrix is dim
+    sequential outer-product accumulations — vectorized over the pair grid
+    but element-SEQUENTIAL over dims, so every pair's double replays the
+    exact IEEE order of ``dot_sql``'s fold / DuckDB's list_dot_product.
+    The UDF emits RAW cosines pre-filtered with a 1e-6 slack; the 6-dp
+    ROUND and the exact threshold cut stay in SQL (SQL round is half-away-
+    from-zero, numpy's is half-even — rounding never happens in Python).
+    Norms come in as SQL sqrt-of-fold columns, same doubles as ever.
+
+    At 10× data the within-group pair grid grows 100×; this kernel runs it
+    at numpy speed where the interpreted fold went super-linear in
+    wall-clock (measured: semantic-dedup 44 s → linear-ish after this).
+    Group size stays bounded by the caller's granularity knob (LSH bits /
+    cell count / hot-group cap) — one group is one Arrow batch.
+    """
+    import numpy as np
+
+    slack = threshold - 1e-6
+
+    def group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine": []}).astype(
+                {"id1": "int64", "id2": "int64", "cosine": "float64"}
+            )
+        pdf = pdf.sort_values("id")  # pair order: id1 < id2
+        x = np.stack(pdf["v"].to_numpy()).astype(np.float64)  # (n, dim)
+        nv = pdf["nv"].to_numpy(dtype=np.float64)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        acc = np.zeros((n, n), dtype=np.float64)
+        tmp = np.empty((n, n), dtype=np.float64)  # reused — no per-dim alloc
+        for i in range(x.shape[1]):  # sequential over dims = the fold order
+            col = x[:, i]
+            np.outer(col, col, out=tmp)
+            acc += tmp
+        cos = acc / np.outer(nv, nv)
+        i1, i2 = np.triu_indices(n, k=1)
+        keep = cos[i1, i2] >= slack
+        return pd.DataFrame(
+            {"id1": ids[i1[keep]], "id2": ids[i2[keep]], "cosine": cos[i1, i2][keep]}
+        )
+
+    raw = keyed.groupBy(group_col).applyInPandas(
+        group_pairs, "id1 long, id2 long, cosine double"
+    )
+    return (
+        raw.withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -480,26 +538,10 @@ def embedding_near_dup_pairs(
     """Near-duplicate vector pairs (cosine ≥ threshold) within LSH buckets —
     the embedding-space analogue of MinHash dedup.  Bucketing trades recall
     (sign-LSH may split a true pair) for per-bucket work that scales;
-    recall is pinned in tests.
-
-    The pair stage is ``applyInPandas`` over the bucket groups: each bucket's
-    vectors ship through Arrow ONCE (per-row, not per-pair — the earlier
-    join-the-vectors shape moved ~90 MB of duplicated arrays for 175 k
-    candidate pairs at sf0.1), and the bucket's pairwise dot matrix is 64
-    sequential outer-product accumulations — vectorized over the pair grid
-    but element-SEQUENTIAL over dims, so every pair's double replays the
-    exact IEEE order of `dot_sql`'s fold / DuckDB's list_dot_product.  The
-    UDF emits RAW cosines pre-filtered with a 1e-6 slack; the 6-dp ROUND
-    and the exact threshold cut stay in SQL (SQL round is half-away-from-
-    zero, numpy's is half-even — rounding never happens in Python).
-    Norms come in as SQL sqrt-of-fold columns, same doubles as ever.
-
-    At scale the group size is bounded by the bucket granularity knob
-    (``n_bits``) exactly as before; a bucket is one Arrow batch, the same
-    unit the join shape shuffled.
+    recall is pinned in tests.  Pair scoring is the shared per-group Arrow
+    kernel (:func:`_pairwise_cosine_in_groups`) — see its docstring for
+    the transfer/bit-exactness analysis.
     """
-    import numpy as np
-
     from polars_view_spark.functions.vectors import norm_sql
 
     bucket = lsh_bucket_sql(vec_col, n_bits, dim)
@@ -509,38 +551,7 @@ def embedding_near_dup_pairs(
         F.expr(norm_sql(vec_col)).alias("nv"),
         F.expr(bucket).alias("bucket"),
     )
-
-    slack = threshold - 1e-6
-
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id1": [], "id2": [], "cosine": []}).astype(
-                {"id1": "int64", "id2": "int64", "cosine": "float64"}
-            )
-        pdf = pdf.sort_values("id")  # pair order: id1 < id2
-        x = np.stack(pdf["v"].to_numpy()).astype(np.float64)  # (n, dim)
-        nv = pdf["nv"].to_numpy(dtype=np.float64)
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        acc = np.zeros((n, n), dtype=np.float64)
-        for i in range(x.shape[1]):  # sequential over dims = the fold order
-            col = x[:, i]
-            acc += np.outer(col, col)
-        cos = acc / np.outer(nv, nv)
-        i1, i2 = np.triu_indices(n, k=1)
-        keep = cos[i1, i2] >= slack
-        return pd.DataFrame(
-            {"id1": ids[i1[keep]], "id2": ids[i2[keep]], "cosine": cos[i1, i2][keep]}
-        )
-
-    raw = keyed.groupBy("bucket").applyInPandas(
-        bucket_pairs, "id1 long, id2 long, cosine double"
-    )
-    return (
-        raw.withColumn("cosine", F.round("cosine", 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id1", "id2", "cosine")
-    )
+    return _pairwise_cosine_in_groups(keyed, "bucket", threshold)
 
 
 def quantized_topk(
