@@ -184,12 +184,17 @@ DRIVER_PRIORITY = [
 # Everything demoted out of the window is green in CORRECTNESS_r01/r02 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
 # sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
-# Next rotation (round 4) must lead with the round-3 additions that did not
-# fit this window: q6_forecast_revenue, q12_ship_priority_class,
-# q13_customer_distribution, q14_promo_revenue, q19_discounted_revenue,
-# x_tfidf_top_terms, x_kmeans_clusters, t_csv_gz_roundtrip,
-# q21_single_pass, e_streaming_join, x_bigram_pmi (all green in the local
-# gate at all three SFs).
+# Next rotation (round 4) must lead with (a) the entries whose
+# implementations CHANGED in the round-3 perf sweep but sit outside this
+# window (all re-verified green in the local gate at sf0.01 AND sf0.1 and
+# in a two-conf determinism probe after the change): d_semantic_dedup,
+# d_embedding_near_dup, s_ann_ivf_topk, s_ann_lsh_topk,
+# d_ngram_jaccard_pairs, x_winnow_fingerprints, x_bigram_pmi,
+# q_approx_aggregates, x_gopher_quality; then (b) the round-3 additions
+# that did not fit this window: q6_forecast_revenue,
+# q12_ship_priority_class, q13_customer_distribution, q14_promo_revenue,
+# q19_discounted_revenue, x_tfidf_top_terms, x_kmeans_clusters,
+# t_csv_gz_roundtrip, q21_single_pass, e_streaming_join.
 
 
 def entries() -> dict[str, CatalogEntry]:
