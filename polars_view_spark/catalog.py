@@ -407,6 +407,30 @@ def _t_clustered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end (sources/writers.py:compact_dataset):
+    documents written as a deliberately fragmented dataset (64 write
+    tasks → 64 tiny files), compacted to size-targeted files, re-read
+    and content-verified per document (md5 of the text rides along, so a
+    row lost or corrupted in the rewrite breaks the hash).  The audit
+    counters are asserted in tests/test_sources.py; the driver gate pins
+    the data fidelity — the property an in-place-swap caller relies on."""
+    import os
+
+    from polars_view_spark.sources.writers import compact_dataset, write_dataset
+
+    t = load_tables(spark, sf_dir, "documents")
+    base = _scratch_dir("compact_rt", sf_dir)
+    frag, dense = os.path.join(base, "frag"), os.path.join(base, "dense")
+    write_dataset(t["documents"].repartition(64), frag)
+    compact_dataset(spark, frag, dense, target_file_bytes=64 * 1024 * 1024)
+    back = spark.read.parquet(dense)
+    return back.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    ).orderBy("doc_id")
+
+
 _core_done = False
 
 
@@ -487,6 +511,16 @@ def _register_core() -> None:
         """,
         tables=("events",),
     )(_t_clustered_roundtrip)
+
+    register(
+        "t_compact_roundtrip",
+        oracle="""
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               md5(text) AS text_md5
+        FROM documents ORDER BY doc_id
+        """,
+        tables=("documents",),
+    )(_t_compact_roundtrip)
 
     sql_query(
         "q1_pricing_summary",

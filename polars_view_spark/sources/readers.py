@@ -199,3 +199,19 @@ def read_any(spark: SparkSession, cfg: LoadConfig) -> tuple[DataFrame, str, Load
     if fmt == FileFormat.ORC:
         return read_orc(spark, cfg), fmt, cfg
     return read_parquet(spark, cfg), fmt, cfg
+
+
+def read_dataset_files(path: str, fmt: str = FileFormat.PARQUET) -> list[tuple[str, int]]:
+    """(file, size) listing of a dataset directory's data files — local
+    filesystems walk the tree; remote URIs should use the FileSystem API
+    of the deployment (the compaction caller's concern, not this helper's)."""
+    import os
+
+    ext = "." + (fmt if fmt != FileFormat.NDJSON else "json")
+    out = []
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(ext) or (fmt == FileFormat.PARQUET and n.endswith(".parquet")):
+                p = os.path.join(root, n)
+                out.append((p, os.path.getsize(p)))
+    return out

@@ -154,3 +154,52 @@ def save_as(df: DataFrame, path: str, csv_delimiter: str = ";") -> str:
     fmt = detect_format(path)
     _single_file_write(df, path, fmt, csv_delimiter)
     return fmt
+
+
+def compact_dataset(
+    spark,
+    src_path: str,
+    dest_path: str,
+    fmt: str = FileFormat.PARQUET,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — rewrite a dataset with right-sized files.
+
+    The operational scale problem this solves: streaming sinks, frequent
+    incremental MERGEs, and over-parallel writers leave datasets as
+    thousands of KB-sized files, and at 100 TB the scan cost becomes
+    dominated by per-file open/footer overhead and driver-side listing,
+    not data.  Compaction reads the dataset once and writes it back with
+    file count ≈ on-disk bytes / ``target_file_bytes``.
+
+    Mechanics: the on-disk size comes from the source listing (not a
+    collect); the rewrite coalesces to the computed file count per
+    partition directory (``partition_by`` re-applied so pruning layouts
+    survive compaction).  ``coalesce`` (not ``repartition``) — merging
+    files needs no shuffle, only fewer write tasks.  Writes to
+    ``dest_path`` (never in place: a failed in-place rewrite loses data —
+    callers swap directories after validating, same discipline as the
+    save-in-place guard).  Returns ``{"files_before", "files_after",
+    "bytes"}`` for the caller's audit log.
+    """
+    from polars_view_spark.sources.readers import read_dataset_files
+
+    files = read_dataset_files(src_path, fmt)
+    total_bytes = sum(sz for _, sz in files)
+    n_out = max(1, round(total_bytes / target_file_bytes))
+    df = (
+        spark.read.parquet(src_path)
+        if fmt == FileFormat.PARQUET
+        else spark.read.orc(src_path)
+    )
+    write_dataset(
+        df.coalesce(n_out), dest_path, fmt, partition_by=partition_by
+    )
+    after = read_dataset_files(dest_path, fmt)
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total_bytes,
+    }

@@ -403,3 +403,38 @@ class TestSnifferFuzz:
 
         got = sniff_delimiter_from_lines([junk, junk], configured=delim)
         assert got == delim
+
+
+class TestCompaction:
+    def test_compact_reduces_files_preserves_content(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.sources.writers import compact_dataset, write_dataset
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        frag = str(tmp_path / "frag")
+        dense = str(tmp_path / "dense")
+        write_dataset(docs.repartition(32), frag)
+        stats = compact_dataset(spark, frag, dense, target_file_bytes=64 * 1024 * 1024)
+        assert stats["files_before"] == 32
+        assert stats["files_after"] < stats["files_before"]
+        assert stats["files_after"] >= 1
+        a = docs.orderBy("doc_id").collect()
+        b = spark.read.parquet(dense).orderBy("doc_id").collect()
+        assert a == b
+
+    def test_compact_respects_partition_layout(self, spark, tmp_path):
+        import os
+
+        from polars_view_spark.sources.writers import compact_dataset, write_dataset
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        frag = str(tmp_path / "fragp")
+        dense = str(tmp_path / "densep")
+        write_dataset(docs.repartition(16), frag, partition_by=["lang"])
+        compact_dataset(
+            spark, frag, dense, target_file_bytes=64 * 1024 * 1024,
+            partition_by=["lang"],
+        )
+        # hive layout survives compaction -> pruning still works downstream
+        assert any(d.startswith("lang=") for d in os.listdir(dense))
