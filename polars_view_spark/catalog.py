@@ -431,6 +431,40 @@ def _t_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _t_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolved dataset read: a table whose early files predate a
+    column (here ``quality`` added to documents mid-stream).  Both
+    generations land in ONE directory; ``mergeSchema`` unions the footers
+    and back-fills the missing column with NULL — the contract every
+    long-lived lake table relies on when columns are added without
+    rewriting history.  Verified per language: the evolved column
+    aggregates over only the new-generation rows (NULLs don't count),
+    while row counts cover both generations."""
+    import os
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    out = os.path.join(_scratch_dir("schema_ev", sf_dir), "ds")
+    old_gen = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    new_gen = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("quality", (F.col("n_chars") % 97).cast("long"))
+    )
+    old_gen.write.mode("overwrite").parquet(out)
+    new_gen.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("quality").alias("n_with_quality"),
+            F.sum("quality").cast("long").alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 _core_done = False
 
 
@@ -511,6 +545,24 @@ def _register_core() -> None:
         """,
         tables=("events",),
     )(_t_clustered_roundtrip)
+
+    register(
+        "t_schema_evolution",
+        oracle="""
+        WITH both_gens AS (
+          SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id, lang, n_chars, CAST(n_chars % 97 AS BIGINT)
+          FROM documents WHERE doc_id % 2 = 1
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(quality) AS n_with_quality,
+               CAST(SUM(quality) AS BIGINT) AS sum_quality
+        FROM both_gens GROUP BY lang ORDER BY lang
+        """,
+        tables=("documents",),
+    )(_t_schema_evolution)
 
     register(
         "t_compact_roundtrip",
