@@ -265,8 +265,9 @@ def _with_sorted_cells(
     the interpreted expression's throughput.  Bit-exactness with the
     DuckDB oracle is preserved because every ROUNDING step stays in SQL:
     the corpus vector is quantized by JVM ``round()`` (half-away-from-zero,
-    `_quantize_sql`) and the seed literals are evaluated by the engine once
-    on a 1-row frame — the UDF sees only int64 in, int64 out, and integer
+    `_quantize_sql`) and the seed ints arrive pre-quantized by the engine
+    (``_seed_centroids`` evaluates the literal arrays on a 1-row frame,
+    once per operator) — the UDF sees only int64 in, int64 out, and integer
     add/multiply/compare are exact in any engine.  Ties sort by ascending
     cell id via stable argsort over the (ascending-cell) seed matrix —
     the same (d, cell) order the oracle's ``ORDER BY d, cell`` produces.

@@ -186,6 +186,12 @@ def compact_dataset(
     """
     from polars_view_spark.sources.readers import read_dataset_files
 
+    if fmt not in (FileFormat.PARQUET, FileFormat.ORC):
+        raise UnsupportedFormatError(
+            f"compact_dataset supports parquet/orc datasets, not {fmt!r} — "
+            "text formats have no footer stats to preserve; rewrite via "
+            "write_dataset directly"
+        )
     files = read_dataset_files(src_path, fmt)
     total_bytes = sum(sz for _, sz in files)
     n_out = max(1, round(total_bytes / target_file_bytes))
