@@ -466,6 +466,45 @@ def _t_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine ingestion
+    (sources/readers.py:read_ndjson_quarantine): an NDJSON landing file
+    where every third record is a broken line (unquoted free text — the
+    classic half-written/garbled log row) is split into clean rows +
+    quarantined raw lines instead of PERMISSIVE's silent nulls.  The
+    fixture derives from the documents table, so the oracle states the
+    expected split arithmetically — per-language clean counts for
+    doc_id % 3 != 0 plus one __quarantine__ row counting the rest."""
+    import os
+
+    from polars_view_spark.sources.readers import read_ndjson_quarantine
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    path = os.path.join(_scratch_dir("quarantine_rt", sf_dir), "landing")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("broken line for doc "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    clean, quarantine = read_ndjson_quarantine(
+        spark, path, "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    )
+    per_lang = clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("long").alias("chars")
+    )
+    q_row = quarantine.agg(
+        F.lit("__quarantine__").alias("lang"),
+        F.count(F.lit(1)).alias("n"),
+        F.lit(None).cast("long").alias("chars"),
+    )
+    return per_lang.unionByName(q_row).orderBy("lang")
+
+
 _core_done = False
 
 
@@ -564,6 +603,21 @@ def _register_core() -> None:
         """,
         tables=("documents",),
     )(_t_schema_evolution)
+
+    register(
+        "t_corrupt_quarantine",
+        oracle="""
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE doc_id % 3 != 0
+        GROUP BY lang
+        UNION ALL
+        SELECT '__quarantine__', COUNT(*), CAST(NULL AS BIGINT)
+        FROM documents WHERE doc_id % 3 = 0
+        ORDER BY lang
+        """,
+        tables=("documents",),
+    )(_t_corrupt_quarantine)
 
     register(
         "t_compact_roundtrip",

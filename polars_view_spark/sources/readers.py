@@ -16,6 +16,7 @@ import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from polars_view_spark.config import LoadConfig
@@ -215,3 +216,33 @@ def read_dataset_files(path: str, fmt: str = FileFormat.PARQUET) -> list[tuple[s
                 p = os.path.join(root, n)
                 out.append((p, os.path.getsize(p)))
     return out
+
+
+def read_ndjson_quarantine(spark, path: str, schema: str):
+    """NDJSON ingestion with corrupt-record QUARANTINE — the at-scale
+    alternative to PERMISSIVE's silent nulling: unparseable lines are
+    captured verbatim in ``_corrupt_record`` and split off, so bad input
+    is auditable and replayable instead of silently degrading quality
+    stats downstream.
+
+    Returns ``(clean, quarantine)``: clean rows with the user schema,
+    quarantine rows as the raw offending line.  The parsed frame is
+    cached before the split — Spark refuses a filter that references ONLY
+    the internal corrupt-record column on a streaming-style direct scan
+    (documented Spark limitation), and the cache also makes the two
+    consumers share one parse pass.  Caller owns unpersisting ``clean``
+    when done (both frames share the cached parent).
+    """
+    full = schema + ", _corrupt_record STRING"
+    parsed = (
+        spark.read.schema(full)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("mode", "PERMISSIVE")
+        .json(path)
+        .cache()
+    )
+    clean = parsed.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return clean, quarantine

@@ -438,3 +438,22 @@ class TestCompaction:
         )
         # hive layout survives compaction -> pruning still works downstream
         assert any(d.startswith("lang=") for d in os.listdir(dense))
+
+
+class TestQuarantine:
+    def test_corrupt_lines_split_not_nulled(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.sources.readers import read_ndjson_quarantine
+
+        path = str(tmp_path / "landing")
+        lines = ['{"id": 1, "v": "a"}', "garbage !!", '{"id": 2, "v": "b"}',
+                 '{"id": 3 "v": missing-comma}']
+        spark.createDataFrame([(l,) for l in lines], "value STRING").coalesce(
+            1
+        ).write.mode("overwrite").text(path)
+        clean, quarantine = read_ndjson_quarantine(spark, path, "id BIGINT, v STRING")
+        assert {r["id"] for r in clean.collect()} == {1, 2}
+        bad = [r["raw_line"] for r in quarantine.collect()]
+        assert len(bad) == 2 and "garbage !!" in bad  # raw line preserved verbatim
+        clean.unpersist()
