@@ -467,7 +467,8 @@ def semantic_dedup(
 
 
 def _pairwise_cosine_in_groups(
-    keyed: DataFrame, group_col: str, threshold: float
+    keyed: DataFrame, group_col: str, threshold: float,
+    max_group_size: int = 100_000,
 ) -> DataFrame:
     """All (id1 < id2, cosine) pairs with cosine ≥ threshold WITHIN each
     ``group_col`` group of ``keyed (id, v, nv, <group_col>)`` — the shared
@@ -487,7 +488,12 @@ def _pairwise_cosine_in_groups(
     at numpy speed where the interpreted fold went super-linear in
     wall-clock (measured: semantic-dedup 44 s → linear-ish after this).
     Group size stays bounded by the caller's granularity knob (LSH bits /
-    cell count / hot-group cap) — one group is one Arrow batch.
+    cell count / hot-group cap) — one group is one Arrow batch, so the
+    (n × n) distance matrix must fit an executor.  ``max_group_size``
+    fails LOUDLY past that bound (a 100k group ≈ 80 GB of matrix): a
+    group that large means the granularity knob is mis-sized for the
+    corpus, and an explicit "raise n_bits / cell count" error beats both
+    an executor OOM and a silent recall-losing drop.
     """
     import numpy as np
 
@@ -495,6 +501,13 @@ def _pairwise_cosine_in_groups(
 
     def group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        if n > max_group_size:
+            raise ValueError(
+                f"pair group of {n} rows exceeds max_group_size="
+                f"{max_group_size}: the grouping is too coarse for this "
+                "corpus — raise the granularity knob (LSH n_bits / cell "
+                "count) so groups stay pairwise-computable"
+            )
         if n < 2:
             return pd.DataFrame({"id1": [], "id2": [], "cosine": []}).astype(
                 {"id1": "int64", "id2": "int64", "cosine": "float64"}

@@ -937,3 +937,62 @@ def test_semantic_dedup_null_vector_contract(spark):
     ).collect()}
     assert len(out) == 51
     assert out[9999] == (None, True)
+
+
+class TestPairKernelParity:
+    def test_kernel_matches_sql_fold_bit_exactly(self, spark):
+        """The per-group Arrow kernel must reproduce the JVM SQL fold's
+        doubles EXACTLY (same IEEE op order), pair for pair — the property
+        the DuckDB oracle hash rests on.  Random float32 vectors, threshold
+        0 so every pair is compared."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.functions.vectors import cosine_sql, norm_sql
+        from polars_view_spark.operators.similarity import (
+            _pairwise_cosine_in_groups,
+        )
+
+        rng = random.Random(42)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(16)], i % 3)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, v array<float>, grp int"
+        )
+        keyed = df.select(
+            "id", "v", F.expr(norm_sql("v")).alias("nv"), "grp"
+        )
+        kernel = {
+            (r["id1"], r["id2"]): r["cosine"]
+            for r in _pairwise_cosine_in_groups(keyed, "grp", -1.0).collect()
+        }
+        a = df.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("grp").alias("g1"))
+        b = df.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("grp").alias("g2"))
+        sql_pairs = {
+            (r["id1"], r["id2"]): r["cosine"]
+            for r in a.join(b, (F.col("g1") == F.col("g2")) & (F.col("id1") < F.col("id2")))
+            .withColumn("cosine", F.round(F.expr(cosine_sql("v1", "v2")), 6))
+            .select("id1", "id2", "cosine")
+            .collect()
+        }
+        assert kernel == sql_pairs  # exact equality of every rounded double
+
+    def test_hot_group_guard_fails_loudly(self, spark):
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.functions.vectors import norm_sql
+        from polars_view_spark.operators.similarity import (
+            _pairwise_cosine_in_groups,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0], 0) for i in range(30)],
+            "id long, v array<float>, grp int",
+        ).select("id", "v", F.expr(norm_sql("v")).alias("nv"), "grp")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="max_group_size"):
+            _pairwise_cosine_in_groups(df, "grp", 0.0, max_group_size=10).collect()
