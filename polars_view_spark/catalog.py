@@ -195,7 +195,7 @@ DRIVER_PRIORITY = [
 # q12_ship_priority_class, q13_customer_distribution, q14_promo_revenue,
 # q19_discounted_revenue, x_tfidf_top_terms, x_kmeans_clusters,
 # t_csv_gz_roundtrip, q21_single_pass, e_streaming_join,
-# t_compact_roundtrip, t_schema_evolution.
+# t_compact_roundtrip, t_schema_evolution, t_corrupt_quarantine.
 
 
 def entries() -> dict[str, CatalogEntry]:
