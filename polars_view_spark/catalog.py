@@ -491,7 +491,7 @@ def _t_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value")
     )
     lines.write.mode("overwrite").text(path)
-    clean, quarantine = read_ndjson_quarantine(
+    clean, quarantine, parsed = read_ndjson_quarantine(
         spark, path, "doc_id BIGINT, lang STRING, n_chars BIGINT"
     )
     per_lang = clean.groupBy("lang").agg(
@@ -502,7 +502,11 @@ def _t_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.lit(None).cast("long").alias("chars"),
     )
-    return per_lang.unionByName(q_row).orderBy("lang")
+    # pin the small result, then release the parse cache — same scoped-
+    # cache discipline as the dedup operators
+    out = per_lang.unionByName(q_row).orderBy("lang").localCheckpoint(eager=True)
+    parsed.unpersist()
+    return out
 
 
 _core_done = False

@@ -468,7 +468,7 @@ def semantic_dedup(
 
 def _pairwise_cosine_in_groups(
     keyed: DataFrame, group_col: str, threshold: float,
-    max_group_size: int = 100_000,
+    max_group_size: int = 20_000,
 ) -> DataFrame:
     """All (id1 < id2, cosine) pairs with cosine ≥ threshold WITHIN each
     ``group_col`` group of ``keyed (id, v, nv, <group_col>)`` — the shared
@@ -489,11 +489,13 @@ def _pairwise_cosine_in_groups(
     wall-clock (measured: semantic-dedup 44 s → linear-ish after this).
     Group size stays bounded by the caller's granularity knob (LSH bits /
     cell count / hot-group cap) — one group is one Arrow batch, so the
-    (n × n) distance matrix must fit an executor.  ``max_group_size``
-    fails LOUDLY past that bound (a 100k group ≈ 80 GB of matrix): a
-    group that large means the granularity knob is mis-sized for the
-    corpus, and an explicit "raise n_bits / cell count" error beats both
-    an executor OOM and a silent recall-losing drop.
+    kernel's two (n × n) float64 arrays (acc + reused tmp) must fit an
+    executor: 16·n² bytes, i.e. ~6.4 GB at the 20 000 default — sized so
+    the guard fires BEFORE a typical executor heap dies, not after.
+    ``max_group_size`` fails LOUDLY past the bound: a group that large
+    means the granularity knob is mis-sized for the corpus, and an
+    explicit "raise n_bits / cell count" error beats both an executor OOM
+    and a silent recall-losing drop.
     """
     import numpy as np
 

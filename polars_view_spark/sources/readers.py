@@ -212,7 +212,7 @@ def read_dataset_files(path: str, fmt: str = FileFormat.PARQUET) -> list[tuple[s
     out = []
     for root, _dirs, names in os.walk(path):
         for n in names:
-            if n.endswith(ext) or (fmt == FileFormat.PARQUET and n.endswith(".parquet")):
+            if n.endswith(ext):
                 p = os.path.join(root, n)
                 out.append((p, os.path.getsize(p)))
     return out
@@ -225,13 +225,15 @@ def read_ndjson_quarantine(spark, path: str, schema: str):
     is auditable and replayable instead of silently degrading quality
     stats downstream.
 
-    Returns ``(clean, quarantine)``: clean rows with the user schema,
-    quarantine rows as the raw offending line.  The parsed frame is
-    cached before the split — Spark refuses a filter that references ONLY
-    the internal corrupt-record column on a streaming-style direct scan
-    (documented Spark limitation), and the cache also makes the two
-    consumers share one parse pass.  Caller owns unpersisting ``clean``
-    when done (both frames share the cached parent).
+    Returns ``(clean, quarantine, parsed)``: clean rows with the user
+    schema, quarantine rows as the raw offending line, and the CACHED
+    parent frame — the cache exists because Spark refuses a filter that
+    references ONLY the internal corrupt-record column on a direct scan
+    (documented Spark limitation), and it also makes the two consumers
+    share one parse pass.  The caller unpersists ``parsed`` when done
+    (unpersisting the derived frames would be a silent no-op: Spark
+    uncaches by plan identity, and the filters' plans are not the cached
+    plan).
     """
     full = schema + ", _corrupt_record STRING"
     parsed = (
@@ -245,4 +247,4 @@ def read_ndjson_quarantine(spark, path: str, schema: str):
     quarantine = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
     )
-    return clean, quarantine
+    return clean, quarantine, parsed

@@ -175,15 +175,25 @@ def compact_dataset(
     file count ≈ on-disk bytes / ``target_file_bytes``.
 
     Mechanics: the on-disk size comes from the source listing (not a
-    collect); the rewrite coalesces to the computed file count per
-    partition directory (``partition_by`` re-applied so pruning layouts
-    survive compaction).  ``coalesce`` (not ``repartition``) — merging
-    files needs no shuffle, only fewer write tasks.  Writes to
-    ``dest_path`` (never in place: a failed in-place rewrite loses data —
-    callers swap directories after validating, same discipline as the
-    save-in-place guard).  Returns ``{"files_before", "files_after",
-    "bytes"}`` for the caller's audit log.
+    collect).  Unpartitioned: ``coalesce(n_out)`` — merging files needs no
+    shuffle, only fewer write tasks.  Hive-partitioned: a global coalesce
+    would leave every task holding rows of EVERY partition value, so
+    ``partitionBy`` would emit a file per (task, value) — up to
+    n_out × n_values small files, the very problem being fixed.  Instead
+    the rewrite hash-repartitions on (partition cols, deterministic salt)
+    sized to per-DIRECTORY bytes (derived from the source listing's
+    directory structure), so each output directory gets ≈ its own bytes /
+    ``target_file_bytes`` files.  One shuffle, but a compaction pass is a
+    rewrite anyway — the shuffle cost is the same order as the write.
+    Writes to ``dest_path`` (never in place: a failed in-place rewrite
+    loses data — callers swap directories after validating, same
+    discipline as the save-in-place guard).  Returns ``{"files_before",
+    "files_after", "bytes"}`` for the caller's audit log.
     """
+    import os
+
+    from pyspark.sql import functions as F
+
     from polars_view_spark.sources.readers import read_dataset_files
 
     if fmt not in (FileFormat.PARQUET, FileFormat.ORC):
@@ -193,16 +203,38 @@ def compact_dataset(
             "write_dataset directly"
         )
     files = read_dataset_files(src_path, fmt)
+    if not files:
+        raise UnsupportedFormatError(
+            f"compact_dataset: no {fmt} data files under {src_path!r} — "
+            "nothing to compact (wrong path, or the dataset was never "
+            "written)"
+        )
     total_bytes = sum(sz for _, sz in files)
-    n_out = max(1, round(total_bytes / target_file_bytes))
     df = (
         spark.read.parquet(src_path)
         if fmt == FileFormat.PARQUET
         else spark.read.orc(src_path)
     )
-    write_dataset(
-        df.coalesce(n_out), dest_path, fmt, partition_by=partition_by
-    )
+    if partition_by:
+        # per-directory sizing: bytes of the largest partition directory
+        # drive the per-directory file count (uniform salt width keeps the
+        # layout deterministic; skew just means smaller files in small dirs)
+        dir_bytes: dict[str, int] = {}
+        for p, sz in files:
+            d = os.path.dirname(p)
+            dir_bytes[d] = dir_bytes.get(d, 0) + sz
+        per_dir = max(1, round(max(dir_bytes.values()) / target_file_bytes))
+        salt = F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(per_dir)
+        )
+        shaped = df.repartition(
+            max(per_dir * len(dir_bytes), 1),
+            *[F.col(c) for c in partition_by],
+            salt,
+        )
+    else:
+        shaped = df.coalesce(max(1, round(total_bytes / target_file_bytes)))
+    write_dataset(shaped, dest_path, fmt, partition_by=partition_by)
     after = read_dataset_files(dest_path, fmt)
     return {
         "files_before": len(files),

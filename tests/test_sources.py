@@ -437,7 +437,22 @@ class TestCompaction:
             partition_by=["lang"],
         )
         # hive layout survives compaction -> pruning still works downstream
-        assert any(d.startswith("lang=") for d in os.listdir(dense))
+        lang_dirs = [d for d in os.listdir(dense) if d.startswith("lang=")]
+        assert lang_dirs
+        # per-DIRECTORY sizing: at this scale every directory is far under
+        # the target, so each must compact to exactly ONE file — a global
+        # coalesce+partitionBy would leave a file per (task, lang) here
+        for d in lang_dirs:
+            n_files = len(
+                [f for f in os.listdir(os.path.join(dense, d)) if f.endswith(".parquet")]
+            )
+            assert n_files == 1, f"{d} has {n_files} files"
+        # and content survives the salted repartition (column order
+        # normalized — hive reads surface the partition column last)
+        cols = sorted(docs.columns)
+        a = docs.select(*cols).orderBy("doc_id").collect()
+        b = spark.read.parquet(dense).select(*cols).orderBy("doc_id").collect()
+        assert a == b
 
 
 class TestQuarantine:
@@ -452,8 +467,12 @@ class TestQuarantine:
         spark.createDataFrame([(l,) for l in lines], "value STRING").coalesce(
             1
         ).write.mode("overwrite").text(path)
-        clean, quarantine = read_ndjson_quarantine(spark, path, "id BIGINT, v STRING")
+        clean, quarantine, parsed = read_ndjson_quarantine(
+            spark, path, "id BIGINT, v STRING"
+        )
         assert {r["id"] for r in clean.collect()} == {1, 2}
         bad = [r["raw_line"] for r in quarantine.collect()]
         assert len(bad) == 2 and "garbage !!" in bad  # raw line preserved verbatim
-        clean.unpersist()
+        assert parsed.is_cached
+        parsed.unpersist()
+        assert not parsed.is_cached  # the handle that actually frees the cache
