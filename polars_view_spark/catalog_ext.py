@@ -605,7 +605,9 @@ def _x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     arXiv:1911.00359): model trained on the ``lang='en'`` slice via a
     lossless two-phase top-k, broadcast to an explode → left-join → groupBy
     scorer.  The oracle replays the model cut and the add-one-smoothed
-    log-prob arithmetic; the average is epsilon-rounded to 6 decimals."""
+    log-prob arithmetic; the average is rounded to 4 decimals — COARSER
+    than the usual 6 on purpose (Java Math.log is permitted 1-ulp error vs
+    libm, which measurably flips a 6-dp boundary; do not re-tighten)."""
     from polars_view_spark.operators.textstats import LM_TOP_NGRAMS, ngram_lm_score
 
     t = load_tables(spark, sf_dir, "documents")

@@ -293,14 +293,21 @@ def register_tpch() -> None:
         SELECT s_suppkey, s_name, ROUND(total_revenue + 1e-6, 2) AS total_revenue
         FROM supplier, revenue
         WHERE s_suppkey = supplier_no
-          AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+          AND ROUND(total_revenue + 1e-6, 2)
+              = (SELECT ROUND(MAX(total_revenue) + 1e-6, 2) FROM revenue)
         ORDER BY s_suppkey
         """,
         ("supplier", "lineitem"),
         doc="TPC-H Q15 (view → CTE): the revenue aggregation is computed "
-        "once and consumed twice (equi-join + scalar MAX); argmax ties "
-        "resolve identically in both engines since each compares within "
-        "its own computed sums.",
+        "once and consumed twice (equi-join + scalar MAX).  The argmax "
+        "EQUALITY compares the CENT-ROUNDED revenues: the two consumers "
+        "are separate Spark jobs whose double sums merge partials in "
+        "shuffle-arrival order, so raw-double equality could miss itself "
+        "by 1 ulp and intermittently return zero rows — rounding both "
+        "sides to the output precision makes the match stable unless the "
+        "true max sits within ulps of a cent boundary AND a second "
+        "supplier ties at that cent (then both appear, identically on "
+        "both engines — Q15's documented multi-winner semantics).",
     )
 
     # ---- Q16: parts/supplier relationship counts (partsupp → distinct

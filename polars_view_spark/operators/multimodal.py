@@ -205,6 +205,18 @@ def decode_real(
         for pdf in batches:
             rows: dict[str, list] = {k.name: [] for k in _REAL_DECODE_SCHEMA}
             for did, payload in zip(pdf[id_col], pdf["payload"]):
+                # NULL payload/id must degrade, not kill the task — the
+                # same one-bad-payload contract sniff_media_header keeps
+                # for corrupt bytes (nullable binary columns are routine)
+                if payload is None or did is None:
+                    rows["doc_id"].append(-1 if did is None else int(did))
+                    rows["n_bytes"].append(0)
+                    rows["format"].append("unknown")
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["sample_rate"].append(None)
+                    rows["decoder"].append("null")
+                    continue
                 b = bytes(payload)
                 fmt, w, h, rate = sniff_media_header(b)
                 decoder = "header"

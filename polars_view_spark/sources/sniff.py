@@ -61,18 +61,30 @@ def _read_head_bytes(path: str) -> bytes:
 
     Both stdlib decompressors stream: ``read(n)`` pulls only the compressed
     bytes needed for ``n`` decompressed bytes, so the probe stays O(1) in
-    file size for compressed inputs too."""
+    file size for compressed inputs too.
+
+    A mislabeled or truncated archive (a plain-text file named ``.gz``, a
+    half-uploaded stream — routine in landing dirs) must DEGRADE like every
+    other unprobeable input, not crash the read before Spark's PERMISSIVE
+    scan even runs: decompressor errors return empty bytes, and the caller
+    falls back to the configured delimiter/schema defaults."""
     lower = path.lower()
     if lower.endswith(".gz"):
         import gzip
 
-        with gzip.open(path, "rb") as fh:
-            return fh.read(_PROBE_BYTES)
+        try:
+            with gzip.open(path, "rb") as fh:
+                return fh.read(_PROBE_BYTES)
+        except (OSError, EOFError):  # BadGzipFile is an OSError
+            return b""
     if lower.endswith(".bz2"):
         import bz2
 
-        with bz2.open(path, "rb") as fh:
-            return fh.read(_PROBE_BYTES)
+        try:
+            with bz2.open(path, "rb") as fh:
+                return fh.read(_PROBE_BYTES)
+        except (OSError, EOFError):
+            return b""
     with open(path, "rb") as fh:
         return fh.read(_PROBE_BYTES)
 

@@ -28,7 +28,6 @@ import pandas as pd
 from oracle_util import _normalize
 
 SF = "/root/testdata/sf0.01"
-N = 50
 
 
 def canon_hash(pdf: pd.DataFrame) -> str:
@@ -38,6 +37,8 @@ def canon_hash(pdf: pd.DataFrame) -> str:
 
 
 def run_all(master: str, shuffle: str, coalesce: str) -> dict:
+    from polars_view_spark.catalog import DRIVER_PRIORITY
+    n_window = len(DRIVER_PRIORITY)
     from pyspark.sql import SparkSession
 
     spark = (
@@ -55,7 +56,9 @@ def run_all(master: str, shuffle: str, coalesce: str) -> dict:
     from polars_view_spark.catalog import entries
 
     out = {}
-    for name, e in list(entries().items())[:N]:
+    # the window length tracks DRIVER_PRIORITY so a rotation edit can
+    # never silently desync this check from the real driver window
+    for name, e in list(entries().items())[:n_window]:
         try:
             out[name] = canon_hash(e.spark_fn(spark, SF).toPandas())
         except Exception as ex:  # noqa: BLE001

@@ -590,7 +590,10 @@ class TestPackingEdges:
 
         bench = documents.filter(F.col("doc_id") % 97 == 0)
         key = lambda r: (r["pack_shard"], r["chunk_id"], r["n_docs"], r["n_tokens"])
-        lazy = sorted(map(key, build_training_mix(documents, bench).collect()))
+        # explicit False: the default flipped to True, so omitting the flag
+        # here would compare the materialized path against itself
+        lazy = sorted(map(key,
+            build_training_mix(documents, bench, materialize_dedup=False).collect()))
         mat = sorted(map(key,
             build_training_mix(documents, bench, materialize_dedup=True).collect()))
         assert lazy == mat and len(lazy) > 0

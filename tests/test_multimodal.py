@@ -181,3 +181,17 @@ class TestHeaderSnifferEdgeLayouts:
         sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640)
         payload = b"\xff\xd8" + b"\xff\xff\xff" + sof0 + b"\x00" * 12
         assert sniff_media_header(payload) == ("jpeg", 640, 480, None)
+
+
+def test_decode_real_null_payload_degrades(spark):
+    """A NULL payload row must yield format='unknown'/'null' decoder, not a
+    task-killing TypeError inside mapInPandas."""
+    from polars_view_spark.operators.multimodal import decode_real
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30)), (2, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_real(df).collect()}
+    assert rows[1]["format"] == "png"
+    assert rows[2]["decoder"] == "null" and rows[2]["n_bytes"] == 0

@@ -476,3 +476,14 @@ class TestQuarantine:
         assert parsed.is_cached
         parsed.unpersist()
         assert not parsed.is_cached  # the handle that actually frees the cache
+
+
+def test_sniffer_degrades_on_mislabeled_gz(tmp_path):
+    """A plain-text file named .gz (or a truncated archive) must fall back
+    to the configured delimiter instead of crashing the probe."""
+    from polars_view_spark.sources.sniff import probe_head_lines, sniff_delimiter
+
+    p = tmp_path / "fake.csv.gz"
+    p.write_text("a;b;c\n1;2;3\n")  # NOT gzip — mislabeled
+    assert probe_head_lines(str(p)) == []
+    assert sniff_delimiter(str(p), configured=";") == ";"
