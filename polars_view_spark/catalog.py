@@ -195,7 +195,8 @@ DRIVER_PRIORITY = [
 # q12_ship_priority_class, q13_customer_distribution, q14_promo_revenue,
 # q19_discounted_revenue, x_tfidf_top_terms, x_kmeans_clusters,
 # t_csv_gz_roundtrip, q21_single_pass, e_streaming_join,
-# t_compact_roundtrip, t_schema_evolution, t_corrupt_quarantine.
+# t_compact_roundtrip, t_schema_evolution, t_corrupt_quarantine,
+# q_qualify_topn.
 
 
 def entries() -> dict[str, CatalogEntry]:
@@ -1547,6 +1548,25 @@ def _register_core() -> None:
         doc="RANGE window frame (value-based, vs the ROWS frame in "
         "q_window_running): the frame is every peer within 1000 price "
         "units — one hash-partitioned shuffle, in-partition sort.",
+    )
+
+    sql_query(
+        "q_qualify_topn",
+        """
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+        WHERE o_custkey < 50
+        QUALIFY rk <= 2
+        ORDER BY o_custkey, rk
+        """,
+        ("orders",),
+        doc="QUALIFY window-filter sugar (DuckDB/BigQuery/Snowflake "
+        "dialects): the shim rewrites it to a wrapped filter "
+        "(plans/dialect.py:rewrite_qualify) since Spark has no native "
+        "form; DuckDB runs the identical statement natively — the oracle "
+        "pins the rewrite's semantics, not just its parse.",
     )
 
     sql_query(

@@ -292,6 +292,69 @@ def _parse_star_modifiers(q: str, star_idx: int):
     return i, except_src, replace_items, rename_pairs
 
 
+def _scan_top_level_keyword(q: str, keywords: tuple[str, ...], start: int = 0) -> int:
+    """Index of the first depth-0, outside-string occurrence of any keyword
+    (case-insensitive, word-bounded), or -1."""
+    i, n, depth = start, len(q), 0
+    while i < n:
+        ch = q[i]
+        if ch in ("'", '"', "`"):
+            i = _scan_string(q, i, ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            for kw in keywords:
+                k = len(kw)
+                if (
+                    q[i : i + k].upper() == kw
+                    and (i == 0 or not (q[i - 1].isalnum() or q[i - 1] == "_"))
+                    and (i + k >= n or not (q[i + k].isalnum() or q[i + k] == "_"))
+                ):
+                    return i
+        i += 1
+    return -1
+
+
+def rewrite_qualify(q: str) -> str:
+    """Rewrite a top-level ``QUALIFY <pred>`` (window-function filtering
+    sugar — DuckDB/BigQuery/Snowflake dialects; Spark has no native form)
+    into a wrapped filter:
+
+    ``SELECT … QUALIFY p [tail]`` →
+    ``SELECT * EXCEPT (__pvs_qualify__) FROM (SELECT *, (p) AS
+    __pvs_qualify__ FROM (SELECT …) …) … WHERE __pvs_qualify__ [tail]``
+
+    The predicate's window functions evaluate over the inner query's
+    OUTPUT rows, so it may reference select-list aliases or windows over
+    projected columns — the standard QUALIFY contract.  (A window over a
+    column the select list drops is not resolvable post-projection; Spark's
+    analyzer reports it by name.)  ``ORDER BY``/``LIMIT`` after the clause
+    stay in the outer query where output aliases remain visible.  The
+    emitted ``* EXCEPT`` is Spark-native (not the polars modifier — the
+    shim leaves bare EXCEPT untouched).  Occurrences inside strings or
+    subqueries are left alone; Spark's parser rejects an unrewritten inner
+    QUALIFY loudly rather than this shim guessing nesting semantics.
+    """
+    i = _scan_top_level_keyword(q, ("QUALIFY",))
+    if i < 0:
+        return q
+    head = q[:i].rstrip()
+    rest = q[i + len("QUALIFY") :]
+    j = _scan_top_level_keyword(rest, ("ORDER", "LIMIT", "OFFSET"))
+    pred, tail = (rest, "") if j < 0 else (rest[:j], rest[j:])
+    pred = pred.strip().rstrip(";").strip()
+    if not pred:
+        raise SqlDialectError("QUALIFY requires a predicate")
+    return (
+        "SELECT * EXCEPT (__pvs_qualify__) FROM "
+        f"(SELECT *, ({pred}) AS __pvs_qualify__ FROM ({head}) __pvs_qsub) "
+        f"__pvs_qwrap WHERE __pvs_qualify__ {tail}".rstrip()
+    )
+
+
 def _strip_order_by(q: str) -> str:
     """Remove a top-level ORDER BY … (up to LIMIT/OFFSET or end) — used only
     for the schema-analysis copy, where ORDER BY may reference aliases the
@@ -408,9 +471,12 @@ def rewrite_star_modifiers(q: str, spark: SparkSession) -> str:
 
 def rewrite_query(query: str, spark: SparkSession, table_name: str = "AllData") -> str:
     """Full dialect pipeline: strip comments → `"x"` → backticks →
-    STRFTIME → star-modifier expansion → trailing-semicolon strip."""
+    STRFTIME → QUALIFY → star-modifier expansion → trailing-semicolon
+    strip.  QUALIFY runs before star expansion so the wrapped inner query
+    still gets its polars modifiers expanded."""
     q = strip_comments(query)
     q = double_quotes_to_backticks(q)
     q = rewrite_strftime(q)
+    q = rewrite_qualify(q)
     q = rewrite_star_modifiers(q, spark)
     return q.strip().rstrip(";").strip()

@@ -181,3 +181,40 @@ class TestStarAfterHint:
         )
         out = spark.sql(q)
         assert out.columns == ["k", "b"], out.columns
+
+
+class TestQualify:
+    def test_alias_predicate_with_tail(self, spark):
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        spark.read.parquet("/root/testdata/sf0.001/nation.parquet").createOrReplaceTempView("nation")
+        q = ("SELECT n_name, n_regionkey, ROW_NUMBER() OVER "
+             "(PARTITION BY n_regionkey ORDER BY n_name) AS r "
+             "FROM nation QUALIFY r <= 2 ORDER BY n_regionkey, r LIMIT 4")
+        rows = spark.sql(rewrite_query(q, spark)).collect()
+        assert [r["r"] for r in rows] == [1, 2, 1, 2]
+
+    def test_raw_window_predicate(self, spark):
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        spark.read.parquet("/root/testdata/sf0.001/nation.parquet").createOrReplaceTempView("nation")
+        q = ("SELECT n_name, n_regionkey FROM nation QUALIFY "
+             "ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_name) = 1")
+        rows = spark.sql(rewrite_query(q, spark)).collect()
+        # one winner per region, no helper column in the output
+        assert len(rows) == len({r["n_regionkey"] for r in rows})
+        assert sorted(rows[0].asDict()) == ["n_name", "n_regionkey"]
+
+    def test_string_literal_untouched(self, spark):
+        from polars_view_spark.plans.dialect import rewrite_qualify
+
+        q = "SELECT 'no QUALIFY here' AS s FROM t"
+        assert rewrite_qualify(q) == q
+
+    def test_empty_predicate_raises(self):
+        import pytest as _pytest
+
+        from polars_view_spark.plans.dialect import SqlDialectError, rewrite_qualify
+
+        with _pytest.raises(SqlDialectError):
+            rewrite_qualify("SELECT a FROM t QUALIFY ")
