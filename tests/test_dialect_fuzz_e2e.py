@@ -174,3 +174,41 @@ def test_dialect_fuzz_pinned_shapes(spark, query):
     spark.createDataFrame(pdf).createOrReplaceTempView("AllData")
     out = spark.sql(rewrite_query(query, spark))
     assert out.count() > 0
+
+
+def test_qualify_fuzz_end_to_end(spark):
+    """Generated QUALIFY shapes: Spark (through the shim's rewrite) must
+    match DuckDB running the IDENTICAL statement natively — partitions,
+    rank functions, thresholds, alias-vs-raw-window predicates, and
+    ORDER BY/LIMIT tails all drawn at random."""
+    from polars_view_spark.plans.dialect import rewrite_query
+
+    pdf = _fixture_frame()
+    spark.createDataFrame(pdf).createOrReplaceTempView("AllData")
+    con = duckdb.connect()
+    con.register("AllData", pdf)
+
+    rng = random.Random(20260815)
+    failures = []
+    for i in range(60):
+        part = rng.choice(['"k" % 2', '"F" % 3', "1"])
+        fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+        thr = rng.randint(1, 3)
+        win = f'{fn} OVER (PARTITION BY {part} ORDER BY "F" DESC, "k")'
+        tail = rng.choice(["", ' ORDER BY "k"', ' ORDER BY "k" LIMIT 4'])
+        if rng.random() < 0.5:  # alias predicate
+            q = (f'SELECT "k", "F", {win} AS rk FROM AllData '
+                 f"QUALIFY rk <= {thr}{tail}")
+        else:  # raw window predicate
+            q = (f'SELECT "k", "F" FROM AllData '
+                 f"QUALIFY {win} <= {thr}{tail}")
+        try:
+            got = spark.sql(rewrite_query(q, spark))
+            want = con.sql(q.replace('"', '"')).df()
+            compare(got, want, f"qualify{i}")
+        except AssertionError as exc:  # pragma: no cover
+            failures.append(f"case {i}: {q}\n  {exc}")
+            if len(failures) >= 3:
+                break
+    con.close()
+    assert not failures, "\n\n".join(failures)
