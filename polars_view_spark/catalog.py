@@ -145,58 +145,54 @@ def sql_query(
 # anchors for the headline/bench queries.  Demoted entries stay registered
 # and stay covered by the local oracle gate (tests/test_catalog_oracle.py).
 DRIVER_PRIORITY = [
-    # (a) the 28 entries that had no driver CORRECTNESS row in rounds 1-2
-    # (all round-2 session-4 additions; after this round every catalog entry
-    # has been driver-verified at least once)
-    "q7_volume_shipping", "q10_returned_items", "q18_large_orders",
-    "q_window_range_frame", "q_lateral_subquery", "q_exists_correlated",
-    "q_scalar_subquery", "q_not_in_null_semantics", "q_group_by_all_values",
-    "q_event_funnel", "q_retention_cohorts", "q_dwell_time",
-    "q_gap_fill_series", "q_value_histogram", "x_sketch_rollup",
-    "x_heavy_hitters", "x_audience_overlap", "x_chunk_documents",
-    "x_negative_pairs", "x_multimodal_framesample", "x_multimodal_resize",
-    "x_group_sample", "x_snapshot_drift", "x_train_val_test_split",
-    "x_outlier_filter", "x_salted_skew_join", "x_corpus_card",
-    "t_clustered_roundtrip",
-    # (b) new/changed this round: first driver-gated streaming entry; the
-    # flagship (materialize_dedup flip), real multimodal decode, CC
-    # path-halving, minhash profiling touch the rest
-    "e_streaming_tumbling", "x_training_mix_e2e", "x_multimodal_decode",
-    "d_dedup_clusters", "d_dedup_apply", "d_minhash_lsh_pairs",
-    "d_minhash_incremental",
-    # (c) regression anchors + 11 of the new TPC-H completion set
-    # (catalog_tpch.py); q6/q12/q13/q14/q19 — the five simplest shapes —
-    # wait for the next rotation (see the list after this block) and are
-    # covered by the local oracle gate meanwhile, like every demoted entry.
-    "q1_pricing_summary", "t_pipeline_full",
-    "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
-    "q9_product_profit", "q11_important_stock",
-    "q15_top_supplier", "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion", "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    # (d) two more streaming entries (session + sliding windows) so the
-    # streaming family has three driver rows, not one.  q6/q12/q13/q14/q19
-    # — the simplest TPC-H shapes — wait for the next rotation under local
-    # oracle coverage.
-    "e_streaming_sessions", "e_streaming_sliding",
+    # ROUND-4 WINDOW — executes the rotation plan committed in round 3.
+    # (a) the 15 round-3 additions that have never had a driver CORRECTNESS
+    # row (all green in the local sf0.01 oracle sweep):
+    "q6_forecast_revenue", "q12_ship_priority_class",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q19_discounted_revenue", "q21_single_pass", "q_qualify_topn",
+    "e_streaming_join", "t_csv_gz_roundtrip", "t_schema_evolution",
+    "t_corrupt_quarantine", "t_compact_roundtrip", "x_tfidf_top_terms",
+    "x_bigram_pmi", "x_kmeans_clusters",
+    # (b) the entries whose implementations CHANGED in the round-3 perf
+    # sweep (shared Arrow cosine kernel, hoisted norms, single-tokenize
+    # let-bindings, vectorized IVF cells) — re-stamped post-change
+    # (x_bigram_pmi also changed; it is already in group (a)):
+    "d_semantic_dedup", "d_embedding_near_dup", "s_ann_ivf_topk",
+    "s_ann_lsh_topk", "d_ngram_jaccard_pairs", "x_winnow_fingerprints",
+    "q_approx_aggregates", "x_gopher_quality",
+    # (c) regression anchors for the headline/bench families (each has
+    # driver rows in earlier rounds; kept in-window so any round-4 change
+    # to shared infra is caught by the driver, not just local tests):
+    "q1_pricing_summary", "d_minhash_lsh_pairs", "x_training_mix_e2e",
+    "t_pipeline_full",
+    # (d) 23 of the 42 entries whose only driver stamp is round 1 —
+    # re-verified after three rounds of shared-infra evolution.  Chosen by
+    # implementation risk: the dedup/ANN/events families and the window/
+    # join SQL shapes first; the 19 remaining r01-only entries (simple
+    # SELECT-modifier/filter/transform shapes) rotate in round 5 and stay
+    # covered by the local oracle gate meanwhile.
+    "d_dedup_exact", "d_dedup_by_fingerprint", "d_simhash",
+    "s_ann_bruteforce_topk", "x_token_count", "x_lang_id",
+    "x_quality_score", "x_fingerprint", "x_profile_columns",
+    "x_grouped_rank_pandas", "e_tumbling_agg", "e_sessionize",
+    "e_asof_join", "e_json_extract", "e_rollup_pyramid", "e_range_join",
+    "q3_shipping_priority", "q5_local_supplier", "q_window_topn",
+    "q_window_running", "q_semi_anti_join", "q_count_distinct",
+    "q_having_alias",
 ]
-# Everything demoted out of the window is green in CORRECTNESS_r01/r02 and
-# stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
-# sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
-# Next rotation (round 4) must lead with (a) the entries whose
-# implementations CHANGED in the round-3 perf sweep but sit outside this
-# window (all re-verified green in the local gate at sf0.01 AND sf0.1 and
-# in a two-conf determinism probe after the change): d_semantic_dedup,
-# d_embedding_near_dup, s_ann_ivf_topk, s_ann_lsh_topk,
-# d_ngram_jaccard_pairs, x_winnow_fingerprints, x_bigram_pmi,
-# q_approx_aggregates, x_gopher_quality; then (b) the round-3 additions
-# that did not fit this window: q6_forecast_revenue,
-# q12_ship_priority_class, q13_customer_distribution, q14_promo_revenue,
-# q19_discounted_revenue, x_tfidf_top_terms, x_kmeans_clusters,
-# t_csv_gz_roundtrip, q21_single_pass, e_streaming_join,
-# t_compact_roundtrip, t_schema_evolution, t_corrupt_quarantine,
-# q_qualify_topn.
+# Everything demoted out of the window is green in CORRECTNESS_r01/r02/r03
+# and stays covered by the local oracle gate (tests/test_catalog_oracle.py)
+# at sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
+# After round 4 every one of the 150 entries has at least one driver stamp.
+# Round-5 rotation should lead with the 19 remaining r01-only entries:
+# q_filter_predicates, q_ilike_substr, q_select_except, q_select_rename,
+# q_select_replace, q_select_combined_modifiers, q_cte_case_cast,
+# q_distinct, q_strftime_format, q_union_intersect, q_setop_except,
+# q_rollup, t_normalize_euro, t_replace_nulls, t_replace_nulls_universal,
+# t_drop_columns_regex, q_count_distinct window leftovers — then the oldest
+# r02-only stamps (d_span_dedup, x_sequence_pack, t_merge_upsert, ...),
+# plus anything round 4 changes.
 
 
 def entries() -> dict[str, CatalogEntry]:
