@@ -654,9 +654,24 @@ def kmeans_clusters(
       sums are integer arithmetic: exact in ANY accumulation order, on
       both engines;
     - init centroids are the ``k`` lowest-id vectors (no RNG);
-    - assignment is ``array_min`` over (distance, cluster) structs —
-      nearest centroid, lowest cluster id on ties — a pure projection
-      against literal centroid arrays, no join, no shuffle of the corpus;
+    - assignment is nearest centroid, lowest cluster id on ties — a pure
+      projection of the corpus (no join, no shuffle), computed by the same
+      Arrow int64 kernel as IVF cell assignment (``_with_sorted_cells``):
+      an earlier generation string-built k inlined ``(distance, cluster)``
+      struct literals of ``dims`` integers each, which (a) grew the
+      analyzed plan by O(k·dims) text per iteration (~300 KB at k=64,
+      dims=64 — the same analyzer-cost pattern that made the IVF CASE
+      chain unusable) and (b) ran the k×dims multiply-adds INTERPRETED,
+      because higher-order functions never enter whole-stage codegen.
+      The kernel keeps the plan O(1) in k (centroids ride in the UDF
+      closure) and is bit-identical to the SQL oracle's
+      ``ROW_NUMBER() OVER (ORDER BY dist, cid)`` pick: distances are
+      exact int64 (quantized inputs), the per-row ``||x||²`` term is
+      dropped (constant per row — argmin order unchanged), and
+      ``np.argmin`` returns the FIRST minimum over a cid-ascending
+      centroid matrix, i.e. the lowest cluster id on ties.  Overflow
+      bound: ``scale² · dims < 2⁶³`` (documented for callers raising
+      ``scale``);
     - the update step re-quantizes via ``round(sum·1.0/count)``: the two
       operands are exact integers, so the double division and round are
       bit-identical across engines.
@@ -686,15 +701,33 @@ def kmeans_clusters(
         cid: [int(x) for x in r["v"]] for cid, r in enumerate(init_rows)
     }
 
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     def assign(frame: DataFrame) -> DataFrame:
-        structs = ", ".join(
-            "struct(aggregate(zip_with(v, array("
-            + ", ".join(f"{x}L" for x in vec)
-            + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)"
-            f" AS d, {cid} AS cid)"
-            for cid, vec in sorted(centroids.items())
-        )
-        return frame.withColumn("cid", F.expr(f"array_min(array({structs})).cid"))
+        cids = sorted(centroids)
+        cent_mat = np.asarray([centroids[c] for c in cids], dtype=np.int64)
+        cid_arr = np.asarray(cids, dtype=np.int64)
+        cross = cent_mat.T  # (dim, k)
+        cnorm = (cent_mat * cent_mat).sum(axis=1)  # (k,)
+
+        @pandas_udf("bigint")
+        def nearest(qv: pd.Series) -> pd.Series:
+            # null-tolerant like the SQL expression it replaced: a null
+            # vector gets a null cid
+            vals = qv.to_numpy()
+            mask = np.array([v is not None for v in vals])
+            out = np.full(len(vals), None, dtype=object)
+            if mask.any():
+                mat = np.stack(vals[mask]).astype(np.int64, copy=False)
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant per
+                # row, so the argmin needs only the cross and norm terms
+                d = cnorm - 2 * (mat @ cross)  # (n, k) exact int64
+                idx = np.argmin(d, axis=1)  # first min → lowest cid on ties
+                out[np.flatnonzero(mask)] = cid_arr[idx]
+            return pd.Series(out)
+
+        return frame.withColumn("cid", nearest("v"))
 
     for _ in range(iterations):
         rows = (

@@ -580,6 +580,38 @@ def test_kmeans_assignment_is_projection(spark):
     assert plan.count("HashAggregate") >= 2, "aggregate not partial"
 
 
+def test_kmeans_plan_bounded_at_large_k(spark):
+    """Analyzer-cost gate for the pattern that bit IVF once (d330b51) and
+    k-means assignment in round 3: inlining k struct literals of dims
+    integers each grows the analyzed plan by O(k·dims) text per iteration
+    (~1.2 MB at k=256, dims=128).  The Arrow-kernel assignment keeps
+    centroids in the UDF closure, so the plan must stay O(1) in k — this
+    builds AND runs k=256 × dims=128 and pins the plan string size."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.operators.similarity import kmeans_clusters
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 128), "
+            "i -> CAST(pmod(id * 37 + i * 13, 101) - 50 AS DOUBLE) / 50.0)"
+        ).alias("embedding"),
+    )
+    t0 = time.monotonic()
+    out = kmeans_clusters(emb, k=256, iterations=1)
+    plan = plan_of(out)
+    rows = out.collect()
+    elapsed = time.monotonic() - t0
+    assert len(plan) < 100_000, f"plan text {len(plan)} chars — centroid literals leaked back"
+    assert rows, "no clusters"
+    # generous wall bound: the literal-inlining generation never finished
+    # analysis at this size; the kernel path runs in seconds
+    assert elapsed < 120, f"{elapsed:.0f}s — analyzer cost regressed"
+
+
 def test_single_tokenize_in_pushed_filters_and_projects(spark):
     """Regression guard for the CollapseProject / pushdown inlining trap:
     higher-order-function expressions never enter whole-stage codegen, so
