@@ -303,11 +303,15 @@ def register_tpch() -> None:
         "EQUALITY compares the CENT-ROUNDED revenues: the two consumers "
         "are separate Spark jobs whose double sums merge partials in "
         "shuffle-arrival order, so raw-double equality could miss itself "
-        "by 1 ulp and intermittently return zero rows — rounding both "
-        "sides to the output precision makes the match stable unless the "
-        "true max sits within ulps of a cent boundary AND a second "
-        "supplier ties at that cent (then both appear, identically on "
-        "both engines — Q15's documented multi-winner semantics).",
+        "by 1 ulp and intermittently return zero rows.  The deliberate "
+        "cost (ADVICE r03): the tie window is a FULL CENT, not ulps — "
+        "any supplier whose revenue rounds to the same cent as the max, "
+        "i.e. up to ~0.01 below the true max, is admitted alongside it, "
+        "a strictly wider winner set than TPC-H Q15's raw-double argmax. "
+        "Both engines run the identical text, so the relaxation is "
+        "deterministic and hash-stable; an exact-argmax variant would "
+        "need RANK() OVER (ORDER BY total_revenue DESC) = 1 and with it "
+        "the cross-engine ulp lottery this query exists to avoid.",
     )
 
     # ---- Q16: parts/supplier relationship counts (partsupp → distinct

@@ -205,11 +205,18 @@ def decode_real(
         for pdf in batches:
             rows: dict[str, list] = {k.name: [] for k in _REAL_DECODE_SCHEMA}
             for did, payload in zip(pdf[id_col], pdf["payload"]):
-                # NULL payload/id must degrade, not kill the task — the
-                # same one-bad-payload contract sniff_media_header keeps
-                # for corrupt bytes (nullable binary columns are routine)
-                if payload is None or did is None:
-                    rows["doc_id"].append(-1 if did is None else int(did))
+                # a NULL id is metadata damage, not payload damage: the
+                # row decodes normally and keeps a NULL doc_id (ADVICE
+                # r03 — the old -1 sentinel collided with a real id of -1
+                # and merged every null-id row).  Only a NULL payload —
+                # nothing to decode — takes the degrade path, the same
+                # one-bad-payload contract sniff_media_header keeps for
+                # corrupt bytes (nullable binary columns are routine).
+                # a null long id reaches the pandas batch as NaN (float64
+                # column), never None — pd.isna covers both
+                out_id = None if pd.isna(did) else int(did)
+                if payload is None:
+                    rows["doc_id"].append(out_id)
                     rows["n_bytes"].append(0)
                     rows["format"].append("unknown")
                     rows["width"].append(None)
@@ -228,16 +235,16 @@ def decode_real(
                             decoder = "pillow"
                     except Exception:
                         pass  # not an image Pillow knows; keep header tier
-                rows["doc_id"].append(int(did))
+                rows["doc_id"].append(out_id)
                 rows["n_bytes"].append(len(b))
                 rows["format"].append(fmt)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["sample_rate"].append(rate)
                 rows["decoder"].append(decoder)
-            # nullable Int64 keeps missing dims as NULLs (a float column
+            # nullable Int64 keeps missing values as NULLs (a float column
             # with NaN would not round-trip to LongType through Arrow)
-            for col in ("width", "height", "sample_rate"):
+            for col in ("doc_id", "width", "height", "sample_rate"):
                 rows[col] = pd.array(rows[col], dtype="Int64")
             yield pd.DataFrame(rows)
 

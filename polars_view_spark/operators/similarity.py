@@ -388,6 +388,7 @@ def semantic_dedup(
     scale: int = 1000,
     max_seeds: int = 64,
     max_cell_size: int = 10_000,
+    max_group_size: int = 20_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., SemDeDup,
     arXiv:2303.09540 — public paper): cluster the embedding space, then
@@ -416,6 +417,15 @@ def semantic_dedup(
     their members are kept verbatim and flagged via ``cell_capped`` so the
     drop is visible, not silent.  The size count is a window over the cell
     id, sharing the hashpartitioning the self-join needs.
+
+    **Executor memory contract** (ADVICE r03): each surviving cell is one
+    Arrow group in the pair kernel, which allocates two (n × n) float64
+    arrays — **16·n² bytes on one executor** (~1.6 GB at the 10 000
+    ``max_cell_size`` default).  ``max_group_size`` is the kernel's hard
+    backstop past which it raises instead of OOM-ing; because
+    ``max_cell_size`` < ``max_group_size`` by default, an over-full cell
+    is *capped* (kept verbatim, flagged) before the backstop can fire —
+    tune both together if you raise the cell cap.
 
     Returns ``(vec_id, cell, cell_capped, kept)`` — one row per input
     vector; downstream keeps ``kept`` rows (the dedup_apply analogue).
@@ -451,7 +461,7 @@ def semantic_dedup(
         "cell",
     )
     dropped = (
-        _pairwise_cosine_in_groups(keyed, "cell", threshold)
+        _pairwise_cosine_in_groups(keyed, "cell", threshold, max_group_size)
         .select(F.col("id2").alias("vec_id"))
         .distinct()
     )
@@ -550,6 +560,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_bits: int = 4,
     dim: int = 64,
+    max_group_size: int = 20_000,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) within LSH buckets —
     the embedding-space analogue of MinHash dedup.  Bucketing trades recall
@@ -557,6 +568,16 @@ def embedding_near_dup_pairs(
     recall is pinned in tests.  Pair scoring is the shared per-group Arrow
     kernel (:func:`_pairwise_cosine_in_groups`) — see its docstring for
     the transfer/bit-exactness analysis.
+
+    **Executor memory contract** (ADVICE r03): one bucket is one Arrow
+    group and the kernel allocates two (n × n) float64 arrays — **16·n²
+    bytes on a single executor** (~6.4 GB at the ``max_group_size``
+    default of 20 000).  A bucket past ``max_group_size`` raises
+    ``ValueError`` mid-job rather than OOM-ing the executor; corpora with
+    skewed embedding mass should raise ``n_bits`` (each bit halves the
+    expected bucket) or lower ``max_group_size`` to match their executor
+    heap, and can pre-split hot buckets by salting the bucket key before
+    calling.
     """
     from polars_view_spark.functions.vectors import norm_sql
 
@@ -567,7 +588,7 @@ def embedding_near_dup_pairs(
         F.expr(norm_sql(vec_col)).alias("nv"),
         F.expr(bucket).alias("bucket"),
     )
-    return _pairwise_cosine_in_groups(keyed, "bucket", threshold)
+    return _pairwise_cosine_in_groups(keyed, "bucket", threshold, max_group_size)
 
 
 def quantized_topk(

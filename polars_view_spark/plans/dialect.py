@@ -343,6 +343,25 @@ def rewrite_qualify(q: str) -> str:
         return q
     head = q[:i].rstrip()
     rest = q[i + len("QUALIFY") :]
+    # a top-level set operation after the predicate cannot be wrapped: the
+    # rewrite would swallow `UNION ALL SELECT …` into the predicate and
+    # emit malformed SQL.  Refuse loudly instead of mis-rewriting (ADVICE
+    # r03); a caller can parenthesize each branch to scope its QUALIFY.
+    if _scan_top_level_keyword(rest, ("UNION", "INTERSECT", "EXCEPT", "MINUS")) >= 0:
+        raise SqlDialectError(
+            "QUALIFY cannot be combined with a top-level set operation; "
+            "parenthesize the branch that uses QUALIFY"
+        )
+    # DuckDB/Snowflake evaluate QUALIFY BEFORE DISTINCT; the wrap filters
+    # AFTER it, which changes results whenever DISTINCT collapses rows the
+    # window counted.  Refuse rather than silently diverge (ADVICE r03).
+    if re.match(r"\s*SELECT\s+DISTINCT\b", head, re.IGNORECASE):
+        raise SqlDialectError(
+            "QUALIFY with SELECT DISTINCT is not supported: the rewrite "
+            "would evaluate the window after DISTINCT, diverging from the "
+            "QUALIFY-before-DISTINCT dialect semantics; deduplicate in an "
+            "outer query instead"
+        )
     j = _scan_top_level_keyword(rest, ("ORDER", "LIMIT", "OFFSET"))
     pred, tail = (rest, "") if j < 0 else (rest[:j], rest[j:])
     pred = pred.strip().rstrip(";").strip()

@@ -169,6 +169,55 @@ class TestHotBucketGuard:
         assert out.count() == 12 * 11 // 2
 
 
+class TestPairGroupSizeKnob:
+    """max_group_size is a public parameter on the embedding pair
+    operators (ADVICE r03): callers with skewed corpora must be able to
+    tune the 16·n²-byte per-group executor bound or pre-split hot
+    buckets instead of hitting a hard-coded ValueError mid-job."""
+
+    def _vecs(self, spark, n=6):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 8), i -> CAST(1.0 + id * 1e-6 AS DOUBLE))"
+            ).alias("embedding"),
+        )
+
+    def test_tiny_cap_raises_loudly(self, spark):
+        import pytest as _pytest
+
+        from polars_view_spark.operators.similarity import embedding_near_dup_pairs
+
+        # near-identical vectors share one sign-LSH bucket: 6 > cap of 4
+        df = self._vecs(spark)
+        out = embedding_near_dup_pairs(df, n_bits=1, dim=8, max_group_size=4)
+        with _pytest.raises(Exception, match="max_group_size"):
+            out.collect()
+
+    def test_raised_cap_computes(self, spark):
+        from polars_view_spark.operators.similarity import embedding_near_dup_pairs
+
+        df = self._vecs(spark)
+        out = embedding_near_dup_pairs(df, n_bits=1, dim=8, max_group_size=100)
+        assert out.count() == 6 * 5 // 2  # near-identical vectors all pair
+
+    def test_semantic_dedup_threads_the_knob(self, spark):
+        import pytest as _pytest
+
+        from polars_view_spark.operators.similarity import semantic_dedup
+
+        df = self._vecs(spark, n=8)
+        # cells can hold up to max_cell_size=10 rows, but the kernel cap of
+        # 3 is tighter — the knob must reach the kernel and fire
+        out = semantic_dedup(
+            df, seed_mod=1, max_cell_size=10, max_group_size=3
+        )
+        with _pytest.raises(Exception, match="max_group_size"):
+            out.collect()
+
+
 class TestLevenshteinBlocking:
     def test_blocks_stay_subquadratic(self, spark):
         """The compound (lang, length-band, prefix) blocking key must keep

@@ -218,3 +218,44 @@ class TestQualify:
 
         with _pytest.raises(SqlDialectError):
             rewrite_qualify("SELECT a FROM t QUALIFY ")
+
+    def test_set_op_after_qualify_refused(self):
+        """A top-level set op after the predicate would be swallowed into
+        the predicate and emit malformed SQL — must refuse, not rewrite
+        (ADVICE r03)."""
+        import pytest as _pytest
+
+        from polars_view_spark.plans.dialect import SqlDialectError, rewrite_qualify
+
+        for op in ("UNION ALL", "UNION", "INTERSECT", "EXCEPT", "MINUS"):
+            with _pytest.raises(SqlDialectError, match="set operation"):
+                rewrite_qualify(
+                    "SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rk FROM t "
+                    f"QUALIFY rk = 1 {op} SELECT b, 1 FROM u"
+                )
+
+    def test_set_op_inside_subquery_still_rewrites(self):
+        """EXCEPT/UNION inside parens (e.g. an IN-subquery in the
+        predicate) is not a top-level set op and must not trip the guard."""
+        from polars_view_spark.plans.dialect import rewrite_qualify
+
+        q = (
+            "SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rk FROM t "
+            "QUALIFY rk IN (SELECT x FROM u EXCEPT SELECT y FROM v)"
+        )
+        out = rewrite_qualify(q)
+        assert "__pvs_qualify__" in out
+
+    def test_select_distinct_qualify_refused(self):
+        """DuckDB/Snowflake evaluate QUALIFY BEFORE DISTINCT; the wrap
+        would evaluate it after — refuse rather than silently diverge
+        (ADVICE r03)."""
+        import pytest as _pytest
+
+        from polars_view_spark.plans.dialect import SqlDialectError, rewrite_qualify
+
+        with _pytest.raises(SqlDialectError, match="DISTINCT"):
+            rewrite_qualify(
+                "SELECT DISTINCT a FROM t "
+                "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"
+            )

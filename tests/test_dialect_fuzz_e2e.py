@@ -204,7 +204,7 @@ def test_qualify_fuzz_end_to_end(spark):
                  f"QUALIFY {win} <= {thr}{tail}")
         try:
             got = spark.sql(rewrite_query(q, spark))
-            want = con.sql(q.replace('"', '"')).df()
+            want = con.sql(q).df()
             compare(got, want, f"qualify{i}")
         except AssertionError as exc:  # pragma: no cover
             failures.append(f"case {i}: {q}\n  {exc}")

@@ -195,3 +195,32 @@ def test_decode_real_null_payload_degrades(spark):
     rows = {r["doc_id"]: r for r in decode_real(df).collect()}
     assert rows[1]["format"] == "png"
     assert rows[2]["decoder"] == "null" and rows[2]["n_bytes"] == 0
+
+
+def test_decode_real_null_id_decodes_with_null_doc_id(spark):
+    """A NULL id is metadata damage, not payload damage (ADVICE r03): the
+    payload still decodes, doc_id stays NULL (no -1 sentinel that would
+    collide with a legitimate id of -1 or merge distinct null-id rows),
+    and a real id of -1 remains distinguishable."""
+    from polars_view_spark.operators.multimodal import decode_real
+
+    png = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"IHDR"
+                    + (16).to_bytes(4, "big") + (9).to_bytes(4, "big")
+                    + b"\x00" * 16)
+    df = spark.createDataFrame(
+        [(None, png), (None, None), (-1, png)],
+        "doc_id long, payload binary",
+    )
+    rows = decode_real(df).collect()
+    by_decoder = {}
+    for r in rows:
+        by_decoder.setdefault(r["decoder"], []).append(r)
+    # null id + real payload: decoded, NULL doc_id preserved
+    decoded_null_id = [r for r in rows if r["doc_id"] is None and r["decoder"] != "null"]
+    assert len(decoded_null_id) == 1 and decoded_null_id[0]["format"] == "png"
+    # null id + null payload: degrade path, still NULL doc_id
+    degraded = [r for r in rows if r["decoder"] == "null"]
+    assert len(degraded) == 1 and degraded[0]["doc_id"] is None
+    # legitimate -1 id survives un-merged
+    minus_one = [r for r in rows if r["doc_id"] == -1]
+    assert len(minus_one) == 1 and minus_one[0]["format"] == "png"
