@@ -432,60 +432,171 @@ def _is_select_list_star(q: str, star_idx: int) -> bool:
     return q[j + 1 : end].upper() in ("SELECT", "DISTINCT", "ALL")
 
 
-def rewrite_star_modifiers(q: str, spark: SparkSession) -> str:
-    """Expand ``SELECT * [EXCEPT(…)] [REPLACE(…)] [RENAME(…)]`` into an
-    explicit select list.  EXCEPT alone is Spark-native and left untouched;
-    REPLACE/RENAME require expansion, for which the star's column set is
-    resolved by analyzing the modifier-stripped query (schema-only, no job).
-    """
-    # find a star followed by modifier keywords
-    i, n = 0, len(q)
+def _kw_at(q: str, i: int, kw: str) -> bool:
+    """Whole-token keyword match at position ``i``."""
+    k = len(kw)
+    return (
+        q[i : i + k].upper() == kw
+        and (i == 0 or not (q[i - 1].isalnum() or q[i - 1] == "_"))
+        and (i + k >= len(q) or not (q[i + k].isalnum() or q[i + k] == "_"))
+    )
+
+
+_SET_OP_KEYWORDS = ("UNION", "INTERSECT", "EXCEPT", "MINUS")
+
+
+def _modifier_stars(q: str):
+    """All select-list stars carrying REPLACE/RENAME modifiers, each as
+    ``(depth, star_idx, mod_end, except_src, replace_items, rename_pairs)``."""
+    out = []
+    i, n, depth = 0, len(q), 0
     while i < n:
         ch = q[i]
         if ch in ("'", '"', "`"):
             i = _scan_string(q, i, ch)
             continue
-        if ch == "*" and _is_select_list_star(q, i):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "*" and _is_select_list_star(q, i):
             end, except_src, replace_items, rename_pairs = _parse_star_modifiers(q, i)
             if replace_items or rename_pairs:
-                star_block = "*" if except_src is None else f"* EXCEPT ({except_src})"
-                stripped = _strip_order_by(q[:i] + star_block + " " + q[end:]).rstrip()
-                stripped = stripped.rstrip(";")
-                try:
-                    star_cols = [f.name for f in spark.sql(stripped).schema.fields]
-                except Exception as exc:
-                    raise SqlDialectError(
-                        f"could not resolve star columns for modifier rewrite: {exc}"
-                    ) from exc
-                replace_map = dict(replace_items)
-                rename_map = dict(rename_pairs)
-                items = []
-                for col in star_cols:
-                    expr = replace_map.pop(col, None)
-                    alias = rename_map.pop(col, col)
-                    if expr is not None:
-                        items.append(f"{expr} AS {_quote_ident(alias)}")
-                    elif alias != col:
-                        items.append(f"{_quote_ident(col)} AS {_quote_ident(alias)}")
-                    else:
-                        items.append(_quote_ident(col))
-                if replace_map:
-                    raise SqlDialectError(
-                        f"REPLACE targets not in star columns: {sorted(replace_map)}"
-                    )
-                if rename_map:
-                    raise SqlDialectError(
-                        f"RENAME targets not in star columns: {sorted(rename_map)}"
-                    )
-                q = q[:i] + ",\n    ".join(items) + " " + q[end:]
-                n = len(q)
-                i += 1
-                continue
-            if except_src is not None:
-                i = end
-                continue
+                out.append((depth, i, end, except_src, replace_items, rename_pairs))
+            i = end
+            continue
         i += 1
-    return q
+    return out
+
+
+def _select_block(q: str, star_idx: int, mod_end: int):
+    """Bounds of the star's OWN select statement: ``(select_start,
+    block_end, with_prefix)``.
+
+    The star's column set must be resolved against the SELECT it sits in —
+    not the whole statement, whose output schema diverges from the star's
+    expansion whenever the statement composes (a set-op's schema is branch
+    1's even for a branch-2 star; a QUALIFY/CTE wrapper adds aliases the
+    inner star must not absorb).  The block runs from the nearest
+    preceding SELECT at the star's paren depth to the first set-op
+    keyword / closing paren at that depth; a WITH clause opening the
+    star's scope is returned as a prefix so ``FROM <cte>`` resolves.
+    """
+    # one forward scan to the star: track depth, the current scope's start,
+    # and SELECT positions at the star's depth within that scope
+    star_depth = 0
+    i, depth = 0, 0
+    scope_start = 0
+    select_start = -1
+    first_select_in_scope = -1
+    # first pass to learn the star's depth
+    while i < star_idx:
+        ch = q[i]
+        if ch in ("'", '"', "`"):
+            i = _scan_string(q, i, ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    star_depth = depth
+    i, depth = 0, 0
+    while i < star_idx:
+        ch = q[i]
+        if ch in ("'", '"', "`"):
+            i = _scan_string(q, i, ch)
+            continue
+        if ch == "(":
+            depth += 1
+            if depth == star_depth:
+                scope_start = i + 1
+                select_start = -1
+                first_select_in_scope = -1
+        elif ch == ")":
+            depth -= 1
+        elif depth == star_depth and _kw_at(q, i, "SELECT"):
+            select_start = i
+            if first_select_in_scope < 0:
+                first_select_in_scope = i
+        i += 1
+    if select_start < 0:
+        raise SqlDialectError("star modifiers outside any SELECT")
+    # block end: from the end of the modifier chain to the scope's close
+    # or the next set-op keyword at the star's depth
+    i, n, rel = mod_end, len(q), 0
+    block_end = n
+    while i < n:
+        ch = q[i]
+        if ch in ("'", '"', "`"):
+            i = _scan_string(q, i, ch)
+            continue
+        if ch == "(":
+            rel += 1
+        elif ch == ")":
+            if rel == 0:
+                block_end = i
+                break
+            rel -= 1
+        elif rel == 0 and any(_kw_at(q, i, kw) for kw in _SET_OP_KEYWORDS):
+            block_end = i
+            break
+        i += 1
+    between = q[scope_start:first_select_in_scope]
+    prefix = between if re.match(r"\s*WITH\b", between, re.IGNORECASE) else ""
+    return select_start, block_end, prefix
+
+
+def rewrite_star_modifiers(q: str, spark: SparkSession) -> str:
+    """Expand ``SELECT * [EXCEPT(…)] [REPLACE(…)] [RENAME(…)]`` into an
+    explicit select list.  EXCEPT alone is Spark-native and left untouched;
+    REPLACE/RENAME require expansion, for which the star's column set is
+    resolved by analyzing the star's OWN select block with the modifiers
+    stripped (schema-only, no job) — see :func:`_select_block` for why the
+    whole statement is the wrong resolution scope.  Stars are expanded
+    deepest/rightmost first so that by the time an outer star is analyzed,
+    every nested modifier star in its block is already plain SQL.
+    """
+    while True:
+        stars = _modifier_stars(q)
+        if not stars:
+            return q
+        depth, i, end, except_src, replace_items, rename_pairs = max(
+            stars, key=lambda s: (s[0], s[1])
+        )
+        select_start, block_end, prefix = _select_block(q, i, end)
+        star_block = "*" if except_src is None else f"* EXCEPT ({except_src})"
+        analysis = (
+            prefix + q[select_start:i] + star_block + " " + q[end:block_end]
+        )
+        analysis = _strip_order_by(analysis).rstrip().rstrip(";")
+        try:
+            star_cols = [f.name for f in spark.sql(analysis).schema.fields]
+        except Exception as exc:
+            raise SqlDialectError(
+                f"could not resolve star columns for modifier rewrite: {exc}"
+            ) from exc
+        replace_map = dict(replace_items)
+        rename_map = dict(rename_pairs)
+        items = []
+        for col in star_cols:
+            expr = replace_map.pop(col, None)
+            alias = rename_map.pop(col, col)
+            if expr is not None:
+                items.append(f"{expr} AS {_quote_ident(alias)}")
+            elif alias != col:
+                items.append(f"{_quote_ident(col)} AS {_quote_ident(alias)}")
+            else:
+                items.append(_quote_ident(col))
+        if replace_map:
+            raise SqlDialectError(
+                f"REPLACE targets not in star columns: {sorted(replace_map)}"
+            )
+        if rename_map:
+            raise SqlDialectError(
+                f"RENAME targets not in star columns: {sorted(rename_map)}"
+            )
+        q = q[:i] + ",\n    ".join(items) + " " + q[end:]
 
 
 def rewrite_query(query: str, spark: SparkSession, table_name: str = "AllData") -> str:

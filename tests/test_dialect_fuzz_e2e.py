@@ -176,6 +176,120 @@ def test_dialect_fuzz_pinned_shapes(spark, query):
     assert out.count() > 0
 
 
+def _gen_modifier_chain(rng: random.Random):
+    """Shared star-modifier generator: returns (modifier_clause_sql,
+    expanded_projection_items, kept_output_names) — the dialect text and
+    the independently derived plain-SQL expansion."""
+    names = [c[0] for c in COLUMNS]
+    kinds = {c[0]: c[2] for c in COLUMNS}
+    must_quote = {c[0] for c in COLUMNS if c[1]}
+
+    def q(name: str) -> str:
+        return _ident(name, name in must_quote or rng.random() < 0.4)
+
+    candidates = [n for n in names if n != "k"]
+    except_cols = rng.sample(candidates, rng.randint(0, 2))
+    remaining = [n for n in candidates if n not in except_cols]
+    replace_cols = rng.sample(remaining, rng.randint(0, min(2, len(remaining))))
+    replace_exprs = {
+        col: rng.choice(REPLACE_TEMPLATES[kinds[col]]).format(q=q(col))
+        for col in replace_cols
+    }
+    rename_cols = rng.sample(remaining, rng.randint(0, min(2, len(remaining))))
+    rename_map = dict(zip(rename_cols, rng.sample(RENAME_POOL, len(rename_cols))))
+
+    parts = ["*"]
+    if except_cols:
+        parts.append(f"EXCEPT ({', '.join(q(cn) for cn in except_cols)})")
+    if replace_exprs:
+        parts.append(
+            "REPLACE ("
+            + ", ".join(f"{e} AS {q(cn)}" for cn, e in replace_exprs.items())
+            + ")"
+        )
+    if rename_map:
+        parts.append(
+            "RENAME ("
+            + ", ".join(
+                f"{q(cn)} AS {_ident(new, True)}" for cn, new in rename_map.items()
+            )
+            + ")"
+        )
+    out_items, kept = [], []
+    for col in names:
+        if col in except_cols:
+            continue
+        expr = replace_exprs.get(col, f'"{col}"')
+        out = rename_map.get(col, col)
+        out_items.append(f'{expr} AS "{out}"')
+        kept.append(out)
+    return " ".join(parts), ", ".join(out_items), kept
+
+
+def test_composed_fuzz_end_to_end(spark):
+    """Composition fuzz (VERDICT r03 task 5): QUALIFY × star-modifiers ×
+    CTEs × set-ops in ONE statement.  rewrite_query applies its passes in
+    a fixed order (comments → quotes → strftime → qualify → star) and the
+    passes interact — the QUALIFY wrap emits a Spark-native ``* EXCEPT``
+    that the star pass must leave alone while rewriting the user's inner
+    polars-style modifiers; a set-op EXCEPT keyword must not be read as a
+    star modifier.  Three composed shapes, 120 generated cases, each
+    value-compared against DuckDB running an independently derived
+    statement (expanded projection + native QUALIFY)."""
+    from polars_view_spark.plans.dialect import rewrite_query
+
+    pdf = _fixture_frame()
+    spark.createDataFrame(pdf).createOrReplaceTempView("AllData")
+    con = duckdb.connect()
+    con.register("AllData", pdf)
+
+    rng = random.Random(20260816)
+    failures = []
+    for i in range(120):
+        shape = rng.choice(["direct_qualify", "cte_qualify", "setop"])
+        mods, expanded, kept = _gen_modifier_chain(rng)
+        comment = "/* composed fuzz */ " if rng.random() < 0.3 else ""
+        where = rng.choice(WHERE_POOL)
+        wh = f" WHERE {where}" if where else ""
+        fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+        thr = rng.randint(1, 3)
+        win = f'{fn} OVER (PARTITION BY "k" % 2 ORDER BY "k" DESC)'
+        tail = rng.choice(["", ' ORDER BY "k"'])
+
+        if shape == "direct_qualify":
+            # raw-window predicate over k (never dropped/renamed), so the
+            # window resolves over the modified projection on both engines
+            q = (f"SELECT {comment}{mods} FROM AllData{wh} "
+                 f"QUALIFY {win} <= {thr}{tail}")
+            want_sql = (f"SELECT {expanded} FROM AllData{wh} "
+                        f"QUALIFY {win} <= {thr}{tail}")
+        elif shape == "cte_qualify":
+            q = (f"WITH base AS (SELECT {comment}{mods} FROM AllData{wh}) "
+                 f'SELECT *, {win} AS rk FROM base QUALIFY rk <= {thr}{tail}')
+            want_sql = (f"WITH base AS (SELECT {expanded} FROM AllData{wh}) "
+                        f"SELECT *, {win} AS rk FROM base QUALIFY rk <= {thr}{tail}")
+        else:  # set-op: same modifier chain both branches, overlapping filters
+            op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+            q = (f"SELECT {comment}{mods} FROM AllData WHERE k <= 4 "
+                 f"{op} SELECT {mods} FROM AllData WHERE k >= 3")
+            want_sql = (f"SELECT {expanded} FROM AllData WHERE k <= 4 "
+                        f"{op} SELECT {expanded} FROM AllData WHERE k >= 3")
+        try:
+            got = spark.sql(rewrite_query(q, spark))
+            want = con.sql(want_sql).df()
+            compare(got, want, f"composed{i}:{shape}")
+        except AssertionError as exc:  # pragma: no cover
+            failures.append(f"case {i} ({shape}): {q}\n  {exc}")
+            if len(failures) >= 3:
+                break
+        except Exception as exc:  # pragma: no cover
+            failures.append(f"case {i} ({shape}) ERRORED: {q}\n  {type(exc).__name__}: {exc}")
+            if len(failures) >= 3:
+                break
+    con.close()
+    assert not failures, "\n\n".join(failures)
+
+
 def test_qualify_fuzz_end_to_end(spark):
     """Generated QUALIFY shapes: Spark (through the shim's rewrite) must
     match DuckDB running the IDENTICAL statement natively — partitions,
