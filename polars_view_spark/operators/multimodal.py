@@ -102,49 +102,135 @@ _REAL_DECODE_SCHEMA = T.StructType(
         T.StructField("width", T.LongType()),
         T.StructField("height", T.LongType()),
         T.StructField("sample_rate", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
         T.StructField("decoder", T.StringType()),
     ]
 )
 
 
-def sniff_media_header(b: bytes) -> tuple[str, int | None, int | None, int | None]:
-    """Parse (format, width, height, sample_rate) from a payload's magic
-    bytes — pure stdlib ``struct``, no media library.  Covers PNG / JPEG /
-    GIF / BMP / WAV; anything else is ``("unknown", None, None, None)``.
-    Truncated or corrupt headers degrade to the bare format name rather
-    than raising — a 100 TB crawl always contains damaged files, and one
-    bad payload must not kill the stage."""
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield ``(box_type, payload_start, payload_end)`` for ISO-BMFF boxes
+    in ``b[start:end]`` — 32-bit sizes, the 64-bit ``largesize`` escape,
+    and the size-0 to-end-of-file form, all bounded by ``end``."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        btype = b[i + 4 : i + 8]
+        payload = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+            payload = i + 16
+        elif size == 0:
+            size = end - i  # box extends to end of enclosing scope
+        if size < 8 or i + size > end:
+            return  # corrupt size: stop walking, keep what we have
+        yield btype, payload, i + size
+        i += size
+
+
+def sniff_media_header(
+    b: bytes,
+) -> tuple[str, int | None, int | None, int | None, int | None]:
+    """Parse ``(format, width, height, sample_rate, duration_ms)`` from a
+    payload's magic bytes — pure stdlib ``struct``, no media library.
+    Covers PNG / JPEG / GIF / BMP / WebP (images), WAV (audio: sample rate
+    + duration from the data-chunk length ÷ byte rate), and MP4 / ISO-BMFF
+    (video: duration from ``moov/mvhd``, display size from the first
+    ``trak/tkhd``); anything else is ``("unknown", None, None, None,
+    None)``.  Truncated or corrupt headers degrade to the bare format name
+    rather than raising — a 100 TB crawl always contains damaged files,
+    and one bad payload must not kill the stage."""
     import struct
 
     try:
         if b.startswith(b"\x89PNG\r\n\x1a\n") and len(b) >= 24:
             w, h = struct.unpack(">II", b[16:24])
-            return "png", w, h, None
+            return "png", w, h, None, None
         if b.startswith(b"\x89PNG"):
-            return "png", None, None, None
+            return "png", None, None, None, None
         if b.startswith((b"GIF87a", b"GIF89a")):
             if len(b) >= 10:
                 w, h = struct.unpack("<HH", b[6:10])
-                return "gif", w, h, None
-            return "gif", None, None, None
+                return "gif", w, h, None, None
+            return "gif", None, None, None, None
         if b.startswith(b"BM"):
             if len(b) >= 26:
                 w, h = struct.unpack("<ii", b[18:26])
-                return "bmp", w, abs(h), None  # negative height = top-down rows
-            return "bmp", None, None, None
+                # negative height = top-down rows
+                return "bmp", w, abs(h), None, None
+            return "bmp", None, None, None, None
+        if b.startswith(b"RIFF") and b[8:12] == b"WEBP":
+            # VP8X extended header carries the canvas size as 24-bit
+            # minus-one fields; simple VP8/VP8L payloads degrade to dims
+            # None rather than decoding the bitstream
+            if b[12:16] == b"VP8X" and len(b) >= 30:
+                w = int.from_bytes(b[24:27], "little") + 1
+                h = int.from_bytes(b[27:30], "little") + 1
+                return "webp", w, h, None, None
+            return "webp", None, None, None, None
         if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
-            # walk RIFF chunks to the 'fmt ' chunk: tagging tools commonly
-            # emit LIST/INFO (or other) chunks first, so a fixed offset 24
-            # would read garbage as the sample rate
+            # walk RIFF chunks: tagging tools commonly emit LIST/INFO (or
+            # other) chunks first, so fixed offsets would read garbage.
+            # 'fmt ' gives sample rate + byte rate; 'data' gives payload
+            # length, and duration = data_len / byte_rate.
             i = 12
+            rate = byte_rate = data_len = None
             while i + 8 <= len(b):
                 chunk_id = b[i : i + 4]
                 chunk_len = struct.unpack("<I", b[i + 4 : i + 8])[0]
-                if chunk_id == b"fmt " and i + 16 <= len(b):
+                if chunk_id == b"fmt " and i + 20 <= len(b):
                     rate = struct.unpack("<I", b[i + 12 : i + 16])[0]
-                    return "wav", None, None, rate
+                    byte_rate = struct.unpack("<I", b[i + 16 : i + 20])[0]
+                elif chunk_id == b"data":
+                    data_len = chunk_len
                 i += 8 + chunk_len + (chunk_len & 1)  # chunks are word-aligned
-            return "wav", None, None, None
+            dur = (
+                data_len * 1000 // byte_rate
+                if data_len is not None and byte_rate
+                else None
+            )
+            return "wav", None, None, rate, dur
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            # MP4 / ISO-BMFF (also MOV/3GP/HEIF brands): duration is
+            # moov/mvhd duration ÷ timescale; display size is the first
+            # video trak's tkhd 16.16 fixed-point width/height
+            dur_ms = w = h = None
+            for btype, p0, p1 in _mp4_boxes(b, 0, len(b)):
+                if btype != b"moov":
+                    continue
+                for ctype, c0, c1 in _mp4_boxes(b, p0, p1):
+                    if ctype == b"mvhd" and dur_ms is None and c0 + 4 <= c1:
+                        ver = b[c0]
+                        if ver == 1 and c0 + 36 <= c1:
+                            ts = struct.unpack(">I", b[c0 + 20 : c0 + 24])[0]
+                            d = struct.unpack(">Q", b[c0 + 24 : c0 + 32])[0]
+                        elif c0 + 24 <= c1:
+                            ts = struct.unpack(">I", b[c0 + 12 : c0 + 16])[0]
+                            d = struct.unpack(">I", b[c0 + 16 : c0 + 20])[0]
+                        else:
+                            continue
+                        if ts:
+                            dur_ms = d * 1000 // ts
+                    elif ctype == b"trak" and w is None:
+                        for ttype, t0, t1 in _mp4_boxes(b, c0, c1):
+                            if ttype != b"tkhd":
+                                continue
+                            ver = b[t0] if t0 < t1 else 0
+                            # offsets from the fullbox start: version/flags
+                            # (4) + times/track_ID/reserved/duration
+                            # (20 v0 / 32 v1) + reserved/layer/group/
+                            # volume/reserved (16) + matrix (36)
+                            off = t0 + (88 if ver == 1 else 76)
+                            if off + 8 <= t1:
+                                fw, fh = struct.unpack(">II", b[off : off + 8])
+                                if fw and fh:  # audio traks carry 0×0
+                                    w, h = fw >> 16, fh >> 16
+                break
+            return "mp4", w, h, None, dur_ms
         if b.startswith(b"\xff\xd8"):
             # JPEG: walk the marker stream to the first SOFn frame header
             i = 2
@@ -161,12 +247,12 @@ def sniff_media_header(b: bytes) -> tuple[str, int | None, int | None, int | Non
                 seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     h, w = struct.unpack(">HH", b[i + 5 : i + 9])
-                    return "jpeg", w, h, None
+                    return "jpeg", w, h, None, None
                 i += 2 + seg_len
-            return "jpeg", None, None, None
+            return "jpeg", None, None, None, None
     except struct.error:
         pass
-    return "unknown", None, None, None
+    return "unknown", None, None, None, None
 
 
 def decode_real(
@@ -222,10 +308,11 @@ def decode_real(
                     rows["width"].append(None)
                     rows["height"].append(None)
                     rows["sample_rate"].append(None)
+                    rows["duration_ms"].append(None)
                     rows["decoder"].append("null")
                     continue
                 b = bytes(payload)
-                fmt, w, h, rate = sniff_media_header(b)
+                fmt, w, h, rate, dur_ms = sniff_media_header(b)
                 decoder = "header"
                 if pil is not None:
                     try:
@@ -241,10 +328,11 @@ def decode_real(
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["sample_rate"].append(rate)
+                rows["duration_ms"].append(dur_ms)
                 rows["decoder"].append(decoder)
             # nullable Int64 keeps missing values as NULLs (a float column
             # with NaN would not round-trip to LongType through Arrow)
-            for col in ("doc_id", "width", "height", "sample_rate"):
+            for col in ("doc_id", "width", "height", "sample_rate", "duration_ms"):
                 rows[col] = pd.array(rows[col], dtype="Int64")
             yield pd.DataFrame(rows)
 

@@ -49,23 +49,91 @@ def jpeg_bytes(w: int, h: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\x00" * 12
 
 
+def wav_full_bytes(rate: int, byte_rate: int, data_len: int) -> bytes:
+    fmt = (
+        b"fmt " + struct.pack("<I", 16) + struct.pack("<HH", 1, 2)
+        + struct.pack("<I", rate) + struct.pack("<I", byte_rate)
+        + struct.pack("<HH", 4, 16)
+    )
+    data = b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def mp4_bytes(w: int, h: int, timescale: int, duration: int) -> bytes:
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">IIII", 0, 0, 1, 0)  # times, track_ID, reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 52  # reserved/layer/group/volume/reserved + matrix
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def webp_vp8x_bytes(w: int, h: int) -> bytes:
+    vp8x = (
+        b"VP8X" + struct.pack("<I", 10) + b"\x00" * 4
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    )
+    body = b"WEBP" + vp8x
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 class TestHeaderSniffer:
     def test_all_formats(self):
-        assert sniff_media_header(png_bytes(640, 480)) == ("png", 640, 480, None)
-        assert sniff_media_header(gif_bytes(320, 200)) == ("gif", 320, 200, None)
-        assert sniff_media_header(bmp_bytes(100, 50)) == ("bmp", 100, 50, None)
-        assert sniff_media_header(wav_bytes(44100)) == ("wav", None, None, 44100)
-        assert sniff_media_header(jpeg_bytes(640, 480)) == ("jpeg", 640, 480, None)
+        assert sniff_media_header(png_bytes(640, 480)) == ("png", 640, 480, None, None)
+        assert sniff_media_header(gif_bytes(320, 200)) == ("gif", 320, 200, None, None)
+        assert sniff_media_header(bmp_bytes(100, 50)) == ("bmp", 100, 50, None, None)
+        assert sniff_media_header(wav_bytes(44100)) == ("wav", None, None, 44100, None)
+        assert sniff_media_header(jpeg_bytes(640, 480)) == ("jpeg", 640, 480, None, None)
+
+    def test_wav_duration_from_data_and_byte_rate(self):
+        # 2 s of audio: data_len 800 at byte_rate 400
+        assert sniff_media_header(wav_full_bytes(8000, 400, 800)) == (
+            "wav", None, None, 8000, 2000,
+        )
+
+    def test_mp4_box_walk(self):
+        # duration 90000 at timescale 600 → 150 000 ms; 1280×720 tkhd
+        assert sniff_media_header(mp4_bytes(1280, 720, 600, 90000)) == (
+            "mp4", 1280, 720, None, 150000,
+        )
+
+    def test_mp4_truncated_moov_degrades(self):
+        full = mp4_bytes(1280, 720, 600, 90000)
+        cut = full[:40]  # ftyp + the first bytes of moov
+        fmt, w, h, rate, dur = sniff_media_header(cut)
+        assert fmt == "mp4" and dur is None
+
+    def test_webp_vp8x_canvas(self):
+        assert sniff_media_header(webp_vp8x_bytes(512, 384)) == (
+            "webp", 512, 384, None, None,
+        )
 
     def test_bmp_topdown_height_is_positive(self):
         # negative BMP height means top-down row order, not a negative size
-        assert sniff_media_header(bmp_bytes(100, -50)) == ("bmp", 100, 50, None)
+        assert sniff_media_header(bmp_bytes(100, -50)) == ("bmp", 100, 50, None, None)
 
     def test_truncated_headers_degrade_to_format_only(self):
-        assert sniff_media_header(b"\x89PNG") == ("png", None, None, None)
-        assert sniff_media_header(b"GIF89a") == ("gif", None, None, None)
-        assert sniff_media_header(b"RIFF1234WAVE") == ("wav", None, None, None)
-        assert sniff_media_header(b"\xff\xd8\xff") == ("jpeg", None, None, None)
+        assert sniff_media_header(b"\x89PNG") == ("png", None, None, None, None)
+        assert sniff_media_header(b"GIF89a") == ("gif", None, None, None, None)
+        assert sniff_media_header(b"RIFF1234WAVE") == ("wav", None, None, None, None)
+        assert sniff_media_header(b"\xff\xd8\xff") == ("jpeg", None, None, None, None)
 
     def test_unknown_and_empty(self):
         assert sniff_media_header(b"plain text content")[0] == "unknown"
@@ -149,7 +217,7 @@ class TestHeaderSnifferEdgeLayouts:
             + b"\x00" * 8
         )
         payload = b"RIFF" + struct.pack("<I", 4 + len(list_chunk) + len(fmt)) + b"WAVE" + list_chunk + fmt
-        assert sniff_media_header(payload) == ("wav", None, None, 22050)
+        assert sniff_media_header(payload) == ("wav", None, None, 22050, None)
 
     def test_wav_odd_sized_chunk_is_word_aligned(self):
         """RIFF chunks pad odd sizes to word boundaries; the walker must
@@ -165,13 +233,13 @@ class TestHeaderSnifferEdgeLayouts:
             + b"\x00" * 8
         )
         payload = b"RIFF" + struct.pack("<I", 40) + b"WAVE" + odd + fmt
-        assert sniff_media_header(payload) == ("wav", None, None, 8000)
+        assert sniff_media_header(payload) == ("wav", None, None, 8000, None)
 
     def test_wav_without_fmt_degrades_to_bare_format(self):
         import struct
 
         payload = b"RIFF" + struct.pack("<I", 12) + b"WAVE" + b"LIST" + struct.pack("<I", 0)
-        assert sniff_media_header(payload) == ("wav", None, None, None)
+        assert sniff_media_header(payload) == ("wav", None, None, None, None)
 
     def test_jpeg_with_fill_bytes_before_marker(self):
         """0xFF fill bytes before a marker are spec-legal padding; the
@@ -180,7 +248,7 @@ class TestHeaderSnifferEdgeLayouts:
 
         sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640)
         payload = b"\xff\xd8" + b"\xff\xff\xff" + sof0 + b"\x00" * 12
-        assert sniff_media_header(payload) == ("jpeg", 640, 480, None)
+        assert sniff_media_header(payload) == ("jpeg", 640, 480, None, None)
 
 
 def test_decode_real_null_payload_degrades(spark):
