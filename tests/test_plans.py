@@ -686,3 +686,68 @@ def test_no_distinct_plus_sketch_expand(spark, cat):
     assert not sketchy, "sketch partials keyed by the distinct column:\n" + "\n".join(sketchy)
     # and the sketches must actually be in the plan somewhere (global aggs)
     assert "approx_count_distinct" in plan and "percentile" in plan
+
+
+# ---------------------------------------------------------------------------
+# Catalog-wide audit meta-gate (VERDICT r03 task 7): every entry's plan runs
+# through the same audit users get, so a NEW catalog entry cannot dodge plan
+# review by simply not having a hand-written gate here.
+# ---------------------------------------------------------------------------
+
+#: entry -> why its BroadcastNestedLoopJoin is bounded (the broadcast side
+#: is O(1) or hyperparameter-sized, never data-proportional).  A BNLJ with
+#: a bounded broadcast side streams the big side once — the scale-correct
+#: shape for scalar-stat joins; an UNLISTED BNLJ fails the gate.
+CATALOG_BNLJ_ALLOW: dict[str, str] = {
+    "e_range_join": "broadcast side is the bounded bucket-bounds table",
+    "q_approx_aggregates": "1-row scalar approx-aggregate subquery broadcast",
+    "q_cross_join": "deliberate CROSS JOIN entry over two tiny dims (region heads)",
+    "s_ann_bruteforce_topk": "query set broadcast by design (baseline scorer)",
+    "s_bm25_topk": "1-row corpus stats (N, avgdl) broadcast",
+    "x_audience_overlap": "1-row merged-sketch scalars broadcast (two stages)",
+    "x_bigram_pmi": "1-row corpus token total broadcast",
+    "x_lm_score": "1-row corpus token total broadcast",
+    "x_outlier_filter": "1-row global mean/stddev broadcast (two stages)",
+    "x_salted_skew_join": "salt fan-out crosses the small dim with the literal salt range (n_salts)",
+    "x_snapshot_drift": "1-row snapshot totals broadcast",
+    "x_tfidf_top_terms": "1-row document count broadcast",
+}
+
+
+def _catalog_names():
+    from polars_view_spark.catalog import entries
+
+    return sorted(entries())
+
+
+@pytest.mark.parametrize("name", _catalog_names())
+def test_catalog_wide_audit(spark, name):
+    """No catalog entry may ship a CartesianProduct, an unjustified
+    nested-loop join, a row-at-a-time Python UDF, or an unpruned wide
+    scan — the unambiguous 100-TB killers audit_plan flags.  A
+    BroadcastNestedLoopJoin passes only with a documented bounded-
+    broadcast reason in CATALOG_BNLJ_ALLOW.  (Global sorts and high
+    shuffle counts are NOT hard-gated: oracle determinism requires ORDER
+    BY tails, and multi-stage pipelines legitimately shuffle; those stay
+    judgment calls for the per-operator gates above.)"""
+    from polars_view_spark.catalog import entries
+    from polars_view_spark.plans.audit import audit_plan
+
+    entry = entries()[name]
+    df = entry.spark_fn(spark, SF)
+    a = audit_plan(df)
+    hard = []
+    if "CartesianProduct" in a.plan:
+        hard.append("CartesianProduct (both sides shuffled: O(n*m) at scale)")
+    if "BroadcastNestedLoopJoin" in a.plan and name not in CATALOG_BNLJ_ALLOW:
+        hard.append(
+            "BroadcastNestedLoopJoin without a documented bounded-broadcast "
+            "reason (add to CATALOG_BNLJ_ALLOW only if the broadcast side "
+            "is O(1)/hyperparameter-sized)"
+        )
+    if a.has_python_row_eval:
+        hard.append("row-at-a-time Python UDF (BatchEvalPython)")
+    for s in a.scans:
+        if s.n_columns >= 10:
+            hard.append(f"unpruned scan of {s.relation}: {s.n_columns} columns")
+    assert not hard, f"{name}: {hard}\n--- plan ---\n{a.plan[:4000]}"
