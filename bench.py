@@ -95,14 +95,26 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in names:
+        # n=5 for the round-3 drift watchlist (e_sessionize +11%,
+        # q_window_topn +9% round-over-round — VERDICT r03 asked whether
+        # that is noise; the recorded min/max answers it per-round),
+        # n=3 elsewhere (median already absorbs single-run swings)
+        n_runs = 5 if name in ("e_sessionize", "q_window_topn") else 3
         runs = []
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = cat[name].spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 4)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)
+        spread[name] = {
+            "n": n_runs,
+            "min": round(runs[0], 4),
+            "max": round(runs[-1], 4),
+        }
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -110,8 +122,60 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        # 10× scaling block (VERDICT r03 task 8): time the scale-critical
+        # pipelines on the synthetic 10× instance (scripts/scale_sweep.py's
+        # replicated-keys build) and record the wall-clock growth ratio —
+        # ≤ ~10 on 10× rows is linear or better; the sub-linearity claim
+        # becomes driver-visible instead of living in commit messages.
+        # One timed run per query (the ratio needs one significant digit).
+        try:
+            from scripts.scale_sweep import BIG, build
+
+            if not os.path.exists(f"{BIG}/lineitem.parquet"):
+                build()
+            # entries whose ratio legitimately exceeds 10 at FIXED
+            # hyperparameters, with the measured SCALE.md answer: the
+            # replicated 10× corpus gives every vector ~10 identical twins,
+            # so the TRUE pair set grows ~×100 (output-driven), and a real
+            # deployment scales the granularity knob with the corpus
+            KNOWN_NOTES = {
+                "d_embedding_near_dup": (
+                    "output-driven: replicas multiply true pairs ~x100; "
+                    "with n_bits tracking corpus size (4->6) measured "
+                    "ratio is 2.8x at identical recall (SCALE.md 10x "
+                    "experiment)"
+                ),
+            }
+            scaling: dict[str, dict] = {}
+            for name in (
+                "q1_pricing_summary",
+                "d_minhash_lsh_pairs",
+                "d_dedup_apply",
+                "x_training_mix_e2e",
+                "s_ann_ivf_topk",
+                "d_embedding_near_dup",
+            ):
+                if name not in cat or name not in timings:
+                    continue
+                t0 = time.perf_counter()
+                cat[name].spark_fn(spark, BIG).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                big = time.perf_counter() - t0
+                scaling[name] = {
+                    "x10_sec": round(big, 4),
+                    "ratio": round(big / timings[name], 2),
+                }
+                if name in KNOWN_NOTES:
+                    scaling[name]["note"] = KNOWN_NOTES[name]
+            out["scaling_x10"] = scaling
+        except Exception as ex:  # noqa: BLE001 - scaling is additive info
+            out["scaling_x10_error"] = str(ex)[:200]
 
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
         import duckdb
