@@ -190,9 +190,10 @@ DRIVER_PRIORITY = [
 # q_select_replace, q_select_combined_modifiers, q_cte_case_cast,
 # q_distinct, q_strftime_format, q_union_intersect, q_setop_except,
 # q_rollup, t_normalize_euro, t_replace_nulls, t_replace_nulls_universal,
-# t_drop_columns_regex, q_count_distinct window leftovers — then the oldest
-# r02-only stamps (d_span_dedup, x_sequence_pack, t_merge_upsert, ...),
-# plus anything round 4 changes.
+# t_drop_columns_regex, q_count_distinct window leftovers — then the
+# round-4 additions (x_quality_buckets, x_nation_pagerank — both green in
+# the local oracle gate), then the oldest r02-only stamps (d_span_dedup,
+# x_sequence_pack, t_merge_upsert, ...), plus anything round 4 changes.
 
 
 def entries() -> dict[str, CatalogEntry]:

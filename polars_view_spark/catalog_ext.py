@@ -3004,3 +3004,133 @@ register(
     """,
     tables=("documents",),
 )(_x_corpus_card)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions
+# ---------------------------------------------------------------------------
+
+
+def _x_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020, CCNet —
+    public paper): rank every document WITHIN its language by the composite
+    quality score and NTILE(3) into head (best), middle, tail — the
+    standard per-language quality partition a curation pipeline samples
+    from.  Scale shape: ONE hash-partitioned window shuffle on lang; the
+    score itself is the codegen-only quality_score projection.  Ties are
+    broken by doc_id on the ROUNDED 6-dp score, so the tile boundaries are
+    deterministic and engine-identical (NTILE's floor-division split is
+    SQL-standard on both engines)."""
+    from pyspark.sql import Window
+
+    from polars_view_spark.operators.textstats import quality_score
+
+    t = load_tables(spark, sf_dir, "documents")
+    scored = quality_score(t["documents"])
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("tile", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("tile")
+            ).alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "x_quality_buckets",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round(0.4 * least({_q_words} / 100.0, 1.0)
+                 + 0.3 * (1.0 - {_q_punct} / CAST(greatest(length(text), 1) AS DOUBLE))
+                 + 0.3 * least({_q_stops} / CAST(greatest({_q_words}, 1) AS DOUBLE) * 5.0, 1.0),
+               6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, lang, quality,
+           (['head', 'middle', 'tail'])[
+             NTILE(3) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+           ] AS bucket
+    FROM scored ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_x_quality_buckets)
+
+
+def _x_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade graph (operators/graph.py):
+    nodes are nations, a directed edge customer-nation → supplier-nation
+    weighs each lineitem shipped between them — the link-graph
+    source-quality signal of a crawl pipeline, demonstrated on the TPC-H
+    schema.  Integer-quantized arithmetic (kmeans discipline) lets the
+    oracle replay all 3 iterations exactly; the edge aggregation is the
+    only corpus-sized shuffle."""
+    from polars_view_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(edges, weight_col="w")
+    return (
+        ranks.join(t["nation"], ranks.v == F.col("n_nationkey"))
+        .select("n_name", F.col("rank").alias("pagerank_micro"))
+        .orderBy(F.col("pagerank_micro").desc(), "n_name")
+    )
+
+
+_PR_IT = """
+  it{n} AS (
+    SELECT nd.v,
+           CAST(round((1.0 - 0.85) * 1000000 / nn.n
+                + 0.85 * coalesce(inf.s, 0)) AS BIGINT) AS rank
+    FROM nodes nd CROSS JOIN nn
+    LEFT JOIN (
+      SELECT e.dst, SUM(CAST(round(r.rank * e.w * 1.0 / o.ow) AS BIGINT)) AS s
+      FROM edges e JOIN it{p} r ON e.src = r.v JOIN outw o ON e.src = o.src
+      GROUP BY e.dst
+    ) inf ON nd.v = inf.dst
+  )"""
+
+register(
+    "x_nation_pagerank",
+    oracle="""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (
+      SELECT src AS v FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    it0 AS (SELECT v, CAST(1000000 AS BIGINT) AS rank FROM nodes),"""
+    + _PR_IT.format(n=1, p=0) + ","
+    + _PR_IT.format(n=2, p=1) + ","
+    + _PR_IT.format(n=3, p=2)
+    + """
+    SELECT n.n_name, r.rank AS pagerank_micro
+    FROM it3 r JOIN nation n ON r.v = n.n_nationkey
+    ORDER BY pagerank_micro DESC, n_name
+    """,
+    tables=("lineitem", "orders", "customer", "supplier", "nation"),
+)(_x_nation_pagerank)
