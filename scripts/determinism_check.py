@@ -14,7 +14,7 @@ Usage (each conf needs its own process for a fresh JVM):
     python scripts/determinism_check.py b        # conf B -> /tmp/det_b.json
     python scripts/determinism_check.py compare  # exit 1 on any mismatch
 
-Last run (r03, sf0.01): checked 50 entries, mismatches: 0.
+Last run (r04 rotated window, sf0.01): checked 50 entries, mismatches: 0.
 """
 
 import hashlib
