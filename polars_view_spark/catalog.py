@@ -184,7 +184,7 @@ DRIVER_PRIORITY = [
 # Everything demoted out of the window is green in CORRECTNESS_r01/r02/r03
 # and stays covered by the local oracle gate (tests/test_catalog_oracle.py)
 # at sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
-# After round 4 every one of the 150 entries has at least one driver stamp.
+# After round 4 every catalog entry (152 with the r04 additions) has at least one driver stamp.
 # Round-5 rotation should lead with the 19 remaining r01-only entries:
 # q_filter_predicates, q_ilike_substr, q_select_except, q_select_rename,
 # q_select_replace, q_select_combined_modifiers, q_cte_case_cast,

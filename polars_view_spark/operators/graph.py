@@ -69,7 +69,10 @@ def pagerank(
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty graph")
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # checkpointed like e/nodes: otherwise every iteration's plan
+    # re-executes this groupBy over the full edge list — an extra
+    # edge-list shuffle per iteration beyond the documented two
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint(eager=True)
 
     # the update expression stays ENTIRELY in SQL, with (1.0 - d) written
     # out rather than pre-computed in Python: 1.0 - 0.85 and the literal

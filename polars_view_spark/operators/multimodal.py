@@ -182,9 +182,13 @@ def sniff_media_header(
             while i + 8 <= len(b):
                 chunk_id = b[i : i + 4]
                 chunk_len = struct.unpack("<I", b[i + 4 : i + 8])[0]
-                if chunk_id == b"fmt " and i + 20 <= len(b):
-                    rate = struct.unpack("<I", b[i + 12 : i + 16])[0]
-                    byte_rate = struct.unpack("<I", b[i + 16 : i + 20])[0]
+                if chunk_id == b"fmt ":
+                    # graded degrade on truncation: keep the sample rate
+                    # even when the buffer ends before byte_rate
+                    if i + 16 <= len(b):
+                        rate = struct.unpack("<I", b[i + 12 : i + 16])[0]
+                    if i + 20 <= len(b):
+                        byte_rate = struct.unpack("<I", b[i + 16 : i + 20])[0]
                 elif chunk_id == b"data":
                     data_len = chunk_len
                 i += 8 + chunk_len + (chunk_len & 1)  # chunks are word-aligned
@@ -298,9 +302,11 @@ def decode_real(
                 # nothing to decode — takes the degrade path, the same
                 # one-bad-payload contract sniff_media_header keeps for
                 # corrupt bytes (nullable binary columns are routine).
-                # a null long id reaches the pandas batch as NaN (float64
-                # column), never None — pd.isna covers both
-                out_id = None if pd.isna(did) else int(did)
+                # the id arrives as a STRING (cast JVM-side below): a
+                # nullable long column would reach pandas as float64 and
+                # silently round ids above 2^53; strings are lossless and
+                # nulls stay None
+                out_id = None if did is None or pd.isna(did) else int(did)
                 if payload is None:
                     rows["doc_id"].append(out_id)
                     rows["n_bytes"].append(0)
@@ -336,7 +342,11 @@ def decode_real(
                 rows[col] = pd.array(rows[col], dtype="Int64")
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, "payload").mapInPandas(_decode, _REAL_DECODE_SCHEMA)
+    # cast the id to string so a null anywhere in the batch cannot demote
+    # the whole Arrow column to float64 (which rounds ids above 2^53)
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), "payload"
+    ).mapInPandas(_decode, _REAL_DECODE_SCHEMA)
 
 
 FRAME_BYTES = 64

@@ -318,6 +318,30 @@ def _scan_top_level_keyword(q: str, keywords: tuple[str, ...], start: int = 0) -
     return -1
 
 
+def _scan_top_level_setop(q: str) -> int:
+    """Index of the first depth-0 set-operation keyword in ``q``, or -1.
+    UNION/INTERSECT/MINUS always count; EXCEPT counts only when NOT
+    immediately preceded by a select-list ``*`` (that form is the polars
+    star modifier ``SELECT * EXCEPT (…)``, which is not a set op and is
+    rewritten in a later pass)."""
+    start = 0
+    while True:
+        i = _scan_top_level_keyword(
+            q[start:], ("UNION", "INTERSECT", "EXCEPT", "MINUS")
+        )
+        if i < 0:
+            return -1
+        i += start
+        if q[i : i + 6].upper() == "EXCEPT":
+            j = i - 1
+            while j >= 0 and q[j].isspace():
+                j -= 1
+            if j >= 0 and q[j] == "*":
+                start = i + 6
+                continue
+        return i
+
+
 def rewrite_qualify(q: str) -> str:
     """Rewrite a top-level ``QUALIFY <pred>`` (window-function filtering
     sugar — DuckDB/BigQuery/Snowflake dialects; Spark has no native form)
@@ -343,11 +367,20 @@ def rewrite_qualify(q: str) -> str:
         return q
     head = q[:i].rstrip()
     rest = q[i + len("QUALIFY") :]
-    # a top-level set operation after the predicate cannot be wrapped: the
-    # rewrite would swallow `UNION ALL SELECT …` into the predicate and
-    # emit malformed SQL.  Refuse loudly instead of mis-rewriting (ADVICE
-    # r03); a caller can parenthesize each branch to scope its QUALIFY.
-    if _scan_top_level_keyword(rest, ("UNION", "INTERSECT", "EXCEPT", "MINUS")) >= 0:
+    # a top-level set operation anywhere in the statement cannot be
+    # wrapped.  After the predicate it would swallow `UNION ALL SELECT …`
+    # into the predicate and emit malformed SQL; BEFORE the QUALIFY the
+    # wrap would filter the whole union while the dialects bind QUALIFY to
+    # the final SELECT branch only.  Refuse loudly instead of mis-rewriting
+    # (ADVICE r03); a caller can parenthesize each branch to scope its
+    # QUALIFY.  The head scan must ignore the star-modifier `* EXCEPT (…)`
+    # (qualify rewriting runs before star-modifier rewriting), which is the
+    # only place a non-set-op EXCEPT can sit at depth 0 — distinguished by
+    # the `*` immediately preceding it.
+    if (
+        _scan_top_level_keyword(rest, ("UNION", "INTERSECT", "EXCEPT", "MINUS")) >= 0
+        or _scan_top_level_setop(head) >= 0
+    ):
         raise SqlDialectError(
             "QUALIFY cannot be combined with a top-level set operation; "
             "parenthesize the branch that uses QUALIFY"
@@ -355,7 +388,12 @@ def rewrite_qualify(q: str) -> str:
     # DuckDB/Snowflake evaluate QUALIFY BEFORE DISTINCT; the wrap filters
     # AFTER it, which changes results whenever DISTINCT collapses rows the
     # window counted.  Refuse rather than silently diverge (ADVICE r03).
-    if re.match(r"\s*SELECT\s+DISTINCT\b", head, re.IGNORECASE):
+    # Anchor on the statement's MAIN select — the first depth-0 SELECT —
+    # so a WITH/CTE prefix cannot bypass the guard (CTE bodies live inside
+    # parens and are skipped by the top-level scan; set-ops were refused
+    # above, so the first depth-0 SELECT is the main block).
+    s = _scan_top_level_keyword(head, ("SELECT",))
+    if s >= 0 and re.match(r"SELECT\s+DISTINCT\b", head[s:], re.IGNORECASE):
         raise SqlDialectError(
             "QUALIFY with SELECT DISTINCT is not supported: the rewrite "
             "would evaluate the window after DISTINCT, diverging from the "
@@ -542,9 +580,64 @@ def _select_block(q: str, star_idx: int, mod_end: int):
             block_end = i
             break
         i += 1
-    between = q[scope_start:first_select_in_scope]
-    prefix = between if re.match(r"\s*WITH\b", between, re.IGNORECASE) else ""
+    prefix = _enclosing_with_prefix(q, star_idx, first_select_in_scope)
     return select_start, block_end, prefix
+
+
+def _enclosing_with_prefix(q: str, star_idx: int, first_select_in_scope: int) -> str:
+    """Merged ``WITH …`` prefix of every CTE visible at the star's select
+    block — from the star's own scope AND every enclosing scope.
+
+    A modifier star inside a CTE body (or a FROM-subquery) may reference
+    CTEs defined earlier in an OUTER scope's WITH clause; resolving the
+    block without them fails ("could not resolve star columns") even
+    though the full statement is legal.  For each scope on the paren path
+    to the star, the CTEs defined before the path continues inward are
+    collected: up to the scope's main SELECT when the path descends
+    through a subquery, or up to the star's own CTE definition (trailing
+    ``name AS`` stripped) when it descends through a CTE body.  Fragments
+    are merged outermost-first into a single WITH clause (Spark rejects
+    stacked WITH keywords).
+    """
+    stack: list[int] = []  # open-paren indices enclosing the star
+    i = 0
+    while i < star_idx:
+        ch = q[i]
+        if ch in ("'", '"', "`"):
+            i = _scan_string(q, i, ch)
+            continue
+        if ch == "(":
+            stack.append(i)
+        elif ch == ")":
+            stack.pop()
+        i += 1
+    starts = [0] + [p + 1 for p in stack]
+    children = stack + [first_select_in_scope]
+    frags: list[str] = []
+    for s, c in zip(starts, children):
+        text = q[s:c]
+        m = re.match(r"\s*WITH\b", text, re.IGNORECASE)
+        if not m:
+            continue
+        sel = _scan_top_level_keyword(text, ("SELECT",))
+        if sel >= 0:
+            # path descends through a subquery after this scope's main
+            # SELECT — the whole WITH clause is visible
+            clause = text[:sel]
+        else:
+            # path descends into a CTE body — keep the CTEs defined
+            # before it, dropping the dangling `name AS` (and an optional
+            # column-alias list) that opens the star's own CTE
+            clause = re.sub(
+                r",?\s*[A-Za-z_]\w*\s*(\([^()]*\))?\s+AS\s*$",
+                "",
+                text,
+                flags=re.IGNORECASE,
+            )
+        body = clause[m.end() :].strip().rstrip(",").strip()
+        if body:
+            frags.append(body)
+    return "WITH " + ", ".join(frags) + " " if frags else ""
 
 
 def rewrite_star_modifiers(q: str, spark: SparkSession) -> str:

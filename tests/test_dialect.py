@@ -259,3 +259,95 @@ class TestQualify:
                 "SELECT DISTINCT a FROM t "
                 "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"
             )
+
+    def test_cte_prefix_does_not_bypass_distinct_guard(self):
+        """The DISTINCT guard anchors on the MAIN select (first depth-0
+        SELECT), so a WITH/CTE prefix cannot bypass it — the rewrite would
+        evaluate the window after DISTINCT and silently diverge (r04
+        review finding)."""
+        import pytest as _pytest
+
+        from polars_view_spark.plans.dialect import SqlDialectError, rewrite_qualify
+
+        with _pytest.raises(SqlDialectError, match="DISTINCT"):
+            rewrite_qualify(
+                "WITH base AS (SELECT 1 AS a UNION ALL SELECT 1) "
+                "SELECT DISTINCT a FROM base "
+                "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"
+            )
+
+    def test_set_op_before_qualify_refused(self):
+        """In DuckDB/Snowflake QUALIFY binds to the final SELECT branch of
+        a set operation; the wrap would filter the whole union.  Refuse
+        rather than silently diverge (r04 review finding)."""
+        import pytest as _pytest
+
+        from polars_view_spark.plans.dialect import SqlDialectError, rewrite_qualify
+
+        with _pytest.raises(SqlDialectError, match="set operation"):
+            rewrite_qualify(
+                "SELECT a, 1 AS rk FROM t UNION ALL "
+                "SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rk FROM u "
+                "QUALIFY rk = 1"
+            )
+
+    def test_star_modifier_except_does_not_trip_setop_guard(self):
+        """`SELECT * EXCEPT (…)` before QUALIFY is the polars star
+        modifier (rewritten in a later pass), not a set operation — the
+        head scan must skip an EXCEPT immediately preceded by a star."""
+        from polars_view_spark.plans.dialect import rewrite_qualify
+
+        for head in ("SELECT * EXCEPT (b)", "SELECT t.* EXCEPT (b)"):
+            out = rewrite_qualify(
+                f"{head} FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"
+            )
+            assert "__pvs_qualify__" in out
+
+    def test_set_op_inside_cte_body_does_not_trip_guard(self):
+        """A set op inside a CTE's parens is not top-level; the guard must
+        not refuse it and the non-DISTINCT main select still rewrites."""
+        from polars_view_spark.plans.dialect import rewrite_qualify
+
+        out = rewrite_qualify(
+            "WITH c AS (SELECT 1 AS a UNION ALL SELECT 2) "
+            "SELECT a FROM c QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"
+        )
+        assert "__pvs_qualify__" in out
+
+
+class TestStarModifierCteScope:
+    """r04 review finding: a modifier star inside a CTE body (or a FROM
+    subquery) must resolve against the OUTER scope's CTEs too — the
+    analysis text needs a merged WITH prefix, not just the star's own
+    scope."""
+
+    def test_star_in_cte_body_references_earlier_cte(self, spark):
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        out = rewrite_query(
+            "WITH a AS (SELECT 1 AS x, 2 AS y), "
+            "b AS (SELECT * REPLACE (x+1 AS x) FROM a) SELECT * FROM b",
+            spark,
+        )
+        assert [r.asDict() for r in spark.sql(out).collect()] == [{"x": 2, "y": 2}]
+
+    def test_star_in_from_subquery_references_outer_cte(self, spark):
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        out = rewrite_query(
+            "WITH c AS (SELECT 3 AS x, 4 AS y) "
+            "SELECT * FROM (SELECT * RENAME (x AS z) FROM c) s",
+            spark,
+        )
+        assert [r.asDict() for r in spark.sql(out).collect()] == [{"z": 3, "y": 4}]
+
+    def test_star_two_scopes_deep_references_top_cte(self, spark):
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        out = rewrite_query(
+            "WITH a AS (SELECT 1 AS x), "
+            "b AS (SELECT * FROM (SELECT * REPLACE (x*10 AS x) FROM a) t) "
+            "SELECT * FROM b",
+            spark,
+        )
+        assert [r.asDict() for r in spark.sql(out).collect()] == [{"x": 10}]

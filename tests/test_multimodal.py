@@ -292,3 +292,38 @@ def test_decode_real_null_id_decodes_with_null_doc_id(spark):
     # legitimate -1 id survives un-merged
     minus_one = [r for r in rows if r["doc_id"] == -1]
     assert len(minus_one) == 1 and minus_one[0]["format"] == "png"
+
+
+def test_decode_real_preserves_large_ids_in_null_bearing_batches(spark):
+    """r04 review finding: a nullable long id column reaches pandas as
+    float64, which rounds ids above 2^53.  The id is now shipped as a
+    string through Arrow, so 2^53+1 must survive exactly even when the
+    same batch carries a NULL id."""
+    from polars_view_spark.operators.multimodal import decode_real
+
+    big = (1 << 53) + 1  # not representable as a float64
+    png = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30)
+    df = spark.createDataFrame(
+        [(None, png), (big, png)], "doc_id long, payload binary"
+    ).coalesce(1)  # one partition -> one Arrow batch containing the null
+    ids = {r["doc_id"] for r in decode_real(df).collect()}
+    assert big in ids and None in ids
+
+
+class TestWavTruncatedFmt:
+    def test_rate_survives_byte_rate_truncation(self):
+        """r04 review finding (graded degrade): a WAV header cut after the
+        sample-rate field but before byte_rate must still report the
+        sample rate, with byte_rate-derived duration degrading to None."""
+        import struct
+
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        hdr = (
+            b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HH", 1, 1)          # format tag, channels
+            + struct.pack("<I", 44100)           # sample rate (ends at fmt+16)
+        )  # truncated: byte_rate never present
+        fmt, w, h, rate, dur = sniff_media_header(hdr)
+        assert fmt == "wav" and rate == 44100 and dur is None

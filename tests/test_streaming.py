@@ -401,9 +401,9 @@ def test_streaming_minhash_crash_replay_of_partial_batch(spark, tmp_path):
         for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
     )
     assert want, "fixture must contain near-dup pairs"
-    ckpt = corpus_dir + ".__pvs_ckpt"
+    ckpt = tmp_path / "corpus.__pvs_ckpt"
     last_commit = max(
-        int(p.name) for p in (tmp_path / "corpus.__pvs_ckpt" / "commits").iterdir()
+        int(p.name) for p in (ckpt / "commits").iterdir()
         if p.name.isdigit()
     )
 
@@ -413,10 +413,10 @@ def test_streaming_minhash_crash_replay_of_partial_batch(spark, tmp_path):
     corpus_part = tmp_path / "corpus" / f"ingest_batch={last_commit}"
     assert corpus_part.exists(), "fixture must have a last-batch partition"
     shutil.rmtree(str(corpus_part))
-    (tmp_path / "corpus.__pvs_ckpt" / "commits" / str(last_commit)).unlink()
+    (ckpt / "commits" / str(last_commit)).unlink()
     # local-FS checkpoints keep a .crc sidecar per commit file; a real HDFS
     # crash loses both, and a leftover sidecar blocks the recommit rename
-    crc = tmp_path / "corpus.__pvs_ckpt" / "commits" / f".{last_commit}.crc"
+    crc = ckpt / "commits" / f".{last_commit}.crc"
     if crc.exists():
         crc.unlink()
 
