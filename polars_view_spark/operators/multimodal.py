@@ -137,11 +137,14 @@ def sniff_media_header(
 ) -> tuple[str, int | None, int | None, int | None, int | None]:
     """Parse ``(format, width, height, sample_rate, duration_ms)`` from a
     payload's magic bytes — pure stdlib ``struct``, no media library.
-    Covers PNG / JPEG / GIF / BMP / WebP (images), WAV (audio: sample rate
-    + duration from the data-chunk length ÷ byte rate), and MP4 / ISO-BMFF
-    (video: duration from ``moov/mvhd``, display size from the first
-    ``trak/tkhd``); anything else is ``("unknown", None, None, None,
-    None)``.  Truncated or corrupt headers degrade to the bare format name
+    Covers PNG / JPEG / GIF / BMP / WebP (images); WAV (sample rate +
+    duration from the data-chunk length ÷ byte rate), FLAC (STREAMINFO
+    20-bit rate + 36-bit total samples), Ogg Vorbis/Opus (id-header rate),
+    and MP3 (frame-header rate; duration as the standard CBR estimate
+    from payload length ÷ bitrate) for audio; MP4 / ISO-BMFF (duration
+    from ``moov/mvhd``, display size from the first ``trak/tkhd``) and
+    Matroska/WebM (format only) for video; anything else is
+    ``("unknown", None, None, None, None)``.  Truncated or corrupt headers degrade to the bare format name
     rather than raising — a 100 TB crawl always contains damaged files,
     and one bad payload must not kill the stage."""
     import struct
@@ -198,6 +201,70 @@ def sniff_media_header(
                 else None
             )
             return "wav", None, None, rate, dur
+        if b.startswith(b"fLaC"):
+            # FLAC: the mandatory first metadata block is STREAMINFO —
+            # sample rate is a 20-bit field at payload offset 10, total
+            # samples a 36-bit field at offset 13
+            p = 8  # 4-byte magic + 4-byte block header
+            if len(b) >= p + 18:
+                rate = (b[p + 10] << 12) | (b[p + 11] << 4) | (b[p + 12] >> 4)
+                total = ((b[p + 13] & 0x0F) << 32) | int.from_bytes(
+                    b[p + 14 : p + 18], "big"
+                )
+                dur = total * 1000 // rate if rate and total else None
+                return "flac", None, None, rate or None, dur
+            return "flac", None, None, None, None
+        if b.startswith(b"OggS"):
+            # Ogg container: the first packet identifies the codec.
+            # Vorbis id header = \x01vorbis with rate u32-LE at +12;
+            # OpusHead carries the INPUT rate u32-LE at +12 (decode is
+            # always 48 kHz, but the header field is what tools report).
+            head = b[:256]
+            for magic, fmt in ((b"\x01vorbis", "ogg-vorbis"), (b"OpusHead", "ogg-opus")):
+                j = head.find(magic)
+                if j >= 0 and j + 16 <= len(b):
+                    rate = struct.unpack("<I", b[j + 12 : j + 16])[0]
+                    return fmt, None, None, rate or None, None
+            return "ogg", None, None, None, None
+        if b.startswith(b"\x1a\x45\xdf\xa3"):
+            # EBML (Matroska/WebM): DocType string sits in the first few
+            # dozen bytes; duration needs full EBML varint walking — bare
+            # format name is the graded degrade here
+            fmt = "webm" if b"webm" in b[:64] else "mkv"
+            return fmt, None, None, None, None
+        if b.startswith(b"ID3") or (
+            len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0 and (b[1] & 0x06)
+        ):
+            # MP3: skip an ID3v2 tag (syncsafe 28-bit size at bytes 6-9),
+            # then read the first frame header — version + sample-rate
+            # index + bitrate index; duration estimated as CBR from the
+            # payload length (the standard header-only estimate)
+            i = 0
+            if b.startswith(b"ID3") and len(b) >= 10:
+                i = 10 + (
+                    ((b[6] & 0x7F) << 21)
+                    | ((b[7] & 0x7F) << 14)
+                    | ((b[8] & 0x7F) << 7)
+                    | (b[9] & 0x7F)
+                )
+            # resync: tag padding may precede the frame
+            while i + 4 <= len(b) and not (
+                b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0
+            ):
+                i += 1
+            if i + 4 <= len(b):
+                ver_bits = (b[i + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+                rate_idx = (b[i + 2] >> 2) & 0x3
+                br_idx = (b[i + 2] >> 4) & 0xF
+                rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+                kbps_v1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+                kbps_v2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+                if ver_bits in rates and rate_idx < 3:
+                    rate = rates[ver_bits][rate_idx]
+                    kbps = (kbps_v1 if ver_bits == 3 else kbps_v2)[br_idx]
+                    dur = len(b) * 8 // kbps if kbps else None
+                    return "mp3", None, None, rate, dur
+            return "mp3", None, None, None, None
         if len(b) >= 12 and b[4:8] == b"ftyp":
             # MP4 / ISO-BMFF (also MOV/3GP/HEIF brands): duration is
             # moov/mvhd duration ÷ timescale; display size is the first

@@ -326,3 +326,65 @@ def test_qualify_fuzz_end_to_end(spark):
                 break
     con.close()
     assert not failures, "\n\n".join(failures)
+
+
+def test_cte_scope_star_fuzz_end_to_end(spark):
+    """r04 fix fuzz: modifier stars INSIDE a CTE body or a FROM-subquery
+    that reference an EARLIER CTE — the star's analysis text must carry a
+    merged WITH prefix of every enclosing scope (`_enclosing_with_prefix`).
+    60 generated cases across three nesting shapes, value-compared against
+    DuckDB running the independently expanded plain-SQL statement."""
+    from polars_view_spark.plans.dialect import rewrite_query
+
+    pdf = _fixture_frame()
+    spark.createDataFrame(pdf).createOrReplaceTempView("AllData")
+    con = duckdb.connect()
+    con.register("AllData", pdf)
+
+    rng = random.Random(20260817)
+    failures = []
+    for i in range(60):
+        shape = rng.choice(["cte_body", "from_subquery", "two_deep"])
+        mods, expanded, kept = _gen_modifier_chain(rng)
+        where = rng.choice(WHERE_POOL)
+        wh = f" WHERE {where}" if where else ""
+        tail = rng.choice(["", ' ORDER BY "k"'])
+
+        if shape == "cte_body":
+            # star in the SECOND CTE's body, FROM the first CTE
+            q = (f"WITH seed AS (SELECT * FROM AllData{wh}), "
+                 f"base AS (SELECT {mods} FROM seed) SELECT * FROM base{tail}")
+            want_sql = (f"WITH seed AS (SELECT * FROM AllData{wh}), "
+                        f"base AS (SELECT {expanded} FROM seed) "
+                        f"SELECT * FROM base{tail}")
+        elif shape == "from_subquery":
+            # star in a FROM-subquery of the main select, FROM the CTE
+            q = (f"WITH seed AS (SELECT * FROM AllData{wh}) "
+                 f"SELECT * FROM (SELECT {mods} FROM seed) s{tail}")
+            want_sql = (f"WITH seed AS (SELECT * FROM AllData{wh}) "
+                        f"SELECT * FROM (SELECT {expanded} FROM seed) s{tail}")
+        else:
+            # star two scopes deep: subquery inside a CTE body, FROM the
+            # first CTE
+            q = (f"WITH seed AS (SELECT * FROM AllData{wh}), "
+                 f"base AS (SELECT * FROM (SELECT {mods} FROM seed) t) "
+                 f"SELECT * FROM base{tail}")
+            want_sql = (f"WITH seed AS (SELECT * FROM AllData{wh}), "
+                        f"base AS (SELECT * FROM (SELECT {expanded} FROM seed) t) "
+                        f"SELECT * FROM base{tail}")
+        try:
+            got = spark.sql(rewrite_query(q, spark))
+            want = con.sql(want_sql).df()
+            compare(got, want, f"ctescope{i}:{shape}")
+        except AssertionError as exc:  # pragma: no cover
+            failures.append(f"case {i} ({shape}): {q}\n  {exc}")
+            if len(failures) >= 3:
+                break
+        except Exception as exc:  # pragma: no cover
+            failures.append(
+                f"case {i} ({shape}) ERRORED: {q}\n  {type(exc).__name__}: {exc}"
+            )
+            if len(failures) >= 3:
+                break
+    con.close()
+    assert not failures, "\n\n".join(failures)

@@ -327,3 +327,83 @@ class TestWavTruncatedFmt:
         )  # truncated: byte_rate never present
         fmt, w, h, rate, dur = sniff_media_header(hdr)
         assert fmt == "wav" and rate == 44100 and dur is None
+
+
+class TestAudioVideoSniffTiers:
+    """r04: FLAC / Ogg / MP3 / Matroska header-tier coverage — pure-stdlib
+    parses over synthetic headers, including the graded truncation
+    degrades."""
+
+    def test_flac_streaminfo_rate_and_duration(self):
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        rate, total = 44100, 44100 * 3  # 3 s
+        streaminfo = bytearray(34)
+        streaminfo[10] = (rate >> 12) & 0xFF
+        streaminfo[11] = (rate >> 4) & 0xFF
+        streaminfo[12] = (rate & 0xF) << 4
+        streaminfo[13] = (total >> 32) & 0x0F
+        streaminfo[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+        hdr = b"fLaC" + b"\x00\x00\x00\x22" + bytes(streaminfo)
+        fmt, w, h, r, dur = sniff_media_header(hdr)
+        assert (fmt, r, dur) == ("flac", 44100, 3000)
+
+    def test_flac_truncated_degrades(self):
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        assert sniff_media_header(b"fLaC\x00\x00") == ("flac", None, None, None, None)
+
+    def test_ogg_vorbis_rate(self):
+        import struct
+
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        page = b"OggS" + b"\x00" * 23 + b"\x01\x1e"  # header + 1-seg table
+        packet = b"\x01vorbis" + b"\x00" * 4 + b"\x02" + struct.pack("<I", 48000)
+        fmt, _, _, r, _ = sniff_media_header(page + packet)
+        assert (fmt, r) == ("ogg-vorbis", 48000)
+
+    def test_ogg_opus_rate(self):
+        import struct
+
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        page = b"OggS" + b"\x00" * 23 + b"\x01\x13"
+        packet = b"OpusHead" + b"\x01\x02" + b"\x00\x00" + struct.pack("<I", 24000)
+        fmt, _, _, r, _ = sniff_media_header(page + packet)
+        assert (fmt, r) == ("ogg-opus", 24000)
+
+    def test_ogg_unknown_codec_degrades(self):
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        assert sniff_media_header(b"OggS" + b"\x00" * 40)[0] == "ogg"
+
+    def test_mp3_id3_then_frame(self):
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        # ID3v2 tag, syncsafe size 0x0A (10 bytes of tag body)
+        id3 = b"ID3\x04\x00\x00" + b"\x00\x00\x00\x0a" + b"\x00" * 10
+        # MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0)
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00])
+        payload = id3 + frame + b"\x00" * (16000 - len(id3) - 4)
+        fmt, _, _, r, dur = sniff_media_header(payload)
+        assert (fmt, r) == ("mp3", 44100)
+        assert dur == len(payload) * 8 // 128  # CBR estimate
+
+    def test_mp3_bare_framesync(self):
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 100
+        assert sniff_media_header(frame)[0] == "mp3"
+
+    def test_jpeg_not_misread_as_mp3(self):
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        assert sniff_media_header(b"\xff\xd8\xff\xe0" + b"\x00" * 20)[0] == "jpeg"
+
+    def test_matroska_and_webm(self):
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        ebml = b"\x1a\x45\xdf\xa3" + b"\x00" * 20
+        assert sniff_media_header(ebml)[0] == "mkv"
+        assert sniff_media_header(ebml + b"webm")[0] == "webm"
