@@ -22,6 +22,7 @@ from polars_view_spark.functions.texthash import (
     MINHASH_PRIME,
     TOKEN_REGEX,
     duck_hex64_sql,
+    hex64_sql,
     duck_ngrams_sql,
     duck_shingles_sql,
     duck_tokens_sql,
@@ -3134,3 +3135,203 @@ register(
     """,
     tables=("lineitem", "orders", "customer", "supplier", "nation"),
 )(_x_nation_pagerank)
+
+
+def _x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history built from a change
+    stream: each order observes its customer's ``o_orderpriority``;
+    consecutive runs of the same value collapse into
+    ``[valid_from, valid_to)`` intervals (gaps-and-islands via a
+    change-flag running sum), with ``valid_to`` = the next interval's
+    start (NULL while current).  The standard dimension-table build of a
+    warehouse ingest pipeline.
+
+    Scale shape: two windows and the final group-by all share the
+    ``o_custkey`` partitioning, so the whole plan is ONE shuffle; every
+    expression is codegen (no UDF).  At 100 TB the run-length encoding
+    happens partition-local after that single exchange.
+    """
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    runs = (
+        t["orders"]
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .withColumn(
+            "chg",
+            F.when(
+                F.lag("o_orderpriority").over(w) == F.col("o_orderpriority"), 0
+            ).otherwise(1),
+        )
+        .withColumn("grp", F.sum("chg").over(w))
+    )
+    hist = runs.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        "grp",
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    wl = Window.partitionBy("custkey").orderBy("valid_from", "grp")
+    return (
+        hist.withColumn("valid_to", F.lead("valid_from").over(wl))
+        .select("custkey", "priority", "valid_from", "valid_to", "n_obs")
+        .orderBy("custkey", "valid_from", "priority")
+    )
+
+
+register(
+    "x_scd2_history",
+    oracle="""
+    WITH obs AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             CASE WHEN lag(o_orderpriority) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ) = o_orderpriority THEN 0 ELSE 1 END AS chg
+      FROM orders
+    ),
+    runs AS (
+      SELECT *, SUM(chg) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS grp
+      FROM obs
+    ),
+    hist AS (
+      SELECT o_custkey AS custkey, grp, o_orderpriority AS priority,
+             MIN(o_orderdate) AS valid_from, COUNT(*) AS n_obs
+      FROM runs GROUP BY o_custkey, grp, o_orderpriority
+    )
+    SELECT custkey, priority, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY custkey ORDER BY valid_from, grp
+           ) AS valid_to,
+           n_obs
+    FROM hist ORDER BY custkey, valid_from, priority
+    """,
+    tables=("orders",),
+)(_x_scd2_history)
+
+
+#: 2^48 — the priority-sampling uniform's modulus; n_chars·2^48 stays far
+#: inside int64 (553 · 2.8e14 ≈ 1.6e17), so the whole scheme is exact
+#: integer arithmetic and therefore hash-identical across engines.
+_PRIO_MOD = 1 << 48
+
+
+def _x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via Duffield–Lund–Thorup
+    PRIORITY SAMPLING: each doc draws a deterministic uniform
+    ``u ∈ [1, 2^48]`` from its md5, gets priority ``w·2^48 div u``
+    (weight = ``n_chars``), and the k largest priorities are kept —
+    longer documents proportionally more likely, reproducible across
+    runs and engines (all-integer: no pow/ln float drift to break the
+    value-hash gate, unlike the classic exponential-key A-ES form).
+
+    Scale shape: pure projection + TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver side of the exchange; no full
+    sort, no UDF.
+    """
+    hx = hex64_sql("CAST(doc_id AS STRING)")
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                f"(CAST(n_chars AS BIGINT) * {_PRIO_MOD}) DIV "
+                f"((({hx}) % {_PRIO_MOD}) + 1)"
+            ).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+register(
+    "x_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           (CAST(n_chars AS BIGINT) * {_PRIO_MOD}) //
+           ((({duck_hex64_sql("CAST(doc_id AS VARCHAR)")}) % {_PRIO_MOD}) + 1)
+             AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT 50
+    """,
+    tables=("documents",),
+)(_x_weighted_sample)
+
+
+def _e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly flags over an event stream: each event's value is
+    z-scored against its user's trailing 10-event window, and events with
+    ``|z| > 2`` (sample std, frames of ≥ 5 events) are surfaced.  The
+    telemetry outlier screen of a monitoring pipeline.
+
+    The test ``z² > 4`` is cross-multiplied into INTEGER arithmetic over
+    millivalue quantities (``q = round(value·1000)``):
+    ``(q·n − Σq)²·(n−1) > 4·n·(n·Σq² − (Σq)²)`` — exact in any
+    accumulation order, so both engines flag identical rows (a float
+    stddev would drift between Welford and naive accumulation).
+    Magnitude bound: q ≤ 5·10⁵ ⇒ every term < 10¹⁵ ≪ 2⁶³.
+
+    Scale shape: one window partitioned by ``user_id`` — a single
+    shuffle, all codegen; the trailing frame is O(10) state per row.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("q"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    st = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        "q",
+        F.sum("q").over(w).alias("sv"),
+        F.sum(F.expr("q * q")).over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return (
+        st.where(
+            F.expr(
+                "n >= 5 AND (q*n - sv)*(q*n - sv)*(n-1) > 4*n*(n*sq - sv*sv)"
+            )
+        )
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+register(
+    "e_anomaly_zscore",
+    oracle="""
+    WITH st AS (
+      SELECT event_id, user_id, value,
+             CAST(round(value * 1000) AS BIGINT) AS q,
+             SUM(CAST(round(value * 1000) AS BIGINT)) OVER w AS sv,
+             SUM(CAST(round(value * 1000) AS BIGINT)
+                 * CAST(round(value * 1000) AS BIGINT)) OVER w AS sq,
+             COUNT(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value
+    FROM st
+    WHERE n >= 5 AND (q*n - sv)*(q*n - sv)*(n-1) > 4*n*(n*sq - sv*sv)
+    ORDER BY event_id
+    """,
+    tables=("events",),
+)(_e_anomaly_zscore)
