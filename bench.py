@@ -70,6 +70,11 @@ EXT_HEADLINE = [
     # findings); benched so a regression in either shows up per-round
     "s_ann_ivf_topk",
     "d_embedding_near_dup",
+    # round 4: the single-shuffle window family representatives — SCD2
+    # run-collapse over orders (two windows + aggregate sharing one
+    # exchange) and the integer-exact trailing z-score screen over events
+    "x_scd2_history",
+    "e_anomaly_zscore",
 ]
 
 

@@ -3335,3 +3335,56 @@ register(
     """,
     tables=("events",),
 )(_e_anomaly_zscore)
+
+
+def _x_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping — the crawl-pipeline guard against one
+    domain dominating the corpus (C4/RefinedWeb-style).  A SOFT cap: each
+    source's quota is ``ceil(2·√n_source)`` (square-root capping keeps
+    small sources whole while shaving heavy domains), and within a source
+    docs are kept by length-desc rank (doc_id tiebreak).
+
+    Scale shape: the per-source counts are a tiny aggregate BROADCAST back
+    onto the corpus (no second corpus shuffle for the join), so the plan
+    is one count shuffle + one window shuffle on the same key; IEEE sqrt
+    is correctly rounded, so ``ceil(2·sqrt(n))`` is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    quota = d.groupBy("source").agg(
+        F.expr("CAST(ceil(2 * sqrt(COUNT(*))) AS BIGINT)").alias("quota")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = d.select("doc_id", "source", "n_chars").withColumn(
+        "rank", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rank") <= F.col("quota"))
+        .select("source", "doc_id", "rank", "quota")
+        .orderBy("source", "rank")
+    )
+
+
+register(
+    "x_domain_cap",
+    oracle="""
+    WITH quota AS (
+      SELECT source, CAST(ceil(2 * sqrt(COUNT(*))) AS BIGINT) AS quota
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rank
+      FROM documents
+    )
+    SELECT r.source, r.doc_id, r.rank, q.quota
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rank <= q.quota
+    ORDER BY r.source, r.rank
+    """,
+    tables=("documents",),
+)(_x_domain_cap)
