@@ -3388,3 +3388,50 @@ register(
     """,
     tables=("documents",),
 )(_x_domain_cap)
+
+
+def _e_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trailing-window anomaly screen, driver-gated: the
+    bounded-state ``applyInPandasWithState`` operator
+    (streaming/events.py:streaming_anomaly) drained with
+    ``availableNow`` into an append-mode memory sink must flag the
+    IDENTICAL rows as the batch window SQL — the oracle is byte-for-byte
+    the ``e_anomaly_zscore`` statement.  State is O(users·9) longs; the
+    drain is one shuffle to the state partitioning."""
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_anomaly,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_memory(
+        streaming_anomaly(stream),
+        "e_streaming_anomaly_sink",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return spark.table("e_streaming_anomaly_sink").orderBy("event_id")
+
+
+register(
+    "e_streaming_anomaly",
+    oracle="""
+    WITH st AS (
+      SELECT event_id, user_id, value,
+             CAST(round(value * 1000) AS BIGINT) AS q,
+             SUM(CAST(round(value * 1000) AS BIGINT)) OVER w AS sv,
+             SUM(CAST(round(value * 1000) AS BIGINT)
+                 * CAST(round(value * 1000) AS BIGINT)) OVER w AS sq,
+             COUNT(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value
+    FROM st
+    WHERE n >= 5 AND (q*n - sv)*(q*n - sv)*(n-1) > 4*n*(n*sq - sv*sv)
+    ORDER BY event_id
+    """,
+    tables=("events",),
+)(_e_streaming_anomaly)

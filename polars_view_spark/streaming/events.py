@@ -281,6 +281,80 @@ def run_stream_to_memory(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def streaming_anomaly(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``e_anomaly_zscore`` screen: per-user
+    trailing-10-event z-score flags (``|z| > 2``, sample std, frames of
+    ≥ 5 events) as a custom stateful operator.
+
+    State per user is BOUNDED: the last ≤ 9 quantized values (an
+    ``array<long>`` row), i.e. O(users · 9) total — the
+    ``applyInPandasWithState`` shape for online screens the built-in
+    windowed aggregates can't express (they window by TIME, not by a
+    trailing ROW count).  Two contracts keep it exactly batch-parity:
+
+    - quantization (``q = round(value·1000)``) happens JVM-SIDE before
+      the stateful operator — Spark's ``round`` is half-away-from-zero
+      while Python's is half-even, so quantizing in pandas would flag
+      different rows than the batch/oracle SQL;
+    - the z² test is the same cross-multiplied integer comparison as the
+      batch operator, exact in any accumulation order.
+
+    Rows within a micro-batch are sorted by (ts, event_id) per user;
+    ACROSS batches the source must deliver each user's events in
+    event-time order (a backfill of time-split files, or an upstream
+    that bounds disorder) — the standard contract of any online
+    trailing-window algorithm.  NB for file sources: Spark orders
+    micro-batches by file MODIFICATION TIME, not by name — a backfill
+    must write (or utime) its files in event-time order.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("qs", T.ArrayType(T.LongType()))])
+
+    def update(key, pdfs, state: GroupState):
+        hist = list(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        out = {"event_id": [], "user_id": [], "value": []}
+        for eid, val, q in zip(batch["event_id"], batch["value"], batch["q"]):
+            q = int(q)
+            win = hist[-9:] + [q]
+            n = len(win)
+            if n >= 5:
+                sv = sum(win)
+                sq = sum(x * x for x in win)
+                if (q * n - sv) ** 2 * (n - 1) > 4 * n * (n * sq - sv * sv):
+                    out["event_id"].append(int(eid))
+                    out["user_id"].append(int(key[0]))
+                    out["value"].append(float(val))
+            hist = win[-9:]
+        state.update((hist,))
+        yield pd.DataFrame(out)
+
+    quantized = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("q"),
+    )
+    return quantized.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),

@@ -508,3 +508,81 @@ def test_streaming_trending_matches_batch(spark):
     batch_counts = streaming_trending(load_tables(spark, SF, "events")["events"])
     want = [tuple(r) for r in topk_per_window(batch_counts).collect()]
     assert got == want and len(got) > 0
+
+
+def test_streaming_anomaly_matches_batch_single_drain(spark):
+    """availableNow drain of the stateful trailing z-score == batch window
+    SQL over the same events — identical flagged rows, same order."""
+    from polars_view_spark.catalog import entries
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_anomaly,
+    )
+
+    stream = read_event_stream(spark, f"{SF}/events.parquet")
+    run_stream_to_memory(
+        streaming_anomaly(stream), "anom_single", output_mode="append",
+        state_partitions=8,
+    )
+    got = [tuple(r) for r in spark.table("anom_single").orderBy("event_id").collect()]
+    want = [
+        tuple(r)
+        for r in entries()["e_anomaly_zscore"].spark_fn(spark, SF).collect()
+    ]
+    assert got == want and len(want) > 0
+
+
+def test_streaming_anomaly_state_survives_batch_boundaries(spark, tmp_path):
+    """The last-9-values state must hand off across micro-batches: the
+    events are split into three time-ordered files (maxFilesPerTrigger=1
+    → three batches), and a trailing window straddling a file boundary
+    must still see its pre-boundary history.  Flagged rows must equal the
+    single-drain (and hence batch) result exactly."""
+    from polars_view_spark.catalog import entries, load_tables
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_anomaly,
+    )
+
+    ev = load_tables(spark, SF, "events")["events"].orderBy("ts", "event_id")
+    rows = ev.collect()
+    third = len(rows) // 3
+    src = tmp_path / "events_split"
+    src.mkdir()
+    for i, lo in enumerate((0, third, 2 * third)):
+        hi = len(rows) if i == 2 else (lo + third)
+        chunk = spark.createDataFrame(rows[lo:hi], ev.schema)
+        # one file per chunk, named in time order
+        chunk.coalesce(1).write.parquet(str(src / f"chunk{i}"))
+    # flatten: the file source streams a directory of parquet files
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import os as _os
+    import time as _time
+
+    base = int(_time.time()) - 100
+    for i in range(3):
+        part = next((src / f"chunk{i}").glob("part-*.parquet"))
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        # the file source orders micro-batches by MODIFICATION TIME, not
+        # name: identical copy-mtimes make the batch order (and thus the
+        # trailing windows) nondeterministic — pin ascending mtimes, the
+        # same contract a real time-ordered backfill provides
+        _os.utime(dst, (base + i, base + i))
+
+    stream = read_event_stream(spark, str(flat))
+    run_stream_to_memory(
+        streaming_anomaly(stream), "anom_split", output_mode="append",
+        state_partitions=8,
+    )
+    got = [tuple(r) for r in spark.table("anom_split").orderBy("event_id").collect()]
+    want = [
+        tuple(r)
+        for r in entries()["e_anomaly_zscore"].spark_fn(spark, SF).collect()
+    ]
+    assert got == want and len(want) > 0
