@@ -3240,7 +3240,7 @@ def _x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_chars",
             F.expr(
-                f"(CAST(n_chars AS BIGINT) * {_PRIO_MOD}) DIV "
+                f"(least(CAST(n_chars AS BIGINT), 32767L) * {_PRIO_MOD}) DIV "
                 f"((({hx}) % {_PRIO_MOD}) + 1)"
             ).alias("priority"),
         )
@@ -3253,7 +3253,7 @@ register(
     "x_weighted_sample",
     oracle=f"""
     SELECT doc_id, n_chars,
-           (CAST(n_chars AS BIGINT) * {_PRIO_MOD}) //
+           (least(CAST(n_chars AS BIGINT), 32767) * {_PRIO_MOD}) //
            ((({duck_hex64_sql("CAST(doc_id AS VARCHAR)")}) % {_PRIO_MOD}) + 1)
              AS priority
     FROM documents
@@ -3262,6 +3262,29 @@ register(
     """,
     tables=("documents",),
 )(_x_weighted_sample)
+
+
+#: The trailing z-score oracle, shared VERBATIM by the batch entry and
+#: its streaming twin — one constant, so the documented "streaming ==
+#: batch" guarantee is structural rather than copy-discipline.
+_ANOMALY_ORACLE = """
+    WITH st AS (
+      SELECT event_id, user_id, value,
+             CAST(round(value * 1000) AS BIGINT) AS q,
+             SUM(CAST(round(value * 1000) AS BIGINT)) OVER w AS sv,
+             SUM(CAST(round(value * 1000) AS BIGINT)
+                 * CAST(round(value * 1000) AS BIGINT)) OVER w AS sq,
+             COUNT(*) OVER w AS n
+      FROM events
+      WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value
+    FROM st
+    WHERE n >= 5 AND (q*n - sv)*(q*n - sv)*(n-1) > 4*n*(n*sq - sv*sv)
+    ORDER BY event_id
+    """
 
 
 def _e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3282,12 +3305,20 @@ def _e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_tables(spark, sf_dir, "events")["events"].select(
-        "event_id",
-        "user_id",
-        "ts",
-        "value",
-        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("q"),
+    ev = (
+        load_tables(spark, sf_dir, "events")["events"]
+        # a NULL value cannot be z-scored and must not skew its
+        # neighbors' stats (COUNT(*) would include the row while SUM
+        # skips it) — drop it from the screen, same contract as the
+        # streaming twin
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("q"),
+        )
     )
     w = (
         Window.partitionBy("user_id")
@@ -3316,23 +3347,7 @@ def _e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "e_anomaly_zscore",
-    oracle="""
-    WITH st AS (
-      SELECT event_id, user_id, value,
-             CAST(round(value * 1000) AS BIGINT) AS q,
-             SUM(CAST(round(value * 1000) AS BIGINT)) OVER w AS sv,
-             SUM(CAST(round(value * 1000) AS BIGINT)
-                 * CAST(round(value * 1000) AS BIGINT)) OVER w AS sq,
-             COUNT(*) OVER w AS n
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
-    )
-    SELECT event_id, user_id, value
-    FROM st
-    WHERE n >= 5 AND (q*n - sv)*(q*n - sv)*(n-1) > 4*n*(n*sq - sv*sv)
-    ORDER BY event_id
-    """,
+    oracle=_ANOMALY_ORACLE,
     tables=("events",),
 )(_e_anomaly_zscore)
 
@@ -3416,22 +3431,6 @@ def _e_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "e_streaming_anomaly",
-    oracle="""
-    WITH st AS (
-      SELECT event_id, user_id, value,
-             CAST(round(value * 1000) AS BIGINT) AS q,
-             SUM(CAST(round(value * 1000) AS BIGINT)) OVER w AS sv,
-             SUM(CAST(round(value * 1000) AS BIGINT)
-                 * CAST(round(value * 1000) AS BIGINT)) OVER w AS sq,
-             COUNT(*) OVER w AS n
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
-    )
-    SELECT event_id, user_id, value
-    FROM st
-    WHERE n >= 5 AND (q*n - sv)*(q*n - sv)*(n-1) > 4*n*(n*sq - sv*sv)
-    ORDER BY event_id
-    """,
+    oracle=_ANOMALY_ORACLE,
     tables=("events",),
 )(_e_streaming_anomaly)

@@ -247,10 +247,22 @@ def sniff_media_header(
                     | ((b[8] & 0x7F) << 7)
                     | (b[9] & 0x7F)
                 )
-            # resync: tag padding may precede the frame
-            while i + 4 <= len(b) and not (
-                b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0
-            ):
+            # resync: tag padding/junk may precede the frame.  C-speed
+            # find() per candidate (not a per-byte Python loop), bounded
+            # to a 64 KiB window past the tag (standard tagger practice —
+            # a corrupt multi-MB payload must not cost millions of
+            # interpreter iterations in the hot decode path), and the
+            # sync must carry nonzero LAYER bits — the same validity the
+            # entry condition enforces, so an ID3-tagged ADTS/AAC frame
+            # (layer bits 00) is not misread as MP3
+            limit = min(len(b), i + 65536)
+            while True:
+                i = b.find(b"\xff", i)
+                if i < 0 or i + 4 > limit:
+                    i = len(b)  # no valid sync in window
+                    break
+                if (b[i + 1] & 0xE0) == 0xE0 and (b[i + 1] & 0x06):
+                    break
                 i += 1
             if i + 4 <= len(b):
                 ver_bits = (b[i + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
@@ -262,8 +274,13 @@ def sniff_media_header(
                 if ver_bits in rates and rate_idx < 3:
                     rate = rates[ver_bits][rate_idx]
                     kbps = (kbps_v1 if ver_bits == 3 else kbps_v2)[br_idx]
-                    dur = len(b) * 8 // kbps if kbps else None
+                    # CBR estimate over the AUDIO bytes only — the ID3 tag
+                    # (often megabytes of album art) is not audio time
+                    dur = (len(b) - i) * 8 // kbps if kbps else None
                     return "mp3", None, None, rate, dur
+            # ID3 tag with no valid MP3 frame in the resync window: keep
+            # the bare format name, fabricate nothing (the payload may be
+            # ID3-tagged AAC or truncated)
             return "mp3", None, None, None, None
         if len(b) >= 12 and b[4:8] == b"ftyp":
             # MP4 / ISO-BMFF (also MOV/3GP/HEIF brands): duration is

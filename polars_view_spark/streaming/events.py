@@ -339,7 +339,10 @@ def streaming_anomaly(events: DataFrame) -> DataFrame:
         state.update((hist,))
         yield pd.DataFrame(out)
 
-    quantized = events.select(
+    # a NULL value cannot be z-scored: drop it JVM-side (int(NaN) would
+    # kill the stateful task — the one-bad-row contract) and keep it out
+    # of neighbors' windows, matching the batch twin's filter exactly
+    quantized = events.where(F.col("value").isNotNull()).select(
         "event_id",
         "user_id",
         "ts",

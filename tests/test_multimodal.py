@@ -388,7 +388,8 @@ class TestAudioVideoSniffTiers:
         payload = id3 + frame + b"\x00" * (16000 - len(id3) - 4)
         fmt, _, _, r, dur = sniff_media_header(payload)
         assert (fmt, r) == ("mp3", 44100)
-        assert dur == len(payload) * 8 // 128  # CBR estimate
+        # CBR estimate over the AUDIO bytes only (tag excluded)
+        assert dur == (len(payload) - len(id3)) * 8 // 128
 
     def test_mp3_bare_framesync(self):
         from polars_view_spark.operators.multimodal import sniff_media_header
@@ -407,3 +408,28 @@ class TestAudioVideoSniffTiers:
         ebml = b"\x1a\x45\xdf\xa3" + b"\x00" * 20
         assert sniff_media_header(ebml)[0] == "mkv"
         assert sniff_media_header(ebml + b"webm")[0] == "webm"
+
+    def test_id3_tagged_adts_not_misread_as_mp3_frame(self):
+        """r04 review finding: an ID3-tagged ADTS/AAC payload (frame sync
+        0xFFF1 — LAYER bits 00) must not yield a fabricated MP3 sample
+        rate/duration; it degrades to the bare tag format."""
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        id3 = b"ID3\x04\x00\x00" + b"\x00\x00\x00\x00"
+        adts = bytes([0xFF, 0xF1, 0x50, 0x80]) + b"\x00" * 64
+        fmt, w, h, rate, dur = sniff_media_header(id3 + adts)
+        assert (fmt, rate, dur) == ("mp3", None, None)
+
+    def test_corrupt_id3_resync_is_bounded(self):
+        """A large ID3-prefixed payload with no frame sync must degrade
+        quickly (64 KiB bounded C-speed resync), not scan megabytes in a
+        Python loop."""
+        import time
+
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        junk = b"ID3\x04\x00\x00" + b"\x00\x00\x00\x00" + b"\x01" * (8 << 20)
+        t0 = time.perf_counter()
+        fmt, w, h, rate, dur = sniff_media_header(junk)
+        assert (fmt, rate, dur) == ("mp3", None, None)
+        assert time.perf_counter() - t0 < 0.5

@@ -586,3 +586,39 @@ def test_streaming_anomaly_state_survives_batch_boundaries(spark, tmp_path):
         for r in entries()["e_anomaly_zscore"].spark_fn(spark, SF).collect()
     ]
     assert got == want and len(want) > 0
+
+
+def test_streaming_anomaly_survives_null_values(spark, tmp_path):
+    """r04 review finding: a NULL value must not kill the stateful task
+    (int(NaN) raised inside applyInPandasWithState) and must not skew
+    neighbors' windows — both twins drop it before windowing."""
+    import datetime as dt
+
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_anomaly,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1,
+         "click", None if i == 3 else (100.0 if i != 8 else 9000.0), "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    src = tmp_path / "nulls"
+    df.coalesce(1).write.parquet(str(src))
+    stream = read_event_stream(spark, str(src))
+    run_stream_to_memory(
+        streaming_anomaly(stream), "anom_nulls", output_mode="append",
+        state_partitions=2,
+    )
+    got = [tuple(r) for r in spark.table("anom_nulls").collect()]
+    # the spike (event 8) is flagged; the NULL row neither crashes the
+    # query nor appears in the output
+    assert (8, 1, 9000.0) in got
+    assert all(r[0] != 3 for r in got)
