@@ -343,8 +343,10 @@ def test_cte_scope_star_fuzz_end_to_end(spark):
 
     rng = random.Random(20260817)
     failures = []
-    for i in range(60):
-        shape = rng.choice(["cte_body", "from_subquery", "two_deep"])
+    for i in range(80):
+        shape = rng.choice(
+            ["cte_body", "from_subquery", "two_deep", "cte_mods_qualify"]
+        )
         mods, expanded, kept = _gen_modifier_chain(rng)
         where = rng.choice(WHERE_POOL)
         wh = f" WHERE {where}" if where else ""
@@ -363,7 +365,7 @@ def test_cte_scope_star_fuzz_end_to_end(spark):
                  f"SELECT * FROM (SELECT {mods} FROM seed) s{tail}")
             want_sql = (f"WITH seed AS (SELECT * FROM AllData{wh}) "
                         f"SELECT * FROM (SELECT {expanded} FROM seed) s{tail}")
-        else:
+        elif shape == "two_deep":
             # star two scopes deep: subquery inside a CTE body, FROM the
             # first CTE
             q = (f"WITH seed AS (SELECT * FROM AllData{wh}), "
@@ -372,6 +374,19 @@ def test_cte_scope_star_fuzz_end_to_end(spark):
             want_sql = (f"WITH seed AS (SELECT * FROM AllData{wh}), "
                         f"base AS (SELECT * FROM (SELECT {expanded} FROM seed) t) "
                         f"SELECT * FROM base{tail}")
+        else:
+            # the full composition: CTE prefix + modifier star in the main
+            # select + QUALIFY.  The qualify wrap pushes the WITH inside
+            # the __pvs_qsub parens, so the star resolves through the
+            # merged enclosing-WITH prefix at depth 2 — the interaction of
+            # all three rewrites in one statement
+            fn = rng.choice(["ROW_NUMBER()", "RANK()"])
+            thr = rng.randint(1, 3)
+            win = f'{fn} OVER (PARTITION BY "k" % 2 ORDER BY "k" DESC)'
+            q = (f"WITH seed AS (SELECT * FROM AllData{wh}) "
+                 f"SELECT {mods} FROM seed QUALIFY {win} <= {thr}")
+            want_sql = (f"WITH seed AS (SELECT * FROM AllData{wh}) "
+                        f"SELECT {expanded} FROM seed QUALIFY {win} <= {thr}")
         try:
             got = spark.sql(rewrite_query(q, spark))
             want = con.sql(want_sql).df()
