@@ -192,7 +192,8 @@ DRIVER_PRIORITY = [
 # q_rollup, t_normalize_euro, t_replace_nulls, t_replace_nulls_universal,
 # t_drop_columns_regex, q_count_distinct window leftovers — then the
 # round-4 additions (x_quality_buckets, x_nation_pagerank, x_scd2_history,
-# x_weighted_sample, e_anomaly_zscore, x_domain_cap, e_streaming_anomaly — all green in the local oracle gate
+# x_weighted_sample, e_anomaly_zscore, x_domain_cap, e_streaming_anomaly,
+# x_triangle_count — all green in the local oracle gate
 # at sf0.001 AND sf0.01), then the oldest r02-only stamps (d_span_dedup,
 # x_sequence_pack, t_merge_upsert, ...), plus anything round 4 changes.
 

@@ -3434,3 +3434,101 @@ register(
     oracle=_ANOMALY_ORACLE,
     tables=("events",),
 )(_e_streaming_anomaly)
+
+
+def _x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the nation trade graph — the third classic
+    distributed-graph primitive alongside PageRank (`x_nation_pagerank`)
+    and connected components (`d_dedup_clusters`): community density /
+    clustering-coefficient numerator for link-graph quality signals.
+
+    The directed trade edges collapse to UNDIRECTED distinct pairs with
+    ``least/greatest`` canonicalization, and triangles are enumerated
+    once each via the ordered two-hop join ``e(a,b) ⋈ e(b,c) ⋈ e(a,c)``
+    with ``a < b < c``.
+
+    Scale shape: two hash joins over the (deduplicated) edge list — the
+    standard MapReduce triangle enumeration; at web scale the join
+    degree is bounded by orienting edges low-degree→high-degree, which
+    the a<b<c ordering approximates for this graph.  Everything is
+    codegen; output is one row per nation with its triangle count.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    directed = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
+        )
+    )
+    e = (
+        directed.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("nk"))
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        per_node.join(t["nation"], F.col("nk") == F.col("n_nationkey"))
+        .select("n_name", "n_triangles")
+        .orderBy("n_name")
+    )
+
+
+register(
+    "x_triangle_count",
+    oracle="""
+    WITH directed AS (
+      SELECT c.c_nationkey AS u, s.s_nationkey AS v
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    e AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM directed WHERE u <> v
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+    ),
+    per_node AS (
+      SELECT nk, COUNT(*) AS n_triangles
+      FROM (
+        SELECT x AS nk FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      )
+      GROUP BY nk
+    )
+    SELECT n.n_name, p.n_triangles
+    FROM per_node p JOIN nation n ON p.nk = n.n_nationkey
+    ORDER BY n.n_name
+    """,
+    tables=("lineitem", "orders", "customer", "supplier", "nation"),
+)(_x_triangle_count)
