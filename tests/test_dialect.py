@@ -351,3 +351,18 @@ class TestStarModifierCteScope:
             spark,
         )
         assert [r.asDict() for r in spark.sql(out).collect()] == [{"x": 10}]
+
+    def test_star_in_backtick_named_cte_body(self, spark):
+        """The dangling `name AS` strip must handle backtick-quoted CTE
+        names (which double-quoted identifiers become after the quote
+        rewrite) — otherwise the merged prefix is malformed and a legal
+        statement fails resolution."""
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        out = rewrite_query(
+            'WITH a AS (SELECT 1 AS x, 2 AS y), '
+            '"b c" AS (SELECT * RENAME (y AS w) FROM a) '
+            'SELECT * FROM "b c"',
+            spark,
+        )
+        assert [r.asDict() for r in spark.sql(out).collect()] == [{"x": 1, "w": 2}]
