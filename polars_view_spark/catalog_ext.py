@@ -3066,6 +3066,31 @@ register(
 )(_x_quality_buckets)
 
 
+def _trade_nation_pairs(t) -> DataFrame:
+    """One (customer-nation ``u``, supplier-nation ``v``) row per
+    lineitem — the directed trade-edge multiset shared by the graph
+    entries (PageRank, triangle count); single-sourced so the two
+    builders and their oracle CTEs cannot drift."""
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v"))
+    )
+
+
+#: DuckDB mirror of :func:`_trade_nation_pairs` — spliced into both graph
+#: oracles.
+_TRADE_EDGES_SQL = """
+      SELECT c.c_nationkey AS u, s.s_nationkey AS v
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
+
+
 def _x_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the nation-level trade graph (operators/graph.py):
     nodes are nations, a directed edge customer-nation → supplier-nation
@@ -3078,13 +3103,8 @@ def _x_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
     edges = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
+        _trade_nation_pairs(t)
+        .groupBy(F.col("u").alias("src"), F.col("v").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
     ranks = pagerank(edges, weight_col="w")
@@ -3110,13 +3130,10 @@ _PR_IT = """
 
 register(
     "x_nation_pagerank",
-    oracle="""
+    oracle=("""
     WITH edges AS (
-      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      SELECT u AS src, v AS dst, COUNT(*) AS w
+      FROM ({TRADE}) d
       GROUP BY 1, 2
     ),
     nodes AS (
@@ -3132,7 +3149,7 @@ register(
     SELECT n.n_name, r.rank AS pagerank_micro
     FROM it3 r JOIN nation n ON r.v = n.n_nationkey
     ORDER BY pagerank_micro DESC, n_name
-    """,
+    """).replace("{TRADE}", _TRADE_EDGES_SQL),
     tables=("lineitem", "orders", "customer", "supplier", "nation"),
 )(_x_nation_pagerank)
 
@@ -3454,15 +3471,7 @@ def _x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen; output is one row per nation with its triangle count.
     """
     t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
-    directed = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(
-            F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
-        )
-    )
+    directed = _trade_nation_pairs(t)
     e = (
         directed.where(F.col("u") != F.col("v"))
         .select(
@@ -3499,14 +3508,8 @@ def _x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "x_triangle_count",
-    oracle="""
-    WITH directed AS (
-      SELECT c.c_nationkey AS u, s.s_nationkey AS v
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    ),
+    oracle=("""
+    WITH directed AS ({TRADE}),
     e AS (
       SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
       FROM directed WHERE u <> v
@@ -3529,6 +3532,6 @@ register(
     SELECT n.n_name, p.n_triangles
     FROM per_node p JOIN nation n ON p.nk = n.n_nationkey
     ORDER BY n.n_name
-    """,
+    """).replace("{TRADE}", _TRADE_EDGES_SQL),
     tables=("lineitem", "orders", "customer", "supplier", "nation"),
 )(_x_triangle_count)

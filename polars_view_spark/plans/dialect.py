@@ -629,7 +629,7 @@ def _enclosing_with_prefix(q: str, star_idx: int, first_select_in_scope: int) ->
             # before it, dropping the dangling `name AS` (and an optional
             # column-alias list) that opens the star's own CTE
             clause = re.sub(
-                r",?\s*(?:[A-Za-z_]\w*|`[^`]+`)\s*(\([^()]*\))?\s+AS\s*$",
+                r",?\s*(?:[A-Za-z_]\w*|`(?:[^`]|``)+`)\s*(\([^()]*\))?\s+AS\s*$",
                 "",
                 text,
                 flags=re.IGNORECASE,

@@ -366,3 +366,18 @@ class TestStarModifierCteScope:
             spark,
         )
         assert [r.asDict() for r in spark.sql(out).collect()] == [{"x": 1, "w": 2}]
+
+    def test_star_in_cte_named_with_embedded_backtick(self, spark):
+        """An identifier containing a literal backtick becomes a doubled
+        backtick after the quote rewrite; the dangling-name strip must
+        consume the whole quoted name, not stop at the first backtick
+        pair (r04 review finding)."""
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        out = rewrite_query(
+            'WITH a AS (SELECT 1 AS x, 2 AS y), '
+            '"b`c" AS (SELECT * RENAME (y AS w) FROM a) '
+            'SELECT * FROM "b`c"',
+            spark,
+        )
+        assert [r.asDict() for r in spark.sql(out).collect()] == [{"x": 1, "w": 2}]
