@@ -201,6 +201,24 @@ def sniff_media_header(
                 else None
             )
             return "wav", None, None, rate, dur
+        if b.startswith(b"FORM") and b[8:12] in (b"AIFF", b"AIFC"):
+            # AIFF: RIFF's big-endian sibling.  COMM carries the frame
+            # count and the sample rate as an 80-bit IEEE extended float
+            # (15-bit exponent, 64-bit explicit-leading-one mantissa).
+            i = 12
+            rate = frames = None
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                clen = struct.unpack(">I", b[i + 4 : i + 8])[0]
+                if cid == b"COMM" and i + 26 <= len(b):
+                    frames = struct.unpack(">I", b[i + 10 : i + 14])[0]
+                    exp = struct.unpack(">H", b[i + 16 : i + 18])[0] & 0x7FFF
+                    mant = struct.unpack(">Q", b[i + 18 : i + 26])[0]
+                    if exp and mant:
+                        rate = int(mant * 2.0 ** (exp - 16383 - 63))
+                i += 8 + clen + (clen & 1)
+            dur = frames * 1000 // rate if frames and rate else None
+            return "aiff", None, None, rate, dur
         if b.startswith(b"fLaC"):
             # FLAC: the mandatory first metadata block is STREAMINFO —
             # sample rate is a 20-bit field at payload offset 10, total
@@ -283,9 +301,14 @@ def sniff_media_header(
             # ID3-tagged AAC or truncated)
             return "mp3", None, None, None, None
         if len(b) >= 12 and b[4:8] == b"ftyp":
-            # MP4 / ISO-BMFF (also MOV/3GP/HEIF brands): duration is
-            # moov/mvhd duration ÷ timescale; display size is the first
-            # video trak's tkhd 16.16 fixed-point width/height
+            # MP4 / ISO-BMFF: duration is moov/mvhd duration ÷ timescale;
+            # display size is the first video trak's tkhd 16.16
+            # fixed-point width/height.  The MAJOR BRAND distinguishes
+            # the image codecs carried in the same container (AVIF/HEIC
+            # as "mp4" would route stills to the video path downstream).
+            brand = b[8:12]
+            fmt = {b"avif": "avif", b"avis": "avif", b"heic": "heic",
+                   b"heix": "heic", b"mif1": "heif"}.get(brand, "mp4")
             dur_ms = w = h = None
             for btype, p0, p1 in _mp4_boxes(b, 0, len(b)):
                 if btype != b"moov":
@@ -318,7 +341,7 @@ def sniff_media_header(
                                 if fw and fh:  # audio traks carry 0×0
                                     w, h = fw >> 16, fh >> 16
                 break
-            return "mp4", w, h, None, dur_ms
+            return fmt, w, h, None, dur_ms
         if b.startswith(b"\xff\xd8"):
             # JPEG: walk the marker stream to the first SOFn frame header
             i = 2

@@ -433,3 +433,31 @@ class TestAudioVideoSniffTiers:
         fmt, w, h, rate, dur = sniff_media_header(junk)
         assert (fmt, rate, dur) == ("mp3", None, None)
         assert time.perf_counter() - t0 < 0.5
+
+    def test_aiff_comm_rate_and_duration(self):
+        import struct
+
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        # 44100 Hz as an 80-bit extended float: exp 16397, mantissa
+        # 0xAC44 << 48 (44100 = 0b1010110001000100, 16 bits → exponent
+        # 16383 + 15)
+        rate_ext = struct.pack(">H", 16383 + 15) + struct.pack(">Q", 44100 << 48)
+        comm = (b"COMM" + struct.pack(">I", 18)
+                + struct.pack(">h", 1)            # channels
+                + struct.pack(">I", 44100 * 2)    # 2 s of frames
+                + struct.pack(">h", 16)           # bits
+                + rate_ext)
+        hdr = b"FORM" + struct.pack(">I", 100) + b"AIFF" + comm
+        fmt, w, h, r, dur = sniff_media_header(hdr)
+        assert (fmt, r, dur) == ("aiff", 44100, 2000)
+
+    def test_avif_heic_brands_not_reported_as_mp4(self):
+        import struct
+
+        from polars_view_spark.operators.multimodal import sniff_media_header
+
+        for brand, want in ((b"avif", "avif"), (b"heic", "heic"),
+                            (b"mif1", "heif"), (b"isom", "mp4")):
+            hdr = struct.pack(">I", 16) + b"ftyp" + brand + b"\x00\x00\x00\x00"
+            assert sniff_media_header(hdr)[0] == want
