@@ -9,8 +9,10 @@ batches without JVM↔Python per-row costs.
 Decode comes in two flavors: ``decode_features`` is the deterministic
 byte-derived stub the DuckDB oracle value-checks, and ``decode_real`` is
 the real decoder — a pure-stdlib magic-byte header parser (PNG/JPEG/GIF/
-BMP/WAV format + dimensions / sample rate) that upgrades per-payload to a
-full Pillow decode when the library is importable.  The schema, batch
+BMP/WebP images; WAV/FLAC/Ogg/MP3/AIFF audio; MP4/ISO-BMFF-brand/
+Matroska video — dimensions, sample rate, duration where the header
+carries them) that upgrades per-payload to a full Pillow decode when the
+library is importable.  The schema, batch
 iteration, and partitioning behavior are shared and tested either way.
 """
 
@@ -140,8 +142,9 @@ def sniff_media_header(
     Covers PNG / JPEG / GIF / BMP / WebP (images); WAV (sample rate +
     duration from the data-chunk length ÷ byte rate), FLAC (STREAMINFO
     20-bit rate + 36-bit total samples), Ogg Vorbis/Opus (id-header rate),
-    and MP3 (frame-header rate; duration as the standard CBR estimate
-    from payload length ÷ bitrate) for audio; MP4 / ISO-BMFF (duration
+    MP3 (frame-header rate; duration as the standard CBR estimate from
+    audio length ÷ bitrate), and AIFF (COMM 80-bit extended-float rate +
+    frame count) for audio; MP4 / ISO-BMFF (major brand reported, duration
     from ``moov/mvhd``, display size from the first ``trak/tkhd``) and
     Matroska/WebM (format only) for video; anything else is
     ``("unknown", None, None, None, None)``.  Truncated or corrupt headers degrade to the bare format name
