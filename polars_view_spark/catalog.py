@@ -194,8 +194,13 @@ DRIVER_PRIORITY = [
 # round-4 additions (x_quality_buckets, x_nation_pagerank, x_scd2_history,
 # x_weighted_sample, e_anomaly_zscore, x_domain_cap, e_streaming_anomaly,
 # x_triangle_count — all green in the local oracle gate
-# at sf0.001 AND sf0.01), then the oldest r02-only stamps (d_span_dedup,
-# x_sequence_pack, t_merge_upsert, ...), plus anything round 4 changes.
+# at sf0.001 AND sf0.01), then the entries whose code paths round 4
+# CHANGED and that deserve re-stamps: q_qualify_topn + the star-modifier
+# entries (q_select_except/rename/replace/combined — the qualify guards,
+# merged-WITH star resolution, and set-op head scan all rewrote),
+# x_nation_pagerank (outw checkpoint), x_multimodal_decode (id-as-string
+# Arrow path), then the oldest r02-only stamps (d_span_dedup,
+# x_sequence_pack, t_merge_upsert, ...).
 
 
 def entries() -> dict[str, CatalogEntry]:
