@@ -145,62 +145,61 @@ def sql_query(
 # anchors for the headline/bench queries.  Demoted entries stay registered
 # and stay covered by the local oracle gate (tests/test_catalog_oracle.py).
 DRIVER_PRIORITY = [
-    # ROUND-4 WINDOW — executes the rotation plan committed in round 3.
-    # (a) the 15 round-3 additions that have never had a driver CORRECTNESS
-    # row (all green in the local sf0.01 oracle sweep):
-    "q6_forecast_revenue", "q12_ship_priority_class",
-    "q13_customer_distribution", "q14_promo_revenue",
-    "q19_discounted_revenue", "q21_single_pass", "q_qualify_topn",
-    "e_streaming_join", "t_csv_gz_roundtrip", "t_schema_evolution",
-    "t_corrupt_quarantine", "t_compact_roundtrip", "x_tfidf_top_terms",
-    "x_bigram_pmi", "x_kmeans_clusters",
-    # (b) the entries whose implementations CHANGED in the round-3 perf
-    # sweep (shared Arrow cosine kernel, hoisted norms, single-tokenize
-    # let-bindings, vectorized IVF cells) — re-stamped post-change
-    # (x_bigram_pmi also changed; it is already in group (a)):
-    "d_semantic_dedup", "d_embedding_near_dup", "s_ann_ivf_topk",
-    "s_ann_lsh_topk", "d_ngram_jaccard_pairs", "x_winnow_fingerprints",
-    "q_approx_aggregates", "x_gopher_quality",
-    # (c) regression anchors for the headline/bench families (each has
-    # driver rows in earlier rounds; kept in-window so any round-4 change
-    # to shared infra is caught by the driver, not just local tests):
-    "q1_pricing_summary", "d_minhash_lsh_pairs", "x_training_mix_e2e",
-    "t_pipeline_full",
-    # (d) 23 of the 42 entries whose only driver stamp is round 1 —
-    # re-verified after three rounds of shared-infra evolution.  Chosen by
-    # implementation risk: the dedup/ANN/events families and the window/
-    # join SQL shapes first; the 19 remaining r01-only entries (simple
-    # SELECT-modifier/filter/transform shapes) rotate in round 5 and stay
-    # covered by the local oracle gate meanwhile.
-    "d_dedup_exact", "d_dedup_by_fingerprint", "d_simhash",
-    "s_ann_bruteforce_topk", "x_token_count", "x_lang_id",
-    "x_quality_score", "x_fingerprint", "x_profile_columns",
-    "x_grouped_rank_pandas", "e_tumbling_agg", "e_sessionize",
-    "e_asof_join", "e_json_extract", "e_rollup_pyramid", "e_range_join",
-    "q3_shipping_priority", "q5_local_supplier", "q_window_topn",
-    "q_window_running", "q_semi_anti_join", "q_count_distinct",
-    "q_having_alias",
+    # ROUND-5 WINDOW — executes the rotation plan committed in round 4.
+    # (a) the one red row from round 4, re-stamped after the BIGINT cast
+    # fix (values always matched; the hash was type-sensitive):
+    "q12_ship_priority_class",
+    # (b) the 8 round-4 additions that have never had a driver row (all
+    # green in the local sf0.001+sf0.01 oracle sweeps):
+    "x_quality_buckets", "x_nation_pagerank", "x_scd2_history",
+    "x_weighted_sample", "e_anomaly_zscore", "x_domain_cap",
+    "e_streaming_anomaly", "x_triangle_count",
+    # (c) the 16 entries whose only driver stamp is round 1 — re-verified
+    # after four rounds of shared-infra (dialect) evolution; the four
+    # star-modifier entries double as re-stamps for the round-4 dialect
+    # rewrites (qualify guards, merged-WITH star resolution, set-op scan):
+    "q_filter_predicates", "q_ilike_substr", "q_select_except",
+    "q_select_rename", "q_select_replace", "q_select_combined_modifiers",
+    "q_cte_case_cast", "q_distinct", "q_strftime_format",
+    "q_union_intersect", "q_setop_except", "q_rollup", "t_normalize_euro",
+    "t_replace_nulls", "t_replace_nulls_universal", "t_drop_columns_regex",
+    # (d) round-4-changed entries owed a re-stamp: q_qualify_topn (guard
+    # rewrite), x_multimodal_decode (id-as-string Arrow path):
+    "q_qualify_topn", "x_multimodal_decode",
+    # (e) round-5-changed entries: scale-aware n_bits default for the
+    # sign-LSH family (oracle-mirrored bucket math changed on both
+    # engines), plus the new round-5 IVF re-rank entry
+    # (d_minhash_incremental — the other round-5 bench headline — already
+    # has r02+r03 stamps; only bench.py changes for it):
+    "d_embedding_near_dup", "s_ann_lsh_topk", "s_ann_ivf_rerank",
+    # (f) the two entries whose newest stamp is r02 despite multiple rows:
+    "d_fuzzy_levenshtein", "t_add_row_index",
+    # (g) 17 of the 36 r02-only entries, chosen by implementation risk:
+    # dedup/packing/retrieval pipelines and the widest SQL shapes first;
+    # the 19 remaining r02-only entries (simple roundtrips/join shapes)
+    # rotate in round 6 and stay covered by the local oracle gate.
+    "d_span_dedup", "d_contamination", "x_sequence_pack",
+    "x_mixture_sample", "x_token_budget", "s_bm25_topk", "t_merge_upsert",
+    "t_snapshot_diff", "x_embedding_quantize", "x_pii_redact",
+    "x_scrub_denylist", "x_lm_score", "x_stratified_sample",
+    "x_vocab_topk", "q_pivot", "q_unpivot", "q_window_analytics",
+    "q_grouping_sets",
 ]
-# Everything demoted out of the window is green in CORRECTNESS_r01/r02/r03
-# and stays covered by the local oracle gate (tests/test_catalog_oracle.py)
-# at sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
-# After round 4 every catalog entry (152 with the r04 additions) has at least one driver stamp.
-# Round-5 rotation should lead with the 19 remaining r01-only entries:
-# q_filter_predicates, q_ilike_substr, q_select_except, q_select_rename,
-# q_select_replace, q_select_combined_modifiers, q_cte_case_cast,
-# q_distinct, q_strftime_format, q_union_intersect, q_setop_except,
-# q_rollup, t_normalize_euro, t_replace_nulls, t_replace_nulls_universal,
-# t_drop_columns_regex, q_count_distinct window leftovers — then the
-# round-4 additions (x_quality_buckets, x_nation_pagerank, x_scd2_history,
-# x_weighted_sample, e_anomaly_zscore, x_domain_cap, e_streaming_anomaly,
-# x_triangle_count — all green in the local oracle gate
-# at sf0.001 AND sf0.01), then the entries whose code paths round 4
-# CHANGED and that deserve re-stamps: q_qualify_topn + the star-modifier
-# entries (q_select_except/rename/replace/combined — the qualify guards,
-# merged-WITH star resolution, and set-op head scan all rewrote),
-# x_nation_pagerank (outw checkpoint), x_multimodal_decode (id-as-string
-# Arrow path), then the oldest r02-only stamps (d_span_dedup,
-# x_sequence_pack, t_merge_upsert, ...).
+# Everything demoted out of the window is green in CORRECTNESS_r01-r04 and
+# stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
+# sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
+# Stamp state entering round 5: 158 catalog entries (160 planned with the
+# round-5 additions), 150 with at least one driver row; the 8 round-4
+# additions in group (b) above have none yet (local-sweep green only).
+# Round-6 rotation should lead with the 19 r02-only entries left out of
+# group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
+# t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,
+# t_round_floats, q_outer_join, q_full_outer_join, q_cross_join,
+# q_in_subquery, q_scalar_functions, q_cube,
+# q_percentiles, q_string_agg, q_datetime_functions, q_explode_word_counts,
+# q_qualified_star — then the oldest r03-only stamps (streaming windows,
+# multimodal frame/resize, the TPC-H q2/q4/q8/q9/q11/q15-q22 block), then
+# anything round 5 changes.
 
 
 def entries() -> dict[str, CatalogEntry]:
