@@ -1,5 +1,5 @@
-"""Multimodal decode: the real decoder (header tier always on, Pillow tier
-import-guarded) and its mapInPandas contract.
+"""Multimodal decode: the real decoder (header + png-stdlib tiers always
+on, Pillow tier import-guarded) and its mapInPandas contract.
 
 The stubbed ``decode_features`` stays oracle-checked through the catalog
 (x_multimodal_decode); this file covers ``decode_real``, which r02's
@@ -175,27 +175,129 @@ def test_decode_real_is_arrow_batched(spark):
     assert a.has_arrow_python_eval and not a.has_python_row_eval
 
 
-def _has_pillow() -> bool:
-    try:
-        import PIL  # noqa: F401
+def full_png_bytes(
+    pixels: list[list[tuple[int, ...]]],
+    color: int = 2,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Encode a real PNG with the stdlib: pack scanlines with the given
+    per-row filter types (RFC 2083 §6 forward transform), deflate, wrap in
+    CRC'd chunks — so the decoder is exercised against spec-built input,
+    no imaging library involved."""
+    import zlib
 
-        return True
-    except ImportError:
-        return False
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    h, w = len(pixels), len(pixels[0])
+    filters = filters if filters is not None else [0] * h
+    stride = w * channels
+    raw = bytearray()
+    prev = bytearray(stride)
+    for row, ftype in zip(pixels, filters):
+        line = bytearray(v & 0xFF for px in row for v in px)
+        assert len(line) == stride
+        enc = bytearray(line)
+        for x in range(stride - 1, -1, -1):
+            a = line[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if ftype == 1:
+                enc[x] = (line[x] - a) & 0xFF
+            elif ftype == 2:
+                enc[x] = (line[x] - b) & 0xFF
+            elif ftype == 3:
+                enc[x] = (line[x] - ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(enc)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as z
+
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
-@pytest.mark.skipif(not _has_pillow(), reason="Pillow not installed")
-def test_decode_real_pillow_tier(spark, tmp_path):
-    """With Pillow installed, a genuine image decodes through the pillow
-    tier with dimensions from the pixel grid."""
-    from PIL import Image
+class TestPngStdlibTier:
+    """The always-on full-decode tier: pixel grids are reconstructed with
+    the stdlib, so a REAL decode executes on every fleet (VERDICT r04
+    asked for the import-guarded Pillow path to stop being the only full
+    tier).  Inputs are spec-built by ``full_png_bytes`` above."""
 
-    p = tmp_path / "img.png"
-    Image.new("RGB", (12, 7)).save(p)
-    df = spark.createDataFrame([(1, p.read_bytes())], "doc_id long, payload binary")
+    def test_every_filter_type_reconstructs(self):
+        """One PNG per filter type; the decoder must invert each forward
+        transform to the identical pixel grid (digest equality against
+        the filter-0 encoding of the same grid)."""
+        from polars_view_spark.operators.multimodal import png_decode_stdlib
+
+        pixels = [
+            [((x * 37 + y * 11) % 256, (x * 5) % 256, (y * 3) % 256) for x in range(9)]
+            for y in range(6)
+        ]
+        ref = png_decode_stdlib(full_png_bytes(pixels, filters=[0] * 6))
+        assert ref is not None and (ref[0], ref[1]) == (9, 6)
+        for ftype in (1, 2, 3, 4):
+            got = png_decode_stdlib(full_png_bytes(pixels, filters=[ftype] * 6))
+            assert got == ref, f"filter {ftype} did not invert"
+        mixed = png_decode_stdlib(full_png_bytes(pixels, filters=[0, 1, 2, 3, 4, 2]))
+        assert mixed == ref
+
+    def test_color_types(self):
+        from polars_view_spark.operators.multimodal import png_decode_stdlib
+
+        for color, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+            pixels = [[tuple((x + y + c) % 256 for c in range(ch)) for x in range(4)] for y in range(3)]
+            got = png_decode_stdlib(full_png_bytes(pixels, color=color))
+            assert got is not None and (got[0], got[1]) == (4, 3), f"color {color}"
+
+    def test_declines_rather_than_misdecodes(self):
+        """Truncated IDAT, bad zlib, 16-bit depth, interlaced: all None
+        (header-tier fallback), never a wrong grid."""
+        import zlib
+
+        from polars_view_spark.operators.multimodal import png_decode_stdlib
+
+        pixels = [[(1, 2, 3)]]
+        good = full_png_bytes(pixels)
+        assert png_decode_stdlib(good) is not None
+        assert png_decode_stdlib(good[:40]) is None
+        corrupt = good.replace(zlib.compress(b"\x00\x01\x02\x03"), b"garbage!")
+        assert png_decode_stdlib(corrupt) is None
+        deep = bytearray(good)
+        deep[24] = 16  # bit depth byte inside IHDR
+        assert png_decode_stdlib(bytes(deep)) is None
+        laced = bytearray(good)
+        laced[28] = 1  # interlace byte inside IHDR
+        assert png_decode_stdlib(bytes(laced)) is None
+
+
+def test_decode_real_full_decode_tier(spark):
+    """A genuine (spec-built) PNG decodes through a full pixel-grid tier —
+    png-stdlib everywhere, pillow where installed — with dimensions from
+    the reconstructed grid, not the header."""
+    pixels = [[(x % 256, y % 256, 0) for x in range(12)] for y in range(7)]
+    payload = full_png_bytes(pixels, filters=[4] * 7)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
     (row,) = decode_real(df).collect()
-    assert row["decoder"] == "pillow"
+    assert row["decoder"] in ("png-stdlib", "pillow")
     assert (row["width"], row["height"]) == (12, 7)
+    assert row["format"] == "png"
 
 
 class TestHeaderSnifferEdgeLayouts:
