@@ -27,7 +27,11 @@ from polars_view_spark.functions.texthash import (
     duck_shingles_sql,
     duck_tokens_sql,
 )
-from polars_view_spark.functions.vectors import duck_cosine_sql, lsh_bucket_sql
+from polars_view_spark.functions.vectors import (
+    duck_adaptive_lsh_bits_sql,
+    duck_cosine_sql,
+    duck_lsh_bucket_masked_sql,
+)
 from polars_view_spark.operators.textstats import (
     STOPWORDS,
     duck_stopword_count_sql,
@@ -36,7 +40,6 @@ from polars_view_spark.operators.textstats import (
 EMB_DIM = 64
 ANN_K = 5
 ANN_N_QUERIES = 5
-LSH_BITS = 4
 NEAR_DUP_COS = 0.4
 JACCARD_T = 0.5
 SESSION_GAP_MIN = 30
@@ -346,15 +349,18 @@ def _d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:embedding_near_dup_pairs) — the scale path:
     the self-join key is the hyperplane bucket id (~n/2^bits rows each),
     never a label/semantic block that can cover the whole corpus.  The
-    oracle replicates the exact bucket arithmetic (functions/vectors.py),
-    so recall trade-offs are identical on both engines."""
+    bucket width defaults from the corpus count (adaptive_lsh_bits), so
+    the operator stays scale-safe without tuning; the oracle replicates
+    both the count-derived width and the exact bucket arithmetic
+    (functions/vectors.py), so recall trade-offs are identical on both
+    engines."""
     from polars_view_spark.operators.similarity import embedding_near_dup_pairs
 
     t = load_tables(spark, sf_dir, "embeddings")
     return (
         embedding_near_dup_pairs(
             t["embeddings"], "vec_id", "embedding",
-            threshold=NEAR_DUP_COS, n_bits=LSH_BITS, dim=EMB_DIM,
+            threshold=NEAR_DUP_COS, dim=EMB_DIM,
         )
         .orderBy("id1", "id2")
     )
@@ -364,7 +370,8 @@ register(
     "d_embedding_near_dup",
     oracle=f"""
     WITH k AS (
-      SELECT vec_id, embedding, {lsh_bucket_sql("embedding", LSH_BITS, EMB_DIM, duck=True)} AS bucket
+      SELECT vec_id, embedding,
+             {duck_lsh_bucket_masked_sql("embedding", duck_adaptive_lsh_bits_sql("embeddings"), EMB_DIM)} AS bucket
       FROM embeddings
     )
     SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -1626,18 +1633,22 @@ register(
 def _s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH-bucketed approximate top-k
     (operators/similarity.py:lsh_topk) — the join key is the bucket id, so
-    at 100 TB this is a hash join over ~1/2^bits of the corpus per query."""
+    at 100 TB this is a hash join over ~1/2^bits of the corpus per query;
+    the width defaults from the corpus count so that fraction holds as the
+    corpus grows (oracle derives the identical width from COUNT(*))."""
     from polars_view_spark.operators.similarity import lsh_topk
 
     t = load_tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
     out = lsh_topk(
-        e, e.filter(F.col("vec_id") < ANN_N_QUERIES), k=ANN_K, n_bits=LSH_BITS, dim=EMB_DIM
+        e, e.filter(F.col("vec_id") < ANN_N_QUERIES), k=ANN_K, dim=EMB_DIM
     )
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
-_duck_bucket = lsh_bucket_sql("embedding", LSH_BITS, EMB_DIM, duck=True)
+_duck_bucket = duck_lsh_bucket_masked_sql(
+    "embedding", duck_adaptive_lsh_bits_sql("embeddings"), EMB_DIM
+)
 
 register(
     "s_ann_lsh_topk",

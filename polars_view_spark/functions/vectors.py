@@ -84,3 +84,67 @@ def lsh_bucket_sql(emb: str, n_bits: int, dim: int, duck: bool = False) -> str:
         f"(CASE WHEN {proj(emb, j, dim)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
     )
     return f"({bits})"
+
+
+# Scale-aware sign-LSH width: expected bucket size is n / 2^bits, and the
+# pair stage's executor-memory contract is 16·bucket² bytes (see
+# similarity.py:embedding_near_dup_pairs), so bits must grow with the
+# corpus.  TARGET_BUCKET=512 reproduces the SCALE.md controlled 10×
+# experiment exactly (2 000 rows → 4 bits, 20 000 rows → 6 bits: 2.8×
+# wall-clock at identical recall).  All-integer threshold comparisons so
+# the DuckDB oracle derives the identical width with no float log2.
+LSH_TARGET_BUCKET = 512
+LSH_MIN_BITS = 4
+LSH_MAX_BITS = 12
+
+
+def adaptive_lsh_bits(
+    n_rows: int,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    min_bits: int = LSH_MIN_BITS,
+    max_bits: int = LSH_MAX_BITS,
+) -> int:
+    """``max(min_bits, ceil(log2(n / target_bucket)))`` clamped to
+    ``max_bits`` — computed by integer doubling, mirrored bit-for-bit by
+    :func:`duck_adaptive_lsh_bits_sql`."""
+    bits = min_bits
+    while bits < max_bits and n_rows > (target_bucket << bits):
+        bits += 1
+    return bits
+
+
+def duck_adaptive_lsh_bits_sql(
+    table: str,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    min_bits: int = LSH_MIN_BITS,
+    max_bits: int = LSH_MAX_BITS,
+) -> str:
+    """DuckDB scalar-subquery mirror of :func:`adaptive_lsh_bits` over
+    ``COUNT(*) FROM table`` (the same count the Spark side takes)."""
+    steps = " + ".join(
+        f"(CASE WHEN COUNT(*) > {target_bucket << b} THEN 1 ELSE 0 END)"
+        for b in range(min_bits, max_bits)
+    )
+    return f"(SELECT {min_bits} + {steps} FROM {table})"
+
+
+def duck_lsh_bucket_masked_sql(
+    emb: str,
+    bits_sql: str,
+    dim: int,
+    max_bits: int = LSH_MAX_BITS,
+) -> str:
+    """Sign-LSH bucket whose width is a runtime SQL scalar (DuckDB only).
+
+    Emits ``max_bits`` projection terms, each masked by ``j < bits_sql`` —
+    the mask is row-constant, so DuckDB's CASE evaluation skips the
+    unselected projections entirely; for any bits value it computes the
+    identical bucket id to ``lsh_bucket_sql(emb, bits, dim, duck=True)``.
+    """
+    terms = " + ".join(
+        f"(CASE WHEN {j} < {bits_sql} AND "
+        f"{duck_quantized_projection_sql(emb, j, dim)} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(max_bits)
+    )
+    return f"({terms})"

@@ -44,6 +44,18 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _resolve_lsh_bits(corpus: DataFrame, n_bits: int | None) -> int:
+    """Default the sign-LSH width from the corpus size (VERDICT r04):
+    one COUNT aggregate (metadata-fast on parquet) → integer-doubling
+    ``adaptive_lsh_bits``, identical to the oracle's SQL derivation.  An
+    explicit ``n_bits`` skips the count entirely."""
+    if n_bits is not None:
+        return n_bits
+    from polars_view_spark.functions.vectors import adaptive_lsh_bits
+
+    return adaptive_lsh_bits(corpus.count())
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -75,7 +87,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_bits: int = 4,
+    n_bits: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate cosine top-k via sign-LSH bucketing.
@@ -83,9 +95,15 @@ def lsh_topk(
     Both sides get an integer-quantized hyperplane bucket; candidates are
     corpus rows in the SAME bucket as the query (single equi-join — at scale
     this is a hash join on the bucket id instead of a cross product).
+
+    ``n_bits=None`` (default) derives the bucket width from the corpus size
+    (one cheap count; :func:`adaptive_lsh_bits`), so per-query candidate
+    sets stay ~``LSH_TARGET_BUCKET`` rows as the corpus grows instead of
+    degrading toward a scan.  Pass an explicit ``n_bits`` to pin it.
     """
     from polars_view_spark.functions.vectors import dot_sql, norm_sql
 
+    n_bits = _resolve_lsh_bits(corpus, n_bits)
     bucket = lsh_bucket_sql(vec_col, n_bits, dim)
     # norms hoisted per-row; null-safe bucket join — see
     # embedding_near_dup_pairs for both rationales (same doubles, and no
@@ -558,7 +576,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_bits: int = 4,
+    n_bits: int | None = None,
     dim: int = 64,
     max_group_size: int = 20_000,
 ) -> DataFrame:
@@ -578,9 +596,15 @@ def embedding_near_dup_pairs(
     expected bucket) or lower ``max_group_size`` to match their executor
     heap, and can pre-split hot buckets by salting the bucket key before
     calling.
+
+    ``n_bits=None`` (default) derives the width from the corpus size
+    (:func:`adaptive_lsh_bits` over one count), keeping the expected
+    bucket at ~``LSH_TARGET_BUCKET`` rows as the corpus grows — the
+    scale-safe mode; an explicit ``n_bits`` pins it for tuning.
     """
     from polars_view_spark.functions.vectors import norm_sql
 
+    n_bits = _resolve_lsh_bits(corpus, n_bits)
     bucket = lsh_bucket_sql(vec_col, n_bits, dim)
     keyed = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
