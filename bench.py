@@ -75,6 +75,10 @@ EXT_HEADLINE = [
     # exchange) and the integer-exact trailing z-score screen over events
     "x_scd2_history",
     "e_anomaly_zscore",
+    # round 5: the incremental MinHash path (new batch vs standing corpus,
+    # batch bands broadcast, corpus never self-joined) — the operating
+    # mode a 100 TB deployment actually runs, now with a headline number
+    "d_minhash_incremental",
 ]
 
 
@@ -151,9 +155,10 @@ def main() -> None:
             KNOWN_NOTES = {
                 "d_embedding_near_dup": (
                     "output-driven: replicas multiply true pairs ~x100; "
-                    "with n_bits tracking corpus size (4->6) measured "
-                    "ratio is 2.8x at identical recall (SCALE.md 10x "
-                    "experiment)"
+                    "n_bits now defaults from the corpus count "
+                    "(adaptive_lsh_bits: 4 bits at sf0.1, 6 at 10x), the "
+                    "configuration SCALE.md measured at 2.8x with "
+                    "identical recall"
                 ),
             }
             scaling: dict[str, dict] = {}
@@ -167,11 +172,18 @@ def main() -> None:
             ):
                 if name not in cat or name not in timings:
                     continue
-                t0 = time.perf_counter()
-                cat[name].spark_fn(spark, BIG).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                big = time.perf_counter() - t0
+                # min-of-2: the ratio is the linearity evidence, and a
+                # single run lets one JVM warmup hiccup or GC pause skew
+                # it (ADVICE r04); min discards the hiccup, and unlike the
+                # base-side median it cannot flatter the ratio upward
+                big_runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    cat[name].spark_fn(spark, BIG).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    big_runs.append(time.perf_counter() - t0)
+                big = min(big_runs)
                 scaling[name] = {
                     "x10_sec": round(big, 4),
                     "ratio": round(big / timings[name], 2),
@@ -209,7 +221,16 @@ def main() -> None:
             round(total / out["duckdb_total"], 4) if out["duckdb_total"] else None
         )
 
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Dual emission: the driver tail-captures stdout, which Spark/JVM
+    # stderr noise has corrupted before (BENCH_r04 arrived with
+    # parsed:null) — the file copy is the tail-proof record.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    print(line)
     spark.stop()
 
 

@@ -54,6 +54,10 @@ def get_spark(app_name: str = "polars_view_spark", master: str | None = None) ->
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
+        # stderr progress bars corrupt harness tail-captures of the bench
+        # JSON line (BENCH_r04 arrived unparseable) and add nothing in a
+        # non-interactive run
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if master is not None:
