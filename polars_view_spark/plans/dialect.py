@@ -637,7 +637,58 @@ def _enclosing_with_prefix(q: str, star_idx: int, first_select_in_scope: int) ->
         body = clause[m.end() :].strip().rstrip(",").strip()
         if body:
             frags.append(body)
-    return "WITH " + ", ".join(frags) + " " if frags else ""
+    if not frags:
+        return ""
+    # Inner scopes shadow outer ones: if an inner fragment redefines a CTE
+    # name, the outer definition is dropped instead of emitted twice —
+    # Spark rejects a WITH clause with duplicate names, which would turn a
+    # legal statement into a spurious SqlDialectError (ADVICE r04).  Order
+    # stays outermost-first so cross-references to earlier CTEs resolve.
+    per_frag = [
+        [(_cte_def_name(d), d) for d in _split_top_level_commas(body)]
+        for body in frags
+    ]
+    merged: list[tuple[str, str]] = []
+    for fi, defs in enumerate(per_frag):
+        inner_names = {
+            name for later in per_frag[fi + 1 :] for name, _ in later if name
+        }
+        merged.extend((n, d) for n, d in defs if not (n and n in inner_names))
+    return "WITH " + ", ".join(d for _, d in merged) + " "
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    """Split a WITH-clause body into its CTE definitions: commas inside
+    parens, strings, or quoted identifiers don't separate."""
+    parts: list[str] = []
+    depth, start, i = 0, 0, 0
+    while i < len(text):
+        ch = text[i]
+        if ch in ("'", '"', "`"):
+            i = _scan_string(text, i, ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+        i += 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _cte_def_name(defn: str) -> str:
+    """Normalized (lowercased, unquoted) leading CTE name of one
+    ``name [(cols)] AS (...)`` definition; '' when unparseable."""
+    m = re.match(r"\s*(`(?:[^`]|``)+`|[A-Za-z_]\w*)", defn)
+    if not m:
+        return ""
+    name = m.group(1)
+    if name.startswith("`"):
+        return name[1:-1].replace("``", "`").lower()
+    return name.lower()
 
 
 def rewrite_star_modifiers(q: str, spark: SparkSession) -> str:
@@ -667,7 +718,11 @@ def rewrite_star_modifiers(q: str, spark: SparkSession) -> str:
             star_cols = [f.name for f in spark.sql(analysis).schema.fields]
         except Exception as exc:
             raise SqlDialectError(
-                f"could not resolve star columns for modifier rewrite: {exc}"
+                "could not resolve star columns for modifier rewrite "
+                "(note: the star's select block is analyzed standalone, so "
+                "star modifiers inside correlated/LATERAL subqueries that "
+                "reference outer columns are unsupported — rewrite the "
+                f"modifier star as an explicit column list): {exc}"
             ) from exc
         replace_map = dict(replace_items)
         rename_map = dict(rename_pairs)

@@ -381,3 +381,31 @@ class TestStarModifierCteScope:
             spark,
         )
         assert [r.asDict() for r in spark.sql(out).collect()] == [{"x": 1, "w": 2}]
+
+    def test_inner_cte_shadows_outer_same_name(self, spark):
+        """ADVICE r04: an inner scope redefining an outer CTE name must
+        not produce a duplicate name in the merged WITH prefix — inner
+        shadows outer, the statement is legal, and the star resolves
+        against the INNER definition."""
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        out = rewrite_query(
+            "WITH a AS (SELECT 1 AS x, 2 AS y) "
+            "SELECT * FROM (WITH a AS (SELECT 10 AS x, 20 AS z) "
+            "SELECT * RENAME (z AS w) FROM a) s",
+            spark,
+        )
+        assert [r.asDict() for r in spark.sql(out).collect()] == [{"x": 10, "w": 20}]
+
+    def test_inner_shadowing_cte_body_star(self, spark):
+        """Shadowing where the star sits inside the INNER redefinition's
+        sibling CTE body: the merged prefix keeps exactly one `a`."""
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        out = rewrite_query(
+            "WITH a AS (SELECT 1 AS x) "
+            "SELECT * FROM (WITH a AS (SELECT 5 AS x, 6 AS y), "
+            "b AS (SELECT * REPLACE (x*2 AS x) FROM a) SELECT * FROM b) s",
+            spark,
+        )
+        assert [r.asDict() for r in spark.sql(out).collect()] == [{"x": 10, "y": 6}]
