@@ -3479,7 +3479,10 @@ def _x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard MapReduce triangle enumeration; at web scale the join
     degree is bounded by orienting edges low-degree→high-degree, which
     the a<b<c ordering approximates for this graph.  Everything is
-    codegen; output is one row per nation with its triangle count.
+    codegen; output is one row per nation with its triangle count —
+    nations in no triangle included with 0 via the outer join against
+    the (broadcast-small) nation dim (ADVICE r04: the old inner join
+    silently dropped them, overstating the docstring's coverage).
     """
     t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
     directed = _trade_nation_pairs(t)
@@ -3511,8 +3514,12 @@ def _x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return (
-        per_node.join(t["nation"], F.col("nk") == F.col("n_nationkey"))
-        .select("n_name", "n_triangles")
+        t["nation"]
+        .join(per_node, F.col("nk") == F.col("n_nationkey"), "left")
+        .select(
+            "n_name",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
         .orderBy("n_name")
     )
 
@@ -3540,8 +3547,9 @@ register(
       )
       GROUP BY nk
     )
-    SELECT n.n_name, p.n_triangles
-    FROM per_node p JOIN nation n ON p.nk = n.n_nationkey
+    SELECT n.n_name,
+           CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM nation n LEFT JOIN per_node p ON p.nk = n.n_nationkey
     ORDER BY n.n_name
     """).replace("{TRADE}", _TRADE_EDGES_SQL),
     tables=("lineitem", "orders", "customer", "supplier", "nation"),
