@@ -79,6 +79,10 @@ EXT_HEADLINE = [
     # batch bands broadcast, corpus never self-joined) — the operating
     # mode a 100 TB deployment actually runs, now with a headline number
     "d_minhash_incremental",
+    # round 5: two-stage IVF (quantized shortlist -> exact rerank), the
+    # production ANN shape, benched beside its exact baseline
+    # s_ann_bruteforce_topk and the one-stage s_ann_ivf_topk
+    "s_ann_ivf_rerank",
 ]
 
 

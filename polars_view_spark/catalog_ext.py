@@ -1744,6 +1744,102 @@ register(
 )(_s_ann_ivf)
 
 
+IVF_RERANK_DEPTH = 20
+
+
+def _s_ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF: integer-quantized candidate scoring shortlists
+    rerank_depth per query, exact float cosine re-ranks the shortlist
+    (operators/similarity.py:ivf_rerank_topk) — the production ANN shape
+    where exact arithmetic touches O(rerank_depth) rows per query.  Every
+    stage (quantized cell assignment, probing, integer approx rank, exact
+    rerank) is replicated in the DuckDB oracle for a full value-hash
+    check; recall vs brute force is additionally pinned in pytest."""
+    from polars_view_spark.operators.similarity import ivf_rerank_topk
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    out = ivf_rerank_topk(
+        e,
+        e.filter(F.col("vec_id") < ANN_N_QUERIES),
+        k=ANN_K,
+        seed_mod=IVF_SEED_MOD,
+        n_probe=IVF_N_PROBE,
+        scale=IVF_SCALE,
+        max_seeds=IVF_MAX_SEEDS,
+        rerank_depth=IVF_RERANK_DEPTH,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+register(
+    "s_ann_ivf_rerank",
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {IVF_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cell, qv AS sv FROM qz WHERE vec_id % {IVF_SEED_MOD} = 0 ORDER BY vec_id LIMIT {IVF_MAX_SEEDS}),
+    dists AS (
+      SELECT a.vec_id, s.cell,
+             list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                      i -> (a.qv[i] - s.sv[i]) * (a.qv[i] - s.sv[i]))) AS d
+      FROM qz a CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists) t
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists WHERE vec_id < {ANN_N_QUERIES}) t
+      WHERE rn <= {IVF_N_PROBE}
+    ),
+    approx AS (
+      -- stage 1: quantized-code cosine; the integer dots are exact in
+      -- doubles, so the value is accumulation-order-independent and the
+      -- rank matches the Spark kernel's matmul bit-for-bit
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(zc.qv::DOUBLE[], zq.qv::DOUBLE[]) /
+               (sqrt(list_dot_product(zq.qv::DOUBLE[], zq.qv::DOUBLE[])) *
+                sqrt(list_dot_product(zc.qv::DOUBLE[], zc.qv::DOUBLE[]))) AS a
+      FROM probes p
+      JOIN assigned c USING (cell)
+      JOIN qz zq ON zq.vec_id = p.query_id
+      JOIN qz zc ON zc.vec_id = c.vec_id
+      WHERE c.vec_id != p.query_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY a DESC, neighbor_id) AS rn
+        FROM approx) t
+      WHERE rn <= {IVF_RERANK_DEPTH}
+    ),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id,
+             round({duck_cosine_sql("q.embedding", "e.embedding")}, 6) AS score
+      FROM shortlist s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM r
+    WHERE rank <= {ANN_K} ORDER BY query_id, rank
+    """,
+    tables=("embeddings",),
+)(_s_ann_ivf_rerank)
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------

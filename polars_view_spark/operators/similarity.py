@@ -397,6 +397,116 @@ def ivf_flat_topk(
     return _ranked_topk(scored, k)
 
 
+def ivf_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    seed_mod: int = 37,
+    n_probe: int = 2,
+    scale: int = 1000,
+    max_seeds: int = 64,
+    rerank_depth: int = 20,
+) -> DataFrame:
+    """Two-stage IVF ANN: cheap integer candidate scoring, exact re-rank.
+
+    The production ANN shape (:func:`ivf_flat_topk` is the one-stage
+    flavor): stage 1 scores every probed-cell candidate on the
+    integer-QUANTIZED codes — an int64 ``(candidates × dim) @ query``
+    matmul per query group, the same Arrow kernel family as
+    ``_with_sorted_cells`` — and keeps only ``rerank_depth`` per query;
+    stage 2 re-scores those few survivors with the exact float cosine
+    (dim-sequential fold, replaying ``dot_sql``'s IEEE order exactly like
+    :func:`_pairwise_cosine_in_groups`) and emits top-``k``.  At 100 TB
+    the expensive exact arithmetic touches ``rerank_depth`` rows per
+    query instead of every candidate, while the final ranking is still
+    exact over the shortlist.
+
+    Cross-engine parity: quantized dots are sums of ≤ 2^28-magnitude
+    integer products — exactly representable in doubles, so ANY
+    accumulation order (numpy matmul here, list_dot_product in the
+    oracle) yields the identical value; the approx ratio then divides
+    identically rounded sqrts, ties break on neighbor_id, and the exact
+    stage keeps its 6-dp ROUND in SQL.  One shuffle total (the
+    ``query_id`` group), candidates arrive through the same broadcast
+    cell join as :func:`ivf_flat_topk`.
+    """
+    import numpy as np
+
+    from polars_view_spark.functions.vectors import norm_sql
+
+    cells, _seed_arrays, seed_ints = _seed_centroids(
+        corpus, id_col, vec_col, seed_mod, scale, max_seeds
+    )
+
+    def with_cells(df: DataFrame) -> DataFrame:
+        return _with_sorted_cells(
+            df.filter(F.col(vec_col).isNotNull()), vec_col, cells, seed_ints, scale
+        )
+
+    assigned = with_cells(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(_quantize_sql(vec_col, scale)).alias("cq"),
+        F.expr(norm_sql(vec_col)).alias("cn"),
+        F.expr("__cells[0]").alias("cell"),
+    )
+    q_cells = (
+        with_cells(queries)
+        .withColumn("__probe", F.expr(f"slice(__cells, 1, {n_probe})"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.expr(_quantize_sql(vec_col, scale)).alias("qq"),
+            F.expr(norm_sql(vec_col)).alias("qn"),
+            F.explode("__probe").alias("qcell"),
+        )
+    )
+    cand = assigned.join(
+        F.broadcast(q_cells), F.col("cell").eqNullSafe(F.col("qcell"))
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        qi = np.asarray(pdf["qq"].iloc[0], dtype=np.int64)
+        cmat = np.stack(pdf["cq"].to_numpy()).astype(np.int64, copy=False)
+        # integer dots: exact in float64 at these magnitudes, so matmul's
+        # accumulation order is irrelevant to the value
+        dots = (cmat @ qi).astype(np.float64)
+        q2 = float(qi @ qi)
+        c2 = (cmat * cmat).sum(axis=1).astype(np.float64)
+        approx = dots / (np.sqrt(q2) * np.sqrt(c2))
+        nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((nid, -approx))[:rerank_depth]
+        # exact stage over the shortlist: float32→float64 widening is
+        # exact, dims accumulate SEQUENTIALLY to replay dot_sql's fold
+        qv = np.asarray(pdf["qvec"].iloc[0], dtype=np.float64)
+        cvs = np.stack(pdf["cvec"].to_numpy()[order]).astype(np.float64)
+        acc = np.zeros(len(order), dtype=np.float64)
+        for d in range(cvs.shape[1]):
+            acc = acc + qv[d] * cvs[:, d]
+        cos = acc / (
+            float(pdf["qn"].iloc[0]) * pdf["cn"].to_numpy(dtype=np.float64)[order]
+        )
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy(dtype=np.int64)[order],
+                "neighbor_id": nid[order],
+                "cosine": cos,
+            }
+        )
+
+    shortlisted = cand.groupBy("query_id").applyInPandas(
+        rerank, "query_id long, neighbor_id long, cosine double"
+    )
+    scored = shortlisted.withColumn("score", F.round("cosine", 6)).drop("cosine")
+    return _ranked_topk(scored, k)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -515,6 +515,52 @@ class TestPackingEdges:
         recall = len(truth & approx) / len(truth)
         assert recall >= 0.9, recall
 
+    def test_ivf_rerank_matches_flat_at_full_depth(self, spark, embeddings):
+        """With rerank_depth covering every candidate, the two-stage path
+        must return EXACTLY ivf_flat_topk's answer — the quantized
+        shortlist stage only ever prunes, and the exact stage replays the
+        same fold — so any kernel drift shows as a hard mismatch."""
+        from polars_view_spark.operators.similarity import (
+            ivf_flat_topk,
+            ivf_rerank_topk,
+        )
+
+        queries = embeddings.orderBy("vec_id").limit(5)
+        flat = sorted(
+            map(tuple, ivf_flat_topk(embeddings, queries, k=5).collect())
+        )
+        rer = sorted(
+            map(
+                tuple,
+                ivf_rerank_topk(
+                    embeddings, queries, k=5, rerank_depth=10**6
+                ).collect(),
+            )
+        )
+        assert rer == flat
+
+    def test_ivf_rerank_recall_at_shortlist_depth(self, spark, embeddings):
+        """At the default shortlist depth the quantized stage-1 cut must
+        keep ≥90% of the exact-scored top-k (quantization error ≪ the
+        neighbor margin at 64 dims)."""
+        from polars_view_spark.operators.similarity import (
+            ivf_flat_topk,
+            ivf_rerank_topk,
+        )
+
+        queries = embeddings.orderBy("vec_id").limit(5)
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_flat_topk(embeddings, queries, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_rerank_topk(
+                embeddings, queries, k=5, rerank_depth=20
+            ).collect()
+        }
+        assert truth and len(truth & approx) / len(truth) >= 0.9
+
     def test_quantize_int8_semantics(self, spark):
         """Codes bounded to [-127,127], extreme dims hit ±127 exactly,
         all-zero vectors degrade gracefully, dequant error within bound."""
