@@ -31,6 +31,7 @@ from polars_view_spark.functions.vectors import (
     duck_adaptive_lsh_bits_sql,
     duck_cosine_sql,
     duck_lsh_bucket_masked_sql,
+    rp_projection_sql,
 )
 from polars_view_spark.operators.textstats import (
     STOPWORDS,
@@ -939,6 +940,44 @@ register(
     """,
     tables=("embeddings",),
 )(_x_embedding_quantize)
+
+
+RP_OUT_DIM = 16
+
+
+def _x_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL-style random projection 64 → 16 integer components
+    (operators/similarity.py:random_projection): the width-compression
+    step ahead of ANN/clustering, pure zero-shuffle codegen; components
+    are all-integer so the oracle reproduces them bit-exactly (md5 over
+    the component string, same compaction as x_embedding_quantize)."""
+    from polars_view_spark.operators.similarity import random_projection
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    return (
+        random_projection(t["embeddings"], out_dim=RP_OUT_DIM, dim=EMB_DIM)
+        .select(
+            "vec_id",
+            F.expr(
+                "md5(array_join(transform(rp, v -> CAST(v AS STRING)), ','))"
+            ).alias("rp_md5"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+register(
+    "x_random_projection",
+    oracle=(
+        "SELECT vec_id, md5(array_to_string(["
+        + ", ".join(
+            rp_projection_sql("embedding", j, EMB_DIM, duck=True)
+            for j in range(RP_OUT_DIM)
+        )
+        + "], ',')) AS rp_md5 FROM embeddings ORDER BY vec_id"
+    ),
+    tables=("embeddings",),
+)(_x_random_projection)
 
 
 def _t_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -86,6 +86,42 @@ def lsh_bucket_sql(emb: str, n_bits: int, dim: int, duck: bool = False) -> str:
     return f"({bits})"
 
 
+def rp_weight(j: int, d: int) -> int:
+    """md5-derived pseudo-random plane weight in [-3, 3] for the JL
+    random projection.
+
+    The LSH family's arithmetic weights (``((17j + 31d) % 7) − 3``)
+    collapse to ``((3j + 3d) % 7) − 3`` — every plane is a cyclic shift
+    of one period-7 base pattern, fine for splitting buckets but useless
+    for distance preservation (measured neighbor recall 6%).  md5 gives
+    independent-looking planes; the weights are computed HERE and inlined
+    as SQL literals, so engine parity costs nothing.
+    """
+    import hashlib
+
+    h = int(hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[:8], 16)
+    return (h % 7) - 3
+
+
+def rp_projection_sql(
+    emb: str, j: int, dim: int, scale: int = 1000, duck: bool = False
+) -> str:
+    """Integer JL projection component ``j``: quantized input dotted with
+    the md5-derived plane (:func:`rp_weight`); same bit-exact structure
+    as :func:`quantized_projection_sql`, different plane family."""
+    if duck:
+        terms = " + ".join(
+            f"CAST(round({emb}[{d + 1}]::DOUBLE * {scale}) AS BIGINT) * {rp_weight(j, d)}"
+            for d in range(dim)
+        )
+    else:
+        terms = " + ".join(
+            f"CAST(round(CAST({emb}[{d}] AS DOUBLE) * {scale}) AS BIGINT) * {rp_weight(j, d)}"
+            for d in range(dim)
+        )
+    return f"({terms})"
+
+
 # Scale-aware sign-LSH width: expected bucket size is n / 2^bits, and the
 # pair stage's executor-memory contract is 16·bucket² bytes (see
 # similarity.py:embedding_near_dup_pairs), so bits must grow with the

@@ -397,6 +397,44 @@ def ivf_flat_topk(
     return _ranked_topk(scored, k)
 
 
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic Johnson–Lindenstrauss-style random projection: reduce
+    ``dim``-dim embeddings to ``out_dim`` integer components — the
+    compression step ahead of ANN candidate generation or clustering when
+    the full vectors are too wide to shuffle (at 100 TB a 4× narrower
+    embedding column is 4× less shuffle/broadcast payload, same as
+    :func:`quantize_int8`'s role for precision).
+
+    Planes are md5-derived sparse integer weights in [-3, 3]
+    (functions/vectors.py:rp_weight — deliberately NOT the LSH family,
+    whose arithmetic weights degenerate to cyclic shifts of one pattern)
+    and inputs are integer-quantized by SQL ``round`` — every output
+    component is integer arithmetic, bit-exact on any engine, and the
+    whole operator is a pure PROJECTION: zero shuffles, whole-stage
+    codegen (flat cast/multiply sums, not higher-order functions — the
+    SCALE.md interpreted-HOF trap does not apply).  Distance preservation
+    on the test corpus is pinned in pytest: projected-vs-true cosine
+    correlation and capture of high-similarity (near-dup-threshold)
+    pairs through a loose projected cut.
+    """
+    from polars_view_spark.functions.vectors import rp_projection_sql
+
+    comps = ", ".join(
+        rp_projection_sql(vec_col, j, dim, scale) for j in range(out_dim)
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"array({comps})").alias("rp"),
+    )
+
+
 def ivf_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -561,6 +561,37 @@ class TestPackingEdges:
         }
         assert truth and len(truth & approx) / len(truth) >= 0.9
 
+    def test_random_projection_preserves_distances(self, spark, embeddings):
+        """JL guarantee, pinned on the deterministic corpus+planes: the
+        64→16 projection keeps projected-vs-true cosine correlated
+        (≥0.4 — the corpus is near-orthogonal noise, so ε ≈ √(ln n / 16)
+        distortion caps it well below 1) and captures ≥80% of the
+        high-similarity pairs (true cosine ≥ 0.4, the near-dup
+        threshold) above a loose projected cut of 0.2 — the candidate
+        pre-filter use."""
+        import numpy as np
+
+        from polars_view_spark.operators.similarity import random_projection
+
+        rows = (
+            embeddings.join(
+                random_projection(embeddings), "vec_id"
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        p = np.array([r["rp"] for r in rows], dtype=np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        pn = p / np.linalg.norm(p, axis=1, keepdims=True)
+        iu = np.triu_indices(len(x), 1)
+        s_true = (xn @ xn.T)[iu]
+        s_proj = (pn @ pn.T)[iu]
+        assert np.corrcoef(s_true, s_proj)[0, 1] >= 0.4
+        hi = s_true >= 0.4
+        assert hi.sum() > 0
+        assert (s_proj[hi] >= 0.2).mean() >= 0.8
+
     def test_quantize_int8_semantics(self, spark):
         """Codes bounded to [-127,127], extreme dims hit ±127 exactly,
         all-zero vectors degrade gracefully, dequant error within bound."""

@@ -137,6 +137,15 @@ def test_embedding_quantize_codegen_only(spark, cat):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_random_projection_codegen_only(spark, cat):
+    # JL projection is the width-compression scan step: projection-only,
+    # no exchange, no Python, and the flat integer sums stay inside
+    # whole-stage codegen (no interpreted higher-order functions)
+    plan = plan_of(cat["x_random_projection"].spark_fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_merge_upsert_single_join_no_cartesian(spark, cat):
     # one full-outer hash join on the key; change-batch application must
     # never degrade to a nested-loop product or drop into Python
