@@ -178,8 +178,11 @@ def main() -> None:
                     continue
                 # min-of-2: the ratio is the linearity evidence, and a
                 # single run lets one JVM warmup hiccup or GC pause skew
-                # it (ADVICE r04); min discards the hiccup, and unlike the
-                # base-side median it cannot flatter the ratio upward
+                # it (ADVICE r04).  The denominator uses the base run's
+                # MIN too (recorded in spread) — min/min is symmetric, so
+                # the statistic can't one-sidedly discard upward noise in
+                # the numerator while keeping it in the denominator and
+                # bias the ratio toward the favorable conclusion.
                 big_runs = []
                 for _ in range(2):
                     t0 = time.perf_counter()
@@ -190,7 +193,7 @@ def main() -> None:
                 big = min(big_runs)
                 scaling[name] = {
                     "x10_sec": round(big, 4),
-                    "ratio": round(big / timings[name], 2),
+                    "ratio": round(big / spread[name]["min"], 2),
                 }
                 if name in KNOWN_NOTES:
                     scaling[name]["note"] = KNOWN_NOTES[name]

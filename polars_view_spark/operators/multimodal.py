@@ -415,9 +415,19 @@ def png_decode_stdlib(b: bytes) -> tuple[int, int, str] | None:
         channels = _PNG_CHANNELS.get(color)
         if channels is None or not w or not h:
             return None
-        raw = zlib.decompress(b"".join(idat))
         stride = w * channels
-        if len(raw) != h * (stride + 1):
+        want = h * (stride + 1)
+        # bounded inflate: the expected size is known from IHDR, so cap
+        # the decompression there — an IDAT bomb (kilobytes inflating to
+        # gigabytes) must decline, not OOM the executor.  The +1 probe
+        # detects streams longer than the pixel grid; 64 MB caps this
+        # guard tier outright (grids that large belong to the Pillow
+        # tier, which decodes incrementally in C).
+        if want > 64 * 1024 * 1024:
+            return None
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), want + 1)
+        if len(raw) != want:
             return None
         prev = bytearray(stride)
         out = hashlib.md5()
@@ -454,7 +464,7 @@ def png_decode_stdlib(b: bytes) -> tuple[int, int, str] | None:
             out.update(line)
             prev = line
         return int(w), int(h), out.hexdigest()
-    except (struct.error, zlib.error):
+    except (struct.error, zlib.error, MemoryError):
         return None
 
 
@@ -523,11 +533,6 @@ def decode_real(
                 b = bytes(payload)
                 fmt, w, h, rate, dur_ms = sniff_media_header(b)
                 decoder = "header"
-                if fmt == "png":
-                    png = png_decode_stdlib(b)
-                    if png is not None:
-                        w, h, _digest = png
-                        decoder = "png-stdlib"
                 if pil is not None:
                     try:
                         with pil.open(io.BytesIO(b)) as img:
@@ -535,7 +540,14 @@ def decode_real(
                             w, h = img.size
                             decoder = "pillow"
                     except Exception:
-                        pass  # not an image Pillow knows; keep stdlib tier
+                        pass  # not an image Pillow knows; try stdlib tier
+                # the pure-Python scanline loop only runs when Pillow is
+                # absent or declined — on a Pillow fleet PNGs never pay it
+                if decoder == "header" and fmt == "png":
+                    png = png_decode_stdlib(b)
+                    if png is not None:
+                        w, h, _digest = png
+                        decoder = "png-stdlib"
                 rows["doc_id"].append(out_id)
                 rows["n_bytes"].append(len(b))
                 rows["format"].append(fmt)

@@ -649,11 +649,35 @@ def _enclosing_with_prefix(q: str, star_idx: int, first_select_in_scope: int) ->
         for body in frags
     ]
     merged: list[tuple[str, str]] = []
+    dropped: list[str] = []
     for fi, defs in enumerate(per_frag):
         inner_names = {
             name for later in per_frag[fi + 1 :] for name, _ in later if name
         }
-        merged.extend((n, d) for n, d in defs if not (n and n in inner_names))
+        for n, d in defs:
+            if n and n in inner_names:
+                dropped.append(n)
+            else:
+                merged.append((n, d))
+    # A surviving definition that references a dropped outer name would
+    # forward-reference the inner redefinition (Spark CTEs cannot) or —
+    # worse — silently bind to a same-named catalog table/view, resolving
+    # the star against the wrong schema.  Refuse loudly instead (review
+    # r05 finding; the word-boundary check is conservative on purpose:
+    # a false positive is a clear refusal, never a wrong result).
+    for name in dropped:
+        pat = re.compile(
+            rf"(?:\b{re.escape(name)}\b|`{re.escape(name)}`)", re.IGNORECASE
+        )
+        for other_name, d in merged:
+            body_only = d if not other_name else d[len(other_name):]
+            if pat.search(body_only):
+                raise SqlDialectError(
+                    f"star modifier cannot be resolved: outer CTE "
+                    f"{name!r} is shadowed by an inner redefinition but "
+                    f"still referenced by CTE {other_name or d[:30]!r} — "
+                    "rename one of the CTEs or expand the star manually"
+                )
     return "WITH " + ", ".join(d for _, d in merged) + " "
 
 

@@ -397,6 +397,23 @@ class TestStarModifierCteScope:
         )
         assert [r.asDict() for r in spark.sql(out).collect()] == [{"x": 10, "w": 20}]
 
+    def test_shadowed_name_still_referenced_refuses_loudly(self, spark):
+        """Review r05: dropping a shadowed outer CTE that ANOTHER
+        surviving CTE references would forward-reference the inner
+        redefinition — or silently bind to a same-named catalog view.
+        Must refuse with a clear message, never resolve wrong."""
+        from polars_view_spark.errors import SqlDialectError
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        with pytest.raises(SqlDialectError, match="shadowed"):
+            rewrite_query(
+                "WITH a AS (SELECT 1 AS x, 2 AS y), "
+                "b AS (SELECT * FROM a) "
+                "SELECT * FROM (WITH a AS (SELECT 3 AS z) "
+                "SELECT * RENAME (x AS w) FROM b) s",
+                spark,
+            )
+
     def test_inner_shadowing_cte_body_star(self, spark):
         """Shadowing where the star sits inside the INNER redefinition's
         sibling CTE body: the merged prefix keeps exactly one `a`."""

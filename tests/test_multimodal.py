@@ -286,6 +286,40 @@ class TestPngStdlibTier:
         laced[28] = 1  # interlace byte inside IHDR
         assert png_decode_stdlib(bytes(laced)) is None
 
+    def test_decompression_bomb_declines_bounded(self):
+        """An IDAT stream inflating far past the IHDR-declared grid (a
+        PNG bomb) must decline via the bounded decompressobj — never
+        allocate the full blow-up.  Same for an IHDR whose declared grid
+        alone exceeds the guard tier's 64 MB cap."""
+        import struct
+        import zlib
+
+        from polars_view_spark.operators.multimodal import png_decode_stdlib
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr_1x1 = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+        bomb = (
+            sig
+            + chunk(b"IHDR", ihdr_1x1)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (32 * 1024 * 1024)))
+            + chunk(b"IEND", b"")
+        )
+        assert len(bomb) < 100_000  # the compressed bomb is tiny
+        assert png_decode_stdlib(bomb) is None
+        huge_hdr = (
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 50_000, 50_000, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00"))
+            + chunk(b"IEND", b"")
+        )
+        assert png_decode_stdlib(huge_hdr) is None
+
 
 def test_decode_real_full_decode_tier(spark):
     """A genuine (spec-built) PNG decodes through a full pixel-grid tier —
