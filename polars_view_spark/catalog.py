@@ -173,7 +173,7 @@ DRIVER_PRIORITY = [
     # round-5 bench headline — already has r02+r03 stamps; only bench.py
     # changes for it):
     "d_embedding_near_dup", "s_ann_lsh_topk", "s_ann_ivf_rerank",
-    "x_random_projection",
+    "x_random_projection", "x_label_centroid",
     # (f) the two entries whose newest stamp is r02 despite multiple rows:
     "d_fuzzy_levenshtein", "t_add_row_index",
     # (g) 17 of the 36 r02-only entries, chosen by implementation risk:
@@ -184,7 +184,7 @@ DRIVER_PRIORITY = [
     "x_mixture_sample", "x_token_budget", "s_bm25_topk", "t_merge_upsert",
     "t_snapshot_diff", "x_embedding_quantize", "x_pii_redact",
     "x_scrub_denylist", "x_lm_score", "x_stratified_sample",
-    "x_vocab_topk", "q_pivot", "q_unpivot", "q_window_analytics",
+    "x_vocab_topk", "q_pivot", "q_unpivot",
 ]
 # Everything demoted out of the window is green in CORRECTNESS_r01-r04 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
@@ -198,7 +198,8 @@ DRIVER_PRIORITY = [
 # t_round_floats, q_outer_join, q_full_outer_join, q_cross_join,
 # q_in_subquery, q_scalar_functions, q_grouping_sets, q_cube,
 # q_percentiles, q_string_agg, q_datetime_functions, q_explode_word_counts,
-# q_qualified_star — then the oldest r03-only stamps (streaming windows,
+# q_qualified_star, q_window_analytics — then the oldest r03-only stamps
+# (streaming windows,
 # multimodal frame/resize, the TPC-H q2/q4/q8/q9/q11/q15-q22 block), then
 # anything round 5 changes.
 

@@ -942,6 +942,83 @@ register(
 )(_x_embedding_quantize)
 
 
+def _x_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-centroid label audit
+    (operators/similarity.py:label_centroid_assign): re-assign every
+    vector to its nearest per-label centroid and aggregate the confusion
+    matrix — the supervised curation primitive for labeled corpora.  One
+    bounded aggregate + literal-inlined centroids + flat codegen argmin;
+    the oracle recomputes the identical integer sums/counts data-driven
+    (cross join over the ≤64-label stats row set) and replays the
+    fixed-order distance arithmetic, so the confusion counts value-hash."""
+    from polars_view_spark.operators.similarity import label_centroid_assign
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    out = label_centroid_assign(t["embeddings"], dim=EMB_DIM)
+    return (
+        out.groupBy("label", "assigned")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("assigned").cast("int").alias("assigned"),
+            "n",
+        )
+        .orderBy("label", "assigned")
+    )
+
+
+def _label_centroid_oracle() -> str:
+    scale = 1000
+    sums = ",\n             ".join(
+        f"SUM(CAST(round(embedding[{d + 1}]::DOUBLE * {scale}) AS BIGINT)) AS s{d}"
+        for d in range(EMB_DIM)
+    )
+    qs = ",\n             ".join(
+        f"CAST(round(embedding[{d + 1}]::DOUBLE * {scale}) AS BIGINT) AS q{d}"
+        for d in range(EMB_DIM)
+    )
+    dist = " + ".join(
+        f"(CAST(q.q{d} AS DOUBLE) - (CAST(st.s{d} AS DOUBLE) / st.c))"
+        f" * (CAST(q.q{d} AS DOUBLE) - (CAST(st.s{d} AS DOUBLE) / st.c))"
+        for d in range(EMB_DIM)
+    )
+    return f"""
+    WITH stats AS (
+      SELECT label, COUNT(*) AS c,
+             {sums}
+      FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+      GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id, label,
+             {qs}
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    dists AS (
+      SELECT q.vec_id, q.label, st.label AS cand,
+             ({dist}) AS d
+      FROM q CROSS JOIN stats st
+    ),
+    best AS (
+      SELECT vec_id, label, cand AS assigned FROM (
+        SELECT vec_id, label, cand,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cand) AS rn
+        FROM dists) t
+      WHERE rn = 1
+    )
+    SELECT CAST(label AS INT) AS label, CAST(assigned AS INT) AS assigned,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM best GROUP BY label, assigned ORDER BY label, assigned
+    """
+
+
+register(
+    "x_label_centroid",
+    oracle=_label_centroid_oracle(),
+    tables=("embeddings",),
+)(_x_label_centroid)
+
+
 RP_OUT_DIM = 16
 
 

@@ -435,6 +435,94 @@ def random_projection(
     )
 
 
+def label_centroid_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    scale: int = 1000,
+    max_labels: int = 64,
+) -> DataFrame:
+    """Nearest-class-centroid assignment over a labeled embedding corpus —
+    the supervised curation primitive (label-quality audit, prototype
+    auto-labeling): each vector is re-assigned to the label whose centroid
+    is nearest in squared L2, and disagreements flag suspect labels.
+
+    Scale shape (the :func:`_seed_centroids` discipline): ONE bounded
+    aggregate computes per-label integer component sums + counts
+    (``round(x·scale)`` quantization keeps them exact), the ≤``max_labels``
+    rows are collected and inlined as literals, and assignment is a pure
+    flat-expression PROJECTION — no join, no per-row Python, whole-stage
+    codegen.  Driver state is O(labels·dim), a hyperparameter like an IVF
+    index's nlist, never data-proportional.
+
+    Cross-engine parity: centroid means are ``CAST(int_sum AS DOUBLE) /
+    int_count`` — identical integers divide to identical doubles on any
+    engine — and each distance is a fixed-order flat sum of squared
+    differences, so the oracle replays the exact IEEE sequence; argmin
+    ties break toward the smaller label on both engines.
+
+    Returns one row per input: ``(id, label, assigned)``.
+    """
+    labels_rows = (
+        df.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            *[
+                F.expr(
+                    f"sum(CAST(round(CAST({vec_col}[{d}] AS DOUBLE) * {scale}) AS BIGINT))"
+                ).alias(f"s{d}")
+                for d in range(dim)
+            ],
+        )
+        .orderBy(label_col)
+        .limit(max_labels + 1)
+        .collect()
+    )
+    if not labels_rows:
+        raise ValueError(f"no labeled rows: {label_col} is all null")
+    if len(labels_rows) > max_labels:
+        raise ValueError(
+            f"more than max_labels={max_labels} distinct labels — the "
+            "centroid table must stay broadcast-small; raise max_labels "
+            "deliberately if the label space is really that wide"
+        )
+    qcols = [
+        F.expr(
+            f"CAST(round(CAST({vec_col}[{d}] AS DOUBLE) * {scale}) AS BIGINT)"
+        ).alias(f"__q{d}")
+        for d in range(dim)
+    ]
+    keyed = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label"), *qcols
+    )
+    dist_cols = []
+    for r in labels_rows:
+        lbl, c = int(r[label_col]), int(r["c"])
+        terms = " + ".join(
+            f"(CAST(__q{d} AS DOUBLE) - (CAST({int(r[f's{d}'])} AS DOUBLE) / {c}))"
+            f" * (CAST(__q{d} AS DOUBLE) - (CAST({int(r[f's{d}'])} AS DOUBLE) / {c}))"
+            for d in range(dim)
+        )
+        dist_cols.append(F.expr(f"({terms})").alias(f"__dist_{lbl}"))
+    with_d = keyed.select("id", "label", *dist_cols)
+    lbls = [int(r[label_col]) for r in labels_rows]
+    dnames = [f"__dist_{lbl}" for lbl in lbls]
+    mins = (
+        f"least({', '.join(dnames)})" if len(dnames) > 1 else dnames[0]
+    )
+    case = " ".join(
+        f"WHEN {d} = __m THEN CAST({lbl} AS INT)" for lbl, d in zip(lbls, dnames)
+    )
+    return (
+        with_d.withColumn("__m", F.expr(mins))
+        .withColumn("assigned", F.expr(f"CASE {case} END"))
+        .select("id", "label", "assigned")
+    )
+
+
 def ivf_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,

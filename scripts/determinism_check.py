@@ -14,7 +14,9 @@ Usage (each conf needs its own process for a fresh JVM):
     python scripts/determinism_check.py b        # conf B -> /tmp/det_b.json
     python scripts/determinism_check.py compare  # exit 1 on any mismatch
 
-Last run (r04 rotated window, sf0.01): checked 50 entries, mismatches: 0.
+Last run (r05 rotated window incl. q12 CAST, adaptive-LSH, IVF re-rank,
+JL projection, CTE shadow-merge; sf0.01): checked 50 entries,
+mismatches: 0.
 """
 
 import hashlib

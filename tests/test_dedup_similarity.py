@@ -561,6 +561,44 @@ class TestPackingEdges:
         }
         assert truth and len(truth & approx) / len(truth) >= 0.9
 
+    def test_label_centroid_assign_known_clusters(self, spark):
+        """Synthetic: three tight clusters, one mislabeled point — the
+        argmin must send every point to its geometric cluster's label,
+        flagging exactly the planted error; tie distances resolve to the
+        smaller label."""
+        from polars_view_spark.operators.similarity import label_centroid_assign
+
+        def vec(base, eps):
+            v = [0.0] * 64
+            v[0], v[1] = base, eps
+            return v
+
+        rows = (
+            [(i, vec(1.0, 0.001 * i), 0) for i in range(3)]
+            + [(10 + i, vec(5.0, 0.001 * i), 1) for i in range(3)]
+            + [(20 + i, vec(9.0, 0.001 * i), 2) for i in range(3)]
+            + [(99, vec(9.0, 0.0015), 0)]  # planted wrong label
+        )
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {r["id"]: r["assigned"] for r in label_centroid_assign(df).collect()}
+        for i in range(3):
+            assert got[i] == 0 and got[10 + i] == 1 and got[20 + i] == 2
+        assert got[99] == 2  # the mislabeled point lands on its true cluster
+
+    def test_label_centroid_tie_breaks_to_smaller_label(self, spark):
+        from polars_view_spark.operators.similarity import label_centroid_assign
+
+        # two labels with identical centroids: every distance ties, the
+        # CASE chain must pick the smaller label deterministically
+        v = [1.0] + [0.0] * 63
+        df = spark.createDataFrame(
+            [(0, v, 5), (1, v, 3)], "vec_id long, embedding array<float>, label int"
+        )
+        got = {r["id"]: r["assigned"] for r in label_centroid_assign(df).collect()}
+        assert got == {0: 3, 1: 3}
+
     def test_random_projection_preserves_distances(self, spark, embeddings):
         """JL guarantee, pinned on the deterministic corpus+planes: the
         64→16 projection keeps projected-vs-true cosine correlated

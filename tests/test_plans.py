@@ -146,6 +146,17 @@ def test_random_projection_codegen_only(spark, cat):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_label_centroid_no_join_no_python(spark, cat):
+    # centroids are literal-inlined after one bounded aggregate, so the
+    # assignment pass must be a pure projection: no join anywhere, no
+    # Python in the row path, and only the confusion groupBy + final
+    # order shuffle the assigned rows
+    plan = plan_of(cat["x_label_centroid"].spark_fn(spark, SF))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+
 def test_merge_upsert_single_join_no_cartesian(spark, cat):
     # one full-outer hash join on the key; change-batch application must
     # never degrade to a nested-loop product or drop into Python
