@@ -424,12 +424,24 @@ def random_projection(
     correlation and capture of high-similarity (near-dup-threshold)
     pairs through a loose projected cut.
     """
-    from polars_view_spark.functions.vectors import rp_projection_sql
+    from polars_view_spark.functions.vectors import rp_weight
 
+    # quantize each element ONCE into a named column, then form the
+    # out_dim plane sums over column references: inlining the round into
+    # every term (out_dim × dim rounds/row) bloats the generated method
+    # past Janino's limit and falls back to interpreted eval — measured
+    # 5.7 s → sub-second at sf0.1 for the identical arithmetic
+    qcols = [
+        F.expr(
+            f"CAST(round(CAST({vec_col}[{d}] AS DOUBLE) * {scale}) AS BIGINT)"
+        ).alias(f"__q{d}")
+        for d in range(dim)
+    ]
     comps = ", ".join(
-        rp_projection_sql(vec_col, j, dim, scale) for j in range(out_dim)
+        "(" + " + ".join(f"__q{d} * {rp_weight(j, d)}" for d in range(dim)) + ")"
+        for j in range(out_dim)
     )
-    return df.select(
+    return df.select(F.col(id_col), *qcols).select(
         F.col(id_col),
         F.expr(f"array({comps})").alias("rp"),
     )
