@@ -286,6 +286,40 @@ class TestPngStdlibTier:
         laced[28] = 1  # interlace byte inside IHDR
         assert png_decode_stdlib(bytes(laced)) is None
 
+    def test_roundtrip_property(self):
+        """Property: for ANY pixel grid, filter choice, and color type,
+        encode (spec forward transform) → decode reconstructs the same
+        grid — digest equal to the filter-0 encoding's digest."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from polars_view_spark.operators.multimodal import png_decode_stdlib
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            w=st.integers(1, 8),
+            h=st.integers(1, 6),
+            color=st.sampled_from([0, 2, 4, 6]),
+            data=st.data(),
+        )
+        def check(w, h, color, data):
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+            pixels = [
+                [
+                    tuple(
+                        data.draw(st.integers(0, 255)) for _ in range(ch)
+                    )
+                    for _ in range(w)
+                ]
+                for _ in range(h)
+            ]
+            filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+            got = png_decode_stdlib(full_png_bytes(pixels, color=color, filters=filters))
+            ref = png_decode_stdlib(full_png_bytes(pixels, color=color, filters=[0] * h))
+            assert got == ref and got is not None and (got[0], got[1]) == (w, h)
+
+        check()
+
     def test_decompression_bomb_declines_bounded(self):
         """An IDAT stream inflating far past the IHDR-declared grid (a
         PNG bomb) must decline via the bounded decompressobj — never
