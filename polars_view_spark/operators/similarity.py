@@ -415,35 +415,45 @@ def random_projection(
     Planes are md5-derived sparse integer weights in [-3, 3]
     (functions/vectors.py:rp_weight — deliberately NOT the LSH family,
     whose arithmetic weights degenerate to cyclic shifts of one pattern)
-    and inputs are integer-quantized by SQL ``round`` — every output
-    component is integer arithmetic, bit-exact on any engine, and the
-    whole operator is a pure PROJECTION: zero shuffles, whole-stage
-    codegen (flat cast/multiply sums, not higher-order functions — the
-    SCALE.md interpreted-HOF trap does not apply).  Distance preservation
-    on the test corpus is pinned in pytest: projected-vs-true cosine
+    and inputs are integer-quantized by SQL ``round`` (half-away-from-
+    zero, matching the oracle; rounding never happens in Python) — every
+    output component is integer arithmetic, bit-exact on any engine.
+
+    The plane multiply itself is the Arrow int64 ``(batch × dim) @ (dim ×
+    out_dim)`` matmul kernel — the same shape as the IVF assignment in
+    :func:`_with_sorted_cells`, and for the same reason: the flat SQL sum
+    (out_dim·dim terms) exceeds Janino's 64 KB method limit, Catalyst's
+    CollapseProject defeats any staged-column split, and the interpreted
+    fallback costs ~0.3 ms/row (SCALE.md r05 row).  Integer matmul is
+    accumulation-order-exact, so the oracle's sequential SQL sums match
+    bit-for-bit.  No shuffle; one Arrow hop.  Distance preservation on
+    the test corpus is pinned in pytest: projected-vs-true cosine
     correlation and capture of high-similarity (near-dup-threshold)
     pairs through a loose projected cut.
     """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     from polars_view_spark.functions.vectors import rp_weight
 
-    # quantize each element ONCE into a named column, then form the
-    # out_dim plane sums over column references: inlining the round into
-    # every term (out_dim × dim rounds/row) bloats the generated method
-    # past Janino's limit and falls back to interpreted eval — measured
-    # 5.7 s → sub-second at sf0.1 for the identical arithmetic
-    qcols = [
-        F.expr(
-            f"CAST(round(CAST({vec_col}[{d}] AS DOUBLE) * {scale}) AS BIGINT)"
-        ).alias(f"__q{d}")
-        for d in range(dim)
-    ]
-    comps = ", ".join(
-        "(" + " + ".join(f"__q{d} * {rp_weight(j, d)}" for d in range(dim)) + ")"
-        for j in range(out_dim)
-    )
-    return df.select(F.col(id_col), *qcols).select(
+    plane_t = np.asarray(
+        [[rp_weight(j, d) for j in range(out_dim)] for d in range(dim)],
+        dtype=np.int64,
+    )  # (dim, out_dim)
+
+    @pandas_udf("array<bigint>")
+    def project(qv: pd.Series) -> pd.Series:
+        vals = qv.to_numpy()
+        mask = np.array([v is not None for v in vals])
+        out = np.full(len(vals), None, dtype=object)
+        if mask.any():
+            mat = np.stack(vals[mask]).astype(np.int64, copy=False)
+            out[np.flatnonzero(mask)] = list(mat @ plane_t)
+        return pd.Series(out)
+
+    return df.select(
         F.col(id_col),
-        F.expr(f"array({comps})").alias("rp"),
+        project(F.expr(_quantize_sql(vec_col, scale))).alias("rp"),
     )
 
 
