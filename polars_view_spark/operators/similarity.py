@@ -481,12 +481,22 @@ def label_centroid_assign(
 
     Cross-engine parity: centroid means are ``CAST(int_sum AS DOUBLE) /
     int_count`` — identical integers divide to identical doubles on any
-    engine — and each distance is a fixed-order flat sum of squared
-    differences, so the oracle replays the exact IEEE sequence; argmin
-    ties break toward the smaller label on both engines.
+    engine — and each distance accumulates its squared differences
+    SEQUENTIALLY over dims (the Arrow kernel loops dims exactly like the
+    oracle's flat left-associative sum), so both engines replay the
+    identical IEEE sequence; argmin ties break toward the smaller label
+    on both engines (labels ascend, ``argmin`` keeps the first).
+
+    The distance/argmin pass is the Arrow float64 kernel rather than a
+    flat SQL expression: labels·dim·2 terms exceed Janino's 64 KB method
+    limit (interpreted fallback, same failure mode as
+    :func:`random_projection` — see SCALE.md r05).  No join, no shuffle;
+    one Arrow hop.
 
     Returns one row per input: ``(id, label, assigned)``.
     """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
     labels_rows = (
         df.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
         .groupBy(label_col)
@@ -511,37 +521,34 @@ def label_centroid_assign(
             "centroid table must stay broadcast-small; raise max_labels "
             "deliberately if the label space is really that wide"
         )
-    qcols = [
-        F.expr(
-            f"CAST(round(CAST({vec_col}[{d}] AS DOUBLE) * {scale}) AS BIGINT)"
-        ).alias(f"__q{d}")
-        for d in range(dim)
-    ]
-    keyed = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(label_col).alias("label"), *qcols
+    lbls = np.asarray([int(r[label_col]) for r in labels_rows], dtype=np.int64)
+    # means as exact-integer-derived doubles: identical division both sides
+    sums = np.asarray(
+        [[int(r[f"s{d}"]) for d in range(dim)] for r in labels_rows],
+        dtype=np.float64,
     )
-    dist_cols = []
-    for r in labels_rows:
-        lbl, c = int(r[label_col]), int(r["c"])
-        terms = " + ".join(
-            f"(CAST(__q{d} AS DOUBLE) - (CAST({int(r[f's{d}'])} AS DOUBLE) / {c}))"
-            f" * (CAST(__q{d} AS DOUBLE) - (CAST({int(r[f's{d}'])} AS DOUBLE) / {c}))"
-            for d in range(dim)
-        )
-        dist_cols.append(F.expr(f"({terms})").alias(f"__dist_{lbl}"))
-    with_d = keyed.select("id", "label", *dist_cols)
-    lbls = [int(r[label_col]) for r in labels_rows]
-    dnames = [f"__dist_{lbl}" for lbl in lbls]
-    mins = (
-        f"least({', '.join(dnames)})" if len(dnames) > 1 else dnames[0]
-    )
-    case = " ".join(
-        f"WHEN {d} = __m THEN CAST({lbl} AS INT)" for lbl, d in zip(lbls, dnames)
-    )
-    return (
-        with_d.withColumn("__m", F.expr(mins))
-        .withColumn("assigned", F.expr(f"CASE {case} END"))
-        .select("id", "label", "assigned")
+    counts = np.asarray([int(r["c"]) for r in labels_rows], dtype=np.float64)
+    means = sums / counts[:, None]  # (labels, dim)
+
+    @pandas_udf("int")
+    def nearest(qv: pd.Series) -> pd.Series:
+        vals = qv.to_numpy()
+        mask = np.array([v is not None for v in vals])
+        out = np.full(len(vals), None, dtype=object)
+        if mask.any():
+            mat = np.stack(vals[mask]).astype(np.float64)  # (n, dim)
+            acc = np.zeros((mat.shape[0], len(lbls)), dtype=np.float64)
+            for d in range(dim):  # sequential over dims = the SQL fold order
+                diff = mat[:, d, None] - means[None, :, d]
+                acc += diff * diff
+            # labels ascend; argmin keeps the first occurrence = smaller label
+            out[np.flatnonzero(mask)] = [int(x) for x in lbls[np.argmin(acc, axis=1)]]
+        return pd.Series(out)
+
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        nearest(F.expr(_quantize_sql(vec_col, scale))).alias("assigned"),
     )
 
 
