@@ -198,7 +198,8 @@ DRIVER_PRIORITY = [
 # t_round_floats, q_outer_join, q_full_outer_join, q_cross_join,
 # q_in_subquery, q_scalar_functions, q_grouping_sets, q_cube,
 # q_percentiles, q_string_agg, q_datetime_functions, q_explode_word_counts,
-# q_qualified_star, q_window_analytics — then the oldest r03-only stamps
+# q_qualified_star, q_window_analytics — then the round-5 additions
+# without a window slot (d_dedup_eval), then the oldest r03-only stamps
 # (streaming windows,
 # multimodal frame/resize, the TPC-H q2/q4/q8/q9/q11/q15-q22 block), then
 # anything round 5 changes.

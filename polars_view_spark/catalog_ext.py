@@ -282,6 +282,47 @@ register(
 )(_d_ngram_jaccard)
 
 
+def _d_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-vs-exact dedup scorecard (operators/dedup.py:dedup_eval): full
+    outer join of the blocked exact-Jaccard truth set and the MinHash+LSH
+    pair set → one row of counts + integer-ppm recall/precision.  The
+    oracle composes the two component oracles verbatim as subqueries, so
+    every number inherits their value-hash parity."""
+    from polars_view_spark.operators.dedup import dedup_eval
+
+    t = load_tables(spark, sf_dir, "documents")
+    return dedup_eval(t["documents"], "doc_id", "text", ["lang"], JACCARD_T)
+
+
+register(
+    "d_dedup_eval",
+    oracle=f"""
+    WITH truth AS (SELECT doc1, doc2, 1 AS t FROM ({_duck_ngram_jaccard_oracle()}) x),
+    pred AS (SELECT doc1, doc2, 1 AS p FROM ({_duck_minhash_oracle()}) y),
+    j AS (
+      SELECT coalesce(truth.t, 0) AS t, coalesce(pred.p, 0) AS p
+      FROM truth FULL OUTER JOIN pred
+        ON truth.doc1 = pred.doc1 AND truth.doc2 = pred.doc2
+    ),
+    agg AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+             CAST(SUM(p) AS BIGINT) AS n_pred,
+             CAST(SUM(t * p) AS BIGINT) AS n_tp,
+             CAST(SUM(t * (1 - p)) AS BIGINT) AS n_fn,
+             CAST(SUM((1 - t) * p) AS BIGINT) AS n_fp
+      FROM j
+    )
+    SELECT *,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE CAST(n_tp * 1000000 // n_truth AS BIGINT) END AS recall_ppm,
+           CASE WHEN n_pred = 0 THEN NULL
+                ELSE CAST(n_tp * 1000000 // n_pred AS BIGINT) END AS precision_ppm
+    FROM agg
+    """,
+    tables=("documents",),
+)(_d_dedup_eval)
+
+
 LEV_BAND_CHARS = 100  # length-band width for the compound blocking key
 LEV_PREFIX_CHARS = 8  # normalized-head prefix length in the blocking key
 

@@ -362,6 +362,63 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dedup_eval(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Recall/precision scorecard of the MinHash+LSH path against the
+    blocked exact-Jaccard baseline — the tuning harness for the banding
+    knobs (band count/rows, hot-bucket cap) a real deployment must size.
+
+    ``truth`` = :func:`ngram_jaccard_pairs` within ``block_cols`` blocks;
+    ``pred`` = :func:`minhash_lsh_pairs` (unblocked).  One full outer
+    join of two already-small pair sets → a single summary row:
+
+    - ``n_fn`` (truth-only) = true pairs the banding missed — the recall
+      cost of the LSH probability curve + hot-bucket cap;
+    - ``n_fp`` (pred-only) = verified pairs OUTSIDE the baseline's
+      blocks (minhash verifies exact Jaccard, so these are real near-dups
+      the blocked baseline cannot see — a blocking-recall signal, not
+      false positives in the usual sense; named fp for the confusion-
+      matrix frame).
+
+    Ratios are integer ppm (``DIV``) so the oracle hash-matches exactly.
+    Both components keep their own scale shapes; the eval adds one tiny
+    join + aggregate.
+    """
+    blocks = block_cols if block_cols is not None else ["lang"]
+    truth = ngram_jaccard_pairs(df, id_col, text_col, blocks, threshold).select(
+        "doc1", "doc2", F.lit(1).alias("in_t")
+    )
+    pred = minhash_lsh_pairs(df, id_col, text_col, threshold).select(
+        "doc1", "doc2", F.lit(1).alias("in_p")
+    )
+    joined = truth.join(pred, ["doc1", "doc2"], "full").select(
+        F.coalesce("in_t", F.lit(0)).alias("t"),
+        F.coalesce("in_p", F.lit(0)).alias("p"),
+    )
+    return joined.agg(
+        F.expr("CAST(SUM(t) AS BIGINT)").alias("n_truth"),
+        F.expr("CAST(SUM(p) AS BIGINT)").alias("n_pred"),
+        F.expr("CAST(SUM(t * p) AS BIGINT)").alias("n_tp"),
+        F.expr("CAST(SUM(t * (1 - p)) AS BIGINT)").alias("n_fn"),
+        F.expr("CAST(SUM((1 - t) * p) AS BIGINT)").alias("n_fp"),
+    ).select(
+        "*",
+        F.expr(
+            "CASE WHEN n_truth = 0 THEN NULL "
+            "ELSE (n_tp * 1000000) DIV n_truth END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN n_pred = 0 THEN NULL "
+            "ELSE (n_tp * 1000000) DIV n_pred END"
+        ).alias("precision_ppm"),
+    )
+
+
 def dedup_apply(
     df: DataFrame,
     id_col: str = "doc_id",

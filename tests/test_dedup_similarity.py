@@ -75,6 +75,29 @@ class TestMinHashRecall:
         assert agree >= 0.5  # j>=0.9 -> expected agreement ~0.9
 
 
+class TestDedupEval:
+    def test_scorecard_on_planted_corpus(self, spark):
+        """Planted truth: two same-lang near-dup pairs (tp), one
+        cross-lang duplicate pair invisible to the blocked baseline but
+        found by unblocked LSH (counted fp), nothing missed (fn=0)."""
+        from polars_view_spark.operators.dedup import dedup_eval
+
+        base = "the quick brown fox jumps over the lazy dog again and again "
+        rows = [
+            (0, base * 4, "en"),
+            (1, base * 4 + "tail", "en"),          # near-dup of 0, same lang
+            (2, base * 4, "pt"),                    # exact text, other lang
+            (3, "completely different content words here " * 6, "en"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        (row,) = dedup_eval(df, "doc_id", "text", ["lang"], 0.5).collect()
+        assert row["n_fn"] == 0
+        assert row["n_tp"] == row["n_truth"] >= 1
+        assert row["n_fp"] >= 1  # the cross-lang pair(s) LSH sees
+        assert row["recall_ppm"] == 1000000
+        assert row["n_pred"] == row["n_tp"] + row["n_fp"]
+
+
 class TestExactDedup:
     def test_deterministic_survivor(self, spark):
         from polars_view_spark.operators.dedup import dedup_exact
