@@ -176,9 +176,9 @@ DRIVER_PRIORITY = [
     "x_random_projection", "x_label_centroid",
     # (f) the two entries whose newest stamp is r02 despite multiple rows:
     "d_fuzzy_levenshtein", "t_add_row_index",
-    # (g) 17 of the 36 r02-only entries, chosen by implementation risk:
+    # (g) 16 of the 36 r02-only entries, chosen by implementation risk:
     # dedup/packing/retrieval pipelines and the widest SQL shapes first;
-    # the 19 remaining r02-only entries (simple roundtrips/join shapes)
+    # the 20 remaining r02-only entries (simple roundtrips/join shapes)
     # rotate in round 6 and stay covered by the local oracle gate.
     "d_span_dedup", "d_contamination", "x_sequence_pack",
     "x_mixture_sample", "x_token_budget", "s_bm25_topk", "t_merge_upsert",
@@ -192,7 +192,7 @@ DRIVER_PRIORITY = [
 # Stamp state entering round 5: 158 catalog entries (160 planned with the
 # round-5 additions), 150 with at least one driver row; the 8 round-4
 # additions in group (b) above have none yet (local-sweep green only).
-# Round-6 rotation should lead with the 19 r02-only entries left out of
+# Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,
 # t_round_floats, q_outer_join, q_full_outer_join, q_cross_join,

@@ -1089,7 +1089,7 @@ register(
     oracle=(
         "SELECT vec_id, md5(array_to_string(["
         + ", ".join(
-            rp_projection_sql("embedding", j, EMB_DIM, duck=True)
+            rp_projection_sql("embedding", j, EMB_DIM)
             for j in range(RP_OUT_DIM)
         )
         + "], ',')) AS rp_md5 FROM embeddings ORDER BY vec_id"

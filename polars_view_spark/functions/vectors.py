@@ -103,22 +103,18 @@ def rp_weight(j: int, d: int) -> int:
     return (h % 7) - 3
 
 
-def rp_projection_sql(
-    emb: str, j: int, dim: int, scale: int = 1000, duck: bool = False
-) -> str:
-    """Integer JL projection component ``j``: quantized input dotted with
-    the md5-derived plane (:func:`rp_weight`); same bit-exact structure
-    as :func:`quantized_projection_sql`, different plane family."""
-    if duck:
-        terms = " + ".join(
-            f"CAST(round({emb}[{d + 1}]::DOUBLE * {scale}) AS BIGINT) * {rp_weight(j, d)}"
-            for d in range(dim)
-        )
-    else:
-        terms = " + ".join(
-            f"CAST(round(CAST({emb}[{d}] AS DOUBLE) * {scale}) AS BIGINT) * {rp_weight(j, d)}"
-            for d in range(dim)
-        )
+def rp_projection_sql(emb: str, j: int, dim: int, scale: int = 1000) -> str:
+    """Integer JL projection component ``j`` in DuckDB SQL (1-based list
+    indexing) — ORACLE-SIDE ONLY.  The Spark side deliberately does not
+    have a SQL twin: out_dim·dim flat terms exceed Janino's 64 KB method
+    limit and fall back to interpreted evaluation, so
+    ``similarity.random_projection`` runs the Arrow int64 matmul kernel
+    instead (integer matmul is accumulation-order-exact, so both forms
+    produce identical components)."""
+    terms = " + ".join(
+        f"CAST(round({emb}[{d + 1}]::DOUBLE * {scale}) AS BIGINT) * {rp_weight(j, d)}"
+        for d in range(dim)
+    )
     return f"({terms})"
 
 

@@ -135,8 +135,14 @@ def minhash_lsh_pairs(
     text_col: str,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = MAX_LSH_BUCKET,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
+
+    ``shingles`` lets a caller share one cached shingle table across
+    several consumers (see :func:`dedup_eval` — shingling is ~60 % of
+    this operator's cost); ownership stays with the caller, which must
+    cache before and unpersist after.
 
     Returns ``(doc1, doc2, jaccard)`` with doc1 < doc2 and exact shingle
     Jaccard ≥ threshold.
@@ -177,7 +183,8 @@ def minhash_lsh_pairs(
     (explode → one groupBy → bucket join → candidate-only verify) is the
     one that holds at 100×.
     """
-    sh = shingle_table(df, id_col, text_col).cache()
+    own_sh = shingles is None
+    sh = shingle_table(df, id_col, text_col).cache() if own_sh else shingles
     sigs = minhash_signatures(df, id_col, text_col, shingles=sh).cache()
     bands = _band_table(sigs, max_bucket_size)
 
@@ -197,9 +204,10 @@ def minhash_lsh_pairs(
     result = verified.filter(F.col("jaccard") >= jaccard_threshold).select(
         "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
     )
-    # pin the (tiny) result, then release the big intermediates
+    # pin the (tiny) result, then release the big intermediates (a
+    # caller-provided shingle table is the caller's to release)
     result = result.localCheckpoint(eager=True)
-    for c in (candidates, sigs, sh):
+    for c in (candidates, sigs) + ((sh,) if own_sh else ()):
         c.unpersist()
     return result
 
@@ -308,8 +316,13 @@ def ngram_jaccard_pairs(
     text_col: str,
     block_cols: list[str],
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs within blocking buckets.
+
+    ``shingles`` shares a caller-owned cached shingle table (the caller
+    caches/unpersists it); the block-joined copy this operator derives
+    is still cached and released locally.
 
     ``block_cols`` bound which docs may pair (same block only) — the
     baseline against which the LSH path is validated.
@@ -330,7 +343,8 @@ def ngram_jaccard_pairs(
         raise ValueError("ngram_jaccard_pairs requires threshold > 0 "
                          "(zero-intersection pairs are pruned by design)")
     blocks = df.select(F.col(id_col).alias("doc"), *[F.col(c) for c in block_cols])
-    sh = shingle_table(df, id_col, text_col).join(blocks, "doc").cache()
+    base_sh = shingle_table(df, id_col, text_col) if shingles is None else shingles
+    sh = base_sh.join(blocks, "doc").cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     join_keys = ["shingle", *block_cols]
@@ -386,16 +400,22 @@ def dedup_eval(
       matrix frame).
 
     Ratios are integer ppm (``DIV``) so the oracle hash-matches exactly.
-    Both components keep their own scale shapes; the eval adds one tiny
+    Both components keep their own scale shapes and consume ONE shared
+    cached shingle table (shingling is the dominant cost of each — the
+    share halves the eval's heavy stage); the eval itself adds one tiny
     join + aggregate.
     """
     blocks = block_cols if block_cols is not None else ["lang"]
-    truth = ngram_jaccard_pairs(df, id_col, text_col, blocks, threshold).select(
-        "doc1", "doc2", F.lit(1).alias("in_t")
-    )
-    pred = minhash_lsh_pairs(df, id_col, text_col, threshold).select(
+    sh = shingle_table(df, id_col, text_col).cache()
+    truth = ngram_jaccard_pairs(
+        df, id_col, text_col, blocks, threshold, shingles=sh
+    ).select("doc1", "doc2", F.lit(1).alias("in_t"))
+    pred = minhash_lsh_pairs(df, id_col, text_col, threshold, shingles=sh).select(
         "doc1", "doc2", F.lit(1).alias("in_p")
     )
+    # both components eagerly checkpoint their (tiny) results, so the
+    # shared shingle cache is no longer needed past this point
+    sh.unpersist()
     joined = truth.join(pred, ["doc1", "doc2"], "full").select(
         F.coalesce("in_t", F.lit(0)).alias("t"),
         F.coalesce("in_p", F.lit(0)).alias("p"),

@@ -427,7 +427,10 @@ def png_decode_stdlib(b: bytes) -> tuple[int, int, str] | None:
             return None
         d = zlib.decompressobj()
         raw = d.decompress(b"".join(idat), want + 1)
-        if len(raw) != want:
+        # eof check: a truncated stream can still yield exactly `want`
+        # bytes without ever reaching the adler32 trailer — the plain
+        # zlib.decompress declined those, and so must the bounded form
+        if len(raw) != want or not d.eof:
             return None
         prev = bytearray(stride)
         out = hashlib.md5()

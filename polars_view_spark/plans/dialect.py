@@ -670,7 +670,12 @@ def _enclosing_with_prefix(q: str, star_idx: int, first_select_in_scope: int) ->
             rf"(?:\b{re.escape(name)}\b|`{re.escape(name)}`)", re.IGNORECASE
         )
         for other_name, d in merged:
-            body_only = d if not other_name else d[len(other_name):]
+            # strip the definition's own leading (possibly backquoted)
+            # name token so it can't self-match — a fixed-length slice
+            # would leave backtick residue and false-positive
+            body_only = re.sub(
+                r"^\s*(?:`(?:[^`]|``)+`|[A-Za-z_]\w*)", "", d, count=1
+            )
             if pat.search(body_only):
                 raise SqlDialectError(
                     f"star modifier cannot be resolved: outer CTE "

@@ -414,6 +414,22 @@ class TestStarModifierCteScope:
                 spark,
             )
 
+    def test_backquoted_shadowing_def_no_false_positive(self, spark):
+        """Review r05 second pass: the reference check must strip a
+        BACKQUOTED definition's own name cleanly — a fixed-length slice
+        left backtick residue that self-matched and refused this legal
+        query."""
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        out = rewrite_query(
+            'WITH a AS (SELECT 1 AS x) '
+            'SELECT * FROM (WITH z AS (SELECT 2 AS y), '
+            '"a" AS (SELECT 3 AS w) '
+            'SELECT * RENAME (w AS v) FROM "a") s',
+            spark,
+        )
+        assert [r.asDict() for r in spark.sql(out).collect()] == [{"v": 3}]
+
     def test_inner_shadowing_cte_body_star(self, spark):
         """Shadowing where the star sits inside the INNER redefinition's
         sibling CTE body: the merged prefix keeps exactly one `a`."""

@@ -354,6 +354,31 @@ class TestPngStdlibTier:
         )
         assert png_decode_stdlib(huge_hdr) is None
 
+    def test_truncated_idat_stream_declines(self):
+        """Review r05 second pass: a stream cut off after the pixel
+        bytes (adler32 trailer missing) yields exactly `want` bytes from
+        the bounded inflate without reaching eof — must decline like
+        plain zlib.decompress did, not accept unverified data."""
+        import struct
+        import zlib
+
+        from polars_view_spark.operators.multimodal import png_decode_stdlib
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        raw = b"\x00" + bytes(6) + b"\x00" + bytes(6)
+        full = zlib.compress(raw)
+        good = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", full) + chunk(b"IEND", b"")
+        assert png_decode_stdlib(good) is not None
+        cut = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", full[:-4]) + chunk(b"IEND", b"")
+        assert png_decode_stdlib(cut) is None
+
 
 def test_decode_real_full_decode_tier(spark):
     """A genuine (spec-built) PNG decodes through a full pixel-grid tier —
