@@ -345,7 +345,8 @@ def test_cte_scope_star_fuzz_end_to_end(spark):
     failures = []
     for i in range(80):
         shape = rng.choice(
-            ["cte_body", "from_subquery", "two_deep", "cte_mods_qualify"]
+            ["cte_body", "from_subquery", "two_deep", "cte_mods_qualify",
+             "shadowed"]
         )
         mods, expanded, kept = _gen_modifier_chain(rng)
         where = rng.choice(WHERE_POOL)
@@ -374,6 +375,20 @@ def test_cte_scope_star_fuzz_end_to_end(spark):
             want_sql = (f"WITH seed AS (SELECT * FROM AllData{wh}), "
                         f"base AS (SELECT * FROM (SELECT {expanded} FROM seed) t) "
                         f"SELECT * FROM base{tail}")
+        elif shape == "shadowed":
+            # r05 shadow-merge fix: the inner scope REDEFINES the outer
+            # CTE name (sometimes quoted, exercising the backquoted-name
+            # strip) and the star must resolve against the INNER
+            # definition — the outer one is a poisoned decoy (k > 99 →
+            # empty) so outer-wins or duplicate-name failures are loud
+            inner_name = rng.choice(["seed", '"seed"'])
+            q = (f"WITH seed AS (SELECT * FROM AllData WHERE k > 99) "
+                 f"SELECT * FROM (WITH {inner_name} AS "
+                 f"(SELECT * FROM AllData{wh}) "
+                 f"SELECT {mods} FROM {inner_name}) s{tail}")
+            want_sql = (f"SELECT * FROM (WITH seed AS "
+                        f"(SELECT * FROM AllData{wh}) "
+                        f"SELECT {expanded} FROM seed) s{tail}")
         else:
             # the full composition: CTE prefix + modifier star in the main
             # select + QUALIFY.  The qualify wrap pushes the WITH inside
