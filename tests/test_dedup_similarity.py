@@ -162,6 +162,35 @@ class TestAnn:
         assert len(out) > 0
 
 
+class TestAdaptiveLshBits:
+    def test_boundary_values_and_sql_mirror(self):
+        """Pin ceil(log2(n/512)) clamped to [4,12] at the exact doubling
+        boundaries, and assert the DuckDB COUNT(*)-derived mirror lands
+        on the identical width for each."""
+        import duckdb
+
+        from polars_view_spark.functions.vectors import (
+            adaptive_lsh_bits,
+            duck_adaptive_lsh_bits_sql,
+        )
+
+        cases = {
+            1: 4, 511: 4, 512: 4, 8192: 4, 8193: 5,
+            16384: 5, 16385: 6, 512 << 10: 10, (512 << 10) + 1: 11,
+            512 << 12: 12, 10**12: 12,
+        }
+        con = duckdb.connect()
+        for n, want in cases.items():
+            assert adaptive_lsh_bits(n) == want, n
+            if n <= 512 << 12:  # the mirror COUNTs real rows — keep it cheap
+                got = con.sql(
+                    "SELECT "
+                    + duck_adaptive_lsh_bits_sql(f"(SELECT 1 FROM range({n}))")
+                ).fetchone()[0]
+                assert got == want, (n, got)
+        con.close()
+
+
 class TestHotBucketGuard:
     def test_boilerplate_bucket_dropped(self, spark):
         """A mega-cluster of identical docs (boilerplate) must be excluded
