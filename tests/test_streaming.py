@@ -233,6 +233,16 @@ def test_streaming_upsert_matches_sequential_batch_merge(spark, tmp_path):
 
     write_batch(b1, "b1.parquet")
     write_batch(b2, "b2.parquet")
+    # the file stream source orders micro-batches by MODIFICATION TIME,
+    # not name — two files written back-to-back can share an mtime (or
+    # invert at fs granularity), flipping the drain order and
+    # re-inserting the deleted key; pin strictly ascending mtimes
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(landing / "b1.parquet", (now - 10, now - 10))
+    _os.utime(landing / "b2.parquet", (now, now))
 
     snap = str(tmp_path / "snapshot")
     stream = (
