@@ -334,7 +334,7 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     q = streaming_minhash_dedup(
         stream, str(tmp_path / "corpus"), str(tmp_path / "pairs")
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not drain in time"
 
     got = {
         (r["doc1"], r["doc2"], r["jaccard"])
@@ -359,7 +359,7 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     q2 = streaming_minhash_dedup(
         stream, str(tmp_path / "corpus"), str(tmp_path / "pairs")
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300), "replay did not drain in time"
     # compare as a sorted LIST, not a set: the regression this guards
     # (a replayed batch pairing against LATER batches' corpus) produces
     # duplicate rows across batch_id partitions, which a set would
@@ -404,7 +404,7 @@ def test_streaming_minhash_crash_replay_of_partial_batch(spark, tmp_path):
     corpus_dir = str(tmp_path / "corpus")
     pairs_dir = str(tmp_path / "pairs")
     q = streaming_minhash_dedup(stream, corpus_dir, pairs_dir)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not drain in time"
 
     want = sorted(
         (r["doc1"], r["doc2"], r["jaccard"])
@@ -431,7 +431,7 @@ def test_streaming_minhash_crash_replay_of_partial_batch(spark, tmp_path):
         crc.unlink()
 
     q2 = streaming_minhash_dedup(stream, corpus_dir, pairs_dir)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300), "replay did not drain in time"
 
     # sorted LIST compare: duplicates across batch_id partitions are the
     # failure mode and a set would collapse them
