@@ -312,6 +312,36 @@ def test_streaming_lm_score_matches_batch(spark):
     assert got == want and len(got) > 0
 
 
+def _write_landing_3(docs, landing: str) -> None:
+    """Three landing files → three micro-batches (maxFilesPerTrigger=1).
+
+    The file source orders files by MODIFICATION TIME; one parquet write
+    stamps all three parts within the same millisecond, so batch order
+    under ties is whatever the listing happens to return.  Pair-union
+    results are order-independent, but pin ascending mtimes anyway (as the
+    upsert test does) so a failure is never confounded by batch order."""
+    import os as _os
+
+    docs.withColumn("__f", docs.doc_id % 3).repartition(3, "__f").drop(
+        "__f"
+    ).write.parquet(landing)
+    import glob as _glob
+
+    base = _os.path.getmtime(landing)
+    for i, p in enumerate(sorted(_glob.glob(_os.path.join(landing, "part-*")))):
+        _os.utime(p, (base + 10 * i, base + 10 * i))
+
+
+def _pair_diff(got, want) -> str:
+    """Bounded symmetric-difference report for pair-set asserts."""
+    g, w = set(got), set(want)
+    extra, missing = sorted(g - w)[:5], sorted(w - g)[:5]
+    return (
+        f"got {len(got)} rows ({len(g)} distinct), want {len(want)} "
+        f"({len(w)} distinct); extra={extra} missing={missing}"
+    )
+
+
 def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     """Union of per-trigger near-dup pairs over an arriving corpus equals
     the one-shot batch pairing of the final corpus — every pair discovered
@@ -321,10 +351,7 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     landing = str(tmp_path / "landing")
-    # three landing files → three micro-batches (maxFilesPerTrigger=1)
-    docs.withColumn("__f", docs.doc_id % 3).repartition(3, "__f").drop(
-        "__f"
-    ).write.parquet(landing)
+    _write_landing_3(docs, landing)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -345,7 +372,7 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
         for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
     }
     assert want, "fixture must contain near-dup pairs"
-    assert got == want
+    assert got == want, _pair_diff(got, want)
     # corpus snapshot accumulated every document exactly once
     assert spark.read.parquet(str(tmp_path / "corpus")).count() == docs.count()
 
@@ -368,7 +395,9 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
         (r["doc1"], r["doc2"], r["jaccard"])
         for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
     )
-    assert got2 == sorted(want), "replay duplicated or lost pair rows"
+    assert got2 == sorted(want), "replay duplicated or lost pair rows: " + _pair_diff(
+        got2, sorted(want)
+    )
     assert spark.read.parquet(str(tmp_path / "corpus")).count() == docs.count()
 
 
@@ -392,9 +421,7 @@ def test_streaming_minhash_crash_replay_of_partial_batch(spark, tmp_path):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     landing = str(tmp_path / "landing")
-    docs.withColumn("__f", docs.doc_id % 3).repartition(3, "__f").drop(
-        "__f"
-    ).write.parquet(landing)
+    _write_landing_3(docs, landing)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -412,23 +439,38 @@ def test_streaming_minhash_crash_replay_of_partial_batch(spark, tmp_path):
     )
     assert want, "fixture must contain near-dup pairs"
     ckpt = tmp_path / "corpus.__pvs_ckpt"
-    last_commit = max(
+    commits = sorted(
         int(p.name) for p in (ckpt / "commits").iterdir()
         if p.name.isdigit()
     )
+    # anchor on the last DATA batch, not the last commit: the engine
+    # occasionally appends a trailing no-data micro-batch whose commit
+    # marker exists but whose (empty) batch wrote no corpus partition —
+    # picking max(commits) then failed the partition-exists assert below
+    # as a load-dependent flake
+    last_data = max(
+        int(p.name.split("=")[1])
+        for p in (tmp_path / "corpus").iterdir()
+        if p.name.startswith("ingest_batch=")
+    )
 
-    # simulate the crash: batch `last_commit` wrote pairs, died before the
+    # simulate the crash: batch `last_data` wrote pairs, died before the
     # corpus write and before committing — corpus partition gone, commit
-    # marker gone, offsets log intact (same batch content + id on restart)
-    corpus_part = tmp_path / "corpus" / f"ingest_batch={last_commit}"
+    # marker gone, offsets log intact (same batch content + id on restart).
+    # Any LATER (no-data) commit markers must go too: restart resumes
+    # after the LATEST commit, so a trailing empty commit would mask the
+    # missing one and the crashed batch would never be replayed.
+    corpus_part = tmp_path / "corpus" / f"ingest_batch={last_data}"
     assert corpus_part.exists(), "fixture must have a last-batch partition"
     shutil.rmtree(str(corpus_part))
-    (ckpt / "commits" / str(last_commit)).unlink()
-    # local-FS checkpoints keep a .crc sidecar per commit file; a real HDFS
-    # crash loses both, and a leftover sidecar blocks the recommit rename
-    crc = ckpt / "commits" / f".{last_commit}.crc"
-    if crc.exists():
-        crc.unlink()
+    for b in [b for b in commits if b >= last_data]:
+        (ckpt / "commits" / str(b)).unlink()
+        # local-FS checkpoints keep a .crc sidecar per commit file; a real
+        # HDFS crash loses both, and a leftover sidecar blocks the
+        # recommit rename
+        crc = ckpt / "commits" / f".{b}.crc"
+        if crc.exists():
+            crc.unlink()
 
     q2 = streaming_minhash_dedup(stream, corpus_dir, pairs_dir)
     assert q2.awaitTermination(300), "replay did not drain in time"
@@ -439,7 +481,9 @@ def test_streaming_minhash_crash_replay_of_partial_batch(spark, tmp_path):
         (r["doc1"], r["doc2"], r["jaccard"])
         for r in spark.read.parquet(pairs_dir).collect()
     )
-    assert got == want, "crash replay duplicated or lost pair rows"
+    assert got == want, "crash replay duplicated or lost pair rows: " + _pair_diff(
+        got, want
+    )
     corpus = spark.read.parquet(corpus_dir)
     assert corpus.count() == docs.count()
     assert corpus.select("doc_id").distinct().count() == docs.count()
