@@ -199,7 +199,8 @@ DRIVER_PRIORITY = [
 # q_in_subquery, q_scalar_functions, q_grouping_sets, q_cube,
 # q_percentiles, q_string_agg, q_datetime_functions, q_explode_word_counts,
 # q_qualified_star, q_window_analytics — then the round-5 additions
-# without a window slot (d_dedup_eval), then the oldest r03-only stamps
+# without a window slot (d_dedup_eval, t_xml_roundtrip), then the oldest
+# r03-only stamps
 # (streaming windows,
 # multimodal frame/resize, the TPC-H q2/q4/q8/q9/q11/q15-q22 block), then
 # anything round 5 changes.
@@ -351,6 +352,36 @@ def _t_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("s_name").alias("first_name"),
         )
         .orderBy("nation")
+    )
+
+
+def _t_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference format breadth: parquet → single-file XML sink
+    (sources/writers.py, ``<row>`` elements) → extension-dispatched XML
+    reader (sources/readers.py:read_xml, the data source Spark 4 ships
+    built-in) → aggregate, oracled against the original parquet.  Text
+    integrity through XML entity escaping is pinned separately by
+    tests/test_sources.py::test_xml_escapes_markup_text."""
+    import os
+
+    from polars_view_spark.config import LoadConfig
+    from polars_view_spark.sources.readers import read_any
+    from polars_view_spark.sources.writers import save_as
+
+    t = load_tables(spark, sf_dir, "nation")
+    path = os.path.join(_scratch_dir("xml_rt", sf_dir), "nation.xml")
+    fmt = save_as(t["nation"], path)
+    assert fmt == "xml", fmt
+    df, fmt, _cfg = read_any(spark, LoadConfig(path=path))
+    assert fmt == "xml", fmt
+    return (
+        df.groupBy(F.col("n_regionkey").cast("long").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").cast("long").alias("sum_key"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("region")
     )
 
 
@@ -574,6 +605,17 @@ def _register_core() -> None:
         """,
         tables=("supplier",),
     )(_t_orc_roundtrip)
+
+    register(
+        "t_xml_roundtrip",
+        oracle="""
+        SELECT CAST(n_regionkey AS BIGINT) AS region, COUNT(*) AS n,
+               CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+               MIN(n_name) AS first_name
+        FROM nation GROUP BY 1 ORDER BY 1
+        """,
+        tables=("nation",),
+    )(_t_xml_roundtrip)
 
     register(
         "t_partitioned_roundtrip",

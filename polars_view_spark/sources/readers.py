@@ -29,6 +29,7 @@ class FileFormat:
     NDJSON = "ndjson"
     PARQUET = "parquet"
     ORC = "orc"  # beyond-reference: Spark-native columnar format
+    XML = "xml"  # beyond-reference: Spark 4 native XML data source
 
 
 _EXTENSION_MAP = {
@@ -41,6 +42,7 @@ _EXTENSION_MAP = {
     ".parquet": FileFormat.PARQUET,
     ".pq": FileFormat.PARQUET,
     ".orc": FileFormat.ORC,
+    ".xml": FileFormat.XML,
 }
 
 
@@ -50,7 +52,7 @@ _EXTENSION_MAP = {
 # driver-side head probe need awareness.  Parquet/ORC compress internally —
 # an outer codec suffix on them is an error, not a feature.
 _COMPRESSION_SUFFIXES = {".gz": "gzip", ".bz2": "bzip2"}
-_TEXT_FORMATS = frozenset({"csv", "json", "ndjson"})
+_TEXT_FORMATS = frozenset({"csv", "json", "ndjson", "xml"})
 
 
 def split_compression(path: str) -> tuple[str, str | None]:
@@ -183,6 +185,22 @@ def read_orc(spark: SparkSession, cfg: LoadConfig) -> DataFrame:
     return spark.read.orc(cfg.path)
 
 
+XML_ROW_TAG = "row"  # one <row> element per record, matching the sink
+
+
+def read_xml(spark: SparkSession, cfg: LoadConfig) -> DataFrame:
+    """XML scan — beyond-reference format (Spark 4 ships spark-xml as a
+    built-in data source; the reference reads CSV/JSON/NDJSON/Parquet
+    only).  Records are ``<row>`` elements, matching this repo's sink.
+
+    Scale note: with no pinned schema the reader makes a full inference
+    pass over the data before the real scan — at 100 TB callers should
+    pass the known schema via ``spark.read.schema(...).xml(...)``
+    directly, exactly like the CSV path pins its bounded-sample schema.
+    The viewer-scale dispatch here accepts the inference pass."""
+    return spark.read.option("rowTag", XML_ROW_TAG).xml(cfg.path)
+
+
 def read_any(spark: SparkSession, cfg: LoadConfig) -> tuple[DataFrame, str, LoadConfig]:
     """Dispatch on extension; returns (df, format, possibly-updated config).
 
@@ -199,6 +217,8 @@ def read_any(spark: SparkSession, cfg: LoadConfig) -> tuple[DataFrame, str, Load
         return read_ndjson(spark, cfg), fmt, cfg
     if fmt == FileFormat.ORC:
         return read_orc(spark, cfg), fmt, cfg
+    if fmt == FileFormat.XML:
+        return read_xml(spark, cfg), fmt, cfg
     return read_parquet(spark, cfg), fmt, cfg
 
 

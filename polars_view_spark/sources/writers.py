@@ -69,6 +69,10 @@ def write_dataset(
         writer.option("sep", csv_delimiter).option("header", "true").csv(path)
     elif fmt == FileFormat.NDJSON:
         writer.json(path)
+    elif fmt == FileFormat.XML:
+        from polars_view_spark.sources.readers import XML_ROW_TAG
+
+        writer.option("rowTag", XML_ROW_TAG).xml(path)
     elif fmt == FileFormat.JSON:
         raise UnsupportedFormatError(
             "single-document JSON has no distributed writer; use save_as() "
@@ -110,6 +114,14 @@ def _single_file_write(df: DataFrame, target: str, fmt: str, csv_delimiter: str)
         elif fmt == FileFormat.ORC:
             one.write.mode("overwrite").orc(out)
             part = glob.glob(os.path.join(out, "part-*.orc"))[0]
+        elif fmt == FileFormat.XML:
+            from polars_view_spark.sources.readers import XML_ROW_TAG
+
+            w = one.write.option("rowTag", XML_ROW_TAG)
+            if codec:
+                w = w.option("compression", codec)
+            w.mode("overwrite").xml(out)
+            part = glob.glob(os.path.join(out, "part-*"))[0]
         elif fmt == FileFormat.JSON:
             # Single JSON array document (reference: src/file_dialog.rs:216-225).
             # No distributed writer exists for this layout; the reference's

@@ -76,6 +76,7 @@ class TestFormats:
         assert detect_format("x.CSV") == "csv"
         assert detect_format("x.jsonl") == "ndjson"
         assert detect_format("x.parquet") == "parquet"
+        assert detect_format("x.xml") == "xml"
         with pytest.raises(UnsupportedFormatError):
             detect_format("x.xlsx")
         with pytest.raises(UnsupportedFormatError):
@@ -125,6 +126,46 @@ class TestRoundTrips:
             (1, "a", 1.5),
             (2, "b", None),
         ]
+
+    def test_xml_roundtrip(self, spark, df, tmp_path):
+        target = str(tmp_path / "out.xml")
+        fmt = save_as(df, target)
+        assert fmt == "xml" and os.path.isfile(target)
+        back, fmt, _ = read_any(spark, LoadConfig(path=target))
+        assert fmt == "xml"
+        got = back.orderBy("id").collect()
+        assert [(r["id"], r["name"], r["val"]) for r in got] == [
+            (1, "a", 1.5),
+            (2, "b", None),
+        ]
+
+    def test_xml_gz_roundtrip(self, spark, df, tmp_path):
+        target = str(tmp_path / "out.xml.gz")
+        fmt = save_as(df, target)
+        assert fmt == "xml" and os.path.isfile(target)
+        import gzip
+
+        with gzip.open(target, "rb") as fh:
+            assert b"<row>" in fh.read()
+        back, fmt, _ = read_any(spark, LoadConfig(path=target))
+        assert fmt == "xml"
+        got = back.orderBy("id").collect()
+        assert [(r["id"], r["name"], r["val"]) for r in got] == [
+            (1, "a", 1.5),
+            (2, "b", None),
+        ]
+
+    def test_xml_escapes_markup_text(self, spark, tmp_path):
+        # text containing XML metacharacters must survive the trip through
+        # entity escaping byte-for-byte
+        df = spark.createDataFrame(
+            [(1, "a <b> & 'c' \"d\""), (2, "plain")], "id int, txt string"
+        )
+        target = str(tmp_path / "esc.xml")
+        save_as(df, target)
+        back, _, _ = read_any(spark, LoadConfig(path=target))
+        got = {(r["id"], r["txt"]) for r in back.collect()}
+        assert got == {(1, "a <b> & 'c' \"d\""), (2, "plain")}
 
     def test_json_single_doc(self, spark, df, tmp_path):
         import json
@@ -267,6 +308,7 @@ class TestCompressedText:
         assert detect_format("x/data.ndjson.bz2") == "ndjson"
         assert detect_format("x/data.jsonl.gz") == "ndjson"
         assert detect_format("x/data.json.gz") == "json"
+        assert detect_format("x/data.xml.gz") == "xml"
 
     def test_internal_formats_reject_outer_codec(self):
         from polars_view_spark.errors import UnsupportedFormatError
