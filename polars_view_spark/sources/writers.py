@@ -25,7 +25,36 @@ from pyspark.sql import DataFrame
 
 from polars_view_spark.config import LoadConfig
 from polars_view_spark.errors import SaveFormatMismatchError, UnsupportedFormatError
-from polars_view_spark.sources.readers import FileFormat, detect_format
+from polars_view_spark.sources.readers import XML_ROW_TAG, FileFormat, detect_format
+
+
+#: characters that can never appear in an XML element name (ASCII subset;
+#: Unicode letters stay allowed), plus the leading chars a name can't start
+#: with.  Conservative on purpose: flag only what is definitely illegal.
+_XML_NAME_BAD_CHARS = set(" \t\n\r!\"#$%&'()*+,/;<=>?@[\\]^`{|}~")
+
+
+def _check_xml_element_names(df: DataFrame) -> None:
+    """Column names become XML element names — validate them driver-side.
+
+    Spark's StAX writer does reject an illegal name, but only at task
+    runtime as an opaque ``TASK_WRITE_FAILED`` executor stack trace; a
+    viewer user converting a CSV whose headers carry spaces deserves the
+    repo's typed-error treatment instead (same discipline as the
+    save-in-place guard), with every offending column listed up front."""
+    bad = [
+        c
+        for c in df.columns
+        if not c
+        or c[0].isdigit()
+        or c[0] in ".-"
+        or any(ch in _XML_NAME_BAD_CHARS for ch in c)
+    ]
+    if bad:
+        raise UnsupportedFormatError(
+            f"column names {bad!r} are not valid XML element names; rename "
+            "them (e.g. SELECT * RENAME) before writing XML"
+        )
 
 
 def write_dataset(
@@ -70,8 +99,7 @@ def write_dataset(
     elif fmt == FileFormat.NDJSON:
         writer.json(path)
     elif fmt == FileFormat.XML:
-        from polars_view_spark.sources.readers import XML_ROW_TAG
-
+        _check_xml_element_names(df)
         writer.option("rowTag", XML_ROW_TAG).xml(path)
     elif fmt == FileFormat.JSON:
         raise UnsupportedFormatError(
@@ -115,8 +143,7 @@ def _single_file_write(df: DataFrame, target: str, fmt: str, csv_delimiter: str)
             one.write.mode("overwrite").orc(out)
             part = glob.glob(os.path.join(out, "part-*.orc"))[0]
         elif fmt == FileFormat.XML:
-            from polars_view_spark.sources.readers import XML_ROW_TAG
-
+            _check_xml_element_names(df)
             w = one.write.option("rowTag", XML_ROW_TAG)
             if codec:
                 w = w.option("compression", codec)

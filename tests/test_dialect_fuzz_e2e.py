@@ -379,10 +379,14 @@ def test_cte_scope_star_fuzz_end_to_end(spark):
             # r05 shadow-merge fix: the inner scope REDEFINES the outer
             # CTE name (sometimes quoted, exercising the backquoted-name
             # strip) and the star must resolve against the INNER
-            # definition — the outer one is a poisoned decoy (k > 99 →
-            # empty) so outer-wins or duplicate-name failures are loud
+            # definition — the outer one is a poisoned decoy on BOTH
+            # channels an outer-wins bug could flow through: rows (k > 99
+            # → empty, poisons the executed query) and schema (extra
+            # poison column, poisons the star-expansion probe, whose
+            # block-local analysis only sees schemas)
             inner_name = rng.choice(["seed", '"seed"'])
-            q = (f"WITH seed AS (SELECT * FROM AllData WHERE k > 99) "
+            q = (f"WITH seed AS (SELECT *, 1 AS poison FROM AllData "
+                 f"WHERE k > 99) "
                  f"SELECT * FROM (WITH {inner_name} AS "
                  f"(SELECT * FROM AllData{wh}) "
                  f"SELECT {mods} FROM {inner_name}) s{tail}")

@@ -155,6 +155,23 @@ class TestRoundTrips:
             (2, "b", None),
         ]
 
+    def test_xml_rejects_invalid_element_names(self, spark, tmp_path):
+        # column names become element names; a space-bearing CSV header
+        # must fail loudly driver-side, not as an executor stack trace
+        from polars_view_spark.errors import UnsupportedFormatError
+
+        bad = spark.createDataFrame([(1, "x")], ["id", "Col D"])
+        with pytest.raises(UnsupportedFormatError, match="Col D"):
+            save_as(bad, str(tmp_path / "bad.xml"))
+        with pytest.raises(UnsupportedFormatError, match="9lives"):
+            from polars_view_spark.sources.writers import write_dataset
+
+            write_dataset(
+                spark.createDataFrame([(1,)], ["9lives"]),
+                str(tmp_path / "bad2"),
+                fmt="xml",
+            )
+
     def test_xml_escapes_markup_text(self, spark, tmp_path):
         # text containing XML metacharacters must survive the trip through
         # entity escaping byte-for-byte

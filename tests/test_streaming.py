@@ -456,21 +456,34 @@ def test_streaming_minhash_crash_replay_of_partial_batch(spark, tmp_path):
 
     # simulate the crash: batch `last_data` wrote pairs, died before the
     # corpus write and before committing — corpus partition gone, commit
-    # marker gone, offsets log intact (same batch content + id on restart).
-    # Any LATER (no-data) commit markers must go too: restart resumes
-    # after the LATEST commit, so a trailing empty commit would mask the
-    # missing one and the crashed batch would never be replayed.
+    # marker gone, offsets entry intact (same batch content + id on
+    # restart).  Everything AFTER the crashed batch must go from BOTH
+    # logs: restart resumes from the latest OFFSETS entry (a commit gap
+    # >1 only logs a warning and re-runs just that latest batch), so a
+    # surviving trailing no-data entry would mask the crash and the data
+    # batch would never be replayed.
     corpus_part = tmp_path / "corpus" / f"ingest_batch={last_data}"
     assert corpus_part.exists(), "fixture must have a last-batch partition"
     shutil.rmtree(str(corpus_part))
-    for b in [b for b in commits if b >= last_data]:
-        (ckpt / "commits" / str(b)).unlink()
-        # local-FS checkpoints keep a .crc sidecar per commit file; a real
-        # HDFS crash loses both, and a leftover sidecar blocks the
-        # recommit rename
-        crc = ckpt / "commits" / f".{b}.crc"
+
+    def _drop_log_entry(log: str, b: int) -> None:
+        p = ckpt / log / str(b)
+        if p.exists():
+            p.unlink()
+        # local-FS checkpoints keep a .crc sidecar per log file; a real
+        # HDFS crash loses both, and a leftover sidecar blocks the rename
+        # when the entry is rewritten
+        crc = ckpt / log / f".{b}.crc"
         if crc.exists():
             crc.unlink()
+
+    offsets = sorted(
+        int(p.name) for p in (ckpt / "offsets").iterdir() if p.name.isdigit()
+    )
+    for b in [b for b in sorted(set(commits) | set(offsets)) if b >= last_data]:
+        _drop_log_entry("commits", b)
+        if b > last_data:  # keep last_data's offsets: same content on replay
+            _drop_log_entry("offsets", b)
 
     q2 = streaming_minhash_dedup(stream, corpus_dir, pairs_dir)
     assert q2.awaitTermination(300), "replay did not drain in time"
