@@ -439,6 +439,19 @@ def test_streaming_minhash_crash_replay_of_partial_batch(spark, tmp_path):
     )
     assert want, "fixture must contain near-dup pairs"
     ckpt = tmp_path / "corpus.__pvs_ckpt"
+
+    # Make the trailing no-data micro-batch — the rare engine behavior
+    # behind the original flake — the DETERMINISTIC norm: forge batch
+    # max+1 into both logs as a no-data entry (an offsets entry with an
+    # unchanged logOffset is exactly what MicroBatchExecution records for
+    # an empty batch; getBatch(start == end) yields no rows).
+    forged = 1 + max(
+        int(p.name) for p in (ckpt / "commits").iterdir() if p.name.isdigit()
+    )
+    for log in ("offsets", "commits"):
+        src = (ckpt / log / str(forged - 1)).read_text()
+        (ckpt / log / str(forged)).write_text(src)
+
     commits = sorted(
         int(p.name) for p in (ckpt / "commits").iterdir()
         if p.name.isdigit()
