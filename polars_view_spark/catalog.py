@@ -189,9 +189,14 @@ DRIVER_PRIORITY = [
 # Everything demoted out of the window is green in CORRECTNESS_r01-r04 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
 # sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
-# Stamp state entering round 5: 158 catalog entries (160 planned with the
-# round-5 additions), 150 with at least one driver row; the 8 round-4
-# additions in group (b) above have none yet (local-sweep green only).
+# Stamp state entering round 5: 158 catalog entries, 150 with at least one
+# driver row; the 8 round-4 additions in group (b) above had none yet.
+# Round 5 grew the catalog to 163 (s_ann_ivf_rerank, x_random_projection,
+# x_label_centroid, d_dedup_eval, t_xml_roundtrip; d_minhash_incremental
+# additionally became a bench headline).  Entering round 6, the entries
+# with no driver row yet are d_dedup_eval and t_xml_roundtrip (no window
+# slot this round) plus any of the 50-slot window the driver's gate did
+# not reach; all are green in the local sf0.001+sf0.01 oracle sweeps.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,
