@@ -31,25 +31,56 @@ from polars_view_spark.sources.readers import XML_ROW_TAG, FileFormat, detect_fo
 #: characters that can never appear in an XML element name (ASCII subset;
 #: Unicode letters stay allowed), plus the leading chars a name can't start
 #: with.  Conservative on purpose: flag only what is definitely illegal.
-_XML_NAME_BAD_CHARS = set(" \t\n\r!\"#$%&'()*+,/;<=>?@[\\]^`{|}~")
+#: ':' is included — the StAX writer treats it as an unbound namespace
+#: prefix and dies; C0 controls are caught by the ord() check below.
+_XML_NAME_BAD_CHARS = set(" !\"#$%&'()*+,/:;<=>?@[\\]^`{|}~")
 
 
-def _check_xml_element_names(df: DataFrame) -> None:
-    """Column names become XML element names — validate them driver-side.
+def _bad_xml_name(name: str) -> bool:
+    return (
+        not name
+        or name[0].isdigit()
+        or name[0] in ".-"
+        or any(ch in _XML_NAME_BAD_CHARS or ord(ch) < 32 for ch in name)
+    )
+
+
+def _check_xml_element_names(df: DataFrame, exclude: set[str] | None = None) -> None:
+    """Field names become XML element names — validate them driver-side.
 
     Spark's StAX writer does reject an illegal name, but only at task
     runtime as an opaque ``TASK_WRITE_FAILED`` executor stack trace; a
     viewer user converting a CSV whose headers carry spaces deserves the
     repo's typed-error treatment instead (same discipline as the
-    save-in-place guard), with every offending column listed up front."""
-    bad = [
-        c
-        for c in df.columns
-        if not c
-        or c[0].isdigit()
-        or c[0] in ".-"
-        or any(ch in _XML_NAME_BAD_CHARS for ch in c)
-    ]
+    save-in-place guard), with every offending column listed up front.
+
+    Recurses into struct/array schemas — nested field names are written
+    as elements too.  ``exclude`` skips hive partition columns, which
+    land in directory names, never in file content.  (Map KEYS also
+    become element tags but are data, not schema — those stay a runtime
+    error by nature.)"""
+    from pyspark.sql import types as T
+
+    bad: list[str] = []
+
+    def walk(dtype, path: str) -> None:
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                child = f"{path}.{f.name}" if path else f.name
+                if _bad_xml_name(f.name):
+                    bad.append(child)
+                walk(f.dataType, child)
+        elif isinstance(dtype, T.ArrayType):
+            walk(dtype.elementType, path)
+        elif isinstance(dtype, T.MapType):
+            walk(dtype.valueType, path)
+
+    for f in df.schema.fields:
+        if exclude and f.name in exclude:
+            continue
+        if _bad_xml_name(f.name):
+            bad.append(f.name)
+        walk(f.dataType, f.name)
     if bad:
         raise UnsupportedFormatError(
             f"column names {bad!r} are not valid XML element names; rename "
@@ -99,7 +130,7 @@ def write_dataset(
     elif fmt == FileFormat.NDJSON:
         writer.json(path)
     elif fmt == FileFormat.XML:
-        _check_xml_element_names(df)
+        _check_xml_element_names(df, exclude=set(partition_by or ()))
         writer.option("rowTag", XML_ROW_TAG).xml(path)
     elif fmt == FileFormat.JSON:
         raise UnsupportedFormatError(

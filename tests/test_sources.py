@@ -156,21 +156,39 @@ class TestRoundTrips:
         ]
 
     def test_xml_rejects_invalid_element_names(self, spark, tmp_path):
-        # column names become element names; a space-bearing CSV header
+        # field names become element names; a space-bearing CSV header
         # must fail loudly driver-side, not as an executor stack trace
-        from polars_view_spark.errors import UnsupportedFormatError
-
         bad = spark.createDataFrame([(1, "x")], ["id", "Col D"])
         with pytest.raises(UnsupportedFormatError, match="Col D"):
             save_as(bad, str(tmp_path / "bad.xml"))
         with pytest.raises(UnsupportedFormatError, match="9lives"):
-            from polars_view_spark.sources.writers import write_dataset
-
             write_dataset(
                 spark.createDataFrame([(1,)], ["9lives"]),
                 str(tmp_path / "bad2"),
                 fmt="xml",
             )
+        # ':' reads as an unbound namespace prefix in the StAX writer
+        with pytest.raises(UnsupportedFormatError, match="time:stamp"):
+            save_as(
+                spark.createDataFrame([(1,)], ["time:stamp"]),
+                str(tmp_path / "bad3.xml"),
+            )
+        # nested struct fields are written as elements too
+        nested = spark.sql("SELECT 1 AS id, named_struct('bad name', 2) AS s")
+        with pytest.raises(UnsupportedFormatError, match="bad name"):
+            save_as(nested, str(tmp_path / "bad4.xml"))
+
+    def test_xml_partition_columns_exempt_from_name_guard(self, spark, tmp_path):
+        # hive partition columns land in directory names, never in file
+        # content — a space-bearing partition key must NOT be rejected
+        df = spark.createDataFrame([(1, "x", "a b")], ["id", "name", "the key"])
+        out = str(tmp_path / "part_xml")
+        write_dataset(df, out, fmt="xml", partition_by=["the key"])
+        back = (
+            spark.read.option("rowTag", "row")
+            .xml(out + "/*/part-*")
+        )
+        assert [(r["id"], r["name"]) for r in back.collect()] == [(1, "x")]
 
     def test_xml_escapes_markup_text(self, spark, tmp_path):
         # text containing XML metacharacters must survive the trip through
