@@ -191,12 +191,13 @@ DRIVER_PRIORITY = [
 # sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
 # Stamp state entering round 5: 158 catalog entries, 150 with at least one
 # driver row; the 8 round-4 additions in group (b) above had none yet.
-# Round 5 grew the catalog to 163 (s_ann_ivf_rerank, x_random_projection,
-# x_label_centroid, d_dedup_eval, t_xml_roundtrip; d_minhash_incremental
-# additionally became a bench headline).  Entering round 6, the entries
-# with no driver row yet are d_dedup_eval and t_xml_roundtrip (no window
-# slot this round) plus any of the 50-slot window the driver's gate did
-# not reach; all are green in the local sf0.001+sf0.01 oracle sweeps.
+# Round 5 grew the catalog to 164 (s_ann_ivf_rerank, x_random_projection,
+# x_label_centroid, d_dedup_eval, t_xml_roundtrip, t_binaryfile_ingest;
+# d_minhash_incremental additionally became a bench headline).  Entering
+# round 6, the entries with no driver row yet are d_dedup_eval,
+# t_xml_roundtrip and t_binaryfile_ingest (no window slot this round)
+# plus any of the 50-slot window the driver's gate did not reach; all
+# are green in the local sf0.001+sf0.01 oracle sweeps.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,
@@ -204,8 +205,8 @@ DRIVER_PRIORITY = [
 # q_in_subquery, q_scalar_functions, q_grouping_sets, q_cube,
 # q_percentiles, q_string_agg, q_datetime_functions, q_explode_word_counts,
 # q_qualified_star, q_window_analytics — then the round-5 additions
-# without a window slot (d_dedup_eval, t_xml_roundtrip), then the oldest
-# r03-only stamps
+# without a window slot (d_dedup_eval, t_xml_roundtrip,
+# t_binaryfile_ingest), then the oldest r03-only stamps
 # (streaming windows,
 # multimodal frame/resize, the TPC-H q2/q4/q8/q9/q11/q15-q22 block), then
 # anything round 5 changes.
@@ -387,6 +388,38 @@ def _t_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_name").alias("first_name"),
         )
         .orderBy("region")
+    )
+
+
+def _t_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingestion end-to-end (the multimodal pipeline's front
+    door): deterministic per-nation ``.bin`` files on disk → built-in
+    ``binaryFile`` source (sources/readers.py:read_binary_dir, glob
+    pushed to the listing) → filename/size/content projection, oracled
+    against the nation table the files were derived from — so the whole
+    listing/read/decode chain must reproduce table-derived truth.  The
+    25-row dim collect is fixture generation, not a data path."""
+    import os
+
+    from polars_view_spark.sources.readers import read_binary_dir
+
+    t = load_tables(spark, sf_dir, "nation")
+    d = _scratch_dir("binfile", sf_dir)
+    for r in t["nation"].select("n_nationkey", "n_name").collect():
+        payload = f"{r.n_name}|{r.n_nationkey}".encode()
+        with open(os.path.join(d, f"nation_{r.n_nationkey}.bin"), "wb") as fh:
+            fh.write(payload)
+    # decoy that the glob must exclude at listing time
+    with open(os.path.join(d, "ignore.txt"), "w") as fh:
+        fh.write("not media")
+    df = read_binary_dir(spark, d, glob="*.bin")
+    return (
+        df.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.decode(F.col("content"), "UTF-8").alias("text"),
+        )
+        .orderBy("name")
     )
 
 
@@ -621,6 +654,18 @@ def _register_core() -> None:
         """,
         tables=("nation",),
     )(_t_xml_roundtrip)
+
+    register(
+        "t_binaryfile_ingest",
+        oracle="""
+        SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) || '.bin' AS name,
+               CAST(LENGTH(n_name || '|' || CAST(n_nationkey AS VARCHAR))
+                    AS BIGINT) AS n_bytes,
+               n_name || '|' || CAST(n_nationkey AS VARCHAR) AS text
+        FROM nation ORDER BY name
+        """,
+        tables=("nation",),
+    )(_t_binaryfile_ingest)
 
     register(
         "t_partitioned_roundtrip",

@@ -201,6 +201,33 @@ def read_xml(spark: SparkSession, cfg: LoadConfig) -> DataFrame:
     return spark.read.option("rowTag", XML_ROW_TAG).xml(cfg.path)
 
 
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-file ingestion via Spark's built-in ``binaryFile`` source —
+    the entry point of the multimodal pipeline (operators/multimodal.py):
+    a directory of image/audio/video files becomes ``(path, length,
+    content)`` rows ready for ``pack_binary``-shaped downstream decode.
+
+    Returns ``path`` (string), ``length`` (long), ``content`` (binary);
+    ``modificationTime`` is dropped — it is storage-layer state, and
+    keeping it would make otherwise-identical ingests compare unequal.
+
+    Scale shape: each file is read whole by one task (the source is not
+    splittable within a file), so parallelism = file count — ideal for
+    the many-small-media-files layout.  At 100 TB the first job after
+    this ingest should be a repack into parquet (payload + metadata
+    columns), after which every later pass gets splittable columnar
+    scans; ``spark.sql.files.maxPartitionBytes`` sizes the ingest tasks.
+    ``glob`` filters by filename pattern at listing time (pushed to the
+    source as ``pathGlobFilter`` — non-matching files are never opened).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path).drop("modificationTime")
+
+
 def read_any(spark: SparkSession, cfg: LoadConfig) -> tuple[DataFrame, str, LoadConfig]:
     """Dispatch on extension; returns (df, format, possibly-updated config).
 

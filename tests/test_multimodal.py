@@ -167,6 +167,33 @@ def test_decode_real_end_to_end(spark):
     assert all(v["n_bytes"] > 0 for v in got.values())
 
 
+def test_binaryfile_ingest_feeds_decode_real(spark, tmp_path):
+    """The multimodal front door: a directory of raw media files ingested
+    through the built-in binaryFile source (sources/readers.py:
+    read_binary_dir) flows straight into decode_real — path-derived ids,
+    content as payload, one Arrow-batched decode pass."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.sources.readers import read_binary_dir
+
+    (tmp_path / "img_640x480.png").write_bytes(png_bytes(640, 480))
+    (tmp_path / "clip_16k.wav").write_bytes(wav_bytes(16000))
+    (tmp_path / "notes.txt").write_text("not media")
+
+    ingested = read_binary_dir(spark, str(tmp_path), glob="*.{png,wav}")
+    assert set(ingested.columns) == {"path", "length", "content"}
+    media = ingested.select(
+        F.abs(F.xxhash64("path")).alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+    )
+    names = {r["name"] for r in media.select("name").collect()}
+    assert names == {"img_640x480.png", "clip_16k.wav"}  # glob excluded .txt
+    got = {r["format"]: r.asDict() for r in decode_real(media).collect()}
+    assert (got["png"]["width"], got["png"]["height"]) == (640, 480)
+    assert got["wav"]["sample_rate"] == 16000
+
+
 def test_decode_real_is_arrow_batched(spark):
     from polars_view_spark.plans.audit import audit_plan
 
