@@ -1,5 +1,21 @@
-from polars_view_spark.sources.readers import FileFormat, detect_format, read_any
+from polars_view_spark.sources.readers import (
+    FileFormat,
+    detect_format,
+    read_any,
+    read_binary_dir,
+    read_xml,
+)
 from polars_view_spark.sources.sniff import sniff_delimiter
-from polars_view_spark.sources.writers import save, save_as
+from polars_view_spark.sources.writers import save, save_as, write_dataset
 
-__all__ = ["FileFormat", "detect_format", "read_any", "save", "save_as", "sniff_delimiter"]
+__all__ = [
+    "FileFormat",
+    "detect_format",
+    "read_any",
+    "read_binary_dir",
+    "read_xml",
+    "save",
+    "save_as",
+    "sniff_delimiter",
+    "write_dataset",
+]
