@@ -191,13 +191,14 @@ DRIVER_PRIORITY = [
 # sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
 # Stamp state entering round 5: 158 catalog entries, 150 with at least one
 # driver row; the 8 round-4 additions in group (b) above had none yet.
-# Round 5 grew the catalog to 164 (s_ann_ivf_rerank, x_random_projection,
-# x_label_centroid, d_dedup_eval, t_xml_roundtrip, t_binaryfile_ingest;
-# d_minhash_incremental additionally became a bench headline).  Entering
-# round 6, the entries with no driver row yet are d_dedup_eval,
-# t_xml_roundtrip and t_binaryfile_ingest (no window slot this round)
-# plus any of the 50-slot window the driver's gate did not reach; all
-# are green in the local sf0.001+sf0.01 oracle sweeps.
+# Round 5 grew the catalog to 165 (s_ann_ivf_rerank, x_random_projection,
+# x_label_centroid, d_dedup_eval, t_xml_roundtrip, t_binaryfile_ingest,
+# e_streaming_binary_ingest; d_minhash_incremental additionally became a
+# bench headline).  Entering round 6, the entries with no driver row yet
+# are d_dedup_eval, t_xml_roundtrip, t_binaryfile_ingest and
+# e_streaming_binary_ingest (no window slot this round) plus any of the
+# 50-slot window the driver's gate did not reach; all are green in the
+# local sf0.001+sf0.01 oracle sweeps.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,
@@ -206,7 +207,8 @@ DRIVER_PRIORITY = [
 # q_percentiles, q_string_agg, q_datetime_functions, q_explode_word_counts,
 # q_qualified_star, q_window_analytics — then the round-5 additions
 # without a window slot (d_dedup_eval, t_xml_roundtrip,
-# t_binaryfile_ingest), then the oldest r03-only stamps
+# t_binaryfile_ingest, e_streaming_binary_ingest), then the oldest
+# r03-only stamps
 # (streaming windows,
 # multimodal frame/resize, the TPC-H q2/q4/q8/q9/q11/q15-q22 block), then
 # anything round 5 changes.

@@ -3807,3 +3807,54 @@ register(
     """).replace("{TRADE}", _TRADE_EDGES_SQL),
     tables=("lineitem", "orders", "customer", "supplier", "nation"),
 )(_x_triangle_count)
+
+
+def _e_streaming_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming raw-file ingestion driver-gated with a FULL value-hash
+    oracle (rare in the streaming family): deterministic per-nation
+    ``.bin`` files → ``binaryFile`` file-source stream
+    (streaming/events.py:read_binary_stream) drained with ``availableNow``
+    → filename/size/decoded-content projection, oracled against the
+    nation table the fixture derives from — so the streaming listing/
+    read/decode chain must reproduce table-derived truth exactly like its
+    batch twin t_binaryfile_ingest (sources/readers.py:read_binary_dir).
+    The 25-row dim collect is fixture generation, not a data path."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.streaming.events import (
+        read_binary_stream,
+        run_stream_to_memory,
+    )
+
+    t = load_tables(spark, sf_dir, "nation")
+    d = _scratch_dir("binstream", sf_dir)
+    for r in t["nation"].select("n_nationkey", "n_name").collect():
+        with open(os.path.join(d, f"nation_{r.n_nationkey}.bin"), "wb") as fh:
+            fh.write(f"{r.n_name}|{r.n_nationkey}".encode())
+    with open(os.path.join(d, "ignore.txt"), "w") as fh:
+        fh.write("not media")  # the glob must exclude it at listing time
+    stream = read_binary_stream(spark, d, glob="*.bin")
+    run_stream_to_memory(
+        stream.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.decode(F.col("content"), "UTF-8").alias("text"),
+        ),
+        "e_streaming_binary_sink",
+        output_mode="append",
+    )
+    return spark.table("e_streaming_binary_sink").orderBy("name")
+
+
+register(
+    "e_streaming_binary_ingest",
+    oracle="""
+    SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) || '.bin' AS name,
+           CAST(LENGTH(n_name || '|' || CAST(n_nationkey AS VARCHAR))
+                AS BIGINT) AS n_bytes,
+           n_name || '|' || CAST(n_nationkey AS VARCHAR) AS text
+    FROM nation ORDER BY name
+    """,
+    tables=("nation",),
+)(_e_streaming_binary_ingest)

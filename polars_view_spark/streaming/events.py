@@ -406,6 +406,35 @@ def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
     return reader.parquet(path)
 
 
+def read_binary_stream(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Streaming twin of sources/readers.py:read_binary_dir — continuous
+    raw-media ingestion from a landing directory via the built-in
+    ``binaryFile`` source.
+
+    Media files land (crawler output, upload bucket), each micro-batch
+    picks up the new ones as ``(path, length, content)`` rows, and the
+    same downstream pipeline as the batch path (pack → decode_real →
+    feature extract) runs per trigger.  ``modificationTime`` is dropped
+    for the batch reader's reason: it is storage-layer state, and the
+    streaming/batch parity test compares the two paths directly.
+
+    Scale shape matches the batch source — one whole file per task, so
+    ``maxFilesPerTrigger`` is the batch-size knob (bounded executor
+    memory per trigger regardless of how many files land at once)."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("maxFilesPerTrigger", "16")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path).drop("modificationTime")
+
+
 def streaming_contamination(
     docs_stream: DataFrame,
     benchmark: DataFrame,

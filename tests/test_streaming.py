@@ -515,6 +515,49 @@ def test_streaming_minhash_crash_replay_of_partial_batch(spark, tmp_path):
     assert corpus.select("doc_id").distinct().count() == docs.count()
 
 
+def test_streaming_binary_ingest_matches_batch(spark, tmp_path):
+    """availableNow drain of the streaming binaryFile source == the batch
+    read_binary_dir on the same landing dir, and the same downstream
+    decode pass (mapInPandas) runs per micro-batch."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.operators.multimodal import decode_real
+    from polars_view_spark.sources.readers import read_binary_dir
+    from polars_view_spark.streaming.events import (
+        read_binary_stream,
+        run_stream_to_memory,
+    )
+    from tests.test_multimodal import png_bytes, wav_bytes
+
+    landing = tmp_path / "media"
+    landing.mkdir()
+    (landing / "a.png").write_bytes(png_bytes(64, 32))
+    (landing / "b.png").write_bytes(png_bytes(8, 8))
+    (landing / "c.wav").write_bytes(wav_bytes(22050))
+    (landing / "skip.txt").write_text("not media")
+
+    def to_decoded(df):
+        media = df.select(
+            F.abs(F.xxhash64("path")).alias("doc_id"),
+            F.element_at(F.split("path", "/"), -1).alias("name"),
+            F.col("content").alias("payload"),
+        )
+        return decode_real(media)
+
+    stream = read_binary_stream(spark, str(landing), glob="*.{png,wav}")
+    assert stream.isStreaming and set(stream.columns) == {
+        "path", "length", "content",
+    }
+    run_stream_to_memory(to_decoded(stream), "stream_bin", output_mode="append")
+    got = sorted(map(tuple, spark.table("stream_bin").collect()))
+    want = sorted(
+        map(tuple, to_decoded(read_binary_dir(spark, str(landing), "*.{png,wav}")).collect())
+    )
+    assert got == want and len(got) == 3
+    fmts = sorted(r[2] for r in got)
+    assert fmts == ["png", "png", "wav"]
+
+
 def test_event_stream_starts_on_empty_directory(spark, tmp_path):
     """A live source whose directory is empty at query start (files land
     later) must still construct — the schema probe falls back to
