@@ -40,9 +40,10 @@ def pack_binary(
 ) -> DataFrame:
     """Wrap a content column into (payload: binary, meta: struct).
 
-    For real media you'd read the bytes with ``spark.read.format("binaryFile")``
-    — which yields exactly this shape (path/length/content) — so downstream
-    operators are source-agnostic.
+    For real media, ``sources/readers.py:read_binary_dir`` (batch) or
+    ``streaming/events.py:read_binary_stream`` (continuous landing dir)
+    reads the bytes — both yield exactly this shape (path/length/content)
+    — so downstream operators are source-agnostic.
     """
     return df.withColumn("payload", F.encode(F.col(content_col), "UTF-8")).withColumn(
         "meta",
