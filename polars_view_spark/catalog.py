@@ -199,6 +199,8 @@ DRIVER_PRIORITY = [
 # e_streaming_binary_ingest (no window slot this round) plus any of the
 # 50-slot window the driver's gate did not reach; all are green in the
 # local sf0.001+sf0.01 oracle sweeps.
+# Continuation work later in round 5 added t_bucketed_join (bucketed
+# co-located join entry) — stamp it in round 6 with the others below.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,
@@ -510,6 +512,60 @@ def _t_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _t_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact⋈fact join end-to-end
+    (operators/scale.py:write_bucketed_table): orders and lineitem are
+    persisted as tables bucketed 8-ways on the order key, then sort-merge
+    joined and aggregated per order priority.  Because both sides share
+    the bucket layout, the join needs NO exchange — the only shuffle in
+    the whole plan is the final 5-group aggregate
+    (tests/test_plans.py:test_bucketed_join_entry_plan pins exactly one
+    ``Exchange hashpartitioning``).  At 100 TB this is the pattern that
+    turns the recurring fact⋈fact join from a full network pass into a
+    local per-bucket merge, paid once at write time; the oracle runs the
+    same join on the raw parquet, so any row lost or duplicated by the
+    bucketed write/read/join chain breaks the hash."""
+    import os
+
+    from polars_view_spark.operators.scale import write_bucketed_table
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    base = _scratch_dir("bucketed_join", sf_dir)
+    for name in ("pvs_bj_orders", "pvs_bj_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed_table(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        "pvs_bj_orders",
+        ["o_orderkey"],
+        n_buckets=8,
+        sort_cols=["o_orderkey"],
+        path=os.path.join(base, "orders"),
+    )
+    write_bucketed_table(
+        t["lineitem"].select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "pvs_bj_lineitem",
+        ["l_orderkey"],
+        n_buckets=8,
+        sort_cols=["l_orderkey"],
+        path=os.path.join(base, "lineitem"),
+    )
+    o = spark.table("pvs_bj_orders")
+    li = spark.table("pvs_bj_lineitem")
+    # merge hint: pin the sort-merge strategy the bucket layout pays for
+    # (at toy SF the optimizer would otherwise broadcast; at 100 TB
+    # neither side fits a broadcast and SMJ-without-exchange is the win)
+    joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice") + F.lit(1e-6), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _t_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolved dataset read: a table whose early files predate a
     column (here ``quality`` added to documents mid-stream).  Both
@@ -690,6 +746,19 @@ def _register_core() -> None:
         """,
         tables=("events",),
     )(_t_clustered_roundtrip)
+
+    register(
+        "t_bucketed_join",
+        oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               ROUND(SUM(l_extendedprice) + 1e-6, 2) AS total_price
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        tables=("orders", "lineitem"),
+    )(_t_bucketed_join)
 
     register(
         "t_schema_evolution",

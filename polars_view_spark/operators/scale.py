@@ -18,8 +18,10 @@ def write_bucketed_table(
     bucket_cols: list[str],
     n_buckets: int = 8,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (+ optionally sorted) managed table.
+    """Persist ``df`` as a bucketed (+ optionally sorted) table — managed
+    (warehouse dir) by default, external at ``path`` when given.
 
     Two tables bucketed identically on their join key hash-join WITHOUT a
     shuffle — each bucket pair joins locally.  At 100 TB this converts the
@@ -29,6 +31,8 @@ def write_bucketed_table(
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 

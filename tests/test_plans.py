@@ -278,6 +278,18 @@ def test_partitioned_roundtrip_prunes(spark, cat):
     assert m and "o_orderpriority" in m.group(1), plan
 
 
+def test_bucketed_join_entry_plan(spark, cat):
+    # the bucketed layout must carry the join: both sides read
+    # pre-hash-partitioned buckets, so the ONLY exchange left in the plan
+    # is the final 5-group aggregate — the join itself never shuffles
+    plan = plan_of(cat["t_bucketed_join"].spark_fn(spark, SF))
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    exchange_pos = plan.index("Exchange hashpartitioning")
+    join_pos = plan.index("SortMergeJoin")
+    assert exchange_pos < join_pos, "the one exchange must be the agg above the join"
+
+
 def test_bm25_topk_broadcast_and_topk(spark, cat):
     # postings shuffle only; df/stats reach the scorer via broadcast, and
     # the ranking is per-partition top-k, never a total sort
