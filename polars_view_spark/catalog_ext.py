@@ -1853,9 +1853,10 @@ def _s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
-register(
-    "s_ann_ivf_topk",
-    oracle=f"""
+# shared by s_ann_ivf_topk and s_ann_index_persist: the persisted-index
+# path must reproduce the in-session IVF bit-for-bit, so both entries are
+# held to the SAME oracle text
+_IVF_TOPK_ORACLE = f"""
     WITH qz AS (
       SELECT vec_id, embedding,
              list_transform(embedding::DOUBLE[],
@@ -1896,9 +1897,55 @@ register(
                     ORDER BY score DESC, neighbor_id) AS rank FROM scored)
     SELECT query_id, neighbor_id, score, rank FROM r
     WHERE rank <= {ANN_K} ORDER BY query_id, rank
-    """,
+    """
+
+register(
+    "s_ann_ivf_topk",
+    oracle=_IVF_TOPK_ORACLE,
     tables=("embeddings",),
 )(_s_ann_ivf)
+
+
+def _s_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF build/query split
+    (operators/similarity.py:ivf_build_index / ivf_query_index): the index
+    — bounded centroid table + cell-PARTITIONED assignment dataset with
+    vectors and hoisted norms — is written once, then a separate query
+    pass reads it back and probes only the probed cells' partitions
+    (broadcast join on the partition column; directory-level pruning).
+    This is the 100 TB ANN operating mode: the corpus is scanned once at
+    build time, and every subsequent query job touches O(n_probe/cells)
+    of the index.  Held to the SAME value-hash oracle as s_ann_ivf_topk —
+    the persisted path must reproduce the in-session IVF bit-for-bit, so
+    a row lost or a norm corrupted by the parquet round-trip breaks the
+    hash."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.similarity import ivf_build_index, ivf_query_index
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    idx = os.path.join(_scratch_dir("ivf_index", sf_dir), "ivf")
+    ivf_build_index(
+        e, idx, seed_mod=IVF_SEED_MOD, scale=IVF_SCALE, max_seeds=IVF_MAX_SEEDS
+    )
+    out = ivf_query_index(
+        spark,
+        e.filter(F.col("vec_id") < ANN_N_QUERIES),
+        idx,
+        k=ANN_K,
+        n_probe=IVF_N_PROBE,
+        scale=IVF_SCALE,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+register(
+    "s_ann_index_persist",
+    oracle=_IVF_TOPK_ORACLE,
+    tables=("embeddings",),
+)(_s_ann_index_persist)
 
 
 IVF_RERANK_DEPTH = 20

@@ -397,6 +397,107 @@ def ivf_flat_topk(
     return _ranked_topk(scored, k)
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 37,
+    scale: int = 1000,
+    max_seeds: int = 64,
+) -> None:
+    """Build the inverted-file index ONCE and persist it — the build/query
+    split every production ANN deployment runs at 100 TB (one offline
+    indexing job; many cheap query jobs that never re-scan the corpus).
+
+    Two parquet datasets under ``path``:
+
+    - ``centroids``: the bounded seed-centroid table (cell id + quantized
+      int vector), ≤ ``max_seeds`` rows — small enough to collect in any
+      query job.
+    - ``assignments``: one row per corpus vector (id, vector, hoisted
+      norm), PARTITIONED BY its cell — so a query job's probe join prunes
+      to the probed cells' directories and the unprobed bulk of the index
+      is never read (dynamic partition pruning; gated in
+      tests/test_plans.py).
+
+    Same deterministic cell math as :func:`ivf_flat_topk` (seed centroids,
+    integer-quantized squared-L2), so querying the persisted index
+    reproduces ivf_flat_topk bit-for-bit and shares its value-hash oracle.
+    """
+    cells, _seed_arrays, seed_ints = _seed_centroids(
+        corpus, id_col, vec_col, seed_mod, scale, max_seeds
+    )
+    spark = corpus.sparkSession
+    from polars_view_spark.functions.vectors import norm_sql
+
+    cent = spark.createDataFrame(
+        list(zip(cells, seed_ints)), "cell BIGINT, sv ARRAY<BIGINT>"
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = _with_sorted_cells(
+        corpus.filter(F.col(vec_col).isNotNull()), vec_col, cells, seed_ints, scale
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(norm_sql(vec_col)).alias("cn"),
+        F.expr("__cells[0]").alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assignments")
+
+
+def ivf_query_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`ivf_build_index`) — the cheap
+    repeated half of the build/query split.
+
+    Reads the bounded centroid table (≤ max_seeds rows, the only collect),
+    assigns each query to its ``n_probe`` nearest cells with the same
+    Arrow int64 kernel the build used, and probes the assignments dataset
+    through a broadcast hash join on the cell partition column — so only
+    the probed cells' files are scanned, however large the index is.
+    Scores and ranks exactly like :func:`ivf_flat_topk`.
+    """
+    from polars_view_spark.functions.vectors import dot_sql, norm_sql
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cells = [int(r["cell"]) for r in cent_rows]
+    seed_ints = [[int(x) for x in r["sv"]] for r in cent_rows]
+
+    assigned = spark.read.parquet(f"{path}/assignments").withColumn(
+        "cell", F.col("cell").cast("long")
+    )
+    q_cells = (
+        _with_sorted_cells(
+            queries.filter(F.col(vec_col).isNotNull()), vec_col, cells, seed_ints, scale
+        )
+        .withColumn("__probe", F.expr(f"slice(__cells, 1, {n_probe})"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.expr(norm_sql(vec_col)).alias("qn"),
+            F.explode("__probe").alias("qcell"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(q_cells), F.col("cell") == F.col("qcell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score", F.round(F.expr(f"({dot_sql('qvec', 'cvec')}) / (qn * cn)"), 6)
+        )
+        .drop("qvec", "cvec", "cell", "qcell", "qn", "cn")
+    )
+    return _ranked_topk(scored, k)
+
+
 def random_projection(
     df: DataFrame,
     id_col: str = "vec_id",

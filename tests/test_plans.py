@@ -278,6 +278,18 @@ def test_partitioned_roundtrip_prunes(spark, cat):
     assert m and "o_orderpriority" in m.group(1), plan
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, cat):
+    # the query pass over the persisted index must (a) probe via a
+    # broadcast join — the index side never shuffles — and (b) prune the
+    # cell-partitioned assignments scan dynamically, so only probed cells'
+    # files are read however large the index grows
+    plan = plan_of(cat["s_ann_index_persist"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    m = re.search(r"PartitionFilters: \[[^\]]*dynamicpruning[^\]]*\]", plan)
+    assert m, plan
+
+
 def test_bucketed_join_entry_plan(spark, cat):
     # the bucketed layout must carry the join: both sides read
     # pre-hash-partitioned buckets, so the ONLY exchange left in the plan
