@@ -200,8 +200,9 @@ DRIVER_PRIORITY = [
 # 50-slot window the driver's gate did not reach; all are green in the
 # local sf0.001+sf0.01 oracle sweeps.
 # Continuation work later in round 5 added t_bucketed_join (bucketed
-# co-located join entry) and s_ann_index_persist (persisted-IVF
-# build/query split) — stamp both in round 6 with the others below.
+# co-located join entry), s_ann_index_persist (persisted-IVF build/query
+# split) and e_streaming_dedup (redelivery dedup, full value-hash oracle)
+# — stamp all three in round 6 with the others below.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,

@@ -3905,3 +3905,78 @@ register(
     """,
     tables=("nation",),
 )(_e_streaming_binary_ingest)
+
+
+def _e_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming effectively-once dedup driver-gated with a FULL value-hash
+    oracle (streaming/events.py:streaming_dedup →
+    ``dropDuplicatesWithinWatermark``): one events delivery file is landed
+    TWICE with ascending mtimes — the at-least-once redelivery every file/
+    Kafka source eventually produces — and the drained stream must emit
+    each event exactly once, so the per-type aggregate reproduces
+    table-derived truth over the un-replayed subset (a dropped first
+    delivery or a leaked replay both break the hash).  The watermark
+    horizon is set beyond the fixture's event-time span so the replay
+    arrives inside it — the operator's documented contract (duplicates
+    straddling more than the horizon need the batch pass); in production
+    the horizon bounds state to O(keys within watermark).  The one-file
+    copy is fixture generation, not a data path."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    d = _scratch_dir("streamdedup", sf_dir)
+    onefile = os.path.join(d, "onefile")
+    (
+        t["events"]
+        .filter(F.col("event_id") % 10 == 0)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(onefile)
+    )
+    part = globmod.glob(os.path.join(onefile, "part-*.parquet"))[0]
+    landing = os.path.join(d, "landing")
+    os.makedirs(landing, exist_ok=True)
+    base = 1_700_000_000  # fixed epoch: mtime order decides batch order
+    for i in (1, 2):
+        dst = os.path.join(landing, f"delivery_{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (base + i, base + i))
+    stream = read_event_stream(spark, landing)
+    run_stream_to_memory(
+        streaming_dedup(stream, watermark="3650 days"),
+        "e_streaming_dedup_sink",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return (
+        spark.table("e_streaming_dedup_sink")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_id"),
+            F.round(F.sum("value") + F.lit(1e-6), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "e_streaming_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           ROUND(SUM(value) + 1e-6, 2) AS total_value
+    FROM events WHERE event_id % 10 = 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tables=("events",),
+)(_e_streaming_dedup)
