@@ -3980,3 +3980,128 @@ register(
     """,
     tables=("events",),
 )(_e_streaming_dedup)
+
+
+def _e_streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending top-k driver-gated: watermarked per-(window,
+    item) counts (streaming/events.py:streaming_trending) drained
+    complete-mode with ``availableNow``, then ranked to the top-3 per
+    window by topk_per_window — the same two-step a live deployment runs
+    (rank-over-stream isn't expressible inside one streaming query; the
+    rank applies per-trigger in foreachBatch).  Oracle = the identical
+    batch SQL (hourly counts + row_number rank, deterministic tiebreak on
+    the item name), so the streamed counts AND the rank boundary are
+    value-hash checked."""
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_trending,
+        topk_per_window,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_memory(
+        streaming_trending(stream), "e_streaming_trending_sink",
+        state_partitions=8,
+    )
+    return topk_per_window(spark.table("e_streaming_trending_sink"), k=3)
+
+
+register(
+    "e_streaming_trending",
+    oracle="""
+    WITH c AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                    ORDER BY n_events DESC, event_type) AS rank FROM c)
+    SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+           rank
+    FROM r WHERE rank <= 3 ORDER BY window_start, rank
+    """,
+    tables=("events",),
+)(_e_streaming_trending)
+
+
+def _e_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC snapshot maintenance driver-gated
+    (streaming/events.py:streaming_upsert — the foreachBatch MERGE +
+    atomic-swap pattern): delivery 1 is the full customer base, delivery 2
+    a change batch (balance bump for custkey%7 keys, tombstone for
+    custkey%11 keys), landed with ascending mtimes so the merge order is
+    pinned.  After the drain the SNAPSHOT DIRECTORY — not the stream — is
+    read back and aggregated per nation, so the oracle checks the whole
+    apply/swap chain's final state: a lost update, a leaked tombstone or a
+    half-applied batch all break the hash.  The per-delivery single-file
+    copies are fixture generation, not a data path."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.streaming.events import streaming_upsert
+
+    t = load_tables(spark, sf_dir, "customer")
+    c = t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    )
+    d = _scratch_dir("streamupsert", sf_dir)
+    landing = os.path.join(d, "landing")
+    os.makedirs(landing, exist_ok=True)
+    batch1 = c.withColumn("is_delete", F.lit(False))
+    batch2 = (
+        c.filter((F.col("c_custkey") % 11 == 0) | (F.col("c_custkey") % 7 == 0))
+        .withColumn("is_delete", F.col("c_custkey") % 11 == 0)
+        .withColumn(
+            "cents",
+            F.when(F.col("is_delete"), F.col("cents")).otherwise(
+                F.col("cents") + F.lit(1000)
+            ),
+        )
+    )
+    base_mtime = 1_700_000_000  # mtime order decides batch order
+    for i, frame in ((1, batch1), (2, batch2)):
+        onefile = os.path.join(d, f"onefile_{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(onefile)
+        part = globmod.glob(os.path.join(onefile, "part-*.parquet"))[0]
+        dst = os.path.join(landing, f"delivery_{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (base_mtime + i, base_mtime + i))
+    changes = (
+        spark.readStream.schema(
+            "c_custkey BIGINT, c_nationkey BIGINT, cents BIGINT, is_delete BOOLEAN"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    snapshot = os.path.join(d, "snapshot")
+    streaming_upsert(changes, snapshot, ["c_custkey"], "is_delete").awaitTermination()
+    return (
+        spark.read.parquet(snapshot)
+        .groupBy(F.col("c_nationkey").cast("long").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+register(
+    "e_streaming_upsert",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nation, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN c_custkey % 7 = 0
+                         THEN CAST(round(c_acctbal * 100) AS BIGINT) + 1000
+                         ELSE CAST(round(c_acctbal * 100) AS BIGINT) END)
+                AS BIGINT) AS total_cents
+    FROM customer
+    WHERE c_custkey % 11 <> 0
+    GROUP BY 1 ORDER BY 1
+    """,
+    tables=("customer",),
+)(_e_streaming_upsert)
