@@ -443,7 +443,12 @@ def ivf_build_index(
         F.expr(norm_sql(vec_col)).alias("cn"),
         F.expr("__cells[0]").alias("cell"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assignments")
+    # one keyed shuffle so each cell lands in exactly one task → one file
+    # per cell directory, instead of numTasks × cells fragments (at real
+    # scale swap for repartition(n, "cell") to bound per-file size)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/assignments"
+    )
 
 
 def ivf_query_index(
