@@ -4105,3 +4105,86 @@ register(
     """,
     tables=("customer",),
 )(_e_streaming_upsert)
+
+
+# Session confs that make Spark's runtime Bloom-filter injection (SPARK-32268,
+# InjectRuntimeFilter) fire at test SF.  At real scale only `enabled` matters
+# — the default thresholds (creation side < 10 MB after its selective filter,
+# application side scan > 10 GB) are exactly the 100 TB operating point; at
+# sf0.01 the application-side scan is far below 10 GB, so the floor is
+# lowered to 1 byte for the demonstration.  autoBroadcastJoinThreshold=-1
+# forces the shuffle join the runtime filter targets (at toy SF the optimizer
+# would broadcast the dimension and there would be nothing to prune).
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy join the runtime filter prunes: lineitem (fact) ⋈ the
+    urgent subset of orders (selective creation side), re-aggregated per
+    return flag.  Built separately from the entry so the plan gate
+    (tests/test_plans.py) can assert ``might_contain`` on the pre-collect
+    plan under ``_BLOOM_CONFS``."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    urgent = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = t["lineitem"].select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    joined = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"])
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice") + F.lit(1e-6), 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _x_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter pruned join: Catalyst builds a Bloom filter
+    from the selective side's join keys (``bloom_filter_agg``) and pushes
+    ``might_contain`` down onto the fact side's scan, so rows that cannot
+    match are dropped BEFORE the shuffle — at 100 TB this removes most of
+    the fact table's shuffle write for any join against a filtered
+    dimension, with zero query rewrite.  The entry scopes the
+    ``_BLOOM_CONFS`` thresholds (set → run → restore) so the injection
+    that happens by default at real scale also fires at test SF without
+    leaking shuffle-join confs into the rest of the session; the result
+    is pinned eagerly (localCheckpoint) while the confs are in force.
+    The Bloom filter is execution-only pruning — results must equal the
+    plain join, which is exactly what the oracle states (no bloom in the
+    SQL)."""
+    old = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+register(
+    "x_bloom_pruned_join",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           ROUND(SUM(l_extendedprice) + 1e-6, 2) AS total_price
+    FROM lineitem
+    JOIN (SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT') u
+      ON l_orderkey = u.o_orderkey
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tables=("orders", "lineitem"),
+)(_x_bloom_pruned_join)

@@ -799,3 +799,38 @@ def test_catalog_wide_audit(spark, name):
         if s.n_columns >= 10:
             hard.append(f"unpruned scan of {s.relation}: {s.n_columns} columns")
     assert not hard, f"{name}: {hard}\n--- plan ---\n{a.plan[:4000]}"
+
+
+def test_bloom_pruned_join_plan(spark, cat):
+    # under the entry's scoped confs the runtime filter must materialize:
+    # a bloom_filter_agg over the selective side's keys and a
+    # might_contain pushed onto the fact side BELOW the shuffle — the
+    # pruning that erases most of the fact shuffle write at 100 TB
+    from polars_view_spark.catalog_ext import _BLOOM_CONFS, bloom_join_frame
+
+    old = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = plan_of(bloom_join_frame(spark, SF))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
+    # the filter prunes before the join's exchange: might_contain must sit
+    # deeper in the plan than the first shuffle of the fact side
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_bloom_entry_restores_confs(spark, cat):
+    # the entry lowers session-wide shuffle/runtime-filter thresholds to
+    # force the injection at test SF; it must put every one of them back
+    # so no other entry inherits a broadcast-disabled session
+    from polars_view_spark.catalog_ext import _BLOOM_CONFS
+
+    before = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    df = cat["x_bloom_pruned_join"].spark_fn(spark, SF)
+    after = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    assert before == after, (before, after)
+    assert df.count() > 0
