@@ -202,9 +202,10 @@ DRIVER_PRIORITY = [
 # Continuation work later in round 5 added t_bucketed_join (bucketed
 # co-located join entry), s_ann_index_persist (persisted-IVF build/query
 # split), e_streaming_dedup (redelivery dedup), e_streaming_trending and
-# e_streaming_upsert (CDC snapshot maintenance), and x_bloom_pruned_join
-# (runtime Bloom-filter join pruning) — all with full value-hash
-# oracles; stamp all six in round 6 with the others below.
+# e_streaming_upsert (CDC snapshot maintenance), x_bloom_pruned_join
+# (runtime Bloom-filter join pruning) and t_zorder_layout (Z-order
+# clustered write) — all with full value-hash oracles; stamp all seven
+# in round 6 with the others below.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,

@@ -4188,3 +4188,53 @@ register(
     """,
     tables=("orders", "lineitem"),
 )(_x_bloom_pruned_join)
+
+
+def _t_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout end-to-end
+    (operators/scale.py:write_zordered): documents are rewritten
+    clustered on the Morton interleave of (doc_id, n_chars), read back,
+    and a length-band slice is aggregated per language.  Because every
+    output file covers a tight (doc_id, n_chars) rectangle, parquet
+    footer min/max stats let the scan skip most files for a predicate on
+    EITHER column — the multi-column file-skipping a linear sort can only
+    give its first key (tests/test_scale.py:TestZorder pins the
+    strip-vs-full-scan footer geometry; at 100 TB this is the lakehouse
+    OPTIMIZE ZORDER layout paid once at write time).  Layout-only: the
+    oracle runs the same slice on the raw table, so a row lost or
+    duplicated by the quantize/interleave/range-write chain breaks the
+    hash."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.scale import write_zordered
+
+    t = load_tables(spark, sf_dir, "documents")
+    out = os.path.join(_scratch_dir("zorder", sf_dir), "docs")
+    write_zordered(t["documents"], out, ["doc_id", "n_chars"], n_files=16)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("n_chars").between(100, 300))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+            F.sum(F.expr(hex64_sql("text")) % F.lit(1_000_003)).alias("text_hash_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "t_zorder_layout",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM((('0x' || substr(md5(text), 1, 15))::BIGINT) % 1000003) AS BIGINT)
+             AS text_hash_sum
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 300
+    GROUP BY lang ORDER BY lang
+    """,
+    tables=("documents",),
+)(_t_zorder_layout)

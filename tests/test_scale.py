@@ -103,3 +103,77 @@ class TestRuntimeBloomFilter:
                 "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
             )
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+class TestZorder:
+    def test_key_math_matches_reference(self, spark):
+        # interleave(x, y) on a known grid must equal a bit-twiddling
+        # Python reference: x's bits land at even positions, y's at odd
+        from polars_view_spark.operators.scale import zorder_key_sql
+
+        df = spark.range(64).selectExpr("id % 8 AS x", "CAST(id / 8 AS BIGINT) AS y")
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.selectExpr("x", "y", f"{zorder_key_sql(['x', 'y'], 3)} AS z").collect()
+        }
+
+        def ref(x, y):
+            z = 0
+            for b in range(3):
+                z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+            return z
+
+        assert got == {(x, y): ref(x, y) for x in range(8) for y in range(8)}
+
+    @staticmethod
+    def _files_intersecting(path, col, lo, hi):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        hit, tot = 0, 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                j
+                for j in range(md.num_columns)
+                if md.row_group(0).column(j).path_in_schema == col
+            )
+            mn = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            tot += 1
+            hit += 1 if (mx >= lo and mn <= hi) else 0
+        return hit, tot
+
+    def test_zorder_prunes_both_columns(self, spark, tmp_path):
+        # a 64x64 grid z-ordered into 16 files: a 25%-range predicate on
+        # EITHER column must touch only a strip of the files, where a
+        # linear x-sorted layout serves x but leaves y unprunable
+        from polars_view_spark.operators.scale import write_zordered
+
+        grid = spark.range(4096).selectExpr(
+            "id % 64 AS x", "CAST(id / 64 AS BIGINT) AS y", "id AS payload"
+        )
+        zp, lp = str(tmp_path / "z"), str(tmp_path / "lin")
+        write_zordered(grid, zp, ["x", "y"], n_files=16, bits=6)
+        grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lp)
+
+        z_x = self._files_intersecting(zp, "x", 0, 15)
+        z_y = self._files_intersecting(zp, "y", 0, 15)
+        lin_y = self._files_intersecting(lp, "y", 0, 15)
+        assert z_x[1] == 16 and z_y[1] == 16
+        # strip of a 4x4 file grid: at most half the files on each axis
+        assert z_x[0] <= 8, z_x
+        assert z_y[0] <= 8, z_y
+        # the control: linear layout cannot prune the secondary column
+        assert lin_y[0] == lin_y[1], lin_y
+
+    def test_zorder_is_layout_only(self, spark, tmp_path):
+        from polars_view_spark.operators.scale import write_zordered
+
+        df = spark.range(500).selectExpr("id AS a", "CAST(md5(CAST(id AS STRING)) AS STRING) AS s")
+        out = str(tmp_path / "zl")
+        write_zordered(df, out, ["a"], n_files=4, bits=8)
+        back = spark.read.parquet(out)
+        assert sorted(r["a"] for r in back.collect()) == list(range(500))
+        assert back.columns == ["a", "s"]
