@@ -38,7 +38,7 @@ def canon_hash(pdf: pd.DataFrame) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()
 
 
-def run_all(master: str, shuffle: str, coalesce: str) -> dict:
+def run_all(master: str, shuffle: str, coalesce: str, only: list[str] | None = None) -> dict:
     from polars_view_spark.catalog import DRIVER_PRIORITY
     n_window = len(DRIVER_PRIORITY)
     from pyspark.sql import SparkSession
@@ -59,8 +59,15 @@ def run_all(master: str, shuffle: str, coalesce: str) -> dict:
 
     out = {}
     # the window length tracks DRIVER_PRIORITY so a rotation edit can
-    # never silently desync this check from the real driver window
-    for name, e in list(entries().items())[:n_window]:
+    # never silently desync this check from the real driver window;
+    # explicit names (argv[2:]) sweep entries outside the window (e.g.
+    # additions landing after the round's rotation was pinned)
+    todo = (
+        [(n, entries()[n]) for n in only]
+        if only
+        else list(entries().items())[:n_window]
+    )
+    for name, e in todo:
         try:
             out[name] = canon_hash(e.spark_fn(spark, SF).toPandas())
         except Exception as ex:  # noqa: BLE001
@@ -72,10 +79,11 @@ def run_all(master: str, shuffle: str, coalesce: str) -> dict:
 if __name__ == "__main__":
     # each conf in its own process (fresh JVM); then `compare`
     mode = sys.argv[1]
+    only = sys.argv[2:] or None
     if mode == "a":
-        res = run_all("local[32]", "32", "true")
+        res = run_all("local[32]", "32", "true", only)
     elif mode == "b":
-        res = run_all("local[5]", "7", "false")
+        res = run_all("local[5]", "7", "false", only)
     else:
         import json
 
