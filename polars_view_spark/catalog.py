@@ -400,36 +400,56 @@ def _t_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared between t_binaryfile_ingest and its streaming twin
+# e_streaming_binary_ingest (catalog_ext.py) — ONE fixture writer, ONE
+# projection, ONE oracle string, so the batch and streaming ingestion
+# paths can never drift on the payload format, glob decoy, or schema.
+BINARY_INGEST_ORACLE = """
+    SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) || '.bin' AS name,
+           CAST(LENGTH(n_name || '|' || CAST(n_nationkey AS VARCHAR))
+                AS BIGINT) AS n_bytes,
+           n_name || '|' || CAST(n_nationkey AS VARCHAR) AS text
+    FROM nation ORDER BY name
+    """
+
+
+def write_nation_bin_fixture(spark: SparkSession, sf_dir: str, scratch: str) -> str:
+    """Deterministic per-nation ``.bin`` files plus a ``.txt`` decoy the
+    ingestion glob must exclude at listing time; returns the landing dir.
+    The 25-row dim collect is fixture generation, not a data path."""
+    import os
+
+    t = load_tables(spark, sf_dir, "nation")
+    d = _scratch_dir(scratch, sf_dir)
+    for r in t["nation"].select("n_nationkey", "n_name").collect():
+        with open(os.path.join(d, f"nation_{r.n_nationkey}.bin"), "wb") as fh:
+            fh.write(f"{r.n_name}|{r.n_nationkey}".encode())
+    with open(os.path.join(d, "ignore.txt"), "w") as fh:
+        fh.write("not media")
+    return d
+
+
+def binary_ingest_projection(df: DataFrame) -> DataFrame:
+    """filename/size/decoded-content projection both ingestion twins emit."""
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.decode(F.col("content"), "UTF-8").alias("text"),
+    )
+
+
 def _t_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-file ingestion end-to-end (the multimodal pipeline's front
     door): deterministic per-nation ``.bin`` files on disk → built-in
     ``binaryFile`` source (sources/readers.py:read_binary_dir, glob
     pushed to the listing) → filename/size/content projection, oracled
     against the nation table the files were derived from — so the whole
-    listing/read/decode chain must reproduce table-derived truth.  The
-    25-row dim collect is fixture generation, not a data path."""
-    import os
-
+    listing/read/decode chain must reproduce table-derived truth."""
     from polars_view_spark.sources.readers import read_binary_dir
 
-    t = load_tables(spark, sf_dir, "nation")
-    d = _scratch_dir("binfile", sf_dir)
-    for r in t["nation"].select("n_nationkey", "n_name").collect():
-        payload = f"{r.n_name}|{r.n_nationkey}".encode()
-        with open(os.path.join(d, f"nation_{r.n_nationkey}.bin"), "wb") as fh:
-            fh.write(payload)
-    # decoy that the glob must exclude at listing time
-    with open(os.path.join(d, "ignore.txt"), "w") as fh:
-        fh.write("not media")
+    d = write_nation_bin_fixture(spark, sf_dir, "binfile")
     df = read_binary_dir(spark, d, glob="*.bin")
-    return (
-        df.select(
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
-            F.col("length").cast("long").alias("n_bytes"),
-            F.decode(F.col("content"), "UTF-8").alias("text"),
-        )
-        .orderBy("name")
-    )
+    return binary_ingest_projection(df).orderBy("name")
 
 
 def _t_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,13 +740,7 @@ def _register_core() -> None:
 
     register(
         "t_binaryfile_ingest",
-        oracle="""
-        SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) || '.bin' AS name,
-               CAST(LENGTH(n_name || '|' || CAST(n_nationkey AS VARCHAR))
-                    AS BIGINT) AS n_bytes,
-               n_name || '|' || CAST(n_nationkey AS VARCHAR) AS text
-        FROM nation ORDER BY name
-        """,
+        oracle=BINARY_INGEST_ORACLE,
         tables=("nation",),
     )(_t_binaryfile_ingest)
 

@@ -12,6 +12,8 @@ hyperplanes, stopword lists and session gaps are single-sourced.
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3864,45 +3866,34 @@ def _e_streaming_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     → filename/size/decoded-content projection, oracled against the
     nation table the fixture derives from — so the streaming listing/
     read/decode chain must reproduce table-derived truth exactly like its
-    batch twin t_binaryfile_ingest (sources/readers.py:read_binary_dir).
-    The 25-row dim collect is fixture generation, not a data path."""
-    import os
-
-    from polars_view_spark.catalog import _scratch_dir
+    batch twin t_binaryfile_ingest — fixture writer, projection, and
+    oracle are SHARED with it (catalog.py:write_nation_bin_fixture /
+    binary_ingest_projection / BINARY_INGEST_ORACLE), so the two paths
+    cannot drift on payload format, glob decoy, or schema."""
+    from polars_view_spark.catalog import (
+        binary_ingest_projection,
+        write_nation_bin_fixture,
+    )
     from polars_view_spark.streaming.events import (
         read_binary_stream,
         run_stream_to_memory,
     )
 
-    t = load_tables(spark, sf_dir, "nation")
-    d = _scratch_dir("binstream", sf_dir)
-    for r in t["nation"].select("n_nationkey", "n_name").collect():
-        with open(os.path.join(d, f"nation_{r.n_nationkey}.bin"), "wb") as fh:
-            fh.write(f"{r.n_name}|{r.n_nationkey}".encode())
-    with open(os.path.join(d, "ignore.txt"), "w") as fh:
-        fh.write("not media")  # the glob must exclude it at listing time
+    d = write_nation_bin_fixture(spark, sf_dir, "binstream")
     stream = read_binary_stream(spark, d, glob="*.bin")
     run_stream_to_memory(
-        stream.select(
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
-            F.col("length").cast("long").alias("n_bytes"),
-            F.decode(F.col("content"), "UTF-8").alias("text"),
-        ),
+        binary_ingest_projection(stream),
         "e_streaming_binary_sink",
         output_mode="append",
     )
     return spark.table("e_streaming_binary_sink").orderBy("name")
 
 
+from polars_view_spark.catalog import BINARY_INGEST_ORACLE as _BIN_ORACLE  # noqa: E402
+
 register(
     "e_streaming_binary_ingest",
-    oracle="""
-    SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) || '.bin' AS name,
-           CAST(LENGTH(n_name || '|' || CAST(n_nationkey AS VARCHAR))
-                AS BIGINT) AS n_bytes,
-           n_name || '|' || CAST(n_nationkey AS VARCHAR) AS text
-    FROM nation ORDER BY name
-    """,
+    oracle=_BIN_ORACLE,
     tables=("nation",),
 )(_e_streaming_binary_ingest)
 
@@ -4123,6 +4114,21 @@ _BLOOM_CONFS = {
 }
 
 
+@_contextmanager
+def bloom_confs_scope(spark: SparkSession):
+    """Set ``_BLOOM_CONFS``, yield, restore every key — the single
+    save/restore used by both the entry and the plan gate so the two can
+    never drift on which confs need putting back."""
+    old = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lazy join the runtime filter prunes: lineitem (fact) ⋈ the
     urgent subset of orders (selective creation side), re-aggregated per
@@ -4164,14 +4170,8 @@ def _x_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Bloom filter is execution-only pruning — results must equal the
     plain join, which is exactly what the oracle states (no bloom in the
     SQL)."""
-    old = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with bloom_confs_scope(spark):
         return bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
 
 
 register(

@@ -77,8 +77,16 @@ def zorder_key_sql(quantized_cols: list[str], bits: int = 16) -> str:
     columns (each already in ``[0, 2^bits)``) into one Z-order (Morton)
     key.  Pure shift/and/or arithmetic — whole-stage codegen, no Python;
     ``len(cols) * bits`` terms (2×16 = 32 for the default), far under the
-    Janino method limit."""
+    Janino method limit.  ``len(cols) * bits`` must stay ≤ 63: position
+    63 is the BIGINT sign bit and Java's long shift wraps mod 64, so a
+    wider key would silently fold distinct (col, bit) pairs onto the
+    same position and the clustering would be garbage."""
     k = len(quantized_cols)
+    if k * bits > 63:
+        raise ValueError(
+            f"Z-order key needs {k} cols x {bits} bits = {k * bits} bit "
+            f"positions but a BIGINT holds 63; lower bits to <= {63 // k}"
+        )
     terms = [
         f"shiftleft(shiftright({c}, {b}) & 1, {b * k + i})"
         for b in range(bits)
@@ -92,7 +100,7 @@ def write_zordered(
     path: str,
     cols: list[str],
     n_files: int = 16,
-    bits: int = 16,
+    bits: int | None = None,
 ) -> None:
     """Z-order clustered write: quantize each clustering column to
     ``[0, 2^bits)`` by min/max linear scaling (one tiny agg pass),
@@ -104,7 +112,16 @@ def write_zordered(
     ZORDER layout (public Delta Lake feature), expressed with stock
     Spark: the one global exchange is the range partition the layout
     pays for once at write time.  Layout-only — readers see the same
-    rows, which is what the catalog entry's plain-SQL oracle states."""
+    rows, which is what the catalog entry's plain-SQL oracle states.
+
+    ``bits=None`` (default) uses the widest per-column resolution that
+    fits the 63 usable BIGINT positions (16 bits for ≤3 columns, 63//k
+    beyond).  An empty input or an all-NULL clustering column yields
+    NULL stats; those columns degrade to a constant key component (rows
+    with NULL keys collect in one range partition) instead of erroring —
+    the write still lands every row."""
+    if bits is None:
+        bits = min(16, 63 // max(1, len(cols)))
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
@@ -113,6 +130,8 @@ def write_zordered(
     quant = []
     for i, c in enumerate(cols):
         mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        if mn is None or mx is None:  # empty input / all-NULL column
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         quant.append(
             f"CAST(least({top}, floor((CAST({c} AS DOUBLE) - {mn!r}) / {span!r} * {top + 1})) AS BIGINT)"

@@ -407,7 +407,10 @@ def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_binary_stream(
-    spark: SparkSession, path: str, glob: str | None = None
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_files_per_trigger: int = 16,
 ) -> DataFrame:
     """Streaming twin of sources/readers.py:read_binary_dir — continuous
     raw-media ingestion from a landing directory via the built-in
@@ -421,14 +424,16 @@ def read_binary_stream(
     streaming/batch parity test compares the two paths directly.
 
     Scale shape matches the batch source — one whole file per task, so
-    ``maxFilesPerTrigger`` is the batch-size knob (bounded executor
-    memory per trigger regardless of how many files land at once)."""
+    ``max_files_per_trigger`` is the batch-size knob (bounded executor
+    memory per trigger regardless of how many files land at once); a
+    deployment landing whole videos lowers it, one landing thumbnails
+    raises it."""
     reader = (
         spark.readStream.format("binaryFile")
         .schema(
             "path string, modificationTime timestamp, length long, content binary"
         )
-        .option("maxFilesPerTrigger", "16")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
     )
     if glob:
         reader = reader.option("pathGlobFilter", glob)

@@ -806,21 +806,30 @@ def test_bloom_pruned_join_plan(spark, cat):
     # a bloom_filter_agg over the selective side's keys and a
     # might_contain pushed onto the fact side BELOW the shuffle — the
     # pruning that erases most of the fact shuffle write at 100 TB
-    from polars_view_spark.catalog_ext import _BLOOM_CONFS, bloom_join_frame
+    from polars_view_spark.catalog_ext import bloom_confs_scope, bloom_join_frame
 
-    old = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with bloom_confs_scope(spark):
         plan = plan_of(bloom_join_frame(spark, SF))
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
-    # the filter prunes before the join's exchange: might_contain must sit
-    # deeper in the plan than the first shuffle of the fact side
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # positional check that the pruning really lands pre-shuffle: in the
+    # printed tree parents precede children, so the fact branch must read
+    # Exchange hashpartitioning(l_orderkey) -> Filter(might_contain) ->
+    # lineitem FileScan, with no further hash shuffle between the filter
+    # and its scan.  (The bloom-build subquery prints inline below the
+    # filter; its Exchange is SinglePartition, so scoping to
+    # hashpartitioning keeps the check on the fact path only.)
+    mc = plan.index("might_contain")
+    assert "Exchange hashpartitioning(l_orderkey" in plan[:mc], (
+        "the fact shuffle must sit ABOVE the bloom filter (filter "
+        "executes before the shuffle it exists to shrink)"
+    )
+    below = plan[mc:]
+    scan_pos = below.index("lineitem")
+    assert "Exchange hashpartitioning" not in below[:scan_pos], (
+        "a hash shuffle sits between might_contain and the fact scan"
+    )
 
 
 def test_bloom_entry_restores_confs(spark, cat):

@@ -177,3 +177,37 @@ class TestZorder:
         back = spark.read.parquet(out)
         assert sorted(r["a"] for r in back.collect()) == list(range(500))
         assert back.columns == ["a", "s"]
+
+    def test_key_wider_than_bigint_refused(self, spark):
+        # 5 cols x 16 bits = 80 positions > 63: Java's long shift would
+        # wrap mod 64 and silently fold distinct bits together — must
+        # refuse loudly instead
+        from polars_view_spark.operators.scale import zorder_key_sql
+
+        with pytest.raises(ValueError, match="63"):
+            zorder_key_sql(["a", "b", "c", "d", "e"], 16)
+
+    def test_write_zordered_auto_bits_for_many_cols(self, spark, tmp_path):
+        # bits=None derives a width that fits: 5 cols -> 12 bits each
+        from polars_view_spark.operators.scale import write_zordered
+
+        df = spark.range(100).selectExpr(
+            "id AS a", "id % 7 AS b", "id % 5 AS c", "id % 3 AS d", "id % 2 AS e"
+        )
+        out = str(tmp_path / "many")
+        write_zordered(df, out, ["a", "b", "c", "d", "e"], n_files=4)
+        assert spark.read.parquet(out).count() == 100
+
+    def test_write_zordered_empty_and_all_null(self, spark, tmp_path):
+        # empty input and all-NULL clustering columns degrade to a
+        # constant key component — every row still lands
+        from polars_view_spark.operators.scale import write_zordered
+
+        empty = spark.createDataFrame([], "a long, b long")
+        write_zordered(empty, str(tmp_path / "empty"), ["a", "b"], n_files=2)
+        assert spark.read.parquet(str(tmp_path / "empty")).count() == 0
+
+        nul = spark.range(10).selectExpr("id AS a", "CAST(NULL AS BIGINT) AS b")
+        write_zordered(nul, str(tmp_path / "nul"), ["a", "b"], n_files=2)
+        back = spark.read.parquet(str(tmp_path / "nul"))
+        assert back.count() == 10 and back.filter("b IS NULL").count() == 10
