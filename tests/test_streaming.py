@@ -745,3 +745,76 @@ def test_streaming_anomaly_survives_null_values(spark, tmp_path):
     # query nor appears in the output
     assert (8, 1, 9000.0) in got
     assert all(r[0] != 3 for r in got)
+
+
+def test_watermark_drops_too_late_rows_and_keeps_late_ones(spark, tmp_path):
+    """The watermark's actual cut, pinned where Spark GUARANTEES it.
+
+    The guarantee is one-directional: a below-watermark row whose window
+    state still exists may be aggregated anyway (eviction runs at end of
+    batch, AFTER merging input — empirically it is).  The hard guarantee
+    is post-finalization: once append mode has emitted a window, a
+    too-late row for it must be dropped, or the sink would see the same
+    window twice.  So the fixture finalizes the 10:00 window in batch 2,
+    then delivers a 10:45 straggler in batch 3 and asserts (a) exactly
+    one 10:00 output row, (b) its count excludes the straggler, while a
+    merely-late row inside the horizon still lands in its own window."""
+    import os
+
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_tumbling_agg,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(i, rows, mtime):
+        df = spark.createDataFrame(
+            [(j, ts, 1, "click", 1.0, "{}") for j, ts in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        )
+        one = tmp_path / f"one_{i}"
+        df.coalesce(1).write.parquet(str(one))
+        import glob as globmod
+        import shutil
+
+        src = globmod.glob(str(one / "part-*.parquet"))[0]
+        dst = landing / f"delivery_{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # batch 1: two rows in the 10:00 window; a 12:30 row pushes the
+    # watermark for subsequent batches to 11:30 (1h horizon)
+    land(1, ["2024-01-01 10:05:00", "2024-01-01 10:15:00", "2024-01-01 12:30:00"], 1_700_000_000)
+    # batch 2: 11:45 is late relative to 12:30 but inside the horizon ->
+    # lands in its own window; end of THIS batch finalizes+emits the
+    # 10:00 window (end 11:00 <= watermark 11:30) at count 2
+    land(2, ["2024-01-01 11:45:00"], 1_700_000_100)
+    # batch 3: 10:45 arrives AFTER its window was finalized -> must be
+    # dropped (re-admitting it would re-emit the window in append mode);
+    # 14:00 advances the watermark to 13:00, finalizing 11:00 and 12:00
+    land(3, ["2024-01-01 10:45:00", "2024-01-01 14:00:00"], 1_700_000_200)
+
+    stream = read_event_stream(spark, str(landing))
+    run_stream_to_memory(
+        streaming_tumbling_agg(stream, width="1 hour", watermark="1 hour"),
+        "stream_late_drop",
+        output_mode="append",
+    )
+    rows = [
+        (r["window_start"], r["n_events"])
+        for r in spark.table("stream_late_drop").collect()
+    ]
+    # exactly ONE 10:00 output row — a second one would mean the
+    # straggler recreated state and append re-emitted the window
+    ten = [n for w, n in rows if w == "2024-01-01 10:00"]
+    assert ten == [2], rows
+    # the merely-late 11:45 row was admitted into its own window
+    assert ("2024-01-01 11:00", 1) in rows, rows
+    assert ("2024-01-01 12:00", 1) in rows, rows
