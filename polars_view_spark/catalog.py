@@ -203,9 +203,10 @@ DRIVER_PRIORITY = [
 # co-located join entry), s_ann_index_persist (persisted-IVF build/query
 # split), e_streaming_dedup (redelivery dedup), e_streaming_trending and
 # e_streaming_upsert (CDC snapshot maintenance), x_bloom_pruned_join
-# (runtime Bloom-filter join pruning) and t_zorder_layout (Z-order
-# clustered write) — all with full value-hash oracles; stamp all seven
-# in round 6 with the others below.
+# (runtime Bloom-filter join pruning), t_zorder_layout (Z-order
+# clustered write) and q_recursive_cte (Spark 4 WITH RECURSIVE BFS) — all
+# with full value-hash oracles; stamp all eight in round 6 with the
+# others below.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,
@@ -1880,6 +1881,42 @@ def _register_core() -> None:
         ORDER BY status, priority
         """,
         ("orders",),
+    )
+
+    sql_query(
+        "q_recursive_cte",
+        """
+        WITH RECURSIVE sp AS (
+          SELECT DISTINCT l_suppkey AS suppkey, l_partkey AS partkey FROM lineitem
+        ),
+        links AS (
+          SELECT 's' AS kind, suppkey AS key, 'p' AS nkind, partkey AS nkey FROM sp
+          UNION ALL
+          SELECT 'p' AS kind, partkey AS key, 's' AS nkind, suppkey AS nkey FROM sp
+        ),
+        reach(kind, key, lvl) AS (
+          SELECT 's', (SELECT MIN(s_suppkey) FROM supplier), 0
+          UNION ALL
+          SELECT DISTINCT l.nkind, l.nkey, r.lvl + 1
+          FROM reach r JOIN links l ON l.kind = r.kind AND l.key = r.key
+          WHERE r.lvl < 2
+        )
+        SELECT kind, lvl AS level, COUNT(*) AS n_nodes
+        FROM (SELECT kind, key, MIN(lvl) AS lvl FROM reach GROUP BY kind, key) t
+        GROUP BY kind, lvl
+        ORDER BY level, kind
+        """,
+        ("lineitem", "supplier"),
+        doc="recursive CTE (Spark 4 WITH RECURSIVE): level-synchronous BFS "
+        "over the supplier<->part bipartite graph from lineitem — a recall "
+        "blast-radius walk.  The recursive term only sees the PREVIOUS "
+        "iteration (standard semantics, both engines); SELECT DISTINCT "
+        "dedups within a level and MIN(lvl) collapses cross-level repeats, "
+        "so each step is one equi-join + one aggregate, both shuffle-"
+        "partitioned on the node key — per-level cost is O(frontier), "
+        "never O(paths), the property that keeps graph walks feasible at "
+        "100 TB.  Depth is literal-capped (lvl < 2) well under Spark's "
+        "cteRecursionLevelLimit.",
     )
 
     sql_query(
