@@ -204,9 +204,10 @@ DRIVER_PRIORITY = [
 # split), e_streaming_dedup (redelivery dedup), e_streaming_trending and
 # e_streaming_upsert (CDC snapshot maintenance), x_bloom_pruned_join
 # (runtime Bloom-filter join pruning), t_zorder_layout (Z-order
-# clustered write) and q_recursive_cte (Spark 4 WITH RECURSIVE BFS) — all
-# with full value-hash oracles; stamp all eight in round 6 with the
-# others below.
+# clustered write), q_recursive_cte (Spark 4 WITH RECURSIVE BFS) and
+# e_variant_extract (Spark 4 VARIANT parse-once payload path) — all with
+# full value-hash oracles; stamp all nine in round 6 with the others
+# below.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,

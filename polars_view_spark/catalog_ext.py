@@ -2673,6 +2673,46 @@ register(
 )(_e_json_props)
 
 
+def _e_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured payloads: ``parse_json``
+    decodes the JSON string ONCE per row into the binary VARIANT encoding;
+    every subsequent ``variant_get`` / ``to_json`` is a cheap typed probe
+    of that buffer.  The string-path sibling (e_json_extract) re-parses
+    ``props`` on every ``get_json_object`` call — at 100 TB of event
+    payloads with several extracted fields the repeated parse dominates
+    the scan, which is exactly what VARIANT removes.  All extraction is
+    JVM-side codegen (no Python); the aggregate is one keyed shuffle.
+    ``to_json(parse_json(x))`` minifies identically to DuckDB's
+    ``json(x)::VARCHAR``, so the payload-distinct count is hash-exact."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .withColumn("v", F.expr("parse_json(props)"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.expr("variant_get(v, '$.k', 'bigint')")).alias("n_with_k"),
+            F.expr("sum(variant_get(v, '$.k', 'bigint'))")
+            .cast("bigint")
+            .alias("sum_k"),
+            F.countDistinct(F.expr("to_json(v)")).alias("n_payloads"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "e_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(DISTINCT CAST(json(props) AS VARCHAR)) AS n_payloads
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tables=("events",),
+)(_e_variant_extract)
+
+
 def _e_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity rollup pyramid (hour+day) in one pass
     (operators/events.py:multi_granularity_rollup)."""
