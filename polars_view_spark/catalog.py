@@ -204,10 +204,10 @@ DRIVER_PRIORITY = [
 # split), e_streaming_dedup (redelivery dedup), e_streaming_trending and
 # e_streaming_upsert (CDC snapshot maintenance), x_bloom_pruned_join
 # (runtime Bloom-filter join pruning), t_zorder_layout (Z-order
-# clustered write), q_recursive_cte (Spark 4 WITH RECURSIVE BFS) and
-# e_variant_extract (Spark 4 VARIANT parse-once payload path) — all with
-# full value-hash oracles; stamp all nine in round 6 with the others
-# below.
+# clustered write), q_recursive_cte (Spark 4 WITH RECURSIVE BFS),
+# e_variant_extract (Spark 4 VARIANT parse-once payload path) and
+# t_fixedwidth_ingest (fixed-width text reader) — all with full
+# value-hash oracles; stamp all ten in round 6 with the others below.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,
@@ -336,6 +336,51 @@ def _t_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice") + F.lit(1e-6), 2).alias("total"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+def _t_fixedwidth_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference format breadth: fixed-width (COBOL/mainframe
+    export) ingestion.  Builds the fixture from supplier with lpad/rpad
+    codegen (acctbal carried as integer CENTS — ``round(x*100)`` is
+    integral on both engines, the repo's all-integer float-parity rule),
+    then reads it back via sources/readers.py:read_fixed_width — a
+    splittable ``spark.read.text`` scan where every column is one
+    ``try_cast(trim(substring(...)))`` codegen expression, no Python —
+    and aggregates, oracled against the original parquet.  A '-' sign and
+    18-char names exercise the lpad/rpad trim paths."""
+    import os
+
+    from polars_view_spark.sources.readers import read_fixed_width
+
+    t = load_tables(spark, sf_dir, "supplier")
+    line = F.concat(
+        F.lpad(F.col("s_suppkey").cast("string"), 10, " "),
+        F.rpad(F.col("s_name"), 25, " "),
+        F.lpad(F.col("s_nationkey").cast("string"), 5, " "),
+        F.lpad(F.expr("cast(round(s_acctbal * 100) as bigint)").cast("string"), 14, " "),
+    )
+    path = os.path.join(_scratch_dir("fixedwidth", sf_dir), "supplier_fw")
+    t["supplier"].select(line.alias("value")).write.mode("overwrite").text(path)
+    df = read_fixed_width(
+        spark,
+        path,
+        [
+            ("s_suppkey", 1, 10, "bigint"),
+            ("s_name", 11, 25, "string"),
+            ("s_nationkey", 36, 5, "bigint"),
+            ("acctbal_cents", 41, 14, "bigint"),
+        ],
+    )
+    return (
+        df.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s_suppkey").cast("long").alias("sum_key"),
+            F.sum("acctbal_cents").cast("long").alias("sum_acctbal_cents"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("s_nationkey")
     )
 
 
@@ -716,6 +761,19 @@ def _register_core() -> None:
         """,
         tables=("orders",),
     )(_t_ndjson_roundtrip)
+
+    register(
+        "t_fixedwidth_ingest",
+        oracle="""
+        SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(*) AS n,
+               CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_acctbal_cents,
+               MIN(s_name) AS first_name
+        FROM supplier GROUP BY 1 ORDER BY 1
+        """,
+        tables=("supplier",),
+    )(_t_fixedwidth_ingest)
 
     register(
         "t_orc_roundtrip",

@@ -3,6 +3,7 @@ from polars_view_spark.sources.readers import (
     detect_format,
     read_any,
     read_binary_dir,
+    read_fixed_width,
     read_xml,
 )
 from polars_view_spark.sources.sniff import sniff_delimiter
@@ -13,6 +14,7 @@ __all__ = [
     "detect_format",
     "read_any",
     "read_binary_dir",
+    "read_fixed_width",
     "read_xml",
     "save",
     "save_as",

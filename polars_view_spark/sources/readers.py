@@ -228,6 +228,37 @@ def read_binary_dir(
     return reader.load(path).drop("modificationTime")
 
 
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width text ingestion — the mainframe/COBOL-export layout the
+    reference's CSV sniffer cannot dispatch (no delimiter exists).
+
+    ``colspecs`` is ``(name, start, width, type)`` with 1-based ``start``
+    (SQL ``substring`` convention).  Built on ``spark.read.text``: line
+    splitting is Hadoop's, so the scan is SPLITTABLE within a file —
+    unlike e.g. the binaryFile source, a single 1 TB export parallelizes
+    across tasks.  Every column is one codegen
+    ``try_cast(trim(substring(...)))`` expression: no Python, no regex,
+    whole-stage-codegen end to end, and malformed cells degrade to NULL
+    (PERMISSIVE semantics, matching the CSV path) instead of failing the
+    job under ANSI mode.  String columns are right-trimmed only — the
+    pad side of a left-aligned field — so significant leading text
+    survives."""
+    df = spark.read.text(path)
+    cols = []
+    for name, start, width, dtype in colspecs:
+        raw = f"substring(value, {start}, {width})"
+        if dtype == "string":
+            expr = f"rtrim({raw})"
+        else:
+            expr = f"try_cast(trim({raw}) AS {dtype})"
+        cols.append(F.expr(expr).alias(name))
+    return df.select(*cols)
+
+
 def read_any(spark: SparkSession, cfg: LoadConfig) -> tuple[DataFrame, str, LoadConfig]:
     """Dispatch on extension; returns (df, format, possibly-updated config).
 

@@ -564,3 +564,30 @@ def test_sniffer_degrades_on_mislabeled_gz(tmp_path):
     p.write_text("a;b;c\n1;2;3\n")  # NOT gzip — mislabeled
     assert probe_head_lines(str(p)) == []
     assert sniff_delimiter(str(p), configured=";") == ";"
+
+
+def test_fixed_width_reader_semantics(spark, tmp_path):
+    """read_fixed_width contract: 1-based SQL substring positions, rtrim-
+    only on strings (leading text is significant pad-side data), malformed
+    numeric cells degrade to NULL under ANSI mode (try_cast), and a short
+    line yields NULL/empty tails instead of an error."""
+    from polars_view_spark.sources.readers import read_fixed_width
+
+    lines = [
+        "        42  spaced name         -317",  # negative number parses
+        "bad_number  x                   1000",  # id malformed -> NULL
+        "         7",                            # short line: tails NULL
+    ]
+    p = str(tmp_path / "fw")
+    spark.createDataFrame([(l,) for l in lines], "value STRING").coalesce(
+        1
+    ).write.mode("overwrite").text(p)
+    df = read_fixed_width(
+        spark, p,
+        [("id", 1, 10, "bigint"), ("name", 11, 14, "string"),
+         ("amount", 25, 12, "bigint")],
+    )
+    rows = {r["id"]: (r["name"], r["amount"]) for r in df.collect()}
+    assert rows[42] == ("  spaced name", -317)  # leading spaces kept, rtrimmed
+    assert rows[None] == ("  x", 1000)          # malformed id -> NULL row kept
+    assert rows[7] == ("", None)                # short line degrades cleanly
