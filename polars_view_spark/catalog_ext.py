@@ -217,14 +217,17 @@ register("d_minhash_lsh_pairs", oracle=_duck_minhash_oracle(), tables=("document
 )
 
 
-def _duck_simhash_oracle() -> str:
+def _duck_simhash_ctes(bits: int, features: str = "tokens") -> str:
+    """The shared feature→hash→bit-sum→fingerprint CTE chain, mirroring
+    operators/dedup.py:simhash_bits bit-for-bit at any width."""
+    feat = duck_tokens_sql("text") if features == "tokens" else duck_shingles_sql("text")
     sums = ",\n         ".join(
-        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(16)
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
     )
-    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
-    return f"""
-    WITH toks AS (
-      SELECT doc_id AS doc, unnest(list_distinct({duck_tokens_sql("text")})) AS tok
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""toks AS (
+      SELECT doc_id AS doc, unnest(list_distinct({feat})) AS tok
       FROM documents
     ),
     hashed AS (SELECT doc, {duck_hex64_sql("tok")} AS h FROM toks),
@@ -232,8 +235,14 @@ def _duck_simhash_oracle() -> str:
       SELECT doc,
          {sums}
       FROM hashed GROUP BY doc
-    )
-    SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM sums ORDER BY doc
+    ),
+    sigs AS (SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM sums)"""
+
+
+def _duck_simhash_oracle() -> str:
+    return f"""
+    WITH {_duck_simhash_ctes(16)}
+    SELECT doc, simhash FROM sigs ORDER BY doc
     """
 
 
@@ -250,6 +259,42 @@ def _d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("d_simhash", oracle=_duck_simhash_oracle(), tables=("documents",))(_d_simhash)
+
+
+def _duck_simhash_near_dup_oracle() -> str:
+    from polars_view_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        SIMHASH_PAIR_BITS,
+    )
+
+    return f"""
+    WITH {_duck_simhash_ctes(SIMHASH_PAIR_BITS, features="shingles")}
+    SELECT a.doc AS doc1, b.doc AS doc2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc1, doc2
+    """
+
+
+def _d_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the pigeonhole band join
+    (operators/dedup.py:simhash_near_dup_pairs): dist ≤ d implies exact
+    agreement on one of d+1 fingerprint bands, so candidates come from
+    per-band equi-joins (cost O(Σ bucket²), hot-bucket-guarded) and the
+    brute-force all-pairs oracle is matched EXACTLY — banding loses
+    nothing, unlike MinHash-LSH's probabilistic bands."""
+    from polars_view_spark.operators.dedup import simhash_near_dup_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(t["documents"], "doc_id", "text").orderBy(
+        "doc1", "doc2"
+    )
+
+
+register(
+    "d_simhash_near_dup", oracle=_duck_simhash_near_dup_oracle(), tables=("documents",)
+)(_d_simhash_near_dup)
 
 
 def _duck_ngram_jaccard_oracle() -> str:

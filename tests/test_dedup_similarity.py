@@ -119,6 +119,98 @@ class TestSimHash:
         assert hamming <= 4  # 16-bit simhash of 0.9-jaccard docs is close
 
 
+class TestSimhashNearDup:
+    def test_banding_is_exhaustive_vs_bruteforce(self, spark, documents):
+        """Pigeonhole guarantee: with the hot-bucket cap giving headroom,
+        the banded join must return EXACTLY the brute-force all-pairs
+        Hamming result — banding itself loses nothing."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.dedup import (
+            SIMHASH_MAX_HAMMING,
+            SIMHASH_PAIR_BITS,
+            simhash_bits,
+            simhash_near_dup_pairs,
+        )
+
+        got = {
+            (r["doc1"], r["doc2"], r["hamming"])
+            for r in simhash_near_dup_pairs(documents, "doc_id", "text").collect()
+        }
+        sigs = simhash_bits(
+            documents, "doc_id", "text", SIMHASH_PAIR_BITS, features="shingles"
+        )
+        a, b = sigs.alias("a"), sigs.alias("b")
+        brute = {
+            (r["doc1"], r["doc2"], r["hamming"])
+            for r in a.join(b, F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("doc1"),
+                F.col("b.doc").alias("doc2"),
+                F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+            .collect()
+        }
+        assert got == brute and len(got) > 0
+
+    def test_bucket_cap_headroom_at_test_scale(self, spark, documents):
+        """The oracle equals brute force ONLY while no (band, value)
+        bucket exceeds the cap — pin the headroom so recall drift from
+        corpus growth fails loudly here instead of silently in the
+        catalog gate."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.dedup import (
+            MAX_LSH_BUCKET,
+            SIMHASH_MAX_HAMMING,
+            SIMHASH_PAIR_BITS,
+            simhash_bits,
+        )
+
+        sigs = simhash_bits(
+            documents, "doc_id", "text", SIMHASH_PAIR_BITS, features="shingles"
+        )
+        n_bands = SIMHASH_MAX_HAMMING + 1
+        base, rem = divmod(SIMHASH_PAIR_BITS, n_bands)
+        off, maxes = 0, []
+        for band in range(n_bands):
+            w = base + (1 if band < rem else 0)
+            m = (
+                sigs.select(F.expr(f"(simhash >> {off}) & {(1 << w) - 1}").alias("v"))
+                .groupBy("v")
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+            )
+            maxes.append(m)
+            off += w
+        assert max(maxes) <= MAX_LSH_BUCKET, maxes
+
+    def test_mega_cluster_dropped_by_guard(self, spark):
+        """Identical boilerplate (one shared fingerprint) lands in one
+        bucket per band; over the cap it must be dropped — its pairs are
+        exact-dedup's job — while a distinct near-dup pair survives."""
+        from polars_view_spark.operators.dedup import simhash_near_dup_pairs
+
+        boiler = [(i, "the same license header text repeated verbatim in every file "
+                      "of the corpus with nothing else inside it at all") for i in range(40)]
+        # long shared body: SimHash needs many stable features — a one-word
+        # suffix diff over ~40 shingles lands at Hamming 1 (measured)
+        base = (
+            "large scale data pipelines require careful attention to partitioning "
+            "strategy shuffle volume and memory pressure because every join and "
+            "aggregation redistributes rows across the cluster and a single skewed "
+            "key can stall the whole stage for many minutes while other executors idle"
+        )
+        near = [(1000, base + " today"), (1001, base + " tonight")]
+        df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+        out = simhash_near_dup_pairs(df, "doc_id", "text", max_bucket_size=16)
+        pairs = {(r["doc1"], r["doc2"]) for r in out.collect()}
+        assert (1000, 1001) in pairs
+        assert all(p == (1000, 1001) for p in pairs)
+
+
 class TestAnn:
     def test_bruteforce_is_true_topk(self, spark, embeddings):
         import numpy as np
