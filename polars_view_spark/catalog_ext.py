@@ -2251,6 +2251,62 @@ register("x_winnow_fingerprints", oracle=_duck_winnow_oracle(), tables=("documen
 )
 
 
+def _duck_hashed_vec_oracle() -> str:
+    from polars_view_spark.operators.textstats import HASH_VECTOR_DIM as D
+
+    sign = "(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END)"
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN h % {D} = {i} THEN {sign} ELSE 0 END) AS b{i}" for i in range(D)
+    )
+    vec_str = " || ',' || ".join(f"b{i}::VARCHAR" for i in range(D))
+    norm2 = " + ".join(f"b{i} * b{i}" for i in range(D))
+    nnz = " + ".join(f"(CASE WHEN b{i} != 0 THEN 1 ELSE 0 END)" for i in range(D))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest({duck_tokens_sql("text")}) AS tok FROM documents
+    ),
+    hashed AS (SELECT doc, {duck_hex64_sql("tok")} AS h FROM toks),
+    sums AS (
+      SELECT doc,
+         {sums}
+      FROM hashed GROUP BY doc
+    )
+    SELECT doc, md5({vec_str}) AS vec_md5,
+           CAST({norm2} AS BIGINT) AS norm2,
+           CAST({nnz} AS INT) AS nnz
+    FROM sums ORDER BY doc
+    """
+
+
+def _x_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document vectors
+    (operators/textstats.py:hashed_doc_vectors): vocabulary-free ±1
+    bucket counts, one explode + one keyed shuffle, all-integer so the
+    oracle is hash-exact.  The vector itself is md5-folded for the
+    driver hash (array columns follow the x_embedding_quantize
+    convention); norm² and nnz are carried raw as numeric probes."""
+    from polars_view_spark.operators.textstats import hashed_doc_vectors
+
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        hashed_doc_vectors(t["documents"], "doc_id", "text")
+        .select(
+            "doc",
+            F.expr("md5(concat_ws(',', transform(vec, x -> CAST(x AS STRING))))").alias(
+                "vec_md5"
+            ),
+            "norm2",
+            "nnz",
+        )
+        .orderBy("doc")
+    )
+
+
+register(
+    "x_hashed_doc_vectors", oracle=_duck_hashed_vec_oracle(), tables=("documents",)
+)(_x_hashed_doc_vectors)
+
+
 def _x_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: pack text → binary + metadata struct, then
     Arrow-batched mapInPandas 'decode' (operators/multimodal.py).  The

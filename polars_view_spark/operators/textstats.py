@@ -516,6 +516,59 @@ def winnow_fingerprints(
     return hashed.select("id", F.explode(F.expr(expr)).alias("fingerprint"))
 
 
+#: Feature-hashing defaults: 16 buckets is viewer-scale; production text
+#: features use 2^18+ (the operator is O(dim) aggregate slots, still one
+#: shuffle).  Sign bit 6 is disjoint from the bucket bits for dim ≤ 64.
+HASH_VECTOR_DIM = 16
+
+
+def hashed_doc_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = HASH_VECTOR_DIM,
+) -> DataFrame:
+    """Signed feature-hashing document vectors (the 'hashing trick',
+    Weinberger et al., arXiv:0902.2206): every token occurrence hashes to
+    one of ``dim`` buckets, contributing ±1 by an independent hash bit —
+    fixed-width, vocabulary-free features whose inner products are
+    unbiased estimates of the exact bag-of-words kernel.  The cheap
+    front-end for k-means / ANN / classifier stages when real embeddings
+    are too expensive for a first pass over 100 TB.
+
+    Plan: one explode (token OCCURRENCES — counts matter, so no distinct)
+    → one md5 per token → ONE keyed shuffle computing all ``dim`` signed
+    conditional sums simultaneously; the vector assembly, squared norm
+    and nnz are projection-only.  Everything is integer codegen, so the
+    DuckDB oracle matches hash-exactly (no float accumulation anywhere).
+    """
+    from polars_view_spark.functions.texthash import hex64_sql, tokens_expr
+
+    assert 1 <= dim <= 64, dim  # sign bit 6 must stay disjoint from buckets
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_expr(text_col)).alias("tok")
+    )
+    hashed = toks.select("doc", F.expr(hex64_sql("tok")).alias("h"))
+    sign = "(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END)"
+    sums = hashed.groupBy("doc").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN h % {dim} = {i} THEN {sign} ELSE 0 END"))
+            .cast("long")
+            .alias(f"b{i}")
+            for i in range(dim)
+        ]
+    )
+    vec = "array(" + ", ".join(f"b{i}" for i in range(dim)) + ")"
+    norm2 = " + ".join(f"b{i} * b{i}" for i in range(dim))
+    nnz = " + ".join(f"(CASE WHEN b{i} != 0 THEN 1 ELSE 0 END)" for i in range(dim))
+    return sums.select(
+        "doc",
+        F.expr(vec).alias("vec"),
+        F.expr(norm2).cast("long").alias("norm2"),
+        F.expr(nnz).cast("int").alias("nnz"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercased text.  Identical-content docs (modulo spacing/case) collide —

@@ -1307,3 +1307,26 @@ class TestPairKernelParity:
 
         with _pytest.raises(Exception, match="max_group_size"):
             _pairwise_cosine_in_groups(df, "grp", 0.0, max_group_size=10).collect()
+
+
+class TestHashedDocVectors:
+    def test_count_linearity_and_determinism(self, spark):
+        """The hashing trick is linear in token counts: doubling a
+        document's tokens doubles its vector exactly (signed integer
+        counts, no normalization), and identical docs get identical
+        vectors — the properties downstream kernel estimates rely on."""
+        from polars_view_spark.operators.textstats import hashed_doc_vectors
+
+        base = "alpha beta gamma delta epsilon zeta"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " " + base), (3, base)],
+            "doc_id long, text string",
+        )
+        vecs = {r["doc"]: (list(r["vec"]), r["norm2"], r["nnz"])
+                for r in hashed_doc_vectors(df, "doc_id", "text").collect()}
+        v1, n1, z1 = vecs[1]
+        v2, n2, z2 = vecs[2]
+        assert vecs[3] == vecs[1]
+        assert v2 == [2 * x for x in v1]
+        assert n2 == 4 * n1 and z2 == z1
+        assert sum(abs(x) for x in v1) == 6  # six tokens, each ±1 once
