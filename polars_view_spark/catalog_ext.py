@@ -220,6 +220,7 @@ register("d_minhash_lsh_pairs", oracle=_duck_minhash_oracle(), tables=("document
 def _duck_simhash_ctes(bits: int, features: str = "tokens") -> str:
     """The shared feature→hash→bit-sum→fingerprint CTE chain, mirroring
     operators/dedup.py:simhash_bits bit-for-bit at any width."""
+    assert features in ("tokens", "shingles"), features  # mirror simhash_bits
     feat = duck_tokens_sql("text") if features == "tokens" else duck_shingles_sql("text")
     sums = ",\n         ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
@@ -2791,8 +2792,13 @@ def _e_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("v", F.expr("parse_json(props)"))
         .groupBy("event_type")
         .agg(
-            F.count(F.expr("variant_get(v, '$.k', 'bigint')")).alias("n_with_k"),
-            F.expr("sum(variant_get(v, '$.k', 'bigint'))")
+            # try_variant_get, not variant_get: under ANSI mode the strict
+            # form ABORTS the job on one payload whose $.k isn't castable
+            # to bigint — PERMISSIVE NULL degradation is the production
+            # contract everywhere else in this repo (cf. try_cast in the
+            # CSV/fixed-width readers)
+            F.count(F.expr("try_variant_get(v, '$.k', 'bigint')")).alias("n_with_k"),
+            F.expr("sum(try_variant_get(v, '$.k', 'bigint'))")
             .cast("bigint")
             .alias("sum_k"),
             F.countDistinct(F.expr("to_json(v)")).alias("n_payloads"),

@@ -93,6 +93,28 @@ def minhash_signatures(
 MAX_LSH_BUCKET = 64  # hot-bucket guard: buckets larger than this are dropped
 
 
+def _cap_buckets(
+    df: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Hot-bucket guard shared by every banded candidate generator
+    (MinHash-LSH and SimHash): drop whole buckets holding more than
+    ``max_bucket_size`` members before they contribute quadratically to
+    the self-join.  The size count is a window over the bucket key, so
+    it shares the hashpartitioning the downstream join needs (no extra
+    shuffle; an A/B at sf0.1 measured it ~free vs +1.5 s for a broadcast
+    anti-join).  One implementation on purpose — guard semantics must
+    never drift between consumers."""
+    from pyspark.sql import Window
+
+    return (
+        df.withColumn(
+            "__bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+        )
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def _band_table(sigs: DataFrame, max_bucket_size: int) -> DataFrame:
     """Long-form LSH band table ``(band, v0..v{rows-1}, doc)`` with the
     hot-bucket guard applied.
@@ -100,12 +122,9 @@ def _band_table(sigs: DataFrame, max_bucket_size: int) -> DataFrame:
     Single source for both the full self-join and the incremental path —
     banding/guard semantics must never drift between them (the
     incremental-equals-filtered-full oracle depends on it).  The
-    bucket-size count is a window over the bucket key, so it shares the
-    hashpartitioning the downstream join needs (no extra shuffle; an A/B
-    at sf0.1 measured it ~free vs +1.5 s for a broadcast anti-join).
+    bucket-size count shares the join's partitioning (see
+    :func:`_cap_buckets`).
     """
-    from pyspark.sql import Window
-
     k = len(MINHASH_COEFFS)
     n_bands = k // MINHASH_BAND_ROWS
     band_rows = []
@@ -120,13 +139,7 @@ def _band_table(sigs: DataFrame, max_bucket_size: int) -> DataFrame:
         bands = bands.unionByName(b)
 
     bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
-    return (
-        bands.withColumn(
-            "__bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
-        )
-        .filter(F.col("__bsz") <= max_bucket_size)
-        .drop("__bsz")
-    )
+    return _cap_buckets(bands, bucket_cols, max_bucket_size)
 
 
 def minhash_lsh_pairs(
@@ -656,6 +669,7 @@ def simhash_bits(
     same corpus yields 23 near-dup pairs — and is what
     :func:`simhash_near_dup_pairs` uses."""
     assert 1 <= bits <= 48, bits
+    assert features in ("tokens", "shingles"), features  # opposite semantics
     if features == "tokens":
         toks = df.select(
             F.col(id_col).alias("doc"),
@@ -722,8 +736,6 @@ def simhash_near_dup_pairs(
     Returns ``(doc1, doc2, hamming)`` with doc1 < doc2, ordered nowhere
     (callers sort).
     """
-    from pyspark.sql import Window
-
     assert max_hamming >= 0 and bits > max_hamming, (bits, max_hamming)
     sigs = simhash_bits(df, id_col, text_col, bits, features="shingles")
     n_bands = max_hamming + 1
@@ -748,13 +760,7 @@ def simhash_near_dup_pairs(
     bands = sigs.select(
         "doc", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    bands = (
-        bands.withColumn(
-            "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bval"))
-        )
-        .filter(F.col("__bsz") <= max_bucket_size)
-        .drop("__bsz")
-    )
+    bands = _cap_buckets(bands, ["band", "bval"], max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

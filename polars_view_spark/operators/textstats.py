@@ -518,7 +518,9 @@ def winnow_fingerprints(
 
 #: Feature-hashing defaults: 16 buckets is viewer-scale; production text
 #: features use 2^18+ (the operator is O(dim) aggregate slots, still one
-#: shuffle).  Sign bit 6 is disjoint from the bucket bits for dim ≤ 64.
+#: shuffle).  dim must be a POWER OF TWO ≤ 64: only then is ``h % dim``
+#: a pure low-bits mask, leaving sign bit 6 independent of the bucket —
+#: a composite dim would correlate sign with bucket and bias the kernel.
 HASH_VECTOR_DIM = 16
 
 
@@ -544,7 +546,9 @@ def hashed_doc_vectors(
     """
     from polars_view_spark.functions.texthash import hex64_sql, tokens_expr
 
-    assert 1 <= dim <= 64, dim  # sign bit 6 must stay disjoint from buckets
+    # power of two only: h % dim must be a pure low-bits mask so sign bit 6
+    # stays independent of the bucket (composite dim biases the kernel)
+    assert 1 <= dim <= 64 and dim & (dim - 1) == 0, dim
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens_expr(text_col)).alias("tok")
     )

@@ -251,7 +251,10 @@ def read_fixed_width(
     cols = []
     for name, start, width, dtype in colspecs:
         raw = f"substring(value, {start}, {width})"
-        if dtype == "string":
+        # any string-family spelling (string/varchar(n)/char(n), any case)
+        # must take the rtrim-only path — falling through to trim() would
+        # silently eat significant leading spaces
+        if dtype.strip().lower().split("(")[0] in ("string", "varchar", "char"):
             expr = f"rtrim({raw})"
         else:
             expr = f"try_cast(trim({raw}) AS {dtype})"

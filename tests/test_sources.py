@@ -589,5 +589,10 @@ def test_fixed_width_reader_semantics(spark, tmp_path):
     )
     rows = {r["id"]: (r["name"], r["amount"]) for r in df.collect()}
     assert rows[42] == ("  spaced name", -317)  # leading spaces kept, rtrimmed
+    # every string-family spelling takes the rtrim-only path — a
+    # case/alias fallthrough to trim() would eat the leading spaces
+    for dtype in ("STRING", "varchar(14)", "Char(14)"):
+        alt = read_fixed_width(spark, p, [("id", 1, 10, "bigint"), ("name", 11, 14, dtype)])
+        assert {r["name"] for r in alt.collect() if r["id"] == 42} == {"  spaced name"}, dtype
     assert rows[None] == ("  x", 1000)          # malformed id -> NULL row kept
     assert rows[7] == ("", None)                # short line degrades cleanly
