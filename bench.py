@@ -83,6 +83,11 @@ EXT_HEADLINE = [
     # production ANN shape, benched beside its exact baseline
     # s_ann_bruteforce_topk and the one-stage s_ann_ivf_topk
     "s_ann_ivf_rerank",
+    # round 5: SimHash pigeonhole-band pair mining — the third dedup
+    # candidate generator beside MinHash-LSH and embedding sign-LSH;
+    # its DuckDB oracle is a true all-pairs O(n²) join, so this row is
+    # where the banded-join-vs-brute-force gap shows directly
+    "d_simhash_near_dup",
 ]
 
 

@@ -207,9 +207,10 @@ DRIVER_PRIORITY = [
 # clustered write), q_recursive_cte (Spark 4 WITH RECURSIVE BFS),
 # e_variant_extract (Spark 4 VARIANT parse-once payload path),
 # t_fixedwidth_ingest (fixed-width text reader), d_simhash_near_dup
-# (pigeonhole-banded Hamming pair mining) and x_hashed_doc_vectors
-# (feature-hashing trick) — all with full value-hash oracles; stamp all
-# twelve in round 6 with the others below.
+# (pigeonhole-banded Hamming pair mining), x_hashed_doc_vectors
+# (feature-hashing trick) and x_temperature_sample (mC4 sqrt-temperature
+# source balancing) — all with full value-hash oracles; stamp all
+# thirteen in round 6 with the others below.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,

@@ -1412,6 +1412,52 @@ register(
 )(_x_mixture_sample)
 
 
+def _x_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mC4/T5 temperature source balancing
+    (operators/packing.py:temperature_resample): output shares follow
+    sqrt(n_s)/Σ sqrt(n_t) — rates are DATA-DRIVEN (one tiny broadcast
+    aggregate), unlike x_mixture_sample's static config rates.  All rate
+    arithmetic is integer after one exactly-rounded sqrt quantization,
+    so the oracle is hash-exact."""
+    from polars_view_spark.operators.packing import temperature_resample
+
+    t = load_tables(spark, sf_dir, "documents")
+    return temperature_resample(t["documents"]).orderBy("doc_id", "epoch")
+
+
+_TEMPERATURE_ORACLE = """
+WITH stats AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+         CAST(floor(sqrt(COUNT(*)) * 1000000) AS BIGINT) AS sq
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS n_total,
+         CAST(SUM(sq) AS BIGINT) AS sq_total
+  FROM stats
+), base AS (
+  SELECT d.doc_id, d.source,
+         (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)
+           AS bucket,
+         s.sq, s.n_s, t.n_total, t.sq_total
+  FROM documents d JOIN stats s USING (source) CROSS JOIN totals t
+), counted AS (
+  SELECT doc_id, source,
+         ((sq * n_total) // (sq_total * n_s))
+           + CASE WHEN bucket < ((sq * n_total * 100) // (sq_total * n_s)) % 100
+                  THEN 1 ELSE 0 END AS copies
+  FROM base
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+FROM counted WHERE copies > 0
+ORDER BY doc_id, epoch
+"""
+
+
+register(
+    "x_temperature_sample", oracle=_TEMPERATURE_ORACLE, tables=("documents",)
+)(_x_temperature_sample)
+
+
 def _x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy per-source token budgeting
     (operators/packing.py:token_budget_cap): keep docs in id order until

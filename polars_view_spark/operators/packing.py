@@ -242,6 +242,56 @@ def mixture_resample(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based source balancing (mC4/T5, arXiv:1910.10683 §3.1;
+    α = 0.5): resample so each source's share of the OUTPUT follows
+    ``sqrt(n_s) / Σ sqrt(n_t)`` instead of its raw share — low-resource
+    sources get upsampled (epochs > 1), dominant ones downsampled — while
+    the total output size stays ≈ the input size.  The data-driven
+    sibling of :func:`mixture_resample` (whose per-source rates are
+    static config).
+
+    Cross-engine exactness: ``sqrt`` is IEEE-754 correctly rounded on
+    both engines (unlike ``pow``/``ln``), so quantizing it once to
+    integer micros and doing ALL rate arithmetic in BIGINT (integer
+    ``DIV``, modulo, md5-bucket Bernoulli for the fractional part) makes
+    the output value-hash-exact — the repo's all-integer float-parity
+    rule.
+
+    Plan shape: one tiny aggregate (per-source counts, map-side partial)
+    broadcast back onto the scan, plus a broadcast single-row total —
+    the corpus itself never shuffles; duplication is a ``sequence``
+    explode.  Embarrassingly parallel at 100 TB.
+    """
+    stats = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn("sq", F.expr("CAST(floor(sqrt(n_s) * 1000000) AS BIGINT)"))
+    )
+    totals = stats.agg(
+        F.sum("n_s").alias("n_total"), F.sum("sq").alias("sq_total")
+    )
+    joined = df.join(F.broadcast(stats), source_col).join(F.broadcast(totals))
+    # rate_s = (sq_s / sq_total) * n_total / n_s, carried as integers:
+    # whole epochs by BIGINT DIV, fractional part as a percent threshold
+    num = "(sq * n_total)"
+    den = "(sq_total * n_s)"
+    bucket = f"(conv(substr(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) % 100)"
+    copies = (
+        f"({num} DIV {den}) + IF({bucket} < (({num} * 100) DIV {den}) % 100, 1, 0)"
+    )
+    return (
+        joined.withColumn("copies", F.expr(copies))
+        .filter(F.col("copies") > 0)
+        .withColumn("epoch", F.explode(F.expr("sequence(1L, copies)")))
+        .select(id_col, source_col, F.col("epoch").cast("long").alias("epoch"))
+    )
+
+
 def select_top_fraction(
     df: DataFrame,
     weight_col: str,

@@ -1330,3 +1330,39 @@ class TestHashedDocVectors:
         assert v2 == [2 * x for x in v1]
         assert n2 == 4 * n1 and z2 == z1
         assert sum(abs(x) for x in v1) == 6  # six tokens, each ±1 once
+
+
+class TestTemperatureSample:
+    def test_skew_is_smoothed_toward_sqrt_shares(self, spark):
+        """The sf-fixture sources are uniform (identity fixed point), so
+        skew behavior needs a synthetic corpus: 900/90/10 docs.  With
+        alpha = 0.5 the dominant source must shrink, the small ones must
+        grow (every 10-doc-source doc at least floor(rate)=7 times), and
+        the total must stay near the input size."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.packing import temperature_resample
+
+        rows = (
+            [(i, "big") for i in range(900)]
+            + [(1000 + i, "mid") for i in range(90)]
+            + [(2000 + i, "small") for i in range(10)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = temperature_resample(df)
+        got = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got["big"] < 900          # downsampled
+        assert got["mid"] > 90           # upsampled
+        assert got["small"] > 10         # upsampled hardest
+        # floor(rate_small) = 7 -> every small doc appears >= 7 times
+        per_small = (
+            out.filter("source = 'small'").groupBy("doc_id").count().collect()
+        )
+        assert len(per_small) == 10 and all(r["count"] >= 7 for r in per_small)
+        total = sum(got.values())
+        assert abs(total - 1000) <= 150  # budget approximately preserved
+        # monotone: smoothed shares keep the source ordering
+        assert got["big"] > got["mid"] > got["small"]

@@ -758,6 +758,7 @@ CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "x_outlier_filter": "1-row global mean/stddev broadcast (two stages)",
     "x_salted_skew_join": "salt fan-out crosses the small dim with the literal salt range (n_salts)",
     "x_snapshot_drift": "1-row snapshot totals broadcast",
+    "x_temperature_sample": "1-row corpus totals (n_total, sq_total) broadcast",
     "x_tfidf_top_terms": "1-row document count broadcast",
 }
 
