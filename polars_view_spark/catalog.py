@@ -208,9 +208,10 @@ DRIVER_PRIORITY = [
 # e_variant_extract (Spark 4 VARIANT parse-once payload path),
 # t_fixedwidth_ingest (fixed-width text reader), d_simhash_near_dup
 # (pigeonhole-banded Hamming pair mining), x_hashed_doc_vectors
-# (feature-hashing trick) and x_temperature_sample (mC4 sqrt-temperature
-# source balancing) — all with full value-hash oracles; stamp all
-# thirteen in round 6 with the others below.
+# (feature-hashing trick), x_temperature_sample (mC4 sqrt-temperature
+# source balancing) and t_parquet_bloom_write (column-level Bloom
+# layout) — all with full value-hash oracles; stamp all fourteen in
+# round 6 with the others below.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,

@@ -4418,6 +4418,60 @@ def _t_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_parquet_bloom_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed parquet layout end-to-end
+    (operators/scale.py:write_bloom_indexed): documents gain an
+    md5-fingerprint point-lookup key, are rewritten with a column-level
+    Bloom filter on it (dictionary disabled for that column so the
+    filter is unconditional), read back and aggregated.  The entry
+    ASSERTS the footer geometry — the fingerprint column of the written
+    file must actually carry the Bloom (tests/test_scale.py:
+    TestParquetBloom additionally pins the no-false-negative guarantee
+    and the opt-in default).  This is the point-lookup complement of
+    t_zorder_layout's min/max range pruning: at 100 TB a needle query
+    on the key skips every row group whose Bloom says definitely-absent.
+    Layout-only — the oracle recomputes the same aggregate on the raw
+    table, so any row lost or mangled by the rewrite breaks the hash."""
+    import glob
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.scale import bloom_columns_of, write_bloom_indexed
+
+    t = load_tables(spark, sf_dir, "documents")
+    out = os.path.join(_scratch_dir("bloomwrite", sf_dir), "docs")
+    with_fp = t["documents"].withColumn("fp", F.expr("md5(text)"))
+    write_bloom_indexed(with_fp, out, {"fp": 10_000})
+    files = [
+        f for f in glob.glob(out + "/part-*.parquet")
+        if bloom_columns_of(spark, f)  # empty files have no row groups
+    ]
+    assert files, "no written file carries the fp Bloom filter"
+    assert all(bloom_columns_of(spark, f) == {"fp"} for f in files), files
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(hex64_sql("fp")) % F.lit(1_000_003)).alias("fp_hash_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "t_parquet_bloom_write",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM((('0x' || substr(md5(md5(text)), 1, 15))::BIGINT) % 1000003)
+                AS BIGINT) AS fp_hash_sum
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    tables=("documents",),
+)(_t_parquet_bloom_write)
+
+
 register(
     "t_zorder_layout",
     oracle="""

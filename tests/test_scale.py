@@ -211,3 +211,50 @@ class TestZorder:
         write_zordered(nul, str(tmp_path / "nul"), ["a", "b"], n_files=2)
         back = spark.read.parquet(str(tmp_path / "nul"))
         assert back.count() == 10 and back.filter("b IS NULL").count() == 10
+
+
+class TestParquetBloom:
+    def test_bloom_written_and_definitely_absent_guarantee(self, spark, tmp_path):
+        """write_bloom_indexed puts a Bloom filter on exactly the
+        requested column; every present value probes maybe-present and
+        absent values overwhelmingly probe definitely-absent (the
+        guarantee row-group skipping relies on)."""
+        import glob
+
+        from polars_view_spark.operators.scale import (
+            bloom_columns_of,
+            bloom_might_contain,
+            write_bloom_indexed,
+        )
+
+        out = str(tmp_path / "bloomed")
+        df = spark.range(500).selectExpr(
+            "id", "md5(CAST(id AS STRING)) AS key", "CAST(id % 5 AS STRING) AS lang"
+        ).coalesce(1)
+        write_bloom_indexed(df, out, {"key": 500})
+        f = glob.glob(out + "/part-*.parquet")[0]
+        assert bloom_columns_of(spark, f) == {"key"}
+        import hashlib
+
+        present = [hashlib.md5(str(i).encode()).hexdigest() for i in range(0, 500, 25)]
+        absent = [f"not-a-key-{i}" for i in range(40)]
+        assert all(bloom_might_contain(spark, f, "key", present))  # no false negatives
+        fp = sum(bloom_might_contain(spark, f, "key", absent))
+        assert fp <= 4, fp  # 1% target FPP; 4/40 is far beyond noise already
+
+    def test_plain_write_has_no_bloom(self, spark, tmp_path):
+        """Blooms are strictly opt-in: a default parquet write carries
+        none, so the footer probe itself is proven discriminating (a
+        helper that said 'bloom present' for every file would pass the
+        positive test above vacuously)."""
+        import glob
+
+        out = str(tmp_path / "plain")
+        df = spark.range(500).selectExpr(
+            "id", "md5(CAST(id AS STRING)) AS key"
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(out)
+        from polars_view_spark.operators.scale import bloom_columns_of
+
+        f = glob.glob(out + "/part-*.parquet")[0]
+        assert bloom_columns_of(spark, f) == set()
