@@ -1416,9 +1416,10 @@ def _x_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mC4/T5 temperature source balancing
     (operators/packing.py:temperature_resample): output shares follow
     sqrt(n_s)/Σ sqrt(n_t) — rates are DATA-DRIVEN (one tiny broadcast
-    aggregate), unlike x_mixture_sample's static config rates.  All rate
-    arithmetic is integer after one exactly-rounded sqrt quantization,
-    so the oracle is hash-exact."""
+    aggregate), unlike x_mixture_sample's static config rates.  sqrt is
+    quantized to integer micros and the rate is a fixed four-node double
+    expression (each node IEEE exactly rounded ⇒ bit-identical per
+    engine); bucket/epoch math is integer — hash-exact oracle."""
     from polars_view_spark.operators.packing import temperature_resample
 
     t = load_tables(spark, sf_dir, "documents")
@@ -1426,10 +1427,13 @@ def _x_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TEMPERATURE_ORACLE = """
-WITH stats AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+WITH tagged AS (
+  SELECT doc_id, source, COALESCE(source, '__null_source__') AS src
+  FROM documents
+), stats AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_s,
          CAST(floor(sqrt(COUNT(*)) * 1000000) AS BIGINT) AS sq
-  FROM documents GROUP BY source
+  FROM tagged GROUP BY src
 ), totals AS (
   SELECT CAST(SUM(n_s) AS BIGINT) AS n_total,
          CAST(SUM(sq) AS BIGINT) AS sq_total
@@ -1438,12 +1442,13 @@ WITH stats AS (
   SELECT d.doc_id, d.source,
          (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)
            AS bucket,
-         s.sq, s.n_s, t.n_total, t.sq_total
-  FROM documents d JOIN stats s USING (source) CROSS JOIN totals t
+         (CAST(s.sq AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+           / (CAST(t.sq_total AS DOUBLE) * CAST(s.n_s AS DOUBLE)) AS rate
+  FROM tagged d JOIN stats s USING (src) CROSS JOIN totals t
 ), counted AS (
   SELECT doc_id, source,
-         ((sq * n_total) // (sq_total * n_s))
-           + CASE WHEN bucket < ((sq * n_total * 100) // (sq_total * n_s)) % 100
+         CAST(floor(rate) AS BIGINT)
+           + CASE WHEN bucket < CAST(floor(rate * 100) AS BIGINT) % 100
                   THEN 1 ELSE 0 END AS copies
   FROM base
 )
@@ -4436,18 +4441,27 @@ def _t_parquet_bloom_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from polars_view_spark.catalog import _scratch_dir
-    from polars_view_spark.operators.scale import bloom_columns_of, write_bloom_indexed
+    from polars_view_spark.operators.scale import (
+        bloom_columns_of,
+        parquet_row_group_count,
+        write_bloom_indexed,
+    )
 
     t = load_tables(spark, sf_dir, "documents")
     out = os.path.join(_scratch_dir("bloomwrite", sf_dir), "docs")
     with_fp = t["documents"].withColumn("fp", F.expr("md5(text)"))
     write_bloom_indexed(with_fp, out, {"fp": 10_000})
-    files = [
-        f for f in glob.glob(out + "/part-*.parquet")
-        if bloom_columns_of(spark, f)  # empty files have no row groups
-    ]
-    assert files, "no written file carries the fp Bloom filter"
-    assert all(bloom_columns_of(spark, f) == {"fp"} for f in files), files
+    # EVERY data-bearing file must carry the fp Bloom (filtering on
+    # bloom presence instead would silently excuse missing filters and
+    # prove only that one file has it); only genuinely empty part files
+    # — zero row groups — are exempt
+    blooms = {
+        f: bloom_columns_of(spark, f)
+        for f in glob.glob(out + "/part-*.parquet")
+        if parquet_row_group_count(spark, f) > 0
+    }
+    assert blooms, "write produced no data-bearing files"
+    assert all(cols == {"fp"} for cols in blooms.values()), blooms
     back = spark.read.parquet(out)
     return (
         back.groupBy("lang")

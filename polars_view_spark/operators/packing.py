@@ -224,13 +224,34 @@ def mixture_resample(
     on id afterwards (which would shuffle it twice).
     """
     rate = epochs_case_sql(source_col)
+    # bucket spelling pinned verbatim (pre-hex64_sql, no BIGINT cast): the
+    # entry is driver-stamped on this exact value chain
     bucket = f"(conv(substr(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) % 100)"
     copies = (
         f"(CAST(floor({rate}) AS BIGINT)"
         f" + IF({bucket} < CAST(round(({rate} - floor({rate})) * 100, 0) AS BIGINT), 1, 0))"
     )
+    return _explode_epochs(df, id_col, source_col, copies, passthrough)
+
+
+#: NULL-source sentinel: NULL never matches an equi-join key, so without
+#: it NULL-source rows would vanish from the output while still inflating
+#: the totals.  Grouped/joined on the sentinel; the OUTPUT keeps NULL.
+NULL_SOURCE_KEY = "__null_source__"
+
+
+def _explode_epochs(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    copies_sql: str,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared resampler tail (mixture/temperature — one implementation so
+    the copy/explode semantics can't drift): deterministic copy count →
+    ``sequence`` explode → ``(id, source, epoch)`` rows."""
     return (
-        df.withColumn("copies", F.expr(copies))
+        df.withColumn("copies", F.expr(copies_sql))
         .filter(F.col("copies") > 0)
         .withColumn("epoch", F.explode(F.expr("sequence(1L, copies)")))
         .select(
@@ -253,43 +274,59 @@ def temperature_resample(
     sources get upsampled (epochs > 1), dominant ones downsampled — while
     the total output size stays ≈ the input size.  The data-driven
     sibling of :func:`mixture_resample` (whose per-source rates are
-    static config).
+    static config).  NULL sources form their own group via
+    :data:`NULL_SOURCE_KEY` (an equi-join would otherwise drop them while
+    their counts still skewed every other source's rate); the output
+    keeps the original NULL.
 
     Cross-engine exactness: ``sqrt`` is IEEE-754 correctly rounded on
-    both engines (unlike ``pow``/``ln``), so quantizing it once to
-    integer micros and doing ALL rate arithmetic in BIGINT (integer
-    ``DIV``, modulo, md5-bucket Bernoulli for the fractional part) makes
-    the output value-hash-exact — the repo's all-integer float-parity
-    rule.
+    both engines (unlike ``pow``/``ln``) and is quantized once to integer
+    micros; the rate itself is a FIXED four-node double expression —
+    single multiply/divide nodes are also exactly rounded, so identical
+    inputs give bit-identical doubles on both engines (the parity rule
+    bans accumulation-ORDER floats and transcendentals, not fixed
+    expression trees; cf. mixture_resample's double rate).  Doubles
+    can't overflow where the earlier all-BIGINT form did (sq·n_total·100
+    passes 2^63 already at a ~100 M-doc corpus with a 1 M-doc source);
+    beyond 2^53 the products merely round, which moves a rate by parts
+    in 10^16 — irrelevant to sampling.  Bucket and epoch math stays
+    integer.
 
     Plan shape: one tiny aggregate (per-source counts, map-side partial)
     broadcast back onto the scan, plus a broadcast single-row total —
     the corpus itself never shuffles; duplication is a ``sequence``
     explode.  Embarrassingly parallel at 100 TB.
     """
+    from polars_view_spark.functions.texthash import hex64_sql
+
+    tagged = df.withColumn(
+        "__src", F.coalesce(F.col(source_col), F.lit(NULL_SOURCE_KEY))
+    )
     stats = (
-        df.groupBy(source_col)
+        tagged.groupBy("__src")
         .agg(F.count(F.lit(1)).alias("n_s"))
         .withColumn("sq", F.expr("CAST(floor(sqrt(n_s) * 1000000) AS BIGINT)"))
     )
     totals = stats.agg(
         F.sum("n_s").alias("n_total"), F.sum("sq").alias("sq_total")
     )
-    joined = df.join(F.broadcast(stats), source_col).join(F.broadcast(totals))
-    # rate_s = (sq_s / sq_total) * n_total / n_s, carried as integers:
-    # whole epochs by BIGINT DIV, fractional part as a percent threshold
-    num = "(sq * n_total)"
-    den = "(sq_total * n_s)"
-    bucket = f"(conv(substr(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) % 100)"
+    joined = (
+        tagged.join(F.broadcast(stats), "__src")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "rate",
+            F.expr(
+                "(CAST(sq AS DOUBLE) * CAST(n_total AS DOUBLE))"
+                " / (CAST(sq_total AS DOUBLE) * CAST(n_s AS DOUBLE))"
+            ),
+        )
+    )
+    bucket = f"({hex64_sql(f'CAST({id_col} AS STRING)')} % 100)"
     copies = (
-        f"({num} DIV {den}) + IF({bucket} < (({num} * 100) DIV {den}) % 100, 1, 0)"
+        "CAST(floor(rate) AS BIGINT)"
+        f" + IF({bucket} < CAST(floor(rate * 100) AS BIGINT) % 100, 1, 0)"
     )
-    return (
-        joined.withColumn("copies", F.expr(copies))
-        .filter(F.col("copies") > 0)
-        .withColumn("epoch", F.explode(F.expr("sequence(1L, copies)")))
-        .select(id_col, source_col, F.col("epoch").cast("long").alias("epoch"))
-    )
+    return _explode_epochs(joined, id_col, source_col, copies)
 
 
 def select_top_fraction(

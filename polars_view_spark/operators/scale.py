@@ -184,6 +184,17 @@ def _open_parquet_footer(spark, file_path: str):
     return jvm, jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
 
 
+def parquet_row_group_count(spark, file_path: str) -> int:
+    """Row-group count from the footer — distinguishes a genuinely empty
+    part file (no groups, nothing to index) from a data-bearing file
+    that is merely missing an expected Bloom filter."""
+    _, reader = _open_parquet_footer(spark, file_path)
+    try:
+        return reader.getRowGroups().size()
+    finally:
+        reader.close()
+
+
 def bloom_columns_of(spark, file_path: str) -> set[str]:
     """Column paths carrying a Bloom filter in the file's FIRST row group
     (footer-geometry gate for tests/entries; parquet-mr via py4j — the
@@ -215,12 +226,21 @@ def bloom_might_contain(
     guarantee row-group skipping relies on)."""
     jvm, reader = _open_parquet_footer(spark, file_path)
     try:
-        block = reader.getRowGroups().get(0)
+        groups = reader.getRowGroups()
+        assert groups.size() > 0, f"no row groups in {file_path}"
+        block = groups.get(0)
         cols = block.getColumns()
         ccmd = next(
-            cols.get(i)
-            for i in range(cols.size())
-            if cols.get(i).getPath().toDotString() == column
+            (
+                cols.get(i)
+                for i in range(cols.size())
+                if cols.get(i).getPath().toDotString() == column
+            ),
+            None,
+        )
+        assert ccmd is not None, (
+            f"column {column!r} not found in {file_path}; available: "
+            f"{[cols.get(i).getPath().toDotString() for i in range(cols.size())]}"
         )
         bf = reader.getBloomFilterDataReader(block).readBloomFilter(ccmd)
         assert bf is not None, f"no bloom filter on {column} in {file_path}"

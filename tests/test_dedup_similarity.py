@@ -1366,3 +1366,22 @@ class TestTemperatureSample:
         assert abs(total - 1000) <= 150  # budget approximately preserved
         # monotone: smoothed shares keep the source ordering
         assert got["big"] > got["mid"] > got["small"]
+
+    def test_null_source_rows_survive_as_their_own_group(self, spark):
+        """NULL never matches an equi-join key, so the sentinel grouping
+        is what keeps NULL-source docs in the output — they must appear
+        (with source still NULL) and be balanced like any other group,
+        not silently dropped while still skewing the totals."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.packing import temperature_resample
+
+        rows = [(i, "big") for i in range(400)] + [(1000 + i, None) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = temperature_resample(df)
+        got = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert None in got and got[None] > 100  # kept AND upsampled (smaller group)
+        assert got["big"] < 400
