@@ -209,9 +209,10 @@ DRIVER_PRIORITY = [
 # t_fixedwidth_ingest (fixed-width text reader), d_simhash_near_dup
 # (pigeonhole-banded Hamming pair mining), x_hashed_doc_vectors
 # (feature-hashing trick), x_temperature_sample (mC4 sqrt-temperature
-# source balancing) and t_parquet_bloom_write (column-level Bloom
-# layout) — all with full value-hash oracles; stamp all fourteen in
-# round 6 with the others below.
+# source balancing), t_parquet_bloom_write (column-level Bloom layout)
+# and t_python_datasource (Spark 4 Python Data Source API, synthetic
+# generator with a regenerating oracle) — all with full value-hash
+# oracles; stamp all fifteen in round 6 with the others below.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,

@@ -4423,6 +4423,57 @@ def _t_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API end-to-end
+    (sources/synthetic.py:SynthEventsDataSource): a custom PYTHON-side
+    source — the new-in-Spark-4 connector surface for systems with no
+    JVM driver — generating deterministic synthetic events (every field
+    md5-bridge-derived from the row id), read through partitioned Arrow
+    RecordBatch yields and aggregated.  The oracle REGENERATES the same
+    rows in DuckDB from generate_series + the same md5 arithmetic, so a
+    custom source gets the full value-hash gate, not a rows-only check.
+    All-integer fields (value carried as cents) keep the sums exact."""
+    from polars_view_spark.sources.synthetic import read_synth_events
+
+    df = read_synth_events(spark, n=2000, seed=7, partitions=5)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").cast("bigint").alias("sum_user"),
+            F.sum("value_cents").cast("bigint").alias("sum_cents"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "t_python_datasource",
+    oracle="""
+    WITH seq AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    h AS (
+      SELECT i, (('0x' || substr(md5(CAST(i + 7 AS VARCHAR)), 1, 15))::BIGINT) AS h
+      FROM seq
+    ),
+    ev AS (
+      SELECT i AS event_id,
+             CASE CAST(h % 5 AS INT) WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                  WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                  ELSE 'error' END AS event_type,
+             h % 1000 AS user_id, h % 100000 AS value_cents
+      FROM h
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM ev GROUP BY event_type ORDER BY event_type
+    """,
+    tables=(),
+)(_t_python_datasource)
+
+
 def _t_parquet_bloom_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-indexed parquet layout end-to-end
     (operators/scale.py:write_bloom_indexed): documents gain an

@@ -1,0 +1,96 @@
+"""Deterministic synthetic-events source via Spark 4's Python Data Source
+API — the load-test / replay fixture generator every pipeline team ends up
+needing, and the repo's coverage of the new-in-Spark-4 surface for custom
+Python connectors (external systems with no JVM connector).
+
+Every field derives from the md5 bridge of ``i + seed`` (the same 60-bit
+hash used everywhere else in this repo, functions/texthash.py), so an
+independent engine can regenerate EXACTLY the same rows from a plain
+``generate_series`` — which is how the catalog entry holds a full
+value-hash oracle over a custom Python source.
+
+Scale notes: the reader yields ONE Arrow RecordBatch per partition
+(vectorized transfer — the API's fast path; per-row tuple yields are the
+slow path), and partitions split the id range round-robin so generation
+parallelizes across executors.  A Python data source is still Python per
+element — use it for fixtures, replay, and connector gaps, not for hot
+analytical scans (those belong to the JVM sources in readers.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: event_type alphabet; index = hash % 5 (mirrored in the oracle CASE)
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+#: 2024-01-01T00:00:00 UTC — ts_epoch = base + i seconds
+TS_EPOCH_BASE = 1_704_067_200
+
+SYNTH_SCHEMA = (
+    "event_id BIGINT, ts_epoch BIGINT, user_id BIGINT, "
+    "event_type STRING, value_cents BIGINT, props STRING"
+)
+
+
+def _h60(i: int, seed: int) -> int:
+    """Python spelling of the repo's md5 bridge: hex64_sql(CAST(x AS
+    STRING)) ≡ int(md5(str(x))[:15], 16) — 60 bits, non-negative."""
+    return int(hashlib.md5(str(i + seed).encode()).hexdigest()[:15], 16)
+
+
+class SynthEventsDataSource(DataSource):
+    """``spark.read.format("pvs_synth_events").option("n", ...)``.
+
+    Options: ``n`` rows (default 1000), ``seed`` (default 0),
+    ``partitions`` (default 4)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pvs_synth_events"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def reader(self, schema) -> "SynthEventsReader":
+        return SynthEventsReader(self.options)
+
+
+class SynthEventsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.seed = int(options.get("seed", 0))
+        self.n_parts = max(1, int(options.get("partitions", 4)))
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(k) for k in range(self.n_parts)]
+
+    def read(self, partition: InputPartition):
+        import pyarrow as pa
+
+        ids = list(range(partition.value, self.n, self.n_parts))
+        hs = [_h60(i, self.seed) for i in ids]
+        yield pa.RecordBatch.from_pydict(
+            {
+                "event_id": ids,
+                "ts_epoch": [TS_EPOCH_BASE + i for i in ids],
+                "user_id": [h % 1000 for h in hs],
+                "event_type": [EVENT_TYPES[h % 5] for h in hs],
+                "value_cents": [h % 100_000 for h in hs],
+                "props": ['{"k": %d}' % (h % 100) for h in hs],
+            }
+        )
+
+
+def read_synth_events(spark, n: int, seed: int = 0, partitions: int = 4):
+    """Register (idempotent) and read the synthetic events source."""
+    spark.dataSource.register(SynthEventsDataSource)
+    return (
+        spark.read.format("pvs_synth_events")
+        .option("n", str(n))
+        .option("seed", str(seed))
+        .option("partitions", str(partitions))
+        .load()
+    )

@@ -596,3 +596,18 @@ def test_fixed_width_reader_semantics(spark, tmp_path):
         assert {r["name"] for r in alt.collect() if r["id"] == 42} == {"  spaced name"}, dtype
     assert rows[None] == ("  x", 1000)          # malformed id -> NULL row kept
     assert rows[7] == ("", None)                # short line degrades cleanly
+
+
+def test_python_datasource_partition_invariance(spark):
+    """The synthetic Python data source is a deterministic generator:
+    the row SET must not depend on how the id range is split across
+    partitions (round-robin 1 vs 7), and re-reading with the same seed
+    reproduces it exactly — the property the catalog oracle relies on."""
+    from polars_view_spark.sources.synthetic import read_synth_events
+
+    a = {tuple(r) for r in read_synth_events(spark, 300, seed=3, partitions=1).collect()}
+    b = {tuple(r) for r in read_synth_events(spark, 300, seed=3, partitions=7).collect()}
+    assert a == b and len(a) == 300
+    # seed changes the content
+    c = {tuple(r) for r in read_synth_events(spark, 300, seed=4, partitions=7).collect()}
+    assert c != a
