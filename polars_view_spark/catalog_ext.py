@@ -4450,10 +4450,10 @@ def _t_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "t_python_datasource",
-    oracle="""
+    oracle=f"""
     WITH seq AS (SELECT unnest(generate_series(0, 1999)) AS i),
     h AS (
-      SELECT i, (('0x' || substr(md5(CAST(i + 7 AS VARCHAR)), 1, 15))::BIGINT) AS h
+      SELECT i, {duck_hex64_sql("CAST(i + 7 AS VARCHAR)")} AS h
       FROM seq
     ),
     ev AS (
