@@ -210,9 +210,11 @@ DRIVER_PRIORITY = [
 # (pigeonhole-banded Hamming pair mining), x_hashed_doc_vectors
 # (feature-hashing trick), x_temperature_sample (mC4 sqrt-temperature
 # source balancing), t_parquet_bloom_write (column-level Bloom layout)
-# and t_python_datasource (Spark 4 Python Data Source API, synthetic
-# generator with a regenerating oracle) — all with full value-hash
-# oracles; stamp all fifteen in round 6 with the others below.
+# t_python_datasource (Spark 4 Python Data Source API, synthetic
+# generator with a regenerating oracle) and e_streaming_python_source
+# (its streaming face: offset-paged micro-batches) — all with full
+# value-hash oracles; stamp all sixteen in round 6 with the others
+# below.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,

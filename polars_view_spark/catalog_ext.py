@@ -4474,6 +4474,58 @@ register(
 )(_t_python_datasource)
 
 
+def _e_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of the Python Data Source API
+    (sources/synthetic.py:SynthEventsStreamReader): the same
+    deterministic generator consumed as a STREAM — offset-paged
+    micro-batches (step 700 over 2000 rows ⇒ 3 batches), drained via
+    processAllAvailable into a memory sink and aggregated.  The batch
+    entry (t_python_datasource) and this one share the regenerating
+    DuckDB oracle: micro-batch slicing must not change the row SET, the
+    property checkpoint replay (readBetweenOffsets) depends on."""
+    from polars_view_spark.sources.synthetic import drain_synth_stream
+
+    df = drain_synth_stream(
+        spark, "e_streaming_python_source_sink", n=2000, seed=7, step=700
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").cast("bigint").alias("sum_user"),
+            F.sum("value_cents").cast("bigint").alias("sum_cents"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "e_streaming_python_source",
+    oracle=f"""
+    WITH seq AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    h AS (
+      SELECT i, {duck_hex64_sql("CAST(i + 7 AS VARCHAR)")} AS h
+      FROM seq
+    ),
+    ev AS (
+      SELECT i AS event_id,
+             CASE CAST(h % 5 AS INT) WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                  WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                  ELSE 'error' END AS event_type,
+             h % 1000 AS user_id, h % 100000 AS value_cents
+      FROM h
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM ev GROUP BY event_type ORDER BY event_type
+    """,
+    tables=(),
+)(_e_streaming_python_source)
+
+
 def _t_parquet_bloom_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-indexed parquet layout end-to-end
     (operators/scale.py:write_bloom_indexed): documents gain an

@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: event_type alphabet; index = hash % 5 (mirrored in the oracle CASE)
 EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -57,6 +62,9 @@ class SynthEventsDataSource(DataSource):
     def reader(self, schema) -> "SynthEventsReader":
         return SynthEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SynthEventsStreamReader":
+        return SynthEventsStreamReader(self.options)
+
 
 class SynthEventsReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -84,6 +92,54 @@ class SynthEventsReader(DataSourceReader):
         )
 
 
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source — the Spark 4 Python STREAM
+    connector surface: offset = ``{"pos": next_id}``, each micro-batch
+    advances by ``step`` ids, and :meth:`readBetweenOffsets` replays any
+    offset range deterministically (exactly the contract checkpoint
+    recovery relies on — a replayed batch must reproduce the committed
+    rows bit-for-bit, which the md5-derived fields guarantee).  A
+    bounded ``n`` makes the stream drainable for tests/oracles; a live
+    deployment would leave ``n`` unbounded and let the offset grow."""
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.seed = int(options.get("seed", 0))
+        self.step = max(1, int(options.get("step", 100)))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST iterator, not a generator: Spark's prefetch cache
+        # shallow-copies the returned iterator (copy.copy) to serve the
+        # planner and the replay path from one read() — generators are
+        # unpicklable/uncopyable and fail there; a step is bounded, so
+        # materializing it is the intended shape
+        out = []
+        for i in range(lo, hi):
+            h = _h60(i, self.seed)
+            out.append(
+                (
+                    i,
+                    TS_EPOCH_BASE + i,
+                    h % 1000,
+                    EVENT_TYPES[h % 5],
+                    h % 100_000,
+                    '{"k": %d}' % (h % 100),
+                )
+            )
+        return iter(out)
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(self.n, pos + self.step)
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["pos"], end["pos"])
+
+
 def read_synth_events(spark, n: int, seed: int = 0, partitions: int = 4):
     """Register (idempotent) and read the synthetic events source."""
     spark.dataSource.register(SynthEventsDataSource)
@@ -94,3 +150,34 @@ def read_synth_events(spark, n: int, seed: int = 0, partitions: int = 4):
         .option("partitions", str(partitions))
         .load()
     )
+
+
+def drain_synth_stream(
+    spark, query_name: str, n: int, seed: int = 0, step: int = 100
+):
+    """Drain the bounded synthetic STREAM into an in-memory table.
+
+    ``processAllAvailable`` + stop, not ``availableNow``: an availableNow
+    trigger asks a simple stream reader for one planned batch and ends
+    (observed: only the first ``step`` rows land), while
+    processAllAvailable keeps firing micro-batches until the offset
+    stops advancing — the drain semantics a bounded replay wants."""
+    spark.dataSource.register(SynthEventsDataSource)
+    stream = (
+        spark.readStream.format("pvs_synth_events")
+        .option("n", str(n))
+        .option("seed", str(seed))
+        .option("step", str(step))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

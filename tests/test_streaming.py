@@ -818,3 +818,22 @@ def test_watermark_drops_too_late_rows_and_keeps_late_ones(spark, tmp_path):
     # the merely-late 11:45 row was admitted into its own window
     assert ("2024-01-01 11:00", 1) in rows, rows
     assert ("2024-01-01 12:00", 1) in rows, rows
+
+
+def test_python_stream_source_step_invariance(spark):
+    """The Python-API stream source must deliver the same row SET no
+    matter how the offset range is sliced into micro-batches (step 37 vs
+    one giant batch) — the property checkpoint replay via
+    readBetweenOffsets depends on, and what the catalog oracle's
+    regeneration assumes."""
+    from polars_view_spark.sources.synthetic import drain_synth_stream
+
+    a = {
+        tuple(r)
+        for r in drain_synth_stream(spark, "pyds_s37", n=200, seed=11, step=37).collect()
+    }
+    b = {
+        tuple(r)
+        for r in drain_synth_stream(spark, "pyds_s500", n=200, seed=11, step=500).collect()
+    }
+    assert a == b and len(a) == 200
