@@ -754,6 +754,72 @@ register(
 )(_x_lm_score)
 
 
+def _x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/textstats.py:dsir_weights,
+    Xie et al. arXiv:2302.03169): hashed-bigram importance of every
+    corpus doc against a target-domain slice (doc_id % 7 = 0 — a
+    deterministic stand-in for 'the domain we want more of').  Buckets
+    use the md5 bridge so the oracle reproduces them exactly; the two
+    bounded bucket models are replayed in DuckDB with the identical
+    add-one-smoothed ln arithmetic, rounded to 4 decimals (the
+    x_lm_score precedent — Java Math.log tolerates 1-ulp vs libm; do
+    not re-tighten)."""
+    from polars_view_spark.operators.textstats import dsir_weights
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    return dsir_weights(d, d.filter(F.col("doc_id") % 7 == 0)).orderBy("doc_id")
+
+
+from polars_view_spark.operators.textstats import DSIR_BUCKETS as _DSIR_V  # noqa: E402
+
+register(
+    "x_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {duck_tokens_sql("text")} AS t FROM documents
+    ),
+    tgtg AS (
+      SELECT {duck_hex64_sql("g")} % {_DSIR_V} AS b
+      FROM (SELECT unnest({duck_ngrams_sql("t", 2)}) AS g
+            FROM toks WHERE doc_id % 7 = 0)
+    ),
+    rawg AS (
+      SELECT {duck_hex64_sql("g")} % {_DSIR_V} AS b
+      FROM (SELECT unnest({duck_ngrams_sql("t", 2)}) AS g FROM toks)
+    ),
+    tgt_counts AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tgtg GROUP BY b),
+    raw_counts AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM rawg GROUP BY b),
+    tgt_tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM tgt_counts),
+    raw_tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM raw_counts),
+    model AS (
+      SELECT COALESCE(t.b, r.b) AS b,
+             COALESCE(ln((CAST(t.c AS DOUBLE) + 1) / (tt.tot + {_DSIR_V}.0)),
+                      -ln(tt.tot + {_DSIR_V}.0)) AS lp_tgt,
+             COALESCE(ln((CAST(r.c AS DOUBLE) + 1) / (rt.tot + {_DSIR_V}.0)),
+                      -ln(rt.tot + {_DSIR_V}.0)) AS lp_raw
+      FROM tgt_counts t FULL OUTER JOIN raw_counts r ON t.b = r.b
+      CROSS JOIN tgt_tot tt CROSS JOIN raw_tot rt
+    ),
+    docg AS (
+      SELECT doc_id, {duck_hex64_sql("g")} % {_DSIR_V} AS b
+      FROM (SELECT doc_id, unnest({duck_ngrams_sql("t", 2)}) AS g FROM toks)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(SUM(lp_tgt - lp_raw) + 1e-9, 4) AS log_importance,
+             round(AVG(lp_tgt - lp_raw) + 1e-9, 4) AS avg_log_importance
+      FROM docg LEFT JOIN model USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           a.log_importance, a.avg_log_importance
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tables=("documents",),
+)(_x_dsir_weights)
+
+
 def _x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language vocabulary top-k, TWO-PHASE: explode tokens → one
     (lang, token) count aggregation (map-side partial combine) → per

@@ -357,13 +357,17 @@ def dsir_weights(
 
     Scale shape: two bounded count aggregations (map-side combine over the
     bucket id) + one explode → broadcast join → groupBy(doc).  Nothing
-    data-proportional is collected; the feature hash is Spark's
-    Murmur3-based ``hash`` (seed-stable across sessions).
+    data-proportional is collected; the feature hash is the repo's md5
+    bridge (functions/texthash.py:hex64_sql) — session-stable AND
+    engine-portable, so the DuckDB oracle reproduces the buckets exactly
+    (the earlier Murmur3 ``F.hash`` was Spark-only and made the operator
+    un-oracle-able).
 
     Returns ``(id_col, n_bigrams, log_importance, avg_log_importance)``;
     docs with < 2 words surface as ``n_bigrams = 0`` with NULL weights.
     """
     from polars_view_spark.functions.texthash import (
+        hex64_sql,
         ngrams_from_tokens_sql,
         tokens_sql,
     )
@@ -376,7 +380,7 @@ def dsir_weights(
         return (
             df.withColumn("__t", F.expr(toks))
             .select(*cols, F.explode(F.expr(grams)).alias("g"))
-            .withColumn("b", F.pmod(F.hash("g"), F.lit(n_buckets)))
+            .withColumn("b", F.expr(f"{hex64_sql('g')} % {n_buckets}"))
             .drop("g")
         )
 

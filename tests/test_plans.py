@@ -754,6 +754,7 @@ CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "s_bm25_topk": "1-row corpus stats (N, avgdl) broadcast",
     "x_audience_overlap": "1-row merged-sketch scalars broadcast (two stages)",
     "x_bigram_pmi": "1-row corpus token total broadcast",
+    "x_dsir_weights": "1-row model-total broadcasts (target + raw)",
     "x_lm_score": "1-row corpus token total broadcast",
     "x_outlier_filter": "1-row global mean/stddev broadcast (two stages)",
     "x_salted_skew_join": "salt fan-out crosses the small dim with the literal salt range (n_salts)",
