@@ -212,10 +212,12 @@ DRIVER_PRIORITY = [
 # source balancing), t_parquet_bloom_write (column-level Bloom layout)
 # t_python_datasource (Spark 4 Python Data Source API, synthetic
 # generator with a regenerating oracle), e_streaming_python_source
-# (its streaming face: offset-paged micro-batches) and x_dsir_weights
+# (its streaming face: offset-paged micro-batches), x_dsir_weights
 # (DSIR importance weights, md5-bridge buckets so the hashed-feature
-# models are oracle-reproducible) — all with full value-hash oracles;
-# stamp all seventeen in round 6 with the others below.
+# models are oracle-reproducible) and d_containment_pairs (asymmetric
+# doc-in-doc containment via rarest-k winnow signatures) — all with
+# full value-hash oracles; stamp all eighteen in round 6 with the
+# others below.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,

@@ -2335,7 +2335,10 @@ def _x_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_winnow_oracle() -> str:
+def _duck_winnow_ctes() -> str:
+    """Shared CTE chain ``hashed, winnowed`` — (id, fingerprint) exploded
+    winnowing fingerprints, mirroring textstats.py:winnow_fingerprints;
+    used by both the fingerprint entry and the containment detector."""
     from polars_view_spark.operators.textstats import WINNOW_K, WINNOW_W
 
     k, w = WINNOW_K, WINNOW_W
@@ -2345,8 +2348,7 @@ def _duck_winnow_oracle() -> str:
         f"list_transform(range(1, length({norm}) - {k} + 2), i -> substr({norm}, i, {k})) "
         f"ELSE [] END"
     )
-    return f"""
-    WITH hashed AS (
+    return f"""hashed AS (
       SELECT doc_id AS id,
              list_transform({grams}, g -> {duck_hex64_sql('g')}) AS h
       FROM documents
@@ -2358,7 +2360,12 @@ def _duck_winnow_oracle() -> str:
         WHEN len(h) > 0 THEN [list_min(h)]
         ELSE [] END)) AS fingerprint
       FROM hashed
-    )
+    )"""
+
+
+def _duck_winnow_oracle() -> str:
+    return f"""
+    WITH {_duck_winnow_ctes()}
     SELECT id, COUNT(*) AS n_fp, MIN(fingerprint) AS min_fp, MAX(fingerprint) AS max_fp
     FROM winnowed GROUP BY id ORDER BY id
     """
@@ -2367,6 +2374,70 @@ def _duck_winnow_oracle() -> str:
 register("x_winnow_fingerprints", oracle=_duck_winnow_oracle(), tables=("documents",))(
     _x_winnow
 )
+
+
+def _d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc containment detection
+    (operators/dedup.py:doc_containment_pairs): asymmetric near-dup
+    evidence — ≥90 % of the inner doc's winnowing fingerprints appear in
+    the outer doc.  Integer share threshold, hash-exact oracle."""
+    from polars_view_spark.operators.dedup import doc_containment_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    return doc_containment_pairs(t["documents"], "doc_id", "text").orderBy(
+        "inner_doc", "outer_doc"
+    )
+
+
+def _duck_containment_oracle() -> str:
+    from polars_view_spark.operators.dedup import (
+        CONTAINMENT_JOIN_CAP as JCAP,
+        CONTAINMENT_SHARE_PCT as PCT,
+        CONTAINMENT_SIG_K as K,
+        MAX_LSH_BUCKET as CAP,
+    )
+
+    # mirrors the full operator semantics: dual admissibility cap
+    # (min(max(64, n_docs DIV 10), 512) from the corpus count) and the
+    # rarest-k inner signature (ties by fingerprint value)
+    return f"""
+    WITH {_duck_winnow_ctes()},
+    freq AS (
+      SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS f
+      FROM winnowed GROUP BY fingerprint
+    ),
+    kept AS (
+      SELECT w.id, w.fingerprint, q.f FROM winnowed w
+      JOIN freq q USING (fingerprint)
+      WHERE q.f <= (SELECT LEAST(GREATEST({CAP}, COUNT(*) // 10), {JCAP})
+                    FROM documents)
+    ),
+    sig AS (
+      SELECT id, fingerprint FROM (
+        SELECT id, fingerprint,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY f ASC, fingerprint ASC) AS rk
+        FROM kept) t
+      WHERE rk <= {K}
+    ),
+    nsig AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sig FROM sig GROUP BY id),
+    shared AS (
+      SELECT a.id AS inner_doc, b.id AS outer_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sig a JOIN kept b
+        ON a.fingerprint = b.fingerprint AND a.id != b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT s.inner_doc, s.outer_doc, s.n_shared, si.n_sig,
+           CAST((s.n_shared * 100) // si.n_sig AS BIGINT) AS share_pct
+    FROM shared s JOIN nsig si ON si.id = s.inner_doc
+    WHERE s.n_shared * 100 >= {PCT} * si.n_sig
+    ORDER BY inner_doc, outer_doc
+    """
+
+
+register(
+    "d_containment_pairs", oracle=_duck_containment_oracle(), tables=("documents",)
+)(_d_containment_pairs)
 
 
 def _duck_hashed_vec_oracle() -> str:

@@ -786,6 +786,127 @@ def simhash_near_dup_pairs(
     )
 
 
+#: doc_containment_pairs: share of the inner doc's fingerprints that must
+#: also appear in the outer doc (percent — integer math, hash-exact).
+CONTAINMENT_SHARE_PCT = 90
+
+#: Absolute ceiling on the containment join's bucket size, applied ON TOP
+#: of the relative boilerplate cut: the self-join costs Σ freq² over
+#: admitted fingerprints, and a purely relative cut (n/10) admits
+#: 5 000-member buckets on a 50 k-doc corpus — measured 10.5 BILLION
+#: joined rows on the 10× sweep instance.  512² per bucket bounds the
+#: worst case; evidence between the ceiling and the relative cut costs
+#: recall on mid-frequency fingerprints only, never correctness.
+CONTAINMENT_JOIN_CAP = 512
+
+#: Inner-signature size: each doc is represented by its k globally-RAREST
+#: admissible fingerprints (ties by fingerprint value — deterministic).
+#: Rarest = most discriminative (the IDF intuition), and by construction
+#: their buckets are small, so the candidate join is ~linear:
+#: Σ_docs Σ_{fp∈sig} freq(fp) instead of Σ_fp freq².
+CONTAINMENT_SIG_K = 24
+
+
+def doc_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_share_pct: int = CONTAINMENT_SHARE_PCT,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Sub-document CONTAINMENT detection: doc A is flagged as contained
+    in doc B when ≥ ``min_share_pct`` % of A's winnowing fingerprints
+    (textstats.py:winnow_fingerprints — position-robust k-gram min-hash
+    samples) also appear in B.  The doc-in-doc complement of span_dedup
+    (which REMOVES duplicated spans) and of the symmetric pair miners:
+    quotes, mirrored articles and boilerplate-wrapped reposts are
+    asymmetric — Jaccard stays low because the outer doc is bigger, so
+    only a containment test sees them.
+
+    Verdict: ≥ ``min_share_pct`` % of the inner doc's SIGNATURE — its
+    :data:`CONTAINMENT_SIG_K` globally-rarest admissible fingerprints —
+    appear in the outer doc.  Rarest-k is the standard sampled
+    containment test: rare fingerprints are the discriminative ones (the
+    IDF intuition), the integer threshold (``n_shared·100 ≥ pct·n_sig``)
+    keeps the DuckDB oracle hash-exact, and bounding the inner side at k
+    rows per doc makes the candidate join Σ_docs Σ_{fp∈sig} freq(fp)
+    instead of Σ_fp freq² (the full-evidence formulation measured 77 s
+    at sf0.1; this one 17.6 s, dominated by fingerprint generation +
+    the signature window).  On corpora with heavy EXACT duplication the
+    output itself is quadratic in copy count (every copy contains every
+    other) — run exact/fingerprint dedup first, the standard pipeline
+    order; the 10× replica instance (10 verbatim copies per doc) is
+    that pathology on purpose and its sweep ratio is output-driven.
+
+    Admissibility cap (``max_bucket_size=None`` derives
+    ``min(max(MAX_LSH_BUCKET, n_docs DIV 10), CONTAINMENT_JOIN_CAP)``
+    from one cheap count, oracle-mirrored): "boilerplate" is RELATIVE —
+    a fixed absolute cap silently zeroed recall at 5 000 docs (measured)
+    — while the absolute ceiling bounds the worst-case bucket the outer
+    side can contribute.  A fingerprint above the cap is evidence most
+    of the corpus shares; dropping it from both signature and outer side
+    says nothing about doc-IN-doc containment and prevents the
+    double-counting it caused (pair count halved once mirrored).
+
+    The fingerprint table feeds several differently-partitioned
+    consumers (frequencies, signature window, outer join side — no
+    exchange reuse), so it is cached for the call and released after
+    the (tiny) result is eagerly pinned.
+
+    Returns ``(inner_doc, outer_doc, n_shared, n_sig, share_pct)``,
+    directional (both directions can qualify for true near-dups).
+    """
+    from pyspark.sql import Window
+
+    from polars_view_spark.operators.textstats import winnow_fingerprints
+
+    if max_bucket_size is None:
+        max_bucket_size = min(
+            max(MAX_LSH_BUCKET, df.count() // 10), CONTAINMENT_JOIN_CAP
+        )
+    fps = winnow_fingerprints(df, id_col, text_col).persist()
+    freq = fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("long").alias("__freq")
+    )
+    kept = fps.join(
+        freq.filter(F.col("__freq") <= max_bucket_size), "fingerprint"
+    )
+    sig_w = Window.partitionBy("id").orderBy(
+        F.col("__freq").asc(), F.col("fingerprint").asc()
+    )
+    sig = (
+        kept.withColumn("__rk", F.row_number().over(sig_w))
+        .filter(F.col("__rk") <= CONTAINMENT_SIG_K)
+        .drop("__rk", "__freq")
+    )
+    n_sig = sig.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sig"))
+    a, b = sig.alias("a"), kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("inner_doc"), F.col("b.id").alias("outer_doc"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    result = (
+        shared.join(
+            n_sig.withColumnRenamed("id", "inner_doc"), "inner_doc"
+        )
+        .filter(F.expr(f"n_shared * 100 >= {min_share_pct} * n_sig"))
+        .select(
+            "inner_doc",
+            "outer_doc",
+            "n_shared",
+            "n_sig",
+            F.expr("CAST((n_shared * 100) DIV n_sig AS BIGINT)").alias("share_pct"),
+        )
+    ).localCheckpoint(eager=True)
+    fps.unpersist()
+    return result
+
+
 #: Fixed chunk width (words) for duplicated-span removal.
 SPAN_CHUNK_WORDS = 8
 

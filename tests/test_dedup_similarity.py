@@ -1385,3 +1385,35 @@ class TestTemperatureSample:
         }
         assert None in got and got[None] > 100  # kept AND upsampled (smaller group)
         assert got["big"] < 400
+
+
+class TestContainment:
+    def test_quote_detected_directionally(self, spark):
+        """A short doc quoted verbatim inside a much larger doc must be
+        flagged inner->outer but NOT outer->inner (the outer doc's own
+        fingerprints are absent from the quote), and an unrelated doc
+        matches nothing — the asymmetric case Jaccard pair miners miss."""
+        from polars_view_spark.operators.dedup import doc_containment_pairs
+
+        quote = ("the distributed engine must keep candidate generation "
+                 "bucketed because an all pairs comparison is quadratic "
+                 "and dies long before a hundred terabytes of text")
+        host = (
+            "editorial preface with framing context and commentary . "
+            + quote
+            + " . closing analysis follows with entirely different wording "
+              "about storage formats shuffle topology and cost models "
+              "plus a long tail of unrelated discussion to dilute overlap"
+        )
+        other = ("completely unrelated content concerning medieval bread "
+                 "prices and the seasonal logistics of river barges " * 3)
+        df = spark.createDataFrame(
+            [(1, quote), (2, host), (3, other)], "doc_id long, text string"
+        )
+        rows = {
+            (r["inner_doc"], r["outer_doc"]): r["share_pct"]
+            for r in doc_containment_pairs(df).collect()
+        }
+        assert (1, 2) in rows and rows[(1, 2)] >= 90
+        assert (2, 1) not in rows  # containment is directional
+        assert all(3 not in pair for pair in rows)
