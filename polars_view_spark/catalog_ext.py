@@ -771,11 +771,10 @@ def _x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(d, d.filter(F.col("doc_id") % 7 == 0)).orderBy("doc_id")
 
 
-from polars_view_spark.operators.textstats import DSIR_BUCKETS as _DSIR_V  # noqa: E402
+def _duck_dsir_oracle() -> str:
+    from polars_view_spark.operators.textstats import DSIR_BUCKETS as _DSIR_V
 
-register(
-    "x_dsir_weights",
-    oracle=f"""
+    return f"""
     WITH toks AS (
       SELECT doc_id, {duck_tokens_sql("text")} AS t FROM documents
     ),
@@ -815,8 +814,11 @@ register(
            a.log_importance, a.avg_log_importance
     FROM documents d LEFT JOIN agg a USING (doc_id)
     ORDER BY d.doc_id
-    """,
-    tables=("documents",),
+    """
+
+
+register(
+    "x_dsir_weights", oracle=_duck_dsir_oracle(), tables=("documents",)
 )(_x_dsir_weights)
 
 
@@ -2392,6 +2394,7 @@ def _d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_containment_oracle() -> str:
     from polars_view_spark.operators.dedup import (
         CONTAINMENT_JOIN_CAP as JCAP,
+        CONTAINMENT_MIN_SIG as MIN_SIG,
         CONTAINMENT_SHARE_PCT as PCT,
         CONTAINMENT_SIG_K as K,
         MAX_LSH_BUCKET as CAP,
@@ -2430,7 +2433,7 @@ def _duck_containment_oracle() -> str:
     SELECT s.inner_doc, s.outer_doc, s.n_shared, si.n_sig,
            CAST((s.n_shared * 100) // si.n_sig AS BIGINT) AS share_pct
     FROM shared s JOIN nsig si ON si.id = s.inner_doc
-    WHERE s.n_shared * 100 >= {PCT} * si.n_sig
+    WHERE si.n_sig >= {MIN_SIG} AND s.n_shared * 100 >= {PCT} * si.n_sig
     ORDER BY inner_doc, outer_doc
     """
 

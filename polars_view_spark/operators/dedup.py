@@ -806,6 +806,13 @@ CONTAINMENT_JOIN_CAP = 512
 #: Σ_docs Σ_{fp∈sig} freq(fp) instead of Σ_fp freq².
 CONTAINMENT_SIG_K = 24
 
+#: Minimum signature size for a verdict: at n_sig = 1 the 90 % share
+#: threshold is vacuous — any doc sharing that single 8-char window would
+#: be reported as containing the short doc at share_pct = 100.  Docs with
+#: fewer admissible fingerprints emit no pairs (a one-line doc has no
+#: meaningful containment evidence either way).
+CONTAINMENT_MIN_SIG = 3
+
 
 def doc_containment_pairs(
     df: DataFrame,
@@ -851,7 +858,14 @@ def doc_containment_pairs(
     The fingerprint table feeds several differently-partitioned
     consumers (frequencies, signature window, outer join side — no
     exchange reuse), so it is cached for the call and released after
-    the (tiny) result is eagerly pinned.
+    the (tiny) result is eagerly pinned.  The cap derivation's
+    ``df.count()`` runs the INPUT's lineage once more than the
+    fingerprint scan does — cheap for a parquet-backed table (the
+    catalog case); when the input is the expensive tail of a pipeline,
+    either persist it first or pass ``max_bucket_size`` explicitly to
+    skip the count.  Verdicts additionally require ``n_sig ≥
+    CONTAINMENT_MIN_SIG``: a one-fingerprint doc would otherwise match
+    "at 100 %" against everything sharing that single window.
 
     Returns ``(inner_doc, outer_doc, n_shared, n_sig, share_pct)``,
     directional (both directions can qualify for true near-dups).
@@ -894,6 +908,7 @@ def doc_containment_pairs(
         shared.join(
             n_sig.withColumnRenamed("id", "inner_doc"), "inner_doc"
         )
+        .filter(F.expr(f"n_sig >= {CONTAINMENT_MIN_SIG}"))
         .filter(F.expr(f"n_shared * 100 >= {min_share_pct} * n_sig"))
         .select(
             "inner_doc",

@@ -339,6 +339,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
+    materialize: bool = True,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al., Data Selection via
     Importance Resampling, arXiv:2302.03169 — public paper): score every
@@ -402,8 +403,13 @@ def dsir_weights(
     all_rows = Window.partitionBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # ONE explode+md5 pass over the corpus: the keep_id table feeds both
+    # the raw model (drop the id) and the scorer — a second
+    # bucketed(corpus) pass would re-run the per-gram md5, the dominant
+    # cost of every hashed-feature operator in this repo
+    corpus_feats = bucketed(corpus, keep_id=True).persist()
     tgt = model(bucketed(target, keep_id=False), "lp_tgt")
-    raw = model(bucketed(corpus, keep_id=False), "lp_raw")
+    raw = model(corpus_feats.select("b"), "lp_raw")
     # full outer on the bucket id: a bucket seen in only one model falls
     # back to that model's smoothing floor ln(1/(total+V)); the window runs
     # over the BOUNDED joined model table (≤ 2·n_buckets rows), never data
@@ -416,7 +422,7 @@ def dsir_weights(
         )
     )
     agg = (
-        bucketed(corpus, keep_id=True)
+        corpus_feats
         .join(F.broadcast(table), "b", "left")
         .groupBy(id_col)
         .agg(
@@ -429,7 +435,7 @@ def dsir_weights(
             ),
         )
     )
-    return (
+    result = (
         corpus.select(id_col)
         .join(agg, id_col, "left")
         .select(
@@ -439,6 +445,15 @@ def dsir_weights(
             "avg_log_importance",
         )
     )
+    if materialize:
+        # one row per doc — what a selection pass materializes anyway;
+        # pinning it lets the shared corpus-feature cache be released here
+        result = result.localCheckpoint(eager=True)
+        corpus_feats.unpersist()
+    # materialize=False keeps the full lazy plan (plan-gate introspection /
+    # callers composing further) — the corpus-feature cache then stays
+    # owned by the caller (spark.catalog.clearCache() or .unpersist())
+    return result
 
 
 def dedup_lines(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -46,6 +46,22 @@ def _h60(i: int, seed: int) -> int:
     return int(hashlib.md5(str(i + seed).encode()).hexdigest()[:15], 16)
 
 
+def _event_row(i: int, seed: int) -> tuple:
+    """THE field derivation, shared by the batch and stream readers (and
+    regenerated verbatim by the DuckDB oracle) — one definition so the
+    two faces can never drift apart and break batch/stream parity or
+    checkpoint-replay determinism."""
+    h = _h60(i, seed)
+    return (
+        i,
+        TS_EPOCH_BASE + i,
+        h % 1000,
+        EVENT_TYPES[h % 5],
+        h % 100_000,
+        '{"k": %d}' % (h % 100),
+    )
+
+
 class SynthEventsDataSource(DataSource):
     """``spark.read.format("pvs_synth_events").option("n", ...)``.
 
@@ -78,17 +94,13 @@ class SynthEventsReader(DataSourceReader):
     def read(self, partition: InputPartition):
         import pyarrow as pa
 
-        ids = list(range(partition.value, self.n, self.n_parts))
-        hs = [_h60(i, self.seed) for i in ids]
+        rows = [
+            _event_row(i, self.seed)
+            for i in range(partition.value, self.n, self.n_parts)
+        ]
+        names = ("event_id", "ts_epoch", "user_id", "event_type", "value_cents", "props")
         yield pa.RecordBatch.from_pydict(
-            {
-                "event_id": ids,
-                "ts_epoch": [TS_EPOCH_BASE + i for i in ids],
-                "user_id": [h % 1000 for h in hs],
-                "event_type": [EVENT_TYPES[h % 5] for h in hs],
-                "value_cents": [h % 100_000 for h in hs],
-                "props": ['{"k": %d}' % (h % 100) for h in hs],
-            }
+            {name: [r[j] for r in rows] for j, name in enumerate(names)}
         )
 
 
@@ -116,20 +128,7 @@ class SynthEventsStreamReader(SimpleDataSourceStreamReader):
         # planner and the replay path from one read() — generators are
         # unpicklable/uncopyable and fail there; a step is bounded, so
         # materializing it is the intended shape
-        out = []
-        for i in range(lo, hi):
-            h = _h60(i, self.seed)
-            out.append(
-                (
-                    i,
-                    TS_EPOCH_BASE + i,
-                    h % 1000,
-                    EVENT_TYPES[h % 5],
-                    h % 100_000,
-                    '{"k": %d}' % (h % 100),
-                )
-            )
-        return iter(out)
+        return iter([_event_row(i, self.seed) for i in range(lo, hi)])
 
     def read(self, start: dict):
         pos = start["pos"]

@@ -382,10 +382,14 @@ def test_dsir_models_are_broadcast(spark):
     from polars_view_spark.operators.textstats import dsir_weights
 
     d = load_tables(spark, SF, "documents")["documents"]
-    plan = plan_of(dsir_weights(d, d.filter(F.col("lang") == "en")))
+    # materialize=False: the eager localCheckpoint would truncate the
+    # lineage to Scan ExistingRDD and blind this introspection
+    out = dsir_weights(d, d.filter(F.col("lang") == "en"), materialize=False)
+    plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    spark.catalog.clearCache()  # release the corpus-feature cache we now own
 
 
 def test_bpe_apply_vocab_broadcast_jvm_side(spark):
