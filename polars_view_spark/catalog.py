@@ -214,10 +214,11 @@ DRIVER_PRIORITY = [
 # generator with a regenerating oracle), e_streaming_python_source
 # (its streaming face: offset-paged micro-batches), x_dsir_weights
 # (DSIR importance weights, md5-bridge buckets so the hashed-feature
-# models are oracle-reproducible) and d_containment_pairs (asymmetric
-# doc-in-doc containment via rarest-k winnow signatures) — all with
-# full value-hash oracles; stamp all eighteen in round 6 with the
-# others below.
+# models are oracle-reproducible), d_containment_pairs (asymmetric
+# doc-in-doc containment via rarest-k winnow signatures) and
+# q_limit_offset (OFFSET pagination + ORDER BY ALL) — all with full
+# value-hash oracles; stamp all nineteen in round 6 with the others
+# below.
 # Round-6 rotation should lead with the 20 r02-only entries left out of
 # group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
 # t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,
@@ -1950,6 +1951,25 @@ def _register_core() -> None:
         ORDER BY status, priority
         """,
         ("orders",),
+    )
+
+    sql_query(
+        "q_limit_offset",
+        """
+        SELECT c_custkey, c_name, ROUND(c_acctbal + 1e-6, 2) AS bal
+        FROM customer
+        ORDER BY ALL
+        LIMIT 20 OFFSET 40
+        """,
+        ("customer",),
+        doc="OFFSET pagination + ORDER BY ALL (both Spark ≥3.4/4 and "
+        "DuckDB): page 3 of a fully-ordered customer listing.  Honest "
+        "scale note: OFFSET deep-paging sorts globally and discards the "
+        "skipped prefix on the driver path — viewer semantics, fine for "
+        "page-through; a 100 TB export paginates by KEYSET (WHERE key > "
+        "last_seen ORDER BY key LIMIT n, cf. q_window_topn's rank gate) "
+        "so every page is an indexed range scan instead of a deeper "
+        "re-sort.",
     )
 
     sql_query(
