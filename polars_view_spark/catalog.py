@@ -191,10 +191,12 @@ DRIVER_PRIORITY = [
 # sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
 # Stamp state entering round 5: 158 catalog entries, 150 with at least one
 # driver row; the 8 round-4 additions in group (b) above had none yet.
-# Round 5 grew the catalog to 165 (s_ann_ivf_rerank, x_random_projection,
-# x_label_centroid, d_dedup_eval, t_xml_roundtrip, t_binaryfile_ingest,
-# e_streaming_binary_ingest; d_minhash_incremental additionally became a
-# bench headline).  Entering round 6, the entries with no driver row yet
+# Round 5 grew the catalog 158 → 184: first to 165 (s_ann_ivf_rerank,
+# x_random_projection, x_label_centroid, d_dedup_eval, t_xml_roundtrip,
+# t_binaryfile_ingest, e_streaming_binary_ingest; d_minhash_incremental
+# additionally became a bench headline), then the 19 continuation
+# additions listed below.  Entering round 6, the entries with no driver
+# row yet
 # are d_dedup_eval, t_xml_roundtrip, t_binaryfile_ingest and
 # e_streaming_binary_ingest (no window slot this round) plus any of the
 # 50-slot window the driver's gate did not reach; all are green in the
@@ -209,7 +211,7 @@ DRIVER_PRIORITY = [
 # t_fixedwidth_ingest (fixed-width text reader), d_simhash_near_dup
 # (pigeonhole-banded Hamming pair mining), x_hashed_doc_vectors
 # (feature-hashing trick), x_temperature_sample (mC4 sqrt-temperature
-# source balancing), t_parquet_bloom_write (column-level Bloom layout)
+# source balancing), t_parquet_bloom_write (column-level Bloom layout),
 # t_python_datasource (Spark 4 Python Data Source API, synthetic
 # generator with a regenerating oracle), e_streaming_python_source
 # (its streaming face: offset-paged micro-batches), x_dsir_weights
