@@ -233,16 +233,34 @@ def main() -> None:
             round(total / out["duckdb_total"], 4) if out["duckdb_total"] else None
         )
 
-    line = json.dumps(out)
-    # Dual emission: the driver tail-captures stdout, which Spark/JVM
-    # stderr noise has corrupted before (BENCH_r04 arrived with
-    # parsed:null) — the file copy is the tail-proof record.
+    # Dual emission, ASYMMETRIC on purpose: the driver captures only a
+    # bounded TAIL of stdout (~2000 bytes — BENCH_r04 and BENCH_r05 both
+    # arrived with parsed:null because the full line with spread /
+    # scaling_x10 / duckdb_queries detail was 3.8 KB and the tail cut off
+    # its head).  So stdout gets a COMPACT line — totals + per-query
+    # medians + the engine ratio, ~1.1 KB for the 26 headliners — and the
+    # full detail goes to BENCH_local.json for human/judge audit.
+    full_line = json.dumps(out)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
         "w",
     ) as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(full_line + "\n")
+    compact = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf",
+            "duckdb_total", "spark_over_duckdb",
+        )
+        if k in out
+    }
+    compact_line = json.dumps(compact)
+    # Belt and braces: if the headliner list ever grows past the tail
+    # budget, shed the per-query detail rather than go parse-blind again.
+    if len(compact_line) > 1800:
+        compact.pop("queries", None)
+        compact_line = json.dumps(compact)
+    print(compact_line)
     spark.stop()
 
 
