@@ -603,6 +603,15 @@ def label_centroid_assign(
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
+
+    label_type = df.schema[label_col].dataType.simpleString()
+    if label_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"label column {label_col!r} must be an integral type for "
+            f"centroid assignment, got {label_type} — map string/other "
+            "labels to stable integer ids first (the centroid table and "
+            "the assigned column are keyed by int64 label values)"
+        )
     labels_rows = (
         df.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
         .groupBy(label_col)
@@ -636,7 +645,9 @@ def label_centroid_assign(
     counts = np.asarray([int(r["c"]) for r in labels_rows], dtype=np.float64)
     means = sums / counts[:, None]  # (labels, dim)
 
-    @pandas_udf("int")
+    # 'long', not 'int': label values are int64 end-to-end (lbls above),
+    # and an int32 return would silently overflow ids past 2^31
+    @pandas_udf("long")
     def nearest(qv: pd.Series) -> pd.Series:
         vals = qv.to_numpy()
         mask = np.array([v is not None for v in vals])

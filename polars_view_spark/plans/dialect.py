@@ -659,17 +659,23 @@ def _enclosing_with_prefix(q: str, star_idx: int, first_select_in_scope: int) ->
                 dropped.append(n)
             else:
                 merged.append((n, d))
-    # A surviving definition that references a dropped outer name would
-    # forward-reference the inner redefinition (Spark CTEs cannot) or —
-    # worse — silently bind to a same-named catalog table/view, resolving
-    # the star against the wrong schema.  Refuse loudly instead (review
-    # r05 finding; the word-boundary check is conservative on purpose:
-    # a false positive is a clear refusal, never a wrong result).
+    # A surviving definition that references a dropped outer name BEFORE
+    # the inner redefinition appears would forward-reference it (Spark
+    # CTEs cannot) or — worse — silently bind to a same-named catalog
+    # table/view, resolving the star against the wrong schema.  Refuse
+    # loudly instead (review r05 finding; the word-boundary check is
+    # conservative on purpose: a false positive is a clear refusal,
+    # never a wrong result).  Only definitions that PRECEDE the
+    # redefinition in merged order are suspect — a definition at or
+    # after it legally resolves to the redefinition (ADVICE r05: inner
+    # `WITH a AS (...), c AS (... FROM a), b AS (star FROM c)` under an
+    # outer `WITH a` is fine; c binds to the inner a).
+    redef_at = {n: i for i, (n, _) in enumerate(merged) if n}
     for name in dropped:
         pat = re.compile(
             rf"(?:\b{re.escape(name)}\b|`{re.escape(name)}`)", re.IGNORECASE
         )
-        for other_name, d in merged:
+        for other_name, d in merged[: redef_at.get(name, len(merged))]:
             # strip the definition's own leading (possibly backquoted)
             # name token so it can't self-match — a fixed-length slice
             # would leave backtick residue and false-positive

@@ -40,6 +40,25 @@ SYNTH_SCHEMA = (
 )
 
 
+def _arrow_schema():
+    """Arrow spelling of SYNTH_SCHEMA, passed explicitly when building
+    RecordBatches: an EMPTY partition (n < partitions, both user-settable)
+    would otherwise infer null-typed columns from the empty lists and
+    fail the scan with a type conflict against the declared schema."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts_epoch", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value_cents", pa.int64()),
+            ("props", pa.string()),
+        ]
+    )
+
+
 def _h60(i: int, seed: int) -> int:
     """Python spelling of the repo's md5 bridge: hex64_sql(CAST(x AS
     STRING)) ≡ int(md5(str(x))[:15], 16) — 60 bits, non-negative."""
@@ -98,9 +117,10 @@ class SynthEventsReader(DataSourceReader):
             _event_row(i, self.seed)
             for i in range(partition.value, self.n, self.n_parts)
         ]
-        names = ("event_id", "ts_epoch", "user_id", "event_type", "value_cents", "props")
+        schema = _arrow_schema()
         yield pa.RecordBatch.from_pydict(
-            {name: [r[j] for r in rows] for j, name in enumerate(names)}
+            {name: [r[j] for r in rows] for j, name in enumerate(schema.names)},
+            schema=schema,
         )
 
 

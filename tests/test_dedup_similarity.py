@@ -743,6 +743,30 @@ class TestPackingEdges:
         got = {r["id"]: r["assigned"] for r in label_centroid_assign(df).collect()}
         assert got == {0: 3, 1: 3}
 
+    def test_label_centroid_rejects_non_integral_labels(self, spark):
+        """String labels must fail LOUDLY up front with guidance, not die
+        deep in the collect with an opaque int() ValueError (ADVICE r05);
+        and int64 labels past 2^31 must survive the Arrow hop (the
+        assigned column is 'long', not 'int')."""
+        import pytest
+
+        from polars_view_spark.operators.similarity import label_centroid_assign
+
+        v = [1.0] + [0.0] * 63
+        bad = spark.createDataFrame(
+            [(0, v, "cat")], "vec_id long, embedding array<float>, label string"
+        )
+        with pytest.raises(ValueError, match="integral type"):
+            label_centroid_assign(bad)
+        big = 5_000_000_000  # > 2^31
+        df = spark.createDataFrame(
+            [(0, v, big), (1, v, big + 1)],
+            "vec_id long, embedding array<float>, label long",
+        )
+        out = label_centroid_assign(df)
+        assert out.schema["assigned"].dataType.simpleString() == "bigint"
+        assert {r["assigned"] for r in out.collect()} <= {big, big + 1}
+
     def test_random_projection_preserves_distances(self, spark, embeddings):
         """JL guarantee, pinned on the deterministic corpus+planes: the
         64→16 projection keeps projected-vs-true cosine correlated

@@ -414,6 +414,40 @@ class TestStarModifierCteScope:
                 spark,
             )
 
+    def test_reference_after_redefinition_is_legal(self, spark):
+        """ADVICE r05: a CTE defined AFTER the inner redefinition that
+        references the redefined name resolves to the redefinition —
+        legal SQL, must not trip the forward-reference refusal (which
+        only applies to definitions preceding the redefinition in
+        merged order)."""
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        out = rewrite_query(
+            "WITH a AS (SELECT 1 AS x, 2 AS y) "
+            "SELECT * FROM (WITH a AS (SELECT 10 AS x, 20 AS z), "
+            "c AS (SELECT * FROM a), "
+            "b AS (SELECT * RENAME (z AS w) FROM c) "
+            "SELECT * FROM b) s",
+            spark,
+        )
+        assert [r.asDict() for r in spark.sql(out).collect()] == [{"x": 10, "w": 20}]
+
+    def test_reference_before_redefinition_still_refuses(self, spark):
+        """The positional narrowing must not weaken the true-positive:
+        an outer sibling CTE (which lands BEFORE the inner redefinition
+        in merged order) referencing the shadowed name still refuses."""
+        from polars_view_spark.errors import SqlDialectError
+        from polars_view_spark.plans.dialect import rewrite_query
+
+        with pytest.raises(SqlDialectError, match="shadowed"):
+            rewrite_query(
+                "WITH a AS (SELECT 1 AS x), "
+                "keep AS (SELECT x + 1 AS x FROM a) "
+                "SELECT * FROM (WITH a AS (SELECT 7 AS x) "
+                "SELECT * REPLACE (x*2 AS x) FROM keep) s",
+                spark,
+            )
+
     def test_backquoted_shadowing_def_no_false_positive(self, spark):
         """Review r05 second pass: the reference check must strip a
         BACKQUOTED definition's own name cleanly — a fixed-length slice

@@ -611,3 +611,18 @@ def test_python_datasource_partition_invariance(spark):
     # seed changes the content
     c = {tuple(r) for r in read_synth_events(spark, 300, seed=4, partitions=7).collect()}
     assert c != a
+
+
+def test_python_datasource_empty_partition(spark):
+    """n < partitions leaves some partitions EMPTY; their RecordBatches
+    must carry the declared types (explicit Arrow schema), not the
+    null-typed columns from_pydict would infer from empty lists — the
+    inferred form fails the scan with a schema conflict (ADVICE r05)."""
+    from polars_view_spark.sources.synthetic import read_synth_events
+
+    df = read_synth_events(spark, 2, seed=1, partitions=8)
+    rows = df.collect()
+    assert sorted(r["event_id"] for r in rows) == [0, 1]
+    assert df.schema["event_id"].dataType.simpleString() == "bigint"
+    # the degenerate all-empty read also returns cleanly
+    assert read_synth_events(spark, 0, seed=1, partitions=4).count() == 0
