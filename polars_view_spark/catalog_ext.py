@@ -35,6 +35,7 @@ from polars_view_spark.functions.vectors import (
     duck_lsh_bucket_masked_sql,
     rp_projection_sql,
 )
+from polars_view_spark.operators.retrieval import duck_adaptive_neg_buckets_sql
 from polars_view_spark.operators.textstats import (
     STOPWORDS,
     duck_stopword_count_sql,
@@ -3119,20 +3120,25 @@ register(
 # ---------------------------------------------------------------------------
 
 NEG_K = 3
-NEG_BUCKETS = 32
+# n_buckets is DERIVED from the corpus count on both engines (Spark:
+# adaptive_neg_buckets over one count; DuckDB: the scalar-subquery
+# mirror) — the round-5 manual knob measured 105.8 s → 8.7 s on the 10×
+# corpus is now automatic (VERDICT r05 task 4).
+_NEG_BUCKETS_SQL = duck_adaptive_neg_buckets_sql("documents")
 
 
 def _x_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negatives (operators/retrieval.py:
     negative_pairs): every doc whose id % 97 == 0 is a query; each gets
     NEG_K md5-bucket-drawn negatives.  No cross join, no rand(), no global
-    index — the oracle replicates the md5 arithmetic verbatim."""
+    index — the oracle replicates the md5 arithmetic verbatim, including
+    the corpus-count-derived bucket count."""
     from polars_view_spark.operators.retrieval import negative_pairs
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
     return negative_pairs(
-        docs.filter(F.col("doc_id") % 97 == 0), docs, k=NEG_K, n_buckets=NEG_BUCKETS
+        docs.filter(F.col("doc_id") % 97 == 0), docs, k=NEG_K
     ).orderBy("qid", "neg_slot")
 
 
@@ -3142,12 +3148,12 @@ register(
     WITH q AS (SELECT doc_id AS qid FROM documents WHERE doc_id % 97 = 0),
     qi AS (
       SELECT qid, CAST(u.i AS BIGINT) AS neg_slot,
-             {duck_hex64_sql("qid::VARCHAR || ':' || u.i::VARCHAR")} % {NEG_BUCKETS} AS bucket
+             {duck_hex64_sql("qid::VARCHAR || ':' || u.i::VARCHAR")} % {_NEG_BUCKETS_SQL} AS bucket
       FROM q, UNNEST(generate_series(0, {NEG_K - 1})) AS u(i)
     ),
     c AS (
       SELECT doc_id AS neg_id,
-             {duck_hex64_sql("doc_id::VARCHAR")} % {NEG_BUCKETS} AS bucket
+             {duck_hex64_sql("doc_id::VARCHAR")} % {_NEG_BUCKETS_SQL} AS bucket
       FROM documents
     ),
     cand AS (

@@ -18,6 +18,53 @@ from pyspark.sql import functions as F
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# Scale-aware negative-sampling bucket count: the candidate join produces
+# |queries| × k × (|corpus| / n_buckets) rows, so n_buckets must grow with
+# the corpus to hold per-slot candidate volume constant.  TARGET_BUCKET=160
+# reproduces the SCALE.md controlled experiment (5 000 docs → 32 buckets,
+# the long-standing manual default; 50 000 → 512, bracketing the measured
+# n_buckets=320 / 12× speedup point at the same ~10² bucket size).
+# All-integer doubling so the DuckDB oracle derives the identical count
+# with no float log2 (the adaptive_lsh_bits discipline, vectors.py:133).
+NEG_TARGET_BUCKET = 160
+NEG_MIN_BUCKETS = 32
+NEG_MAX_BUCKETS = 1 << 26
+
+
+def adaptive_neg_buckets(
+    n_rows: int,
+    target_bucket: int = NEG_TARGET_BUCKET,
+    min_buckets: int = NEG_MIN_BUCKETS,
+    max_buckets: int = NEG_MAX_BUCKETS,
+) -> int:
+    """Smallest power-of-two multiple of ``min_buckets`` holding the
+    expected bucket size ≤ ``target_bucket``, clamped to ``max_buckets``
+    — mirrored bit-for-bit by :func:`duck_adaptive_neg_buckets_sql`."""
+    buckets = min_buckets
+    while buckets < max_buckets and n_rows > target_bucket * buckets:
+        buckets <<= 1
+    return buckets
+
+
+def duck_adaptive_neg_buckets_sql(
+    table: str,
+    target_bucket: int = NEG_TARGET_BUCKET,
+    min_buckets: int = NEG_MIN_BUCKETS,
+    max_buckets: int = NEG_MAX_BUCKETS,
+) -> str:
+    """DuckDB scalar-subquery mirror of :func:`adaptive_neg_buckets` over
+    ``COUNT(*) FROM table`` (the same count the Spark side takes): each
+    doubling step contributes a CASE'd factor of 2, multiplied together."""
+    doublings = []
+    b = min_buckets
+    while b < max_buckets:
+        doublings.append(
+            f"(CASE WHEN COUNT(*) > {target_bucket * b} THEN 2 ELSE 1 END)"
+        )
+        b <<= 1
+    prod = " * ".join(doublings) if doublings else "1"
+    return f"(SELECT {min_buckets} * {prod} FROM {table})"
+
 
 def bm25_topk(
     df: DataFrame,
@@ -97,7 +144,7 @@ def negative_pairs(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 4,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic pseudo-random negative sampling for contrastive
@@ -117,12 +164,17 @@ def negative_pairs(
     doc itself yields nothing rather than a self-pair.
 
     Cost: one equi-join producing |queries| × k × (|corpus|/n_buckets)
-    candidate rows and one (q, slot)-partitioned window over them — size
-    ``n_buckets`` ∝ |corpus| to hold candidate volume at
-    O(|queries| × k × const) on a 100 TB corpus.
+    candidate rows and one (q, slot)-partitioned window over them —
+    ``n_buckets=None`` (the default) derives the count from one cheap
+    ``corpus.count()`` via :func:`adaptive_neg_buckets`, holding candidate
+    volume at O(|queries| × k × const) on a 100 TB corpus with no manual
+    knob (SCALE.md measured the fixed-32 default at 105.8 s vs 8.7 s
+    properly sized on the 10× corpus).
     """
     from polars_view_spark.functions.texthash import hex64_sql
 
+    if n_buckets is None:
+        n_buckets = adaptive_neg_buckets(corpus.count())
     if k <= 0 or n_buckets <= 0:
         raise ValueError(f"k and n_buckets must be positive, got {k}, {n_buckets}")
     from pyspark.sql import Window

@@ -283,6 +283,36 @@ class TestAdaptiveLshBits:
         con.close()
 
 
+class TestAdaptiveNegBuckets:
+    def test_boundary_values_and_sql_mirror(self):
+        """Pin the power-of-two doubling from 32 at target bucket 160
+        (5 000-doc sf0.1 corpus stays on the long-standing 32; the 10×
+        sweep corpus lands on 512 — the SCALE.md-measured regime), and
+        assert the DuckDB COUNT(*) mirror derives the identical count."""
+        import duckdb
+
+        from polars_view_spark.operators.retrieval import (
+            adaptive_neg_buckets,
+            duck_adaptive_neg_buckets_sql,
+        )
+
+        cases = {
+            1: 32, 5000: 32, 5120: 32, 5121: 64,
+            10240: 64, 10241: 128, 50000: 512, 160 << 20: 1 << 20,
+        }
+        con = duckdb.connect()
+        for n, want in cases.items():
+            assert adaptive_neg_buckets(n) == want, n
+            if n <= 10**6:  # the mirror COUNTs real rows — keep it cheap
+                got = con.sql(
+                    "SELECT "
+                    + duck_adaptive_neg_buckets_sql(f"(SELECT 1 FROM range({n}))")
+                ).fetchone()[0]
+                assert got == want, (n, got)
+        con.close()
+        assert adaptive_neg_buckets(10**18) == 1 << 26  # clamped
+
+
 class TestHotBucketGuard:
     def test_boilerplate_bucket_dropped(self, spark):
         """A mega-cluster of identical docs (boilerplate) must be excluded
