@@ -352,6 +352,94 @@ def _t_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_json_doc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2A single-document JSON path end-to-end: parquet → ONE JSON array
+    document (sources/writers.py:188 — the reference's save layout,
+    src/file_dialog.rs:216-225; driver-side by design, viewer-scale) →
+    multiLine JSON scan (sources/readers.py:read_json) → aggregate,
+    oracled against the original parquet.  Completes §2A's oracle gating:
+    this pair was previously pytest-only (VERDICT r05 task 6)."""
+    import os
+
+    from polars_view_spark.config import LoadConfig
+    from polars_view_spark.sources.readers import read_any
+    from polars_view_spark.sources.writers import save_as
+
+    t = load_tables(spark, sf_dir, "region")
+    path = os.path.join(_scratch_dir("json_doc_rt", sf_dir), "region.json")
+    save_as(t["region"], path)
+    df, fmt, _cfg = read_any(spark, LoadConfig(path=path))
+    assert fmt == "json", fmt
+    return (
+        df.select(
+            F.col("r_regionkey").cast("long").alias("region"),
+            F.col("r_name").alias("name"),
+            F.length("r_name").cast("long").alias("name_len"),
+        )
+        .orderBy("region")
+    )
+
+
+def _t_force_string_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Force-string dtype override end-to-end WITH its negative control
+    (the reference's own test design, src/data_filter.rs:1304-1438):
+    44-digit IDs written to CSV survive byte-exact only under the
+    override — without it, schema inference lands on DOUBLE (44 digits
+    exceed decimal(38)'s precision) and the values are corrupted.
+
+    The entry writes ``id44 = repeat(lpad(nationkey, 2, '0'), 22)``
+    through the single-file CSV sink, reads it back twice via the real
+    reader (sources/readers.py:read_csv + force_string_schema), asserts
+    the unforced read degrades (non-string dtype) while the forced read
+    is exact, and returns a per-row comparison the oracle recomputes from
+    the original parquet — ``n_exact`` counts CSV-read values equal to
+    the recomputed expression, so any corruption breaks the value hash,
+    not just an assert."""
+    import os
+
+    from polars_view_spark.config import LoadConfig
+    from polars_view_spark.sources.readers import read_any
+    from polars_view_spark.sources.writers import save_as
+
+    t = load_tables(spark, sf_dir, "nation")
+    id44 = F.expr("repeat(lpad(CAST(n_nationkey AS STRING), 2, '0'), 22)")
+    src = t["nation"].select(
+        F.col("n_nationkey"), id44.alias("id44"), F.col("n_name")
+    )
+    path = os.path.join(_scratch_dir("force_str_rt", sf_dir), "nation_ids.csv")
+    save_as(src, path)
+
+    # negative control: inference without the override must NOT keep the
+    # 44-digit value as a string (it exceeds long and decimal(38) range)
+    plain, fmt, _ = read_any(spark, LoadConfig(path=path, csv_delimiter=";"))
+    assert fmt == "csv", fmt
+    plain_type = plain.schema["id44"].dataType.simpleString()
+    assert plain_type != "string", plain_type
+
+    forced, fmt, _ = read_any(
+        spark,
+        LoadConfig(path=path, csv_delimiter=";", force_string_patterns="^id44$"),
+    )
+    assert forced.schema["id44"].dataType.simpleString() == "string"
+    return (
+        forced.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("id44")
+                    == F.expr("repeat(lpad(CAST(n_nationkey AS STRING), 2, '0'), 22)"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_exact"),
+            F.min("id44").alias("min_id"),
+            F.max("id44").alias("max_id"),
+        )
+    )
+
+
 def _t_fixedwidth_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference format breadth: fixed-width (COBOL/mainframe
     export) ingestion.  Builds the fixture from supplier with lpad/rpad
@@ -774,6 +862,28 @@ def _register_core() -> None:
         """,
         tables=("orders",),
     )(_t_ndjson_roundtrip)
+
+    register(
+        "t_json_doc_roundtrip",
+        oracle="""
+        SELECT CAST(r_regionkey AS BIGINT) AS region, r_name AS name,
+               CAST(length(r_name) AS BIGINT) AS name_len
+        FROM region ORDER BY region
+        """,
+        tables=("region",),
+    )(_t_json_doc_roundtrip)
+
+    register(
+        "t_force_string_roundtrip",
+        oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               MIN(repeat(lpad(CAST(n_nationkey AS VARCHAR), 2, '0'), 22)) AS min_id,
+               MAX(repeat(lpad(CAST(n_nationkey AS VARCHAR), 2, '0'), 22)) AS max_id
+        FROM nation
+        """,
+        tables=("nation",),
+    )(_t_force_string_roundtrip)
 
     register(
         "t_fixedwidth_ingest",
@@ -1972,6 +2082,28 @@ def _register_core() -> None:
         "last_seen ORDER BY key LIMIT n, cf. q_window_topn's rank gate) "
         "so every page is an indexed range scan instead of a deeper "
         "re-sort.",
+    )
+
+    sql_query(
+        "q_keyset_pagination",
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               ROUND(o_totalprice + 1e-6, 2) AS price
+        FROM orders
+        WHERE o_custkey > 37 OR (o_custkey = 37 AND o_orderkey > 3000)
+        ORDER BY o_custkey, o_orderkey
+        LIMIT 20
+        """,
+        ("orders",),
+        doc="keyset-pagination companion to q_limit_offset (VERDICT r05 "
+        "task 7): the next page after cursor (o_custkey, o_orderkey) = "
+        "(37, 3000), spelled as the decomposed tuple comparison `k1 > a "
+        "OR (k1 = a AND k2 > b)` — unlike a struct() comparison, the OR "
+        "of conjunctions pushes into the parquet scan (PushedFilters: "
+        "Or(GreaterThan, And(EqualTo, GreaterThan)); plan-gated in "
+        "test_plans.py) and the LIMIT becomes TakeOrderedAndProject, so "
+        "every page is a pruned range scan + per-partition top-k instead "
+        "of OFFSET's global sort-and-discard — the 100 TB export path.",
     )
 
     sql_query(

@@ -473,6 +473,24 @@ def test_q18_semi_join_for_in_subquery(spark, cat):
     assert "CartesianProduct" not in plan
 
 
+def test_keyset_pagination_pushes_cursor_filter(spark, cat):
+    """The keyset cursor predicate `k1 > a OR (k1 = a AND k2 > b)` must
+    reach the parquet scan as a pushed filter (the whole point of keyset
+    over OFFSET — page N is a pruned range scan, not a deeper
+    sort-and-discard), and the ORDER BY+LIMIT must compile to
+    TakeOrderedAndProject, never a global Sort."""
+    plan = plan_of(cat["q_keyset_pagination"].spark_fn(spark, SF))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no pushed filters in scan"
+    pushed = m.group(1)
+    assert "Or(GreaterThan(o_custkey,37)" in pushed.replace(" ", ""), pushed
+    assert "And(EqualTo(o_custkey,37),GreaterThan(o_orderkey,3000))" in (
+        pushed.replace(" ", "")
+    ), pushed
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
 def test_negative_pairs_no_cross_join(spark):
     """Negative sampling must be an equi-join on the md5 bucket — never a
     cross product — and deterministic across invocations."""
