@@ -2116,6 +2116,90 @@ register(
 )(_s_ann_index_persist)
 
 
+TWO_TOWER_K = 5
+TWO_TOWER_QUERY_TOKENS = 10
+
+
+def _s_two_tower_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tower text retrieval (operators/retrieval.py:two_tower_topk):
+    queries (the first 10 tokens of every 97th document — a search-query
+    stand-in derived from, but shorter than, its source) and the corpus
+    are encoded INDEPENDENTLY by the feature-hashing tower, scored by
+    exact cosine, top-5 per query.  The deterministic tower makes the
+    dual-encoder plumbing value-hash-checkable end-to-end.  (On this
+    synthetic fixture the ~30-word shared vocabulary makes every doc's
+    bag-of-words near-uniform, so prefix→source self-retrieval is NOT
+    expected here — the retrieval semantics are pinned instead on a
+    planted rare-token corpus in tests/test_dedup_similarity.py, where
+    the source doc must rank first for its own prefix.)"""
+    from polars_view_spark.operators.retrieval import two_tower_topk
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.expr(
+            "concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), 1, "
+            f"{TWO_TOWER_QUERY_TOKENS}))"
+        ).alias("text"),
+    )
+    return (
+        two_tower_topk(docs, queries, k=TWO_TOWER_K)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _duck_two_tower_oracle() -> str:
+    from polars_view_spark.operators.textstats import HASH_VECTOR_DIM as D
+
+    sign = "(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END)"
+
+    def sums(prefix: str) -> str:
+        return ",\n         ".join(
+            f"SUM(CASE WHEN h % {D} = {i} THEN {sign} ELSE 0 END) AS b{i}"
+            for i in range(D)
+        )
+
+    def norm2(alias: str) -> str:
+        return " + ".join(f"{alias}.b{i} * {alias}.b{i}" for i in range(D))
+
+    dot = " + ".join(f"q.b{i} * d.b{i}" for i in range(D))
+    toks = duck_tokens_sql("text")
+    return f"""
+    WITH d_toks AS (
+      SELECT doc_id AS doc, unnest({toks}) AS tok FROM documents
+    ),
+    d_h AS (SELECT doc, {duck_hex64_sql("tok")} AS h FROM d_toks),
+    d_sums AS (SELECT doc, {sums('d')} FROM d_h GROUP BY doc),
+    q_toks AS (
+      SELECT doc_id AS doc, unnest(({toks})[1:{TWO_TOWER_QUERY_TOKENS}]) AS tok
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    q_h AS (SELECT doc, {duck_hex64_sql("tok")} AS h FROM q_toks),
+    q_sums AS (SELECT doc, {sums('q')} FROM q_h GROUP BY doc),
+    scored AS (
+      SELECT q.doc AS query_id, d.doc AS neighbor_id,
+             round(({dot})::DOUBLE
+                   / sqrt(({norm2('q')})::DOUBLE * ({norm2('d')})::DOUBLE),
+                   6) AS score
+      FROM q_sums q CROSS JOIN d_sums d
+      WHERE ({norm2('q')}) > 0 AND ({norm2('d')}) > 0
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM r
+    WHERE rank <= {TWO_TOWER_K} ORDER BY query_id, rank
+    """
+
+
+register(
+    "s_two_tower_text_topk",
+    oracle=_duck_two_tower_oracle(),
+    tables=("documents",),
+)(_s_two_tower_text_topk)
+
+
 IVF_RERANK_DEPTH = 20
 
 

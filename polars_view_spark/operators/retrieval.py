@@ -286,3 +286,87 @@ def tfidf_top_terms(
         )
         .orderBy(group_col, "rank")
     )
+
+
+def two_tower_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "doc_id",
+    query_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-tower retrieval: encode queries and documents INDEPENDENTLY
+    into one vector space, score by cosine, return per-query top-k —
+    the production dense-retrieval shape (dual encoder; e.g. DPR,
+    arXiv:2004.04906).  Each tower here is the deterministic
+    feature-hashing encoder (textstats.py:hashed_doc_vectors) standing
+    in for a learned model: the Spark-side plumbing — offline corpus
+    tower, small online query tower, bounded query broadcast, cosine
+    scoring, per-query top-k window — is exactly what a learned
+    encoder deploys into; swap ``hashed_doc_vectors`` for an embedding
+    UDF and nothing else changes.
+
+    Scale shape: the corpus tower is one explode + one keyed shuffle
+    (computed offline and persisted in production — the
+    ``ivf_build_index`` build/query split applies verbatim when the
+    corpus side also gets an ANN index); the query side is bounded and
+    broadcast, so scoring is a single corpus scan with no corpus
+    shuffle.  This brute-force scorer is the exact baseline; at corpus
+    scale the candidate step swaps in sign-LSH bucketing
+    (similarity.py:lsh_topk) or the persisted IVF probe
+    (ivf_query_index) with this same scoring tail.
+
+    Cross-engine parity: integer ±1 hashed vectors make the dot product
+    exact; ``dot / sqrt(qn2 · dn2)`` is a fixed 4-node float tree
+    (IEEE-exact per node), ranked on the 6-dp rounded score with a doc
+    tiebreak.  Zero-norm vectors (a doc whose bucket sums all cancel)
+    are dropped on BOTH sides before scoring.
+    """
+    from pyspark.sql import Window
+
+    from polars_view_spark.operators.textstats import (
+        HASH_VECTOR_DIM,
+        hashed_doc_vectors,
+    )
+
+    d = (
+        hashed_doc_vectors(corpus, corpus_id, text_col)
+        .filter(F.col("norm2") > 0)
+        .select(
+            F.col("doc").alias("neighbor_id"),
+            F.col("vec").alias("dvec"),
+            F.col("norm2").alias("dn2"),
+        )
+    )
+    q = (
+        hashed_doc_vectors(queries, query_id, text_col)
+        .filter(F.col("norm2") > 0)
+        .select(
+            F.col("doc").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm2").alias("qn2"),
+        )
+    )
+    dot = " + ".join(
+        f"qvec[{i}] * dvec[{i}]" for i in range(HASH_VECTOR_DIM)
+    )
+    scored = d.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.expr(
+                f"CAST(({dot}) AS DOUBLE)"
+                " / sqrt(CAST(qn2 AS DOUBLE) * CAST(dn2 AS DOUBLE))"
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

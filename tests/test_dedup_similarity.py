@@ -283,6 +283,50 @@ class TestAdaptiveLshBits:
         con.close()
 
 
+class TestTwoTowerRetrieval:
+    def test_prefix_query_retrieves_source(self, spark):
+        """On a corpus with genuinely distinctive vocabulary per doc, a
+        doc-prefix query must retrieve its source at rank 1 — the
+        dual-encoder semantics the catalog entry's uniform-vocabulary
+        fixture cannot exhibit.  Shared filler words make the corpus
+        non-orthogonal so the test discriminates, not just dedups."""
+        from polars_view_spark.operators.retrieval import two_tower_topk
+
+        topics = [
+            "quantum entanglement qubit decoherence superposition",
+            "sourdough fermentation gluten hydration crumb",
+            "volcanic basalt magma eruption caldera",
+            "sonata crescendo allegro symphony concerto",
+        ]
+        filler = "the of and in a to is on with for"
+        rows = [
+            (i, f"{t} {filler} {t} {filler} {t}") for i, t in enumerate(topics)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        queries = docs.selectExpr(
+            "doc_id", "concat_ws(' ', slice(split(text, ' '), 1, 5)) AS text"
+        )
+        out = two_tower_topk(docs, queries, k=2)
+        top1 = {
+            r["query_id"]: r["neighbor_id"]
+            for r in out.collect()
+            if r["rank"] == 1
+        }
+        assert top1 == {i: i for i in range(len(topics))}
+
+    def test_zero_norm_sides_dropped(self, spark):
+        """A doc whose bucket sums fully cancel (or an empty query) must
+        be dropped before the cosine, not divide by zero."""
+        from polars_view_spark.operators.retrieval import two_tower_topk
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        out = two_tower_topk(docs, docs, k=2).collect()
+        assert all(r["score"] is not None for r in out)
+
+
 class TestAdaptiveNegBuckets:
     def test_boundary_values_and_sql_mirror(self):
         """Pin the power-of-two doubling from 32 at target bucket 160
