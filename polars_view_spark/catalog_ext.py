@@ -2422,10 +2422,11 @@ def _x_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_winnow_ctes() -> str:
-    """Shared CTE chain ``hashed, winnowed`` — (id, fingerprint) exploded
-    winnowing fingerprints, mirroring textstats.py:winnow_fingerprints;
-    used by both the fingerprint entry and the containment detector."""
+def _duck_winnow_ctes(source: str = "documents", prefix: str = "") -> str:
+    """Shared CTE chain ``{prefix}hashed, {prefix}winnowed`` — (id,
+    fingerprint) exploded winnowing fingerprints, mirroring
+    textstats.py:winnow_fingerprints; used by the fingerprint entry, the
+    containment detector, and (prefixed, twice) the streaming screen."""
     from polars_view_spark.operators.textstats import WINNOW_K, WINNOW_W
 
     k, w = WINNOW_K, WINNOW_W
@@ -2435,18 +2436,18 @@ def _duck_winnow_ctes() -> str:
         f"list_transform(range(1, length({norm}) - {k} + 2), i -> substr({norm}, i, {k})) "
         f"ELSE [] END"
     )
-    return f"""hashed AS (
+    return f"""{prefix}hashed AS (
       SELECT doc_id AS id,
              list_transform({grams}, g -> {duck_hex64_sql('g')}) AS h
-      FROM documents
+      FROM {source}
     ),
-    winnowed AS (
+    {prefix}winnowed AS (
       SELECT id, unnest(list_distinct(
         CASE WHEN len(h) >= {w} THEN
           list_transform(range(1, len(h) - {w} + 2), j -> list_min(h[j:j+{w}-1]))
         WHEN len(h) > 0 THEN [list_min(h)]
         ELSE [] END)) AS fingerprint
-      FROM hashed
+      FROM {prefix}hashed
     )"""
 
 
@@ -2526,6 +2527,115 @@ def _duck_containment_oracle() -> str:
 register(
     "d_containment_pairs", oracle=_duck_containment_oracle(), tables=("documents",)
 )(_d_containment_pairs)
+
+
+def _e_streaming_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion-gate containment screen
+    (streaming/events.py:streaming_containment_screen over
+    operators/dedup.py:doc_containment_screen): every 7th document
+    arrives as a 3-file stream (one micro-batch per file, ascending
+    mtimes) and is screened against the fixed standing corpus (the other
+    6/7) for doc-in-doc containment.  Because the reference corpus is
+    fixed, the union of per-batch flags equals the one-shot batch screen
+    exactly — so the drained sink is held to a full value-hash oracle, a
+    stronger gate than the evolving-corpus MinHash stream can admit."""
+    import glob as globmod
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.streaming.events import streaming_containment_screen
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    arrivals = docs.filter(F.col("doc_id") % 7 == 0)
+
+    d = _scratch_dir("streamcontain", sf_dir)
+    landing = os.path.join(d, "landing")
+    (
+        arrivals.withColumn("__f", F.col("doc_id") % 3)
+        .repartition(3, "__f")
+        .drop("__f")
+        .write.mode("overwrite")
+        .parquet(landing)
+    )
+    base = 1_700_000_000  # fixed epoch: mtime order decides batch order
+    for i, p in enumerate(sorted(globmod.glob(os.path.join(landing, "part-*")))):
+        os.utime(p, (base + 10 * i, base + 10 * i))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    flags_dir = os.path.join(d, "flags")
+    q = streaming_containment_screen(stream, corpus, flags_dir)
+    assert q.awaitTermination(300), "containment stream did not drain"
+    return (
+        spark.read.parquet(flags_dir)
+        .select("arrival_doc", "corpus_doc", "n_shared", "n_sig", "share_pct")
+        .orderBy("arrival_doc", "corpus_doc")
+    )
+
+
+def _duck_containment_screen_oracle() -> str:
+    from polars_view_spark.operators.dedup import (
+        CONTAINMENT_JOIN_CAP as JCAP,
+        CONTAINMENT_MIN_SIG as MIN_SIG,
+        CONTAINMENT_SHARE_PCT as PCT,
+        CONTAINMENT_SIG_K as K,
+        MAX_LSH_BUCKET as CAP,
+    )
+
+    cap = f"(SELECT LEAST(GREATEST({CAP}, COUNT(*) // 10), {JCAP}) FROM corpus)"
+    return f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+    arrivals AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+    {_duck_winnow_ctes("corpus", "c_")},
+    {_duck_winnow_ctes("arrivals", "a_")},
+    freq AS (
+      SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS f
+      FROM c_winnowed GROUP BY fingerprint
+    ),
+    kept AS (
+      SELECT w.id, w.fingerprint, q.f FROM c_winnowed w
+      JOIN freq q USING (fingerprint)
+      WHERE q.f <= {cap}
+    ),
+    a_f AS (
+      SELECT w.id, w.fingerprint, COALESCE(q.f, 0) AS f
+      FROM a_winnowed w LEFT JOIN freq q USING (fingerprint)
+      WHERE COALESCE(q.f, 0) <= {cap}
+    ),
+    sig AS (
+      SELECT id, fingerprint FROM (
+        SELECT id, fingerprint,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY f ASC, fingerprint ASC) AS rk
+        FROM a_f) t
+      WHERE rk <= {K}
+    ),
+    nsig AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sig FROM sig GROUP BY id),
+    shared AS (
+      SELECT a.id AS arrival_doc, b.id AS corpus_doc,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sig a JOIN kept b
+        ON a.fingerprint = b.fingerprint AND a.id != b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT s.arrival_doc, s.corpus_doc, s.n_shared, si.n_sig,
+           CAST((s.n_shared * 100) // si.n_sig AS BIGINT) AS share_pct
+    FROM shared s JOIN nsig si ON si.id = s.arrival_doc
+    WHERE si.n_sig >= {MIN_SIG} AND s.n_shared * 100 >= {PCT} * si.n_sig
+    ORDER BY arrival_doc, corpus_doc
+    """
+
+
+register(
+    "e_streaming_containment",
+    oracle=_duck_containment_screen_oracle(),
+    tables=("documents",),
+)(_e_streaming_containment)
 
 
 def _duck_hashed_vec_oracle() -> str:

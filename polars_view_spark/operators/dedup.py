@@ -922,6 +922,102 @@ def doc_containment_pairs(
     return result
 
 
+def doc_containment_screen(
+    corpus: DataFrame,
+    arrivals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_share_pct: int = CONTAINMENT_SHARE_PCT,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Ingestion-gate containment screen: flag each ARRIVING doc whose
+    rare winnowing fingerprints mostly (≥ ``min_share_pct`` %) appear in
+    some STANDING-CORPUS doc — the quote/repost/boilerplate-wrap filter
+    run at the door, before a document joins the corpus.  The
+    batch-vs-corpus asymmetric twin of :func:`doc_containment_pairs`
+    (which self-joins one corpus), shaped like
+    :func:`minhash_lsh_pairs_incremental`: the corpus side never
+    self-joins, and per-call cost is O(|arrivals| × k × bucket ≤ cap),
+    independent of corpus size.
+
+    The reference corpus is FIXED: fingerprint frequencies, the
+    admissibility cap (same dual formula, derived from the CORPUS count)
+    and each arrival's rarest-k signature all read corpus-side statistics
+    only, so every arrival's verdict is independent of how arrivals are
+    batched — the property that makes the streaming wrapper
+    (streaming/events.py:streaming_containment_screen) exactly
+    batch-invariant, unlike the evolving-corpus MinHash stream.  An
+    arrival fingerprint ABSENT from the corpus gets frequency 0: it
+    sorts first into the signature (rarest, maximally discriminative)
+    and can never match, so mostly-novel documents are correctly NOT
+    flagged — ``share_pct`` measures the fraction of the arrival's rare
+    content the corpus already holds.
+
+    In this self-contained form the corpus fingerprint/frequency table
+    is recomputed per call; a production deployment persists it once
+    (the ``ivf_build_index`` build/query split) and each screening batch
+    only computes its own arrival fingerprints.
+
+    Returns ``(arrival_doc, corpus_doc, n_shared, n_sig, share_pct)``.
+    """
+    from pyspark.sql import Window
+
+    from polars_view_spark.operators.textstats import winnow_fingerprints
+
+    if max_bucket_size is None:
+        max_bucket_size = min(
+            max(MAX_LSH_BUCKET, corpus.count() // 10), CONTAINMENT_JOIN_CAP
+        )
+    c_fps = winnow_fingerprints(corpus, id_col, text_col).persist()
+    freq = c_fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("long").alias("__freq")
+    )
+    kept = c_fps.join(
+        freq.filter(F.col("__freq") <= max_bucket_size), "fingerprint"
+    )
+    a_fps = (
+        winnow_fingerprints(arrivals, id_col, text_col)
+        .join(freq, "fingerprint", "left")
+        .withColumn("__freq", F.coalesce(F.col("__freq"), F.lit(0)))
+        .filter(F.col("__freq") <= max_bucket_size)
+    )
+    sig_w = Window.partitionBy("id").orderBy(
+        F.col("__freq").asc(), F.col("fingerprint").asc()
+    )
+    sig = (
+        a_fps.withColumn("__rk", F.row_number().over(sig_w))
+        .filter(F.col("__rk") <= CONTAINMENT_SIG_K)
+        .drop("__rk", "__freq")
+    )
+    n_sig = sig.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sig"))
+    a, b = sig.alias("a"), kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("arrival_doc"), F.col("b.id").alias("corpus_doc")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    result = (
+        shared.join(n_sig.withColumnRenamed("id", "arrival_doc"), "arrival_doc")
+        .filter(F.expr(f"n_sig >= {CONTAINMENT_MIN_SIG}"))
+        .filter(F.expr(f"n_shared * 100 >= {min_share_pct} * n_sig"))
+        .select(
+            "arrival_doc",
+            "corpus_doc",
+            "n_shared",
+            "n_sig",
+            F.expr("CAST((n_shared * 100) DIV n_sig AS BIGINT)").alias("share_pct"),
+        )
+    ).localCheckpoint(eager=True)
+    c_fps.unpersist()
+    return result
+
+
 #: Fixed chunk width (words) for duplicated-span removal.
 SPAN_CHUNK_WORDS = 8
 

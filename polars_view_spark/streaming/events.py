@@ -609,6 +609,58 @@ def streaming_minhash_dedup(
     )
 
 
+def streaming_containment_screen(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    flags_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous ingestion-gate containment screening: every micro-batch
+    of landing documents is checked against a FIXED standing corpus
+    (operators/dedup.py:doc_containment_screen) and the flagged
+    (arrival, corpus-doc) pairs are appended to ``flags_dir`` — the
+    streaming face of the doc-in-doc detector, composed with the
+    :func:`streaming_minhash_dedup` arrival pattern.
+
+    Because the reference corpus is fixed, each arrival's verdict reads
+    only corpus-side statistics — so unlike the evolving-corpus MinHash
+    stream, the union of all appended flags is EXACTLY the one-shot
+    batch screen of all arrivals, however the stream happened to batch
+    them (asserted in tests/test_streaming.py; no divergence window at
+    all).  Delivery is the same effectively-once discipline: the sink is
+    partitioned by the replay-stable ``batch_id`` and written with
+    dynamic partition OVERWRITE, so an at-least-once ``foreachBatch``
+    re-run replaces its own partition instead of duplicating it.
+
+    Per-trigger cost is O(|batch| signatures × bucket ≤ cap); the corpus
+    fingerprint/frequency table is recomputed per trigger here — a live
+    deployment persists it once and shares it across triggers (see the
+    batch operator's docstring).
+    """
+    from polars_view_spark.operators.dedup import doc_containment_screen
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates([id_col])
+        if batch_df.isEmpty():
+            return
+        flags = doc_containment_screen(corpus, batch_df, id_col, text_col)
+        (
+            flags.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(flags_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", flags_dir.rstrip("/") + ".__pvs_ckpt")
+        .start()
+    )
+
+
 def streaming_trending(
     events: DataFrame,
     width: str = "1 hour",

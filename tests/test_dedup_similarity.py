@@ -1515,3 +1515,41 @@ class TestContainment:
         assert (1, 2) in rows and rows[(1, 2)] >= 90
         assert (2, 1) not in rows  # containment is directional
         assert all(3 not in pair for pair in rows)
+
+    def test_screen_flags_arrival_contained_in_corpus(self, spark):
+        """The ingestion-gate variant: an ARRIVING quote of a standing
+        corpus doc is flagged; a mostly-novel arrival is not (its novel
+        fingerprints get corpus-frequency 0, dominate the rarest-k
+        signature, and can never match); and the screen never reports
+        corpus-internal containment (corpus side never self-joins)."""
+        from polars_view_spark.operators.dedup import doc_containment_screen
+
+        quote = ("the distributed engine must keep candidate generation "
+                 "bucketed because an all pairs comparison is quadratic "
+                 "and dies long before a hundred terabytes of text")
+        host = (
+            "editorial preface with framing context and commentary . "
+            + quote
+            + " . closing analysis follows with entirely different wording "
+              "about storage formats shuffle topology and cost models "
+              "plus a long tail of unrelated discussion to dilute overlap"
+        )
+        inner_host = "a preamble . " + quote + " . a short coda"
+        novel = ("fresh reporting on tidal energy converters and the "
+                 "grid interconnect licensing regime of island nations " * 3)
+        corpus = spark.createDataFrame(
+            # host and inner_host contain each other's quote — corpus-
+            # internal containment the screen must NOT surface
+            [(1, host), (2, inner_host)], "doc_id long, text string"
+        )
+        arrivals = spark.createDataFrame(
+            [(10, quote), (11, novel)], "doc_id long, text string"
+        )
+        rows = {
+            (r["arrival_doc"], r["corpus_doc"]): r["share_pct"]
+            for r in doc_containment_screen(corpus, arrivals).collect()
+        }
+        assert (10, 1) in rows and rows[(10, 1)] >= 90
+        assert (10, 2) in rows  # contained in both hosts
+        assert all(a == 10 for a, _ in rows), rows  # novel arrival clean,
+        # and no corpus-internal pairs (all flags name an arrival)

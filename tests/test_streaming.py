@@ -401,6 +401,56 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "corpus")).count() == docs.count()
 
 
+def test_streaming_containment_screen_matches_batch(spark, tmp_path):
+    """Union of per-trigger containment flags over an arriving doc stream
+    equals the one-shot batch screen of all arrivals — EXACTLY, with no
+    divergence window: the reference corpus is fixed, so every arrival's
+    verdict is batch-invariant.  A full-stream replay with a fresh
+    checkpoint must replace, not duplicate (batch_id dynamic overwrite)."""
+    from polars_view_spark.operators.dedup import doc_containment_screen
+    from polars_view_spark.streaming.events import streaming_containment_screen
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter("doc_id % 7 != 0")
+    arrivals = docs.filter("doc_id % 7 = 0")
+    landing = str(tmp_path / "landing")
+    _write_landing_3(arrivals, landing)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    flags_dir = str(tmp_path / "flags")
+    q = streaming_containment_screen(stream, corpus, flags_dir)
+    assert q.awaitTermination(300), "stream did not drain in time"
+
+    cols = ("arrival_doc", "corpus_doc", "n_shared", "n_sig", "share_pct")
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(flags_dir).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in doc_containment_screen(corpus, arrivals).collect()
+    )
+    assert want, "fixture must contain containment flags"
+    assert got == want
+
+    # replay: fresh checkpoint re-runs every batch against the populated
+    # sink; partition overwrite must leave the flag LIST unchanged
+    import shutil
+
+    shutil.rmtree(flags_dir + ".__pvs_ckpt")
+    q2 = streaming_containment_screen(stream, corpus, flags_dir)
+    assert q2.awaitTermination(300), "replay did not drain in time"
+    got2 = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(flags_dir).collect()
+    )
+    assert got2 == want, "replay duplicated or lost flag rows"
+
+
 def test_streaming_minhash_crash_replay_of_partial_batch(spark, tmp_path):
     """Crash-replay of a PARTIALLY written micro-batch (VERDICT r03 task 4).
 
