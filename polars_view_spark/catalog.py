@@ -145,95 +145,58 @@ def sql_query(
 # anchors for the headline/bench queries.  Demoted entries stay registered
 # and stay covered by the local oracle gate (tests/test_catalog_oracle.py).
 DRIVER_PRIORITY = [
-    # ROUND-5 WINDOW — executes the rotation plan committed in round 4.
-    # (a) the one red row from round 4, re-stamped after the BIGINT cast
-    # fix (values always matched; the hash was type-sensitive):
-    "q12_ship_priority_class",
-    # (b) the 8 round-4 additions that have never had a driver row (all
-    # green in the local sf0.001+sf0.01 oracle sweeps):
-    "x_quality_buckets", "x_nation_pagerank", "x_scd2_history",
-    "x_weighted_sample", "e_anomaly_zscore", "x_domain_cap",
-    "e_streaming_anomaly", "x_triangle_count",
-    # (c) the 16 entries whose only driver stamp is round 1 — re-verified
-    # after four rounds of shared-infra (dialect) evolution; the four
-    # star-modifier entries double as re-stamps for the round-4 dialect
-    # rewrites (qualify guards, merged-WITH star resolution, set-op scan):
-    "q_filter_predicates", "q_ilike_substr", "q_select_except",
-    "q_select_rename", "q_select_replace", "q_select_combined_modifiers",
-    "q_cte_case_cast", "q_distinct", "q_strftime_format",
-    "q_union_intersect", "q_setop_except", "q_rollup", "t_normalize_euro",
-    "t_replace_nulls", "t_replace_nulls_universal", "t_drop_columns_regex",
-    # (d) round-4-changed entries owed a re-stamp: q_qualify_topn (guard
-    # rewrite), x_multimodal_decode (id-as-string Arrow path):
-    "q_qualify_topn", "x_multimodal_decode",
-    # (e) round-5-changed entries: scale-aware n_bits default for the
-    # sign-LSH family (oracle-mirrored bucket math changed on both
-    # engines), plus the new round-5 entries — the two-stage IVF re-rank
-    # and the JL random projection (d_minhash_incremental — the other
-    # round-5 bench headline — already has r02+r03 stamps; only bench.py
-    # changes for it):
-    "d_embedding_near_dup", "s_ann_lsh_topk", "s_ann_ivf_rerank",
-    "x_random_projection", "x_label_centroid",
-    # (f) the two entries whose newest stamp is r02 despite multiple rows:
-    "d_fuzzy_levenshtein", "t_add_row_index",
-    # (g) 16 of the 36 r02-only entries, chosen by implementation risk:
-    # dedup/packing/retrieval pipelines and the widest SQL shapes first;
-    # the 20 remaining r02-only entries (simple roundtrips/join shapes)
-    # rotate in round 6 and stay covered by the local oracle gate.
-    "d_span_dedup", "d_contamination", "x_sequence_pack",
-    "x_mixture_sample", "x_token_budget", "s_bm25_topk", "t_merge_upsert",
-    "t_snapshot_diff", "x_embedding_quantize", "x_pii_redact",
-    "x_scrub_denylist", "x_lm_score", "x_stratified_sample",
-    "x_vocab_topk", "q_pivot", "q_unpivot",
+    # ROUND-6 WINDOW — executes the rotation plan committed in round 5.
+    # (a) the 5 round-6 additions (force-string + single-doc-JSON oracle
+    # gating per VERDICT r05 task 6, keyset pagination per task 7, and
+    # the two optional task-8 builds) plus the 2 round-6-changed entries
+    # owed a re-stamp: x_negative_pairs (corpus-count-adaptive n_buckets,
+    # oracle-mirrored derivation changed on both engines) and
+    # x_label_centroid (assigned column now computed as int64):
+    "t_force_string_roundtrip", "t_json_doc_roundtrip",
+    "q_keyset_pagination", "s_two_tower_text_topk",
+    "e_streaming_containment", "x_negative_pairs", "x_label_centroid",
+    # (b) the 23 round-5 additions that have never had a driver row (all
+    # green in the local sf0.001+sf0.01 oracle sweeps and in the judge's
+    # independent driver-equivalent sf0.01 sweep last round):
+    "d_containment_pairs", "d_dedup_eval", "d_simhash_near_dup",
+    "e_streaming_binary_ingest", "e_streaming_dedup",
+    "e_streaming_python_source", "e_streaming_trending",
+    "e_streaming_upsert", "e_variant_extract", "q_limit_offset",
+    "q_recursive_cte", "s_ann_index_persist", "t_binaryfile_ingest",
+    "t_bucketed_join", "t_fixedwidth_ingest", "t_parquet_bloom_write",
+    "t_python_datasource", "t_xml_roundtrip", "t_zorder_layout",
+    "x_bloom_pruned_join", "x_dsir_weights", "x_hashed_doc_vectors",
+    "x_temperature_sample",
+    # (c) the 20 r02-only entries deferred from the round-5 window
+    # (simple roundtrips / join shapes — final piece of the "every entry
+    # has a driver row ≤2 rounds old" goal):
+    "t_csv_roundtrip", "t_ndjson_roundtrip", "t_orc_roundtrip",
+    "t_partitioned_roundtrip", "t_remove_null_columns",
+    "t_multi_sort_nulls", "t_round_floats", "q_outer_join",
+    "q_full_outer_join", "q_cross_join", "q_in_subquery",
+    "q_scalar_functions", "q_grouping_sets", "q_cube", "q_percentiles",
+    "q_string_agg", "q_datetime_functions", "q_explode_word_counts",
+    "q_qualified_star", "q_window_analytics",
 ]
-# Everything demoted out of the window is green in CORRECTNESS_r01-r04 and
+# Everything demoted out of the window is green in CORRECTNESS_r01-r05 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
 # sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
-# Stamp state entering round 5: 158 catalog entries, 150 with at least one
-# driver row; the 8 round-4 additions in group (b) above had none yet.
-# Round 5 grew the catalog 158 → 184: first to 165 (s_ann_ivf_rerank,
-# x_random_projection, x_label_centroid, d_dedup_eval, t_xml_roundtrip,
-# t_binaryfile_ingest, e_streaming_binary_ingest; d_minhash_incremental
-# additionally became a bench headline), then the 19 continuation
-# additions listed below.  Entering round 6, the entries with no driver
-# row yet
-# are d_dedup_eval, t_xml_roundtrip, t_binaryfile_ingest and
-# e_streaming_binary_ingest (no window slot this round) plus any of the
-# 50-slot window the driver's gate did not reach; all are green in the
-# local sf0.001+sf0.01 oracle sweeps.
-# Continuation work later in round 5 added t_bucketed_join (bucketed
-# co-located join entry), s_ann_index_persist (persisted-IVF build/query
-# split), e_streaming_dedup (redelivery dedup), e_streaming_trending and
-# e_streaming_upsert (CDC snapshot maintenance), x_bloom_pruned_join
-# (runtime Bloom-filter join pruning), t_zorder_layout (Z-order
-# clustered write), q_recursive_cte (Spark 4 WITH RECURSIVE BFS),
-# e_variant_extract (Spark 4 VARIANT parse-once payload path),
-# t_fixedwidth_ingest (fixed-width text reader), d_simhash_near_dup
-# (pigeonhole-banded Hamming pair mining), x_hashed_doc_vectors
-# (feature-hashing trick), x_temperature_sample (mC4 sqrt-temperature
-# source balancing), t_parquet_bloom_write (column-level Bloom layout),
-# t_python_datasource (Spark 4 Python Data Source API, synthetic
-# generator with a regenerating oracle), e_streaming_python_source
-# (its streaming face: offset-paged micro-batches), x_dsir_weights
-# (DSIR importance weights, md5-bridge buckets so the hashed-feature
-# models are oracle-reproducible), d_containment_pairs (asymmetric
-# doc-in-doc containment via rarest-k winnow signatures) and
-# q_limit_offset (OFFSET pagination + ORDER BY ALL) — all with full
-# value-hash oracles; stamp all nineteen in round 6 with the others
-# below.
-# Round-6 rotation should lead with the 20 r02-only entries left out of
-# group (g): t_csv_roundtrip, t_ndjson_roundtrip, t_orc_roundtrip,
-# t_partitioned_roundtrip, t_remove_null_columns, t_multi_sort_nulls,
-# t_round_floats, q_outer_join, q_full_outer_join, q_cross_join,
-# q_in_subquery, q_scalar_functions, q_grouping_sets, q_cube,
-# q_percentiles, q_string_agg, q_datetime_functions, q_explode_word_counts,
-# q_qualified_star, q_window_analytics — then the round-5 additions
-# without a window slot (d_dedup_eval, t_xml_roundtrip,
-# t_binaryfile_ingest, e_streaming_binary_ingest), then the oldest
-# r03-only stamps
-# (streaming windows,
-# multimodal frame/resize, the TPC-H q2/q4/q8/q9/q11/q15-q22 block), then
-# anything round 5 changes.
+# Stamp state entering round 6: 184 catalog entries, 161 with at least
+# one driver row; the 23 unstamped round-5 additions fill group (b)
+# above.  Round 6 grew the catalog 184 → 189 (t_force_string_roundtrip,
+# t_json_doc_roundtrip, q_keyset_pagination, s_two_tower_text_topk,
+# e_streaming_containment — group (a)).  Once CORRECTNESS_r06 lands
+# 50/50 green, every entry has a driver row and the oldest stamps are
+# the round-3 block.
+# Round-7 rotation should lead with anything round 6 changes or adds,
+# then the oldest r03-only stamps: the streaming window entries
+# (e_streaming_tumbling/sessions/sliding/join), multimodal
+# frame-sample/resize, the TPC-H q2/q4/q6/q7/q9/q10/q11/q13/q14/
+# q15-q22 block, d_dedup_clusters/d_dedup_apply/d_minhash_lsh_pairs/
+# d_simhash/d_ngram_jaccard_pairs, e_asof_join/e_sessionize, the
+# sketch family (x_hll_counts, x_kll_quantiles, x_theta_sketch,
+# x_heavy_hitters, x_drift_detect) and x_kmeans_clusters — then the
+# r04 stamps (x_quality_buckets, x_nation_pagerank, …) the round after.
 
 
 def entries() -> dict[str, CatalogEntry]:
