@@ -2144,7 +2144,7 @@ def _s_two_tower_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return (
-        two_tower_topk(docs, queries, k=TWO_TOWER_K)
+        two_tower_topk(queries, docs, k=TWO_TOWER_K)
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )
@@ -2155,11 +2155,10 @@ def _duck_two_tower_oracle() -> str:
 
     sign = "(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END)"
 
-    def sums(prefix: str) -> str:
-        return ",\n         ".join(
-            f"SUM(CASE WHEN h % {D} = {i} THEN {sign} ELSE 0 END) AS b{i}"
-            for i in range(D)
-        )
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN h % {D} = {i} THEN {sign} ELSE 0 END) AS b{i}"
+        for i in range(D)
+    )
 
     def norm2(alias: str) -> str:
         return " + ".join(f"{alias}.b{i} * {alias}.b{i}" for i in range(D))
@@ -2171,13 +2170,13 @@ def _duck_two_tower_oracle() -> str:
       SELECT doc_id AS doc, unnest({toks}) AS tok FROM documents
     ),
     d_h AS (SELECT doc, {duck_hex64_sql("tok")} AS h FROM d_toks),
-    d_sums AS (SELECT doc, {sums('d')} FROM d_h GROUP BY doc),
+    d_sums AS (SELECT doc, {sums} FROM d_h GROUP BY doc),
     q_toks AS (
       SELECT doc_id AS doc, unnest(({toks})[1:{TWO_TOWER_QUERY_TOKENS}]) AS tok
       FROM documents WHERE doc_id % 97 = 0
     ),
     q_h AS (SELECT doc, {duck_hex64_sql("tok")} AS h FROM q_toks),
-    q_sums AS (SELECT doc, {sums('q')} FROM q_h GROUP BY doc),
+    q_sums AS (SELECT doc, {sums} FROM q_h GROUP BY doc),
     scored AS (
       SELECT q.doc AS query_id, d.doc AS neighbor_id,
              round(({dot})::DOUBLE
@@ -2543,7 +2542,10 @@ def _e_streaming_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from polars_view_spark.catalog import _scratch_dir
-    from polars_view_spark.streaming.events import streaming_containment_screen
+    from polars_view_spark.streaming.events import (
+        read_sink_or_empty,
+        streaming_containment_screen,
+    )
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
@@ -2571,11 +2573,12 @@ def _e_streaming_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags_dir = os.path.join(d, "flags")
     q = streaming_containment_screen(stream, corpus, flags_dir)
     assert q.awaitTermination(300), "containment stream did not drain"
-    return (
-        spark.read.parquet(flags_dir)
-        .select("arrival_doc", "corpus_doc", "n_shared", "n_sig", "share_pct")
-        .orderBy("arrival_doc", "corpus_doc")
-    )
+    return read_sink_or_empty(
+        spark,
+        flags_dir,
+        "arrival_doc BIGINT, corpus_doc BIGINT, n_shared BIGINT, "
+        "n_sig BIGINT, share_pct BIGINT",
+    ).orderBy("arrival_doc", "corpus_doc")
 
 
 def _duck_containment_screen_oracle() -> str:

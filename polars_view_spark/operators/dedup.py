@@ -870,8 +870,6 @@ def doc_containment_pairs(
     Returns ``(inner_doc, outer_doc, n_shared, n_sig, share_pct)``,
     directional (both directions can qualify for true near-dups).
     """
-    from pyspark.sql import Window
-
     from polars_view_spark.operators.textstats import winnow_fingerprints
 
     if max_bucket_size is None:
@@ -885,11 +883,34 @@ def doc_containment_pairs(
     kept = fps.join(
         freq.filter(F.col("__freq") <= max_bucket_size), "fingerprint"
     )
+    result = _containment_verdicts(
+        kept, kept, min_share_pct, "inner_doc", "outer_doc"
+    ).localCheckpoint(eager=True)
+    fps.unpersist()
+    return result
+
+
+def _containment_verdicts(
+    sig_fps: DataFrame,
+    kept: DataFrame,
+    min_share_pct: int,
+    inner_name: str,
+    outer_name: str,
+) -> DataFrame:
+    """Shared containment tail (doc_containment_pairs + the screen): the
+    rarest-``CONTAINMENT_SIG_K`` signature window over the admissible
+    ``sig_fps`` side ``(id, fingerprint, __freq)``, the evidence join
+    against the admissible outer side ``kept``, and the min-evidence /
+    integer-share threshold — ONE copy of the formula both DuckDB oracle
+    builders mirror (a cap or threshold change lands in exactly one
+    Spark function)."""
+    from pyspark.sql import Window
+
     sig_w = Window.partitionBy("id").orderBy(
         F.col("__freq").asc(), F.col("fingerprint").asc()
     )
     sig = (
-        kept.withColumn("__rk", F.row_number().over(sig_w))
+        sig_fps.withColumn("__rk", F.row_number().over(sig_w))
         .filter(F.col("__rk") <= CONTAINMENT_SIG_K)
         .drop("__rk", "__freq")
     )
@@ -901,25 +922,58 @@ def doc_containment_pairs(
             (F.col("a.fingerprint") == F.col("b.fingerprint"))
             & (F.col("a.id") != F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias("inner_doc"), F.col("b.id").alias("outer_doc"))
+        .groupBy(F.col("a.id").alias(inner_name), F.col("b.id").alias(outer_name))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
-    result = (
-        shared.join(
-            n_sig.withColumnRenamed("id", "inner_doc"), "inner_doc"
-        )
+    return (
+        shared.join(n_sig.withColumnRenamed("id", inner_name), inner_name)
         .filter(F.expr(f"n_sig >= {CONTAINMENT_MIN_SIG}"))
         .filter(F.expr(f"n_shared * 100 >= {min_share_pct} * n_sig"))
         .select(
-            "inner_doc",
-            "outer_doc",
+            inner_name,
+            outer_name,
             "n_shared",
             "n_sig",
             F.expr("CAST((n_shared * 100) DIV n_sig AS BIGINT)").alias("share_pct"),
         )
-    ).localCheckpoint(eager=True)
+    )
+
+
+def containment_corpus_stats(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """The corpus-side half of :func:`doc_containment_screen`, split out
+    so repeated screeners (the streaming wrapper, any per-batch caller)
+    compute it ONCE: ``(kept, freq, cap)`` where ``kept`` is the
+    admissible ``(id, fingerprint, __freq)`` outer-side table, ``freq``
+    the full fingerprint→frequency map, and ``cap`` the derived
+    admissibility bound.  Both frames are PERSISTED and eagerly pinned
+    (the fingerprint fan-out feeds differently-partitioned consumers
+    with no exchange reuse — the measured 63 s → 11 s trap, SCALE.md);
+    the caller owns their lifecycle via ``kept.unpersist()`` /
+    ``freq.unpersist()`` when screening ends."""
+    from polars_view_spark.operators.textstats import winnow_fingerprints
+
+    if max_bucket_size is None:
+        max_bucket_size = min(
+            max(MAX_LSH_BUCKET, corpus.count() // 10), CONTAINMENT_JOIN_CAP
+        )
+    fps = winnow_fingerprints(corpus, id_col, text_col).persist()
+    freq = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).cast("long").alias("__freq"))
+        .persist()
+    )
+    kept = fps.join(
+        freq.filter(F.col("__freq") <= max_bucket_size), "fingerprint"
+    ).persist()
+    freq.count()
+    kept.count()
     fps.unpersist()
-    return result
+    return kept, freq, max_bucket_size
 
 
 def doc_containment_screen(
@@ -929,6 +983,7 @@ def doc_containment_screen(
     text_col: str = "text",
     min_share_pct: int = CONTAINMENT_SHARE_PCT,
     max_bucket_size: int | None = None,
+    corpus_stats: tuple[DataFrame, DataFrame, int] | None = None,
 ) -> DataFrame:
     """Ingestion-gate containment screen: flag each ARRIVING doc whose
     rare winnowing fingerprints mostly (≥ ``min_share_pct`` %) appear in
@@ -953,68 +1008,34 @@ def doc_containment_screen(
     flagged — ``share_pct`` measures the fraction of the arrival's rare
     content the corpus already holds.
 
-    In this self-contained form the corpus fingerprint/frequency table
-    is recomputed per call; a production deployment persists it once
-    (the ``ivf_build_index`` build/query split) and each screening batch
-    only computes its own arrival fingerprints.
+    Pass ``corpus_stats`` (from :func:`containment_corpus_stats`) to
+    screen many batches against one precomputed corpus table — the
+    streaming wrapper does, so per-trigger cost is the ARRIVAL side
+    only; without it this self-contained form computes and releases the
+    corpus statistics itself.
 
     Returns ``(arrival_doc, corpus_doc, n_shared, n_sig, share_pct)``.
     """
-    from pyspark.sql import Window
-
     from polars_view_spark.operators.textstats import winnow_fingerprints
 
-    if max_bucket_size is None:
-        max_bucket_size = min(
-            max(MAX_LSH_BUCKET, corpus.count() // 10), CONTAINMENT_JOIN_CAP
+    owns_stats = corpus_stats is None
+    if owns_stats:
+        corpus_stats = containment_corpus_stats(
+            corpus, id_col, text_col, max_bucket_size
         )
-    c_fps = winnow_fingerprints(corpus, id_col, text_col).persist()
-    freq = c_fps.groupBy("fingerprint").agg(
-        F.count(F.lit(1)).cast("long").alias("__freq")
-    )
-    kept = c_fps.join(
-        freq.filter(F.col("__freq") <= max_bucket_size), "fingerprint"
-    )
+    kept, freq, cap = corpus_stats
     a_fps = (
         winnow_fingerprints(arrivals, id_col, text_col)
         .join(freq, "fingerprint", "left")
         .withColumn("__freq", F.coalesce(F.col("__freq"), F.lit(0)))
-        .filter(F.col("__freq") <= max_bucket_size)
+        .filter(F.col("__freq") <= cap)
     )
-    sig_w = Window.partitionBy("id").orderBy(
-        F.col("__freq").asc(), F.col("fingerprint").asc()
-    )
-    sig = (
-        a_fps.withColumn("__rk", F.row_number().over(sig_w))
-        .filter(F.col("__rk") <= CONTAINMENT_SIG_K)
-        .drop("__rk", "__freq")
-    )
-    n_sig = sig.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sig"))
-    a, b = sig.alias("a"), kept.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("arrival_doc"), F.col("b.id").alias("corpus_doc")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-    )
-    result = (
-        shared.join(n_sig.withColumnRenamed("id", "arrival_doc"), "arrival_doc")
-        .filter(F.expr(f"n_sig >= {CONTAINMENT_MIN_SIG}"))
-        .filter(F.expr(f"n_shared * 100 >= {min_share_pct} * n_sig"))
-        .select(
-            "arrival_doc",
-            "corpus_doc",
-            "n_shared",
-            "n_sig",
-            F.expr("CAST((n_shared * 100) DIV n_sig AS BIGINT)").alias("share_pct"),
-        )
+    result = _containment_verdicts(
+        a_fps, kept, min_share_pct, "arrival_doc", "corpus_doc"
     ).localCheckpoint(eager=True)
-    c_fps.unpersist()
+    if owns_stats:
+        kept.unpersist()
+        freq.unpersist()
     return result
 
 

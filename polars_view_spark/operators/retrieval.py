@@ -289,17 +289,19 @@ def tfidf_top_terms(
 
 
 def two_tower_topk(
-    corpus: DataFrame,
     queries: DataFrame,
+    corpus: DataFrame,
     k: int = 5,
-    corpus_id: str = "doc_id",
     query_id: str = "doc_id",
+    corpus_id: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Two-tower retrieval: encode queries and documents INDEPENDENTLY
     into one vector space, score by cosine, return per-query top-k —
     the production dense-retrieval shape (dual encoder; e.g. DPR,
-    arXiv:2004.04906).  Each tower here is the deterministic
+    arXiv:2004.04906).  Argument order is (queries, corpus), matching
+    :func:`negative_pairs` in this module.  Each tower here is the
+    deterministic
     feature-hashing encoder (textstats.py:hashed_doc_vectors) standing
     in for a learned model: the Spark-side plumbing — offline corpus
     tower, small online query tower, bounded query broadcast, cosine

@@ -633,18 +633,33 @@ def streaming_containment_screen(
     dynamic partition OVERWRITE, so an at-least-once ``foreachBatch``
     re-run replaces its own partition instead of duplicating it.
 
-    Per-trigger cost is O(|batch| signatures × bucket ≤ cap); the corpus
-    fingerprint/frequency table is recomputed per trigger here — a live
-    deployment persists it once and shares it across triggers (see the
-    batch operator's docstring).
+    Per-trigger cost is O(|batch| signatures × bucket ≤ cap): the corpus
+    fingerprint/frequency table is computed ONCE up front
+    (operators/dedup.py:containment_corpus_stats, pinned for the query's
+    lifetime and released when the query terminates) — never per
+    trigger, which would re-scan the corpus forever.
+
+    The sink is created lazily by the first batch that produces flags; a
+    flag-free run leaves ``flags_dir`` without parquet files, so read it
+    back through :func:`read_sink_or_empty` (as the catalog entry does)
+    rather than a bare ``spark.read.parquet``.
     """
-    from polars_view_spark.operators.dedup import doc_containment_screen
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from polars_view_spark.operators.dedup import (
+        containment_corpus_stats,
+        doc_containment_screen,
+    )
+
+    stats = containment_corpus_stats(corpus, id_col, text_col)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.dropDuplicates([id_col])
         if batch_df.isEmpty():
             return
-        flags = doc_containment_screen(corpus, batch_df, id_col, text_col)
+        flags = doc_containment_screen(
+            corpus, batch_df, id_col, text_col, corpus_stats=stats
+        )
         (
             flags.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -653,12 +668,54 @@ def streaming_containment_screen(
             .parquet(flags_dir)
         )
 
-    return (
+    q = (
         docs_stream.writeStream.foreachBatch(apply_batch)
         .trigger(availableNow=True)
         .option("checkpointLocation", flags_dir.rstrip("/") + ".__pvs_ckpt")
         .start()
     )
+
+    spark = corpus.sparkSession
+
+    class _ReleaseStats(StreamingQueryListener):
+        """Unpins the corpus tables when THIS query ends (terminated or
+        failed), then deregisters itself — the only end-of-query hook
+        foreachBatch offers."""
+
+        def onQueryStarted(self, event) -> None: ...
+
+        def onQueryProgress(self, event) -> None: ...
+
+        def onQueryIdle(self, event) -> None: ...
+
+        def onQueryTerminated(self, event) -> None:
+            if str(event.id) == str(q.id):
+                stats[0].unpersist()
+                stats[1].unpersist()
+                spark.streams.removeListener(self)
+
+    spark.streams.addListener(_ReleaseStats())
+    return q
+
+
+def read_sink_or_empty(spark, path: str, schema: str) -> DataFrame:
+    """Read a lazily-created parquet sink, returning an EMPTY typed frame
+    when no batch ever wrote data files — ``spark.read.parquet`` on such
+    a directory fails schema inference instead of returning zero rows
+    (the contract :func:`streaming_containment_screen` and the
+    foreachBatch sinks need: no flags is a result, not an error)."""
+    import glob as globmod
+    import os
+
+    from pyspark.sql import types as T
+
+    names = [f.name for f in T.StructType.fromDDL(schema).fields]
+    if not globmod.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        return spark.createDataFrame([], schema)
+    # project to exactly the requested columns: partition discovery
+    # appends path-encoded columns (batch_id) even under an explicit
+    # read schema
+    return spark.read.schema(schema).parquet(path).select(*names)
 
 
 def streaming_trending(

@@ -306,7 +306,7 @@ class TestTwoTowerRetrieval:
         queries = docs.selectExpr(
             "doc_id", "concat_ws(' ', slice(split(text, ' '), 1, 5)) AS text"
         )
-        out = two_tower_topk(docs, queries, k=2)
+        out = two_tower_topk(queries, docs, k=2)
         top1 = {
             r["query_id"]: r["neighbor_id"]
             for r in out.collect()

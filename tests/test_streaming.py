@@ -408,7 +408,15 @@ def test_streaming_containment_screen_matches_batch(spark, tmp_path):
     verdict is batch-invariant.  A full-stream replay with a fresh
     checkpoint must replace, not duplicate (batch_id dynamic overwrite)."""
     from polars_view_spark.operators.dedup import doc_containment_screen
-    from polars_view_spark.streaming.events import streaming_containment_screen
+    from polars_view_spark.streaming.events import (
+        read_sink_or_empty,
+        streaming_containment_screen,
+    )
+
+    flag_schema = (
+        "arrival_doc BIGINT, corpus_doc BIGINT, n_shared BIGINT, "
+        "n_sig BIGINT, share_pct BIGINT"
+    )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     corpus = docs.filter("doc_id % 7 != 0")
@@ -428,7 +436,7 @@ def test_streaming_containment_screen_matches_batch(spark, tmp_path):
     cols = ("arrival_doc", "corpus_doc", "n_shared", "n_sig", "share_pct")
     got = sorted(
         tuple(r[c] for c in cols)
-        for r in spark.read.parquet(flags_dir).collect()
+        for r in read_sink_or_empty(spark, flags_dir, flag_schema).collect()
     )
     want = sorted(
         tuple(r[c] for c in cols)
@@ -446,9 +454,42 @@ def test_streaming_containment_screen_matches_batch(spark, tmp_path):
     assert q2.awaitTermination(300), "replay did not drain in time"
     got2 = sorted(
         tuple(r[c] for c in cols)
-        for r in spark.read.parquet(flags_dir).collect()
+        for r in read_sink_or_empty(spark, flags_dir, flag_schema).collect()
     )
     assert got2 == want, "replay duplicated or lost flag rows"
+
+
+def test_streaming_containment_screen_flag_free_run(spark, tmp_path):
+    """A stream whose arrivals produce ZERO flags must leave a readable
+    (empty) result through read_sink_or_empty, not a crash — the sink is
+    created lazily by the first flag-writing batch, so a flag-free run
+    may write no parquet files at all."""
+    from polars_view_spark.streaming.events import (
+        read_sink_or_empty,
+        streaming_containment_screen,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "standing corpus about orbital mechanics and launch windows")],
+        "doc_id long, text string",
+    )
+    arrivals = spark.createDataFrame(
+        [(10, "entirely unrelated arrival concerning sourdough hydration")],
+        "doc_id long, text string",
+    )
+    landing = str(tmp_path / "landing")
+    arrivals.coalesce(1).write.parquet(landing)
+    stream = spark.readStream.schema(arrivals.schema).parquet(landing)
+    flags_dir = str(tmp_path / "flags")
+    q = streaming_containment_screen(stream, corpus, flags_dir)
+    assert q.awaitTermination(120)
+    out = read_sink_or_empty(
+        spark,
+        flags_dir,
+        "arrival_doc BIGINT, corpus_doc BIGINT, n_shared BIGINT, "
+        "n_sig BIGINT, share_pct BIGINT",
+    )
+    assert out.count() == 0 and out.columns[0] == "arrival_doc"
 
 
 def test_streaming_minhash_crash_replay_of_partial_batch(spark, tmp_path):
