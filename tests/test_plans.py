@@ -773,6 +773,9 @@ CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "q_approx_aggregates": "1-row scalar approx-aggregate subquery broadcast",
     "q_cross_join": "deliberate CROSS JOIN entry over two tiny dims (region heads)",
     "s_ann_bruteforce_topk": "query set broadcast by design (baseline scorer)",
+    "s_two_tower_text_topk": "bounded query-tower vectors broadcast by design "
+    "(exact-scoring baseline; the scale path swaps in lsh_topk/IVF candidates "
+    "with the same scoring tail — retrieval.py:two_tower_topk docstring)",
     "s_bm25_topk": "1-row corpus stats (N, avgdl) broadcast",
     "x_audience_overlap": "1-row merged-sketch scalars broadcast (two stages)",
     "x_bigram_pmi": "1-row corpus token total broadcast",
