@@ -3312,6 +3312,48 @@ register(
 )(_x_chunk_documents)
 
 
+def _x_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF surface (operators/udtfs.py:SentenceSplit):
+    sentence segmentation as a LATERAL table function — one row per
+    (doc, sentence) with index and length, the third Python-extension
+    face beside the Data Source API and pandas UDFs.  The deterministic
+    splitter (shared regex/trim constants) is re-stated verbatim in the
+    DuckDB oracle, so the whole UDTF plumbing — schema declaration,
+    lateral join, per-partition eval, Arrow transfer — is value-hash
+    gated, exactly like t_python_datasource's regenerating oracle."""
+    from polars_view_spark.operators.udtfs import sentence_table
+
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        sentence_table(t["documents"])
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("sentence_idx").cast("int").alias("sentence_idx"),
+            "sentence",
+            F.col("n_chars").cast("int").alias("n_chars"),
+        )
+        .orderBy("doc_id", "sentence_idx")
+    )
+
+
+register(
+    "x_sentence_split_udtf",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '[.!?]+\\s+'),
+                         x -> trim(x, ' \t\n\r')), x -> x <> '') AS sents
+      FROM documents
+    )
+    SELECT doc_id, CAST(u.r['i'] - 1 AS INT) AS sentence_idx,
+           u.r['s'] AS sentence, CAST(length(u.r['s']) AS INT) AS n_chars
+    FROM s, UNNEST(list_transform(sents, (x, i) -> {'i': i, 's': x})) AS u(r)
+    ORDER BY doc_id, sentence_idx
+    """,
+    tables=("documents",),
+)(_x_sentence_split_udtf)
+
+
 # ---------------------------------------------------------------------------
 # contrastive negative sampling
 # ---------------------------------------------------------------------------
