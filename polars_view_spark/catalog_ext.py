@@ -4987,3 +4987,102 @@ register(
     """,
     tables=("documents",),
 )(_t_zorder_layout)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+HYBRID_K = 10
+HYBRID_N_CANDIDATES = 50
+
+
+def _s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused by reciprocal rank
+    (operators/retrieval.py:hybrid_rrf_topk): the lexical leg ranks by
+    shared distinct tokens through the bm25-style filtered-postings path,
+    the dense leg is exact cosine over the aligned embeddings table, and
+    RRF (Cormack et al. 2009, k=60) merges the two bounded top-N lists.
+    The production hybrid-search shape: fusion cost is
+    O(n_queries × n_candidates), independent of corpus size."""
+    from polars_view_spark.operators.retrieval import hybrid_rrf_topk
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    return hybrid_rrf_topk(
+        t["documents"],
+        t["embeddings"],
+        n_queries=ANN_N_QUERIES,
+        k=HYBRID_K,
+        n_candidates=HYBRID_N_CANDIDATES,
+    ).orderBy("query_id", "rank")
+
+
+def _duck_hybrid_rrf_oracle() -> str:
+    from polars_view_spark.operators.retrieval import RRF_K
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS doc,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS toks
+      FROM documents
+    ), qtok AS (
+      SELECT doc AS query_id, unnest(toks) AS term
+      FROM tok WHERE doc < {ANN_N_QUERIES}
+    ), ctok AS (
+      SELECT doc, unnest(toks) AS term FROM tok
+    ), lex AS (
+      SELECT q.query_id, c.doc, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM ctok c JOIN qtok q USING (term)
+      WHERE c.doc != q.query_id
+      GROUP BY q.query_id, c.doc
+    ), lexr AS (
+      SELECT query_id, doc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY shared DESC, doc) AS lex_rank
+      FROM lex
+      QUALIFY lex_rank <= {HYBRID_N_CANDIDATES}
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {ANN_N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS doc, embedding AS cv FROM embeddings
+    ), ds AS (
+      SELECT query_id, doc,
+             round({duck_cosine_sql("qv", "cv")}, 6) AS score
+      FROM q, c WHERE query_id != doc
+    ), denr AS (
+      SELECT query_id, doc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc) AS dense_rank
+      FROM ds
+      QUALIFY dense_rank <= {HYBRID_N_CANDIDATES}
+    ), fused AS (
+      SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.doc, d.doc) AS doc,
+             l.lex_rank, d.dense_rank,
+             round(COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + d.dense_rank), 0.0), 6)
+               AS rrf_score
+      FROM lexr l FULL OUTER JOIN denr d
+        ON l.query_id = d.query_id AND l.doc = d.doc
+    ), ranked AS (
+      SELECT query_id, doc, rrf_score, lex_rank, dense_rank,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc) AS rank
+      FROM fused
+      QUALIFY rank <= {HYBRID_K}
+    )
+    SELECT query_id, doc AS doc_id, rrf_score,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(dense_rank AS INT) AS dense_rank,
+           CAST(rank AS INT) AS rank
+    FROM ranked ORDER BY query_id, rank
+    """
+
+
+register(
+    "s_hybrid_rrf_topk",
+    oracle=_duck_hybrid_rrf_oracle(),
+    tables=("documents", "embeddings"),
+)(_s_hybrid_rrf)

@@ -372,3 +372,112 @@ def two_tower_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+#: Reciprocal-rank-fusion damping constant (Cormack, Clarke & Büttcher,
+#: SIGIR 2009): contribution of a rank-r hit is 1/(RRF_K + r).  60 is the
+#: paper's value and the de-facto default in production hybrid search.
+RRF_K = 60
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int,
+    k: int = 5,
+    n_candidates: int = 50,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: fuse a LEXICAL ranking (shared distinct tokens,
+    inverted-index style) with a DENSE ranking (exact cosine) by
+    reciprocal-rank fusion — ``score(d) = Σ_m 1/(rrf_k + rank_m(d))`` over
+    the modalities whose top-``n_candidates`` list contains ``d``.
+
+    Queries are the documents with ``id < n_queries`` (their embeddings
+    join on the same id).  Output: one row per (query, fused-top-k doc)
+    with both modality ranks (NULL where a modality missed the doc).
+
+    Scale shape: standard production RRF fuses the bounded top-N lists of
+    each retriever, never full-corpus ranks — the fusion join touches
+    ``n_queries × n_candidates`` rows per side regardless of corpus size.
+    The lexical leg shuffles only postings whose term appears in some
+    query (the bm25_topk inverted-index discipline: filter BEFORE the
+    (query, doc) aggregate via a broadcast of the exploded query tokens);
+    the dense leg here is the exact brute-force baseline — at scale, swap
+    in ivf_topk/lsh_topk, which return the same (query_id, neighbor_id,
+    rank) contract.  Ranks tie-break on rounded score then id, so fusion
+    input — and therefore output — is engine-reproducible.
+    """
+    from pyspark.sql import Window
+
+    from polars_view_spark.operators.similarity import brute_force_topk
+
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("toks")
+    tok = docs.select(F.col(id_col).alias("doc"), toks)
+    qtok = tok.filter(F.col("doc") < n_queries).select(
+        F.col("doc").alias("query_id"), F.explode("toks").alias("term")
+    )
+    ctok = tok.select("doc", F.explode("toks").alias("term"))
+    lex = (
+        ctok.join(F.broadcast(qtok), "term")
+        .filter(F.col("doc") != F.col("query_id"))
+        .groupBy("query_id", "doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("shared").desc(), F.col("doc").asc()
+    )
+    lexr = (
+        lex.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= n_candidates)
+        .select("query_id", "doc", "lex_rank")
+    )
+
+    denr = brute_force_topk(
+        embeddings,
+        embeddings.filter(F.col(vec_id_col) < n_queries),
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        k=n_candidates,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc"),
+        F.col("rank").alias("dense_rank"),
+    )
+
+    fused = (
+        lexr.join(denr, ["query_id", "doc"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("doc").alias("doc_id"),
+            "rrf_score",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("dense_rank").cast("int").alias("dense_rank"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -327,6 +327,54 @@ class TestTwoTowerRetrieval:
         assert all(r["score"] is not None for r in out)
 
 
+class TestHybridRrf:
+    def test_agreement_outranks_single_modality(self, spark):
+        """RRF semantics on a hand-built corpus: a doc ranked top by BOTH
+        retrievers must out-score docs found by only one; a doc absent
+        from both top lists never appears; modality ranks surface in the
+        output (NULL where a leg missed the doc)."""
+        from polars_view_spark.operators.retrieval import hybrid_rrf_topk
+
+        # doc 1 matches query 0 lexically AND densely; doc 2 only densely;
+        # doc 3 only lexically; doc 4 matches neither.
+        docs = spark.createDataFrame(
+            [
+                (0, "apple banana cherry"),
+                (1, "apple banana grape"),
+                (2, "xylo yolo zulu"),
+                (3, "apple cherry banana plum"),
+                (4, "qqq www eee"),
+            ],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0]),
+                (1, [0.9, 0.1, 0.0]),
+                (2, [0.8, 0.3, 0.0]),
+                (3, [0.0, 1.0, 0.0]),
+                (4, [0.0, 0.0, 1.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        out = hybrid_rrf_topk(
+            docs, emb, n_queries=1, k=4, n_candidates=2
+        ).collect()
+        by_doc = {r["doc_id"]: r for r in out}
+        assert by_doc[1]["rank"] == 1  # both modalities agree
+        assert by_doc[1]["lex_rank"] is not None
+        assert by_doc[1]["dense_rank"] is not None
+        assert 4 not in by_doc  # missed by both top lists
+        # single-modality docs trail the agreed doc but carry their rank
+        assert by_doc[2]["lex_rank"] is None
+        assert by_doc[2]["dense_rank"] is not None
+        assert by_doc[3]["dense_rank"] is None
+        assert by_doc[3]["lex_rank"] is not None
+        assert all(
+            by_doc[1]["rrf_score"] > by_doc[d]["rrf_score"] for d in (2, 3)
+        )
+
+
 class TestAdaptiveNegBuckets:
     def test_boundary_values_and_sql_mirror(self):
         """Pin the power-of-two doubling from 32 at target bucket 160

@@ -777,6 +777,10 @@ CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "(exact-scoring baseline; the scale path swaps in lsh_topk/IVF candidates "
     "with the same scoring tail — retrieval.py:two_tower_topk docstring)",
     "s_bm25_topk": "1-row corpus stats (N, avgdl) broadcast",
+    "s_hybrid_rrf_topk": "dense leg reuses the brute-force baseline's bounded "
+    "query-vector broadcast (n_queries rows); the scale path swaps in "
+    "ivf_topk/lsh_topk with the same (query_id, neighbor_id, rank) contract "
+    "— retrieval.py:hybrid_rrf_topk docstring",
     "x_audience_overlap": "1-row merged-sketch scalars broadcast (two stages)",
     "x_bigram_pmi": "1-row corpus token total broadcast",
     "x_dsir_weights": "1-row model-total broadcasts (target + raw)",
