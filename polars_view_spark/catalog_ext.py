@@ -3769,6 +3769,61 @@ register(
 )(_x_train_val_test_split)
 
 
+def _x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware split (operators/dedup.py:leakage_safe_split):
+    documents are hashed into train/val/test by their near-dup cluster
+    representative, so paraphrase clusters never straddle splits — the
+    leakage-safe counterpart of x_train_val_test_split.  Emits the
+    per-doc assignment so the gate checks every co-assignment."""
+    from polars_view_spark.operators.dedup import leakage_safe_split
+
+    t = load_tables(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        t["documents"],
+        "doc_id",
+        "text",
+        JACCARD_T,
+        test_pct=SPLIT_TEST_PCT,
+        val_pct=SPLIT_VAL_PCT,
+    ).orderBy("doc_id")
+
+
+register(
+    "x_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({{_MINHASH_ORACLE_BODY}}),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc2 AS src, doc1 AS dst FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.v = e.dst
+    ),
+    clusters AS (
+      SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+    ),
+    base AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS rep
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, rep,
+           CASE WHEN h < {SPLIT_TEST_PCT} THEN 'test'
+                WHEN h < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'train' END AS split
+    FROM (SELECT doc_id, rep,
+                 (('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15))::BIGINT
+                    % 100) AS h
+          FROM base)
+    ORDER BY doc_id
+    """.replace("{_MINHASH_ORACLE_BODY}", _duck_minhash_oracle()),
+    tables=("documents",),
+)(_x_leakage_safe_split)
+
+
 OUTLIER_MAD_K = 3.0  # robust z-score cut: |x - median| > K * MAD
 
 

@@ -476,6 +476,46 @@ def dedup_apply(
     return df.join(drop, id_col, "left_anti")
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    test_pct: int = 10,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment that near-dup clusters cannot straddle:
+    each document is hashed by its CLUSTER REPRESENTATIVE (minimum id
+    reachable through near-dup edges; singletons hash their own id), so
+    every member of a near-dup cluster lands in the same split — the
+    defense against benchmark leakage via paraphrases of training docs
+    (hashing raw ids would scatter a cluster's members across splits with
+    probability 1 − Σ p_s² per pair).
+
+    Output: ``(doc_id, rep, split)``, deterministic (md5 bucket, no
+    ``rand()``), reproducible across engines and retries.
+
+    Scale shape: the cluster map covers only docs in near-dup pairs — the
+    corpus redundancy, a small fraction by construction — so the LEFT
+    join is broadcast-able under AQE; the hash/band is pure codegen.
+    """
+    clusters = dedup_clusters(df, id_col, text_col, jaccard_threshold)
+    base = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .withColumn(
+            "rep",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("long"),
+        )
+    )
+    h = "conv(substr(md5(CAST(rep AS STRING)), 1, 15), 16, 10) % 100"
+    split = (
+        f"CASE WHEN {h} < {test_pct} THEN 'test' "
+        f"WHEN {h} < {test_pct + val_pct} THEN 'val' ELSE 'train' END"
+    )
+    return base.select("doc_id", "rep", F.expr(split).alias("split"))
+
+
 def contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,

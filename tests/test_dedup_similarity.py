@@ -613,6 +613,44 @@ class TestIncrementalMinHash:
         assert got == want
 
 
+class TestLeakageSafeSplit:
+    def test_near_dup_clusters_never_straddle_splits(self, spark):
+        """Every member of a near-dup cluster must get the SAME split as
+        its representative, and the full corpus must be assigned exactly
+        once.  Built on a corpus with planted near-dup groups (shared
+        long texts) plus unique singletons."""
+        from polars_view_spark.operators.dedup import (
+            dedup_clusters,
+            leakage_safe_split,
+        )
+
+        words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = []
+        # 30 planted clusters of 3 exact copies each
+        for g in range(30):
+            text = f"group{g} " + words + f" tail{g} " + words
+            for m in range(3):
+                rows.append((g * 10 + m, text))
+        # 40 singletons with distinctive vocabulary
+        for s in range(40):
+            rows.append((1000 + s, f"unique{s} solo{s} " + words[: 20 + s % 5]))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        out = leakage_safe_split(docs, "doc_id", "text", 0.5).collect()
+        assert len(out) == len(rows)  # total coverage, no dup assignment
+        assert len({r["doc_id"] for r in out}) == len(rows)
+        split_of = {r["doc_id"]: r["split"] for r in out}
+        rep_of = {r["doc_id"]: r["rep"] for r in out}
+
+        clusters = dedup_clusters(docs, "doc_id", "text", 0.5).collect()
+        assert clusters, "fixture must produce near-dup clusters"
+        for r in clusters:
+            assert split_of[r["doc_id"]] == split_of[r["cluster_id"]]
+            assert rep_of[r["doc_id"]] == r["cluster_id"]
+        # hash bands actually produce more than one split on 70 reps
+        assert len(set(split_of.values())) >= 2
+
+
 class TestPackingMixture:
     def test_pack_conserves_tokens_and_fills_chunks(self, spark, documents):
         """Packing invariants: (1) chunk token occupancy sums to the exact
