@@ -5141,3 +5141,100 @@ register(
     oracle=_duck_hybrid_rrf_oracle(),
     tables=("documents", "embeddings"),
 )(_s_hybrid_rrf)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification rerank
+# ---------------------------------------------------------------------------
+
+MMR_K = 5
+MMR_N_CANDIDATES = 20
+
+
+def _s_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (operators/similarity.py:mmr_rerank): greedy
+    λ-trade-off rerank of the exact-cosine top-20, unrolled into k
+    Catalyst-planned steps over bounded candidate tables — the oracle
+    unrolls the identical greedy chain in SQL, so every step's argmax,
+    tiebreak and objective arithmetic is value-hash gated."""
+    from polars_view_spark.operators.similarity import mmr_rerank
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    return mmr_rerank(
+        e,
+        e.filter(F.col("vec_id") < ANN_N_QUERIES),
+        k=MMR_K,
+        n_candidates=MMR_N_CANDIDATES,
+    ).orderBy("query_id", "mmr_step")
+
+
+def _duck_mmr_oracle() -> str:
+    from polars_view_spark.operators.similarity import MMR_LAMBDA_TENTHS
+
+    lt, rt = MMR_LAMBDA_TENTHS, 10 - MMR_LAMBDA_TENTHS
+    head = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {ANN_N_QUERIES}
+    ), c AS (
+      SELECT vec_id AS doc, embedding AS cv FROM embeddings
+    ), scored AS (
+      SELECT query_id, doc, round({duck_cosine_sql("qv", "cv")}, 6) AS rel
+      FROM q, c WHERE query_id != doc
+    ), cand AS (
+      SELECT query_id, doc, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, doc) AS rnk
+      FROM scored QUALIFY rnk <= {MMR_N_CANDIDATES}
+    ), cv AS (
+      SELECT c1.query_id, c1.doc, e.embedding AS v
+      FROM cand c1 JOIN embeddings e ON e.vec_id = c1.doc
+    ), sims AS (
+      SELECT a.query_id, a.doc AS da, b.doc AS db,
+             round({duck_cosine_sql("a.v", "b.v")}, 6) AS sim
+      FROM cv a JOIN cv b
+        ON a.query_id = b.query_id AND a.doc != b.doc
+    ), sel_1 AS (
+      SELECT query_id, doc, 1 AS mmr_step, rel,
+             CAST(NULL AS DOUBLE) AS objective
+      FROM cand WHERE rnk = 1
+    ), all_1 AS (SELECT * FROM sel_1)"""
+    steps = []
+    for i in range(2, MMR_K + 1):
+        p = i - 1
+        steps.append(f"""
+    , sel_{i} AS (
+      SELECT query_id, doc, {i} AS mmr_step, rel, objective FROM (
+        SELECT c.query_id, c.doc, c.rel,
+               round(({lt} * c.rel - {rt} * ms.maxsim) / 10.0, 6)
+                 AS objective,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY round(({lt} * c.rel - {rt} * ms.maxsim) / 10.0, 6)
+                            DESC, c.doc) AS rn
+        FROM cand c
+        JOIN (SELECT s.query_id, s.da AS doc, MAX(s.sim) AS maxsim
+              FROM sims s JOIN all_{p} a
+                ON s.query_id = a.query_id AND s.db = a.doc
+              GROUP BY s.query_id, s.da) ms
+          ON ms.query_id = c.query_id AND ms.doc = c.doc
+        WHERE NOT EXISTS (SELECT 1 FROM all_{p} a
+                          WHERE a.query_id = c.query_id AND a.doc = c.doc)
+      ) WHERE rn = 1
+    ), all_{i} AS (
+      SELECT * FROM all_{p} UNION ALL SELECT * FROM sel_{i}
+    )""")
+    tail = f"""
+    SELECT query_id, doc AS doc_id, CAST(mmr_step AS INT) AS mmr_step,
+           rel AS relevance, objective
+    FROM all_{MMR_K} ORDER BY query_id, mmr_step
+    """
+    return head + "".join(steps) + tail
+
+
+register(
+    "s_mmr_rerank",
+    oracle=_duck_mmr_oracle(),
+    tables=("embeddings",),
+)(_s_mmr_rerank)

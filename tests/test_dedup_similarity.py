@@ -613,6 +613,41 @@ class TestIncrementalMinHash:
         assert got == want
 
 
+class TestMmrRerank:
+    def test_redundant_cluster_does_not_fill_topk(self, spark):
+        """A tight cluster of near-identical high-relevance vectors must
+        NOT monopolize the MMR selection the way it monopolizes pure
+        relevance ranking: after the seed pick, the diversity penalty
+        promotes the orthogonal mid-relevance doc."""
+        from polars_view_spark.operators.similarity import (
+            brute_force_topk,
+            mmr_rerank,
+        )
+
+        rows = [(0, [1.0, 0.0, 0.0])]  # the query
+        # docs 1-4: a tight clone cluster at rel≈0.8, mutual sim≈1.0
+        # (their λ-penalized objective: 0.7·0.8 − 0.3·1.0 = 0.26)
+        for i in range(1, 5):
+            rows.append((i, [0.8, 0.6, 0.001 * i]))
+        # doc 5: slightly less relevant (0.75) but pointing AWAY from the
+        # clone cluster (sim≈0.2 → objective 0.7·0.75 − 0.3·0.2 ≈ 0.46)
+        rows.append((5, [0.75, -0.6614, 0.0]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.filter("vec_id = 0")
+
+        rel_top3 = [
+            r["neighbor_id"]
+            for r in brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+        ]
+        assert 5 not in rel_top3  # relevance alone keeps the clones
+
+        mmr = mmr_rerank(emb, q, k=3, n_candidates=5).orderBy("mmr_step")
+        picks = [r["doc_id"] for r in mmr.collect()]
+        assert len(picks) == 3
+        assert picks[0] == rel_top3[0]  # step 1 = pure relevance seed
+        assert 5 in picks  # diversity penalty promotes the orthogonal doc
+
+
 class TestLeakageSafeSplit:
     def test_near_dup_clusters_never_straddle_splits(self, spark):
         """Every member of a near-dup cluster must get the SAME split as

@@ -777,6 +777,10 @@ CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "(exact-scoring baseline; the scale path swaps in lsh_topk/IVF candidates "
     "with the same scoring tail — retrieval.py:two_tower_topk docstring)",
     "s_bm25_topk": "1-row corpus stats (N, avgdl) broadcast",
+    "s_mmr_rerank": "candidate generation reuses the brute-force baseline's "
+    "bounded query-vector broadcast (n_queries rows); every greedy step "
+    "operates on n_queries × n_candidates rows — similarity.py:mmr_rerank "
+    "docstring",
     "s_hybrid_rrf_topk": "dense leg reuses the brute-force baseline's bounded "
     "query-vector broadcast (n_queries rows); the scale path swaps in "
     "ivf_topk/lsh_topk with the same (query_id, neighbor_id, rank) contract "
