@@ -88,6 +88,17 @@ EXT_HEADLINE = [
     # its DuckDB oracle is a true all-pairs O(n²) join, so this row is
     # where the banded-join-vs-brute-force gap shows directly
     "d_simhash_near_dup",
+    # round 6: the retrieval tail — RRF fusion of the lexical and dense
+    # legs (fusion cost corpus-size-independent) and the unrolled MMR
+    # greedy chain (k sequential bounded stages; benches the fixed
+    # multi-stage barrier cost the same way d_dedup_apply does).  Both
+    # LOSE to DuckDB at sf0.1 — the documented job-barrier floor, not a
+    # plan defect: measured on the 10× corpus the gap closes to parity
+    # for MMR (Spark 7.56 s vs DuckDB 7.65 s; Spark ratio 1.1 vs
+    # DuckDB's 2.0) and halves for RRF (3.48 vs 1.86 s) — the fixed
+    # barriers amortize while both engines' scan legs grow linearly.
+    "s_hybrid_rrf_topk",
+    "s_mmr_rerank",
 ]
 
 
