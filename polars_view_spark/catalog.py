@@ -185,11 +185,11 @@ DRIVER_PRIORITY = [
 # one driver row; the 23 unstamped round-5 additions fill group (b)
 # above.  Round 6 grew the catalog 184 → 193 (t_force_string_roundtrip,
 # t_json_doc_roundtrip, q_keyset_pagination, s_two_tower_text_topk,
-# e_streaming_containment — group (a) — plus three late-round adds that
+# e_streaming_containment — group (a) — plus four late-round adds that
 # missed this window: x_sentence_split_udtf, s_hybrid_rrf_topk,
-# x_leakage_safe_split, s_mmr_rerank).  Once CORRECTNESS_r06 lands 50/50 green, the
-# only entries without a driver row are those three late adds and the
-# oldest stamps are the round-3 block.
+# x_leakage_safe_split, s_mmr_rerank).  Once CORRECTNESS_r06 lands
+# 50/50 green, the only entries without a driver row are those four
+# late adds and the oldest stamps are the round-3 block.
 # Round-7 rotation should lead with anything round 6 changes or adds —
 # x_sentence_split_udtf, s_hybrid_rrf_topk, x_leakage_safe_split,
 # s_mmr_rerank first —

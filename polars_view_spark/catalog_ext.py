@@ -1593,11 +1593,12 @@ def _duck_bm25_oracle() -> str:
     from polars_view_spark.operators.retrieval import BM25_B, BM25_K1
 
     terms = ", ".join(f"'{t.lower()}'" for t in BM25_QUERY)
+    _TOKS = duck_tokens_sql("text")  # single-sourced with tokens_expr
     return f"""
     WITH base AS (
       SELECT doc_id AS doc,
-             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
-             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS dl
+             {_TOKS} AS toks,
+             CAST(len({_TOKS}) AS BIGINT) AS dl
       FROM documents
     ), stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3336,20 +3337,29 @@ def _x_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "x_sentence_split_udtf",
-    oracle="""
+def _duck_sentence_split_oracle() -> str:
+    # the boundary regex and strip set are interpolated from udtfs.py so
+    # the two engines can never drift (texthash single-sourcing rule)
+    from polars_view_spark.operators.udtfs import SENTENCE_BOUNDARY, STRIP_CHARS
+
+    return f"""
     WITH s AS (
       SELECT doc_id,
-             list_filter(list_transform(regexp_split_to_array(text, '[.!?]+\\s+'),
-                         x -> trim(x, ' \t\n\r')), x -> x <> '') AS sents
+             list_filter(list_transform(
+                 regexp_split_to_array(text, '{SENTENCE_BOUNDARY}'),
+                 x -> trim(x, '{STRIP_CHARS}')), x -> x <> '') AS sents
       FROM documents
     )
     SELECT doc_id, CAST(u.r['i'] - 1 AS INT) AS sentence_idx,
            u.r['s'] AS sentence, CAST(length(u.r['s']) AS INT) AS n_chars
-    FROM s, UNNEST(list_transform(sents, (x, i) -> {'i': i, 's': x})) AS u(r)
+    FROM s, UNNEST(list_transform(sents, (x, i) -> {{'i': i, 's': x}})) AS u(r)
     ORDER BY doc_id, sentence_idx
-    """,
+    """
+
+
+register(
+    "x_sentence_split_udtf",
+    oracle=_duck_sentence_split_oracle(),
     tables=("documents",),
 )(_x_sentence_split_udtf)
 
@@ -5075,10 +5085,11 @@ def _s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_hybrid_rrf_oracle() -> str:
     from polars_view_spark.operators.retrieval import RRF_K
 
+    _TOKS = duck_tokens_sql("text")  # single-sourced with tokens_expr
     return f"""
     WITH tok AS (
       SELECT doc_id AS doc,
-             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))
+             list_distinct({_TOKS})
                AS toks
       FROM documents
     ), qtok AS (

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_view_spark.functions.texthash import tokens_expr
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -98,7 +100,7 @@ def bm25_topk(
     terms_list = ", ".join(f"'{t}'" for t in query_terms)
     base = df.select(
         F.col(id_col).alias("doc"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__t"),
+        tokens_expr(text_col).alias("__t"),
     ).select("doc", "__t", F.size("__t").cast("long").alias("dl"))
 
     stats = base.agg(
@@ -246,9 +248,7 @@ def tfidf_top_terms(
         df.select(
             F.col(group_col).alias("grp"),
             F.col(id_col).alias("doc"),
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-                "term"
-            ),
+            F.explode(tokens_expr(text_col)).alias("term"),
         )
         .filter(F.col("term") != "")
     )
@@ -416,9 +416,7 @@ def hybrid_rrf_topk(
 
     from polars_view_spark.operators.similarity import brute_force_topk
 
-    toks = F.array_distinct(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ).alias("toks")
+    toks = F.array_distinct(tokens_expr(text_col)).alias("toks")
     tok = docs.select(F.col(id_col).alias("doc"), toks)
     qtok = tok.filter(F.col("doc") < n_queries).select(
         F.col("doc").alias("query_id"), F.explode("toks").alias("term")

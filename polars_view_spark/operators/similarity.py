@@ -1220,6 +1220,7 @@ def mmr_rerank(
     k: int = 5,
     n_candidates: int = 20,
     lambda_tenths: int = MMR_LAMBDA_TENTHS,
+    materialize: bool = True,
 ) -> DataFrame:
     """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
     1998): greedily select ``k`` of the top-``n_candidates`` exact-cosine
@@ -1242,24 +1243,34 @@ def mmr_rerank(
 
     Output: ``(query_id, doc_id, mmr_step, relevance, objective)`` —
     ``objective`` is NULL for step 1 (pure relevance seed).
+
+    ``materialize=False`` skips every ``localCheckpoint`` so plan audits
+    can see the full lineage (checkpoints truncate it to ExistingRDD
+    scans); leave it True for execution — see the comment below.
     """
     lt, rt = lambda_tenths, 10 - lambda_tenths
-    # localCheckpoint the two bounded tables every greedy step re-reads
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if materialize else df
+
+    # localCheckpoint the bounded tables the greedy steps re-read
     # (candidates: n_queries × n_candidates rows; pair sims: × n_candidates
-    # more): without it each unrolled step re-plans the full corpus scan
-    # through the union/anti-join lineage — measured 23.8 s → ~2 s at
-    # sf0.1.  Same lineage-truncation discipline as connected_components.
-    cand = (
+    # more; each step's pick: n_queries rows): without the first two,
+    # every unrolled step re-plans the full corpus scan through the
+    # union/anti-join lineage — measured 23.8 s → ~6 s at sf0.1 (the
+    # connected_components lineage-truncation discipline; the residual is
+    # k fixed stage barriers, see SCALE.md).  Without the per-step pick
+    # pin the `selected` lineage grows ~3^k (each step references it in
+    # the maxsim join, the anti-join, and the union).
+    cand = _pin(
         brute_force_topk(
             corpus, queries, id_col=id_col, vec_col=vec_col, k=n_candidates
-        )
-        .select(
+        ).select(
             "query_id",
             F.col("neighbor_id").alias("doc"),
             F.col("score").alias("rel"),
             "rank",
         )
-        .localCheckpoint()
     )
     vecs = corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
     cv = cand.select("query_id", "doc").join(vecs, "doc")
@@ -1274,8 +1285,8 @@ def mmr_rerank(
             "db",
             F.round(F.expr(cosine_sql("va", "vb")), 6).alias("sim"),
         )
-        .localCheckpoint()
     )
+    sims = _pin(sims)
 
     selected = cand.filter(F.col("rank") == 1).select(
         "query_id",
@@ -1322,7 +1333,7 @@ def mmr_rerank(
                 "objective",
             )
         )
-        selected = selected.unionByName(pick)
+        selected = selected.unionByName(_pin(pick))
 
     return selected.select(
         "query_id", F.col("doc").alias("doc_id"), "mmr_step", "relevance", "objective"

@@ -29,8 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 #: sentence boundary: one-or-more terminators followed by whitespace —
 #: deliberately simple enough to parse identically under Python re and
-#: DuckDB's RE2 (no lookaround, no backreferences)
-SENTENCE_BOUNDARY = r"[.!?]+\s+"
+#: DuckDB's RE2 (no lookaround, no backreferences).  The whitespace class
+#: is EXPLICIT, not ``\s``: Python's ``\s`` is Unicode-aware (NBSP,
+#: ideographic space, …) while RE2's is ASCII-only, so ``\s`` would split
+#: differently on Unicode whitespace and break the value-hash oracle.
+#: catalog_ext interpolates this constant into the DuckDB SQL verbatim.
+SENTENCE_BOUNDARY = r"[.!?]+[ \t\n\r\f\v]+"
 
 #: characters stripped from each sentence on BOTH engines (DuckDB's bare
 #: trim() strips spaces only, so the set is explicit everywhere)

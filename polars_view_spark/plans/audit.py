@@ -159,7 +159,14 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         n_shuffled_hash_joins=len(re.findall(r"ShuffledHashJoin", plan)),
         has_cartesian="CartesianProduct" in plan
         or "BroadcastNestedLoopJoin" in plan,
-        has_python_row_eval="BatchEvalPython" in plan,
+        # UDTF eval nodes (BatchEvalPythonUDTF / ArrowEvalPythonUDTF) are
+        # NOT counted as accidental row-at-a-time UDFs: a Python UDTF is
+        # per-row BY CONTRACT (the documented slow-path table-function
+        # surface, operators/udtfs.py) and the Arrow flag only changes
+        # the transfer encoding — on builds without useArrow the pickled
+        # fallback must not flip the audit verdict.
+        has_python_row_eval="BatchEvalPython"
+        in plan.replace("BatchEvalPythonUDTF", "PyUDTF"),
         has_arrow_python_eval="ArrowEvalPython" in plan or "MapInPandas" in plan,
         has_top_k=has_limit_sort,
         has_global_sort=has_global_sort,

@@ -878,3 +878,39 @@ def test_bloom_entry_restores_confs(spark, cat):
     after = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
     assert before == after, (before, after)
     assert df.count() > 0
+
+
+def test_mmr_rerank_full_lineage_audit(spark):
+    """mmr_rerank's execution path localCheckpoints its bounded tables,
+    which truncates the audited plan to ExistingRDD scans — so the
+    catalog-wide audit can't see inside it.  This gate audits the FULL
+    lineage (materialize=False): the only nested-loop join allowed is
+    the brute-force candidate generator's bounded query broadcast, and
+    nothing may introduce a CartesianProduct or row-at-a-time Python."""
+    from polars_view_spark.operators.similarity import mmr_rerank
+    from polars_view_spark.plans.audit import audit_plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = mmr_rerank(
+        emb, emb.filter("vec_id < 3"), k=3, n_candidates=8, materialize=False
+    )
+    a = audit_plan(df)
+    assert "CartesianProduct" not in a.plan
+    assert not a.has_python_row_eval
+    # the bounded query broadcast IS expected (CATALOG_BNLJ_ALLOW reason)
+    assert "BroadcastNestedLoopJoin" in a.plan
+    for s in a.scans:
+        assert s.n_columns < 10, (s.relation, s.n_columns)
+
+
+def test_sentence_udtf_plan_no_shuffle(spark):
+    """The UDTF lateral join must parallelize over the input's partitions
+    with NO exchange: scan → [Batch|Arrow]EvalPythonUDTF → project — the
+    'no-shuffle lateral plan' property OPERATORS.md claims for
+    x_sentence_split_udtf."""
+    from polars_view_spark.operators.udtfs import sentence_table
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(sentence_table(docs))
+    assert "PythonUDTF" in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]

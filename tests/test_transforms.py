@@ -233,3 +233,19 @@ class TestRowIndexPerturbation:
         assert got == list(range(1, n + 1))
         got2 = sorted(r["idx"] for r in out.collect())
         assert got2 == got
+
+
+class TestSentenceUdtf:
+    def test_unicode_whitespace_is_not_a_boundary(self, spark):
+        """The boundary's whitespace class is explicit ASCII, NOT ``\\s``:
+        Python's ``\\s`` is Unicode-aware while DuckDB's RE2 is ASCII-only,
+        so an NBSP after a terminator must NOT split on the Spark side
+        either — pinned here so a regex 'simplification' back to ``\\s``
+        breaks a test before it breaks the value-hash oracle."""
+        from polars_view_spark.operators.udtfs import sentence_table
+
+        docs = spark.createDataFrame(
+            [(1, "End. Next part. Tail")], "doc_id long, text string"
+        )
+        out = sentence_table(docs).orderBy("sentence_idx").collect()
+        assert [r["sentence"] for r in out] == ["End. Next part", "Tail"]
