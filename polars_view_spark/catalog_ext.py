@@ -5249,3 +5249,76 @@ register(
     oracle=_duck_mmr_oracle(),
     tables=("embeddings",),
 )(_s_mmr_rerank)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def _d_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/dedup.py:cdc_chunks): chunk
+    boundaries land where the rolling 3-token window hash ≡ 0 (mod 8),
+    so chunk hashes survive insertions — the shift-tolerant sub-document
+    dedup primitive (fixed-width chunking reshuffles every downstream
+    chunk).  ``n_dup`` is the corpus-wide occurrence count of each
+    chunk's content hash: the boilerplate map."""
+    from polars_view_spark.operators.dedup import cdc_chunks
+
+    t = load_tables(spark, sf_dir, "documents")
+    return cdc_chunks(t["documents"], "doc_id", "text").orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def _duck_cdc_oracle() -> str:
+    from polars_view_spark.operators.dedup import CDC_DIVISOR, CDC_WIDTH
+
+    _TOKS = duck_tokens_sql("text")
+    lag_cols = ", ".join(
+        f"lag(term, {j}) OVER w AS l{j}" for j in range(CDC_WIDTH - 1, 0, -1)
+    )
+    window_key = "concat_ws(chr(31), " + ", ".join(
+        [f"l{j}" for j in range(CDC_WIDTH - 1, 0, -1)] + ["term"]
+    ) + ")"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS doc,
+             CAST(u.r['p'] - 1 AS INT) AS pos, u.r['t'] AS term
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
+           UNNEST(list_transform(toks, (x, i) -> {{'p': i, 't': x}})) AS u(r)
+    ), lagged AS (
+      SELECT doc, pos, term, {lag_cols}
+      FROM tok WINDOW w AS (PARTITION BY doc ORDER BY pos)
+    ), flagged AS (
+      SELECT doc, pos, term,
+             CASE WHEN pos >= {CDC_WIDTH - 1}
+                   AND ({duck_hex64_sql(window_key)} % {CDC_DIVISOR}) = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM lagged
+    ), cids AS (
+      SELECT doc, pos, term,
+             CAST(COALESCE(SUM(b) OVER (PARTITION BY doc ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS INT) AS chunk_id
+      FROM flagged
+    ), chunks AS (
+      SELECT doc, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             string_agg(term, ' ' ORDER BY pos) AS chunk_text
+      FROM cids GROUP BY doc, chunk_id
+    ), hashed AS (
+      SELECT doc, chunk_id, n_tokens,
+             {duck_hex64_sql("chunk_text")} AS chunk_hash
+      FROM chunks
+    )
+    SELECT doc AS doc_id, chunk_id, n_tokens, chunk_hash,
+           CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_dup
+    FROM hashed ORDER BY doc_id, chunk_id
+    """
+
+
+register(
+    "d_cdc_chunks",
+    oracle=_duck_cdc_oracle(),
+    tables=("documents",),
+)(_d_cdc_chunks)

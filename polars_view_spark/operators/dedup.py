@@ -1131,3 +1131,87 @@ def span_dedup(
             "), s -> s.chunk), ' ')"
         ).alias("clean_text"),
     )
+
+
+#: content-defined chunking: rolling-window width (tokens) and boundary
+#: divisor — a cut lands after any position whose window hash ≡ 0 (mod
+#: divisor), so expected chunk length ≈ CDC_DIVISOR tokens
+CDC_WIDTH = 3
+CDC_DIVISOR = 8
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = CDC_WIDTH,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking (the gear/Rabin CDC idea on token
+    streams): a chunk boundary falls after every position whose
+    ``width``-token window hash is ≡ 0 (mod ``divisor``).  Because the
+    cut decision depends only on LOCAL content, chunk boundaries — and
+    therefore chunk hashes — realign after an insertion or deletion,
+    where fixed-width chunking (span_dedup, x_chunk_documents) shifts
+    every downstream chunk.  This is the primitive behind shift-tolerant
+    sub-document dedup and delta storage.
+
+    Output: one row per (doc, chunk): ``(doc_id, chunk_id, n_tokens,
+    chunk_hash, n_dup)`` — ``n_dup`` counts corpus-wide occurrences of
+    the chunk's content hash, so ``n_dup > 1`` rows ARE the shared
+    boilerplate/duplication map.
+
+    Scale shape: ≤3 linear shuffles, none quadratic — the lag window and
+    the boundary cumsum share ONE hash-partition by doc; chunk assembly
+    regroups by (doc, chunk); the corpus-wide ``n_dup`` window hashes by
+    chunk content (64-bit key, not text).  No Python anywhere; min/max
+    chunk-size clamps (production CDC adds them) are omitted for oracle
+    clarity and noted here honestly.
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if divisor < 2:
+        raise ValueError(f"divisor must be >= 2, got {divisor}")
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    lags = [F.lag("term", j).over(w) for j in range(width - 1, 0, -1)]
+    # \x1f (unit separator) joins the window tokens — cannot appear in
+    # whitespace-split tokens' role as a word joiner ambiguity source
+    lagged = tok.withColumn(
+        "__wk", F.concat_ws("\x1f", *lags, F.col("term"))
+    ).withColumn(
+        "b",
+        F.when(
+            (F.col("pos") >= width - 1)
+            & (F.expr(f"{hex64_sql('__wk')} % {divisor}") == 0),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    cids = lagged.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("int"),
+    )
+    chunks = cids.groupBy("doc", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, term))),"
+            " s -> s.term), ' ')"
+        ).alias("__chunk_text"),
+    )
+    out = chunks.withColumn(
+        "chunk_hash", F.expr(hex64_sql("__chunk_text"))
+    ).withColumn(
+        "n_dup",
+        F.count(F.lit(1)).over(Window.partitionBy("chunk_hash")).cast("long"),
+    )
+    return out.select(
+        F.col("doc").alias(id_col), "chunk_id", "n_tokens", "chunk_hash", "n_dup"
+    )

@@ -613,6 +613,68 @@ class TestIncrementalMinHash:
         assert got == want
 
 
+class TestCdcChunks:
+    def test_chunk_hashes_realign_after_insertion(self, spark):
+        """THE content-defined property: prepending a token to a document
+        must leave the chunk hashes beyond the first post-insertion
+        boundary identical — fixed-width chunking (the span_dedup /
+        x_chunk_documents family) shifts every downstream chunk instead.
+        Verified against that contrast: the fixed-width chunking of the
+        same pair shares no full-width chunk."""
+        from polars_view_spark.operators.dedup import cdc_chunks
+
+        base = " ".join(f"tok{i % 13}x{i % 7}" for i in range(120))
+        docs = spark.createDataFrame(
+            [(1, base), (2, "inserted " + base)],
+            "doc_id long, text string",
+        )
+        out = cdc_chunks(docs, "doc_id", "text").collect()
+        h1 = {r["chunk_hash"] for r in out if r["doc_id"] == 1}
+        h2 = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
+        shared = h1 & h2
+        assert shared, "no chunk hash realigned after a 1-token insertion"
+        # the shared chunks must be flagged as corpus-wide duplicates
+        for r in out:
+            if r["chunk_hash"] in shared:
+                assert r["n_dup"] >= 2
+
+        # contrast: fixed-width chunking of the same pair realigns nothing
+        from pyspark.sql import functions as F
+
+        fixed = docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, CAST(size(split(text, ' ')) / 8 AS INT) - 1),"
+                    " i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))"
+                )
+            ).alias("chunk"),
+        ).collect()
+        f1 = {r["chunk"] for r in fixed if r["doc_id"] == 1}
+        f2 = {r["chunk"] for r in fixed if r["doc_id"] == 2}
+        assert not (f1 & f2), "fixed-width chunks unexpectedly aligned"
+
+    def test_every_token_in_exactly_one_chunk(self, spark):
+        """Chunk token counts must partition the document: Σ n_tokens ==
+        token count, chunk ids contiguous from 0."""
+        from polars_view_spark.operators.dedup import cdc_chunks
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j k l m n o p"), (2, "x"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = cdc_chunks(docs, "doc_id", "text").collect()
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        assert sum(r["n_tokens"] for r in per_doc[1]) == 16
+        ids = sorted(r["chunk_id"] for r in per_doc[1])
+        assert ids == list(range(len(ids)))
+        assert len(per_doc[2]) == 1 and per_doc[2][0]["n_tokens"] == 1
+        # empty text tokenizes to a single empty token — one chunk
+        assert len(per_doc[3]) == 1
+
+
 class TestMmrRerank:
     def test_redundant_cluster_does_not_fill_topk(self, spark):
         """A tight cluster of near-identical high-relevance vectors must
