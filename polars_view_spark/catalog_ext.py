@@ -5322,3 +5322,76 @@ register(
     oracle=_duck_cdc_oracle(),
     tables=("documents",),
 )(_d_cdc_chunks)
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def _x_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/scale.py:
+    merge_partial_aggs): orders are split 80/20 into a 'yesterday' base
+    and a 'today' delta, each aggregated independently, then MERGED —
+    and the oracle recomputes the aggregate over the full table, so the
+    gate proves merged-partials ≡ full-recompute.  Money is summed in
+    integer cents (the repo's acctbal_cents pattern): incremental
+    aggregation requires associative-exact accumulators — float sums
+    drift with accumulation order, integers never do."""
+    from polars_view_spark.operators.scale import merge_partial_aggs
+
+    t = load_tables(spark, sf_dir, "orders")
+    o = t["orders"].withColumn(
+        "cents", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    )
+
+    def part(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+
+    base = part(o.filter("o_orderkey % 10 < 8"))
+    delta = part(o.filter("o_orderkey % 10 >= 8"))
+    merged = merge_partial_aggs(
+        [base, delta],
+        ["o_orderstatus"],
+        {
+            "n_orders": "sum",
+            "sum_cents": "sum",
+            "min_cents": "min",
+            "max_cents": "max",
+        },
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("min_cents").cast("long").alias("min_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+        F.round((F.col("sum_cents") / 100.0) / F.col("n_orders"), 4).alias(
+            "avg_total"
+        ),
+    ).orderBy("o_orderstatus")
+
+
+register(
+    "x_incremental_agg",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           round((SUM(cents) / 100.0) / COUNT(*), 4) AS avg_total
+    FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tables=("orders",),
+)(_x_incremental_agg)

@@ -248,3 +248,37 @@ def bloom_might_contain(
         return [bool(bf.findHash(bf.hash(B.fromString(v)))) for v in values]
     finally:
         reader.close()
+
+
+def merge_partial_aggs(
+    parts: list[DataFrame], keys: list[str], spec: dict[str, str]
+) -> DataFrame:
+    """Merge partial-aggregate frames into the aggregate of their union —
+    the incremental-ETL primitive: yesterday's materialized aggregate plus
+    today's delta aggregate, WITHOUT rescanning yesterday's 100 TB.
+
+    ``spec`` maps each accumulator column to its merge function: ``sum``
+    (also merges counts — a count is a sum of partial counts), ``min``,
+    ``max``.  Only ASSOCIATIVE-EXACT accumulators belong here: integer
+    counts/cent-sums merge losslessly in any grouping, float sums do not
+    (accumulation-order drift), and avg/stddev are not mergeable at all —
+    derive them from merged (sum, count, sum-of-squares) at the end.
+    This is the same discipline Spark's own map-side partial aggregation
+    relies on, lifted to cross-job granularity.
+
+    Scale shape: one union (no shuffle) + one keyed groupBy whose input
+    is |keys-cardinality| × |parts| rows — the merge cost is independent
+    of the underlying fact-table size by construction.
+    """
+    allowed = {"sum", "min", "max"}
+    bad = {c: fn for c, fn in spec.items() if fn not in allowed}
+    if bad:
+        raise ValueError(
+            f"non-mergeable accumulator functions {bad}; only {sorted(allowed)} "
+            "merge associatively — derive avg/stddev from merged sums"
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    aggs = [getattr(F, fn)(F.col(c)).alias(c) for c, fn in spec.items()]
+    return merged.groupBy(*keys).agg(*aggs)

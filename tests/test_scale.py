@@ -258,3 +258,47 @@ class TestParquetBloom:
 
         f = glob.glob(out + "/part-*.parquet")[0]
         assert bloom_columns_of(spark, f) == set()
+
+
+class TestMergePartialAggs:
+    def test_merge_equals_full_recompute_any_split(self, spark):
+        """Merging partials from a 3-way split must equal the aggregate
+        over the union — for every mergeable accumulator."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.scale import merge_partial_aggs
+
+        df = spark.range(1000).select(
+            (F.col("id") % 7).alias("k"), (F.col("id") * 3 % 101).alias("v")
+        )
+
+        def part(d):
+            return d.groupBy("k").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v").cast("long").alias("s"),
+                F.min("v").cast("long").alias("mn"),
+                F.max("v").cast("long").alias("mx"),
+            )
+
+        spec = {"n": "sum", "s": "sum", "mn": "min", "mx": "max"}
+        parts = [part(df.filter(f"id % 3 = {i}")) for i in range(3)]
+        merged = {
+            r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+            for r in merge_partial_aggs(parts, ["k"], spec).collect()
+        }
+        full = {
+            r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+            for r in part(df).collect()
+        }
+        assert merged == full
+
+    def test_non_mergeable_accumulator_rejected(self, spark):
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.scale import merge_partial_aggs
+
+        df = spark.range(10).select(F.lit(1).alias("k"), F.col("id").alias("a"))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="non-mergeable"):
+            merge_partial_aggs([df], ["k"], {"a": "avg"})
