@@ -5395,3 +5395,38 @@ register(
     """,
     tables=("orders",),
 )(_x_incremental_agg)
+
+
+def _x_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion pre-flight (operators/scale.py:
+    join_explosion_profile) for the events-to-events self-join on
+    user_id — the worst-case many-to-many shape: per-user output
+    contribution is n², so the top rows ARE the keys that would
+    dominate (or sink) the join.  Exact arithmetic end to end."""
+    from polars_view_spark.operators.scale import join_explosion_profile
+
+    t = load_tables(spark, sf_dir, "events")
+    e = t["events"]
+    return join_explosion_profile(e, e, "user_id", "user_id", k=20)
+
+
+register(
+    "x_join_explosion_check",
+    oracle="""
+    WITH la AS (
+      SELECT user_id AS join_key, CAST(COUNT(*) AS BIGINT) AS n_left
+      FROM events GROUP BY user_id
+    ), per_key AS (
+      SELECT join_key, n_left, n_left AS n_right,
+             n_left * n_left AS out_rows
+      FROM la
+    ), tot AS (
+      SELECT CAST(SUM(out_rows) AS BIGINT) AS total_out_rows FROM per_key
+    )
+    SELECT join_key, n_left, n_right, out_rows, total_out_rows,
+           CAST((out_rows * 1000000) // total_out_rows AS BIGINT) AS share_ppm
+    FROM per_key, tot
+    ORDER BY out_rows DESC, join_key ASC LIMIT 20
+    """,
+    tables=("events",),
+)(_x_join_explosion)

@@ -282,3 +282,51 @@ def merge_partial_aggs(
         merged = merged.unionByName(p)
     aggs = [getattr(F, fn)(F.col(c)).alias(c) for c, fn in spec.items()]
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def join_explosion_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    k: int = 20,
+) -> DataFrame:
+    """Pre-flight for a planned join: the EXACT output cardinality it
+    would produce, per key and in total, from two cheap single-table
+    aggregates — |A ⋈ B| = Σ_key count_A(key) · count_B(key).  Run this
+    before a join whose key multiplicity is unverified: a silently
+    many-to-many key that explodes 100 TB into petabytes costs two
+    groupBys to detect and a cluster-day to discover the hard way.
+
+    Output: the top-``k`` keys by contributed output rows —
+    ``(join_key, n_left, n_right, out_rows, total_out_rows, share_ppm)``
+    — total and integer parts-per-million share ride on every row.
+
+    Scale shape: one keyed groupBy per side (map-side combined), an
+    equi-join on the distinct keys (not the rows), a 1-row total
+    broadcast, and a top-k.  Cost is O(distinct keys), independent of
+    the fact tables' row counts beyond the two scans.
+    """
+    la = left.groupBy(F.col(left_key).alias("join_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_left")
+    )
+    ra = right.groupBy(F.col(right_key).alias("join_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_right")
+    )
+    per_key = la.join(ra, "join_key").withColumn(
+        "out_rows", F.col("n_left") * F.col("n_right")
+    )
+    total = per_key.agg(
+        F.sum("out_rows").cast("long").alias("total_out_rows")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn(
+            # `div` = floor division on BIGINTs, mirrored by DuckDB's `//`
+            # (a double divide + CAST would TRUNCATE here but ROUND there)
+            "share_ppm",
+            F.expr("out_rows * 1000000L div total_out_rows"),
+        )
+        .orderBy(F.col("out_rows").desc(), F.col("join_key").asc())
+        .limit(k)
+    )

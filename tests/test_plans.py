@@ -786,6 +786,7 @@ CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "ivf_topk/lsh_topk with the same (query_id, neighbor_id, rank) contract "
     "— retrieval.py:hybrid_rrf_topk docstring",
     "x_audience_overlap": "1-row merged-sketch scalars broadcast (two stages)",
+    "x_join_explosion_check": "1-row total-output-cardinality broadcast",
     "x_bigram_pmi": "1-row corpus token total broadcast",
     "x_dsir_weights": "1-row model-total broadcasts (target + raw)",
     "x_lm_score": "1-row corpus token total broadcast",

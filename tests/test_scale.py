@@ -302,3 +302,24 @@ class TestMergePartialAggs:
 
         with _pytest.raises(ValueError, match="non-mergeable"):
             merge_partial_aggs([df], ["k"], {"a": "avg"})
+
+
+class TestJoinExplosionProfile:
+    def test_exact_cardinality_and_heavy_key_first(self, spark):
+        """The profile's total must equal the TRUE join output count, and
+        the planted many-to-many key must rank first."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.scale import join_explosion_profile
+
+        left = spark.createDataFrame(
+            [(99,)] * 50 + [(i,) for i in range(10)], "k long"
+        )
+        right = spark.createDataFrame(
+            [(99,)] * 40 + [(i,) for i in range(5)], "k long"
+        )
+        prof = join_explosion_profile(left, right, "k", "k", k=3).collect()
+        assert prof[0]["join_key"] == 99
+        assert prof[0]["out_rows"] == 50 * 40
+        true_count = left.join(right, "k").count()
+        assert prof[0]["total_out_rows"] == true_count == 50 * 40 + 5
