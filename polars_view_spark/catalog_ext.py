@@ -5430,3 +5430,73 @@ register(
     """,
     tables=("events",),
 )(_x_join_explosion)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surfaces: pipe syntax + parameterized queries
+# ---------------------------------------------------------------------------
+
+
+def _q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`FROM … |> WHERE … |> AGGREGATE …`,
+    SPARK-49555): the linear query form, run RAW (not through the
+    dialect shim — pipe operators are a Spark-native surface with no
+    reference/DuckDB counterpart; the oracle states the equivalent
+    standard SQL).  Same plan as the standard form — the parser
+    desugars before Catalyst ever sees it."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     ROUND(SUM(o_totalprice) + 1e-6, 2) AS total
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+register(
+    "q_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice) + 1e-6, 2) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tables=("orders",),
+)(_q_pipe_syntax)
+
+
+def _q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named parameter markers,
+    `spark.sql(query, args=…)`): values bind as typed literals at parse
+    time — the injection-safe surface for user-supplied filters.  The
+    oracle inlines the same values as literals, so binding semantics
+    (typing, comparison) are value-hash gated."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(MIN(o_totalprice), 2) AS min_total
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice > :floor
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 50_000.0},
+    )
+
+
+register(
+    "q_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS min_total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tables=("orders",),
+)(_q_parameterized_sql)
