@@ -5500,3 +5500,66 @@ register(
     """,
     tables=("orders",),
 )(_q_parameterized_sql)
+
+
+def _d_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup candidates (operators/dedup.py:
+    sorted_neighborhood_pairs, Hernández-Stolfo 1995): block-partitioned
+    sort-key window, next-w neighbor comparison, exact token-Jaccard
+    verify — the O(n·w) candidate generator whose cost never blows up on
+    hot duplicate clusters (the banded generators' failure mode that the
+    hot-bucket cap guards)."""
+    from polars_view_spark.operators.dedup import sorted_neighborhood_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        t["documents"], "doc_id", "text", JACCARD_T
+    ).orderBy("doc1", "doc2")
+
+
+def _duck_sorted_neighborhood_oracle() -> str:
+    from polars_view_spark.operators.dedup import (
+        SN_BLOCK_LEN,
+        SN_KEY_LEN,
+        SN_WINDOW,
+    )
+
+    _TOKS = duck_tokens_sql("text")
+    lead_cols = ", ".join(
+        f"lead(doc, {i}) OVER w AS d{i}, lead(t, {i}) OVER w AS t{i}"
+        for i in range(1, SN_WINDOW + 1)
+    )
+    stack = ", ".join(
+        f"{{'d': d{i}, 'tt': t{i}}}" for i in range(1, SN_WINDOW + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, list_distinct({_TOKS}) AS t,
+             substr(lower(trim(text)), 1, {SN_KEY_LEN}) AS sn_key,
+             substr(substr(lower(trim(text)), 1, {SN_KEY_LEN}), 1,
+                    {SN_BLOCK_LEN}) AS sn_block
+      FROM documents
+    ), leads AS (
+      SELECT doc, t, {lead_cols}
+      FROM toks WINDOW w AS (PARTITION BY sn_block ORDER BY sn_key, doc)
+    ), stacked AS (
+      SELECT doc, t, u.r['d'] AS doc2, u.r['tt'] AS t2
+      FROM leads, UNNEST([{stack}]) AS u(r)
+      WHERE u.r['d'] IS NOT NULL
+    ), scored AS (
+      SELECT least(doc, doc2) AS doc1, greatest(doc, doc2) AS doc2,
+             round(len(list_intersect(t, t2))
+                   / CAST(len(list_distinct(list_concat(t, t2))) AS DOUBLE),
+                   6) AS jaccard
+      FROM stacked
+    )
+    SELECT doc1, doc2, jaccard FROM scored
+    WHERE jaccard >= {JACCARD_T} ORDER BY doc1, doc2
+    """
+
+
+register(
+    "d_sorted_neighborhood_pairs",
+    oracle=_duck_sorted_neighborhood_oracle(),
+    tables=("documents",),
+)(_d_sorted_neighborhood)

@@ -613,6 +613,33 @@ class TestIncrementalMinHash:
         assert got == want
 
 
+class TestSortedNeighborhood:
+    def test_hot_cluster_cost_is_linear_not_quadratic(self, spark):
+        """THE sorted-neighborhood property: a hot cluster of m identical
+        docs contributes at most m·w pairs (each doc compares with its
+        next w neighbors only), never the m·(m−1)/2 a bucket self-join
+        would — and adjacent near-dups are still found."""
+        from polars_view_spark.operators.dedup import (
+            SN_WINDOW,
+            sorted_neighborhood_pairs,
+        )
+
+        m = 30
+        text = "zulu yankee xray whiskey victor uniform tango sierra"
+        rows = [(i, text) for i in range(m)]  # one hot identical cluster
+        rows += [(100 + i, f"alpha{i} bravo{i} charlie{i}") for i in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = sorted_neighborhood_pairs(docs, "doc_id", "text", 0.5).collect()
+        hot = [p for p in pairs if p["doc1"] < 100 and p["doc2"] < 100]
+        assert hot, "identical neighbors must pair"
+        assert len(hot) <= m * SN_WINDOW  # linear in cluster size
+        assert len(hot) < m * (m - 1) / 2  # NOT the quadratic blowup
+        # every hot pair is exact-duplicate text → jaccard 1.0
+        assert all(p["jaccard"] == 1.0 for p in hot)
+        # the unique docs pair with nobody (distinct vocab, distinct keys)
+        assert not [p for p in pairs if p["doc1"] >= 100]
+
+
 class TestCdcChunks:
     def test_chunk_hashes_realign_after_insertion(self, spark):
         """THE content-defined property: prepending a token to a document
