@@ -5563,3 +5563,42 @@ register(
     oracle=_duck_sorted_neighborhood_oracle(),
     tables=("documents",),
 )(_d_sorted_neighborhood)
+
+
+def _e_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join (streaming/events.py:
+    streaming_static_enrich_agg): the events STREAM broadcast-joins the
+    static customer dim per micro-batch (stateless — only the window agg
+    downstream holds state), drained availableNow into a complete-mode
+    memory sink.  The oracle is the equivalent batch join+agg, so the
+    stream/batch parity is value-hash gated."""
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_static_enrich_agg,
+    )
+
+    t = load_tables(spark, sf_dir, "customer")
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_memory(
+        streaming_static_enrich_agg(stream, t["customer"]),
+        "e_streaming_static_join_sink",
+        state_partitions=8,
+    )
+    return spark.table("e_streaming_static_join_sink").orderBy(
+        "window_start", "segment"
+    )
+
+
+register(
+    "e_streaming_static_join",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+           c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value) + 1e-6, 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tables=("events", "customer"),
+)(_e_streaming_static_join)

@@ -758,3 +758,44 @@ def topk_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("window_start", "rank")
     )
+
+
+def streaming_static_enrich_agg(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    attr: str = "c_mktsegment",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static dimension join + watermarked tumbling aggregate — the
+    canonical enrichment topology: the dimension NEVER streams (it is a
+    plain batch frame re-resolved every micro-batch, so out-of-band dim
+    updates are picked up at the next trigger), and the stream never
+    shuffles for the join (the dim side broadcasts).  Output: per
+    (window, dim attribute) counts and value sums.
+
+    Stream-static joins are stateless — no watermark is needed for the
+    JOIN (only the downstream window agg holds state), which is what
+    distinguishes this shape from the stream-stream join
+    (:func:`streaming_event_join`) where both sides buffer.
+    """
+    enriched = events.join(
+        F.broadcast(dim.select(F.col(dim_key).alias(stream_key), attr)),
+        stream_key,
+    )
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), attr)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-6), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            F.col(attr).alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )

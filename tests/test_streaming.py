@@ -928,3 +928,47 @@ def test_python_stream_source_step_invariance(spark):
         for r in drain_synth_stream(spark, "pyds_s500", n=200, seed=11, step=500).collect()
     }
     assert a == b and len(a) == 200
+
+
+def test_streaming_static_join_matches_batch(spark):
+    """availableNow drain of the stream-static enrichment == the same
+    broadcast join + window agg run in batch — and the join itself is
+    stateless (only the window agg appears in the state ops)."""
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_static_enrich_agg,
+    )
+    from pyspark.sql import functions as F
+
+    dim = load_tables(spark, SF, "customer")["customer"]
+    stream = read_event_stream(spark, f"{SF}/events.parquet")
+    run_stream_to_memory(
+        streaming_static_enrich_agg(stream, dim), "stream_static_join"
+    )
+    got = {tuple(r) for r in spark.table("stream_static_join").collect()}
+
+    events = load_tables(spark, SF, "events")["events"]
+    batch = (
+        events.join(
+            F.broadcast(
+                dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+            ),
+            "user_id",
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-6), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0
