@@ -5371,9 +5371,8 @@ def _x_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_cents").cast("long").alias("sum_cents"),
         F.col("min_cents").cast("long").alias("min_cents"),
         F.col("max_cents").cast("long").alias("max_cents"),
-        F.round((F.col("sum_cents") / 100.0) / F.col("n_orders"), 4).alias(
-            "avg_total"
-        ),
+        F.round((F.col("sum_cents") / 100.0) / F.col("n_orders") + F.lit(1e-9), 4)
+        .alias("avg_total"),
     ).orderBy("o_orderstatus")
 
 
@@ -5390,7 +5389,7 @@ register(
            CAST(SUM(cents) AS BIGINT) AS sum_cents,
            CAST(MIN(cents) AS BIGINT) AS min_cents,
            CAST(MAX(cents) AS BIGINT) AS max_cents,
-           round((SUM(cents) / 100.0) / COUNT(*), 4) AS avg_total
+           round((SUM(cents) / 100.0) / COUNT(*) + 1e-9, 4) AS avg_total
     FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     tables=("orders",),
@@ -5424,7 +5423,7 @@ register(
       SELECT CAST(SUM(out_rows) AS BIGINT) AS total_out_rows FROM per_key
     )
     SELECT join_key, n_left, n_right, out_rows, total_out_rows,
-           CAST((out_rows * 1000000) // total_out_rows AS BIGINT) AS share_ppm
+           CAST(floor(CAST(out_rows AS DOUBLE) / total_out_rows * 1000000) AS BIGINT) AS share_ppm
     FROM per_key, tot
     ORDER BY out_rows DESC, join_key ASC LIMIT 20
     """,

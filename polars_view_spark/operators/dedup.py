@@ -1180,8 +1180,12 @@ def cdc_chunks(
     )
     w = Window.partitionBy("doc").orderBy("pos")
     lags = [F.lag("term", j).over(w) for j in range(width - 1, 0, -1)]
-    # \x1f (unit separator) joins the window tokens — cannot appear in
-    # whitespace-split tokens' role as a word joiner ambiguity source
+    # \x1f (unit separator) joins the window tokens.  NOT a hard
+    # ambiguity guarantee: \x1f is not regex whitespace, so a token
+    # containing a literal \x1f could make two different windows build
+    # the same key (['a\x1fb','c'] vs ['a','b\x1fc']) — a pathological
+    # input that only perturbs WHERE boundaries land, never cross-engine
+    # parity (both engines build the identical key from the same rule)
     lagged = tok.withColumn(
         "__wk", F.concat_ws("\x1f", *lags, F.col("term"))
     ).withColumn(

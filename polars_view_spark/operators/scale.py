@@ -270,6 +270,11 @@ def merge_partial_aggs(
     is |keys-cardinality| × |parts| rows — the merge cost is independent
     of the underlying fact-table size by construction.
     """
+    if not parts:
+        raise ValueError(
+            "parts must be non-empty — a caller whose delta produced no "
+            "partial frames should skip the merge (or pass the base alone)"
+        )
     allowed = {"sum", "min", "max"}
     bad = {c: fn for c, fn in spec.items() if fn not in allowed}
     if bad:
@@ -313,19 +318,44 @@ def join_explosion_profile(
     ra = right.groupBy(F.col(right_key).alias("join_key")).agg(
         F.count(F.lit(1)).cast("long").alias("n_right")
     )
+    # try_multiply/try_sum: in the blowup regime this tool exists for,
+    # plain BIGINT arithmetic can cross 2^63 and (ANSI off) wrap to
+    # garbage negatives that would rank the worst key LAST — the silent
+    # failure mode cross-engine-parity-tricks warns about.  NULL from a
+    # try_* is converted to a LOUD error (raise_error), matching DuckDB's
+    # loud overflow error on the oracle side.
     per_key = la.join(ra, "join_key").withColumn(
-        "out_rows", F.col("n_left") * F.col("n_right")
+        "out_rows",
+        F.expr(
+            "CASE WHEN try_multiply(n_left, n_right) IS NULL THEN "
+            "CAST(raise_error('join_explosion_profile: per-key output "
+            "cardinality exceeds BIGINT — the join is catastrophically "
+            "exploding; fix the key before profiling further') AS BIGINT) "
+            "ELSE n_left * n_right END"
+        ),
     )
     total = per_key.agg(
-        F.sum("out_rows").cast("long").alias("total_out_rows")
+        F.expr(
+            "CASE WHEN try_sum(out_rows) IS NULL THEN "
+            "CAST(raise_error('join_explosion_profile: total output "
+            "cardinality exceeds BIGINT') AS BIGINT) "
+            "ELSE sum(out_rows) END"
+        ).alias("total_out_rows")
     )
     return (
         per_key.crossJoin(F.broadcast(total))
         .withColumn(
-            # `div` = floor division on BIGINTs, mirrored by DuckDB's `//`
-            # (a double divide + CAST would TRUNCATE here but ROUND there)
+            # explicit floor() on the DOUBLE ratio, then cast: overflow-free
+            # (no out_rows * 1e6 BIGINT product) and engine-identical —
+            # both engines do the same IEEE divide/multiply/floor, whereas
+            # a bare double CAST truncates in Spark but rounds in DuckDB
+            # (the off-by-one the sf0.001 gate caught), and an integer
+            # `out_rows * 1000000` wraps past 2^63 in the blowup regime
             "share_ppm",
-            F.expr("out_rows * 1000000L div total_out_rows"),
+            F.expr(
+                "CAST(floor(CAST(out_rows AS DOUBLE) / total_out_rows "
+                "* 1000000) AS BIGINT)"
+            ),
         )
         .orderBy(F.col("out_rows").desc(), F.col("join_key").asc())
         .limit(k)

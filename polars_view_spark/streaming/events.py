@@ -80,25 +80,31 @@ def streaming_tumbling_agg(
     events: DataFrame,
     width: str = "1 hour",
     watermark: str = "2 hours",
+    group_col: str = "event_type",
 ) -> DataFrame:
-    """Watermarked tumbling-window counts/sums per event_type.
+    """Watermarked tumbling-window counts/sums per ``group_col``.
 
     The watermark bounds state: windows older than (max event time −
     watermark) are finalized and dropped, so state size is O(active
     windows), independent of stream length — the property that lets this
     run forever on a 100 TB/day firehose.  Late events inside the watermark
     update their window; later ones are dropped (documented, standard).
+
+    Single source for the oracle-critical rounding (``+ 1e-6`` before the
+    2-dp ROUND) and window formatting: the stream-static enrichment
+    (:func:`streaming_static_enrich_agg`) composes this same function, so
+    the idiom cannot drift between the two entries.
     """
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .groupBy(F.window("ts", width).alias("w"), group_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value") + F.lit(1e-6), 2).alias("sum_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
-            "event_type",
+            group_col,
             "n_events",
             "sum_value",
         )
@@ -785,17 +791,8 @@ def streaming_static_enrich_agg(
         F.broadcast(dim.select(F.col(dim_key).alias(stream_key), attr)),
         stream_key,
     )
-    return (
-        enriched.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", width).alias("w"), attr)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") + F.lit(1e-6), 2).alias("sum_value"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
-            F.col(attr).alias("segment"),
-            "n_events",
-            "sum_value",
-        )
-    )
+    # the window agg (and its oracle-critical rounding/formatting idiom)
+    # is the SAME code path as the plain streaming tumbling entry
+    return streaming_tumbling_agg(
+        enriched, width=width, watermark=watermark, group_col=attr
+    ).withColumnRenamed(attr, "segment")
