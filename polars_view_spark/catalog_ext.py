@@ -5601,3 +5601,87 @@ register(
     """,
     tables=("events", "customer"),
 )(_e_streaming_static_join)
+
+
+def _x_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations gate (operators/expectations.py): six
+    constraint rules over orders — not-null, two ranges (one chosen to
+    FAIL on real rows so non-zero violation counts are value-hash
+    gated), accepted values, key uniqueness, and referential integrity
+    against customer — all evaluated in ONE scan + ONE aggregate plus a
+    broadcast key join."""
+    from polars_view_spark.operators.expectations import expectations_report
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    rules = [
+        {"name": "key_not_null", "kind": "not_null", "column": "o_orderkey"},
+        {"name": "key_unique", "kind": "unique", "column": "o_orderkey"},
+        {
+            "name": "price_positive",
+            "kind": "in_range",
+            "column": "o_totalprice",
+            "low": 0,
+            "high": 100000000,
+        },
+        {
+            "name": "price_under_cap",
+            "kind": "in_range",
+            "column": "o_totalprice",
+            "low": 0,
+            "high": 300000,
+        },
+        {
+            "name": "status_domain",
+            "kind": "accepted_values",
+            "column": "o_orderstatus",
+            "values": ["F", "O", "P"],
+        },
+        {
+            "name": "customer_exists",
+            "kind": "references",
+            "column": "o_custkey",
+            "ref": "customer",
+            "ref_column": "c_custkey",
+        },
+    ]
+    return expectations_report(
+        t["orders"], rules, {"customer": t["customer"]}
+    )
+
+
+register(
+    "x_data_expectations",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_key_not_null,
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+                  AS BIGINT) AS v_key_unique,
+             CAST(SUM(CASE WHEN (o_totalprice IS NULL OR o_totalprice < 0
+                                 OR o_totalprice > 100000000)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
+             CAST(SUM(CASE WHEN (o_totalprice IS NULL OR o_totalprice < 0
+                                 OR o_totalprice > 300000)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_price_under_cap,
+             CAST(SUM(CASE WHEN (o_orderstatus IS NULL
+                                 OR o_orderstatus NOT IN ('F', 'O', 'P'))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain,
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_customer_exists
+      FROM orders o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+    ), stacked AS (
+      SELECT n_checked, 'key_not_null' AS rule, v_key_not_null AS n_violations FROM agg
+      UNION ALL SELECT n_checked, 'key_unique', v_key_unique FROM agg
+      UNION ALL SELECT n_checked, 'price_positive', v_price_positive FROM agg
+      UNION ALL SELECT n_checked, 'price_under_cap', v_price_under_cap FROM agg
+      UNION ALL SELECT n_checked, 'status_domain', v_status_domain FROM agg
+      UNION ALL SELECT n_checked, 'customer_exists', v_customer_exists FROM agg
+    )
+    SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+    FROM stacked ORDER BY rule
+    """,
+    tables=("orders", "customer"),
+)(_x_data_expectations)

@@ -323,3 +323,57 @@ class TestJoinExplosionProfile:
         assert prof[0]["out_rows"] == 50 * 40
         true_count = left.join(right, "k").count()
         assert prof[0]["total_out_rows"] == true_count == 50 * 40 + 5
+
+
+class TestExpectations:
+    def test_each_rule_kind_counts_planted_violations(self, spark):
+        from polars_view_spark.operators.expectations import (
+            expectations_report,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, 10.0, "A", 1),
+                (1, -5.0, "B", 2),     # dup key + below range
+                (None, 20.0, "Z", 3),  # null key + bad status
+                (4, None, "A", 99),    # null price + dangling ref
+            ],
+            "k long, price double, status string, fk long",
+        )
+        dim = spark.createDataFrame([(1,), (2,), (3,)], "d long")
+        rules = [
+            {"name": "k_not_null", "kind": "not_null", "column": "k"},
+            {"name": "k_unique", "kind": "unique", "column": "k"},
+            {"name": "price_range", "kind": "in_range", "column": "price",
+             "low": 0, "high": 100},
+            {"name": "status_ok", "kind": "accepted_values",
+             "column": "status", "values": ["A", "B"]},
+            {"name": "fk_exists", "kind": "references", "column": "fk",
+             "ref": "dim", "ref_column": "d"},
+        ]
+        out = {
+            r["rule"]: (r["n_checked"], r["n_violations"], r["passed"])
+            for r in expectations_report(df, rules, {"dim": dim}).collect()
+        }
+        assert out == {
+            "fk_exists": (4, 1, False),
+            "k_not_null": (4, 1, False),
+            "k_unique": (4, 1, False),       # NULLs don't count as dups
+            "price_range": (4, 2, False),    # -5 and NULL both violate
+            "status_ok": (4, 1, False),
+        }
+
+    def test_duplicate_rule_names_rejected(self, spark):
+        import pytest as _pytest
+
+        from polars_view_spark.operators.expectations import (
+            expectations_report,
+        )
+
+        df = spark.range(3).selectExpr("id AS k")
+        rules = [
+            {"name": "r", "kind": "not_null", "column": "k"},
+            {"name": "r", "kind": "unique", "column": "k"},
+        ]
+        with _pytest.raises(ValueError, match="duplicate rule names"):
+            expectations_report(df, rules)
