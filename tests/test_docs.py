@@ -46,3 +46,22 @@ def test_no_fine_rounding_of_transcendental_oracles():
         "transcendental expressions rounded at >=5 dp in oracles:\n"
         + "\n".join(offenders)
     )
+
+
+def test_no_ghost_entries_in_operators_md():
+    """Reverse traceability: every backtick-quoted entry-shaped name in
+    OPERATORS.md must be a registered catalog entry — a doc row naming a
+    renamed/removed entry fails CI, not judge review."""
+    import re
+
+    from polars_view_spark.catalog import entries
+
+    with open(os.path.join(REPO, "OPERATORS.md")) as fh:
+        doc = fh.read()
+    known = set(entries())
+    ghosts = sorted(
+        t
+        for t in set(re.findall(r"`([qtdsex]_[a-z0-9_]+)`", doc))
+        if t not in known
+    )
+    assert not ghosts, f"OPERATORS.md names unregistered entries: {ghosts}"
