@@ -2025,7 +2025,11 @@ def _s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared by s_ann_ivf_topk and s_ann_index_persist: the persisted-index
 # path must reproduce the in-session IVF bit-for-bit, so both entries are
 # held to the SAME oracle text
-_IVF_TOPK_ORACLE = f"""
+def _ivf_topk_oracle(n_queries: int = ANN_N_QUERIES) -> str:
+    """IVF probe/score/rank oracle, parametrized on the query-set size so
+    the batch entries (n = ANN_N_QUERIES) and the streaming lookup
+    (n = STREAM_ANN_N_QUERIES) share one SQL body."""
+    return f"""
     WITH qz AS (
       SELECT vec_id, embedding,
              list_transform(embedding::DOUBLE[],
@@ -2050,7 +2054,7 @@ _IVF_TOPK_ORACLE = f"""
       SELECT vec_id AS query_id, cell FROM (
         SELECT vec_id, cell,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-        FROM dists WHERE vec_id < {ANN_N_QUERIES}) t
+        FROM dists WHERE vec_id < {n_queries}) t
       WHERE rn <= {IVF_N_PROBE}
     ),
     scored AS (
@@ -2067,6 +2071,9 @@ _IVF_TOPK_ORACLE = f"""
     SELECT query_id, neighbor_id, score, rank FROM r
     WHERE rank <= {ANN_K} ORDER BY query_id, rank
     """
+
+
+_IVF_TOPK_ORACLE = _ivf_topk_oracle()
 
 register(
     "s_ann_ivf_topk",
@@ -5685,3 +5692,61 @@ register(
     """,
     tables=("orders", "customer"),
 )(_x_data_expectations)
+
+
+STREAM_ANN_N_QUERIES = 25
+
+
+def _e_streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN against the persisted IVF index
+    (streaming/events.py:streaming_ann_lookup): the index is built ONCE,
+    then a query-vector stream probes it per micro-batch.  Per-query
+    independence from the fixed index makes the union of batches exactly
+    the one-shot batch query — held to the SAME parametrized oracle as
+    s_ann_ivf_topk / s_ann_index_persist, just with the stream's larger
+    query set."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.similarity import ivf_build_index
+    from polars_view_spark.streaming.events import (
+        read_sink_or_empty,
+        streaming_ann_lookup,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    scratch = _scratch_dir("stream_ann", sf_dir)
+    idx = os.path.join(scratch, "ivf")
+    sink = os.path.join(scratch, "hits")
+    ivf_build_index(
+        e, idx, seed_mod=IVF_SEED_MOD, scale=IVF_SCALE, max_seeds=IVF_MAX_SEEDS
+    )
+    from polars_view_spark.streaming.events import _single_file_to_glob
+
+    reader = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", "1")
+    src = _single_file_to_glob(reader, f"{sf_dir}/embeddings.parquet")
+    stream = reader.parquet(src).filter(
+        F.col("vec_id") < STREAM_ANN_N_QUERIES
+    )
+    q = streaming_ann_lookup(
+        stream, idx, sink, k=ANN_K, n_probe=IVF_N_PROBE, scale=IVF_SCALE
+    )
+    q.awaitTermination()
+    out = read_sink_or_empty(
+        spark,
+        sink,
+        "query_id long, neighbor_id long, score double, rank int, batch_id long",
+    )
+    return (
+        out.select(
+            "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+        ).orderBy("query_id", "rank")
+    )
+
+
+register(
+    "e_streaming_ann_lookup",
+    oracle=_ivf_topk_oracle(n_queries=STREAM_ANN_N_QUERIES),
+    tables=("embeddings",),
+)(_e_streaming_ann_lookup)

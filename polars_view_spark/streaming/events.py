@@ -796,3 +796,62 @@ def streaming_static_enrich_agg(
     return streaming_tumbling_agg(
         enriched, width=width, watermark=watermark, group_col=attr
     ).withColumnRenamed(attr, "segment")
+
+
+def streaming_ann_lookup(
+    queries_stream: DataFrame,
+    index_path: str,
+    sink_dir: str,
+    k: int = 5,
+    n_probe: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous nearest-corpus lookup: every micro-batch of arriving
+    query vectors probes the PERSISTED IVF index
+    (operators/similarity.py:ivf_build_index / ivf_query_index) and the
+    per-query top-k lands in ``sink_dir`` — the streaming face of the
+    build/query ANN split (embedding stream → route/filter by nearest
+    corpus item).
+
+    Because each query's result depends only on the FIXED index, the
+    union of all appended batches is EXACTLY the one-shot batch query of
+    every arrival, however the stream happened to batch them — the same
+    no-divergence property as :func:`streaming_containment_screen`, and
+    the same effectively-once sink discipline (replay-stable
+    ``batch_id`` partition, dynamic partition overwrite).
+
+    Per-trigger cost: O(|batch| × probed cells) — the corpus is never
+    rescanned; the index's partition pruning does the work.
+    """
+    from polars_view_spark.operators.similarity import ivf_query_index
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates([id_col])
+        if batch_df.isEmpty():
+            return
+        out = ivf_query_index(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            n_probe=n_probe,
+            scale=scale,
+        )
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
+
+    return (
+        queries_stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", sink_dir.rstrip("/") + ".__pvs_ckpt")
+        .start()
+    )

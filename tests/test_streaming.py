@@ -972,3 +972,53 @@ def test_streaming_static_join_matches_batch(spark):
     want = {tuple(r) for r in batch.collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_ann_lookup_matches_batch(spark, tmp_path):
+    """Union of per-micro-batch IVF lookups == one-shot batch query of all
+    arrivals (per-query independence from the FIXED index), across a
+    multi-file arrival pattern so more than one trigger actually fires."""
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+    from polars_view_spark.streaming.events import (
+        read_sink_or_empty,
+        streaming_ann_lookup,
+    )
+
+    emb = load_tables(spark, SF, "embeddings")["embeddings"]
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx)
+
+    # queries arrive as three separate files -> three micro-batches
+    qdir = tmp_path / "arrivals"
+    queries = emb.filter("vec_id < 12")
+    for lo, hi in ((0, 4), (4, 8), (8, 12)):
+        queries.filter(f"vec_id >= {lo} AND vec_id < {hi}").coalesce(
+            1
+        ).write.mode("append").parquet(str(qdir))
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(qdir))
+    )
+    sink = str(tmp_path / "hits")
+    streaming_ann_lookup(stream, idx, sink).awaitTermination()
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in read_sink_or_empty(
+            spark,
+            sink,
+            "query_id long, neighbor_id long, score double, rank int, batch_id long",
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in ivf_query_index(spark, queries, idx).collect()
+    }
+    assert got == want
+    assert len(want) > 0
