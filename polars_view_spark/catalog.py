@@ -183,24 +183,26 @@ DRIVER_PRIORITY = [
 # sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
 # Stamp state entering round 6: 184 catalog entries, 161 with at least
 # one driver row; the 23 unstamped round-5 additions fill group (b)
-# above.  Round 6 grew the catalog 184 → 202 (t_force_string_roundtrip,
+# above.  Round 6 grew the catalog 184 → 204 (t_force_string_roundtrip,
 # t_json_doc_roundtrip, q_keyset_pagination, s_two_tower_text_topk,
-# e_streaming_containment — group (a) — plus thirteen late-round adds that
+# e_streaming_containment — group (a) — plus fifteen late-round adds that
 # missed this window: x_sentence_split_udtf, s_hybrid_rrf_topk,
 # x_leakage_safe_split, s_mmr_rerank, d_cdc_chunks,
 # x_incremental_agg, x_join_explosion_check, q_pipe_syntax,
 # q_parameterized_sql, d_sorted_neighborhood_pairs,
 # e_streaming_static_join, x_data_expectations,
-# e_streaming_ann_lookup).  Once
+# e_streaming_ann_lookup, q_session_variable, q_lateral_alias).
+# Once
 # CORRECTNESS_r06 lands 50/50 green, the only entries without a driver
-# row are those thirteen late adds and the oldest stamps are the round-3
+# row are those fifteen late adds and the oldest stamps are the round-3
 # block.
 # Round-7 rotation should lead with anything round 6 changes or adds —
 # x_sentence_split_udtf, s_hybrid_rrf_topk, x_leakage_safe_split,
 # s_mmr_rerank, d_cdc_chunks, x_incremental_agg,
 # x_join_explosion_check, q_pipe_syntax, q_parameterized_sql,
 # d_sorted_neighborhood_pairs, e_streaming_static_join,
-# x_data_expectations, e_streaming_ann_lookup first —
+# x_data_expectations, e_streaming_ann_lookup,
+# q_session_variable, q_lateral_alias first —
 # then the oldest r03-only stamps: the streaming window entries
 # (e_streaming_tumbling/sessions/sliding/join), multimodal
 # frame-sample/resize, the TPC-H q2/q4/q6/q7/q9/q10/q11/q13/q14/

@@ -5750,3 +5750,70 @@ register(
     oracle=_ivf_topk_oracle(n_queries=STREAM_ANN_N_QUERIES),
     tables=("embeddings",),
 )(_e_streaming_ann_lookup)
+
+
+def _q_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 `DECLARE`/`SET VARIABLE`): the
+    script-parameterization face — a typed variable declared once, reused
+    across statements, referenced like a column.  The oracle inlines the
+    same value as a literal, so binding semantics are value-hash gated
+    (the companion of q_parameterized_sql's per-call `args` markers)."""
+    load_tables(spark, sf_dir, "orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE pvs_price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("SET VARIABLE pvs_price_floor = 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(MAX(o_totalprice), 2) AS max_total
+        FROM orders WHERE o_totalprice > pvs_price_floor
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
+
+
+register(
+    "q_session_variable",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MAX(o_totalprice), 2) AS max_total
+    FROM orders WHERE o_totalprice > 150000.0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tables=("orders",),
+)(_q_session_variable)
+
+
+def _q_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (SPARK-27561): a SELECT-list alias referenced
+    by LATER expressions in the same SELECT — no subquery nesting for
+    derived-from-derived columns.  DuckDB supports the identical form, so
+    the oracle is the same statement shape."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               cents div 100 AS whole_units,
+               whole_units % 1000 AS units_mod_k
+        FROM orders
+        WHERE o_orderkey < 500
+        ORDER BY o_orderkey
+        """
+    )
+
+
+register(
+    "q_lateral_alias",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           cents // 100 AS whole_units,
+           whole_units % 1000 AS units_mod_k
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+    tables=("orders",),
+)(_q_lateral_alias)
