@@ -17,20 +17,40 @@ jobs, no Python.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: rule names and column names are spliced into SQL identifiers/aliases —
+#: restrict them to identifier shape so no input can break (or inject
+#: into) the generated expressions
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _checked_ident(value: str, what: str) -> str:
+    if not isinstance(value, str) or not _IDENT.match(value):
+        raise ValueError(
+            f"{what} must be a plain SQL identifier "
+            f"([A-Za-z_][A-Za-z0-9_]*), got {value!r}"
+        )
+    return value
 
 
 def _rule_condition(rule: dict) -> str:
     """SQL boolean: TRUE when the row VIOLATES the rule."""
-    kind, col = rule["kind"], rule.get("column")
+    kind = rule["kind"]
+    col = _checked_ident(rule.get("column"), f"rule {rule['name']!r} column")
     if kind == "not_null":
         return f"{col} IS NULL"
     if kind == "in_range":
-        lo, hi = rule["low"], rule["high"]
+        lo, hi = float(rule["low"]), float(rule["high"])
         return f"({col} IS NULL OR {col} < {lo} OR {col} > {hi})"
     if kind == "accepted_values":
-        vals = ", ".join(f"'{v}'" for v in rule["values"])
+        # values are data, not identifiers: escape quotes SQL-style
+        vals = ", ".join(
+            "'" + str(v).replace("'", "''") + "'" for v in rule["values"]
+        )
         return f"({col} IS NULL OR {col} NOT IN ({vals}))"
     if kind == "references":
         return f"__ref_{rule['name']} IS NULL"
@@ -50,12 +70,23 @@ def expectations_report(
     ``high``, ``accepted_values`` adds ``values``, ``references`` adds
     ``ref`` (a key in ``ref_frames``) and ``ref_column``.
     """
-    names = [r["name"] for r in rules]
+    if not rules:
+        raise ValueError(
+            "rules must be non-empty — a dynamically-built rule list that "
+            "filtered down to nothing should skip the report entirely"
+        )
+    names = [_checked_ident(r["name"], "rule name") for r in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names in {names}")
     base = df
     for r in rules:
         if r["kind"] == "references":
+            if not ref_frames or r["ref"] not in ref_frames:
+                raise ValueError(
+                    f"references rule {r['name']!r} needs ref_frames["
+                    f"{r['ref']!r}] — got keys "
+                    f"{sorted(ref_frames) if ref_frames else []}"
+                )
             ref = ref_frames[r["ref"]]
             keys = ref.select(
                 F.col(r["ref_column"]).alias(r["column"]),

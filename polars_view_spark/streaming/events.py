@@ -631,10 +631,14 @@ def streaming_containment_screen(
 
     Because the reference corpus is fixed, each arrival's verdict reads
     only corpus-side statistics — so unlike the evolving-corpus MinHash
-    stream, the union of all appended flags is EXACTLY the one-shot
-    batch screen of all arrivals, however the stream happened to batch
-    them (asserted in tests/test_streaming.py; no divergence window at
-    all).  Delivery is the same effectively-once discipline: the sink is
+    stream, the union of all appended flags is the one-shot batch screen
+    of the DISTINCT arrivals, however the stream happened to batch them
+    (asserted in tests/test_streaming.py; no divergence window).  The
+    per-batch dropDuplicates does not span triggers: a logical doc id
+    redelivered in a LATER file is flagged again (same verdict — the
+    corpus is fixed), so multiset equality additionally assumes
+    upstream-unique ids; redelivered files are absorbed by the
+    checkpoint.  Delivery is the same effectively-once discipline: the sink is
     partitioned by the replay-stable ``batch_id`` and written with
     dynamic partition OVERWRITE, so an at-least-once ``foreachBatch``
     re-run replaces its own partition instead of duplicating it.
@@ -816,11 +820,16 @@ def streaming_ann_lookup(
     corpus item).
 
     Because each query's result depends only on the FIXED index, the
-    union of all appended batches is EXACTLY the one-shot batch query of
-    every arrival, however the stream happened to batch them — the same
-    no-divergence property as :func:`streaming_containment_screen`, and
-    the same effectively-once sink discipline (replay-stable
-    ``batch_id`` partition, dynamic partition overwrite).
+    union of all appended batches equals the one-shot batch query of the
+    DISTINCT arrivals, however the stream happened to batch them — the
+    same no-divergence property as :func:`streaming_containment_screen`.
+    Duplicates are dropped per batch only: the same query id arriving in
+    two different triggers is answered twice (identically — it is a
+    lookup, re-querying is harmless), so exact multiset equality with a
+    deduplicated batch run additionally assumes upstream-unique ids, as
+    redelivered FILES are already absorbed by the checkpoint.  Sink
+    discipline is effectively-once (replay-stable ``batch_id`` partition,
+    dynamic partition overwrite).
 
     Per-trigger cost: O(|batch| × probed cells) — the corpus is never
     rescanned; the index's partition pruning does the work.

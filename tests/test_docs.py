@@ -61,7 +61,7 @@ def test_no_ghost_entries_in_operators_md():
     known = set(entries())
     ghosts = sorted(
         t
-        for t in set(re.findall(r"`([qtdsex]_[a-z0-9_]+)`", doc))
+        for t in set(re.findall(r"`((?:q\d*|[tdsex])_[a-z0-9_]+)`", doc))
         if t not in known
     )
     assert not ghosts, f"OPERATORS.md names unregistered entries: {ghosts}"

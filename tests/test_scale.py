@@ -377,3 +377,36 @@ class TestExpectations:
         ]
         with _pytest.raises(ValueError, match="duplicate rule names"):
             expectations_report(df, rules)
+
+    def test_malformed_rule_inputs_rejected_loudly(self, spark):
+        """Identifier-shape validation and quote escaping: a quoted value
+        must survive as DATA, malformed names/columns and zero rules must
+        raise clear ValueErrors — never a ParseException from spliced SQL."""
+        import pytest as _pytest
+
+        from polars_view_spark.operators.expectations import (
+            expectations_report,
+        )
+
+        df = spark.createDataFrame(
+            [("don't",), ("fine",)], "status string"
+        )
+        # quoted value is escaped, not injected
+        out = expectations_report(
+            df,
+            [{"name": "ok_vals", "kind": "accepted_values",
+              "column": "status", "values": ["don't", "fine"]}],
+        ).collect()
+        assert out[0]["n_violations"] == 0
+        for bad_rules, msg in [
+            ([], "non-empty"),
+            ([{"name": "price range", "kind": "not_null", "column": "status"}],
+             "identifier"),
+            ([{"name": "r", "kind": "not_null", "column": "sta tus"}],
+             "identifier"),
+            ([{"name": "fk", "kind": "references", "column": "status",
+               "ref": "dim", "ref_column": "d"}],
+             "ref_frames"),
+        ]:
+            with _pytest.raises(ValueError, match=msg):
+                expectations_report(df, bad_rules)
