@@ -1064,19 +1064,22 @@ def doc_containment_screen(
             corpus, id_col, text_col, max_bucket_size
         )
     kept, freq, cap = corpus_stats
-    a_fps = (
-        winnow_fingerprints(arrivals, id_col, text_col)
-        .join(freq, "fingerprint", "left")
-        .withColumn("__freq", F.coalesce(F.col("__freq"), F.lit(0)))
-        .filter(F.col("__freq") <= cap)
-    )
-    result = _containment_verdicts(
-        a_fps, kept, min_share_pct, "arrival_doc", "corpus_doc"
-    ).localCheckpoint(eager=True)
-    if owns_stats:
-        kept.unpersist()
-        freq.unpersist()
-    return result
+    try:
+        a_fps = (
+            winnow_fingerprints(arrivals, id_col, text_col)
+            .join(freq, "fingerprint", "left")
+            .withColumn("__freq", F.coalesce(F.col("__freq"), F.lit(0)))
+            .filter(F.col("__freq") <= cap)
+        )
+        return _containment_verdicts(
+            a_fps, kept, min_share_pct, "arrival_doc", "corpus_doc"
+        ).localCheckpoint(eager=True)
+    finally:
+        # release even when the verdict join / checkpoint throws — the
+        # stats are this call's cache entries only when it created them
+        if owns_stats:
+            kept.unpersist()
+            freq.unpersist()
 
 
 #: Fixed chunk width (words) for duplicated-span removal.

@@ -40,6 +40,22 @@ SENTENCE_BOUNDARY = r"[.!?]+[ \t\n\r\f\v]+"
 #: trim() strips spaces only, so the set is explicit everywhere)
 STRIP_CHARS = " \t\n\r"
 
+#: column names are spliced into the lateral-join SQL and the temp-view
+#: name — restrict them to plain identifier shape (same contract as
+#: operators/expectations.py:_checked_ident) so a name with spaces,
+#: backticks or hyphens fails loudly here instead of mis-resolving or
+#: throwing a ParseException deep inside the generated statement
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _checked_ident(value: str, what: str) -> str:
+    if not isinstance(value, str) or not _IDENT.match(value):
+        raise ValueError(
+            f"{what} must be a plain SQL identifier "
+            f"([A-Za-z_][A-Za-z0-9_]*), got {value!r}"
+        )
+    return value
+
 
 class SentenceSplit:
     """UDTF body: ``eval`` is called once per input row and yields one
@@ -81,6 +97,8 @@ def sentence_table(
 ) -> DataFrame:
     """One row per (doc, sentence) via the UDTF lateral join:
     ``(id, sentence_idx, sentence, n_chars)``."""
+    id_col = _checked_ident(id_col, "sentence_table id_col")
+    text_col = _checked_ident(text_col, "sentence_table text_col")
     spark = df.sparkSession
     register_sentence_udtf(spark)
     view = f"__pvs_sentence_src_{id_col}_{text_col}"

@@ -678,19 +678,43 @@ def streaming_containment_screen(
             .parquet(flags_dir)
         )
 
-    q = (
-        docs_stream.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", flags_dir.rstrip("/") + ".__pvs_ckpt")
-        .start()
-    )
-
     spark = corpus.sparkSession
 
     class _ReleaseStats(StreamingQueryListener):
         """Unpins the corpus tables when THIS query ends (terminated or
         failed), then deregisters itself — the only end-of-query hook
-        foreachBatch offers."""
+        foreachBatch offers.  Registered BEFORE ``start()`` so an
+        availableNow query that terminates immediately (empty landing
+        dir) cannot finish before the listener exists; because the
+        target query id is only known after ``start()`` returns, the
+        listener buffers terminations seen while unarmed and ``arm()``
+        replays them."""
+
+        def __init__(self) -> None:
+            import threading
+
+            self._lock = threading.Lock()
+            self._target: str | None = None
+            self._seen: set[str] = set()
+            self._done = False
+
+        def _release(self) -> None:
+            # idempotent: arm() and a late event may both land here
+            if not self._done:
+                self._done = True
+                stats[0].unpersist()
+                stats[1].unpersist()
+                spark.streams.removeListener(self)
+
+        def arm(self, query_id: str) -> None:
+            with self._lock:
+                self._target = query_id
+                if query_id in self._seen:
+                    self._release()
+
+        def release_now(self) -> None:
+            with self._lock:
+                self._release()
 
         def onQueryStarted(self, event) -> None: ...
 
@@ -699,12 +723,25 @@ def streaming_containment_screen(
         def onQueryIdle(self, event) -> None: ...
 
         def onQueryTerminated(self, event) -> None:
-            if str(event.id) == str(q.id):
-                stats[0].unpersist()
-                stats[1].unpersist()
-                spark.streams.removeListener(self)
+            with self._lock:
+                if self._target is None:
+                    self._seen.add(str(event.id))
+                elif str(event.id) == self._target:
+                    self._release()
 
-    spark.streams.addListener(_ReleaseStats())
+    listener = _ReleaseStats()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            docs_stream.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", flags_dir.rstrip("/") + ".__pvs_ckpt")
+            .start()
+        )
+    except Exception:
+        listener.release_now()
+        raise
+    listener.arm(str(q.id))
     return q
 
 
@@ -713,14 +750,28 @@ def read_sink_or_empty(spark, path: str, schema: str) -> DataFrame:
     when no batch ever wrote data files — ``spark.read.parquet`` on such
     a directory fails schema inference instead of returning zero rows
     (the contract :func:`streaming_containment_screen` and the
-    foreachBatch sinks need: no flags is a result, not an error)."""
-    import glob as globmod
-    import os
+    foreachBatch sinks need: no flags is a result, not an error).
 
+    The existence probe goes through the Hadoop FileSystem API resolved
+    FROM the path (not an os-level glob), so schemed URIs — ``file:``,
+    ``hdfs://``, ``s3a://`` — probe the store the sink actually wrote to
+    instead of silently reading a populated remote sink back as empty."""
     from pyspark.sql import types as T
 
     names = [f.name for f in T.StructType.fromDDL(schema).fields]
-    if not globmod.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _has_data_file() -> bool:
+        if not fs.exists(jpath):
+            return False
+        files = fs.listFiles(jpath, True)  # recursive
+        while files.hasNext():
+            if files.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
+
+    if not _has_data_file():
         return spark.createDataFrame([], schema)
     # project to exactly the requested columns: partition discovery
     # appends path-encoded columns (batch_id) even under an explicit

@@ -249,3 +249,18 @@ class TestSentenceUdtf:
         )
         out = sentence_table(docs).orderBy("sentence_idx").collect()
         assert [r["sentence"] for r in out] == ["End. Next part", "Tail"]
+
+    def test_non_identifier_columns_rejected(self, spark):
+        """Column names are spliced into the lateral-join SQL — anything
+        outside plain identifier shape must fail loudly up front, not as
+        a ParseException (or silent mis-resolution) inside the generated
+        statement."""
+        import pytest
+
+        from polars_view_spark.operators.udtfs import sentence_table
+
+        docs = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="plain SQL identifier"):
+            sentence_table(docs, id_col="doc id")
+        with pytest.raises(ValueError, match="plain SQL identifier"):
+            sentence_table(docs, text_col="text`; DROP")
