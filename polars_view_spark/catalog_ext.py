@@ -574,6 +574,49 @@ register(
 )(_d_minhash_incremental)
 
 
+def _d_minhash_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index incremental MinHash (operators/dedup.py:
+    minhash_build_index / minhash_query_index): the standing corpus's
+    signatures and shingles are written ONCE, then the new batch
+    (``doc_id % 10 == 0``) is paired against the index with zero
+    corpus-side recompute — the production form of
+    ``d_minhash_incremental``, whose self-contained path re-shingles the
+    corpus on every call.  Held to the SAME value-hash oracle as
+    ``d_minhash_incremental`` — the persisted path must reproduce the
+    recompute path bit-for-bit, so a signature lost or a shingle
+    corrupted in the parquet round-trip breaks the hash.  Query-side plan
+    is gated to contain NO corpus scan (tests/test_plans.py)."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_query_index,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    new = d.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    base = d.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    idx = os.path.join(_scratch_dir("minhash_index", sf_dir), "mh")
+    minhash_build_index(base, idx, "doc_id", "text")
+    return minhash_query_index(
+        spark, new, idx, "doc_id", "text", JACCARD_T
+    ).orderBy("doc1", "doc2")
+
+
+register(
+    "d_minhash_index_query",
+    oracle=f"""
+    WITH allpairs AS ({_duck_minhash_oracle()})
+    SELECT doc1, doc2, jaccard FROM allpairs
+    WHERE doc1 % {INCR_NEW_MOD} = 0 OR doc2 % {INCR_NEW_MOD} = 0
+    ORDER BY doc1, doc2
+    """,
+    tables=("documents",),
+)(_d_minhash_index_query)
+
+
 def _d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from the MinHash pair graph: iterative min-label
     propagation (operators/dedup.py:dedup_clusters) — the step that turns

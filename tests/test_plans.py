@@ -224,6 +224,39 @@ def test_incremental_minhash_broadcasts_new_batch(spark, cat):
     assert all(r["doc1"] % 10 == 0 or r["doc2"] % 10 == 0 for r in rows)
 
 
+def test_minhash_index_query_never_scans_corpus(spark, tmp_path):
+    # the build/query split's whole point: after minhash_build_index, the
+    # query-side plan reads ONLY the persisted index (signatures +
+    # shingles parquet) and the new batch — the corpus source must be
+    # absent, and so must any corpus-side re-hashing (VERDICT r06 task 3)
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_query_index,
+    )
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    corpus_src = str(tmp_path / "corpus_src")
+    d.filter(F.col("doc_id") % 10 != 0).write.parquet(corpus_src)
+    corpus = spark.read.parquet(corpus_src)
+    idx = str(tmp_path / "mh_idx")
+    minhash_build_index(corpus, idx, "doc_id", "text")
+
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    out = minhash_query_index(
+        spark, new, idx, "doc_id", "text", 0.5, materialize=False
+    )
+    plan = plan_of(out)
+    assert "corpus_src" not in plan, "query side re-scanned the corpus"
+    assert "signatures" in plan and "shingles" in plan
+    # the new batch's band buckets reach the index via broadcast — the
+    # (large) index side is never shuffled for candidates
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_gopher_quality_codegen_only(spark, cat):
     # first-pass scan filter: zero exchanges, zero Python eval
     plan = plan_of(cat["x_gopher_quality"].spark_fn(spark, SF))
