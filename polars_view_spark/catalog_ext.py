@@ -5552,12 +5552,14 @@ register(
 
 
 def _d_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted-neighborhood dedup candidates (operators/dedup.py:
-    sorted_neighborhood_pairs, Hernández-Stolfo 1995): block-partitioned
-    sort-key window, next-w neighbor comparison, exact token-Jaccard
-    verify — the O(n·w) candidate generator whose cost never blows up on
-    hot duplicate clusters (the banded generators' failure mode that the
-    hot-bucket cap guards)."""
+    """Multi-pass sorted-neighborhood dedup candidates (operators/
+    dedup.py:sorted_neighborhood_pairs, Hernández-Stolfo 1995 §4.2):
+    block-partitioned sort-key window, next-w neighbor comparison, exact
+    token-Jaccard verify, UNIONED over two independent sort keys (text
+    prefix; reversed-text prefix) — the paper's actual multi-pass
+    algorithm, and the O(passes·n·w) candidate generator whose cost never
+    blows up on hot duplicate clusters (the banded generators' failure
+    mode that the hot-bucket cap guards)."""
     from polars_view_spark.operators.dedup import sorted_neighborhood_pairs
 
     t = load_tables(spark, sf_dir, "documents")
@@ -5570,10 +5572,17 @@ def _duck_sorted_neighborhood_oracle() -> str:
     from polars_view_spark.operators.dedup import (
         SN_BLOCK_LEN,
         SN_KEY_LEN,
+        SN_PASSES,
         SN_WINDOW,
     )
 
     _TOKS = duck_tokens_sql("text")
+    # same per-pass key expressions as dedup.sn_pass_keys, DuckDB spelling
+    base = "lower(trim(text))"
+    pass_keys = [
+        f"substr({base}, 1, {SN_KEY_LEN})",
+        f"substr(reverse({base}), 1, {SN_KEY_LEN})",
+    ][:SN_PASSES]
     lead_cols = ", ".join(
         f"lead(doc, {i}) OVER w AS d{i}, lead(t, {i}) OVER w AS t{i}"
         for i in range(1, SN_WINDOW + 1)
@@ -5581,20 +5590,29 @@ def _duck_sorted_neighborhood_oracle() -> str:
     stack = ", ".join(
         f"{{'d': d{i}, 'tt': t{i}}}" for i in range(1, SN_WINDOW + 1)
     )
+    key_cols = ", ".join(f"{key} AS key{p}" for p, key in enumerate(pass_keys))
+    pass_ctes = []
+    pass_unions = []
+    for p in range(len(pass_keys)):
+        pass_ctes.append(f"""
+    keyed{p} AS (
+      SELECT doc, t, key{p} AS sn_key,
+             substr(key{p}, 1, {SN_BLOCK_LEN}) AS sn_block
+      FROM toks
+    ), leads{p} AS (
+      SELECT doc, t, {lead_cols}
+      FROM keyed{p} WINDOW w AS (PARTITION BY sn_block ORDER BY sn_key, doc)
+    )""")
+        pass_unions.append(f"""
+      SELECT doc, t, u.r['d'] AS doc2, u.r['tt'] AS t2
+      FROM leads{p}, UNNEST([{stack}]) AS u(r)
+      WHERE u.r['d'] IS NOT NULL""")
     return f"""
     WITH toks AS (
-      SELECT doc_id AS doc, list_distinct({_TOKS}) AS t,
-             substr(lower(trim(text)), 1, {SN_KEY_LEN}) AS sn_key,
-             substr(substr(lower(trim(text)), 1, {SN_KEY_LEN}), 1,
-                    {SN_BLOCK_LEN}) AS sn_block
+      SELECT doc_id AS doc, list_distinct({_TOKS}) AS t, {key_cols}
       FROM documents
-    ), leads AS (
-      SELECT doc, t, {lead_cols}
-      FROM toks WINDOW w AS (PARTITION BY sn_block ORDER BY sn_key, doc)
-    ), stacked AS (
-      SELECT doc, t, u.r['d'] AS doc2, u.r['tt'] AS t2
-      FROM leads, UNNEST([{stack}]) AS u(r)
-      WHERE u.r['d'] IS NOT NULL
+    ), {", ".join(pass_ctes)}, stacked AS (
+      {" UNION ALL ".join(pass_unions)}
     ), scored AS (
       SELECT least(doc, doc2) AS doc1, greatest(doc, doc2) AS doc2,
              round(len(list_intersect(t, t2))
@@ -5602,7 +5620,7 @@ def _duck_sorted_neighborhood_oracle() -> str:
                    6) AS jaccard
       FROM stacked
     )
-    SELECT doc1, doc2, jaccard FROM scored
+    SELECT DISTINCT doc1, doc2, jaccard FROM scored
     WHERE jaccard >= {JACCARD_T} ORDER BY doc1, doc2
     """
 

@@ -1347,6 +1347,27 @@ SN_BLOCK_LEN = 2
 SN_WINDOW = 3
 
 
+#: standard Hernández-Stolfo multi-pass count: pass 1 sorts on the text
+#: PREFIX, pass 2 on the REVERSED text's prefix (i.e. the suffix read
+#: backwards) — duplicates whose keys diverge early in one ordering are
+#: adjacent in the other (prepended header vs appended footer)
+SN_PASSES = 2
+
+
+def sn_pass_keys(text_col: str, key_len: int, passes: int) -> list[str]:
+    """The per-pass sort-key expressions (Spark SQL).  Exactly mirrored
+    by the DuckDB oracle (catalog_ext.py) — single source for HOW many
+    and WHICH keys the multi-pass run uses."""
+    base = f"lower(trim({text_col}))"
+    keys = [
+        f"substring({base}, 1, {key_len})",
+        f"substring(reverse({base}), 1, {key_len})",
+    ]
+    if not 1 <= passes <= len(keys):
+        raise ValueError(f"passes must be in [1, {len(keys)}], got {passes}")
+    return keys[:passes]
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1355,65 +1376,89 @@ def sorted_neighborhood_pairs(
     window: int = SN_WINDOW,
     key_len: int = SN_KEY_LEN,
     block_len: int = SN_BLOCK_LEN,
+    passes: int = SN_PASSES,
 ) -> DataFrame:
-    """Sorted-neighborhood dedup candidates (Hernández & Stolfo, SIGMOD
-    1995): sort by a content key, compare each record only with its next
-    ``window`` neighbors, verify with exact token Jaccard — the fourth
+    """Multi-pass sorted-neighborhood dedup candidates (Hernández &
+    Stolfo, SIGMOD 1995): for each of ``passes`` sort keys, sort by the
+    key, compare each record only with its next ``window`` neighbors;
+    union the passes and verify with exact token Jaccard — the fourth
     candidate generator beside MinHash-LSH, SimHash bands and key
-    blocking, with the opposite trade-off: O(n·w) candidate cost that is
-    INDEPENDENT of duplicate-cluster sizes (no bucket blowup), at the
-    price of missing duplicates whose sort keys diverge early.
+    blocking, with the opposite trade-off: O(passes·n·w) candidate cost
+    that is INDEPENDENT of duplicate-cluster sizes (no bucket blowup),
+    at the price of missing duplicates whose sort keys diverge early in
+    EVERY pass.
 
-    Distributed form: the sort is PARTITIONED by a short key prefix
-    (``block_len`` chars) with the neighborhood window running inside
-    each block — so no single-partition global window exists in the
-    plan.  Pairs straddling a block boundary are missed; the classic
-    remedy (multiple passes with different keys) applies unchanged —
-    documented, not hidden.
+    The multi-pass union is the paper's actual algorithm (§4.2: "several
+    independent runs … each time with a different key, and a union of
+    the results"): a single pass misses any duplicate whose key differs
+    in the first characters — a prepended header, an edited first word —
+    however wide the window.  Pass 2 sorts on the REVERSED text, so
+    documents sharing a tail are neighbors there (pinned by a planted
+    boundary-straddling test that one pass provably misses).
+
+    Distributed form: each pass's sort is PARTITIONED by a short key
+    prefix (``block_len`` chars) with the neighborhood window running
+    inside each block — so no single-partition global window exists in
+    the plan.  Pairs straddling a block boundary within a pass can still
+    be missed; the other pass's independent ordering is also the classic
+    remedy for exactly that.
 
     Output: ``(doc1, doc2, jaccard)`` with doc1 < doc2, Jaccard ≥
-    threshold over distinct whitespace tokens.
+    threshold over distinct whitespace tokens; pairs found by several
+    passes appear once (identical jaccard per pass → DISTINCT).
 
-    Scale shape: one range/hash shuffle on the block key, one window
+    Scale shape per pass: one hash shuffle on the block key, one window
     computing ALL ``window`` leads in a single pass, an explode of w
-    bounded structs per row, and a codegen Jaccard — linear end to end.
+    bounded structs per row, and a codegen Jaccard — linear end to end;
+    the tokenize projection is shared across passes and the final
+    DISTINCT is one shuffle of the (tiny) surviving pairs.
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     from pyspark.sql import Window
 
+    key_exprs = sn_pass_keys(text_col, key_len, passes)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(tokens_expr(text_col)).alias("t"),
-        F.expr(f"substring(lower(trim({text_col})), 1, {key_len})").alias(
-            "sn_key"
-        ),
-    ).withColumn("sn_block", F.expr(f"substring(sn_key, 1, {block_len})"))
-    w = Window.partitionBy("sn_block").orderBy("sn_key", "doc")
-    # window expressions must be plain projection columns (they cannot sit
-    # inside a generator), so the w leads land as columns first and the
-    # struct-stack explode runs as a second projection
-    lead_cols = []
-    for i in range(1, window + 1):
-        lead_cols.append(F.lead("doc", i).over(w).alias(f"__d{i}"))
-        lead_cols.append(F.lead("t", i).over(w).alias(f"__t{i}"))
-    with_leads = toks.select("doc", "t", *lead_cols)
-    leads = with_leads.select(
-        "doc",
-        "t",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col(f"__d{i}").alias("doc2"),
-                        F.col(f"__t{i}").alias("t2"),
-                    )
-                    for i in range(1, window + 1)
-                ]
-            )
-        ).alias("nb"),
-    ).filter(F.col("nb.doc2").isNotNull())
-    scored = leads.select(
+        *[F.expr(k).alias(f"__key{p}") for p, k in enumerate(key_exprs)],
+    )
+
+    pass_frames = []
+    for p in range(len(key_exprs)):
+        keyed = toks.select(
+            "doc", "t", F.col(f"__key{p}").alias("sn_key")
+        ).withColumn("sn_block", F.expr(f"substring(sn_key, 1, {block_len})"))
+        w = Window.partitionBy("sn_block").orderBy("sn_key", "doc")
+        # window expressions must be plain projection columns (they cannot
+        # sit inside a generator), so the w leads land as columns first and
+        # the struct-stack explode runs as a second projection
+        lead_cols = []
+        for i in range(1, window + 1):
+            lead_cols.append(F.lead("doc", i).over(w).alias(f"__d{i}"))
+            lead_cols.append(F.lead("t", i).over(w).alias(f"__t{i}"))
+        with_leads = keyed.select("doc", "t", *lead_cols)
+        leads = with_leads.select(
+            "doc",
+            "t",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"__d{i}").alias("doc2"),
+                            F.col(f"__t{i}").alias("t2"),
+                        )
+                        for i in range(1, window + 1)
+                    ]
+                )
+            ).alias("nb"),
+        ).filter(F.col("nb.doc2").isNotNull())
+        pass_frames.append(leads)
+
+    all_leads = pass_frames[0]
+    for fr in pass_frames[1:]:
+        all_leads = all_leads.unionByName(fr)
+    scored = all_leads.select(
         F.least(F.col("doc"), F.col("nb.doc2")).alias("doc1"),
         F.greatest(F.col("doc"), F.col("nb.doc2")).alias("doc2"),
         F.round(
@@ -1422,4 +1467,6 @@ def sorted_neighborhood_pairs(
             6,
         ).alias("jaccard"),
     )
-    return scored.filter(F.col("jaccard") >= jaccard_threshold)
+    # exact Jaccard is pass-independent, so the cross-pass dedup is a
+    # plain DISTINCT over the (already threshold-filtered, tiny) pairs
+    return scored.filter(F.col("jaccard") >= jaccard_threshold).distinct()

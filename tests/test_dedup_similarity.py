@@ -664,6 +664,40 @@ class TestSortedNeighborhood:
         # the unique docs pair with nobody (distinct vocab, distinct keys)
         assert not [p for p in pairs if p["doc1"] >= 100]
 
+    def test_second_pass_catches_block_straddling_duplicate(self, spark):
+        """The Hernández-Stolfo multi-pass property (VERDICT r06 task 6):
+        a near-dup pair whose PREFIXES land in different sort blocks is
+        provably missed by the prefix pass alone — asserted with
+        passes=1 — and caught by the reversed-text pass, whose ordering
+        puts the shared tail adjacent."""
+        from polars_view_spark.operators.dedup import sorted_neighborhood_pairs
+
+        shared = " ".join(f"common{i} token{i}" for i in range(12))
+        rows = [
+            # prefixes 'aa…' vs 'zz…' → different sn_blocks in pass 1;
+            # identical tail → adjacent under the reversed-text key
+            (1, "aaheader " + shared),
+            (2, "zzheader " + shared),
+            # filler docs with unrelated vocab in other blocks
+            (3, "mmfiller nothing shared here at all"),
+            (4, "qqfiller also entirely unrelated text"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        one_pass = {
+            (r["doc1"], r["doc2"])
+            for r in sorted_neighborhood_pairs(
+                docs, "doc_id", "text", 0.5, passes=1
+            ).collect()
+        }
+        assert (1, 2) not in one_pass, "test premise broken: pass 1 found it"
+        two_pass = {
+            (r["doc1"], r["doc2"])
+            for r in sorted_neighborhood_pairs(
+                docs, "doc_id", "text", 0.5, passes=2
+            ).collect()
+        }
+        assert (1, 2) in two_pass
+
 
 class TestCdcChunks:
     def test_chunk_hashes_realign_after_insertion(self, spark):
