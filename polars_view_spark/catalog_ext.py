@@ -5748,11 +5748,95 @@ register(
       UNION ALL SELECT n_checked, 'status_domain', v_status_domain FROM agg
       UNION ALL SELECT n_checked, 'customer_exists', v_customer_exists FROM agg
     )
-    SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+    SELECT rule, n_checked, n_violations, n_violations = 0 AS passed,
+           CAST(NULL AS DOUBLE) AS observed, CAST(NULL AS BOOLEAN) AS sketch_ok
     FROM stacked ORDER BY rule
     """,
     tables=("orders", "customer"),
 )(_x_data_expectations)
+
+
+EXP_DIST_SNAP_MOD = 3  # orders with o_orderkey % 3 != 0 play the snapshot
+
+
+def _x_expectations_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution expectations (operators/expectations.py, VERDICT r06
+    task 7): quantile-range, distinct-range and drift-vs-snapshot rules
+    evaluated in the SAME single scan+aggregate as the row rules — the
+    exact metric decides pass/fail (cross-engine reproducible, one rule
+    planted to FAIL so non-trivial verdicts are value-hash gated), and
+    the KLL/Theta sketch twins (operators/sketches.py) are held to the
+    exact values by self-asserting ``sketch_ok`` booleans, which the
+    oracle states as literal TRUE (the x_sketch_rollup bar).  The drift
+    snapshot is one 1-row broadcast aggregate of the
+    ``o_orderkey % {mod} != 0`` slice."""
+    from polars_view_spark.operators.expectations import expectations_report
+
+    t = load_tables(spark, sf_dir, "orders")
+    orders = t["orders"]
+    snapshot = orders.filter(F.col("o_orderkey") % EXP_DIST_SNAP_MOD != 0)
+    rules = [
+        {"name": "price_median_band", "kind": "quantile_range",
+         "column": "o_totalprice", "q": 0.5, "low": 100000, "high": 400000},
+        {"name": "price_p95_cap", "kind": "quantile_range",
+         "column": "o_totalprice", "q": 0.95, "low": 0, "high": 300000},  # FAILS
+        {"name": "cust_cardinality", "kind": "distinct_range",
+         "column": "o_custkey", "low": 10, "high": 100000000},
+        {"name": "median_drift_loose", "kind": "quantile_drift",
+         "column": "o_totalprice", "q": 0.5, "ref": "snapshot",
+         "max_rel_change": 0.5},
+        {"name": "median_drift_tight", "kind": "quantile_drift",
+         "column": "o_totalprice", "q": 0.5, "ref": "snapshot",
+         "max_rel_change": 0.0001},  # FAILS at every SF
+        {"name": "cust_drift", "kind": "distinct_drift",
+         "column": "o_custkey", "ref": "snapshot", "max_rel_change": 0.5},
+    ]
+    return expectations_report(orders, rules, {"snapshot": snapshot})
+
+
+register(
+    "x_expectations_distribution",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(o_totalprice, 0.5) AS med,
+             quantile_cont(o_totalprice, 0.95) AS p95,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS dk
+      FROM orders
+    ), s AS (
+      SELECT quantile_cont(o_totalprice, 0.5) AS med,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS dk
+      FROM orders WHERE o_orderkey % {EXP_DIST_SNAP_MOD} != 0
+    ), stacked AS (
+      SELECT n, 'price_median_band' AS rule,
+             CAST(CASE WHEN f.med < 100000.0 OR f.med > 400000.0
+                  THEN 1 ELSE 0 END AS BIGINT) AS n_violations,
+             round(f.med, 4) AS observed FROM f
+      UNION ALL SELECT n, 'price_p95_cap',
+             CAST(CASE WHEN f.p95 < 0.0 OR f.p95 > 300000.0
+                  THEN 1 ELSE 0 END AS BIGINT), round(f.p95, 4) FROM f
+      UNION ALL SELECT n, 'cust_cardinality',
+             CAST(CASE WHEN f.dk < 10.0 OR f.dk > 100000000.0
+                  THEN 1 ELSE 0 END AS BIGINT), round(f.dk, 4) FROM f
+      UNION ALL SELECT n, 'median_drift_loose',
+             CAST(CASE WHEN abs((f.med - s.med) / s.med) > 0.5
+                  THEN 1 ELSE 0 END AS BIGINT),
+             round((f.med - s.med) / s.med, 6) FROM f, s
+      UNION ALL SELECT n, 'median_drift_tight',
+             CAST(CASE WHEN abs((f.med - s.med) / s.med) > 0.0001
+                  THEN 1 ELSE 0 END AS BIGINT),
+             round((f.med - s.med) / s.med, 6) FROM f, s
+      UNION ALL SELECT n, 'cust_drift',
+             CAST(CASE WHEN abs((f.dk - s.dk) / s.dk) > 0.5
+                  THEN 1 ELSE 0 END AS BIGINT),
+             round((f.dk - s.dk) / s.dk, 6) FROM f, s
+    )
+    SELECT rule, n AS n_checked, n_violations, n_violations = 0 AS passed,
+           observed, TRUE AS sketch_ok
+    FROM stacked ORDER BY rule
+    """,
+    tables=("orders",),
+)(_x_expectations_distribution)
 
 
 STREAM_ANN_N_QUERIES = 25

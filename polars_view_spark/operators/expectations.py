@@ -57,18 +57,84 @@ def _rule_condition(rule: dict) -> str:
     raise ValueError(f"unknown expectation kind: {kind!r}")
 
 
+#: dataset-level distribution rules — evaluated as aggregate expressions
+#: inside the SAME single scan as the row rules, never as extra jobs
+_DIST_KINDS = ("quantile_range", "distinct_range", "quantile_drift", "distinct_drift")
+
+#: default relative tolerance for the sketch-tracks-exact assertion
+#: (KLL rank error ≈ 1.7 % at default k; Theta/HLL ≈ 1.6 % at lg_k 12)
+SKETCH_TOL = 0.05
+
+
+def _dist_exprs(rule: dict) -> tuple[str, str]:
+    """(exact_sql, sketch_sql) aggregate expressions for a distribution
+    rule over the FACT side.  The exact value carries the pass/fail
+    decision (deterministic, cross-engine reproducible); the sketch twin
+    — KLL for quantiles, Theta for distincts (operators/sketches.py) —
+    is the 100 TB estimator, held to the exact value by the
+    ``sketch_ok`` bound boolean (the x_sketch_rollup idiom: at real
+    scale the exact pass is the one you drop first, and the boolean is
+    the evidence the sketch-only mode tracks it)."""
+    kind = rule["kind"]
+    col = _checked_ident(rule.get("column"), f"rule {rule['name']!r} column")
+    if kind in ("quantile_range", "quantile_drift"):
+        q = float(rule.get("q", 0.5))
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"rule {rule['name']!r}: q must be in [0, 1], got {q}")
+        return (
+            f"percentile({col}, {q}D)",
+            f"kll_sketch_get_quantile_double("
+            f"kll_sketch_agg_double(CAST({col} AS DOUBLE)), {q}D)",
+        )
+    # distinct_range / distinct_drift
+    return (
+        f"CAST(COUNT(DISTINCT {col}) AS DOUBLE)",
+        f"theta_sketch_estimate(theta_sketch_agg({col}))",
+    )
+
+
 def expectations_report(
     df: DataFrame,
     rules: list[dict],
     ref_frames: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Evaluate every rule, return one row per rule:
-    ``(rule, n_checked, n_violations, passed)``, ordered by rule name.
+    ``(rule, n_checked, n_violations, passed, observed, sketch_ok)``,
+    ordered by rule name.
 
-    Rule dicts: ``{"name", "kind": not_null|in_range|accepted_values|
-    unique|references, "column", ...}`` — ``in_range`` adds ``low``/
-    ``high``, ``accepted_values`` adds ``values``, ``references`` adds
-    ``ref`` (a key in ``ref_frames``) and ``ref_column``.
+    Row-level rule dicts: ``{"name", "kind": not_null|in_range|
+    accepted_values|unique|references, "column", ...}`` — ``in_range``
+    adds ``low``/``high``, ``accepted_values`` adds ``values``,
+    ``references`` adds ``ref`` (a key in ``ref_frames``) and
+    ``ref_column``.  For these, ``observed``/``sketch_ok`` are NULL.
+
+    Distribution rules (dataset-level, VERDICT r06 task 7) evaluate as
+    aggregate expressions inside the SAME scan:
+
+    - ``quantile_range``: the column's ``q``-quantile (default median)
+      must lie in [``low``, ``high``].  ``observed`` = the exact
+      quantile (rounded 4dp); a KLL sketch twin is computed alongside
+      and ``sketch_ok`` asserts it tracks the exact value within
+      ``tol`` (default ``SKETCH_TOL``).
+    - ``distinct_range``: exact COUNT(DISTINCT column) in [``low``,
+      ``high``]; Theta-sketch twin under the same bound.
+    - ``quantile_drift`` / ``distinct_drift``: the metric's relative
+      change vs a reference SNAPSHOT frame (``ref`` in ``ref_frames``,
+      optional ``ref_column``) must satisfy |Δ|/old ≤
+      ``max_rel_change``.  ``observed`` = the relative change (rounded
+      6dp); ``sketch_ok`` asserts the sketch twin tracks the exact on
+      BOTH sides.  The snapshot side is ONE 1-row aggregate per
+      distinct ref, cross-joined broadcast — at 100 TB swap it for the
+      persisted sketch partials (operators/sketches.py:
+      kll_partial_sketches / theta_partial_sketches) the pipeline
+      already maintains; the in-scan sketch expressions are exactly
+      those partials' aggregates.
+
+    ``n_violations`` for distribution rules is 0/1 (the dataset as a
+    whole passes or fails), so ``passed = n_violations == 0`` holds
+    uniformly.  Cost stays ONE scan + ONE aggregate of the fact table
+    for ANY rule mix, plus one broadcast per referenced dimension and
+    one 1-row aggregate per drift snapshot.
     """
     if not rules:
         raise ValueError(
@@ -78,16 +144,20 @@ def expectations_report(
     names = [_checked_ident(r["name"], "rule name") for r in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names in {names}")
+
+    def _need_ref(r: dict) -> DataFrame:
+        if not ref_frames or r["ref"] not in ref_frames:
+            raise ValueError(
+                f"{r['kind']} rule {r['name']!r} needs ref_frames["
+                f"{r['ref']!r}] — got keys "
+                f"{sorted(ref_frames) if ref_frames else []}"
+            )
+        return ref_frames[r["ref"]]
+
     base = df
     for r in rules:
         if r["kind"] == "references":
-            if not ref_frames or r["ref"] not in ref_frames:
-                raise ValueError(
-                    f"references rule {r['name']!r} needs ref_frames["
-                    f"{r['ref']!r}] — got keys "
-                    f"{sorted(ref_frames) if ref_frames else []}"
-                )
-            ref = ref_frames[r["ref"]]
+            ref = _need_ref(r)
             keys = ref.select(
                 F.col(r["ref_column"]).alias(r["column"]),
                 F.lit(1).alias(f"__ref_{r['name']}"),
@@ -96,33 +166,78 @@ def expectations_report(
 
     aggs = [F.count(F.lit(1)).cast("long").alias("n_checked")]
     for r in rules:
-        if r["kind"] == "unique":
+        n = r["name"]
+        if r["kind"] in _DIST_KINDS:
+            exact, sketch = _dist_exprs(r)
+            aggs.append(F.expr(exact).alias(f"e_{n}"))
+            aggs.append(F.expr(sketch).alias(f"s_{n}"))
+        elif r["kind"] == "unique":
             aggs.append(
-                (
-                    F.count(F.col(r["column"]))
-                    - F.countDistinct(F.col(r["column"]))
-                )
+                (F.count(F.col(r["column"])) - F.countDistinct(F.col(r["column"])))
                 .cast("long")
-                .alias(f"v_{r['name']}")
+                .alias(f"v_{n}")
             )
         else:
             aggs.append(
-                F.sum(
-                    F.expr(
-                        f"CASE WHEN {_rule_condition(r)} THEN 1 ELSE 0 END"
-                    )
-                )
+                F.sum(F.expr(f"CASE WHEN {_rule_condition(r)} THEN 1 ELSE 0 END"))
                 .cast("long")
-                .alias(f"v_{r['name']}")
+                .alias(f"v_{n}")
             )
     one = base.agg(*aggs)
 
-    stacked = ", ".join(f"'{r['name']}', v_{r['name']}" for r in rules)
+    # snapshot side for drift rules: ONE 1-row aggregate per distinct ref
+    # frame (however many rules reference it), cross-joined broadcast —
+    # the only crossJoin shape this package allows (1-row aggregates)
+    drift_by_ref: dict[str, list[dict]] = {}
+    for r in rules:
+        if r["kind"].endswith("_drift") and r["kind"] in _DIST_KINDS:
+            _need_ref(r)
+            drift_by_ref.setdefault(r["ref"], []).append(r)
+    for ref_name, ref_rules in drift_by_ref.items():
+        raggs = []
+        for r in ref_rules:
+            ref_col = r.get("ref_column", r["column"])
+            exact, sketch = _dist_exprs({**r, "column": ref_col})
+            raggs.append(F.expr(exact).alias(f"re_{r['name']}"))
+            raggs.append(F.expr(sketch).alias(f"rs_{r['name']}"))
+        one = one.crossJoin(F.broadcast(ref_frames[ref_name].agg(*raggs)))
+
+    groups = []
+    for r in rules:
+        n = r["name"]
+        kind = r["kind"]
+        if kind not in _DIST_KINDS:
+            groups.append(
+                f"'{n}', v_{n}, CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)"
+            )
+            continue
+        tol = float(r.get("tol", SKETCH_TOL))
+        within = f"abs(s_{n} - e_{n}) <= abs(e_{n}) * {tol}"
+        if kind.endswith("_drift"):
+            max_rel = float(rule_max_rel := r["max_rel_change"])
+            if rule_max_rel < 0:
+                raise ValueError(f"rule {n!r}: max_rel_change must be >= 0")
+            rel = f"(e_{n} - re_{n}) / re_{n}"
+            violated = (
+                f"(e_{n} IS NULL OR re_{n} IS NULL OR abs({rel}) > {max_rel})"
+            )
+            observed = f"round({rel}, 6)"
+            within = f"({within} AND abs(rs_{n} - re_{n}) <= abs(re_{n}) * {tol})"
+        else:
+            lo, hi = float(r["low"]), float(r["high"])
+            violated = f"(e_{n} IS NULL OR e_{n} < {lo} OR e_{n} > {hi})"
+            observed = f"round(e_{n}, 4)"
+        groups.append(
+            f"'{n}', CAST(CASE WHEN {violated} THEN 1 ELSE 0 END AS BIGINT), "
+            f"{observed}, {within}"
+        )
+
     return (
         one.select(
             "n_checked",
             F.expr(
-                f"stack({len(rules)}, {stacked}) AS (rule, n_violations)"
+                f"stack({len(rules)}, {', '.join(groups)}) "
+                f"AS (rule, n_violations, observed, sketch_ok)"
             ),
         )
         .select(
@@ -130,6 +245,8 @@ def expectations_report(
             "n_checked",
             "n_violations",
             (F.col("n_violations") == 0).alias("passed"),
+            "observed",
+            "sketch_ok",
         )
         .orderBy("rule")
     )

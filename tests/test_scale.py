@@ -410,3 +410,87 @@ class TestExpectations:
         ]:
             with _pytest.raises(ValueError, match=msg):
                 expectations_report(df, bad_rules)
+
+    def test_distribution_rules_decide_on_exact_and_assert_sketches(self, spark):
+        """Distribution kinds (VERDICT r06 task 7): quantile-range,
+        distinct-range and drift-vs-snapshot evaluate in the same single
+        aggregate; the EXACT metric decides pass/fail, the KLL/Theta
+        twins must self-assert within tolerance, and row rules carry
+        NULL observed/sketch_ok."""
+        from polars_view_spark.operators.expectations import (
+            expectations_report,
+        )
+
+        # values 1..100 → median 50.5, p95 95.05, 100 distinct keys
+        df = spark.range(1, 101).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        )
+        # snapshot: 1..80 → median 40.5 → rel change (50.5-40.5)/40.5 ≈ .2469
+        snap = spark.range(1, 81).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        )
+        rules = [
+            {"name": "k_not_null", "kind": "not_null", "column": "k"},
+            {"name": "median_band", "kind": "quantile_range", "column": "v",
+             "q": 0.5, "low": 40, "high": 60},
+            {"name": "p95_cap", "kind": "quantile_range", "column": "v",
+             "q": 0.95, "low": 0, "high": 90},  # 95.05 > 90 → FAIL
+            {"name": "k_card", "kind": "distinct_range", "column": "k",
+             "low": 50, "high": 200},
+            {"name": "median_drift_ok", "kind": "quantile_drift",
+             "column": "v", "q": 0.5, "ref": "snap", "max_rel_change": 0.5},
+            {"name": "median_drift_bad", "kind": "quantile_drift",
+             "column": "v", "q": 0.5, "ref": "snap", "max_rel_change": 0.1},
+            {"name": "k_drift", "kind": "distinct_drift", "column": "k",
+             "ref": "snap", "max_rel_change": 0.5},  # (100-80)/80 = .25
+        ]
+        out = {
+            r["rule"]: r
+            for r in expectations_report(df, rules, {"snap": snap}).collect()
+        }
+        assert out["k_not_null"]["passed"]
+        assert out["k_not_null"]["observed"] is None
+        assert out["k_not_null"]["sketch_ok"] is None
+        assert out["median_band"]["passed"]
+        assert out["median_band"]["observed"] == 50.5
+        assert not out["p95_cap"]["passed"]
+        assert out["p95_cap"]["observed"] == 95.05
+        assert out["k_card"]["passed"] and out["k_card"]["observed"] == 100.0
+        assert out["median_drift_ok"]["passed"]
+        assert out["median_drift_ok"]["observed"] == round(10 / 40.5, 6)
+        assert not out["median_drift_bad"]["passed"]
+        assert out["k_drift"]["passed"] and out["k_drift"]["observed"] == 0.25
+        # every distribution rule's sketch twin tracked its exact value
+        for name in ("median_band", "p95_cap", "k_card",
+                     "median_drift_ok", "median_drift_bad", "k_drift"):
+            assert out[name]["sketch_ok"] is True, name
+        # n_checked is the FACT side's row count for every rule
+        assert all(r["n_checked"] == 100 for r in out.values())
+
+    def test_distribution_rule_validation(self, spark):
+        import pytest as _pytest
+
+        from polars_view_spark.operators.expectations import (
+            expectations_report,
+        )
+
+        df = spark.range(5).selectExpr("CAST(id AS DOUBLE) AS v")
+        with _pytest.raises(ValueError, match="ref_frames"):
+            expectations_report(
+                df,
+                [{"name": "d", "kind": "quantile_drift", "column": "v",
+                  "ref": "snap", "max_rel_change": 0.1}],
+            )
+        with _pytest.raises(ValueError, match="q must be"):
+            expectations_report(
+                df,
+                [{"name": "qr", "kind": "quantile_range", "column": "v",
+                  "q": 1.5, "low": 0, "high": 1}],
+            )
+        with _pytest.raises(ValueError, match="max_rel_change"):
+            expectations_report(
+                df,
+                [{"name": "d", "kind": "quantile_drift", "column": "v",
+                  "ref": "s", "max_rel_change": -0.1}],
+                {"s": df},
+            )
