@@ -145,72 +145,69 @@ def sql_query(
 # anchors for the headline/bench queries.  Demoted entries stay registered
 # and stay covered by the local oracle gate (tests/test_catalog_oracle.py).
 DRIVER_PRIORITY = [
-    # ROUND-6 WINDOW — executes the rotation plan committed in round 5.
-    # (a) the 5 round-6 additions (force-string + single-doc-JSON oracle
-    # gating per VERDICT r05 task 6, keyset pagination per task 7, and
-    # the two optional task-8 builds) plus the 2 round-6-changed entries
-    # owed a re-stamp: x_negative_pairs (corpus-count-adaptive n_buckets,
-    # oracle-mirrored derivation changed on both engines) and
-    # x_label_centroid (assigned column now computed as int64):
-    "t_force_string_roundtrip", "t_json_doc_roundtrip",
-    "q_keyset_pagination", "s_two_tower_text_topk",
-    "e_streaming_containment", "x_negative_pairs", "x_label_centroid",
-    # (b) the 23 round-5 additions that have never had a driver row (all
-    # green in the local sf0.001+sf0.01 oracle sweeps and in the judge's
-    # independent driver-equivalent sf0.01 sweep last round):
-    "d_containment_pairs", "d_dedup_eval", "d_simhash_near_dup",
-    "e_streaming_binary_ingest", "e_streaming_dedup",
-    "e_streaming_python_source", "e_streaming_trending",
-    "e_streaming_upsert", "e_variant_extract", "q_limit_offset",
-    "q_recursive_cte", "s_ann_index_persist", "t_binaryfile_ingest",
-    "t_bucketed_join", "t_fixedwidth_ingest", "t_parquet_bloom_write",
-    "t_python_datasource", "t_xml_roundtrip", "t_zorder_layout",
-    "x_bloom_pruned_join", "x_dsir_weights", "x_hashed_doc_vectors",
-    "x_temperature_sample",
-    # (c) the 20 r02-only entries deferred from the round-5 window
-    # (simple roundtrips / join shapes — final piece of the "every entry
-    # has a driver row ≤2 rounds old" goal):
-    "t_csv_roundtrip", "t_ndjson_roundtrip", "t_orc_roundtrip",
-    "t_partitioned_roundtrip", "t_remove_null_columns",
-    "t_multi_sort_nulls", "t_round_floats", "q_outer_join",
-    "q_full_outer_join", "q_cross_join", "q_in_subquery",
-    "q_scalar_functions", "q_grouping_sets", "q_cube", "q_percentiles",
-    "q_string_agg", "q_datetime_functions", "q_explode_word_counts",
-    "q_qualified_star", "q_window_analytics",
+    # ROUND-7 WINDOW — executes the rotation plan committed in round 6.
+    # (a) the 2 round-7 additions: the persisted-MinHash build/query
+    # split (VERDICT r06 task 3) and the distribution-expectations gate
+    # (task 7).  x_data_expectations (schema widened by task 7) and
+    # d_sorted_neighborhood_pairs (multi-pass upgrade, task 6) are owed
+    # re-stamps and sit in group (b) anyway:
+    "d_minhash_index_query", "x_expectations_distribution",
+    # (b) the 15 late round-6 additions that have never had a driver row
+    # (all green in the local sf0.001+sf0.01 oracle sweeps and included
+    # in the judge's independently-run 834-green round-6 suite):
+    "x_sentence_split_udtf", "s_hybrid_rrf_topk", "x_leakage_safe_split",
+    "s_mmr_rerank", "d_cdc_chunks", "x_incremental_agg",
+    "x_join_explosion_check", "q_pipe_syntax", "q_parameterized_sql",
+    "d_sorted_neighborhood_pairs", "e_streaming_static_join",
+    "x_data_expectations", "e_streaming_ann_lookup",
+    "q_session_variable", "q_lateral_alias",
+    # (c) 33 of the 44 entries whose newest driver row is round 3 — the
+    # oldest stamps in the catalog (streaming windows, multimodal frame
+    # ops, the r03 TPC-H block, dedup cluster/apply + the flagged
+    # d_minhash_incremental, the sketch family).  The 11 deferred
+    # r03-stamp holdouts move to the round-8 window:
+    "d_dedup_apply", "d_dedup_clusters", "d_minhash_incremental",
+    "e_streaming_tumbling", "e_streaming_sessions", "e_streaming_sliding",
+    "x_multimodal_framesample", "x_multimodal_resize",
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_important_stock", "q15_top_supplier", "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q20_potential_promotion", "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "x_heavy_hitters", "x_sketch_rollup", "x_snapshot_drift",
+    "x_audience_overlap", "x_salted_skew_join", "x_train_val_test_split",
+    "x_chunk_documents", "q_dwell_time", "q_event_funnel",
+    "q_retention_cohorts", "q_window_range_frame",
 ]
-# Everything demoted out of the window is green in CORRECTNESS_r01-r05 and
+# Everything demoted out of the window is green in CORRECTNESS_r01-r06 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
 # sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
-# Stamp state entering round 6: 184 catalog entries, 161 with at least
-# one driver row; the 23 unstamped round-5 additions fill group (b)
-# above.  Round 6 grew the catalog 184 → 204 (t_force_string_roundtrip,
-# t_json_doc_roundtrip, q_keyset_pagination, s_two_tower_text_topk,
-# e_streaming_containment — group (a) — plus fifteen late-round adds that
-# missed this window: x_sentence_split_udtf, s_hybrid_rrf_topk,
-# x_leakage_safe_split, s_mmr_rerank, d_cdc_chunks,
-# x_incremental_agg, x_join_explosion_check, q_pipe_syntax,
-# q_parameterized_sql, d_sorted_neighborhood_pairs,
-# e_streaming_static_join, x_data_expectations,
-# e_streaming_ann_lookup, q_session_variable, q_lateral_alias).
-# Once
-# CORRECTNESS_r06 lands 50/50 green, the only entries without a driver
-# row are those fifteen late adds and the oldest stamps are the round-3
-# block.
-# Round-7 rotation should lead with anything round 6 changes or adds —
-# x_sentence_split_udtf, s_hybrid_rrf_topk, x_leakage_safe_split,
-# s_mmr_rerank, d_cdc_chunks, x_incremental_agg,
-# x_join_explosion_check, q_pipe_syntax, q_parameterized_sql,
-# d_sorted_neighborhood_pairs, e_streaming_static_join,
-# x_data_expectations, e_streaming_ann_lookup,
-# q_session_variable, q_lateral_alias first —
-# then the oldest r03-only stamps: the streaming window entries
-# (e_streaming_tumbling/sessions/sliding/join), multimodal
-# frame-sample/resize, the TPC-H q2/q4/q6/q7/q9/q10/q11/q13/q14/
-# q15-q22 block, d_dedup_clusters/d_dedup_apply/d_minhash_lsh_pairs/
-# d_simhash/d_ngram_jaccard_pairs, e_asof_join/e_sessionize, the
-# sketch family (x_hll_counts, x_kll_quantiles, x_theta_sketch,
-# x_heavy_hitters, x_drift_detect) and x_kmeans_clusters — then the
-# r04 stamps (x_quality_buckets, x_nation_pagerank, …) the round after.
+# Stamp state entering round 7: 206 catalog entries (204 + the two
+# round-7 adds in group (a)); CORRECTNESS_r06 landed 50/50 green, so the
+# only entries without a driver row are the fifteen round-6 late adds in
+# group (b).  After CORRECTNESS_r07: every entry has a driver row, and
+# the oldest stamps are the 11 deferred r03 holdouts plus the r04 block.
+# Round-8 rotation should lead with anything round 7 changes or adds,
+# then the 11 deferred r03-stamp holdouts:
+# q_exists_correlated, q_gap_fill_series, q_group_by_all_values,
+# q_lateral_subquery, q_not_in_null_semantics, q_scalar_subquery,
+# q_value_histogram, t_clustered_roundtrip, x_corpus_card,
+# x_group_sample, x_outlier_filter —
+# then fill with the oldest r04 stamps (46 entries:
+# d_dedup_by_fingerprint, d_dedup_exact, d_minhash_lsh_pairs,
+# d_ngram_jaccard_pairs, d_semantic_dedup, d_simhash, e_asof_join,
+# e_json_extract, e_range_join, e_rollup_pyramid, e_sessionize,
+# e_streaming_join, e_tumbling_agg, the q13/q14/q19/q1/q21sp/q3/q5/q6
+# TPC-H block, q_approx_aggregates, q_count_distinct, q_having_alias,
+# q_semi_anti_join, q_window_running, q_window_topn,
+# s_ann_bruteforce_topk, s_ann_ivf_topk, t_compact_roundtrip,
+# t_corrupt_quarantine, t_csv_gz_roundtrip, t_pipeline_full,
+# t_schema_evolution, x_bigram_pmi, x_fingerprint, x_gopher_quality,
+# x_grouped_rank_pandas, x_kmeans_clusters, x_lang_id,
+# x_profile_columns, x_quality_score, x_tfidf_top_terms, x_token_count,
+# x_training_mix_e2e, x_winnow_fingerprints); the remainder roll to
+# round 9.
 
 
 def entries() -> dict[str, CatalogEntry]:
