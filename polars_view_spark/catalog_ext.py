@@ -151,7 +151,13 @@ register(
 )(_t_pipeline_full)
 
 
-def _duck_minhash_oracle() -> str:
+def _duck_minhash_oracle(lookup_mod: int | None = None) -> str:
+    """Full-pairing MinHash oracle; with ``lookup_mod`` set, the
+    BATCH-INVARIANT lookup variant instead (docs with
+    ``doc % lookup_mod == 0`` are the arrivals): the hot-bucket cap is
+    computed over CORPUS bands only and candidates are arrival×corpus
+    exclusively — mirroring minhash_query_index(include_batch_pairs=
+    False) / streaming_minhash_lookup."""
     from polars_view_spark.operators.dedup import MAX_LSH_BUCKET as max_bucket
 
     p = MINHASH_PRIME
@@ -182,13 +188,15 @@ def _duck_minhash_oracle() -> str:
       {band_selects}
     ),
     kept AS (
-      SELECT * FROM bands
+      SELECT * FROM bands{f" WHERE doc % {lookup_mod} != 0" if lookup_mod else ""}
       QUALIFY COUNT(*) OVER (PARTITION BY band, v0, v1) <= {max_bucket}
     ),
     cand AS (
-      SELECT DISTINCT l.doc AS doc1, r.doc AS doc2
+      {f'''SELECT DISTINCT least(a.doc, c.doc) AS doc1, greatest(a.doc, c.doc) AS doc2
+      FROM (SELECT * FROM bands WHERE doc % {lookup_mod} = 0) a JOIN kept c
+        ON a.band = c.band AND a.v0 = c.v0 AND a.v1 = c.v1''' if lookup_mod else '''SELECT DISTINCT l.doc AS doc1, r.doc AS doc2
       FROM kept l JOIN kept r
-        ON l.band = r.band AND l.v0 = r.v0 AND l.v1 = r.v1 AND l.doc < r.doc
+        ON l.band = r.band AND l.v0 = r.v0 AND l.v1 = r.v1 AND l.doc < r.doc'''}
     ),
     shs AS (SELECT doc_id AS doc, {sh} AS s FROM documents),
     jac AS (
@@ -5895,6 +5903,50 @@ register(
     oracle=_ivf_topk_oracle(n_queries=STREAM_ANN_N_QUERIES),
     tables=("embeddings",),
 )(_e_streaming_ann_lookup)
+
+
+def _e_streaming_minhash_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup screen against the persisted MinHash index
+    (streaming/events.py:streaming_minhash_lookup): the corpus index is
+    built ONCE from the base docs, then the arriving-doc stream
+    (``doc_id % 10 == 0``) is paired with it per micro-batch in the
+    batch-invariant mode (arrival×corpus only, corpus-derived cap) — so
+    the appended union equals the one-shot lookup, stated directly by
+    the lookup-variant oracle."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.dedup import minhash_build_index
+    from polars_view_spark.streaming.events import (
+        _single_file_to_glob,
+        read_sink_or_empty,
+        streaming_minhash_lookup,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    scratch = _scratch_dir("stream_mh", sf_dir)
+    idx = os.path.join(scratch, "mh")
+    sink = os.path.join(scratch, "pairs")
+    minhash_build_index(
+        d.filter(F.col("doc_id") % INCR_NEW_MOD != 0), idx, "doc_id", "text"
+    )
+    reader = spark.readStream.schema(d.schema).option("maxFilesPerTrigger", "1")
+    src = _single_file_to_glob(reader, f"{sf_dir}/documents.parquet")
+    stream = reader.parquet(src).filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    q = streaming_minhash_lookup(stream, idx, sink, "doc_id", "text", JACCARD_T)
+    q.awaitTermination()
+    out = read_sink_or_empty(
+        spark, sink, "doc1 long, doc2 long, jaccard double, batch_id long"
+    )
+    return out.select("doc1", "doc2", "jaccard").orderBy("doc1", "doc2")
+
+
+register(
+    "e_streaming_minhash_lookup",
+    oracle=_duck_minhash_oracle(lookup_mod=INCR_NEW_MOD),
+    tables=("documents",),
+)(_e_streaming_minhash_lookup)
 
 
 def _q_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:

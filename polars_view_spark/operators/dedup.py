@@ -115,16 +115,13 @@ def _cap_buckets(
     )
 
 
-def _band_table(sigs: DataFrame, max_bucket_size: int) -> DataFrame:
-    """Long-form LSH band table ``(band, v0..v{rows-1}, doc)`` with the
-    hot-bucket guard applied.
-
-    Single source for both the full self-join and the incremental path —
-    banding/guard semantics must never drift between them (the
-    incremental-equals-filtered-full oracle depends on it).  The
-    bucket-size count shares the join's partitioning (see
-    :func:`_cap_buckets`).
-    """
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """Long-form LSH band reshape ``(band, v0..v{rows-1}, doc)`` of a
+    signature table — a pure column slice/union projection, NO hot-bucket
+    guard (callers that join an unbounded side apply :func:`_cap_buckets`
+    themselves; the batch-invariant streaming lookup deliberately leaves
+    the small arrival side uncapped so verdicts cannot depend on how the
+    stream batched)."""
     k = len(MINHASH_COEFFS)
     n_bands = k // MINHASH_BAND_ROWS
     band_rows = []
@@ -137,9 +134,21 @@ def _band_table(sigs: DataFrame, max_bucket_size: int) -> DataFrame:
     bands = band_rows[0]
     for b in band_rows[1:]:
         bands = bands.unionByName(b)
+    return bands
 
+
+def _band_table(sigs: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Long-form LSH band table ``(band, v0..v{rows-1}, doc)`` with the
+    hot-bucket guard applied.
+
+    Single source for both the full self-join and the incremental path —
+    banding/guard semantics must never drift between them (the
+    incremental-equals-filtered-full oracle depends on it).  The
+    bucket-size count shares the join's partitioning (see
+    :func:`_cap_buckets`).
+    """
     bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
-    return _cap_buckets(bands, bucket_cols, max_bucket_size)
+    return _cap_buckets(_band_rows(sigs), bucket_cols, max_bucket_size)
 
 
 def minhash_lsh_pairs(
@@ -330,6 +339,7 @@ def minhash_query_index(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = MAX_LSH_BUCKET,
     materialize: bool = True,
+    include_batch_pairs: bool = True,
 ) -> DataFrame:
     """Pair a NEW batch against a persisted MinHash index
     (:func:`minhash_build_index`) — the cheap repeated half of the
@@ -353,6 +363,17 @@ def minhash_query_index(
     truncates lineage to ``Scan ExistingRDD`` and blinds plan-gate
     tests) and leaves the intermediate caches to the caller — same
     contract as ``dsir_weights``.
+
+    ``include_batch_pairs=False`` switches to the BATCH-INVARIANT
+    lookup the streaming wrapper needs
+    (streaming/events.py:streaming_minhash_lookup): only
+    (arrival, corpus) pairs are produced — never arrival-arrival —
+    the hot-bucket cap is computed over the CORPUS bands alone, and
+    the (small) arrival bands stay uncapped, so every arrival's
+    verdict reads fixed index state only and the union over any
+    batching of the arrivals equals the one-shot call.  The default
+    mode keeps the self-contained incremental path's exact semantics
+    (union-derived cap, batch-internal pairs included).
     """
     corpus_sigs = spark.read.parquet(f"{path}/signatures")
     corpus_sh = spark.read.parquet(f"{path}/shingles")
@@ -360,16 +381,21 @@ def minhash_query_index(
     new_sh = shingle_table(new, id_col, text_col).cache()
     new_sigs = minhash_signatures(new, id_col, text_col, shingles=new_sh)
 
-    # same union the self-contained incremental path computes from
-    # scratch — per-doc rows are identical, so downstream is identical
-    sigs = corpus_sigs.unionByName(new_sigs)
-    bands = _band_table(sigs, max_bucket_size)
+    if include_batch_pairs:
+        # same union the self-contained incremental path computes from
+        # scratch — per-doc rows are identical, so downstream is identical
+        sigs = corpus_sigs.unionByName(new_sigs)
+        bands = _band_table(sigs, max_bucket_size)
+        new_ids = new.select(F.col(id_col).alias("doc"))
+        left = bands.join(F.broadcast(new_ids), "doc").alias("l")
+        right = bands.alias("r")
+    else:
+        # cap from corpus-only bucket sizes: batch contents must not be
+        # able to tip a bucket over the cap, or verdicts would depend on
+        # how arrivals were batched
+        left = F.broadcast(_band_rows(new_sigs)).alias("l")
+        right = _band_table(corpus_sigs, max_bucket_size).alias("r")
 
-    new_ids = new.select(F.col(id_col).alias("doc"))
-    bands_new = bands.join(F.broadcast(new_ids), "doc")
-
-    left = bands_new.alias("l")
-    right = bands.alias("r")
     cond = (F.col("l.band") == F.col("r.band")) & (F.col("l.doc") != F.col("r.doc"))
     for r in range(MINHASH_BAND_ROWS):
         cond = cond & (F.col(f"l.v{r}") == F.col(f"r.v{r}"))

@@ -915,3 +915,68 @@ def streaming_ann_lookup(
         .option("checkpointLocation", sink_dir.rstrip("/") + ".__pvs_ckpt")
         .start()
     )
+
+
+def streaming_minhash_lookup(
+    docs_stream: DataFrame,
+    index_path: str,
+    sink_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+):
+    """Continuous near-duplicate screening against a PERSISTED MinHash
+    index (operators/dedup.py:minhash_build_index /
+    minhash_query_index): every micro-batch of landing documents is
+    paired with the standing corpus through the index and the verified
+    (arrival, corpus) pairs land in ``sink_dir`` — the streaming face of
+    the MinHash build/query split, completing the trio beside
+    :func:`streaming_ann_lookup` (IVF) and
+    :func:`streaming_containment_screen` (winnowing).
+
+    Runs the lookup in its batch-invariant mode
+    (``include_batch_pairs=False``): only arrival-vs-CORPUS pairs, the
+    hot-bucket cap derived from corpus bands alone — so each arrival's
+    verdict reads fixed index state only, and the union of all appended
+    batches equals the one-shot batch lookup of the DISTINCT arrivals,
+    however the stream batched them (same no-divergence property as the
+    containment screen; arrival-arrival pairs are an evolving-corpus
+    concern, :func:`streaming_minhash_dedup`'s job).  Per-batch
+    dropDuplicates does not span triggers — multiset equality assumes
+    upstream-unique ids; redelivered FILES are absorbed by the
+    checkpoint.  Sink discipline is effectively-once (replay-stable
+    ``batch_id`` partition, dynamic partition overwrite).
+
+    Per-trigger cost: O(|batch|) tokenize/hash CPU + one broadcast of
+    the batch's band rows into the index scan — the corpus is never
+    re-shingled and never self-joined.
+    """
+    from polars_view_spark.operators.dedup import minhash_query_index
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates([id_col])
+        if batch_df.isEmpty():
+            return
+        out = minhash_query_index(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            jaccard_threshold=jaccard_threshold,
+            include_batch_pairs=False,
+        )
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", sink_dir.rstrip("/") + ".__pvs_ckpt")
+        .start()
+    )

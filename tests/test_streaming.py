@@ -1040,3 +1040,74 @@ def test_streaming_ann_lookup_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_minhash_lookup_matches_batch(spark, tmp_path):
+    """Union of per-trigger index lookups over a MULTI-batch arrival
+    stream equals the one-shot batch-invariant lookup of all arrivals —
+    exactly: verdicts read only fixed index state (corpus-derived cap,
+    arrival×corpus pairs only), so batching cannot change them.  Also
+    pins that arrival-arrival pairs are EXCLUDED (identical arrival
+    twins straddling batches must not appear)."""
+    from polars_view_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_query_index,
+    )
+    from polars_view_spark.streaming.events import (
+        read_sink_or_empty,
+        streaming_minhash_lookup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter("doc_id % 7 != 0")
+    arrivals = docs.filter("doc_id % 7 = 0")
+    # plant two IDENTICAL arrivals that land in DIFFERENT batches
+    # (__f = doc_id % 3 → 900000/900001 split across parts): a near-dup
+    # pair the evolving-corpus path would report but this lookup must not
+    twin = "planted identical arrival twin text for the batch-pair check"
+    arrivals = arrivals.unionByName(
+        spark.createDataFrame(
+            [
+                (900000, twin, "xx", "planted", len(twin)),
+                (900001, twin, "xx", "planted", len(twin)),
+            ],
+            arrivals.schema,
+        )
+    )
+    idx = str(tmp_path / "mh_idx")
+    minhash_build_index(corpus, idx, "doc_id", "text")
+
+    landing = str(tmp_path / "landing")
+    _write_landing_3(arrivals, landing)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    sink = str(tmp_path / "pairs")
+    q = streaming_minhash_lookup(stream, idx, sink, "doc_id", "text", 0.5)
+    assert q.awaitTermination(300), "stream did not drain in time"
+
+    got = sorted(
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in read_sink_or_empty(
+            spark, sink, "doc1 BIGINT, doc2 BIGINT, jaccard DOUBLE, batch_id BIGINT"
+        ).collect()
+    )
+    want = sorted(
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in minhash_query_index(
+            spark, arrivals, idx, "doc_id", "text", 0.5, include_batch_pairs=False
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    assert (900000, 900001) not in {(a, b) for a, b, _ in got}
+    # and the twins ARE a pair under the batch-inclusive mode — the
+    # planted check is live, not vacuously true
+    inclusive = {
+        (r["doc1"], r["doc2"])
+        for r in minhash_query_index(
+            spark, arrivals, idx, "doc_id", "text", 0.5
+        ).collect()
+    }
+    assert (900000, 900001) in inclusive
