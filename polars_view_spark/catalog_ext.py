@@ -5802,6 +5802,77 @@ def _x_expectations_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expectations_report(orders, rules, {"snapshot": snapshot})
 
 
+def _x_expectations_persisted_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift gate against a PERSISTED snapshot profile
+    (operators/expectations.py:snapshot_profile + ref_profiles): the
+    snapshot slice is profiled ONCE (exact metric + sketch twin per
+    drift rule, written as a few-row parquet) and the gate reads the
+    profile instead of re-aggregating the snapshot — the
+    build/query split for quality gates, same shape as
+    d_minhash_index_query.  Held to the SAME oracle semantics as the
+    live-frame drift rules in x_expectations_distribution: a profile
+    value corrupted in the parquet round-trip breaks the value hash."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.expectations import (
+        expectations_report,
+        snapshot_profile,
+    )
+
+    t = load_tables(spark, sf_dir, "orders")
+    orders = t["orders"]
+    rules = [
+        {"name": "median_drift_loose", "kind": "quantile_drift",
+         "column": "o_totalprice", "q": 0.5, "ref": "snapshot",
+         "max_rel_change": 0.5},
+        {"name": "median_drift_tight", "kind": "quantile_drift",
+         "column": "o_totalprice", "q": 0.5, "ref": "snapshot",
+         "max_rel_change": 0.0001},  # FAILS at every SF
+        {"name": "cust_drift", "kind": "distinct_drift",
+         "column": "o_custkey", "ref": "snapshot", "max_rel_change": 0.5},
+    ]
+    prof = os.path.join(_scratch_dir("exp_profile", sf_dir), "snapshot_profile")
+    snapshot_profile(
+        orders.filter(F.col("o_orderkey") % EXP_DIST_SNAP_MOD != 0), rules, prof
+    )
+    return expectations_report(orders, rules, ref_profiles={"snapshot": prof})
+
+
+register(
+    "x_expectations_persisted_drift",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(o_totalprice, 0.5) AS med,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS dk
+      FROM orders
+    ), s AS (
+      SELECT quantile_cont(o_totalprice, 0.5) AS med,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS dk
+      FROM orders WHERE o_orderkey % {EXP_DIST_SNAP_MOD} != 0
+    ), stacked AS (
+      SELECT n, 'median_drift_loose' AS rule,
+             CAST(CASE WHEN abs((f.med - s.med) / s.med) > 0.5
+                  THEN 1 ELSE 0 END AS BIGINT) AS n_violations,
+             round((f.med - s.med) / s.med, 6) AS observed FROM f, s
+      UNION ALL SELECT n, 'median_drift_tight',
+             CAST(CASE WHEN abs((f.med - s.med) / s.med) > 0.0001
+                  THEN 1 ELSE 0 END AS BIGINT),
+             round((f.med - s.med) / s.med, 6) FROM f, s
+      UNION ALL SELECT n, 'cust_drift',
+             CAST(CASE WHEN abs((f.dk - s.dk) / s.dk) > 0.5
+                  THEN 1 ELSE 0 END AS BIGINT),
+             round((f.dk - s.dk) / s.dk, 6) FROM f, s
+    )
+    SELECT rule, n AS n_checked, n_violations, n_violations = 0 AS passed,
+           observed, TRUE AS sketch_ok
+    FROM stacked ORDER BY rule
+    """,
+    tables=("orders",),
+)(_x_expectations_persisted_drift)
+
+
 register(
     "x_expectations_distribution",
     oracle=f"""

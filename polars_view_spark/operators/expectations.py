@@ -93,10 +93,68 @@ def _dist_exprs(rule: dict) -> tuple[str, str]:
     )
 
 
+def _metric_key(rule: dict, column: str) -> str:
+    """Stable key identifying a (column, metric) pair inside a persisted
+    snapshot profile — rename-proof (not coupled to rule names), so one
+    profile serves any later gate asking the same statistical question."""
+    if rule["kind"].startswith("quantile"):
+        return f"{column}:quantile:{float(rule.get('q', 0.5))}"
+    return f"{column}:distinct"
+
+
+def snapshot_profile(df: DataFrame, rules: list[dict], path: str) -> None:
+    """Persist the snapshot-side metrics the drift rules in ``rules``
+    will compare against — the build half of the drift build/query split
+    (same shape as ``minhash_build_index``): the snapshot corpus is
+    aggregated ONCE (one scan, exact metric + sketch twin per drift
+    rule) and every later ingest gate reads the few-row profile instead
+    of re-scanning yesterday's 100 TB.
+
+    Output parquet rows: ``(metric_key, exact, sketch)`` — one per
+    distinct (column, metric) among the drift rules.  Pass the profile
+    to :func:`expectations_report` via ``ref_profiles`` keyed by the
+    rules' ``ref`` name.
+    """
+    specs: dict[str, tuple[str, str]] = {}
+    for r in rules:
+        if r["kind"] in ("quantile_drift", "distinct_drift"):
+            col = _checked_ident(
+                r.get("ref_column", r.get("column")),
+                f"rule {r['name']!r} ref_column",
+            )
+            key = _metric_key(r, col)
+            exact, sketch = _dist_exprs({**r, "column": col})
+            specs[key] = (exact, sketch)
+    if not specs:
+        raise ValueError("no drift rules in the rule list — nothing to profile")
+    aggs = []
+    for i, (exact, sketch) in enumerate(specs.values()):
+        aggs.append(F.expr(exact).alias(f"e{i}"))
+        aggs.append(F.expr(sketch).alias(f"s{i}"))
+    one = df.agg(*aggs)
+    # theta_sketch_estimate is BIGINT, KLL quantiles DOUBLE — stack
+    # requires uniform column types across groups
+    stacked = ", ".join(
+        f"'{key}', CAST(e{i} AS DOUBLE), CAST(s{i} AS DOUBLE)"
+        for i, key in enumerate(specs)
+    )
+    (
+        one.select(
+            F.expr(
+                f"stack({len(specs)}, {stacked}) AS (metric_key, exact, sketch)"
+            )
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def expectations_report(
     df: DataFrame,
     rules: list[dict],
     ref_frames: dict[str, DataFrame] | None = None,
+    ref_profiles: dict[str, str] | None = None,
 ) -> DataFrame:
     """Evaluate every rule, return one row per rule:
     ``(rule, n_checked, n_violations, passed, observed, sketch_ok)``,
@@ -124,11 +182,14 @@ def expectations_report(
       ``max_rel_change``.  ``observed`` = the relative change (rounded
       6dp); ``sketch_ok`` asserts the sketch twin tracks the exact on
       BOTH sides.  The snapshot side is ONE 1-row aggregate per
-      distinct ref, cross-joined broadcast — at 100 TB swap it for the
-      persisted sketch partials (operators/sketches.py:
-      kll_partial_sketches / theta_partial_sketches) the pipeline
-      already maintains; the in-scan sketch expressions are exactly
-      those partials' aggregates.
+      distinct ref, cross-joined broadcast — or, the 100 TB mode, a
+      PERSISTED profile built once by :func:`snapshot_profile` and
+      passed via ``ref_profiles`` (ref name → parquet path), in which
+      case the gate reads a few-row file and the snapshot corpus is
+      never re-scanned; ``ref_profiles`` wins when a ref name appears
+      in both.  The in-scan sketch expressions are exactly the
+      persistable partials' aggregates (operators/sketches.py:
+      kll_partial_sketches / theta_partial_sketches).
 
     ``n_violations`` for distribution rules is 0/1 (the dataset as a
     whole passes or fails), so ``passed = n_violations == 0`` holds
@@ -153,6 +214,21 @@ def expectations_report(
                 f"{sorted(ref_frames) if ref_frames else []}"
             )
         return ref_frames[r["ref"]]
+
+    def _resolve_drift_ref(r: dict) -> str:
+        """'profile' when the ref names a persisted snapshot profile,
+        'frame' when it names a live frame; profiles win on collision
+        (the persisted path is the scale mode)."""
+        if ref_profiles and r["ref"] in ref_profiles:
+            return "profile"
+        if ref_frames and r["ref"] in ref_frames:
+            return "frame"
+        raise ValueError(
+            f"{r['kind']} rule {r['name']!r} needs ref_frames or "
+            f"ref_profiles[{r['ref']!r}] — got frames "
+            f"{sorted(ref_frames) if ref_frames else []}, profiles "
+            f"{sorted(ref_profiles) if ref_profiles else []}"
+        )
 
     base = df
     for r in rules:
@@ -191,9 +267,33 @@ def expectations_report(
     drift_by_ref: dict[str, list[dict]] = {}
     for r in rules:
         if r["kind"].endswith("_drift") and r["kind"] in _DIST_KINDS:
-            _need_ref(r)
+            _resolve_drift_ref(r)
             drift_by_ref.setdefault(r["ref"], []).append(r)
     for ref_name, ref_rules in drift_by_ref.items():
+        if _resolve_drift_ref(ref_rules[0]) == "profile":
+            # persisted snapshot profile (snapshot_profile): a few-row
+            # parquet by contract (one row per metric), so a driver-side
+            # collect is bounded — same discipline as the IVF centroid
+            # table.  Values land as literal columns; a profile missing
+            # the asked metric fails LOUDLY, never as an empty result.
+            spark = df.sparkSession
+            prof = {
+                row["metric_key"]: (row["exact"], row["sketch"])
+                for row in spark.read.parquet(ref_profiles[ref_name]).collect()
+            }
+            for r in ref_rules:
+                ref_col = r.get("ref_column", r["column"])
+                key = _metric_key(r, ref_col)
+                if key not in prof:
+                    raise ValueError(
+                        f"profile {ref_name!r} has no metric {key!r} — "
+                        f"available: {sorted(prof)}"
+                    )
+                exact, sketch = prof[key]
+                one = one.withColumn(
+                    f"re_{r['name']}", F.lit(exact).cast("double")
+                ).withColumn(f"rs_{r['name']}", F.lit(sketch).cast("double"))
+            continue
         raggs = []
         for r in ref_rules:
             ref_col = r.get("ref_column", r["column"])

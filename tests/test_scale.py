@@ -494,3 +494,44 @@ class TestExpectations:
                   "ref": "s", "max_rel_change": -0.1}],
                 {"s": df},
             )
+
+    def test_persisted_profile_matches_live_frame_drift(self, spark, tmp_path):
+        """A drift gate fed a persisted snapshot profile must produce the
+        SAME report as one aggregating the live snapshot frame — the
+        profile is a cache of the snapshot's metrics, never a semantic
+        change; and asking a profile for a metric it does not hold fails
+        loudly, never as an empty report."""
+        import pytest as _pytest
+
+        from polars_view_spark.operators.expectations import (
+            expectations_report,
+            snapshot_profile,
+        )
+
+        df = spark.range(1, 101).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        snap = spark.range(1, 81).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        rules = [
+            {"name": "v_drift", "kind": "quantile_drift", "column": "v",
+             "q": 0.5, "ref": "snap", "max_rel_change": 0.5},
+            {"name": "k_drift", "kind": "distinct_drift", "column": "k",
+             "ref": "snap", "max_rel_change": 0.1},  # 0.25 > 0.1 → FAIL
+        ]
+        live = sorted(
+            map(tuple, expectations_report(df, rules, {"snap": snap}).collect())
+        )
+        prof = str(tmp_path / "profile")
+        snapshot_profile(snap, rules, prof)
+        from_profile = sorted(
+            map(tuple, expectations_report(df, rules, ref_profiles={"snap": prof}).collect())
+        )
+        assert from_profile == live
+
+        with _pytest.raises(ValueError, match="no metric"):
+            expectations_report(
+                df,
+                [{"name": "q9", "kind": "quantile_drift", "column": "v",
+                  "q": 0.9, "ref": "snap", "max_rel_change": 0.5}],
+                ref_profiles={"snap": prof},
+            )
+        with _pytest.raises(ValueError, match="nothing to profile"):
+            snapshot_profile(snap, [{"name": "r", "kind": "not_null", "column": "k"}], prof)
