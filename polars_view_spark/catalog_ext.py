@@ -2700,6 +2700,44 @@ register(
 )(_e_streaming_containment)
 
 
+def _d_containment_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment screen against a PERSISTED corpus index
+    (operators/dedup.py:containment_build_index /
+    containment_load_stats): the standing corpus's winnowing statistics
+    — admissible fingerprint table, frequency map, corpus-derived cap —
+    are written once and the gate loads them, re-fingerprinting nothing
+    corpus-side; the third build/query split beside the MinHash and IVF
+    indexes.  Same arrival split as e_streaming_containment and held to
+    the SAME value-hash oracle: a fingerprint row or the persisted cap
+    corrupted in the round-trip breaks the hash."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.dedup import (
+        containment_build_index,
+        containment_load_stats,
+        doc_containment_screen,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    arrivals = d.filter(F.col("doc_id") % 7 == 0)
+    idx = os.path.join(_scratch_dir("containment_index", sf_dir), "cidx")
+    containment_build_index(corpus, idx, "doc_id", "text")
+    stats = containment_load_stats(spark, idx)
+    return doc_containment_screen(
+        corpus, arrivals, "doc_id", "text", corpus_stats=stats
+    ).orderBy("arrival_doc", "corpus_doc")
+
+
+register(
+    "d_containment_index_screen",
+    oracle=_duck_containment_screen_oracle(),
+    tables=("documents",),
+)(_d_containment_index_screen)
+
+
 def _duck_hashed_vec_oracle() -> str:
     from polars_view_spark.operators.textstats import HASH_VECTOR_DIM as D
 

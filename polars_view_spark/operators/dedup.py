@@ -1159,6 +1159,57 @@ def containment_corpus_stats(
     return kept, freq, max_bucket_size
 
 
+def containment_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> None:
+    """Persist the corpus-side containment statistics ONCE — the third
+    build/query split beside ``minhash_build_index`` and
+    ``ivf_build_index``: the standing corpus is winnowed and counted in
+    one offline job, and every later ingest gate loads the result
+    (:func:`containment_load_stats`) instead of re-fingerprinting 100 TB
+    per batch (the in-session :func:`containment_corpus_stats` pin only
+    lives as long as its session).
+
+    Three datasets under ``path``: ``kept`` (the admissible
+    ``(id, fingerprint, __freq)`` outer-side table), ``freq`` (the full
+    fingerprint→frequency map the arrival side filters against) and a
+    1-row ``meta`` carrying the corpus-derived admissibility cap — so a
+    query job applies exactly the cap the build derived, never one
+    recomputed from a different corpus count.
+    """
+    kept, freq, cap = containment_corpus_stats(
+        corpus, id_col, text_col, max_bucket_size
+    )
+    try:
+        kept.write.mode("overwrite").parquet(f"{path}/kept")
+        freq.write.mode("overwrite").parquet(f"{path}/freq")
+        corpus.sparkSession.createDataFrame(
+            [(int(cap),)], "cap long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    finally:
+        kept.unpersist()
+        freq.unpersist()
+
+
+def containment_load_stats(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    """Load a persisted containment index
+    (:func:`containment_build_index`) in the exact shape
+    ``doc_containment_screen``'s ``corpus_stats`` parameter and the
+    streaming wrapper expect: ``(kept, freq, cap)``.  The frames are
+    plain parquet scans (columnar, filter-pushdown-friendly) — callers'
+    ``unpersist()`` lifecycle calls are harmless no-ops on them."""
+    cap = spark.read.parquet(f"{path}/meta").collect()[0]["cap"]
+    return (
+        spark.read.parquet(f"{path}/kept"),
+        spark.read.parquet(f"{path}/freq"),
+        int(cap),
+    )
+
+
 def doc_containment_screen(
     corpus: DataFrame,
     arrivals: DataFrame,

@@ -1822,3 +1822,36 @@ class TestContainment:
         assert (10, 2) in rows  # contained in both hosts
         assert all(a == 10 for a, _ in rows), rows  # novel arrival clean,
         # and no corpus-internal pairs (all flags name an arrival)
+
+
+class TestContainmentIndex:
+    def test_persisted_stats_match_in_session_screen(self, spark, tmp_path):
+        """Screening against containment_load_stats(containment_build_index)
+        must be value-identical to the self-contained screen — the index
+        changes WHERE corpus statistics come from, never what is
+        computed (including the persisted cap: a cap recomputed from a
+        different corpus count would shift admissibility)."""
+        from polars_view_spark.operators.dedup import (
+            containment_build_index,
+            containment_load_stats,
+            doc_containment_screen,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        corpus = docs.filter("doc_id % 7 != 0")
+        arrivals = docs.filter("doc_id % 7 = 0")
+        want = sorted(
+            map(tuple, doc_containment_screen(corpus, arrivals).collect())
+        )
+        idx = str(tmp_path / "cidx")
+        containment_build_index(corpus, idx)
+        stats = containment_load_stats(spark, idx)
+        got = sorted(
+            map(
+                tuple,
+                doc_containment_screen(
+                    corpus, arrivals, corpus_stats=stats
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
