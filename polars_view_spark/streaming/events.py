@@ -621,6 +621,7 @@ def streaming_containment_screen(
     flags_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index_path: str | None = None,
 ):
     """Continuous ingestion-gate containment screening: every micro-batch
     of landing documents is checked against a FIXED standing corpus
@@ -661,7 +662,18 @@ def streaming_containment_screen(
         doc_containment_screen,
     )
 
-    stats = containment_corpus_stats(corpus, id_col, text_col)
+    # ``index_path``: read the PERSISTED corpus index
+    # (operators/dedup.py:containment_build_index) instead of computing
+    # and pinning the statistics for this query — the 100 TB mode, where
+    # the corpus is fingerprinted by one offline job, not per stream
+    # start.  The listener's unpersist calls are no-ops on the loaded
+    # parquet frames.
+    if index_path is not None:
+        from polars_view_spark.operators.dedup import containment_load_stats
+
+        stats = containment_load_stats(corpus.sparkSession, index_path)
+    else:
+        stats = containment_corpus_stats(corpus, id_col, text_col)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.dropDuplicates([id_col])

@@ -1111,3 +1111,52 @@ def test_streaming_minhash_lookup_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert (900000, 900001) in inclusive
+
+
+def test_streaming_containment_screen_from_persisted_index(spark, tmp_path):
+    """The streaming screen fed a persisted containment index must flag
+    exactly what the stats-computing form flags — the index only changes
+    where corpus statistics come from."""
+    from polars_view_spark.operators.dedup import containment_build_index
+    from polars_view_spark.streaming.events import (
+        read_sink_or_empty,
+        streaming_containment_screen,
+    )
+
+    flag_schema = (
+        "arrival_doc BIGINT, corpus_doc BIGINT, n_shared BIGINT, "
+        "n_sig BIGINT, share_pct BIGINT"
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter("doc_id % 7 != 0")
+    arrivals = docs.filter("doc_id % 7 = 0")
+    landing = str(tmp_path / "landing")
+    _write_landing_3(arrivals, landing)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    idx = str(tmp_path / "cidx")
+    containment_build_index(corpus, idx)
+    flags_dir = str(tmp_path / "flags")
+    q = streaming_containment_screen(
+        stream, corpus, flags_dir, index_path=idx
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        tuple(r)
+        for r in read_sink_or_empty(spark, flags_dir, flag_schema)
+        .select("arrival_doc", "corpus_doc", "n_shared", "n_sig", "share_pct")
+        .collect()
+    )
+
+    from polars_view_spark.operators.dedup import doc_containment_screen
+
+    want = sorted(
+        tuple(r)
+        for r in doc_containment_screen(corpus, arrivals)
+        .select("arrival_doc", "corpus_doc", "n_shared", "n_sig", "share_pct")
+        .collect()
+    )
+    assert got == want and len(got) > 0
