@@ -5623,8 +5623,12 @@ def _duck_sorted_neighborhood_oracle() -> str:
     )
 
     _TOKS = duck_tokens_sql("text")
-    # same per-pass key expressions as dedup.sn_pass_keys, DuckDB spelling
-    base = "lower(trim(text))"
+    # same per-pass key expressions as dedup.sn_pass_keys, DuckDB
+    # spelling — keys over the ASCII projection (DuckDB regexp_replace
+    # needs the explicit 'g' flag; Spark replaces all matches by
+    # default), so substr/reverse agree across engines (Spark counts
+    # code points, DuckDB grapheme clusters; identical on ASCII)
+    base = "lower(regexp_replace(trim(text), '[^ -~]', '', 'g'))"
     pass_keys = [
         f"substr({base}, 1, {SN_KEY_LEN})",
         f"substr(reverse({base}), 1, {SN_KEY_LEN})",

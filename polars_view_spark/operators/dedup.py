@@ -324,10 +324,20 @@ def minhash_build_index(
     applies it, keeping the two result-identical.
     """
     sh = shingle_table(corpus, id_col, text_col).cache()
-    sigs = minhash_signatures(corpus, id_col, text_col, shingles=sh)
-    sigs.write.mode("overwrite").parquet(f"{path}/signatures")
-    sh.write.mode("overwrite").parquet(f"{path}/shingles")
-    sh.unpersist()
+    try:
+        sigs = minhash_signatures(corpus, id_col, text_col, shingles=sh)
+        sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+        sh.write.mode("overwrite").parquet(f"{path}/shingles")
+        # per-doc shingle-set sizes, persisted so the query-side verify
+        # joins a tiny (doc, sz) table instead of re-aggregating the
+        # corpus shingle stream per call
+        sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/sizes")
+    finally:
+        # release even when a write throws — retries must not accumulate
+        # pinned copies of the (3× corpus text) shingle cache
+        sh.unpersist()
 
 
 def minhash_query_index(
@@ -379,47 +389,72 @@ def minhash_query_index(
     corpus_sh = spark.read.parquet(f"{path}/shingles")
 
     new_sh = shingle_table(new, id_col, text_col).cache()
-    new_sigs = minhash_signatures(new, id_col, text_col, shingles=new_sh)
+    candidates = None
+    try:
+        new_sigs = minhash_signatures(new, id_col, text_col, shingles=new_sh)
 
-    if include_batch_pairs:
-        # same union the self-contained incremental path computes from
-        # scratch — per-doc rows are identical, so downstream is identical
-        sigs = corpus_sigs.unionByName(new_sigs)
-        bands = _band_table(sigs, max_bucket_size)
-        new_ids = new.select(F.col(id_col).alias("doc"))
-        left = bands.join(F.broadcast(new_ids), "doc").alias("l")
-        right = bands.alias("r")
-    else:
-        # cap from corpus-only bucket sizes: batch contents must not be
-        # able to tip a bucket over the cap, or verdicts would depend on
-        # how arrivals were batched
-        left = F.broadcast(_band_rows(new_sigs)).alias("l")
-        right = _band_table(corpus_sigs, max_bucket_size).alias("r")
+        if include_batch_pairs:
+            # same union the self-contained incremental path computes from
+            # scratch — per-doc rows are identical, so downstream is identical
+            sigs = corpus_sigs.unionByName(new_sigs)
+            bands = _band_table(sigs, max_bucket_size)
+            new_ids = new.select(F.col(id_col).alias("doc"))
+            left = bands.join(F.broadcast(new_ids), "doc").alias("l")
+            right = bands.alias("r")
+        else:
+            # cap from corpus-only bucket sizes: batch contents must not be
+            # able to tip a bucket over the cap, or verdicts would depend on
+            # how arrivals were batched
+            left = F.broadcast(_band_rows(new_sigs)).alias("l")
+            right = _band_table(corpus_sigs, max_bucket_size).alias("r")
 
-    cond = (F.col("l.band") == F.col("r.band")) & (F.col("l.doc") != F.col("r.doc"))
-    for r in range(MINHASH_BAND_ROWS):
-        cond = cond & (F.col(f"l.v{r}") == F.col(f"r.v{r}"))
-    candidates = (
-        left.join(right, cond)
-        .select(
-            F.least(F.col("l.doc"), F.col("r.doc")).alias("doc1"),
-            F.greatest(F.col("l.doc"), F.col("r.doc")).alias("doc2"),
+        cond = (F.col("l.band") == F.col("r.band")) & (
+            F.col("l.doc") != F.col("r.doc")
         )
-        .distinct()
-        .cache()
-    )
+        for r in range(MINHASH_BAND_ROWS):
+            cond = cond & (F.col(f"l.v{r}") == F.col(f"r.v{r}"))
+        candidates = (
+            left.join(right, cond)
+            .select(
+                F.least(F.col("l.doc"), F.col("r.doc")).alias("doc1"),
+                F.greatest(F.col("l.doc"), F.col("r.doc")).alias("doc2"),
+            )
+            .distinct()
+            .cache()
+        )
 
-    all_sh = corpus_sh.unionByName(new_sh)
-    # first arg is unused when a shingle table is supplied
-    verified = exact_jaccard_for_pairs(new, candidates, id_col, text_col, shingles=all_sh)
-    result = verified.filter(F.col("jaccard") >= jaccard_threshold).select(
-        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
-    )
-    if materialize:
-        result = result.localCheckpoint(eager=True)
-        candidates.unpersist()
-        new_sh.unpersist()
-    return result
+        # verify touches only candidate docs: semi-join the shingle
+        # streams to the (small, broadcast) candidate id set, and take
+        # corpus set sizes from the persisted per-doc table — NO
+        # corpus-wide aggregate runs at query time, keeping the
+        # O(|new|) CPU claim honest (full counts make the pre-filter
+        # safe for the Jaccard denominator)
+        cand_docs = (
+            candidates.select(F.col("doc1").alias("doc"))
+            .unionByName(candidates.select(F.col("doc2").alias("doc")))
+            .distinct()
+        )
+        all_sh = corpus_sh.unionByName(new_sh).join(
+            F.broadcast(cand_docs), "doc", "left_semi"
+        )
+        sizes = spark.read.parquet(f"{path}/sizes").unionByName(
+            new_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+        )
+        # first arg is unused when a shingle table is supplied
+        verified = exact_jaccard_for_pairs(
+            new, candidates, id_col, text_col, shingles=all_sh, sizes=sizes
+        )
+        result = verified.filter(F.col("jaccard") >= jaccard_threshold).select(
+            "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
+        )
+        if materialize:
+            result = result.localCheckpoint(eager=True)
+        return result
+    finally:
+        if materialize:
+            if candidates is not None:
+                candidates.unpersist()
+            new_sh.unpersist()
 
 
 def exact_jaccard_for_pairs(
@@ -428,18 +463,25 @@ def exact_jaccard_for_pairs(
     id_col: str,
     text_col: str,
     shingles: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle Jaccard for given (doc1, doc2) pairs.
 
     Intersection via a 3-way hash join on the exploded shingle table;
     set sizes via one small aggregate broadcast back.  No list materialization
     on the driver.
+
+    ``sizes`` (a ``(doc, sz)`` table of FULL per-doc shingle counts) lets
+    an index-backed caller supply precomputed counts — the shingle input
+    may then be pre-filtered to candidate docs without corrupting the
+    Jaccard denominator, and no corpus-wide aggregate runs here.
     """
     # the shingle table feeds three consumers (both join sides + sizes) —
     # cache it so the tokenize+shingle scan runs once; callers that already
     # hold a cached copy pass it in
     sh = shingles if shingles is not None else shingle_table(df, id_col, text_col).cache()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    if sizes is None:
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     sh1 = sh.select(F.col("doc").alias("doc1"), F.col("shingle"))
     sh2 = sh.select(F.col("doc").alias("doc2"), F.col("shingle"))
@@ -1434,8 +1476,17 @@ SN_PASSES = 2
 def sn_pass_keys(text_col: str, key_len: int, passes: int) -> list[str]:
     """The per-pass sort-key expressions (Spark SQL).  Exactly mirrored
     by the DuckDB oracle (catalog_ext.py) — single source for HOW many
-    and WHICH keys the multi-pass run uses."""
-    base = f"lower(trim({text_col}))"
+    and WHICH keys the multi-pass run uses.
+
+    Keys are derived over the ASCII PROJECTION of the text (non-ASCII
+    stripped BEFORE lowering): Spark's substring/reverse count code
+    points while DuckDB's count grapheme clusters, so a combining
+    sequence or emoji near either end of the text would give the two
+    engines different keys — on pure ASCII the two definitions coincide
+    and the cross-engine value-hash holds.  Sort keys only need to be a
+    deterministic locality proxy; dropping non-ASCII from the KEY (the
+    compared text is untouched) costs nothing semantically."""
+    base = f"lower(regexp_replace(trim({text_col}), '[^ -~]', ''))"
     keys = [
         f"substring({base}, 1, {key_len})",
         f"substring(reverse({base}), 1, {key_len})",

@@ -314,8 +314,8 @@ def expectations_report(
         tol = float(r.get("tol", SKETCH_TOL))
         within = f"abs(s_{n} - e_{n}) <= abs(e_{n}) * {tol}"
         if kind.endswith("_drift"):
-            max_rel = float(rule_max_rel := r["max_rel_change"])
-            if rule_max_rel < 0:
+            max_rel = float(r["max_rel_change"])
+            if max_rel < 0:
                 raise ValueError(f"rule {n!r}: max_rel_change must be >= 0")
             rel = f"(e_{n} - re_{n}) / re_{n}"
             violated = (

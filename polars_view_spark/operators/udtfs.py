@@ -40,21 +40,11 @@ SENTENCE_BOUNDARY = r"[.!?]+[ \t\n\r\f\v]+"
 #: trim() strips spaces only, so the set is explicit everywhere)
 STRIP_CHARS = " \t\n\r"
 
-#: column names are spliced into the lateral-join SQL and the temp-view
-#: name — restrict them to plain identifier shape (same contract as
-#: operators/expectations.py:_checked_ident) so a name with spaces,
-#: backticks or hyphens fails loudly here instead of mis-resolving or
-#: throwing a ParseException deep inside the generated statement
-_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
-
-
-def _checked_ident(value: str, what: str) -> str:
-    if not isinstance(value, str) or not _IDENT.match(value):
-        raise ValueError(
-            f"{what} must be a plain SQL identifier "
-            f"([A-Za-z_][A-Za-z0-9_]*), got {value!r}"
-        )
-    return value
+# column names are spliced into the lateral-join SQL and the temp-view
+# name — validate with the package's one identifier contract so a name
+# with spaces, backticks or hyphens fails loudly here instead of
+# mis-resolving or throwing a ParseException inside the generated SQL
+from polars_view_spark.operators.expectations import _checked_ident  # noqa: E402
 
 
 class SentenceSplit:

@@ -1825,7 +1825,9 @@ class TestContainment:
 
 
 class TestContainmentIndex:
-    def test_persisted_stats_match_in_session_screen(self, spark, tmp_path):
+    def test_persisted_stats_match_in_session_screen(
+        self, spark, documents, tmp_path
+    ):
         """Screening against containment_load_stats(containment_build_index)
         must be value-identical to the self-contained screen — the index
         changes WHERE corpus statistics come from, never what is
@@ -1837,9 +1839,8 @@ class TestContainmentIndex:
             doc_containment_screen,
         )
 
-        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        corpus = docs.filter("doc_id % 7 != 0")
-        arrivals = docs.filter("doc_id % 7 = 0")
+        corpus = documents.filter("doc_id % 7 != 0")
+        arrivals = documents.filter("doc_id % 7 = 0")
         want = sorted(
             map(tuple, doc_containment_screen(corpus, arrivals).collect())
         )
@@ -1855,3 +1856,42 @@ class TestContainmentIndex:
             )
         )
         assert got == want and len(got) > 0
+
+    def test_sn_keys_are_unicode_parity_safe(self, spark, tmp_path):
+        """Spark substring/reverse count CODE POINTS, DuckDB's count
+        GRAPHEME CLUSTERS — so the SN sort keys are derived over the
+        ASCII projection of the text, where the two definitions
+        coincide.  Verified end-to-end: a corpus planted with combining
+        sequences and emoji near both ends of the text must produce the
+        SAME keys on both engines (this diverged before the projection:
+        'e\\u0301' reversed is 2 code points on Spark, 1 grapheme on
+        DuckDB)."""
+        import duckdb
+
+        from polars_view_spark.operators.dedup import SN_KEY_LEN, sn_pass_keys
+
+        rows = [
+            (1, "résumé of the devops engineer \U0001f469‍\U0001f4bb"),
+            (2, "\U0001f469‍\U0001f4bb engineer profile ending with é"),
+            (3, "plain ascii control row with no combining marks"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        k0, k1 = sn_pass_keys("text", SN_KEY_LEN, 2)
+        got = {
+            r["doc_id"]: (r["a"], r["b"])
+            for r in docs.selectExpr("doc_id", f"{k0} AS a", f"{k1} AS b").collect()
+        }
+        pq = str(tmp_path / "docs.parquet")
+        docs.coalesce(1).write.parquet(pq)
+        base = "lower(regexp_replace(trim(text), '[^ -~]', '', 'g'))"
+        want = {
+            int(d): (a, b)
+            for d, a, b in duckdb.connect()
+            .execute(
+                f"SELECT doc_id, substr({base}, 1, {SN_KEY_LEN}),"
+                f" substr(reverse({base}), 1, {SN_KEY_LEN})"
+                f" FROM read_parquet('{pq}/*.parquet')"
+            )
+            .fetchall()
+        }
+        assert got == want

@@ -237,6 +237,10 @@ def test_minhash_index_query_never_scans_corpus(spark, tmp_path):
         minhash_query_index,
     )
 
+    # scan-location metadata is BAKED at planning time at the current
+    # limit (plan_of's later raise can't un-truncate it), and pytest's
+    # long tmp_path pushes the index paths past the default 100 chars
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     d = load_tables(spark, SF, "documents")["documents"]
     corpus_src = str(tmp_path / "corpus_src")
     d.filter(F.col("doc_id") % 10 != 0).write.parquet(corpus_src)
