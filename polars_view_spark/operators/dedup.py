@@ -334,6 +334,18 @@ def minhash_build_index(
         sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz")).write.mode(
             "overwrite"
         ).parquet(f"{path}/sizes")
+        # long-form band rows WITH their corpus bucket size: the
+        # batch-invariant lookup mode's hot-bucket cap reads corpus
+        # state only, so baking __bsz here turns the per-query cap
+        # window (a corpus-band shuffle per call) into a pushdownable
+        # filter; stored unfiltered so any cap value works at query time
+        from pyspark.sql import Window
+
+        bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
+        written_sigs = corpus.sparkSession.read.parquet(f"{path}/signatures")
+        _band_rows(written_sigs).withColumn(
+            "__bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+        ).write.mode("overwrite").parquet(f"{path}/bands")
     finally:
         # release even when a write throws — retries must not accumulate
         # pinned copies of the (3× corpus text) shingle cache
@@ -404,9 +416,16 @@ def minhash_query_index(
         else:
             # cap from corpus-only bucket sizes: batch contents must not be
             # able to tip a bucket over the cap, or verdicts would depend on
-            # how arrivals were batched
+            # how arrivals were batched.  The persisted band table carries
+            # each bucket's CORPUS size, so the cap is a pushdownable
+            # filter here — no per-query window shuffle over corpus bands
             left = F.broadcast(_band_rows(new_sigs)).alias("l")
-            right = _band_table(corpus_sigs, max_bucket_size).alias("r")
+            right = (
+                spark.read.parquet(f"{path}/bands")
+                .filter(F.col("__bsz") <= max_bucket_size)
+                .drop("__bsz")
+                .alias("r")
+            )
 
         cond = (F.col("l.band") == F.col("r.band")) & (
             F.col("l.doc") != F.col("r.doc")
