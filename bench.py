@@ -99,6 +99,12 @@ EXT_HEADLINE = [
     # barriers amortize while both engines' scan legs grow linearly.
     "s_hybrid_rrf_topk",
     "s_mmr_rerank",
+    # round 7: the persisted-MinHash build/query split — the entry times
+    # build + query together at sf0.1 (its oracle recomputes everything,
+    # so the DuckDB column doubles as the recompute-mode contrast); the
+    # standalone query-only economics are in SCALE.md (12.96 s recompute
+    # → 4.67 s per lookup at 10× corpus vs a 500-doc batch)
+    "d_minhash_index_query",
 ]
 
 
