@@ -5915,6 +5915,94 @@ register(
 )(_x_expectations_persisted_drift)
 
 
+def _e_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality gate (streaming/events.py:
+    streaming_expectations_gate): each micro-batch of arriving orders is
+    scored against a row rule + drift rules reading the PERSISTED
+    snapshot profile, and the per-rule report lands partitioned by
+    batch_id.  The entry streams the orders table as one file → one
+    micro-batch, so the drained report is exactly the one-shot batch
+    report and carries the full value-hash oracle (per-batch semantics
+    for multi-batch streams are pinned in tests/test_streaming.py)."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.expectations import snapshot_profile
+    from polars_view_spark.streaming.events import (
+        _single_file_to_glob,
+        read_sink_or_empty,
+        streaming_expectations_gate,
+    )
+
+    t = load_tables(spark, sf_dir, "orders")
+    orders = t["orders"]
+    rules = [
+        {"name": "key_not_null", "kind": "not_null", "column": "o_orderkey"},
+        {"name": "median_drift_loose", "kind": "quantile_drift",
+         "column": "o_totalprice", "q": 0.5, "ref": "snapshot",
+         "max_rel_change": 0.5},
+        {"name": "cust_drift", "kind": "distinct_drift",
+         "column": "o_custkey", "ref": "snapshot", "max_rel_change": 0.5},
+    ]
+    scratch = _scratch_dir("stream_exp", sf_dir)
+    prof = os.path.join(scratch, "profile")
+    snapshot_profile(
+        orders.filter(F.col("o_orderkey") % EXP_DIST_SNAP_MOD != 0), rules, prof
+    )
+    reader = spark.readStream.schema(orders.schema)
+    src = _single_file_to_glob(reader, f"{sf_dir}/orders.parquet")
+    stream = reader.parquet(src)
+    sink = os.path.join(scratch, "reports")
+    q = streaming_expectations_gate(
+        stream, rules, sink, ref_profiles={"snapshot": prof}
+    )
+    q.awaitTermination()
+    out = read_sink_or_empty(
+        spark,
+        sink,
+        "rule string, n_checked bigint, n_violations bigint, "
+        "passed boolean, observed double, sketch_ok boolean, batch_id bigint",
+    )
+    return out.select(
+        "rule", "n_checked", "n_violations", "passed", "observed", "sketch_ok"
+    ).orderBy("rule")
+
+
+register(
+    "e_streaming_expectations",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_nn,
+             quantile_cont(o_totalprice, 0.5) AS med,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS dk
+      FROM orders
+    ), s AS (
+      SELECT quantile_cont(o_totalprice, 0.5) AS med,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS dk
+      FROM orders WHERE o_orderkey % {EXP_DIST_SNAP_MOD} != 0
+    ), stacked AS (
+      SELECT n, 'key_not_null' AS rule, v_nn AS n_violations,
+             CAST(NULL AS DOUBLE) AS observed,
+             CAST(NULL AS BOOLEAN) AS sketch_ok FROM f
+      UNION ALL SELECT n, 'median_drift_loose',
+             CAST(CASE WHEN abs((f.med - s.med) / s.med) > 0.5
+                  THEN 1 ELSE 0 END AS BIGINT),
+             round((f.med - s.med) / s.med, 6), TRUE FROM f, s
+      UNION ALL SELECT n, 'cust_drift',
+             CAST(CASE WHEN abs((f.dk - s.dk) / s.dk) > 0.5
+                  THEN 1 ELSE 0 END AS BIGINT),
+             round((f.dk - s.dk) / s.dk, 6), TRUE FROM f, s
+    )
+    SELECT rule, n AS n_checked, n_violations, n_violations = 0 AS passed,
+           observed, sketch_ok
+    FROM stacked ORDER BY rule
+    """,
+    tables=("orders",),
+)(_e_streaming_expectations)
+
+
 register(
     "x_expectations_distribution",
     oracle=f"""

@@ -929,6 +929,53 @@ def streaming_ann_lookup(
     )
 
 
+def streaming_expectations_gate(
+    docs_stream: DataFrame,
+    rules: list[dict],
+    report_dir: str,
+    ref_frames: dict[str, DataFrame] | None = None,
+    ref_profiles: dict[str, str] | None = None,
+):
+    """Continuous data-quality gating: every micro-batch of arriving rows
+    is evaluated against the declarative rule list
+    (operators/expectations.py:expectations_report) and the per-rule
+    report lands in ``report_dir`` partitioned by ``batch_id`` — the
+    per-ingest-batch quality gate a production pipeline runs at the
+    door, with drift rules reading the PERSISTED snapshot profile
+    (``ref_profiles``, operators/expectations.py:snapshot_profile) so no
+    trigger ever re-scans the reference corpus.
+
+    Per-batch semantics ARE the contract (each report's ``n_checked`` is
+    that batch's row count — a gate verdict is about the batch at the
+    door, unlike the batch-invariant screens whose union equals a
+    one-shot run); redelivered files are absorbed by the checkpoint and
+    the replay-stable ``batch_id`` dynamic partition overwrite keeps
+    delivery effectively-once.  Per-trigger cost: ONE scan + ONE
+    aggregate of the batch regardless of rule count, plus the profile's
+    few-row read.
+    """
+    from polars_view_spark.operators.expectations import expectations_report
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rep = expectations_report(batch_df, rules, ref_frames, ref_profiles)
+        (
+            rep.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(report_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", report_dir.rstrip("/") + ".__pvs_ckpt")
+        .start()
+    )
+
+
 def streaming_minhash_lookup(
     docs_stream: DataFrame,
     index_path: str,

@@ -1160,3 +1160,79 @@ def test_streaming_containment_screen_from_persisted_index(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_expectations_gate_per_batch_reports(spark, tmp_path):
+    """The quality gate's contract is PER-BATCH: each micro-batch gets
+    its own report (n_checked = that batch's rows, verdicts from that
+    batch's metrics vs the fixed persisted profile).  Three landing
+    files → three reports; their n_checked must sum to the arrival
+    total, every batch carries every rule, and a planted batch-level
+    violation (a NULL key in exactly one file) flags only its batch."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.operators.expectations import snapshot_profile
+    from polars_view_spark.streaming.events import (
+        read_sink_or_empty,
+        streaming_expectations_gate,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    rules = [
+        {"name": "key_not_null", "kind": "not_null", "column": "o_orderkey"},
+        {"name": "median_drift", "kind": "quantile_drift",
+         "column": "o_totalprice", "q": 0.5, "ref": "snap",
+         "max_rel_change": 0.9},
+    ]
+    prof = str(tmp_path / "profile")
+    snapshot_profile(orders, rules, prof)
+
+    # arrivals: orders + one NULL-key row planted in the __f=2 file
+    arrivals = orders.unionByName(
+        orders.limit(1).select(
+            F.lit(None).cast("long").alias("o_orderkey"),
+            *[F.col(c) for c in orders.columns if c != "o_orderkey"],
+        ).select(orders.columns)
+    )
+    landing = str(tmp_path / "landing")
+    # three slices written as three explicit files (hash repartition can
+    # collide slice values into one partition and drop a batch)
+    tagged = arrivals.withColumn(
+        "__f", F.coalesce(F.col("o_orderkey") % 3, F.lit(2))
+    )
+    for i in range(3):
+        tagged.filter(F.col("__f") == i).drop("__f").coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    sink = str(tmp_path / "reports")
+    q = streaming_expectations_gate(
+        stream, rules, sink, ref_profiles={"snap": prof}
+    )
+    assert q.awaitTermination(300)
+    rep = read_sink_or_empty(
+        spark,
+        sink,
+        "rule string, n_checked bigint, n_violations bigint, passed boolean, "
+        "observed double, sketch_ok boolean, batch_id bigint",
+    ).collect()
+    batches = {r["batch_id"] for r in rep}
+    assert len(batches) == 3
+    per_batch_checked = {
+        b: {r["n_checked"] for r in rep if r["batch_id"] == b} for b in batches
+    }
+    # n_checked is constant within a batch and sums to the arrival total
+    assert all(len(v) == 1 for v in per_batch_checked.values())
+    assert sum(v.pop() for v in per_batch_checked.values()) == arrivals.count()
+    # every batch reports every rule
+    for b in batches:
+        assert {r["rule"] for r in rep if r["batch_id"] == b} == {
+            "key_not_null", "median_drift"
+        }
+    # exactly one batch flags the planted NULL key
+    nn = [r for r in rep if r["rule"] == "key_not_null"]
+    assert sorted(r["n_violations"] for r in nn) == [0, 0, 1]
