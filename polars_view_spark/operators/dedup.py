@@ -104,14 +104,23 @@ def _cap_buckets(
     shuffle; an A/B at sf0.1 measured it ~free vs +1.5 s for a broadcast
     anti-join).  One implementation on purpose — guard semantics must
     never drift between consumers."""
-    from pyspark.sql import Window
-
     return (
-        df.withColumn(
-            "__bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
-        )
+        _with_bucket_size(df, bucket_cols)
         .filter(F.col("__bsz") <= max_bucket_size)
         .drop("__bsz")
+    )
+
+
+def _with_bucket_size(df: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    """Annotate each row with its bucket's size (``__bsz``) — the ONE
+    window behind the hot-bucket guard, shared by :func:`_cap_buckets`
+    (in-session paths) and ``minhash_build_index`` (which persists the
+    annotated rows so the lookup mode's cap is a pushdownable
+    ``__bsz <= cap`` filter, semantics identical by construction)."""
+    from pyspark.sql import Window
+
+    return df.withColumn(
+        "__bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
     )
 
 
@@ -303,25 +312,38 @@ def minhash_build_index(
     (operators/similarity.py:400,454): one offline indexing job, many
     cheap query jobs that never recompute corpus-side state.
 
-    Two parquet datasets under ``path``:
+    Four parquet datasets under ``path``:
 
     - ``signatures``: one row per corpus doc, ``doc, mh0..mh{k-1}`` —
-      the band table the candidate join needs is a pure column reshape
-      of this (``_band_table``), so no hashing happens at query time.
+      the band table the union-mode candidate join needs is a pure
+      column reshape of this (``_band_table``), so no hashing happens
+      at query time.
     - ``shingles``: the exploded ``(doc, shingle)`` table, for the
       exact-Jaccard verify of corpus-side candidates.  Stored so the
       verify stage is a JOIN against persisted rows instead of a
       tokenize+shingle recompute of the corpus; ~3× the text in bytes —
       the classic index space-for-time trade, same as the IVF
       assignments dataset carrying its vectors.
+    - ``sizes``: per-doc shingle-set counts, so the verify's Jaccard
+      denominator never re-aggregates the corpus shingle stream.
+    - ``bands``: the long-form band rows annotated with their corpus
+      bucket size (``__bsz``, the same window as ``_cap_buckets``) —
+      the batch-invariant lookup mode's cap reads corpus state only, so
+      persisting it turns the per-query cap window into a pushdownable
+      filter.  Stored UNFILTERED so any cap value works at query time;
+      the union mode still derives its cap from the corpus∪batch union
+      at query time (bucket heat there depends on the batch), keeping
+      it result-identical to the self-contained incremental path.
 
-    Per-doc state only (signatures and shingles are functions of each
-    document alone), so the index never needs rebuilding when documents
-    are ADDED — append new docs' rows to both datasets.  The hot-bucket
-    cap is NOT baked in at build time: bucket heat depends on the
-    query-time union of corpus and batch, so :func:`minhash_query_index`
-    applies it there — exactly where the self-contained incremental path
-    applies it, keeping the two result-identical.
+    Appending documents: every dataset is a per-doc function EXCEPT the
+    ``__bsz`` annotation, so an append job adds the new docs' rows to
+    all four datasets (band rows are per-doc too); pre-existing rows'
+    ``__bsz`` goes stale-LOW, which only ADMITS a since-grown hot
+    bucket (extra verified candidates — a cost regression, never a
+    wrong or missed result, since verification is exact).  Refresh the
+    ``bands`` dataset periodically to restore the cost bound.  Skipping
+    the ``bands`` append entirely is NOT safe: lookup-mode candidates
+    come exclusively from it, so absent rows silently lose recall.
     """
     sh = shingle_table(corpus, id_col, text_col).cache()
     try:
@@ -334,18 +356,15 @@ def minhash_build_index(
         sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz")).write.mode(
             "overwrite"
         ).parquet(f"{path}/sizes")
-        # long-form band rows WITH their corpus bucket size: the
-        # batch-invariant lookup mode's hot-bucket cap reads corpus
-        # state only, so baking __bsz here turns the per-query cap
-        # window (a corpus-band shuffle per call) into a pushdownable
-        # filter; stored unfiltered so any cap value works at query time
-        from pyspark.sql import Window
-
+        # band rows + corpus bucket size (see docstring).  Derived from
+        # the in-memory sigs frame (recompute off the cached shingles is
+        # one aggregate) — NOT a read-back of the just-overwritten
+        # signatures path, which raced a stale file listing into a
+        # FILE_NOT_EXIST under overwrite-in-place (observed once in CI)
         bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
-        written_sigs = corpus.sparkSession.read.parquet(f"{path}/signatures")
-        _band_rows(written_sigs).withColumn(
-            "__bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
-        ).write.mode("overwrite").parquet(f"{path}/bands")
+        _with_bucket_size(_band_rows(sigs), bucket_cols).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/bands")
     finally:
         # release even when a write throws — retries must not accumulate
         # pinned copies of the (3× corpus text) shingle cache
@@ -397,7 +416,6 @@ def minhash_query_index(
     mode keeps the self-contained incremental path's exact semantics
     (union-derived cap, batch-internal pairs included).
     """
-    corpus_sigs = spark.read.parquet(f"{path}/signatures")
     corpus_sh = spark.read.parquet(f"{path}/shingles")
 
     new_sh = shingle_table(new, id_col, text_col).cache()
@@ -408,6 +426,7 @@ def minhash_query_index(
         if include_batch_pairs:
             # same union the self-contained incremental path computes from
             # scratch — per-doc rows are identical, so downstream is identical
+            corpus_sigs = spark.read.parquet(f"{path}/signatures")
             sigs = corpus_sigs.unionByName(new_sigs)
             bands = _band_table(sigs, max_bucket_size)
             new_ids = new.select(F.col(id_col).alias("doc"))
@@ -418,14 +437,24 @@ def minhash_query_index(
             # able to tip a bucket over the cap, or verdicts would depend on
             # how arrivals were batched.  The persisted band table carries
             # each bucket's CORPUS size, so the cap is a pushdownable
-            # filter here — no per-query window shuffle over corpus bands
+            # filter here — no per-query window shuffle over corpus bands.
+            # Indexes written before the bands dataset existed fall back
+            # to deriving capped bands from signatures (one window per
+            # call — the pre-bands cost, not an error).
             left = F.broadcast(_band_rows(new_sigs)).alias("l")
-            right = (
-                spark.read.parquet(f"{path}/bands")
-                .filter(F.col("__bsz") <= max_bucket_size)
-                .drop("__bsz")
-                .alias("r")
-            )
+            bands_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/bands")
+            fs = bands_path.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(bands_path):
+                right = (
+                    spark.read.parquet(f"{path}/bands")
+                    .filter(F.col("__bsz") <= max_bucket_size)
+                    .drop("__bsz")
+                    .alias("r")
+                )
+            else:
+                right = _band_table(
+                    spark.read.parquet(f"{path}/signatures"), max_bucket_size
+                ).alias("r")
 
         cond = (F.col("l.band") == F.col("r.band")) & (
             F.col("l.doc") != F.col("r.doc")

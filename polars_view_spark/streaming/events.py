@@ -615,6 +615,45 @@ def streaming_minhash_dedup(
     )
 
 
+def _available_now_sink(
+    stream: DataFrame,
+    sink_dir: str,
+    batch_frame_fn,
+    dedup_col: str | None = None,
+):
+    """The ONE effectively-once availableNow sink discipline shared by the
+    fixed-reference screens/gates (`streaming_containment_screen`,
+    `streaming_ann_lookup`, `streaming_minhash_lookup`,
+    `streaming_expectations_gate`): per trigger, optionally
+    per-batch-dedup on ``dedup_col``, skip empty batches, evaluate
+    ``batch_frame_fn(batch_df)``, and write the result partitioned by
+    the replay-stable ``batch_id`` with dynamic partition OVERWRITE — so
+    an at-least-once foreachBatch re-run replaces its own partition
+    instead of duplicating it.  Defined once so the delivery contract
+    cannot drift between consumers."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if dedup_col is not None:
+            batch_df = batch_df.dropDuplicates([dedup_col])
+        if batch_df.isEmpty():
+            return
+        (
+            batch_frame_fn(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", sink_dir.rstrip("/") + ".__pvs_ckpt")
+        .start()
+    )
+
+
 def streaming_containment_screen(
     docs_stream: DataFrame,
     corpus: DataFrame,
@@ -675,21 +714,6 @@ def streaming_containment_screen(
     else:
         stats = containment_corpus_stats(corpus, id_col, text_col)
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.dropDuplicates([id_col])
-        if batch_df.isEmpty():
-            return
-        flags = doc_containment_screen(
-            corpus, batch_df, id_col, text_col, corpus_stats=stats
-        )
-        (
-            flags.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(flags_dir)
-        )
-
     spark = corpus.sparkSession
 
     class _ReleaseStats(StreamingQueryListener):
@@ -744,11 +768,13 @@ def streaming_containment_screen(
     listener = _ReleaseStats()
     spark.streams.addListener(listener)
     try:
-        q = (
-            docs_stream.writeStream.foreachBatch(apply_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", flags_dir.rstrip("/") + ".__pvs_ckpt")
-            .start()
+        q = _available_now_sink(
+            docs_stream,
+            flags_dir,
+            lambda batch_df: doc_containment_screen(
+                corpus, batch_df, id_col, text_col, corpus_stats=stats
+            ),
+            dedup_col=id_col,
         )
     except Exception:
         listener.release_now()
@@ -899,11 +925,10 @@ def streaming_ann_lookup(
     """
     from polars_view_spark.operators.similarity import ivf_query_index
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.dropDuplicates([id_col])
-        if batch_df.isEmpty():
-            return
-        out = ivf_query_index(
+    return _available_now_sink(
+        queries_stream,
+        sink_dir,
+        lambda batch_df: ivf_query_index(
             batch_df.sparkSession,
             batch_df,
             index_path,
@@ -912,20 +937,8 @@ def streaming_ann_lookup(
             k=k,
             n_probe=n_probe,
             scale=scale,
-        )
-        (
-            out.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(sink_dir)
-        )
-
-    return (
-        queries_stream.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", sink_dir.rstrip("/") + ".__pvs_ckpt")
-        .start()
+        ),
+        dedup_col=id_col,
     )
 
 
@@ -956,23 +969,23 @@ def streaming_expectations_gate(
     """
     from polars_view_spark.operators.expectations import expectations_report
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        rep = expectations_report(batch_df, rules, ref_frames, ref_profiles)
-        (
-            rep.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(report_dir)
-        )
+    # fail FAST on misconfiguration (empty/duplicate rule names, bad
+    # identifiers, unknown kinds, missing ref or profile metric): build
+    # the report plan once against an empty frame with the stream's
+    # schema — plan construction runs every Python-side validation and
+    # the profile's few-row read, so a typo surfaces at gate creation,
+    # not wrapped in a StreamingQueryException at first ingest
+    spark = docs_stream.sparkSession
+    expectations_report(
+        spark.createDataFrame([], docs_stream.schema), rules, ref_frames, ref_profiles
+    )
 
-    return (
-        docs_stream.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", report_dir.rstrip("/") + ".__pvs_ckpt")
-        .start()
+    return _available_now_sink(
+        docs_stream,
+        report_dir,
+        lambda batch_df: expectations_report(
+            batch_df, rules, ref_frames, ref_profiles
+        ),
     )
 
 
@@ -1012,11 +1025,10 @@ def streaming_minhash_lookup(
     """
     from polars_view_spark.operators.dedup import minhash_query_index
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.dropDuplicates([id_col])
-        if batch_df.isEmpty():
-            return
-        out = minhash_query_index(
+    return _available_now_sink(
+        docs_stream,
+        sink_dir,
+        lambda batch_df: minhash_query_index(
             batch_df.sparkSession,
             batch_df,
             index_path,
@@ -1024,18 +1036,6 @@ def streaming_minhash_lookup(
             text_col=text_col,
             jaccard_threshold=jaccard_threshold,
             include_batch_pairs=False,
-        )
-        (
-            out.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(sink_dir)
-        )
-
-    return (
-        docs_stream.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", sink_dir.rstrip("/") + ".__pvs_ckpt")
-        .start()
+        ),
+        dedup_col=id_col,
     )

@@ -1895,3 +1895,33 @@ class TestContainmentIndex:
             .fetchall()
         }
         assert got == want
+
+    def test_lookup_mode_falls_back_without_bands_dataset(self, spark, documents, tmp_path):
+        """An index persisted before the bands dataset existed must still
+        serve lookup-mode queries (cap derived from signatures per call —
+        the pre-bands cost), identically to a fresh index."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.dedup import (
+            minhash_build_index,
+            minhash_query_index,
+        )
+
+        new = documents.filter(F.col("doc_id") % 10 == 0)
+        base = documents.filter(F.col("doc_id") % 10 != 0)
+        idx = str(tmp_path / "mh_idx")
+        minhash_build_index(base, idx, "doc_id", "text")
+        want = sorted(
+            map(tuple, minhash_query_index(
+                spark, new, idx, "doc_id", "text", 0.5, include_batch_pairs=False
+            ).collect())
+        )
+        shutil.rmtree(idx + "/bands")
+        got = sorted(
+            map(tuple, minhash_query_index(
+                spark, new, idx, "doc_id", "text", 0.5, include_batch_pairs=False
+            ).collect())
+        )
+        assert got == want and len(got) > 0

@@ -807,6 +807,9 @@ def test_no_distinct_plus_sketch_expand(spark, cat):
 #: shape for scalar-stat joins; an UNLISTED BNLJ fails the gate.
 CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "e_range_join": "broadcast side is the bounded bucket-bounds table",
+    "x_expectations_distribution": "drift snapshot side is a 1-row broadcast "
+    "aggregate per ref (operators/expectations.py docstring) — the persisted-"
+    "profile mode (x_expectations_persisted_drift) removes even that join",
     "q_approx_aggregates": "1-row scalar approx-aggregate subquery broadcast",
     "q_cross_join": "deliberate CROSS JOIN entry over two tiny dims (region heads)",
     "s_ann_bruteforce_topk": "query set broadcast by design (baseline scorer)",
