@@ -6150,6 +6150,47 @@ register(
 )(_e_streaming_minhash_lookup)
 
 
+def _d_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index APPEND — the ingest half of the daily-crawl loop
+    (operators/dedup.py:minhash_append_index): the index is built from
+    80% of the corpus, the next 10% is APPENDED (per-doc rows to all
+    four datasets, at-append-time bucket sizes, no corpus re-read), and
+    the final 10% queries the grown index in lookup mode.  Held to the
+    SAME oracle as e_streaming_minhash_lookup — the oracle computes the
+    screen against the full 90% corpus, so an append that loses rows,
+    mangles a bucket size past the cap, or double-writes breaks the
+    value hash."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.dedup import (
+        minhash_append_index,
+        minhash_build_index,
+        minhash_query_index,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    arrivals = d.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    first = d.filter(
+        (F.col("doc_id") % INCR_NEW_MOD != 0) & (F.col("doc_id") % INCR_NEW_MOD != 5)
+    )
+    second = d.filter(F.col("doc_id") % INCR_NEW_MOD == 5)
+    idx = os.path.join(_scratch_dir("mh_append", sf_dir), "mh")
+    minhash_build_index(first, idx, "doc_id", "text")
+    minhash_append_index(second, idx, "doc_id", "text")
+    return minhash_query_index(
+        spark, arrivals, idx, "doc_id", "text", JACCARD_T, include_batch_pairs=False
+    ).orderBy("doc1", "doc2")
+
+
+register(
+    "d_minhash_index_append",
+    oracle=_duck_minhash_oracle(lookup_mod=INCR_NEW_MOD),
+    tables=("documents",),
+)(_d_minhash_index_append)
+
+
 def _q_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL session variables (Spark 4 `DECLARE`/`SET VARIABLE`): the
     script-parameterization face — a typed variable declared once, reused

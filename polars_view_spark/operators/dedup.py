@@ -371,6 +371,65 @@ def minhash_build_index(
         sh.unpersist()
 
 
+def minhash_append_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a document batch to a persisted MinHash index — the
+    ingest half of the daily-crawl loop (screen the batch with
+    :func:`minhash_query_index`, keep the survivors, THEN append them so
+    tomorrow's batch screens against today's corpus) — without ever
+    rebuilding or re-reading the corpus text.
+
+    Implements the append procedure the build docstring specifies:
+    per-doc rows land in all four datasets.  The appended band rows
+    carry an at-append-time ``__bsz`` (batch-local bucket count + the
+    bucket's existing persisted count — one aggregate over the NARROW
+    bands dataset, no text-bearing dataset is touched); pre-existing
+    rows' ``__bsz`` goes stale-LOW, which only ADMITS a since-grown hot
+    bucket: extra exactly-verified candidates, a bounded cost
+    regression, never a missed or wrong pair.  Consequently a query
+    after appends returns a SUPERSET of what a fresh rebuild would
+    (equal whenever no bucket crossed the cap between refreshes —
+    pinned in tests); refresh ``bands`` periodically to restore the
+    cost bound exactly.
+    """
+    spark = new_docs.sparkSession
+    sh = shingle_table(new_docs, id_col, text_col).cache()
+    try:
+        sigs = minhash_signatures(new_docs, id_col, text_col, shingles=sh)
+        sigs.write.mode("append").parquet(f"{path}/signatures")
+        sh.write.mode("append").parquet(f"{path}/shingles")
+        sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz")).write.mode(
+            "append"
+        ).parquet(f"{path}/sizes")
+        bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
+        # materialize the existing bucket counts BEFORE appending to the
+        # same path — reading and appending one dataset in a single job
+        # races the file listing (and row counts ARE member counts: the
+        # bands dataset holds one row per (band, doc))
+        existing = (
+            spark.read.parquet(f"{path}/bands")
+            .groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("__old"))
+            .localCheckpoint(eager=True)
+        )
+        (
+            _with_bucket_size(_band_rows(sigs), bucket_cols)
+            .join(existing, bucket_cols, "left")
+            .withColumn(
+                "__bsz", F.col("__bsz") + F.coalesce(F.col("__old"), F.lit(0))
+            )
+            .drop("__old")
+            .write.mode("append")
+            .parquet(f"{path}/bands")
+        )
+    finally:
+        sh.unpersist()
+
+
 def minhash_query_index(
     spark,
     new: DataFrame,

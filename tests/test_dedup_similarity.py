@@ -1925,3 +1925,46 @@ class TestContainmentIndex:
             ).collect())
         )
         assert got == want and len(got) > 0
+
+    def test_append_then_query_matches_fresh_rebuild(self, spark, documents, tmp_path):
+        """The daily-crawl loop: build on 80% of the corpus, APPEND the
+        next 10%, query the last 10% in lookup mode — identical to a
+        fresh rebuild over the full 90% (no bucket crosses the cap on
+        this corpus, so the documented superset relaxation is exact
+        equality here), and the appended docs are actually reachable
+        (pairs naming them exist)."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.dedup import (
+            minhash_append_index,
+            minhash_build_index,
+            minhash_query_index,
+        )
+
+        arrivals = documents.filter(F.col("doc_id") % 10 == 0)
+        first = documents.filter(
+            (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5)
+        )
+        second = documents.filter(F.col("doc_id") % 10 == 5)
+
+        fresh = str(tmp_path / "fresh")
+        minhash_build_index(documents.filter(F.col("doc_id") % 10 != 0), fresh)
+        want = sorted(
+            map(tuple, minhash_query_index(
+                spark, arrivals, fresh, include_batch_pairs=False
+            ).collect())
+        )
+
+        grown = str(tmp_path / "grown")
+        minhash_build_index(first, grown)
+        minhash_append_index(second, grown)
+        got = sorted(
+            map(tuple, minhash_query_index(
+                spark, arrivals, grown, include_batch_pairs=False
+            ).collect())
+        )
+        assert got == want and len(got) > 0
+        appended_ids = {r["doc_id"] for r in second.select("doc_id").collect()}
+        assert any(
+            a in appended_ids or b in appended_ids for a, b, _ in got
+        ), "no pair reaches an appended doc — append is invisible to lookup"
