@@ -1329,6 +1329,15 @@ def containment_build_index(
     1-row ``meta`` carrying the corpus-derived admissibility cap — so a
     query job applies exactly the cap the build derived, never one
     recomputed from a different corpus count.
+
+    Unlike the MinHash index (``minhash_append_index``), this index is
+    NOT appendable: frequencies are corpus-GLOBAL state, so ingesting
+    documents changes every prior row's admissibility and each
+    arrival's rarest-k signature selection (a fingerprint crossing the
+    cap must REMOVE old ``kept`` rows — append-only cannot express
+    that, and the drift is semantic, not cost-only).  Rebuild on a
+    schedule instead; between rebuilds the screen keeps its exact
+    as-of-build semantics.
     """
     kept, freq, cap = containment_corpus_stats(
         corpus, id_col, text_col, max_bucket_size
