@@ -395,8 +395,32 @@ def minhash_append_index(
     (equal whenever no bucket crossed the cap between refreshes —
     pinned in tests); refresh ``bands`` periodically to restore the
     cost bound exactly.
+
+    Guards: ids already present in the index are REJECTED up front (the
+    common retry-after-partial-failure and double-ingest bugs would
+    otherwise silently duplicate per-doc rows and corrupt every
+    downstream join) — the check reads only the ``doc`` column of the
+    signatures dataset against the broadcast batch ids.  The four
+    appends are not transactional: if one fails midway, re-run AFTER
+    removing the batch's rows (or rebuild) — the id guard will refuse a
+    blind re-run that would double-append the datasets written before
+    the failure.
     """
     spark = new_docs.sparkSession
+    new_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
+    clash = (
+        spark.read.parquet(f"{path}/signatures")
+        .select("doc")
+        .join(F.broadcast(new_ids), "doc", "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"minhash_append_index: ids already indexed (e.g. "
+            f"{sorted(r['doc'] for r in clash)}) — appending would "
+            f"duplicate their rows; deduplicate the batch or rebuild"
+        )
     sh = shingle_table(new_docs, id_col, text_col).cache()
     try:
         sigs = minhash_signatures(new_docs, id_col, text_col, shingles=sh)

@@ -1968,3 +1968,21 @@ class TestContainmentIndex:
         assert any(
             a in appended_ids or b in appended_ids for a, b, _ in got
         ), "no pair reaches an appended doc — append is invisible to lookup"
+
+    def test_append_rejects_already_indexed_ids(self, spark, documents, tmp_path):
+        """A blind re-append (retry-after-partial-failure, double-ingest)
+        must fail LOUDLY before writing anything — duplicated per-doc
+        rows would silently corrupt every downstream join."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.dedup import (
+            minhash_append_index,
+            minhash_build_index,
+        )
+
+        base = documents.filter(F.col("doc_id") % 10 != 0)
+        idx = str(tmp_path / "mh")
+        minhash_build_index(base, idx)
+        with _pytest.raises(ValueError, match="already indexed"):
+            minhash_append_index(base.limit(3), idx)
