@@ -146,7 +146,7 @@ def sql_query(
 # and stay covered by the local oracle gate (tests/test_catalog_oracle.py).
 DRIVER_PRIORITY = [
     # ROUND-7 WINDOW — executes the rotation plan committed in round 6.
-    # (a) the 7 round-7 additions: the persisted-MinHash build/query
+    # (a) the 8 round-7 additions: the persisted-MinHash build/query
     # split (VERDICT r06 task 3), the distribution-expectations gate
     # (task 7), and the three later builds extending the persisted-state
     # theme (streaming MinHash lookup, persisted drift profiles,
@@ -156,7 +156,7 @@ DRIVER_PRIORITY = [
     "d_minhash_index_query", "x_expectations_distribution",
     "e_streaming_minhash_lookup", "x_expectations_persisted_drift",
     "d_containment_index_screen", "e_streaming_expectations",
-    "d_minhash_index_append",
+    "d_minhash_index_append", "s_ann_index_append",
     # (b) the 15 late round-6 additions that have never had a driver row
     # (all green in the local sf0.001+sf0.01 oracle sweeps and included
     # in the judge's independently-run 834-green round-6 suite):
@@ -166,10 +166,10 @@ DRIVER_PRIORITY = [
     "d_sorted_neighborhood_pairs", "e_streaming_static_join",
     "x_data_expectations", "e_streaming_ann_lookup",
     "q_session_variable", "q_lateral_alias",
-    # (c) 28 of the 44 entries whose newest driver row is round 3 — the
+    # (c) 27 of the 44 entries whose newest driver row is round 3 — the
     # oldest stamps in the catalog (streaming windows, multimodal frame
     # ops, the r03 TPC-H block, dedup cluster/apply + the flagged
-    # d_minhash_incremental, the sketch family).  The 16 deferred
+    # d_minhash_incremental, the sketch family).  The 17 deferred
     # r03-stamp holdouts move to the round-8 window:
     "d_dedup_apply", "d_dedup_clusters", "d_minhash_incremental",
     "e_streaming_tumbling", "e_streaming_sessions", "e_streaming_sliding",
@@ -181,19 +181,20 @@ DRIVER_PRIORITY = [
     "q20_potential_promotion", "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
     "x_heavy_hitters", "x_sketch_rollup", "x_snapshot_drift",
-    "x_audience_overlap", "x_salted_skew_join", "x_train_val_test_split",
+    "x_audience_overlap", "x_salted_skew_join",
 ]
 # Everything demoted out of the window is green in CORRECTNESS_r01-r06 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
 # sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
-# Stamp state entering round 7: 211 catalog entries (204 + the seven
+# Stamp state entering round 7: 212 catalog entries (204 + the eight
 # round-7 adds in group (a)); CORRECTNESS_r06 landed 50/50 green, so the
 # only entries without a driver row are the fifteen round-6 late adds in
 # group (b).  After CORRECTNESS_r07: every entry has a driver row, and
-# the oldest stamps are the 16 deferred r03 holdouts plus the r04 block.
+# the oldest stamps are the 17 deferred r03 holdouts plus the r04 block.
 # Round-8 rotation should lead with anything round 8 changes or adds,
-# then the 16 deferred r03-stamp holdouts:
-# x_chunk_documents, q_window_range_frame, q_dwell_time, q_event_funnel,
+# then the 17 deferred r03-stamp holdouts:
+# x_train_val_test_split, x_chunk_documents, q_window_range_frame,
+# q_dwell_time, q_event_funnel,
 # q_retention_cohorts,
 # q_exists_correlated, q_gap_fill_series, q_group_by_all_values,
 # q_lateral_subquery, q_not_in_null_semantics, q_scalar_subquery,

@@ -2175,6 +2175,54 @@ register(
 )(_s_ann_index_persist)
 
 
+def _s_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index APPEND (operators/similarity.py:ivf_append_index): the
+    index is built WITHOUT the ``vec_id % 10 == 5`` slice, that slice is
+    appended (assigned per-vector with the frozen build-time centroids,
+    rows landing in the cell-partitioned dataset), and the standard
+    query set probes the grown index.  Held to the SAME oracle as
+    s_ann_ivf_topk over the FULL corpus — an append that loses vectors,
+    mis-assigns a cell, or double-writes breaks the value hash.  The
+    withheld slice deliberately excludes seed-eligible ids
+    (``% {IVF_SEED_MOD} == 0``) so build-time centroids equal the
+    oracle's all-at-once derivation — centroid freezing is the IVF
+    append contract, not a shortcut."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    later = (F.col("vec_id") % 10 == 5) & (F.col("vec_id") % IVF_SEED_MOD != 0)
+    idx = os.path.join(_scratch_dir("ivf_append", sf_dir), "ivf")
+    ivf_build_index(
+        e.filter(~later), idx,
+        seed_mod=IVF_SEED_MOD, scale=IVF_SCALE, max_seeds=IVF_MAX_SEEDS,
+    )
+    ivf_append_index(e.filter(later), idx, scale=IVF_SCALE)
+    out = ivf_query_index(
+        spark,
+        e.filter(F.col("vec_id") < ANN_N_QUERIES),
+        idx,
+        k=ANN_K,
+        n_probe=IVF_N_PROBE,
+        scale=IVF_SCALE,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+register(
+    "s_ann_index_append",
+    oracle=_IVF_TOPK_ORACLE,
+    tables=("embeddings",),
+)(_s_ann_index_append)
+
+
 TWO_TOWER_K = 5
 TWO_TOWER_QUERY_TOKENS = 10
 

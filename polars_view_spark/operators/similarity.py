@@ -451,6 +451,68 @@ def ivf_build_index(
     )
 
 
+def ivf_append_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> None:
+    """Append a vector batch to a persisted IVF index — the embedding
+    twin of ``dedup.minhash_append_index`` and the standard IVF practice:
+    CENTROIDS ARE FROZEN AT BUILD (an IVF index's cells define its
+    geometry; re-deriving them would invalidate every prior assignment),
+    so appending is per-vector work — assign each new vector to its cell
+    with the same Arrow kernel the build used and append the rows into
+    the cell-partitioned assignments dataset.  Queries immediately see
+    appended vectors through the same partition-pruned probe join.  If
+    the data distribution drifts far from the build-time centroids,
+    recall for new-regime vectors degrades (cells get lopsided) — that
+    is a rebuild trigger, monitored in production by cell-size skew, not
+    something an append can fix.
+
+    Guards: ids already present in the index are rejected up front
+    (double-ingest would duplicate neighbor rows in every probe) — the
+    check reads only the ``neighbor_id`` column against the broadcast
+    batch ids.
+    """
+    from polars_view_spark.functions.vectors import norm_sql
+
+    spark = new_vectors.sparkSession
+    new_ids = new_vectors.select(F.col(id_col).alias("neighbor_id")).distinct()
+    clash = (
+        spark.read.parquet(f"{path}/assignments")
+        .select("neighbor_id")
+        .join(F.broadcast(new_ids), "neighbor_id", "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"ivf_append_index: ids already indexed (e.g. "
+            f"{sorted(r['neighbor_id'] for r in clash)}) — appending "
+            f"would duplicate their rows; deduplicate the batch or rebuild"
+        )
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cells = [int(r["cell"]) for r in cent_rows]
+    seed_ints = [[int(x) for x in r["sv"]] for r in cent_rows]
+    assigned = _with_sorted_cells(
+        new_vectors.filter(F.col(vec_col).isNotNull()),
+        vec_col,
+        cells,
+        seed_ints,
+        scale,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(norm_sql(vec_col)).alias("cn"),
+        F.expr("__cells[0]").alias("cell"),
+    )
+    assigned.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        f"{path}/assignments"
+    )
+
+
 def ivf_query_index(
     spark,
     queries: DataFrame,

@@ -1986,3 +1986,41 @@ class TestContainmentIndex:
         minhash_build_index(base, idx)
         with _pytest.raises(ValueError, match="already indexed"):
             minhash_append_index(base.limit(3), idx)
+
+
+class TestIvfAppend:
+    def test_append_matches_rebuild_and_rejects_duplicates(
+        self, spark, embeddings, tmp_path
+    ):
+        """Appending vectors to a persisted IVF index (frozen build-time
+        centroids) must answer queries identically to a fresh build over
+        the same corpus-with-seeds-present, and a blind re-append must
+        fail loudly before writing."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.similarity import (
+            ivf_append_index,
+            ivf_build_index,
+            ivf_query_index,
+        )
+
+        later = (F.col("vec_id") % 10 == 5) & (F.col("vec_id") % 37 != 0)
+        queries = embeddings.filter(F.col("vec_id") < 5)
+
+        fresh = str(tmp_path / "fresh")
+        ivf_build_index(embeddings, fresh)
+        want = sorted(
+            map(tuple, ivf_query_index(spark, queries, fresh).collect())
+        )
+
+        grown = str(tmp_path / "grown")
+        ivf_build_index(embeddings.filter(~later), grown)
+        ivf_append_index(embeddings.filter(later), grown)
+        got = sorted(
+            map(tuple, ivf_query_index(spark, queries, grown).collect())
+        )
+        assert got == want and len(got) > 0
+
+        with _pytest.raises(ValueError, match="already indexed"):
+            ivf_append_index(embeddings.filter(later).limit(2), grown)
