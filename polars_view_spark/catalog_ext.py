@@ -6199,15 +6199,16 @@ register(
 
 
 def _d_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index APPEND — the ingest half of the daily-crawl loop
-    (operators/dedup.py:minhash_append_index): the index is built from
-    80% of the corpus, the next 10% is APPENDED (per-doc rows to all
-    four datasets, at-append-time bucket sizes, no corpus re-read), and
-    the final 10% queries the grown index in lookup mode.  Held to the
-    SAME oracle as e_streaming_minhash_lookup — the oracle computes the
-    screen against the full 90% corpus, so an append that loses rows,
-    mangles a bucket size past the cap, or double-writes breaks the
-    value hash."""
+    """Index APPEND + bands REFRESH — the full maintenance loop
+    (operators/dedup.py:minhash_append_index / minhash_refresh_bands):
+    the index is built from 80% of the corpus, the next 10% is APPENDED
+    (per-doc rows to all four datasets, no corpus re-read), the bands
+    dataset is refreshed (restoring exact bucket sizes — without it the
+    stale-low ``__bsz`` makes equality with the oracle data-DEPENDENT;
+    with it, guaranteed), and the final 10% queries the grown index in
+    lookup mode.  Held to the SAME oracle as e_streaming_minhash_lookup
+    over the full 90% corpus, so an append that loses rows, a refresh
+    that miscounts a bucket, or a double-write breaks the value hash."""
     import os
 
     from polars_view_spark.catalog import _scratch_dir
@@ -6215,6 +6216,7 @@ def _d_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_append_index,
         minhash_build_index,
         minhash_query_index,
+        minhash_refresh_bands,
     )
 
     t = load_tables(spark, sf_dir, "documents")
@@ -6227,6 +6229,7 @@ def _d_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = os.path.join(_scratch_dir("mh_append", sf_dir), "mh")
     minhash_build_index(first, idx, "doc_id", "text")
     minhash_append_index(second, idx, "doc_id", "text")
+    minhash_refresh_bands(spark, idx)
     return minhash_query_index(
         spark, arrivals, idx, "doc_id", "text", JACCARD_T, include_batch_pairs=False
     ).orderBy("doc1", "doc2")

@@ -396,18 +396,43 @@ def minhash_append_index(
     pinned in tests); refresh ``bands`` periodically to restore the
     cost bound exactly.
 
-    Guards: ids already present in the index are REJECTED up front (the
-    common retry-after-partial-failure and double-ingest bugs would
-    otherwise silently duplicate per-doc rows and corrupt every
-    downstream join) — the check reads only the ``doc`` column of the
-    signatures dataset against the broadcast batch ids.  The four
-    appends are not transactional: if one fails midway, re-run AFTER
-    removing the batch's rows (or rebuild) — the id guard will refuse a
-    blind re-run that would double-append the datasets written before
-    the failure.
+    Guards: ids already present in the index AND ids duplicated within
+    the batch itself are REJECTED up front (the common
+    retry-after-partial-failure, double-ingest, and overlapping-source
+    bugs would otherwise silently duplicate per-doc rows — doubling
+    shingle rows and sizes corrupts every later Jaccard verdict) — the
+    index-side check reads only the ``doc`` column of the signatures
+    dataset against the broadcast batch ids.  A legacy index without
+    the ``bands`` dataset is rejected BEFORE any write (run
+    :func:`minhash_refresh_bands` first) — failing on it mid-append
+    would leave a half-ingested batch.  The four appends are not
+    transactional: if one fails midway, re-run AFTER removing the
+    batch's rows (or rebuild) — the id guard will refuse a blind re-run
+    that would double-append the datasets written before the failure.
     """
     spark = new_docs.sparkSession
-    new_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
+    bands_jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/bands")
+    fs = bands_jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(bands_jpath):
+        raise ValueError(
+            "minhash_append_index: index has no bands dataset (built "
+            "before it existed) — run minhash_refresh_bands(path) once, "
+            "then append"
+        )
+    dup = (
+        new_docs.groupBy(F.col(id_col).alias("doc"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"minhash_append_index: batch contains duplicate ids (e.g. "
+            f"{sorted(r['doc'] for r in dup)}) — deduplicate before "
+            f"appending"
+        )
+    new_ids = new_docs.select(F.col(id_col).alias("doc"))
     clash = (
         spark.read.parquet(f"{path}/signatures")
         .select("doc")
@@ -430,18 +455,23 @@ def minhash_append_index(
             "append"
         ).parquet(f"{path}/sizes")
         bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
-        # materialize the existing bucket counts BEFORE appending to the
-        # same path — reading and appending one dataset in a single job
-        # races the file listing (and row counts ARE member counts: the
-        # bands dataset holds one row per (band, doc))
+        batch_bands = _band_rows(sigs)
+        batch_keys = batch_bands.select(*bucket_cols).distinct()
+        # count ONLY the batch-touched buckets (semi-join to the small,
+        # broadcast batch key set before the aggregate — never a
+        # corpus-wide groupBy per append), and materialize BEFORE
+        # appending to the same path: reading and appending one dataset
+        # in a single job races the file listing.  Row counts ARE member
+        # counts (one bands row per (band, doc)).
         existing = (
             spark.read.parquet(f"{path}/bands")
+            .join(F.broadcast(batch_keys), bucket_cols, "left_semi")
             .groupBy(*bucket_cols)
             .agg(F.count(F.lit(1)).alias("__old"))
             .localCheckpoint(eager=True)
         )
         (
-            _with_bucket_size(_band_rows(sigs), bucket_cols)
+            _with_bucket_size(batch_bands, bucket_cols)
             .join(existing, bucket_cols, "left")
             .withColumn(
                 "__bsz", F.col("__bsz") + F.coalesce(F.col("__old"), F.lit(0))
@@ -452,6 +482,32 @@ def minhash_append_index(
         )
     finally:
         sh.unpersist()
+
+
+def minhash_refresh_bands(spark, path: str) -> None:
+    """Rebuild the ``bands`` dataset of a persisted MinHash index from
+    its current signatures — the periodic maintenance job the append
+    contract calls for: appends leave pre-existing rows' ``__bsz``
+    stale-LOW (cost-only; see :func:`minhash_append_index`), and a
+    refresh restores exact bucket sizes so lookup-mode admission again
+    matches a fresh rebuild bit-for-bit.  Also materializes ``bands``
+    for a legacy index built before the dataset existed.  Reads only
+    the (narrow) signatures dataset — never the corpus text."""
+    bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
+    sigs = spark.read.parquet(f"{path}/signatures")
+    # stage to a sibling then swap: overwriting bands while deriving it
+    # from a DIFFERENT dataset is safe, but a mid-write failure must not
+    # leave a half-written bands dir for lookups to read
+    tmp = f"{path}/bands__refresh_tmp"
+    _with_bucket_size(_band_rows(sigs), bucket_cols).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(f"{path}/bands")
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(dst, True)
+    fs.rename(src, dst)
 
 
 def minhash_query_index(

@@ -471,15 +471,29 @@ def ivf_append_index(
     is a rebuild trigger, monitored in production by cell-size skew, not
     something an append can fix.
 
-    Guards: ids already present in the index are rejected up front
-    (double-ingest would duplicate neighbor rows in every probe) — the
-    check reads only the ``neighbor_id`` column against the broadcast
-    batch ids.
+    Guards: ids already present in the index AND ids duplicated within
+    the batch are rejected up front (either would duplicate neighbor
+    rows, letting one vector occupy several top-k slots in every later
+    probe) — the index-side check reads only the ``neighbor_id`` column
+    against the broadcast batch ids.
     """
     from polars_view_spark.functions.vectors import norm_sql
 
     spark = new_vectors.sparkSession
-    new_ids = new_vectors.select(F.col(id_col).alias("neighbor_id")).distinct()
+    dup = (
+        new_vectors.groupBy(F.col(id_col).alias("neighbor_id"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"ivf_append_index: batch contains duplicate ids (e.g. "
+            f"{sorted(r['neighbor_id'] for r in dup)}) — deduplicate "
+            f"before appending"
+        )
+    new_ids = new_vectors.select(F.col(id_col).alias("neighbor_id"))
     clash = (
         spark.read.parquet(f"{path}/assignments")
         .select("neighbor_id")

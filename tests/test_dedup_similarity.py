@@ -2024,3 +2024,71 @@ class TestIvfAppend:
 
         with _pytest.raises(ValueError, match="already indexed"):
             ivf_append_index(embeddings.filter(later).limit(2), grown)
+
+    def test_append_guards_and_refresh(self, spark, documents, tmp_path):
+        """Intra-batch duplicate ids are rejected (they would double
+        shingle rows and sizes — permanently wrong Jaccards); a legacy
+        index without the bands dataset is rejected BEFORE any write
+        (half-ingested batches are the alternative); and
+        minhash_refresh_bands both heals such an index and restores
+        exact bucket sizes after appends."""
+        import shutil
+
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.dedup import (
+            minhash_append_index,
+            minhash_build_index,
+            minhash_query_index,
+            minhash_refresh_bands,
+        )
+
+        arrivals = documents.filter(F.col("doc_id") % 10 == 0)
+        base = documents.filter(
+            (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5)
+        )
+        batch = documents.filter(F.col("doc_id") % 10 == 5)
+        idx = str(tmp_path / "mh")
+        minhash_build_index(base, idx)
+
+        with _pytest.raises(ValueError, match="duplicate ids"):
+            minhash_append_index(batch.unionByName(batch.limit(1)), idx)
+
+        # legacy index: no bands dataset → append refuses up front, the
+        # signature count is untouched, and refresh heals it
+        shutil.rmtree(idx + "/bands")
+        n_sigs = spark.read.parquet(idx + "/signatures").count()
+        with _pytest.raises(ValueError, match="no bands dataset"):
+            minhash_append_index(batch, idx)
+        assert spark.read.parquet(idx + "/signatures").count() == n_sigs
+        minhash_refresh_bands(spark, idx)
+
+        # append + refresh == fresh rebuild over the grown corpus
+        minhash_append_index(batch, idx)
+        minhash_refresh_bands(spark, idx)
+        got = sorted(map(tuple, minhash_query_index(
+            spark, arrivals, idx, include_batch_pairs=False).collect()))
+        fresh = str(tmp_path / "fresh")
+        minhash_build_index(documents.filter(F.col("doc_id") % 10 != 0), fresh)
+        want = sorted(map(tuple, minhash_query_index(
+            spark, arrivals, fresh, include_batch_pairs=False).collect()))
+        assert got == want and len(got) > 0
+
+    def test_ivf_append_rejects_intra_batch_duplicates(
+        self, spark, embeddings, tmp_path
+    ):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.similarity import (
+            ivf_append_index,
+            ivf_build_index,
+        )
+
+        later = (F.col("vec_id") % 10 == 5) & (F.col("vec_id") % 37 != 0)
+        idx = str(tmp_path / "ivf")
+        ivf_build_index(embeddings.filter(~later), idx)
+        batch = embeddings.filter(later)
+        with _pytest.raises(ValueError, match="duplicate ids"):
+            ivf_append_index(batch.unionByName(batch.limit(1)), idx)
