@@ -2092,3 +2092,69 @@ class TestIvfAppend:
         batch = embeddings.filter(later)
         with _pytest.raises(ValueError, match="duplicate ids"):
             ivf_append_index(batch.unionByName(batch.limit(1)), idx)
+
+    def test_daily_crawl_loop_screen_ingest_screen(self, spark, documents, tmp_path):
+        """The full daily-crawl loop the persisted index exists for:
+        day-1 batch is SCREENED against the corpus index, survivors
+        (docs with no near-dup in the corpus) are APPENDED, and the
+        day-2 screen then sees day-1 survivors as corpus — a day-2 copy
+        of a day-1 survivor is flagged, which the un-grown index could
+        not do.  Each day's screen is also cross-checked against the
+        self-contained incremental operator over the same corpus."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.dedup import (
+            minhash_append_index,
+            minhash_build_index,
+            minhash_lsh_pairs_incremental,
+            minhash_query_index,
+            minhash_refresh_bands,
+        )
+
+        corpus0 = documents.filter(F.col("doc_id") % 10 != 0)
+        day1 = documents.filter(F.col("doc_id") % 10 == 0)
+        idx = str(tmp_path / "mh")
+        minhash_build_index(corpus0, idx)
+
+        flags1 = minhash_query_index(
+            spark, day1, idx, include_batch_pairs=False
+        )
+        day1_ids = {r["doc_id"] for r in day1.select("doc_id").collect()}
+        flagged1 = {r["doc1"] for r in flags1.collect()} | {
+            r["doc2"] for r in flags1.collect()
+        }
+        survivors = day1.filter(
+            ~F.col("doc_id").isin([d for d in flagged1 & day1_ids])
+        )
+        minhash_append_index(survivors, idx)
+        minhash_refresh_bands(spark, idx)
+
+        # day 2: exact copies of three day-1 SURVIVORS under new ids
+        sv = survivors.limit(3).collect()
+        assert sv, "test premise: day 1 must leave survivors"
+        day2 = spark.createDataFrame(
+            [(900000 + i, r["text"], r["lang"], r["source"], r["n_chars"])
+             for i, r in enumerate(sv)],
+            documents.schema,
+        )
+        flags2 = sorted(
+            map(tuple, minhash_query_index(
+                spark, day2, idx, include_batch_pairs=False
+            ).collect())
+        )
+        # every day-2 copy is caught against its day-1 survivor original
+        caught = {a for a, b, j in flags2} | {b for a, b, j in flags2}
+        assert all(900000 + i in caught for i in range(len(sv))), flags2
+        # and the grown-index screen equals the self-contained
+        # incremental operator over the same corpus, filtered to
+        # arrival-vs-corpus pairs (the lookup-mode contract)
+        grown_corpus = corpus0.unionByName(survivors)
+        day2_ids = {900000 + i for i in range(len(sv))}
+        want = sorted(
+            (r["doc1"], r["doc2"], r["jaccard"])
+            for r in minhash_lsh_pairs_incremental(
+                grown_corpus, day2, "doc_id", "text", 0.5
+            ).collect()
+            if not (r["doc1"] in day2_ids and r["doc2"] in day2_ids)
+        )
+        assert flags2 == want
