@@ -2158,3 +2158,50 @@ class TestIvfAppend:
             if not (r["doc1"] in day2_ids and r["doc2"] in day2_ids)
         )
         assert flags2 == want
+
+
+class TestSnKeyParityFuzz:
+    def test_sn_keys_cross_engine_on_arbitrary_unicode(self, spark):
+        """Property test for the ASCII-projection parity fix: for ANY
+        text — combining marks, emoji ZWJ clusters, surrogate-adjacent
+        code points, whitespace soup — both engines must derive
+        identical SN sort keys.  Batched: hypothesis generates the
+        corpus up front, one Spark job + one DuckDB query compare all
+        rows (per-example Spark jobs would take minutes)."""
+        import duckdb
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from polars_view_spark.operators.dedup import SN_KEY_LEN, sn_pass_keys
+
+        texts: list[str] = []
+
+        @settings(
+            max_examples=200,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.text(max_size=80))
+        def collect(t):
+            texts.append(t)
+
+        collect()
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        k0, k1 = sn_pass_keys("text", SN_KEY_LEN, 2)
+        got = {
+            r["doc_id"]: (r["a"], r["b"])
+            for r in docs.selectExpr("doc_id", f"{k0} AS a", f"{k1} AS b").collect()
+        }
+        con = duckdb.connect()
+        con.register("docs", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+        base = "lower(regexp_replace(trim(text), '[^ -~]', '', 'g'))"
+        want = {
+            int(d): (a, b)
+            for d, a, b in con.execute(
+                f"SELECT doc_id, substr({base}, 1, {SN_KEY_LEN}),"
+                f" substr(reverse({base}), 1, {SN_KEY_LEN}) FROM docs"
+            ).fetchall()
+        }
+        mism = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+        assert not mism, f"{len(mism)} key mismatches, e.g. {list(mism.items())[:3]}"
