@@ -157,6 +157,10 @@ DRIVER_PRIORITY = [
     "e_streaming_minhash_lookup", "x_expectations_persisted_drift",
     "d_containment_index_screen", "e_streaming_expectations",
     "d_minhash_index_append", "s_ann_index_append",
+    # ...plus the margin-based bitext mining entry added late in round
+    # 7 (takes the window slot x_salted_skew_join held; that r03-stamped
+    # anchor moves to the round-8 holdout list below):
+    "s_margin_bitext_pairs",
     # (b) the 15 late round-6 additions that have never had a driver row
     # (all green in the local sf0.001+sf0.01 oracle sweeps and included
     # in the judge's independently-run 834-green round-6 suite):
@@ -166,10 +170,10 @@ DRIVER_PRIORITY = [
     "d_sorted_neighborhood_pairs", "e_streaming_static_join",
     "x_data_expectations", "e_streaming_ann_lookup",
     "q_session_variable", "q_lateral_alias",
-    # (c) 27 of the 44 entries whose newest driver row is round 3 — the
+    # (c) 26 of the 44 entries whose newest driver row is round 3 — the
     # oldest stamps in the catalog (streaming windows, multimodal frame
     # ops, the r03 TPC-H block, dedup cluster/apply + the flagged
-    # d_minhash_incremental, the sketch family).  The 17 deferred
+    # d_minhash_incremental, the sketch family).  The 18 deferred
     # r03-stamp holdouts move to the round-8 window:
     "d_dedup_apply", "d_dedup_clusters", "d_minhash_incremental",
     "e_streaming_tumbling", "e_streaming_sessions", "e_streaming_sliding",
@@ -181,7 +185,7 @@ DRIVER_PRIORITY = [
     "q20_potential_promotion", "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
     "x_heavy_hitters", "x_sketch_rollup", "x_snapshot_drift",
-    "x_audience_overlap", "x_salted_skew_join",
+    "x_audience_overlap",
 ]
 # Everything demoted out of the window is green in CORRECTNESS_r01-r06 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
@@ -199,7 +203,7 @@ DRIVER_PRIORITY = [
 # q_exists_correlated, q_gap_fill_series, q_group_by_all_values,
 # q_lateral_subquery, q_not_in_null_semantics, q_scalar_subquery,
 # q_value_histogram, t_clustered_roundtrip, x_corpus_card,
-# x_group_sample, x_outlier_filter —
+# x_group_sample, x_outlier_filter, x_salted_skew_join —
 # then fill with the oldest r04 stamps (46 entries:
 # d_dedup_by_fingerprint, d_dedup_exact, d_minhash_lsh_pairs,
 # d_ngram_jaccard_pairs, d_semantic_dedup, d_simhash, e_asof_join,

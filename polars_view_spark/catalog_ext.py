@@ -2402,6 +2402,74 @@ register(
 )(_s_ann_ivf_rerank)
 
 
+MARGIN_MINE_K = 4
+MARGIN_MINE_THRESHOLD = 1.05
+
+
+def _s_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (operators/similarity.py:
+    margin_mine_pairs — Artetxe & Schwenk 2019 ratio margin, the
+    LASER/CCMatrix bitext step): the embeddings table split by vec_id
+    parity plays the two "languages"; sign-LSH buckets generate
+    candidates, each pair's cosine is normalized by both endpoints'
+    k-NN average similarity, and mutual forward/backward argmax pairs
+    above the margin threshold survive.  All margin arithmetic is
+    integer (quantized cosines, window sums, one exact double division)
+    so the oracle hash-matches."""
+    from polars_view_spark.operators.similarity import margin_mine_pairs
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    out = margin_mine_pairs(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        k=MARGIN_MINE_K,
+        dim=EMB_DIM,
+        threshold=MARGIN_MINE_THRESHOLD,
+    )
+    return out.orderBy(F.desc("margin"), "x_id")
+
+
+register(
+    "s_margin_bitext_pairs",
+    oracle=f"""
+    WITH x AS (SELECT vec_id AS x_id, embedding AS xv, {_duck_bucket} AS b
+               FROM embeddings WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
+    y AS (SELECT vec_id AS y_id, embedding AS yv, {_duck_bucket} AS b
+          FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
+    s AS (SELECT x_id, y_id,
+                 CAST(round(({duck_cosine_sql("xv", "yv")}) * 1000000) AS BIGINT) AS sq
+          FROM x JOIN y USING (b)),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY sq DESC, y_id) AS rx,
+                 ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY sq DESC, x_id) AS ry
+          FROM s),
+    st AS (SELECT *,
+                  SUM(CASE WHEN rx <= {MARGIN_MINE_K} THEN sq END)
+                      OVER (PARTITION BY x_id) AS sx,
+                  SUM(CASE WHEN rx <= {MARGIN_MINE_K} THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY x_id) AS cx,
+                  SUM(CASE WHEN ry <= {MARGIN_MINE_K} THEN sq END)
+                      OVER (PARTITION BY y_id) AS sy,
+                  SUM(CASE WHEN ry <= {MARGIN_MINE_K} THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY y_id) AS cy
+           FROM r),
+    m AS (SELECT x_id, y_id, sq,
+                 round(CAST((2 * sq * cx * cy) AS DOUBLE) /
+                       CAST((sx * cy + sy * cx) AS DOUBLE), 6) AS margin
+          FROM st WHERE (sx * cy + sy * cx) > 0),
+    b2 AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS bx,
+                  ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS by
+           FROM m)
+    SELECT x_id, y_id, CAST(sq AS DOUBLE) / 1000000 AS score, margin
+    FROM b2 WHERE bx = 1 AND by = 1 AND margin > {MARGIN_MINE_THRESHOLD}
+    ORDER BY margin DESC, x_id
+    """,
+    tables=("embeddings",),
+)(_s_margin_bitext_pairs)
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------

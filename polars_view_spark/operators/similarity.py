@@ -1414,3 +1414,126 @@ def mmr_rerank(
     return selected.select(
         "query_id", F.col("doc").alias("doc_id"), "mmr_step", "relevance", "objective"
     )
+
+
+#: margin-mining defaults: neighborhood size for the ratio margin
+#: (Artetxe & Schwenk use k=4 in the LASER/CCMatrix pipelines) and the
+#: integer quantization scale for cosine scores (micro-units)
+MARGIN_K = 4
+MARGIN_SCALE = 1_000_000
+MARGIN_THRESHOLD = 1.05
+
+
+def margin_mine_pairs(
+    x: DataFrame,
+    y: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = MARGIN_K,
+    n_bits: int | None = None,
+    dim: int = 64,
+    threshold: float = MARGIN_THRESHOLD,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    ratio margin used by the LASER/CCMatrix bitext pipelines): score
+    cross-set candidate pairs by cosine, normalize each pair's score by
+    the average similarity of both endpoints' k-nearest neighborhoods,
+    and keep mutual best matches above ``threshold``:
+
+        margin(x, y) = cos(x, y) / ( avg_kNN(x)/2 + avg_kNN(y)/2 )
+
+    Returns ``(x_id, y_id, score, margin)`` — one row per mutual
+    forward/backward argmax pair with ``margin > threshold``.
+
+    Candidates come from the same integer sign-LSH bucketing as
+    :func:`lsh_topk` (the approximate-kNN stance of the original FAISS
+    pipeline): both sides bucket on ``n_bits`` hyperplane signs and only
+    same-bucket pairs are scored, so at 100 TB this is a hash join over
+    ~1/2^bits of the cross product, not |X|x|Y|.  ``n_bits`` defaults
+    from |X|+|Y| via ``adaptive_lsh_bits`` so candidate sets stay
+    bounded as the corpus grows.  The neighborhood averages are then
+    taken over each endpoint's candidates (capped at k), mirroring how
+    production miners compute margins over the approximate neighbor
+    lists they actually retrieved.
+
+    Engine-parity design (the DuckDB oracle must hash-match): cosines
+    are quantized to BIGINT micro-units (``sq``), neighborhood sums are
+    integer window sums (order-independent, unlike float accumulation),
+    and the margin is ONE double division of exactly-representable
+    integers — ``(2*sq*cx*cy) / (sx*cy + sy*cx)`` — so both engines
+    round the identical IEEE-754 quotient.
+
+    Plan shape: one bucket equi-join, then four window shuffles
+    (score-rank + neighborhood stats on each of x_id / y_id, margin
+    argmax on each) — all linear in the candidate count; nothing
+    quadratic, no Python in the loop.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from polars_view_spark.functions.vectors import adaptive_lsh_bits, norm_sql
+
+    if n_bits is None:
+        n_bits = adaptive_lsh_bits(x.count() + y.count())
+    bucket = lsh_bucket_sql(vec_col, n_bits, dim)
+    xs = x.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("x_id"),
+        F.col(vec_col).alias("xv"),
+        F.expr(norm_sql(vec_col)).alias("xn"),
+        F.expr(bucket).alias("xb"),
+    )
+    ys = y.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("y_id"),
+        F.col(vec_col).alias("yv"),
+        F.expr(norm_sql(vec_col)).alias("yn"),
+        F.expr(bucket).alias("yb"),
+    )
+    from polars_view_spark.functions.vectors import dot_sql
+
+    scored = xs.join(ys, F.col("xb") == F.col("yb")).select(
+        "x_id",
+        "y_id",
+        F.expr(
+            f"CAST(round((({dot_sql('xv', 'yv')}) / (xn * yn)) * {MARGIN_SCALE}) AS BIGINT)"
+        ).alias("sq"),
+    )
+
+    # forward/backward kNN ranks + integer neighborhood sums; the stats
+    # windows share their rank window's partitioning, so each direction
+    # costs one shuffle, not two
+    wx = Window.partitionBy("x_id").orderBy(F.col("sq").desc(), F.col("y_id").asc())
+    wy = Window.partitionBy("y_id").orderBy(F.col("sq").desc(), F.col("x_id").asc())
+    px = Window.partitionBy("x_id")
+    py = Window.partitionBy("y_id")
+    st = (
+        scored.withColumn("rx", F.row_number().over(wx))
+        .withColumn("sx", F.sum(F.when(F.col("rx") <= k, F.col("sq"))).over(px))
+        .withColumn("cx", F.sum(F.when(F.col("rx") <= k, 1).otherwise(0)).over(px))
+        .withColumn("ry", F.row_number().over(wy))
+        .withColumn("sy", F.sum(F.when(F.col("ry") <= k, F.col("sq"))).over(py))
+        .withColumn("cy", F.sum(F.when(F.col("ry") <= k, 1).otherwise(0)).over(py))
+    )
+    m = st.filter(
+        (F.col("sx") * F.col("cy") + F.col("sy") * F.col("cx")) > 0
+    ).select(
+        "x_id",
+        "y_id",
+        "sq",
+        F.round(
+            (2 * F.col("sq") * F.col("cx") * F.col("cy")).cast("double")
+            / (F.col("sx") * F.col("cy") + F.col("sy") * F.col("cx")).cast("double"),
+            6,
+        ).alias("margin"),
+    )
+    bx = Window.partitionBy("x_id").orderBy(F.col("margin").desc(), F.col("y_id").asc())
+    by = Window.partitionBy("y_id").orderBy(F.col("margin").desc(), F.col("x_id").asc())
+    return (
+        m.withColumn("bx", F.row_number().over(bx))
+        .withColumn("by", F.row_number().over(by))
+        .filter((F.col("bx") == 1) & (F.col("by") == 1) & (F.col("margin") > threshold))
+        .select(
+            "x_id",
+            "y_id",
+            (F.col("sq").cast("double") / F.lit(MARGIN_SCALE)).alias("score"),
+            "margin",
+        )
+    )

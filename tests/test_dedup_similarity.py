@@ -2205,3 +2205,69 @@ class TestSnKeyParityFuzz:
         }
         mism = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
         assert not mism, f"{len(mism)} key mismatches, e.g. {list(mism.items())[:3]}"
+
+
+class TestMarginMining:
+    def test_planted_parallel_pair_is_mined(self, spark):
+        """A planted near-identical cross-set pair must survive mining: its
+        cosine is ~1 while its endpoints' other neighbors are noise, so its
+        ratio margin is far above threshold and it is each side's argmax."""
+        import hashlib
+
+        from polars_view_spark.operators.similarity import margin_mine_pairs
+
+        def noise_vec(seed: int) -> list[float]:
+            return [
+                ((int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:4], 16) % 19) - 9)
+                / 10.0
+                for d in range(64)
+            ]
+
+        planted = [1.0 if d < 8 else 0.05 for d in range(64)]
+        rows = [(0, planted), (1, planted)] + [
+            (i, noise_vec(i)) for i in range(2, 22)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = margin_mine_pairs(
+            df.filter("vec_id % 2 = 0"),
+            df.filter("vec_id % 2 = 1"),
+            k=4,
+            n_bits=4,
+            dim=64,
+        ).collect()
+        mined = {(r["x_id"], r["y_id"]) for r in out}
+        assert (0, 1) in mined
+        planted_row = next(r for r in out if r["x_id"] == 0)
+        assert planted_row["score"] > 0.99
+        assert planted_row["margin"] > 1.05
+
+    def test_mutual_best_is_a_matching(self, spark, embeddings):
+        """Mined pairs form a partial matching: every x_id and every y_id
+        appears at most once (forward AND backward argmax), and every
+        surviving margin clears the threshold."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.similarity import margin_mine_pairs
+
+        out = margin_mine_pairs(
+            embeddings.filter(F.col("vec_id") % 2 == 0),
+            embeddings.filter(F.col("vec_id") % 2 == 1),
+            k=4,
+            dim=64,
+            threshold=1.05,
+        ).collect()
+        assert len(out) > 0
+        xs = [r["x_id"] for r in out]
+        ys = [r["y_id"] for r in out]
+        assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
+        assert all(r["margin"] > 1.05 for r in out)
+        assert all(-1.0 <= r["score"] <= 1.0 for r in out)
+        assert all(r["x_id"] % 2 == 0 and r["y_id"] % 2 == 1 for r in out)
+
+    def test_rejects_nonpositive_k(self, spark, embeddings):
+        import pytest as _pytest
+
+        from polars_view_spark.operators.similarity import margin_mine_pairs
+
+        with _pytest.raises(ValueError, match="k must be"):
+            margin_mine_pairs(embeddings, embeddings, k=0)
