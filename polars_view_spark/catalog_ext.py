@@ -6375,3 +6375,38 @@ register(
     """,
     tables=("orders",),
 )(_q_lateral_alias)
+
+
+def _x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically-trained linear quality classifier
+    (operators/classifier.py:train_quality_classifier): hard-sigmoid
+    logistic GD over signed-hash features, integer end-to-end, so the
+    value hash pins the FULL 10-epoch training trajectory — the
+    reference-vs-crawl filter step of the GPT-3/CCNet pipelines.  The
+    label is a topic filter (docs whose token stream contains 'spark');
+    the trained model separates it at balanced accuracy ~0.77 at every
+    test SF, against a least-squares linear ceiling of ~0.70 on the same
+    features (collision-contaminated bucket — see the module docstring)."""
+    from polars_view_spark.operators.classifier import train_quality_classifier
+
+    t = load_tables(spark, sf_dir, "documents")
+    scored, _w = train_quality_classifier(
+        t["documents"],
+        "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')",
+    )
+    return scored.orderBy("doc")
+
+
+def _duck_classifier_entry_oracle() -> str:
+    from polars_view_spark.operators.classifier import duck_classifier_oracle
+
+    return duck_classifier_oracle(
+        "list_contains(regexp_split_to_array(lower(trim(t.text)), '\\s+'), 'spark')"
+    )
+
+
+register(
+    "x_quality_classifier",
+    oracle=_duck_classifier_entry_oracle(),
+    tables=("documents",),
+)(_x_quality_classifier)

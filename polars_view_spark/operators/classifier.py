@@ -1,0 +1,295 @@
+"""Distributed, deterministically-trained linear quality classifier.
+
+The reference-vs-crawl filter step of the large-scale pipelines this
+engine targets (GPT-3's WebText classifier, arXiv:2005.14165 appendix A;
+CCNet's reference-language model, arXiv:1911.00359): train a linear
+model to recognize a small "reference" slice, then score the whole
+corpus and keep what looks like the reference.  fastText-style hashed
+bag-of-words features make the model vocabulary-free and fixed-width,
+so it broadcasts as a handful of integer literals.
+
+Spark-first shape
+-----------------
+- Features are the existing signed-hash doc vectors
+  (``textstats.hashed_doc_vectors`` — one explode + ONE keyed shuffle,
+  all integer).  The classifier adds no new corpus pass: the feature
+  frame is localCheckpoint-pinned once and reused by every epoch and by
+  the final scoring pass.
+- Each training epoch is ONE aggregate to ONE row (``dim + 2`` integer
+  sums with map-side combine); the weight update runs on the driver
+  over O(dim) Python ints — the same bounded-driver-state contract as
+  ``kmeans_clusters`` / the IVF centroid table.
+- Inference is a pure projection: the trained weights are inlined as
+  integer literals, so scoring 100 TB is scan + codegen arithmetic —
+  no join, no shuffle, no Python.
+
+Determinism / oracle-exactness
+------------------------------
+Classic logistic regression is float soup (sigmoid = exp, libm
+divergence — the reason ``bigram_pmi`` is ln-free).  This trainer is
+integer end-to-end, so the FULL training trajectory carries a value-hash
+DuckDB oracle (catalog entry ``x_quality_classifier``):
+
+- hard-sigmoid probability, kept in integer numerator form:
+  ``pnum = clamp(MC + margin, 0, 2·MC)`` (i.e. p = pnum / 2·MC,
+  saturating at |margin| = MC) — no exp, no division;
+- class-balanced per-row gradient ``(pnum − 2·MC·y)·c_y·b_i`` with
+  ``c_1 = n_neg, c_0 = n_pos`` (inverse-frequency weighting as integer
+  counts — without it the majority class buys an always-majority bias,
+  measured on the test corpus) — exact int64, order-free to sum;
+- weight update ``w_i ← w_i − floor((lr_num//t)·G_i /
+  (lr_den·2·MC·2·n_pos·n_neg))`` — 1/t Robbins-Monro decay (fixed-step
+  integer GD oscillates between the all-0 and all-1 corners here), and
+  exact integer floor division on the driver (Python ``//``), mirrored
+  in the oracle by the canonical-mod floor-div formula over HUGEINT.
+
+Overflow bound (documented): the epoch aggregate sums
+``err·c_y·b_i`` with ``|err| ≤ 2·MC``, so int64 is safe while
+``n_rows² · 2·MC · max|b_i| < 2^63`` — at the defaults (MC = 2^10,
+|b| ≲ 10^3 for ~1 KB docs) that is ~2·10^6 training rows; Spark 4's
+default ANSI mode makes a breach a loud error, never a silent wrap.  A
+quality classifier is trained on a SAMPLE of that order, not the full
+crawl (the GPT-3 filter trained on ~10^7 docs; pair with
+``_x_stratified_sample``/``x_group_sample`` to draw it) — inference,
+which DOES run on the full corpus, has no sum and no bound.  Reference
+parity target: claudiofsr/polars-view has no ML surface — this is a
+scale extension (SURVEY.md "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polars_view_spark.functions.texthash import duck_hex64_sql, duck_tokens_sql
+
+#: hard-sigmoid half-width in margin units: p saturates at |margin| = MC.
+MARGIN_CAP = 1 << 10
+#: learning rate lr_num/lr_den, in weight-units per mean-gradient unit;
+#: epoch t (1-based) steps with lr_num // t — the 1/t Robbins-Monro decay
+#: that damps the oscillation plain fixed-step integer GD exhibits here.
+LR_NUM = 400
+LR_DEN = 1
+CLASSIFIER_DIM = 64
+CLASSIFIER_EPOCHS = 10
+
+
+def _margin_sql(weights: list[int], dim: int) -> str:
+    """Inlined integer margin over a ``vec`` array column: Σ vec[i]·w_i + bias.
+
+    Weights ride as int64 literals (suffix L) — the plan is O(dim) text,
+    no join, fully whole-stage-codegen."""
+    terms = [
+        f"vec[{i}] * {int(weights[i])}L" for i in range(dim) if weights[i] != 0
+    ]
+    terms.append(f"{int(weights[dim])}L")
+    return "(" + " + ".join(terms) + ")"
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label: Column | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = CLASSIFIER_DIM,
+    epochs: int = CLASSIFIER_EPOCHS,
+    lr_num: int = LR_NUM,
+    lr_den: int = LR_DEN,
+    margin_cap: int = MARGIN_CAP,
+) -> tuple[DataFrame, list[int]]:
+    """Train the hard-sigmoid linear classifier and score every document.
+
+    ``label`` is a 0/1 Column (or SQL string) over ``df``'s columns
+    marking the reference slice (y=1).  Returns ``(scored, weights)``:
+
+    - ``scored``: one row per document that produced ≥1 token —
+      ``doc`` (id), ``margin`` (int64, >0 ⇒ reference-like), ``pred``
+      (0/1), ``y`` (the training label) — a pure projection of the
+      pinned feature frame, so callers can filter/threshold it at scan
+      cost;
+    - ``weights``: the ``dim + 1`` trained integer weights (bias last),
+      ready to inline into a later inference-only pass via
+      :func:`score_with_weights`.
+
+    Documents whose text is NULL produce no token rows and are absent
+    (they carry no evidence either way); the catalog oracle mirrors the
+    same drop.
+    """
+    from polars_view_spark.operators.textstats import hashed_doc_vectors
+
+    if isinstance(label, str):
+        label = F.expr(label)
+    assert epochs >= 1 and dim >= 1 and lr_den >= 1 and margin_cap >= 1
+
+    labels = df.select(F.col(id_col).alias("doc"), label.cast("int").alias("y"))
+    feats = (
+        hashed_doc_vectors(df, id_col=id_col, text_col=text_col, dim=dim)
+        .select("doc", "vec")
+        .join(labels, "doc")
+        .localCheckpoint(eager=True)
+    )
+
+    counts = feats.agg(
+        F.sum("y").alias("np"), F.count(F.lit(1)).alias("n")
+    ).first()
+    assert counts is not None and counts["n"] > 0, "empty training frame"
+    n_pos = int(counts["np"])
+    n_neg = int(counts["n"]) - n_pos
+    assert n_pos > 0 and n_neg > 0, "label must have both classes"
+
+    # class-balanced gradient: each row's error is weighted by the OTHER
+    # class's count, so both classes contribute equal total mass and the
+    # majority class can't buy an always-majority bias (the standard
+    # inverse-frequency weighting, kept integer: the 1/(2·n_pos·n_neg)
+    # normalizer moves into the update's floor-division denominator).
+    two_mc = 2 * margin_cap
+    cls_w = f"(CASE WHEN y = 1 THEN {n_neg}L ELSE {n_pos}L END)"
+    weights = [0] * (dim + 1)
+    for t in range(1, epochs + 1):
+        m = _margin_sql(weights, dim)
+        pnum = f"LEAST(GREATEST({margin_cap}L + {m}, 0L), {two_mc}L)"
+        err = f"(({pnum} - {two_mc}L * y) * {cls_w})"
+        # materialize err once per row BEFORE the fan-out: inlining the
+        # O(dim)-term margin into every one of the dim+1 gradient sums
+        # hands codegen an O(dim²)-term aggregate (measured: epochs went
+        # from sub-second to minutes at dim=64)
+        per_row = feats.select(F.expr(err).alias("err"), "vec")
+        row = per_row.agg(
+            F.sum("err").alias("gb"),
+            *[
+                F.sum(F.expr(f"err * vec[{i}]")).alias(f"g{i}")
+                for i in range(dim)
+            ],
+        ).first()
+        assert row is not None
+        denom = lr_den * two_mc * 2 * n_pos * n_neg
+        step = lr_num // t
+        grads = [int(row[f"g{i}"]) for i in range(dim)] + [int(row["gb"])]
+        weights = [w - (step * g) // denom for w, g in zip(weights, grads)]
+
+    scored = score_with_weights(feats, weights, dim).select(
+        "doc", "margin", "pred", "y"
+    )
+    return scored, weights
+
+
+def score_with_weights(feats: DataFrame, weights: list[int], dim: int) -> DataFrame:
+    """Inference-only pass: margin + 0/1 prediction from inlined integer
+    weights over a ``vec`` feature column.  Projection-only — at 100 TB
+    this is the stage that runs on the full corpus, and it costs one
+    scan with no exchange."""
+    m = _margin_sql(weights, dim)
+    return feats.select(
+        "*",
+        F.expr(m).cast("long").alias("margin"),
+        F.expr(f"CASE WHEN {m} > 0 THEN 1 ELSE 0 END").cast("int").alias("pred"),
+    )
+
+
+def duck_classifier_oracle(
+    label_sql: str,
+    dim: int = CLASSIFIER_DIM,
+    epochs: int = CLASSIFIER_EPOCHS,
+    lr_num: int = LR_NUM,
+    lr_den: int = LR_DEN,
+    margin_cap: int = MARGIN_CAP,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Replay the EXACT training trajectory in DuckDB ANSI SQL.
+
+    Long-form features (doc, bucket, count) + a bias pseudo-bucket
+    ``i = dim`` with b = 1; weights evolve through one CTE per epoch.
+    All accumulation is HUGEINT (order-free, overflow-proof); the only
+    non-trivial step is the floor division, spelled with the
+    canonical-mod formula ``(a − ((a % b) + b) % b) // b`` so DuckDB's
+    truncating ``//`` reproduces Python's flooring ``//`` exactly
+    (numerator becomes exactly divisible).
+    """
+    two_mc = 2 * margin_cap
+    sign = "(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END)"
+    parts = [
+        f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc, unnest({duck_tokens_sql(text_col)}) AS tok
+      FROM {table}
+    ),
+    hashed AS (SELECT doc, {duck_hex64_sql("tok")} AS h FROM toks),
+    -- MATERIALIZED: every epoch references bx/lab 3x; DuckDB inlines
+    -- plain CTEs, which re-tokenizes the corpus O(epochs²) times and
+    -- turns a 1 s oracle into minutes
+    bx AS MATERIALIZED (
+      SELECT doc, (h % {dim})::INT AS i, SUM({sign})::HUGEINT AS b
+      FROM hashed GROUP BY doc, h % {dim}
+      UNION ALL
+      SELECT DISTINCT doc, {dim}::INT AS i, 1::HUGEINT AS b FROM hashed
+    ),
+    lab AS MATERIALIZED (
+      SELECT b.doc, (CASE WHEN {label_sql} THEN 1 ELSE 0 END)::HUGEINT AS y
+      FROM (SELECT DISTINCT doc FROM bx) b
+      JOIN {table} t ON b.doc = t.{id_col}
+    ),
+    cnt AS MATERIALIZED (
+      SELECT SUM(y)::HUGEINT AS npos, (COUNT(*) - SUM(y))::HUGEINT AS nneg
+      FROM lab
+    ),
+    w0 AS (SELECT i::INT AS i, 0::HUGEINT AS w FROM range({dim + 1}) t(i))"""
+    ]
+    # per-epoch CTE: margin → class-balanced error → gradient → floor-div
+    # update with the epoch's decayed step {{ln}} = lr_num // t (a Python
+    # literal here — both engines see the identical integer)
+    step = """,
+    m{t} AS MATERIALIZED (
+      SELECT l.doc, l.y, SUM(b.b * w.w) AS m
+      FROM lab l JOIN bx b ON l.doc = b.doc JOIN w{p} w ON b.i = w.i
+      GROUP BY l.doc, l.y
+    ),
+    e{t} AS (
+      SELECT doc, y,
+             (LEAST(GREATEST({mc} + m, 0), {tmc}) - {tmc} * y)
+               * (CASE WHEN y = 1 THEN (SELECT nneg FROM cnt)
+                       ELSE (SELECT npos FROM cnt) END) AS err
+      FROM m{t}
+    ),
+    g{t} AS (
+      SELECT b.i, SUM(e.err * b.b) AS g
+      FROM e{t} e JOIN bx b ON e.doc = b.doc GROUP BY b.i
+    ),
+    gg{t} AS (
+      -- a bucket no token hashed to still has a (zero) gradient on the
+      -- Spark side (SUM over vec[i] = 0): LEFT JOIN keeps its weight row
+      SELECT w.i, w.w, COALESCE(g.g, 0)::HUGEINT AS g
+      FROM w{p} w LEFT JOIN g{t} g ON w.i = g.i
+    ),
+    w{t} AS MATERIALIZED (
+      SELECT i,
+             w - (({ln} * g) - ((({ln} * g) % ({dn}) + ({dn})) % ({dn})))
+                 // ({dn}) AS w
+      FROM gg{t} CROSS JOIN cnt
+    )"""
+    denom = f"{lr_den} * {two_mc} * 2 * cnt.npos * cnt.nneg"
+    for t in range(1, epochs + 1):
+        parts.append(
+            step.format(
+                t=t,
+                p=t - 1,
+                mc=margin_cap,
+                tmc=two_mc,
+                ln=lr_num // t,
+                dn=denom,
+            )
+        )
+    parts.append(
+        f""",
+    final AS (
+      SELECT l.doc, l.y, SUM(b.b * w.w) AS m
+      FROM lab l JOIN bx b ON l.doc = b.doc JOIN w{epochs} w ON b.i = w.i
+      GROUP BY l.doc, l.y
+    )
+    SELECT doc, CAST(m AS BIGINT) AS margin,
+           (CASE WHEN m > 0 THEN 1 ELSE 0 END)::INT AS pred,
+           CAST(y AS INT) AS y
+    FROM final ORDER BY doc"""
+    )
+    return "".join(parts)

@@ -1,0 +1,89 @@
+"""Trained quality classifier (operators/classifier.py): planted-signal
+separation, determinism, guards, and the projection-only inference plan.
+
+The full-trajectory value-hash oracle is exercised by the catalog sweep
+(test_catalog_oracle.py, entry ``x_quality_classifier``); these tests pin
+the SEMANTICS the hash can't speak to — that training actually separates
+a separable corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_view_spark.operators.classifier import (
+    score_with_weights,
+    train_quality_classifier,
+)
+
+
+def _planted(spark, n=60):
+    """Disjoint-vocabulary corpus: positives speak reference-ese,
+    negatives speak crawl-ese — linearly separable by construction."""
+    pos_vocab = ["alpha", "beta", "gamma", "delta"]
+    neg_vocab = ["noise", "spammy", "clickbait", "filler"]
+    rows = []
+    for i in range(n):
+        vocab = pos_vocab if i % 2 == 0 else neg_vocab
+        words = [vocab[(i + j) % len(vocab)] for j in range(6 + i % 5)]
+        rows.append((i, " ".join(words), i % 2 == 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, is_ref boolean")
+
+
+class TestQualityClassifier:
+    def test_planted_separation(self, spark):
+        """Disjoint vocabularies must separate perfectly: the buckets the
+        two vocabularies hash to are disjoint signals, and 10 balanced
+        epochs are far more than enough to split them."""
+        docs = _planted(spark)
+        scored, w = train_quality_classifier(docs, F.col("is_ref"))
+        rows = scored.collect()
+        assert len(rows) == 60
+        acc = sum(r["pred"] == r["y"] for r in rows) / len(rows)
+        assert acc == 1.0, f"planted corpus must separate, got {acc}"
+        assert len(w) == 65  # dim + bias
+
+    def test_deterministic(self, spark):
+        docs = _planted(spark, n=30)
+        _, w1 = train_quality_classifier(docs, "is_ref", epochs=4)
+        _, w2 = train_quality_classifier(docs, "is_ref", epochs=4)
+        assert w1 == w2
+
+    def test_single_class_rejected(self, spark):
+        docs = _planted(spark, n=20)
+        with pytest.raises(AssertionError, match="both classes"):
+            train_quality_classifier(docs, F.lit(True))
+
+    def test_null_text_dropped(self, spark):
+        """NULL text produces no tokens → no feature row → absent from
+        the scored frame (and from training), mirroring the oracle."""
+        docs = _planted(spark, n=20).withColumn(
+            "text", F.when(F.col("doc_id") < 2, None).otherwise(F.col("text"))
+        )
+        scored, _ = train_quality_classifier(docs, "is_ref", epochs=2)
+        got = {r["doc"] for r in scored.collect()}
+        assert got == set(range(2, 20))
+
+    def test_inference_is_projection_only(self, spark):
+        """The 100 TB-facing pass: scoring with trained weights must be
+        scan + codegen arithmetic — no exchange, no join, no Python."""
+        from polars_view_spark.operators.textstats import hashed_doc_vectors
+
+        docs = _planted(spark, n=20)
+        feats = hashed_doc_vectors(docs, "doc_id", "text", dim=64).select(
+            "doc", "vec"
+        )
+        scored = score_with_weights(feats, list(range(65)), 64)
+        # plan AFTER the feature shuffle: scoring itself adds nothing
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1  # the feature aggregate's own
+        for forbidden in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
+            assert forbidden not in plan
+
+    def test_margin_matches_manual_dot(self, spark):
+        """score_with_weights margin == Σ vec[i]·w_i + bias, checked
+        against a driver-side dot product on a tiny frame."""
+        df = spark.createDataFrame(
+            [(1, [2, -3, 0, 5]), (2, [0, 0, 1, 1])], "doc long, vec array<long>"
+        )
+        w = [10, 1, -4, 2, 7]  # bias 7
+        out = {r["doc"]: r["margin"] for r in score_with_weights(df, w, 4).collect()}
+        assert out == {1: 2 * 10 - 3 * 1 + 5 * 2 + 7, 2: -4 + 2 + 7}
