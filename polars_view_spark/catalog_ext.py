@@ -6410,3 +6410,38 @@ register(
     oracle=_duck_classifier_entry_oracle(),
     tables=("documents",),
 )(_x_quality_classifier)
+
+
+def _x_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch-2 data ordering over documents
+    (operators/packing.py:epoch_shuffle): seeded md5 shuffle to 8 shards
+    with contiguous per-shard positions — one hash exchange, no global
+    sort.  All integer, so the permutation itself is value-hash checked."""
+    from polars_view_spark.operators.packing import epoch_shuffle
+
+    t = load_tables(spark, sf_dir, "documents")
+    return epoch_shuffle(t["documents"], epoch=2, n_shards=8).orderBy(
+        "shard", "pos"
+    )
+
+
+def _duck_epoch_shuffle_oracle(epoch: int = 2, n_shards: int = 8) -> str:
+    from polars_view_spark.functions.texthash import duck_hex64_sql
+
+    key = duck_hex64_sql(f"concat(CAST(doc_id AS VARCHAR), ':', '{epoch}')")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, {key} AS k, ({key} % {n_shards})::INT AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1)::BIGINT AS pos
+    FROM keyed ORDER BY shard, pos
+    """
+
+
+register(
+    "x_epoch_shuffle",
+    oracle=_duck_epoch_shuffle_oracle(),
+    tables=("documents",),
+)(_x_epoch_shuffle)

@@ -400,3 +400,53 @@ def chunk_documents(
             "n_chunk_chars"
         ),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible training-epoch data ordering: a seeded global shuffle
+    realized as (shard, position-within-shard) — the step that fixes
+    "which examples, in which order, in which worker's stream" for every
+    epoch of a run, so a crashed job resumes mid-epoch and a rerun
+    reproduces the loss curve exactly.
+
+    Each id draws a 60-bit md5 key salted with the epoch number; the key's
+    low bits pick one of ``n_shards`` shards (each shard = one training
+    worker's input stream) and the key order within the shard is the
+    read order (id is the collision tiebreak, so the order is total even
+    if two keys collide).  Epoch e+1 re-keys everything — a different
+    permutation, equally reproducible.
+
+    Plan shape: ONE hash exchange on ``shard`` + a per-shard window sort —
+    no global sort, no driver state.  At 100 TB, ``n_shards`` is the
+    data-parallel worker count (thousands), so each shard's sort is
+    1/n_shards of the corpus and spills locally at worst; position is
+    contiguous 0..shard_size-1 by construction, which is what a sequential
+    reader wants.  All integer md5 arithmetic — the DuckDB oracle
+    (``x_epoch_shuffle``) is hash-exact.
+    """
+    from pyspark.sql import Window
+
+    from polars_view_spark.functions.texthash import hex64_sql
+
+    if n_shards < 1 or epoch < 0:
+        raise ValueError(f"need n_shards >= 1 and epoch >= 0, got {n_shards}/{epoch}")
+    key = hex64_sql(f"concat(CAST({id_col} AS STRING), ':', '{int(epoch)}')")
+    keyed = df.select(
+        F.col(id_col),
+        F.expr(key).alias("__key"),
+    ).select(
+        id_col,
+        "__key",
+        F.expr(f"CAST(__key % {int(n_shards)} AS INT)").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return keyed.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
+    )

@@ -87,3 +87,58 @@ class TestQualityClassifier:
         w = [10, 1, -4, 2, 7]  # bias 7
         out = {r["doc"]: r["margin"] for r in score_with_weights(df, w, 4).collect()}
         assert out == {1: 2 * 10 - 3 * 1 + 5 * 2 + 7, 2: -4 + 2 + 7}
+
+
+class TestEpochShuffle:
+    """Reproducible epoch ordering (operators/packing.py:epoch_shuffle)."""
+
+    def _docs(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def test_partition_and_contiguity(self, spark):
+        """Shards partition the corpus; positions are contiguous
+        0..shard_size-1 within every shard."""
+        from polars_view_spark.operators.packing import epoch_shuffle
+
+        docs = self._docs(spark)
+        out = epoch_shuffle(docs, epoch=1, n_shards=4).collect()
+        assert len(out) == docs.count()
+        assert len({r["doc_id"] for r in out}) == len(out)
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) <= set(range(4))
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss))), shard
+
+    def test_reproducible_and_epoch_sensitive(self, spark):
+        """Same epoch twice → identical permutation; epoch+1 → a different
+        one (the whole point: rerun reproducibility, epoch variety)."""
+        from polars_view_spark.operators.packing import epoch_shuffle
+
+        docs = self._docs(spark)
+        a1 = {(r["doc_id"], r["shard"], r["pos"]) for r in epoch_shuffle(docs, 3).collect()}
+        a2 = {(r["doc_id"], r["shard"], r["pos"]) for r in epoch_shuffle(docs, 3).collect()}
+        b = {(r["doc_id"], r["shard"], r["pos"]) for r in epoch_shuffle(docs, 4).collect()}
+        assert a1 == a2
+        assert a1 != b
+
+    def test_single_exchange_no_global_sort(self, spark):
+        """One hash exchange on shard; no global range exchange (the
+        100 TB contract: per-shard sorts only)."""
+        from polars_view_spark.operators.packing import epoch_shuffle
+
+        docs = self._docs(spark)
+        plan = epoch_shuffle(docs, 1, 8)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from polars_view_spark.operators.packing import epoch_shuffle
+
+        with _pytest.raises(ValueError):
+            epoch_shuffle(self._docs(spark), epoch=-1)
+        with _pytest.raises(ValueError):
+            epoch_shuffle(self._docs(spark), epoch=0, n_shards=0)
