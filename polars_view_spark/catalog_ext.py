@@ -6445,3 +6445,63 @@ register(
     oracle=_duck_epoch_shuffle_oracle(),
     tables=("documents",),
 )(_x_epoch_shuffle)
+
+
+def _e_streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate against the PERSISTED classifier
+    (streaming/events.py:streaming_quality_score): the model is trained
+    once on the corpus and saved (classifier.py:save_classifier), then the
+    arriving-doc stream is scored per micro-batch with the frozen weights.
+    Pure per-doc scoring of a fixed model ⇒ the appended union equals the
+    one-shot batch scoring — so this entry is held to the SAME
+    full-trajectory oracle as x_quality_classifier, projected to the
+    label-free scoring columns."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.classifier import (
+        save_classifier,
+        train_quality_classifier,
+    )
+    from polars_view_spark.streaming.events import (
+        _single_file_to_glob,
+        read_sink_or_empty,
+        streaming_quality_score,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    scratch = _scratch_dir("stream_clf", sf_dir)
+    model = os.path.join(scratch, "model")
+    sink = os.path.join(scratch, "scores")
+    _scored, w = train_quality_classifier(
+        d, "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')"
+    )
+    save_classifier(spark, w, model)
+
+    reader = spark.readStream.schema(d.schema).option("maxFilesPerTrigger", "1")
+    src = _single_file_to_glob(reader, f"{sf_dir}/documents.parquet")
+    stream = reader.parquet(src)
+    q = streaming_quality_score(stream, model, sink)
+    q.awaitTermination()
+    out = read_sink_or_empty(
+        spark, sink, "doc long, margin long, pred int, batch_id long"
+    )
+    return out.select("doc", "margin", "pred").orderBy("doc")
+
+
+def _duck_streaming_clf_oracle() -> str:
+    # the classifier oracle's scoring columns, label projected away (the
+    # ingest gate doesn't know labels)
+    return (
+        "SELECT doc, margin, pred FROM ("
+        + _duck_classifier_entry_oracle()
+        + ") ORDER BY doc"
+    )
+
+
+register(
+    "e_streaming_quality_score",
+    oracle=_duck_streaming_clf_oracle(),
+    tables=("documents",),
+)(_e_streaming_quality_score)

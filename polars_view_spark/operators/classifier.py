@@ -293,3 +293,30 @@ def duck_classifier_oracle(
     FROM final ORDER BY doc"""
     )
     return "".join(parts)
+
+
+def save_classifier(spark, weights: list[int], path: str) -> None:
+    """Persist trained weights as a tiny (i, w) parquet — the model-registry
+    face of the build/query split the persisted MinHash/IVF/containment
+    indexes established: train once (bounded sample), persist, and let any
+    later batch or streaming job score against the FROZEN model without
+    retraining.  Row i = dim is the bias; dim is recovered from the row
+    count on load, so a loaded model can never silently score with the
+    wrong feature width."""
+    rows = [(i, int(w)) for i, w in enumerate(weights)]
+    spark.createDataFrame(rows, "i int, w long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_classifier(spark, path: str) -> tuple[list[int], int]:
+    """Load persisted weights; returns ``(weights, dim)`` with the bias
+    last, exactly as :func:`train_quality_classifier` produced them.
+    Raises on a gap in the index space (a corrupt or partial write must
+    fail loudly, not mis-align weights)."""
+    rows = spark.read.parquet(path).collect()
+    by_i = {int(r["i"]): int(r["w"]) for r in rows}
+    if sorted(by_i) != list(range(len(by_i))) or not by_i:
+        raise ValueError(f"corrupt classifier at {path}: indexes {sorted(by_i)[:5]}...")
+    weights = [by_i[i] for i in range(len(by_i))]
+    return weights, len(weights) - 1

@@ -1039,3 +1039,46 @@ def streaming_minhash_lookup(
         ),
         dedup_col=id_col,
     )
+
+
+def streaming_quality_score(
+    docs_stream: DataFrame,
+    model_path: str,
+    sink_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous quality scoring against a PERSISTED classifier
+    (operators/classifier.py:save_classifier / load_classifier): every
+    micro-batch of arriving documents is featurized batch-locally
+    (hashed_doc_vectors over the batch only — no corpus interaction) and
+    scored with the frozen model's inlined integer weights; (doc, margin,
+    pred) lands in ``sink_dir``.  The ingest face of the GPT-3/CCNet
+    filter: the model trains once on a bounded sample, then gates the
+    crawl as it arrives.
+
+    Scoring is a pure per-document function of the fixed model, so the
+    union of appended batches equals the one-shot batch scoring of the
+    distinct arrivals — the same batch-invariance contract as
+    `streaming_ann_lookup` (per-batch dedup only; redelivered files are
+    absorbed by the checkpoint).  Weights are loaded ONCE at wiring time
+    (one tiny parquet read) and ride the plan as literals: per-trigger
+    cost is O(|batch|) with zero corpus scans and zero joins.
+    """
+    from polars_view_spark.operators.classifier import (
+        load_classifier,
+        score_with_weights,
+    )
+    from polars_view_spark.operators.textstats import hashed_doc_vectors
+
+    weights, dim = load_classifier(docs_stream.sparkSession, model_path)
+
+    def score_batch(batch_df: DataFrame) -> DataFrame:
+        feats = hashed_doc_vectors(
+            batch_df, id_col=id_col, text_col=text_col, dim=dim
+        ).select("doc", "vec")
+        return score_with_weights(feats, weights, dim).select(
+            "doc", "margin", "pred"
+        )
+
+    return _available_now_sink(docs_stream, sink_dir, score_batch, dedup_col=id_col)

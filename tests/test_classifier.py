@@ -142,3 +142,85 @@ class TestEpochShuffle:
             epoch_shuffle(self._docs(spark), epoch=-1)
         with _pytest.raises(ValueError):
             epoch_shuffle(self._docs(spark), epoch=0, n_shards=0)
+
+
+class TestPersistedClassifier:
+    """Model save/load + the streaming scoring gate's batch parity."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_roundtrip(self, spark):
+        from polars_view_spark.operators.classifier import (
+            load_classifier,
+            save_classifier,
+        )
+
+        w = [3, -7, 0, 12, 5]
+        save_classifier(spark, w, "/tmp/pvs_clf_rt")
+        got, dim = load_classifier(spark, "/tmp/pvs_clf_rt")
+        assert got == w and dim == 4
+
+    def test_corrupt_model_rejected(self, spark):
+        """A gap in the weight index space must fail loudly — a partial
+        write mis-aligning weights would silently mis-score everything."""
+        from polars_view_spark.operators.classifier import load_classifier
+
+        spark.createDataFrame(
+            [(0, 5), (2, 7)], "i int, w long"
+        ).write.mode("overwrite").parquet("/tmp/pvs_clf_bad")
+        with pytest.raises(ValueError, match="corrupt"):
+            load_classifier(spark, "/tmp/pvs_clf_bad")
+
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        """Union of per-micro-batch scorings of a FROZEN model == one-shot
+        batch scoring of all arrivals, across three triggers."""
+        from polars_view_spark.operators.classifier import (
+            save_classifier,
+            score_with_weights,
+            train_quality_classifier,
+        )
+        from polars_view_spark.operators.textstats import hashed_doc_vectors
+        from polars_view_spark.streaming.events import (
+            read_sink_or_empty,
+            streaming_quality_score,
+        )
+
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet")
+        _, w = train_quality_classifier(
+            docs, "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')",
+            epochs=3,
+        )
+        model = str(tmp_path / "model")
+        save_classifier(spark, w, model)
+
+        arrivals = docs.filter("doc_id < 90")
+        qdir = tmp_path / "arrivals"
+        for lo, hi in ((0, 30), (30, 60), (60, 90)):
+            arrivals.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(
+                1
+            ).write.mode("append").parquet(str(qdir))
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(qdir))
+        )
+        sink = str(tmp_path / "scores")
+        streaming_quality_score(stream, model, sink).awaitTermination()
+
+        got = {
+            (r["doc"], r["margin"], r["pred"])
+            for r in read_sink_or_empty(
+                spark, sink, "doc long, margin long, pred int, batch_id long"
+            ).collect()
+        }
+        feats = hashed_doc_vectors(arrivals, "doc_id", "text", dim=64).select(
+            "doc", "vec"
+        )
+        want = {
+            (r["doc"], r["margin"], r["pred"])
+            for r in score_with_weights(feats, w, 64)
+            .select("doc", "margin", "pred")
+            .collect()
+        }
+        assert got == want and len(want) == 90
