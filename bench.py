@@ -105,6 +105,12 @@ EXT_HEADLINE = [
     # standalone query-only economics are in SCALE.md (12.96 s recompute
     # → 4.67 s per lookup at 10× corpus vs a 500-doc batch)
     "d_minhash_index_query",
+    # round 7 (late): the trained quality classifier — the iterative-ML
+    # representative beside x_kmeans_clusters (10 one-row-aggregate
+    # epochs over a pinned feature frame + a projection-only scoring
+    # pass; its oracle replays the full trajectory, so the DuckDB column
+    # is the same 10-epoch replay)
+    "x_quality_classifier",
 ]
 
 

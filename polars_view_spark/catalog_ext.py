@@ -1773,12 +1773,19 @@ def _x_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_clusters(t["embeddings"], k=4, iterations=2)
 
 
-def _duck_kmeans_oracle(k: int = 4, scale: int = 1_000_000, dim: int = 64) -> str:
+def _duck_kmeans_oracle(
+    k: int = 4, scale: int = 1_000_000, dim: int = 64, tail: str | None = None
+) -> str:
     """Replay the exact k-means trajectory in DuckDB: quantize → init from
     the k lowest ids → (assign, update) × 2 → summarize.  All distance and
     sum arithmetic is on BIGINTs (order-free); the only float ops —
     quantize, the update's round(sum/n), the final norm — use the same
-    operand values as Spark, so results are bit-identical."""
+    operand values as Spark, so results are bit-identical.
+
+    ``tail`` overrides the final SELECT (still over the a3 per-vector
+    assignment / c2 final centroids CTEs) so composed entries —
+    cluster-balanced sampling — reuse the IDENTICAL trajectory SQL
+    instead of a drifting copy."""
     it = """
     d{n} AS (
       SELECT qx.vec_id, c.cid,
@@ -1820,7 +1827,7 @@ def _duck_kmeans_oracle(k: int = 4, scale: int = 1_000_000, dim: int = 64) -> st
         # centroids (c2) — one more assign pass, matching kmeans_clusters'
         # trailing assign(q); c3 is generated by the template but unused
         + it.format(n=3, p=2)
-        + f"""
+        + (f"\n    {tail}" if tail is not None else f"""
     SELECT CAST(m.cid AS INT) AS cluster_id,
            m.n_members, m.exemplar, nrm.centroid_norm
     FROM (
@@ -1834,7 +1841,7 @@ def _duck_kmeans_oracle(k: int = 4, scale: int = 1_000_000, dim: int = 64) -> st
       FROM c2 GROUP BY cid
     ) nrm ON m.cid = nrm.cid
     ORDER BY cluster_id
-    """
+    """)
     )
 
 
@@ -6505,3 +6512,57 @@ register(
     oracle=_duck_streaming_clf_oracle(),
     tables=("documents",),
 )(_e_streaming_quality_score)
+
+
+CLUSTER_SAMPLE_K = 5
+
+
+def _x_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset sampling: k-means the embeddings
+    (operators/similarity.py:kmeans_assignments — the per-vector face of
+    the x_kmeans_clusters trajectory), then keep an exact, deterministic
+    md5-ranked sample of CLUSTER_SAMPLE_K per cluster — the
+    diversity-preserving eval/seed-set draw (uniform sampling
+    over-represents dense regions; per-cluster quotas don't).  One extra
+    hash-partitioned window shuffle on top of the k-means passes.  The
+    oracle replays the identical trajectory via the shared CTE chain and
+    samples a3 with the same md5 rank."""
+    from pyspark.sql import Window
+
+    from polars_view_spark.operators.similarity import kmeans_assignments
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(t["embeddings"], k=4, iterations=2)
+    h = F.expr(
+        "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(h.asc(), F.col("vec_id"))
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CLUSTER_SAMPLE_K)
+        .select(
+            "cluster_id",
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("rn").cast("long").alias("sample_rank"),
+        )
+        .orderBy("cluster_id", "sample_rank")
+    )
+
+
+register(
+    "x_cluster_balanced_sample",
+    oracle=_duck_kmeans_oracle(
+        tail=f"""SELECT CAST(cid AS INT) AS cluster_id, vec_id,
+           CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT cid, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cid
+               ORDER BY (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT),
+                        vec_id) AS rn
+      FROM a3
+    ) r WHERE rn <= {CLUSTER_SAMPLE_K}
+    ORDER BY cluster_id, sample_rank"""
+    ),
+    tables=("embeddings",),
+)(_x_cluster_balanced_sample)

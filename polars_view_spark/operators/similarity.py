@@ -1137,58 +1137,21 @@ def quantize_int8(
     )
 
 
-def kmeans_clusters(
+def _kmeans_fit(
     df: DataFrame,
-    k: int = 4,
-    iterations: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    scale: int = 1_000_000,
-) -> DataFrame:
-    """Deterministic Lloyd k-means over an embedding column, expressed as
-    DataFrame algebra — the iterative-ML pattern on Spark.
-
-    Every step is EXACTLY replicable in ANSI SQL, so the operator carries a
-    full value-hash oracle (catalog entry ``x_kmeans_clusters``) instead of
-    the rows-only check iterative algorithms usually get:
-
-    - vectors are integer-quantized in-engine (``round(x·scale)`` — SQL
-      round on both sides, never Python's half-even round), so distance
-      sums are integer arithmetic: exact in ANY accumulation order, on
-      both engines;
-    - init centroids are the ``k`` lowest-id vectors (no RNG);
-    - assignment is nearest centroid, lowest cluster id on ties — a pure
-      projection of the corpus (no join, no shuffle), computed by the same
-      Arrow int64 kernel as IVF cell assignment (``_with_sorted_cells``):
-      an earlier generation string-built k inlined ``(distance, cluster)``
-      struct literals of ``dims`` integers each, which (a) grew the
-      analyzed plan by O(k·dims) text per iteration (~300 KB at k=64,
-      dims=64 — the same analyzer-cost pattern that made the IVF CASE
-      chain unusable) and (b) ran the k×dims multiply-adds INTERPRETED,
-      because higher-order functions never enter whole-stage codegen.
-      The kernel keeps the plan O(1) in k (centroids ride in the UDF
-      closure) and is bit-identical to the SQL oracle's
-      ``ROW_NUMBER() OVER (ORDER BY dist, cid)`` pick: distances are
-      exact int64 (quantized inputs), the per-row ``||x||²`` term is
-      dropped (constant per row — argmin order unchanged), and
-      ``np.argmin`` returns the FIRST minimum over a cid-ascending
-      centroid matrix, i.e. the lowest cluster id on ties.  Overflow
-      bound: ``scale² · dims < 2⁶³`` (documented for callers raising
-      ``scale``);
-    - the update step re-quantizes via ``round(sum·1.0/count)``: the two
-      operands are exact integers, so the double division and round are
-      bit-identical across engines.
-
-    Scale shape: per iteration ONE shuffle (the k-group aggregate of 64
-    partial sums; map-side combine makes the exchange k×dims rows) and an
-    O(k·dims) driver collect for the next round's literals — the same
-    bounded driver state as a trained index's centroid table
-    (cf. _seed_centroids).  Empty clusters drop out, matching the SQL
-    oracle's semantics.
-    """
+    k: int,
+    iterations: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+):
+    """Shared Lloyd fit (quantize → deterministic init → (assign, update)
+    × iterations) behind kmeans_clusters and kmeans_assignments: returns
+    the pinned quantized frame, the Arrow argmin assigner closed over the
+    FINAL centroids, and the centroid dict."""
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
-        raise ValueError("kmeans_clusters: empty input")
+        raise ValueError("kmeans: empty input")
     dim = int(dim_row["d"])
 
     q = df.select(
@@ -1250,6 +1213,60 @@ def kmeans_clusters(
         centroids = {
             int(r["cid"]): [int(r[f"c{i}"]) for i in range(dim)] for r in rows
         }
+
+    return q, assign, centroids
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column, expressed as
+    DataFrame algebra — the iterative-ML pattern on Spark.
+
+    Every step is EXACTLY replicable in ANSI SQL, so the operator carries a
+    full value-hash oracle (catalog entry ``x_kmeans_clusters``) instead of
+    the rows-only check iterative algorithms usually get:
+
+    - vectors are integer-quantized in-engine (``round(x·scale)`` — SQL
+      round on both sides, never Python's half-even round), so distance
+      sums are integer arithmetic: exact in ANY accumulation order, on
+      both engines;
+    - init centroids are the ``k`` lowest-id vectors (no RNG);
+    - assignment is nearest centroid, lowest cluster id on ties — a pure
+      projection of the corpus (no join, no shuffle), computed by the same
+      Arrow int64 kernel as IVF cell assignment (``_with_sorted_cells``):
+      an earlier generation string-built k inlined ``(distance, cluster)``
+      struct literals of ``dims`` integers each, which (a) grew the
+      analyzed plan by O(k·dims) text per iteration (~300 KB at k=64,
+      dims=64 — the same analyzer-cost pattern that made the IVF CASE
+      chain unusable) and (b) ran the k×dims multiply-adds INTERPRETED,
+      because higher-order functions never enter whole-stage codegen.
+      The kernel keeps the plan O(1) in k (centroids ride in the UDF
+      closure) and is bit-identical to the SQL oracle's
+      ``ROW_NUMBER() OVER (ORDER BY dist, cid)`` pick: distances are
+      exact int64 (quantized inputs), the per-row ``||x||²`` term is
+      dropped (constant per row — argmin order unchanged), and
+      ``np.argmin`` returns the FIRST minimum over a cid-ascending
+      centroid matrix, i.e. the lowest cluster id on ties.  Overflow
+      bound: ``scale² · dims < 2⁶³`` (documented for callers raising
+      ``scale``);
+    - the update step re-quantizes via ``round(sum·1.0/count)``: the two
+      operands are exact integers, so the double division and round are
+      bit-identical across engines.
+
+    Scale shape: per iteration ONE shuffle (the k-group aggregate of 64
+    partial sums; map-side combine makes the exchange k×dims rows) and an
+    O(k·dims) driver collect for the next round's literals — the same
+    bounded driver state as a trained index's centroid table
+    (cf. _seed_centroids).  Empty clusters drop out, matching the SQL
+    oracle's semantics.
+    """
+    q, assign, centroids = _kmeans_fit(df, k, iterations, id_col, vec_col, scale)
 
     members = (
         assign(q)
@@ -1536,4 +1553,25 @@ def margin_mine_pairs(
             (F.col("sq").cast("double") / F.lit(MARGIN_SCALE)).alias("score"),
             "margin",
         )
+    )
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-vector cluster assignments from the SAME deterministic Lloyd
+    trajectory as :func:`kmeans_clusters` (shared ``_kmeans_fit``): one
+    row per input vector with its final ``cluster_id`` — the per-item
+    face the summary entry can't provide, feeding cluster-balanced
+    sampling / per-cluster routing.  Cost identical to kmeans_clusters
+    minus the summary aggregate; the assignment itself is a projection
+    (Arrow argmin kernel, centroids in the closure — no join)."""
+    q, assign, _centroids = _kmeans_fit(df, k, iterations, id_col, vec_col, scale)
+    return assign(q).select(
+        F.col("vid").alias(id_col), F.col("cid").cast("int").alias("cluster_id")
     )

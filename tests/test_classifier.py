@@ -224,3 +224,40 @@ class TestPersistedClassifier:
             .collect()
         }
         assert got == want and len(want) == 90
+
+
+class TestClusterBalancedSample:
+    SF = "/root/testdata/sf0.001"
+
+    def test_assignments_match_summary(self, spark):
+        """kmeans_assignments is the per-vector face of the same
+        trajectory: per-cluster counts equal kmeans_clusters' n_members."""
+        from polars_view_spark.operators.similarity import (
+            kmeans_assignments,
+            kmeans_clusters,
+        )
+
+        emb = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        sizes = {
+            r["cluster_id"]: r["n_members"]
+            for r in kmeans_clusters(emb, k=4, iterations=2).collect()
+        }
+        got = {
+            r["cluster_id"]: r["count"]
+            for r in kmeans_assignments(emb, k=4, iterations=2)
+            .groupBy("cluster_id")
+            .count()
+            .collect()
+        }
+        assert got == sizes
+
+    def test_quota_per_cluster(self, spark):
+        from polars_view_spark.catalog import entries
+
+        out = entries()["x_cluster_balanced_sample"].spark_fn(spark, self.SF).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["cluster_id"], []).append(r["sample_rank"])
+        for cid, ranks in per.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 5
