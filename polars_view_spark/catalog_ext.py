@@ -6566,3 +6566,36 @@ register(
     ),
     tables=("embeddings",),
 )(_x_cluster_balanced_sample)
+
+
+def _q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (SPARK-42746, new in Spark 4): ordered
+    string aggregation per group — the ANSI-2016 spelling of DuckDB's
+    string_agg(expr, sep ORDER BY ...), so the oracle states the same
+    deterministic concatenation."""
+    load_tables(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT lang,
+               listagg(CAST(doc_id AS STRING), ',')
+                 WITHIN GROUP (ORDER BY doc_id) AS ids,
+               COUNT(*) AS n
+        FROM documents
+        WHERE doc_id < 40
+        GROUP BY lang ORDER BY lang
+        """
+    )
+
+
+register(
+    "q_listagg",
+    oracle="""
+    SELECT lang,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids,
+           COUNT(*) AS n
+    FROM documents
+    WHERE doc_id < 40
+    GROUP BY lang ORDER BY lang
+    """,
+    tables=("documents",),
+)(_q_listagg)
