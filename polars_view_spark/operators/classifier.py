@@ -96,6 +96,7 @@ def train_quality_classifier(
     lr_num: int = LR_NUM,
     lr_den: int = LR_DEN,
     margin_cap: int = MARGIN_CAP,
+    init_weights: list[int] | None = None,
 ) -> tuple[DataFrame, list[int]]:
     """Train the hard-sigmoid linear classifier and score every document.
 
@@ -114,6 +115,13 @@ def train_quality_classifier(
     Documents whose text is NULL produce no token rows and are absent
     (they carry no evidence either way); the catalog oracle mirrors the
     same drop.
+
+    ``init_weights`` warm-starts from a previously trained model (e.g.
+    loaded via :func:`load_classifier`) — the incremental-retrain face of
+    the persisted-model split: yesterday's model + today's batch, the old
+    corpus never re-read.  The 1/t decay restarts at t=1 for the new
+    phase (a fine-tune is a new schedule, not a continuation — documented
+    contract, mirrored by the oracle).
     """
     from polars_view_spark.operators.textstats import hashed_doc_vectors
 
@@ -144,7 +152,14 @@ def train_quality_classifier(
     # normalizer moves into the update's floor-division denominator).
     two_mc = 2 * margin_cap
     cls_w = f"(CASE WHEN y = 1 THEN {n_neg}L ELSE {n_pos}L END)"
-    weights = [0] * (dim + 1)
+    if init_weights is None:
+        weights = [0] * (dim + 1)
+    else:
+        if len(init_weights) != dim + 1:
+            raise ValueError(
+                f"init_weights has {len(init_weights)} entries, model needs {dim + 1}"
+            )
+        weights = [int(w) for w in init_weights]
     for t in range(1, epochs + 1):
         m = _margin_sql(weights, dim)
         pnum = f"LEAST(GREATEST({margin_cap}L + {m}, 0L), {two_mc}L)"
@@ -186,6 +201,125 @@ def score_with_weights(feats: DataFrame, weights: list[int], dim: int) -> DataFr
     )
 
 
+_EPOCH_STEP = """,
+    {pm}{t} AS MATERIALIZED (
+      SELECT l.doc, l.y, SUM(b.b * w.w) AS m
+      FROM {lab} l JOIN bx b ON l.doc = b.doc JOIN {pw}{p} w ON b.i = w.i
+      GROUP BY l.doc, l.y
+    ),
+    {pe}{t} AS (
+      SELECT doc, y,
+             (LEAST(GREATEST({mc} + m, 0), {tmc}) - {tmc} * y)
+               * (CASE WHEN y = 1 THEN (SELECT nneg FROM {cnt})
+                       ELSE (SELECT npos FROM {cnt}) END) AS err
+      FROM {pm}{t}
+    ),
+    {pg}{t} AS (
+      SELECT b.i, SUM(e.err * b.b) AS g
+      FROM {pe}{t} e JOIN bx b ON e.doc = b.doc GROUP BY b.i
+    ),
+    {pgg}{t} AS (
+      -- a bucket no token hashed to still has a (zero) gradient on the
+      -- Spark side (SUM over vec[i] = 0): LEFT JOIN keeps its weight row
+      SELECT w.i, w.w, COALESCE(g.g, 0)::HUGEINT AS g
+      FROM {pw}{p} w LEFT JOIN {pg}{t} g ON w.i = g.i
+    ),
+    {pw}{t} AS MATERIALIZED (
+      SELECT i,
+             w - (({ln} * g) - ((({ln} * g) % ({dn}) + ({dn})) % ({dn})))
+                 // ({dn}) AS w
+      FROM {pgg}{t} CROSS JOIN {cnt}
+    )"""
+
+
+def _epoch_chain(
+    prefix: str,
+    lab: str,
+    cnt: str,
+    w_in: str,
+    epochs: int,
+    lr_num: int,
+    lr_den: int,
+    margin_cap: int,
+) -> tuple[str, str]:
+    """Emit one training phase as a CTE chain: ``epochs`` steps of the
+    class-balanced, floor-div-updated descent starting from weight CTE
+    ``w_in`` against label CTE ``lab``.  Returns (sql_fragment,
+    final_weight_cte_name).  The 1/t decay restarts at t=1 per phase."""
+    two_mc = 2 * margin_cap
+    denom = f"{lr_den} * {two_mc} * 2 * {cnt}.npos * {cnt}.nneg"
+    parts = []
+    # alias the incoming weights into this phase's w0 so the step template
+    # can address {pw}{{t-1}} uniformly
+    parts.append(f""",
+    {prefix}w0 AS (SELECT i, w FROM {w_in})""")
+    for t in range(1, epochs + 1):
+        parts.append(
+            _EPOCH_STEP.format(
+                t=t,
+                p=t - 1,
+                mc=margin_cap,
+                tmc=two_mc,
+                ln=lr_num // t,
+                dn=denom,
+                lab=lab,
+                cnt=cnt,
+                pm=f"{prefix}m",
+                pe=f"{prefix}e",
+                pg=f"{prefix}g",
+                pgg=f"{prefix}gg",
+                pw=f"{prefix}w",
+            )
+        )
+    return "".join(parts), f"{prefix}w{epochs}"
+
+
+def _feature_ctes(
+    label_sql: str,
+    dim: int,
+    table: str,
+    id_col: str,
+    text_col: str,
+) -> str:
+    """Shared feature/label CTE header: long-form signed-hash buckets +
+    bias pseudo-bucket i=dim, and the full labeled doc set."""
+    sign = "(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END)"
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc, unnest({duck_tokens_sql(text_col)}) AS tok
+      FROM {table}
+    ),
+    hashed AS (SELECT doc, {duck_hex64_sql("tok")} AS h FROM toks),
+    -- MATERIALIZED: every epoch references bx/lab 3x; DuckDB inlines
+    -- plain CTEs, which re-tokenizes the corpus O(epochs²) times and
+    -- turns a 1 s oracle into minutes
+    bx AS MATERIALIZED (
+      SELECT doc, (h % {dim})::INT AS i, SUM({sign})::HUGEINT AS b
+      FROM hashed GROUP BY doc, h % {dim}
+      UNION ALL
+      SELECT DISTINCT doc, {dim}::INT AS i, 1::HUGEINT AS b FROM hashed
+    ),
+    lab AS MATERIALIZED (
+      SELECT b.doc, (CASE WHEN {label_sql} THEN 1 ELSE 0 END)::HUGEINT AS y
+      FROM (SELECT DISTINCT doc FROM bx) b
+      JOIN {table} t ON b.doc = t.{id_col}
+    ),
+    zw AS (SELECT i::INT AS i, 0::HUGEINT AS w FROM range({dim + 1}) t(i))"""
+
+
+def _final_scoring(w_cte: str) -> str:
+    return f""",
+    final AS (
+      SELECT l.doc, l.y, SUM(b.b * w.w) AS m
+      FROM lab l JOIN bx b ON l.doc = b.doc JOIN {w_cte} w ON b.i = w.i
+      GROUP BY l.doc, l.y
+    )
+    SELECT doc, CAST(m AS BIGINT) AS margin,
+           (CASE WHEN m > 0 THEN 1 ELSE 0 END)::INT AS pred,
+           CAST(y AS INT) AS y
+    FROM final ORDER BY doc"""
+
+
 def duck_classifier_oracle(
     label_sql: str,
     dim: int = CLASSIFIER_DIM,
@@ -207,92 +341,56 @@ def duck_classifier_oracle(
     truncating ``//`` reproduces Python's flooring ``//`` exactly
     (numerator becomes exactly divisible).
     """
-    two_mc = 2 * margin_cap
-    sign = "(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END)"
-    parts = [
-        f"""
-    WITH toks AS (
-      SELECT {id_col} AS doc, unnest({duck_tokens_sql(text_col)}) AS tok
-      FROM {table}
-    ),
-    hashed AS (SELECT doc, {duck_hex64_sql("tok")} AS h FROM toks),
-    -- MATERIALIZED: every epoch references bx/lab 3x; DuckDB inlines
-    -- plain CTEs, which re-tokenizes the corpus O(epochs²) times and
-    -- turns a 1 s oracle into minutes
-    bx AS MATERIALIZED (
-      SELECT doc, (h % {dim})::INT AS i, SUM({sign})::HUGEINT AS b
-      FROM hashed GROUP BY doc, h % {dim}
-      UNION ALL
-      SELECT DISTINCT doc, {dim}::INT AS i, 1::HUGEINT AS b FROM hashed
-    ),
-    lab AS MATERIALIZED (
-      SELECT b.doc, (CASE WHEN {label_sql} THEN 1 ELSE 0 END)::HUGEINT AS y
-      FROM (SELECT DISTINCT doc FROM bx) b
-      JOIN {table} t ON b.doc = t.{id_col}
-    ),
+    header = _feature_ctes(label_sql, dim, table, id_col, text_col)
+    cnt = """,
     cnt AS MATERIALIZED (
       SELECT SUM(y)::HUGEINT AS npos, (COUNT(*) - SUM(y))::HUGEINT AS nneg
       FROM lab
-    ),
-    w0 AS (SELECT i::INT AS i, 0::HUGEINT AS w FROM range({dim + 1}) t(i))"""
-    ]
-    # per-epoch CTE: margin → class-balanced error → gradient → floor-div
-    # update with the epoch's decayed step {{ln}} = lr_num // t (a Python
-    # literal here — both engines see the identical integer)
-    step = """,
-    m{t} AS MATERIALIZED (
-      SELECT l.doc, l.y, SUM(b.b * w.w) AS m
-      FROM lab l JOIN bx b ON l.doc = b.doc JOIN w{p} w ON b.i = w.i
-      GROUP BY l.doc, l.y
-    ),
-    e{t} AS (
-      SELECT doc, y,
-             (LEAST(GREATEST({mc} + m, 0), {tmc}) - {tmc} * y)
-               * (CASE WHEN y = 1 THEN (SELECT nneg FROM cnt)
-                       ELSE (SELECT npos FROM cnt) END) AS err
-      FROM m{t}
-    ),
-    g{t} AS (
-      SELECT b.i, SUM(e.err * b.b) AS g
-      FROM e{t} e JOIN bx b ON e.doc = b.doc GROUP BY b.i
-    ),
-    gg{t} AS (
-      -- a bucket no token hashed to still has a (zero) gradient on the
-      -- Spark side (SUM over vec[i] = 0): LEFT JOIN keeps its weight row
-      SELECT w.i, w.w, COALESCE(g.g, 0)::HUGEINT AS g
-      FROM w{p} w LEFT JOIN g{t} g ON w.i = g.i
-    ),
-    w{t} AS MATERIALIZED (
-      SELECT i,
-             w - (({ln} * g) - ((({ln} * g) % ({dn}) + ({dn})) % ({dn})))
-                 // ({dn}) AS w
-      FROM gg{t} CROSS JOIN cnt
     )"""
-    denom = f"{lr_den} * {two_mc} * 2 * cnt.npos * cnt.nneg"
-    for t in range(1, epochs + 1):
-        parts.append(
-            step.format(
-                t=t,
-                p=t - 1,
-                mc=margin_cap,
-                tmc=two_mc,
-                ln=lr_num // t,
-                dn=denom,
-            )
-        )
-    parts.append(
-        f""",
-    final AS (
-      SELECT l.doc, l.y, SUM(b.b * w.w) AS m
-      FROM lab l JOIN bx b ON l.doc = b.doc JOIN w{epochs} w ON b.i = w.i
-      GROUP BY l.doc, l.y
+    chain, w_final = _epoch_chain(
+        "", "lab", "cnt", "zw", epochs, lr_num, lr_den, margin_cap
     )
-    SELECT doc, CAST(m AS BIGINT) AS margin,
-           (CASE WHEN m > 0 THEN 1 ELSE 0 END)::INT AS pred,
-           CAST(y AS INT) AS y
-    FROM final ORDER BY doc"""
+    return header + cnt + chain + _final_scoring(w_final)
+
+
+def duck_classifier_warm_start_oracle(
+    label_sql: str,
+    split_doc: int,
+    dim: int = CLASSIFIER_DIM,
+    epochs_a: int = CLASSIFIER_EPOCHS,
+    epochs_b: int = CLASSIFIER_EPOCHS,
+    lr_num: int = LR_NUM,
+    lr_den: int = LR_DEN,
+    margin_cap: int = MARGIN_CAP,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Two-phase replay: train on docs < ``split_doc`` from zeros, then
+    fine-tune the resulting weights on docs >= ``split_doc`` (decay
+    restarting at t=1 — the warm-start contract), and score EVERY doc
+    with the final model.  Pins the incremental-retrain trajectory
+    end-to-end: a wrong seed, a wrong phase-B label set, or a schedule
+    continuation would all break the value hash."""
+    header = _feature_ctes(label_sql, dim, table, id_col, text_col)
+    phases = f""",
+    laba AS MATERIALIZED (SELECT * FROM lab WHERE doc < {split_doc}),
+    labb AS MATERIALIZED (SELECT * FROM lab WHERE doc >= {split_doc}),
+    cnta AS MATERIALIZED (
+      SELECT SUM(y)::HUGEINT AS npos, (COUNT(*) - SUM(y))::HUGEINT AS nneg
+      FROM laba
+    ),
+    cntb AS MATERIALIZED (
+      SELECT SUM(y)::HUGEINT AS npos, (COUNT(*) - SUM(y))::HUGEINT AS nneg
+      FROM labb
+    )"""
+    chain_a, w_a = _epoch_chain(
+        "a", "laba", "cnta", "zw", epochs_a, lr_num, lr_den, margin_cap
     )
-    return "".join(parts)
+    chain_b, w_b = _epoch_chain(
+        "b", "labb", "cntb", w_a, epochs_b, lr_num, lr_den, margin_cap
+    )
+    return header + phases + chain_a + chain_b + _final_scoring(w_b)
 
 
 def save_classifier(spark, weights: list[int], path: str) -> None:
