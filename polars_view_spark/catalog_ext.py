@@ -6599,3 +6599,57 @@ register(
     """,
     tables=("documents",),
 )(_q_listagg)
+
+
+CLF_WARM_SPLIT = 250
+
+
+def _x_classifier_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental classifier retraining (classifier.py warm start): train
+    on the first CLF_WARM_SPLIT docs from zeros, fine-tune those weights
+    on the REST (the arriving batch — the old slice is never re-read in
+    phase B), then score the whole corpus with the final model.  The
+    two-phase trajectory oracle pins the seed handoff, the phase-B label
+    set, and the restarted decay schedule."""
+    from polars_view_spark.operators.classifier import (
+        score_with_weights,
+        train_quality_classifier,
+    )
+    from polars_view_spark.operators.textstats import hashed_doc_vectors
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    label = "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')"
+    _, w_a = train_quality_classifier(d.filter(f"doc_id < {CLF_WARM_SPLIT}"), label)
+    _, w_b = train_quality_classifier(
+        d.filter(f"doc_id >= {CLF_WARM_SPLIT}"), label, init_weights=w_a
+    )
+    labels = d.selectExpr("doc_id AS doc", f"CAST(({label}) AS INT) AS y")
+    feats = (
+        hashed_doc_vectors(d, "doc_id", "text", dim=64)
+        .select("doc", "vec")
+        .join(labels, "doc")
+    )
+    return (
+        score_with_weights(feats, w_b, 64)
+        .select("doc", "margin", "pred", "y")
+        .orderBy("doc")
+    )
+
+
+def _duck_warm_start_entry_oracle() -> str:
+    from polars_view_spark.operators.classifier import (
+        duck_classifier_warm_start_oracle,
+    )
+
+    return duck_classifier_warm_start_oracle(
+        "list_contains(regexp_split_to_array(lower(trim(t.text)), '\\s+'), 'spark')",
+        CLF_WARM_SPLIT,
+    )
+
+
+register(
+    "x_classifier_warm_start",
+    oracle=_duck_warm_start_entry_oracle(),
+    tables=("documents",),
+)(_x_classifier_warm_start)

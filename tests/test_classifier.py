@@ -261,3 +261,40 @@ class TestClusterBalancedSample:
         for cid, ranks in per.items():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
             assert len(ranks) <= 5
+
+
+class TestWarmStart:
+    def test_warm_start_differs_from_cold(self, spark):
+        """Fine-tuning from phase-A weights is NOT the same model as
+        training on batch B alone — the seed carries phase-A knowledge."""
+        from polars_view_spark.operators.classifier import train_quality_classifier
+
+        docs = _planted(spark, n=40)
+        a = docs.filter("doc_id < 20")
+        b = docs.filter("doc_id >= 20")
+        _, wa = train_quality_classifier(a, "is_ref", epochs=3)
+        _, w_warm = train_quality_classifier(b, "is_ref", epochs=3, init_weights=wa)
+        _, w_cold = train_quality_classifier(b, "is_ref", epochs=3)
+        assert w_warm != w_cold
+        assert w_warm != wa  # and it did actually train on B
+
+    def test_wrong_width_rejected(self, spark):
+        from polars_view_spark.operators.classifier import train_quality_classifier
+
+        docs = _planted(spark, n=20)
+        with pytest.raises(ValueError, match="init_weights"):
+            train_quality_classifier(docs, "is_ref", epochs=1, init_weights=[1, 2, 3])
+
+    def test_warm_start_preserves_planted_separation(self, spark):
+        """The daily-crawl loop shape: model trained on day-1 data,
+        fine-tuned on day-2 data, still separates the planted signal."""
+        from polars_view_spark.operators.classifier import train_quality_classifier
+
+        docs = _planted(spark, n=80)
+        _, wa = train_quality_classifier(docs.filter("doc_id < 40"), "is_ref")
+        scored, _ = train_quality_classifier(
+            docs.filter("doc_id >= 40"), "is_ref", init_weights=wa
+        )
+        rows = scored.collect()
+        acc = sum(r["pred"] == r["y"] for r in rows) / len(rows)
+        assert acc == 1.0
