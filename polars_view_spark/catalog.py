@@ -173,6 +173,9 @@ DRIVER_PRIORITY = [
     # incremental retrain (they take the q22 and q21 r03 TPC-H anchor
     # slots, deferred to the round-8 holdouts):
     "q_listagg", "x_classifier_warm_start",
+    # ...plus the model-filtered training mix (takes q20's slot — the
+    # last round-7 displacement; everything displaced is r03-stamped):
+    "x_model_filtered_mix",
     # (b) the 15 late round-6 additions that have never had a driver row
     # (all green in the local sf0.001+sf0.01 oracle sweeps and included
     # in the judge's independently-run 834-green round-6 suite):
@@ -194,7 +197,6 @@ DRIVER_PRIORITY = [
     "q8_market_share", "q9_product_profit", "q10_returned_items",
     "q11_important_stock", "q15_top_supplier", "q16_parts_supplier_counts",
     "q17_small_quantity_revenue", "q18_large_orders",
-    "q20_potential_promotion",
 ]
 # Everything demoted out of the window is green in CORRECTNESS_r01-r06 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
@@ -207,8 +209,8 @@ DRIVER_PRIORITY = [
 # Round-8 rotation should lead with anything round 8 changes or adds,
 # then the deferred r03-stamp holdouts (incl. x_salted_skew_join,
 # x_audience_overlap, x_snapshot_drift, x_heavy_hitters, x_sketch_rollup,
-# q22_global_sales_opportunity, and q21_suppliers_kept_waiting, displaced
-# late in round 7):
+# q22_global_sales_opportunity, q21_suppliers_kept_waiting, and
+# q20_potential_promotion, displaced late in round 7):
 # x_train_val_test_split, x_chunk_documents, q_window_range_frame,
 # q_dwell_time, q_event_funnel,
 # q_retention_cohorts,

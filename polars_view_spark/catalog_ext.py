@@ -6653,3 +6653,91 @@ register(
     oracle=_duck_warm_start_entry_oracle(),
     tables=("documents",),
 )(_x_classifier_warm_start)
+
+
+def _x_model_filtered_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-filtered training mix (operators/packing.py:
+    build_model_filtered_mix): trained-classifier quality gate →
+    fingerprint dedup → context-window packing, the GPT-3-shaped pipeline
+    with the learned filter in place of x_training_mix_e2e's Gopher
+    heuristic.  The oracle replays the WHOLE composition — 10-epoch
+    training trajectory, margin filter, dedup window, pack cumsum — in
+    one DuckDB statement."""
+    from polars_view_spark.operators.packing import build_model_filtered_mix
+
+    t = load_tables(spark, sf_dir, "documents")
+    out = build_model_filtered_mix(
+        t["documents"],
+        "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')",
+    )
+    return out.select(
+        "pack_shard",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("pack_shard", "chunk_id")
+
+
+def _duck_model_filtered_mix_oracle() -> str:
+    from polars_view_spark.functions.texthash import TOKEN_REGEX
+    from polars_view_spark.operators.classifier import duck_classifier_ctes
+    from polars_view_spark.operators.packing import CONTEXT_TOKENS as C
+
+    ctes, w_final = duck_classifier_ctes(
+        "list_contains(regexp_split_to_array(lower(trim(t.text)), '\\s+'), 'spark')"
+    )
+    ntok = f"len(regexp_extract_all(text, '{TOKEN_REGEX}'))"
+    return (
+        ctes
+        + f""",
+    score AS (
+      SELECT l.doc, SUM(b.b * w.w) AS m
+      FROM lab l JOIN bx b ON l.doc = b.doc JOIN {w_final} w ON b.i = w.i
+      GROUP BY l.doc
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text, d.lang FROM documents d
+      JOIN score s ON d.doc_id = s.doc WHERE s.m > 0
+    ),
+    fp AS (
+      SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint
+      FROM kept
+    ),
+    deduped AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM fp) t WHERE rn = 1
+    ),
+    packbase AS (
+      SELECT lang || '/' || CAST(doc_id % 4 AS VARCHAR) AS pack_shard,
+             doc_id AS pack_id,
+             CAST({ntok} AS BIGINT) AS n_tokens
+      FROM deduped WHERE {ntok} > 0
+    ),
+    offs AS (
+      SELECT pack_shard, pack_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY pack_shard ORDER BY pack_id)
+               AS end_off
+      FROM packbase
+    ),
+    spanned AS (
+      SELECT pack_shard, end_off, end_off - n_tokens AS start_off,
+             CAST(unnest(generate_series(
+               CAST(floor((end_off - n_tokens) / {C}.0) AS BIGINT),
+               CAST(floor((end_off - 1) / {C}.0) AS BIGINT))) AS BIGINT) AS chunk_id
+      FROM offs
+    )
+    SELECT pack_shard, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(least(end_off, (chunk_id + 1) * {C})
+                    - greatest(start_off, chunk_id * {C})) AS BIGINT) AS n_tokens
+    FROM spanned GROUP BY pack_shard, chunk_id ORDER BY pack_shard, chunk_id
+    """
+    )
+
+
+register(
+    "x_model_filtered_mix",
+    oracle=_duck_model_filtered_mix_oracle(),
+    tables=("documents",),
+)(_x_model_filtered_mix)

@@ -341,6 +341,27 @@ def duck_classifier_oracle(
     truncating ``//`` reproduces Python's flooring ``//`` exactly
     (numerator becomes exactly divisible).
     """
+    ctes, w_final = duck_classifier_ctes(
+        label_sql, dim, epochs, lr_num, lr_den, margin_cap, table, id_col, text_col
+    )
+    return ctes + _final_scoring(w_final)
+
+
+def duck_classifier_ctes(
+    label_sql: str,
+    dim: int = CLASSIFIER_DIM,
+    epochs: int = CLASSIFIER_EPOCHS,
+    lr_num: int = LR_NUM,
+    lr_den: int = LR_DEN,
+    margin_cap: int = MARGIN_CAP,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[str, str]:
+    """The training trajectory as an OPEN CTE chain (no final SELECT):
+    returns ``(sql, final_weight_cte)`` so composed oracles — the
+    model-filtered training mix — can keep stacking CTEs on top of the
+    trained weights instead of copying the trajectory SQL."""
     header = _feature_ctes(label_sql, dim, table, id_col, text_col)
     cnt = """,
     cnt AS MATERIALIZED (
@@ -350,7 +371,7 @@ def duck_classifier_oracle(
     chain, w_final = _epoch_chain(
         "", "lab", "cnt", "zw", epochs, lr_num, lr_den, margin_cap
     )
-    return header + cnt + chain + _final_scoring(w_final)
+    return header + cnt + chain, w_final
 
 
 def duck_classifier_warm_start_oracle(

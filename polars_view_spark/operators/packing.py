@@ -450,3 +450,44 @@ def epoch_shuffle(
         "shard",
         (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
     )
+
+
+def build_model_filtered_mix(
+    docs: DataFrame,
+    label: str,
+    capacity: int = CONTEXT_TOKENS,
+    shards_per_lang: int = 4,
+) -> DataFrame:
+    """The model-filtered variant of :func:`build_training_mix`: the
+    GPT-3-shaped pipeline where a TRAINED classifier replaces the Gopher
+    heuristic as the quality gate (arXiv:2005.14165 appendix A — train a
+    reference-vs-crawl filter, keep what scores reference-like), then
+    exact content dedup and context-window packing.
+
+    train classifier on ``label`` → keep pred=1 docs → fingerprint dedup
+    → pack the token stream.  Training materializes its feature frame
+    (bounded-sample regime — see classifier.py's overflow note); the
+    filter→dedup→pack tail is ONE lazy plan: the kept-id join is an
+    equi-join Catalyst plans with AQE (broadcast when the kept set is
+    selective), and nothing else materializes between stages.
+
+    Catalog entry ``x_model_filtered_mix`` replays the ENTIRE composition
+    — training trajectory included — in one DuckDB statement.
+    """
+    from polars_view_spark.operators.classifier import train_quality_classifier
+    from polars_view_spark.operators.dedup import dedup_exact
+    from polars_view_spark.operators.textstats import fingerprint
+
+    scored, _w = train_quality_classifier(docs, label)
+    kept_ids = scored.filter(F.col("pred") == 1).select(
+        F.col("doc").alias("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    deduped = dedup_exact(fingerprint(kept), ["fingerprint"], "doc_id")
+    sharded = deduped.withColumn(
+        "pack_shard",
+        F.expr(f"concat(lang, '/', CAST(doc_id % {shards_per_lang} AS STRING))"),
+    ).withColumn("pack_id", F.col("doc_id"))
+    return pack_token_stream(
+        sharded, capacity=capacity, shard_col="pack_shard", id_col="pack_id"
+    )

@@ -298,3 +298,55 @@ class TestWarmStart:
         rows = scored.collect()
         acc = sum(r["pred"] == r["y"] for r in rows) / len(rows)
         assert acc == 1.0
+
+
+class TestModelFilteredMix:
+    SF = "/root/testdata/sf0.001"
+
+    def test_equals_manual_stage_composition(self, spark):
+        """The one-statement composition == running the stages by hand."""
+        from polars_view_spark.operators.classifier import train_quality_classifier
+        from polars_view_spark.operators.dedup import dedup_exact
+        from polars_view_spark.operators.packing import (
+            build_model_filtered_mix,
+            pack_token_stream,
+        )
+        from polars_view_spark.operators.textstats import fingerprint
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet")
+        label = "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')"
+        got = {
+            (r["pack_shard"], r["chunk_id"], r["n_docs"], r["n_tokens"])
+            for r in build_model_filtered_mix(docs, label).collect()
+        }
+
+        scored, _ = train_quality_classifier(docs, label)
+        kept = docs.join(
+            scored.filter("pred = 1").select(F.col("doc").alias("doc_id")),
+            "doc_id",
+        )
+        deduped = dedup_exact(fingerprint(kept), ["fingerprint"], "doc_id")
+        sharded = deduped.withColumn(
+            "pack_shard", F.expr("concat(lang, '/', CAST(doc_id % 4 AS STRING))")
+        ).withColumn("pack_id", F.col("doc_id"))
+        want = {
+            (r["pack_shard"], r["chunk_id"], r["n_docs"], r["n_tokens"])
+            for r in pack_token_stream(
+                sharded, shard_col="pack_shard", id_col="pack_id"
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_filter_actually_excludes(self, spark):
+        """The learned gate must drop a nontrivial slice — if it kept
+        everything the composition would silently degenerate to plain
+        dedup+pack."""
+        from polars_view_spark.operators.classifier import train_quality_classifier
+
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet")
+        label = "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')"
+        scored, _ = train_quality_classifier(docs, label)
+        kept = scored.filter("pred = 1").count()
+        total = scored.count()
+        assert 0 < kept < total
