@@ -69,17 +69,27 @@ def minhash_sql(h31: str, a: int, b: int) -> str:
     return f"MIN(({a} * {h31} + {b}) % {MINHASH_PRIME})"
 
 
+#: Whitespace class spelled EXPLICITLY instead of \s: Java regex \s is
+#: [ \t\n\x0B\f\r] but RE2's \s omits \x0B (vertical tab), so the shorthand
+#: tokenizes '\x9a\x0b' differently per engine — found by the classifier
+#: trajectory fuzz (one v-tab doc corrupts every gradient).  Both engines
+#: get the identical set below.
+_WS_SPARK = "[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+"  # SQL literal -> regex [ \t\n\x0B\f\r]+
+_WS_DUCK = "[ \\t\\n\\x0B\\f\\r]+"  # RE2 parses the escapes itself
+_WS_JAVA = "[ \\t\\n\\x0B\\f\\r]+"  # passed straight to Java regex
+
+
 def tokens_sql(col: str) -> str:
-    return f"split(lower(trim({col})), '\\\\s+')"
+    return f"split(lower(trim({col})), '{_WS_SPARK}')"
 
 
 def duck_tokens_sql(col: str) -> str:
-    return f"regexp_split_to_array(lower(trim({col})), '\\s+')"
+    return f"regexp_split_to_array(lower(trim({col})), '{_WS_DUCK}')"
 
 
 def tokens_expr(col: str) -> Column:
     """Lowercased whitespace-split word tokens."""
-    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    return F.split(F.lower(F.trim(F.col(col))), _WS_JAVA)
 
 
 def shingles_from_tokens_sql(tok_col: str, width: int = SHINGLE_WIDTH) -> str:

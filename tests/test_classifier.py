@@ -350,3 +350,54 @@ class TestModelFilteredMix:
         kept = scored.filter("pred = 1").count()
         total = scored.count()
         assert 0 < kept < total
+
+
+class TestClassifierTrajectoryFuzz:
+    def test_trajectory_parity_on_arbitrary_unicode(self, spark):
+        """For ANY corpus text — combining marks, emoji, whitespace soup —
+        the full integer training trajectory must match DuckDB bit-exactly
+        (tokenize → md5 bucket → balanced gradient → floor-div update).
+        Labels come from doc_id (both classes guaranteed); learning
+        quality is irrelevant here, only cross-engine arithmetic parity.
+        Batched like TestSnKeyParityFuzz: corpus generated up front, ONE
+        training run per engine."""
+        import duckdb
+        import pandas as pd
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from polars_view_spark.operators.classifier import (
+            duck_classifier_oracle,
+            train_quality_classifier,
+        )
+
+        texts: list[str] = []
+
+        @settings(
+            max_examples=150,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.text(max_size=60))
+        def collect(t):
+            texts.append(t)
+
+        collect()
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        scored, _ = train_quality_classifier(
+            docs, "doc_id % 3 = 0", dim=8, epochs=3
+        )
+        got = {r["doc"]: (r["margin"], r["pred"], r["y"]) for r in scored.collect()}
+
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = {
+            int(d): (int(m), int(p), int(y))
+            for d, m, p, y in con.execute(
+                duck_classifier_oracle("t.doc_id % 3 = 0", dim=8, epochs=3)
+            ).fetchall()
+        }
+        mism = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+        assert got.keys() == want.keys()
+        assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
