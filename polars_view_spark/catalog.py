@@ -2286,7 +2286,7 @@ def _register_core() -> None:
         """
         SELECT word, COUNT(*) AS n
         FROM (
-          SELECT EXPLODE(SPLIT(LOWER(TRIM(text)), '\\\\s+')) AS word
+          SELECT EXPLODE(SPLIT(LOWER(TRIM(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+')) AS word
           FROM documents
         ) t
         GROUP BY word
@@ -2297,7 +2297,7 @@ def _register_core() -> None:
         oracle="""
         SELECT word, COUNT(*) AS n
         FROM (
-          SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS word
+          SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS word
           FROM documents
         ) t
         GROUP BY word

@@ -101,7 +101,7 @@ register(
     oracle="""
     WITH fp AS (
       SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+             md5(regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fingerprint
       FROM documents
     )
     SELECT doc_id, fingerprint FROM (
@@ -427,8 +427,8 @@ register(
     WITH d AS (
       SELECT doc_id, lang,
              CAST(n_chars // {LEV_BAND_CHARS} AS BIGINT) AS band,
-             substr(lower(trim(text)), 1, 64) AS head,
-             substr(lower(trim(text)), 1, {LEV_PREFIX_CHARS}) AS pfx
+             substr(lower(trim(text, ' ')), 1, 64) AS head,
+             substr(lower(trim(text, ' ')), 1, {LEV_PREFIX_CHARS}) AS pfx
       FROM documents
     )
     SELECT a.doc_id AS doc1, b.doc_id AS doc2,
@@ -1350,7 +1350,7 @@ def _duck_gopher_oracle() -> str:
         GOPHER_MIN_WORDS,
     )
 
-    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    toks = "regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+')"
     nw = f"len({toks})"
     dup_w = f"1.0 - len(list_distinct({toks})) / CAST({nw} AS DOUBLE)"
     dup_2g = (
@@ -1359,7 +1359,7 @@ def _duck_gopher_oracle() -> str:
         f"ELSE 0.0 END"
     )
     mwl = (
-        "length(regexp_replace(text, '\\s', '', 'g'))"
+        "length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g'))"
         f" / CAST(greatest({nw}, 1) AS DOUBLE)"
     )
     alpha = (
@@ -1696,7 +1696,7 @@ register(
     oracle="""
     WITH w AS (
       SELECT source, doc_id,
-             UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS term
+             UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
       FROM documents
     ),
     wnz AS (SELECT * FROM w WHERE term <> ''),
@@ -1737,7 +1737,7 @@ register(
     "x_bigram_pmi",
     oracle="""
     WITH w AS (
-      SELECT regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS ws
+      SELECT regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
       FROM documents
     ),
     idx AS (
@@ -1887,7 +1887,7 @@ def _duck_training_mix_oracle() -> str:
         GOPHER_MIN_WORDS,
     )
 
-    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    toks = "regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+')"
     nw = f"len({toks})"
     dup_2g = (
         f"CASE WHEN {nw} >= 2 THEN "
@@ -1895,7 +1895,7 @@ def _duck_training_mix_oracle() -> str:
         f"ELSE 0.0 END"
     )
     mwl = (
-        "length(regexp_replace(text, '\\s', '', 'g'))"
+        "length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g'))"
         f" / CAST(greatest({nw}, 1) AS DOUBLE)"
     )
     alpha = (
@@ -1916,7 +1916,7 @@ def _duck_training_mix_oracle() -> str:
     WITH quality AS (
       SELECT doc_id, text, lang, source FROM documents WHERE {gopher_pass}
     ), fp AS (
-      SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      SELECT *, md5(regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
              AS fingerprint
       FROM quality
     ), deduped AS (
@@ -2253,7 +2253,7 @@ def _s_two_tower_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = docs.filter(F.col("doc_id") % 97 == 0).select(
         "doc_id",
         F.expr(
-            "concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), 1, "
+            "concat_ws(' ', slice(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), 1, "
             f"{TWO_TOWER_QUERY_TOKENS}))"
         ).alias("text"),
     )
@@ -2499,7 +2499,7 @@ register(
     "x_token_count",
     oracle=f"""
     SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+           len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words,
            len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens
     FROM documents ORDER BY doc_id
     """,
@@ -2547,8 +2547,8 @@ def _x_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(t["documents"]).select("doc_id", "quality").orderBy("doc_id")
 
 
-_q_words = "len(regexp_split_to_array(trim(text), '\\s+'))"
-_q_punct = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+_q_words = "len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+'))"
+_q_punct = "len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))"
 _q_stops = duck_stopword_count_sql("text", "en")
 
 register(
@@ -2577,7 +2577,7 @@ def _x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "x_fingerprint",
     oracle="""
-    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    SELECT doc_id, md5(regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fingerprint
     FROM documents ORDER BY doc_id
     """,
     tables=("documents",),
@@ -2611,7 +2611,7 @@ def _duck_winnow_ctes(source: str = "documents", prefix: str = "") -> str:
     from polars_view_spark.operators.textstats import WINNOW_K, WINNOW_W
 
     k, w = WINNOW_K, WINNOW_W
-    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    norm = "regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
     grams = (
         f"CASE WHEN length({norm}) >= {k} THEN "
         f"list_transform(range(1, length({norm}) - {k} + 2), i -> substr({norm}, i, {k})) "
@@ -4144,7 +4144,7 @@ def _x_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language pass (counts ride the same shuffle as the entropy
     terms), one 1-row rollup; no sort, no Python."""
     t = load_tables(spark, sf_dir, "documents")
-    toks = "size(split(trim(text), '\\\\s+'))"
+    toks = "size(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'))"
     per_lang = (
         t["documents"]
         .groupBy("lang")
@@ -4171,7 +4171,7 @@ register(
     oracle="""
     WITH pl AS (
       SELECT lang, COUNT(*) AS n,
-             SUM(length(regexp_split_to_array(trim(text), '\\s+'))) AS tok,
+             SUM(length(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+'))) AS tok,
              SUM(length(text)) AS chars
       FROM documents GROUP BY lang
     )
@@ -5751,7 +5751,7 @@ def _duck_sorted_neighborhood_oracle() -> str:
     # needs the explicit 'g' flag; Spark replaces all matches by
     # default), so substr/reverse agree across engines (Spark counts
     # code points, DuckDB grapheme clusters; identical on ASCII)
-    base = "lower(regexp_replace(trim(text), '[^ -~]', '', 'g'))"
+    base = "lower(regexp_replace(trim(text, ' '), '[^ -~]', '', 'g'))"
     pass_keys = [
         f"substr({base}, 1, {SN_KEY_LEN})",
         f"substr(reverse({base}), 1, {SN_KEY_LEN})",
@@ -6399,7 +6399,7 @@ def _x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     scored, _w = train_quality_classifier(
         t["documents"],
-        "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')",
+        "array_contains(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), 'spark')",
     )
     return scored.orderBy("doc")
 
@@ -6408,7 +6408,7 @@ def _duck_classifier_entry_oracle() -> str:
     from polars_view_spark.operators.classifier import duck_classifier_oracle
 
     return duck_classifier_oracle(
-        "list_contains(regexp_split_to_array(lower(trim(t.text)), '\\s+'), 'spark')"
+        "list_contains(regexp_split_to_array(lower(trim(t.text, ' ')), '[ \\t\\n\\x0B\\f\\r]+'), 'spark')"
     )
 
 
@@ -6482,7 +6482,7 @@ def _e_streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = os.path.join(scratch, "model")
     sink = os.path.join(scratch, "scores")
     _scored, w = train_quality_classifier(
-        d, "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')"
+        d, "array_contains(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), 'spark')"
     )
     save_classifier(spark, w, model)
 
@@ -6619,7 +6619,7 @@ def _x_classifier_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "documents")
     d = t["documents"]
-    label = "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')"
+    label = "array_contains(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), 'spark')"
     _, w_a = train_quality_classifier(d.filter(f"doc_id < {CLF_WARM_SPLIT}"), label)
     _, w_b = train_quality_classifier(
         d.filter(f"doc_id >= {CLF_WARM_SPLIT}"), label, init_weights=w_a
@@ -6643,7 +6643,7 @@ def _duck_warm_start_entry_oracle() -> str:
     )
 
     return duck_classifier_warm_start_oracle(
-        "list_contains(regexp_split_to_array(lower(trim(t.text)), '\\s+'), 'spark')",
+        "list_contains(regexp_split_to_array(lower(trim(t.text, ' ')), '[ \\t\\n\\x0B\\f\\r]+'), 'spark')",
         CLF_WARM_SPLIT,
     )
 
@@ -6668,7 +6668,7 @@ def _x_model_filtered_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     out = build_model_filtered_mix(
         t["documents"],
-        "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')",
+        "array_contains(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), 'spark')",
     )
     return out.select(
         "pack_shard",
@@ -6684,7 +6684,7 @@ def _duck_model_filtered_mix_oracle() -> str:
     from polars_view_spark.operators.packing import CONTEXT_TOKENS as C
 
     ctes, w_final = duck_classifier_ctes(
-        "list_contains(regexp_split_to_array(lower(trim(t.text)), '\\s+'), 'spark')"
+        "list_contains(regexp_split_to_array(lower(trim(t.text, ' ')), '[ \\t\\n\\x0B\\f\\r]+'), 'spark')"
     )
     ntok = f"len(regexp_extract_all(text, '{TOKEN_REGEX}'))"
     return (
@@ -6700,7 +6700,7 @@ def _duck_model_filtered_mix_oracle() -> str:
       JOIN score s ON d.doc_id = s.doc WHERE s.m > 0
     ),
     fp AS (
-      SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      SELECT *, md5(regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
              AS fingerprint
       FROM kept
     ),

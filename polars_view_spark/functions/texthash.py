@@ -84,7 +84,10 @@ def tokens_sql(col: str) -> str:
 
 
 def duck_tokens_sql(col: str) -> str:
-    return f"regexp_split_to_array(lower(trim({col})), '{_WS_DUCK}')"
+    # trim(x, ' '): DuckDB's 1-arg trim strips UNICODE whitespace (NBSP,
+    # ideographic space) while Spark's strips only ASCII space — found by
+    # the classifier trajectory fuzz on '\xa0Ý'
+    return f"regexp_split_to_array(lower(trim({col}, ' ')), '{_WS_DUCK}')"
 
 
 def tokens_expr(col: str) -> Column:

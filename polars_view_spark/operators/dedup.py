@@ -1546,7 +1546,7 @@ def span_dedup(
         raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
     from pyspark.sql import Window
 
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    toks = f"split(lower(trim({text_col})), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+')"
     chunks = (
         f"transform(sequence(0, CAST(ceil(size({toks}) / {chunk_words}.0) AS INT) - 1), "
         f"i -> array_join(slice({toks}, i * {chunk_words} + 1, {chunk_words}), ' '))"

@@ -27,7 +27,7 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     "zh": ("de5", "shi4", "bu4", "le5", "zai4"),  # pinyin-ish placeholders
 }
 
-PUNCT_REGEX = r"[^A-Za-z0-9\s]"
+PUNCT_REGEX = r"[^A-Za-z0-9 \t\n\x0B\f\r]"  # \s spelled out: RE2's \s omits \x0B
 
 
 def _word_regex(words: tuple[str, ...]) -> str:
@@ -93,7 +93,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> Column | DataFrame:
     stopword ratio rewards natural running text.  Zero-length guarded (ANSI
     division).
     """
-    words = f"size(split(trim({text_col}), '\\\\s+'))"
+    words = f"size(split(trim({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'))"
     punct = f"size(regexp_extract_all({text_col}, '{_spark_sql_regex(PUNCT_REGEX)}', 0))"
     chars = f"greatest(length({text_col}), 1)"
     stops = stopword_count_sql(text_col, "en")
@@ -133,7 +133,7 @@ def _gopher_formulas(tok: str, text_col: str) -> dict[str, str]:
             f"ELSE 0.0 END"
         ),
         "mwl": (
-            f"length(regexp_replace({text_col}, '\\\\s', ''))"
+            f"length(regexp_replace({text_col}, '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]', ''))"
             f" / CAST(greatest({nw}, 1) AS DOUBLE)"
         ),
         "alpha": (
@@ -164,7 +164,7 @@ def gopher_verdict_sql(text_col: str = "text") -> str:
     """
     f = _gopher_formulas("t", text_col)
     return (
-        f"exists(array(split(lower(trim({text_col})), '\\\\s+')), t -> "
+        f"exists(array(split(lower(trim({text_col})), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+')), t -> "
         f"({f['nw']} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})"
         f" AND ({f['dup_2g']}) <= {GOPHER_MAX_DUP_2GRAM_FRAC}"
         f" AND ({f['mwl']})"
@@ -191,7 +191,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     the let-bound single-pass form (:func:`gopher_verdict_sql`) so a
     downstream ``filter`` stays cheap after predicate pushdown.
     """
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    toks = f"split(lower(trim({text_col})), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+')"
     f = _gopher_formulas("__t", text_col)
     out = df.withColumn("__t", F.expr(toks)).select(
         "*",
@@ -514,7 +514,7 @@ def winnow_fingerprints(
     # O(len²) regex work (measured 18 s → 4 s at sf0.1 for the catalog
     # entry; the remaining cost is the per-gram md5, which is the
     # cross-engine determinism contract)
-    norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    norm = f"regexp_replace(lower(trim({text_col})), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', ' ')"
     grams = (
         f"transform(array({norm}), n -> "
         f"CASE WHEN length(n) >= {k} THEN "
@@ -596,7 +596,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercased text.  Identical-content docs (modulo spacing/case) collide —
     the exact-dedup key for text."""
-    normalized = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    normalized = f"regexp_replace(lower(trim({text_col})), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', ' ')"
     return df.withColumn("fingerprint", F.expr(f"md5({normalized})"))
 
 
@@ -690,7 +690,7 @@ def bigram_pmi(
     bi = (
         df.select(
             F.expr(
-                f"transform(array(split(lower(trim({text_col})), '\\\\s+')), ws -> "
+                f"transform(array(split(lower(trim({text_col})), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+')), ws -> "
                 "CASE WHEN size(ws) >= 2 THEN "
                 "transform(sequence(0, size(ws) - 2), "
                 "i -> struct(ws[i] AS w1, ws[i + 1] AS w2)) "

@@ -1883,7 +1883,7 @@ class TestContainmentIndex:
         }
         pq = str(tmp_path / "docs.parquet")
         docs.coalesce(1).write.parquet(pq)
-        base = "lower(regexp_replace(trim(text), '[^ -~]', '', 'g'))"
+        base = "lower(regexp_replace(trim(text, ' '), '[^ -~]', '', 'g'))"
         want = {
             int(d): (a, b)
             for d, a, b in duckdb.connect()
@@ -2195,7 +2195,7 @@ class TestSnKeyParityFuzz:
         }
         con = duckdb.connect()
         con.register("docs", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
-        base = "lower(regexp_replace(trim(text), '[^ -~]', '', 'g'))"
+        base = "lower(regexp_replace(trim(text, ' '), '[^ -~]', '', 'g'))"
         want = {
             int(d): (a, b)
             for d, a, b in con.execute(
