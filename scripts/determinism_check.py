@@ -14,10 +14,10 @@ Usage (each conf needs its own process for a fresh JVM):
     python scripts/determinism_check.py b        # conf B -> /tmp/det_b.json
     python scripts/determinism_check.py compare  # exit 1 on any mismatch
 
-Last run (r06 rotated window incl. the 23 unstamped r05 additions, the
-20 r02-only entries, force-string/JSON-doc/keyset/two-tower/streaming-
-containment and the adaptive-neg-buckets re-stamp; sf0.01): checked 50
-entries, mismatches: 0.
+Last run (r07 rotated window incl. the 8 late round-7 adds — classifier
+family, epoch shuffle, cluster-balanced sample, listagg, model-filtered
+mix — plus the 15 never-stamped round-6 adds and 24 r03 refreshes;
+sf0.01): checked 50 entries, mismatches: 0.
 """
 
 import hashlib

@@ -2271,3 +2271,49 @@ class TestMarginMining:
 
         with _pytest.raises(ValueError, match="k must be"):
             margin_mine_pairs(embeddings, embeddings, k=0)
+
+
+class TestFingerprintParityFuzz:
+    def test_fingerprint_cross_engine_on_arbitrary_unicode(self, spark):
+        """The exact-dedup key (md5 of whitespace-collapsed lowercased
+        trimmed text) must agree across engines for ANY text — same
+        batched pattern as TestSnKeyParityFuzz.  Guards the trim/\\s
+        parity fixes: Spark trims ASCII space only and Java \\s includes
+        \\x0B, so the duck mirror must spell trim(x, ' ') and the explicit
+        whitespace class."""
+        import duckdb
+        import pandas as pd
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from polars_view_spark.operators.textstats import fingerprint
+
+        texts: list[str] = []
+
+        @settings(
+            max_examples=200,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.text(max_size=80))
+        def collect(t):
+            texts.append(t)
+
+        collect()
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["fingerprint"]
+            for r in fingerprint(docs).select("doc_id", "fingerprint").collect()
+        }
+        con = duckdb.connect()
+        con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = {
+            int(d): fp
+            for d, fp in con.execute(
+                "SELECT doc_id, md5(regexp_replace(lower(trim(text, ' ')),"
+                " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) FROM docs"
+            ).fetchall()
+        }
+        mism = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+        assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
