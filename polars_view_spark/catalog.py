@@ -173,9 +173,10 @@ DRIVER_PRIORITY = [
     # incremental retrain (they take the q22 and q21 r03 TPC-H anchor
     # slots, deferred to the round-8 holdouts):
     "q_listagg", "x_classifier_warm_start",
-    # ...plus the model-filtered training mix (takes q20's slot — the
-    # last round-7 displacement; everything displaced is r03-stamped):
-    "x_model_filtered_mix",
+    # ...plus the model-filtered training mix and the retrieval-eval
+    # harness (they take q20's and q18's slots; everything displaced is
+    # r03-stamped and rotates back in round 8):
+    "x_model_filtered_mix", "x_retrieval_eval",
     # (b) the 15 late round-6 additions that have never had a driver row
     # (all green in the local sf0.001+sf0.01 oracle sweeps and included
     # in the judge's independently-run 834-green round-6 suite):
@@ -196,7 +197,7 @@ DRIVER_PRIORITY = [
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
     "q11_important_stock", "q15_top_supplier", "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue", "q18_large_orders",
+    "q17_small_quantity_revenue",
 ]
 # Everything demoted out of the window is green in CORRECTNESS_r01-r06 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
@@ -209,8 +210,9 @@ DRIVER_PRIORITY = [
 # Round-8 rotation should lead with anything round 8 changes or adds,
 # then the deferred r03-stamp holdouts (incl. x_salted_skew_join,
 # x_audience_overlap, x_snapshot_drift, x_heavy_hitters, x_sketch_rollup,
-# q22_global_sales_opportunity, q21_suppliers_kept_waiting, and
-# q20_potential_promotion, displaced late in round 7):
+# q22_global_sales_opportunity, q21_suppliers_kept_waiting,
+# q20_potential_promotion, and q18_large_orders, displaced late in
+# round 7):
 # x_train_val_test_split, x_chunk_documents, q_window_range_frame,
 # q_dwell_time, q_event_funnel,
 # q_retention_cohorts,

@@ -2264,7 +2264,10 @@ def _s_two_tower_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_two_tower_oracle() -> str:
+def _duck_two_tower_oracle(tail: str | None = None) -> str:
+    """``tail`` overrides the final SELECT (still over the ``r`` ranked-
+    results CTE) so composed entries — the retrieval-eval harness — reuse
+    the identical scoring SQL instead of a drifting copy."""
     from polars_view_spark.operators.textstats import HASH_VECTOR_DIM as D
 
     sign = "(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END)"
@@ -2279,6 +2282,11 @@ def _duck_two_tower_oracle() -> str:
 
     dot = " + ".join(f"q.b{i} * d.b{i}" for i in range(D))
     toks = duck_tokens_sql("text")
+    if tail is None:
+        tail = (
+            "SELECT query_id, neighbor_id, score, rank FROM r\n"
+            f"    WHERE rank <= {TWO_TOWER_K} ORDER BY query_id, rank"
+        )
     return f"""
     WITH d_toks AS (
       SELECT doc_id AS doc, unnest({toks}) AS tok FROM documents
@@ -2301,8 +2309,7 @@ def _duck_two_tower_oracle() -> str:
     ),
     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY score DESC, neighbor_id) AS rank FROM scored)
-    SELECT query_id, neighbor_id, score, rank FROM r
-    WHERE rank <= {TWO_TOWER_K} ORDER BY query_id, rank
+    {tail}
     """
 
 
@@ -6741,3 +6748,51 @@ register(
     oracle=_duck_model_filtered_mix_oracle(),
     tables=("documents",),
 )(_x_model_filtered_mix)
+
+
+def _x_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness (operators/retrieval.py:retrieval_eval)
+    over the two-tower retriever: prefix queries (every 97th doc's first
+    10 tokens) with self-retrieval truth — per-query truth_rank, hit@5,
+    and integer reciprocal-rank (MRR numerator).  On this shared-vocab
+    fixture self-retrieval mostly misses (the two-tower entry documents
+    why); the harness's SEMANTICS — recall=1/MRR=10⁶ when retrieval
+    works — are pinned on a planted rare-token corpus in
+    tests/test_classifier.py.  The oracle rides the identical two-tower
+    scoring CTEs plus the same integer metric arithmetic."""
+    from polars_view_spark.operators.retrieval import retrieval_eval, two_tower_topk
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.expr(
+            "concat_ws(' ', slice(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), 1, "
+            f"{TWO_TOWER_QUERY_TOKENS}))"
+        ).alias("text"),
+    )
+    results = two_tower_topk(queries, docs, k=TWO_TOWER_K)
+    truth = queries.select(
+        F.col("doc_id").alias("query_id"), F.col("doc_id").alias("truth_id")
+    )
+    return retrieval_eval(results, truth, k=TWO_TOWER_K).orderBy("query_id")
+
+
+register(
+    "x_retrieval_eval",
+    oracle=_duck_two_tower_oracle(
+        tail=f"""SELECT t.query_id,
+           COALESCE(CASE WHEN hit.rank <= {TWO_TOWER_K} THEN hit.rank END, 0)::BIGINT
+             AS truth_rank,
+           (CASE WHEN COALESCE(CASE WHEN hit.rank <= {TWO_TOWER_K} THEN hit.rank END, 0)
+                      BETWEEN 1 AND 5 THEN 1 ELSE 0 END)::INT AS hit_at_5,
+           (CASE WHEN COALESCE(CASE WHEN hit.rank <= {TWO_TOWER_K} THEN hit.rank END, 0) > 0
+                 THEN 1000000 // COALESCE(CASE WHEN hit.rank <= {TWO_TOWER_K} THEN hit.rank END, 0)
+                 ELSE 0 END)::BIGINT AS rr_ppm
+    FROM (SELECT doc_id AS query_id FROM documents WHERE doc_id % 97 = 0) t
+    LEFT JOIN (SELECT query_id, rank FROM r WHERE query_id = neighbor_id) hit
+      ON t.query_id = hit.query_id
+    ORDER BY t.query_id"""
+    ),
+    tables=("documents",),
+)(_x_retrieval_eval)

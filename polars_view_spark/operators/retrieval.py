@@ -479,3 +479,60 @@ def hybrid_rrf_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 20,
+    hit_k: int = 5,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Rank-based retrieval evaluation against a one-relevant-doc truth
+    set — the recall@k / MRR harness every retriever change is judged by
+    before it ships.  Works over ANY ranked result frame from this module
+    (two_tower_topk, bm25_topk, hybrid_rrf_topk, ivf_rerank_topk …).
+
+    Per query: ``truth_rank`` (position of the relevant doc in the top-k,
+    0 = missed — also the row for queries the retriever dropped entirely,
+    e.g. zero-norm), ``hit_at_{hit_k}`` (0/1), and ``rr_ppm`` = floor(10⁶
+    / truth_rank) — MRR numerators as exact integers, so the frame (and
+    the aggregate a caller takes over it) is engine-parity-exact with no
+    float accumulation.
+
+    Scale shape: one equi-join of the bounded result set against the
+    bounded truth set (both O(queries·k), corpus-independent), then a
+    projection.  The expensive part — retrieval — happened upstream;
+    evaluation never touches the corpus.
+    """
+    hits = (
+        results.join(truth, query_col)
+        .filter(F.col(neighbor_col) == F.col(truth_col))
+        .select(query_col, F.col(rank_col).alias("__r"))
+    )
+    return (
+        truth.join(hits, query_col, "left")
+        .select(
+            query_col,
+            F.expr(f"COALESCE(CASE WHEN __r <= {k} THEN __r END, 0)")
+            .cast("long")
+            .alias("truth_rank"),
+        )
+        .select(
+            query_col,
+            "truth_rank",
+            F.expr(
+                f"CASE WHEN truth_rank BETWEEN 1 AND {hit_k} THEN 1 ELSE 0 END"
+            )
+            .cast("int")
+            .alias(f"hit_at_{hit_k}"),
+            F.expr(
+                "CASE WHEN truth_rank > 0 THEN 1000000 div truth_rank ELSE 0 END"
+            )
+            .cast("long")
+            .alias("rr_ppm"),
+        )
+    )

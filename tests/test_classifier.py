@@ -401,3 +401,79 @@ class TestClassifierTrajectoryFuzz:
         mism = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
         assert got.keys() == want.keys()
         assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
+
+
+class TestRetrievalEval:
+    def _rare_corpus(self, spark):
+        """Each doc owns a unique rare token so prefix self-retrieval must
+        rank the source first."""
+        rows = [
+            (i, f"uniqtok{i} " + " ".join(f"uniqtok{i}x{j}" for j in range(6)))
+            for i in range(20)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_perfect_retrieval_scores_perfectly(self, spark):
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.retrieval import (
+            retrieval_eval,
+            two_tower_topk,
+        )
+
+        docs = self._rare_corpus(spark)
+        queries = docs.select(
+            "doc_id",
+            F.expr("concat_ws(' ', slice(split(text, ' '), 1, 3))").alias("text"),
+        )
+        results = two_tower_topk(queries, docs, k=5)
+        truth = queries.select(
+            F.col("doc_id").alias("query_id"), F.col("doc_id").alias("truth_id")
+        )
+        out = retrieval_eval(results, truth, k=5).collect()
+        assert len(out) == 20
+        # signed-hash collisions can demote a couple of queries to rank 2
+        # (measured: 18×rank-1, 2×rank-2) — recall@5 must still be perfect
+        # and MRR near-perfect; exact metric arithmetic is pinned by
+        # test_rank_beyond_k / the catalog oracle
+        assert all(r["hit_at_5"] == 1 for r in out)
+        assert all(r["truth_rank"] in (1, 2) for r in out)
+        assert sum(r["rr_ppm"] for r in out) / len(out) >= 900_000
+
+    def test_missed_and_dropped_queries_score_zero(self, spark):
+        """A query whose truth is absent from the corpus (and a query the
+        retriever drops entirely) must land truth_rank=0, not vanish."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.retrieval import (
+            retrieval_eval,
+            two_tower_topk,
+        )
+
+        docs = self._rare_corpus(spark).filter("doc_id >= 2")  # truth 0,1 gone
+        queries = self._rare_corpus(spark).select(
+            "doc_id",
+            F.expr("concat_ws(' ', slice(split(text, ' '), 1, 3))").alias("text"),
+        )
+        results = two_tower_topk(queries, docs, k=5)
+        truth = queries.select(
+            F.col("doc_id").alias("query_id"), F.col("doc_id").alias("truth_id")
+        )
+        out = {r["query_id"]: r for r in retrieval_eval(results, truth, k=5).collect()}
+        assert len(out) == 20
+        assert out[0]["truth_rank"] == 0 and out[0]["rr_ppm"] == 0
+        assert out[1]["hit_at_5"] == 0
+        assert out[5]["truth_rank"] == 1
+
+    def test_rank_beyond_k_counts_as_miss(self, spark):
+        """truth_rank deeper than the k cut reports 0 — recall@k, not
+        recall@∞ (guards the CASE WHEN __r <= k clamp)."""
+        from polars_view_spark.operators.retrieval import retrieval_eval
+
+        results = spark.createDataFrame(
+            [(1, 101, 1), (1, 102, 2), (1, 100, 3)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        truth = spark.createDataFrame([(1, 100)], "query_id long, truth_id long")
+        out = retrieval_eval(results, truth, k=2).collect()[0]
+        assert out["truth_rank"] == 0 and out["rr_ppm"] == 0
