@@ -606,7 +606,13 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 #: pass so the user part is never half-eaten by another rule.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # no \b: Java's word boundary is Unicode-aware while RE2's is
+    # ASCII-only (and RE2 has no lookaround to emulate either), so \b is
+    # the one construct that CANNOT be made engine-identical — found by
+    # the redaction parity fuzz (an IP glued to 'Å' went unredacted on
+    # Spark only).  Dropping it over-masks digit runs embedded in longer
+    # numbers — the right failure direction for a compliance pass.
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
     ("phone", r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
 )
 

@@ -2317,3 +2317,55 @@ class TestFingerprintParityFuzz:
         }
         mism = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
         assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
+
+
+class TestPiiRedactParityFuzz:
+    def test_redaction_cross_engine_on_adversarial_text(self, spark):
+        """redact_pii's counts AND masked text must agree across engines
+        for arbitrary text — biased toward PII-shaped fragments (digits,
+        dots, @, +, -) so the \\b / \\d / char-class semantics of Java
+        regex vs RE2 actually get exercised, plus raw unicode."""
+        import duckdb
+        import pandas as pd
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from polars_view_spark.operators.textstats import (
+            duck_redact_sql,
+            redact_pii,
+        )
+
+        frag = st.sampled_from(
+            ["a@b.co", "1.2.3.4", "999.999.999.999", "+123 456-7890",
+             "123-456-7890", "@", ".", "-", "+", " ", "x", "0", "décembre",
+             "user.name+tag@sub.domain.org", "256", "..", "@@"]
+        )
+        texts: list[str] = []
+
+        @settings(
+            max_examples=200,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.lists(frag | st.text(max_size=6), max_size=12))
+        def collect(parts):
+            texts.append("".join(parts))
+
+        collect()
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"], r["redacted"])
+            for r in redact_pii(docs).collect()
+        }
+        counts, red = duck_redact_sql("text")
+        con = duckdb.connect()
+        con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = {
+            int(r[0]): (int(r[1]), int(r[2]), int(r[3]), r[4])
+            for r in con.execute(
+                f"SELECT doc_id, {counts[0]}, {counts[1]}, {counts[2]}, {red} FROM docs"
+            ).fetchall()
+        }
+        mism = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+        assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
