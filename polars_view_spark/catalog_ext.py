@@ -6796,3 +6796,139 @@ register(
     ),
     tables=("documents",),
 )(_x_retrieval_eval)
+
+
+SCORE_SNAP_MOD = 3  # docs with doc_id % 3 != 0 play the reference-score snapshot
+
+
+def _e_streaming_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-monitoring gate (streaming/events.py:
+    streaming_score_drift_gate): the classifier is trained and persisted,
+    a snapshot profile of the REFERENCE slice's margins is built once,
+    and the arriving-doc stream's scores are gated per micro-batch —
+    margin-median and distinct-margin drift vs the profile (loose bounds,
+    passing: their observed rel-change is still hash-pinned), a passing
+    not-null/domain pair, and a deliberately failing cap (margin ≤ 0
+    violates for every reference-like doc).  One file → one batch, so the
+    drained report equals the one-shot report the oracle replays from the
+    training trajectory."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.classifier import (
+        save_classifier,
+        score_with_weights,
+        train_quality_classifier,
+    )
+    from polars_view_spark.operators.expectations import snapshot_profile
+    from polars_view_spark.operators.textstats import hashed_doc_vectors
+    from polars_view_spark.streaming.events import (
+        _single_file_to_glob,
+        read_sink_or_empty,
+        streaming_score_drift_gate,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    _, w = train_quality_classifier(
+        d, "array_contains(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), 'spark')"
+    )
+    scratch = _scratch_dir("stream_drift", sf_dir)
+    model = os.path.join(scratch, "model")
+    prof = os.path.join(scratch, "profile")
+    sink = os.path.join(scratch, "reports")
+    save_classifier(spark, w, model)
+
+    rules = [
+        {"name": "margin_not_null", "kind": "not_null", "column": "margin"},
+        {"name": "pred_domain", "kind": "accepted_values", "column": "pred",
+         "values": [0, 1]},
+        {"name": "pos_margin_cap", "kind": "in_range", "column": "margin",
+         "low": -1_000_000_000, "high": 0},
+        {"name": "median_margin_drift", "kind": "quantile_drift",
+         "column": "margin", "q": 0.5, "ref": "scores",
+         "max_rel_change": 0.9},
+        {"name": "distinct_margin_drift", "kind": "distinct_drift",
+         "column": "margin", "ref": "scores", "max_rel_change": 0.9},
+    ]
+    snap_feats = hashed_doc_vectors(
+        d.filter(F.col("doc_id") % SCORE_SNAP_MOD != 0), "doc_id", "text", dim=64
+    ).select("doc", "vec")
+    snap_scores = score_with_weights(snap_feats, w, 64).select("doc", "margin", "pred")
+    snapshot_profile(snap_scores, rules, prof)
+
+    reader = spark.readStream.schema(d.schema)
+    src = _single_file_to_glob(reader, f"{sf_dir}/documents.parquet")
+    stream = reader.parquet(src)
+    q = streaming_score_drift_gate(
+        stream, model, rules, sink, ref_profiles={"scores": prof}
+    )
+    q.awaitTermination()
+    out = read_sink_or_empty(
+        spark,
+        sink,
+        "rule string, n_checked bigint, n_violations bigint, "
+        "passed boolean, observed double, sketch_ok boolean, batch_id bigint",
+    )
+    return out.select(
+        "rule", "n_checked", "n_violations", "passed", "observed", "sketch_ok"
+    ).orderBy("rule")
+
+
+def _duck_score_drift_oracle() -> str:
+    from polars_view_spark.operators.classifier import duck_classifier_ctes
+
+    ctes, w_final = duck_classifier_ctes(
+        "list_contains(regexp_split_to_array(lower(trim(t.text, ' ')), "
+        "'[ \\t\\n\\x0B\\f\\r]+'), 'spark')"
+    )
+    return (
+        ctes
+        + f""",
+    scored AS (
+      SELECT l.doc, CAST(SUM(b.b * w.w) AS BIGINT) AS m
+      FROM lab l JOIN bx b ON l.doc = b.doc JOIN {w_final} w ON b.i = w.i
+      GROUP BY l.doc
+    ),
+    fm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(m, 0.5) AS med,
+             CAST(COUNT(DISTINCT m) AS DOUBLE) AS dk,
+             CAST(SUM(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+             CAST(SUM(CASE WHEN (CASE WHEN m > 0 THEN 1 ELSE 0 END) NOT IN (0, 1)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+             CAST(SUM(CASE WHEN m < -1000000000 OR m > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_cap
+      FROM scored
+    ),
+    sm AS (
+      SELECT quantile_cont(m, 0.5) AS med, CAST(COUNT(DISTINCT m) AS DOUBLE) AS dk
+      FROM scored WHERE doc % {SCORE_SNAP_MOD} != 0
+    ),
+    stacked AS (
+      SELECT n, 'margin_not_null' AS rule, v_nn AS n_violations,
+             CAST(NULL AS DOUBLE) AS observed,
+             CAST(NULL AS BOOLEAN) AS sketch_ok FROM fm
+      UNION ALL SELECT n, 'pred_domain', v_dom, NULL, NULL FROM fm
+      UNION ALL SELECT n, 'pos_margin_cap', v_cap, NULL, NULL FROM fm
+      UNION ALL SELECT n, 'median_margin_drift',
+             CAST(CASE WHEN abs((fm.med - sm.med) / sm.med) > 0.9
+                  THEN 1 ELSE 0 END AS BIGINT),
+             round((fm.med - sm.med) / sm.med, 6), TRUE FROM fm, sm
+      UNION ALL SELECT n, 'distinct_margin_drift',
+             CAST(CASE WHEN abs((fm.dk - sm.dk) / sm.dk) > 0.9
+                  THEN 1 ELSE 0 END AS BIGINT),
+             round((fm.dk - sm.dk) / sm.dk, 6), TRUE FROM fm, sm
+    )
+    SELECT rule, n AS n_checked, n_violations, n_violations = 0 AS passed,
+           observed, sketch_ok
+    FROM stacked ORDER BY rule
+    """
+    )
+
+
+register(
+    "e_streaming_score_drift",
+    oracle=_duck_score_drift_oracle(),
+    tables=("documents",),
+)(_e_streaming_score_drift)

@@ -1082,3 +1082,63 @@ def streaming_quality_score(
         )
 
     return _available_now_sink(docs_stream, sink_dir, score_batch, dedup_col=id_col)
+
+
+def streaming_score_drift_gate(
+    docs_stream: DataFrame,
+    model_path: str,
+    rules: list[dict],
+    report_dir: str,
+    ref_profiles: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Model monitoring at the ingest door: every micro-batch is scored
+    with the PERSISTED classifier (classifier.py:load_classifier) and the
+    batch's SCORE DISTRIBUTION is gated by declarative expectations —
+    margin quantile/distinct drift against a persisted snapshot profile
+    of the reference scores, plus any row rules on (doc, margin, pred).
+    The deploy-time half of the train→persist→monitor loop: score drift
+    is how a frozen model signals that the data moved under it.
+
+    Composition of three existing contracts, nothing bespoke: the frozen
+    model's inlined-literal scoring (streaming_quality_score), the
+    one-scan expectations report (expectations_report), and the
+    effectively-once batch_id sink; drift rules read the persisted
+    profile, so no trigger ever re-scans or re-scores the reference
+    corpus.  Per-batch semantics are the contract, as with
+    streaming_expectations_gate.  Misconfiguration fails at gate
+    creation (the report plan is built once against an empty scored
+    frame), not mid-stream.
+    """
+    from polars_view_spark.operators.classifier import (
+        load_classifier,
+        score_with_weights,
+    )
+    from polars_view_spark.operators.expectations import expectations_report
+    from polars_view_spark.operators.textstats import hashed_doc_vectors
+
+    weights, dim = load_classifier(docs_stream.sparkSession, model_path)
+
+    def score_batch(batch_df: DataFrame) -> DataFrame:
+        feats = hashed_doc_vectors(
+            batch_df, id_col=id_col, text_col=text_col, dim=dim
+        ).select("doc", "vec")
+        return score_with_weights(feats, weights, dim).select(
+            "doc", "margin", "pred"
+        )
+
+    spark = docs_stream.sparkSession
+    expectations_report(
+        score_batch(spark.createDataFrame([], docs_stream.schema)),
+        rules,
+        None,
+        ref_profiles,
+    )
+    return _available_now_sink(
+        docs_stream,
+        report_dir,
+        lambda batch_df: expectations_report(
+            score_batch(batch_df), rules, None, ref_profiles
+        ),
+    )

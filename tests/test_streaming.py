@@ -1236,3 +1236,97 @@ def test_streaming_expectations_gate_per_batch_reports(spark, tmp_path):
     # exactly one batch flags the planted NULL key
     nn = [r for r in rep if r["rule"] == "key_not_null"]
     assert sorted(r["n_violations"] for r in nn) == [0, 0, 1]
+
+
+def test_streaming_score_drift_gate_per_batch(spark, tmp_path):
+    """Per-batch semantics: each trigger's report gates THAT batch's score
+    distribution (n_checked = the batch's scored rows), drift read from
+    the persisted profile; a batch of all-reference-like docs flags the
+    margin cap while a clean batch passes it."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.operators.classifier import (
+        save_classifier,
+        score_with_weights,
+        train_quality_classifier,
+    )
+    from polars_view_spark.operators.expectations import snapshot_profile
+    from polars_view_spark.operators.textstats import hashed_doc_vectors
+    from polars_view_spark.streaming.events import (
+        read_sink_or_empty,
+        streaming_score_drift_gate,
+    )
+
+    pos = [(i, "refword common filler") for i in range(10)]
+    neg = [(i, "spammy junk filler") for i in range(10, 20)]
+    docs = spark.createDataFrame(pos + neg, "doc_id long, text string")
+    _, w = train_quality_classifier(docs, "doc_id < 10", epochs=4)
+    model = str(tmp_path / "model")
+    save_classifier(spark, w, model)
+
+    rules = [
+        {"name": "cap", "kind": "in_range", "column": "margin",
+         "low": -1_000_000_000, "high": 0},
+        {"name": "med_drift", "kind": "quantile_drift", "column": "margin",
+         "q": 0.5, "ref": "scores", "max_rel_change": 50.0},
+    ]
+    feats = hashed_doc_vectors(docs, "doc_id", "text", dim=64).select("doc", "vec")
+    snapshot_profile(
+        score_with_weights(feats, w, 64).select("doc", "margin", "pred"),
+        rules,
+        str(tmp_path / "prof"),
+    )
+
+    # batch 1 = all positives (margins > 0 -> cap violates on every row),
+    # batch 2 = all negatives (cap passes)
+    qdir = tmp_path / "arrivals"
+    docs.filter("doc_id < 10").coalesce(1).write.mode("append").parquet(str(qdir))
+    docs.filter("doc_id >= 10").coalesce(1).write.mode("append").parquet(str(qdir))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(qdir))
+    )
+    sink = str(tmp_path / "reports")
+    streaming_score_drift_gate(
+        stream, model, rules, sink, ref_profiles={"scores": str(tmp_path / "prof")}
+    ).awaitTermination()
+
+    out = read_sink_or_empty(
+        spark,
+        sink,
+        "rule string, n_checked bigint, n_violations bigint, passed boolean,"
+        " observed double, sketch_ok boolean, batch_id bigint",
+    ).collect()
+    assert len(out) == 4  # 2 rules x 2 batches
+    by = {(r["batch_id"], r["rule"]): r for r in out}
+    caps = sorted(
+        (r["n_violations"], r["passed"])
+        for (b, rule), r in by.items()
+        if rule == "cap"
+    )
+    # one batch all-violating (the positives), one clean
+    assert caps[0] == (0, True) and caps[1] == (10, False)
+    assert all(r["n_checked"] == 10 for r in out)
+
+
+def test_streaming_score_drift_gate_rejects_bad_rules_at_creation(spark, tmp_path):
+    from polars_view_spark.operators.classifier import save_classifier
+    from polars_view_spark.streaming.events import streaming_score_drift_gate
+
+    save_classifier(spark, [1, 2, 3, 4, 5], str(tmp_path / "m"))
+    src = tmp_path / "landing"
+    spark.createDataFrame([], "doc_id long, text string").write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        streaming_score_drift_gate(
+            stream,
+            str(tmp_path / "m"),
+            [{"name": "bad", "kind": "no_such_kind", "column": "margin"}],
+            str(tmp_path / "r"),
+        )
