@@ -6932,3 +6932,58 @@ register(
     oracle=_duck_score_drift_oracle(),
     tables=("documents",),
 )(_e_streaming_score_drift)
+
+
+def _x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (operators/packing.py:curriculum_order) over
+    the trained classifier's margins: difficulty buckets of width 32
+    (floor division, monotone across negative margins), within-bucket
+    order the epoch-1 reproducible shuffle — the easy→hard scheduling
+    pass composed directly on x_quality_classifier's scores."""
+    from polars_view_spark.operators.classifier import train_quality_classifier
+    from polars_view_spark.operators.packing import curriculum_order
+
+    t = load_tables(spark, sf_dir, "documents")
+    scored, _w = train_quality_classifier(
+        t["documents"],
+        "array_contains(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), 'spark')",
+    )
+    return curriculum_order(scored, "margin", epoch=1, bucket_width=32, id_col="doc").orderBy(
+        "bucket", "pos"
+    )
+
+
+def _duck_curriculum_oracle() -> str:
+    from polars_view_spark.functions.texthash import duck_hex64_sql
+    from polars_view_spark.operators.classifier import duck_classifier_ctes
+
+    ctes, w_final = duck_classifier_ctes(
+        "list_contains(regexp_split_to_array(lower(trim(t.text, ' ')), "
+        "'[ \\t\\n\\x0B\\f\\r]+'), 'spark')"
+    )
+    key = duck_hex64_sql("concat(CAST(doc AS VARCHAR), ':', '1')")
+    return (
+        ctes
+        + f""",
+    scored AS (
+      SELECT l.doc, CAST(SUM(b.b * w.w) AS BIGINT) AS m
+      FROM lab l JOIN bx b ON l.doc = b.doc JOIN {w_final} w ON b.i = w.i
+      GROUP BY l.doc
+    ),
+    keyed AS (
+      SELECT doc, CAST((m - ((m % 32) + 32) % 32) // 32 AS BIGINT) AS bucket,
+             {key} AS k
+      FROM scored
+    )
+    SELECT doc, bucket,
+           (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY k, doc) - 1)::BIGINT AS pos
+    FROM keyed ORDER BY bucket, pos
+    """
+    )
+
+
+register(
+    "x_curriculum_order",
+    oracle=_duck_curriculum_oracle(),
+    tables=("documents",),
+)(_x_curriculum_order)

@@ -491,3 +491,57 @@ def build_model_filtered_mix(
     return pack_token_stream(
         sharded, capacity=capacity, shard_col="pack_shard", id_col="pack_id"
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    epoch: int,
+    bucket_width: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009 shape): schedule
+    training examples by difficulty bucket — ``bucket = floor(score /
+    bucket_width)``, read buckets high-score-first — while keeping
+    WITHIN-bucket order a reproducible epoch-salted shuffle (the
+    epoch_shuffle key), so each curriculum stage still sees its examples
+    in a different order every epoch.
+
+    Returns (id, bucket, pos) where pos is contiguous 0..bucket_size-1
+    within each bucket in read order.  Same plan shape as
+    :func:`epoch_shuffle`: one hash exchange on the bucket + per-bucket
+    window sorts — no global sort; at 100 TB, ``bucket_width`` sizes the
+    stage count and each bucket sorts in parallel.  Fixed-width buckets
+    rather than global quantiles by design: quantile buckets need a
+    corpus-wide rank (a global sort or a quantile summary pass), while
+    fixed widths are a pure projection — compose with
+    ``select_top_fraction``'s quantile sketch if data-driven cuts are
+    needed.  All integer (score must be an integral column, e.g. the
+    classifier margin) — the DuckDB oracle is hash-exact.
+    """
+    from pyspark.sql import Window
+
+    from polars_view_spark.functions.texthash import hex64_sql
+
+    if bucket_width < 1 or epoch < 0:
+        raise ValueError(f"need bucket_width >= 1 and epoch >= 0, got {bucket_width}/{epoch}")
+    key = hex64_sql(f"concat(CAST({id_col} AS STRING), ':', '{int(epoch)}')")
+    # FLOOR division, spelled with the canonical-mod formula so negative
+    # scores bucket monotonically (plain DIV truncates toward zero, which
+    # would merge scores -w+1..w-1 into one bucket); identical text works
+    # on both engines because both use truncated % and the numerator is
+    # exactly divisible
+    bw = int(bucket_width)
+    sc = f"CAST({score_col} AS BIGINT)"
+    bucket = f"({sc} - (({sc} % {bw}) + {bw}) % {bw}) DIV {bw}"
+    keyed = df.select(
+        F.col(id_col),
+        F.expr(f"CAST({bucket} AS BIGINT)").alias("bucket"),
+        F.expr(key).alias("__key"),
+    )
+    w = Window.partitionBy("bucket").orderBy("__key", id_col)
+    return keyed.select(
+        id_col,
+        "bucket",
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
+    )

@@ -477,3 +477,35 @@ class TestRetrievalEval:
         truth = spark.createDataFrame([(1, 100)], "query_id long, truth_id long")
         out = retrieval_eval(results, truth, k=2).collect()[0]
         assert out["truth_rank"] == 0 and out["rr_ppm"] == 0
+
+
+class TestCurriculumOrder:
+    def test_bucket_monotone_and_contiguous(self, spark):
+        """Buckets are floor(score/width) — monotone across negative
+        scores (the naive DIV would fold -w+1..w-1 together) — and
+        positions are contiguous per bucket."""
+        from polars_view_spark.operators.packing import curriculum_order
+
+        rows = [(i, s) for i, s in enumerate([-65, -64, -33, -32, -1, 0, 31, 32, 64])]
+        df = spark.createDataFrame(rows, "doc_id long, margin long")
+        out = {r["doc_id"]: r for r in
+               curriculum_order(df, "margin", epoch=0, bucket_width=32).collect()}
+        want_buckets = {0: -3, 1: -2, 2: -2, 3: -1, 4: -1, 5: 0, 6: 0, 7: 1, 8: 2}
+        assert {d: r["bucket"] for d, r in out.items()} == want_buckets
+        by_bucket = {}
+        for r in out.values():
+            by_bucket.setdefault(r["bucket"], []).append(r["pos"])
+        for b, poss in by_bucket.items():
+            assert sorted(poss) == list(range(len(poss))), b
+
+    def test_epoch_changes_within_bucket_order_only(self, spark):
+        from polars_view_spark.operators.packing import curriculum_order
+
+        rows = [(i, (i % 3) * 100) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, margin long")
+        a = {r["doc_id"]: (r["bucket"], r["pos"])
+             for r in curriculum_order(df, "margin", 1, 32).collect()}
+        b = {r["doc_id"]: (r["bucket"], r["pos"])
+             for r in curriculum_order(df, "margin", 2, 32).collect()}
+        assert all(a[d][0] == b[d][0] for d in a)  # buckets stable
+        assert any(a[d][1] != b[d][1] for d in a)  # order reshuffled
