@@ -1873,11 +1873,10 @@ def _x_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pack_shard", "chunk_id")
 
 
-def _duck_training_mix_oracle() -> str:
-    from polars_view_spark.operators.packing import (
-        CONTEXT_TOKENS as C,
-        epochs_case_sql,
-    )
+def _duck_gopher_pass() -> str:
+    """The Gopher keep/drop predicate in DuckDB SQL — the single duck-side
+    mirror of textstats.gopher_verdict_sql, shared by the training-mix
+    oracle and the source-quality card."""
     from polars_view_spark.operators.textstats import (
         GOPHER_MAX_DUP_2GRAM_FRAC,
         GOPHER_MAX_MEAN_WORD_LEN,
@@ -1902,12 +1901,29 @@ def _duck_training_mix_oracle() -> str:
         f"len(list_filter({toks}, x -> regexp_matches(x, '[a-z]')))"
         f" / CAST(greatest({nw}, 1) AS DOUBLE)"
     )
-    gopher_pass = (
+    return (
         f"({nw} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})"
         f" AND ({dup_2g}) <= {GOPHER_MAX_DUP_2GRAM_FRAC}"
         f" AND ({mwl}) BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}"
         f" AND ({alpha}) >= {GOPHER_MIN_ALPHA_WORD_FRAC}"
     )
+
+
+def _duck_training_mix_oracle() -> str:
+    from polars_view_spark.operators.packing import (
+        CONTEXT_TOKENS as C,
+        epochs_case_sql,
+    )
+    from polars_view_spark.operators.textstats import (
+        GOPHER_MAX_DUP_2GRAM_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    gopher_pass = _duck_gopher_pass()
     sh = duck_shingles_sql("text")
     rate = epochs_case_sql("source")
     ntok = f"len(regexp_extract_all(text, '{TOKEN_REGEX}'))"
@@ -6987,3 +7003,93 @@ register(
     oracle=_duck_curriculum_oracle(),
     tables=("documents",),
 )(_x_curriculum_order)
+
+
+def _x_source_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-health card — the dashboard a data-sourcing team
+    reads before renewing a crawl contract: doc counts, Gopher-rule pass
+    counts, exact within-source duplicate counts (docs minus distinct
+    fingerprints), and the trained classifier's margin mass (sum + scored
+    count + truncated mean ppm — all integers, so the whole card is
+    hash-exact).  ONE pass over the corpus for the heuristics + the
+    classifier's bounded training; the margin join is doc-keyed."""
+    from polars_view_spark.operators.classifier import train_quality_classifier
+    from polars_view_spark.operators.textstats import (
+        fingerprint,
+        gopher_verdict_sql,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    scored, _w = train_quality_classifier(
+        d, "array_contains(split(lower(trim(text)), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), 'spark')"
+    )
+    enriched = (
+        fingerprint(d)
+        .withColumn("gp", F.expr(gopher_verdict_sql("text")))
+        .join(scored.select(F.col("doc").alias("doc_id"), "margin"), "doc_id", "left")
+    )
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN gp THEN 1 ELSE 0 END")).cast("long").alias("n_gopher_pass"),
+            (F.count("fingerprint") - F.countDistinct("fingerprint"))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.count("margin").cast("long").alias("n_scored"),
+            F.sum("margin").cast("long").alias("sum_margin"),
+        )
+        .withColumn(
+            "margin_mean_ppm",
+            F.expr(
+                "CASE WHEN n_scored > 0 THEN (1000000 * sum_margin) DIV n_scored"
+                " ELSE 0 END"
+            ).cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+def _duck_source_card_oracle() -> str:
+    from polars_view_spark.operators.classifier import duck_classifier_ctes
+
+    ctes, w_final = duck_classifier_ctes(
+        "list_contains(regexp_split_to_array(lower(trim(t.text, ' ')), "
+        "'[ \\t\\n\\x0B\\f\\r]+'), 'spark')"
+    )
+    return (
+        ctes
+        + f""",
+    scored AS (
+      SELECT l.doc, CAST(SUM(b.b * w.w) AS BIGINT) AS margin
+      FROM lab l JOIN bx b ON l.doc = b.doc JOIN {w_final} w ON b.i = w.i
+      GROUP BY l.doc
+    ),
+    enriched AS (
+      SELECT d.source,
+             md5(regexp_replace(lower(trim(d.text, ' ')),
+                 '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp,
+             (CASE WHEN {_duck_gopher_pass()} THEN 1 ELSE 0 END) AS gp,
+             s.margin
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(gp) AS BIGINT) AS n_gopher_pass,
+           CAST(COUNT(fp) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+           CAST(COUNT(margin) AS BIGINT) AS n_scored,
+           CAST(SUM(margin) AS BIGINT) AS sum_margin,
+           CAST(CASE WHEN COUNT(margin) > 0
+                THEN (1000000 * SUM(margin)) // COUNT(margin)
+                ELSE 0 END AS BIGINT) AS margin_mean_ppm
+    FROM enriched GROUP BY source ORDER BY source
+    """
+    )
+
+
+register(
+    "x_source_quality_card",
+    oracle=_duck_source_card_oracle(),
+    tables=("documents",),
+)(_x_source_quality_card)
