@@ -816,6 +816,10 @@ CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "s_two_tower_text_topk": "bounded query-tower vectors broadcast by design "
     "(exact-scoring baseline; the scale path swaps in lsh_topk/IVF candidates "
     "with the same scoring tail — retrieval.py:two_tower_topk docstring)",
+    "x_retrieval_eval": "wraps the two-tower retriever, inheriting its bounded "
+    "query-tower broadcast (same reason as s_two_tower_text_topk); the eval "
+    "join itself is a bounded O(queries*k) equi-join — "
+    "retrieval.py:retrieval_eval docstring",
     "s_bm25_topk": "1-row corpus stats (N, avgdl) broadcast",
     "s_mmr_rerank": "candidate generation reuses the brute-force baseline's "
     "bounded query-vector broadcast (n_queries rows); every greedy step "
