@@ -509,3 +509,43 @@ class TestCurriculumOrder:
              for r in curriculum_order(df, "margin", 2, 32).collect()}
         assert all(a[d][0] == b[d][0] for d in a)  # buckets stable
         assert any(a[d][1] != b[d][1] for d in a)  # order reshuffled
+
+
+class TestStreamingQualityScoreDedup:
+    def test_duplicate_arrivals_within_batch_scored_once(self, spark, tmp_path):
+        """_available_now_sink's per-batch dedup on doc_id: a landing file
+        with the same doc twice yields ONE scored row, and re-saving a
+        model overwrites cleanly (mode=overwrite contract)."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.classifier import (
+            load_classifier,
+            save_classifier,
+            train_quality_classifier,
+        )
+        from polars_view_spark.streaming.events import (
+            read_sink_or_empty,
+            streaming_quality_score,
+        )
+
+        docs = _planted(spark, n=20)
+        _, w = train_quality_classifier(docs, "is_ref", epochs=2)
+        model = str(tmp_path / "model")
+        save_classifier(spark, [0] * 65, model)
+        save_classifier(spark, w, model)  # overwrite with the real weights
+        got, dim = load_classifier(spark, model)
+        assert got == w and dim == 64
+
+        dup = docs.filter("doc_id < 5")
+        dup.unionAll(dup).coalesce(1).write.parquet(str(tmp_path / "landing"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .parquet(str(tmp_path / "landing"))
+        )
+        sink = str(tmp_path / "scores")
+        streaming_quality_score(stream, model, sink).awaitTermination()
+        out = read_sink_or_empty(
+            spark, sink, "doc long, margin long, pred int, batch_id long"
+        ).collect()
+        assert len(out) == 5
+        assert {r["doc"] for r in out} == set(range(5))
