@@ -7093,3 +7093,42 @@ register(
     oracle=_duck_source_card_oracle(),
     tables=("documents",),
 )(_x_source_quality_card)
+
+
+ROUTER_CLASSES = ("spark", "query", "stream")
+
+
+def _x_topic_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass one-vs-rest topic router (operators/classifier.py:
+    train_topic_router): three token-presence topics trained over ONE
+    shared feature frame, every document routed to its argmax margin —
+    the domain-routing step that fans a crawl out to per-topic pipelines.
+    The oracle replays all three trajectories and the tie-broken argmax."""
+    from polars_view_spark.operators.classifier import train_topic_router
+
+    t = load_tables(spark, sf_dir, "documents")
+    tok = (
+        "array_contains(split(lower(trim(text)), "
+        "'[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), '{w}')"
+    )
+    routed, _models = train_topic_router(
+        t["documents"], [(w, tok.format(w=w)) for w in ROUTER_CLASSES]
+    )
+    return routed.orderBy("doc")
+
+
+def _duck_router_entry_oracle() -> str:
+    from polars_view_spark.operators.classifier import duck_router_oracle
+
+    dtok = (
+        "list_contains(regexp_split_to_array(lower(trim(t.text, ' ')), "
+        "'[ \\t\\n\\x0B\\f\\r]+'), '{w}')"
+    )
+    return duck_router_oracle([(w, dtok.format(w=w)) for w in ROUTER_CLASSES])
+
+
+register(
+    "x_topic_router",
+    oracle=_duck_router_entry_oracle(),
+    tables=("documents",),
+)(_x_topic_router)

@@ -137,6 +137,27 @@ def train_quality_classifier(
         .localCheckpoint(eager=True)
     )
 
+    weights = _fit_weights(
+        feats, dim, epochs, lr_num, lr_den, margin_cap, init_weights
+    )
+    scored = score_with_weights(feats, weights, dim).select(
+        "doc", "margin", "pred", "y"
+    )
+    return scored, weights
+
+
+def _fit_weights(
+    feats: DataFrame,
+    dim: int,
+    epochs: int,
+    lr_num: int,
+    lr_den: int,
+    margin_cap: int,
+    init_weights: list[int] | None = None,
+) -> list[int]:
+    """The descent loop over a pinned (doc, vec, y) frame — shared by the
+    binary trainer and the one-vs-rest router (which fits k labels over
+    ONE feature frame)."""
     counts = feats.agg(
         F.sum("y").alias("np"), F.count(F.lit(1)).alias("n")
     ).first()
@@ -181,11 +202,7 @@ def train_quality_classifier(
         step = lr_num // t
         grads = [int(row[f"g{i}"]) for i in range(dim)] + [int(row["gb"])]
         weights = [w - (step * g) // denom for w, g in zip(weights, grads)]
-
-    scored = score_with_weights(feats, weights, dim).select(
-        "doc", "margin", "pred", "y"
-    )
-    return scored, weights
+    return weights
 
 
 def score_with_weights(feats: DataFrame, weights: list[int], dim: int) -> DataFrame:
@@ -439,3 +456,142 @@ def load_classifier(spark, path: str) -> tuple[list[int], int]:
         raise ValueError(f"corrupt classifier at {path}: indexes {sorted(by_i)[:5]}...")
     weights = [by_i[i] for i in range(len(by_i))]
     return weights, len(weights) - 1
+
+
+def train_topic_router(
+    df: DataFrame,
+    classes: list[tuple[str, Column | str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = CLASSIFIER_DIM,
+    epochs: int = CLASSIFIER_EPOCHS,
+    lr_num: int = LR_NUM,
+    lr_den: int = LR_DEN,
+    margin_cap: int = MARGIN_CAP,
+) -> tuple[DataFrame, dict[str, list[int]]]:
+    """Multiclass one-vs-rest routing: train one binary hard-sigmoid
+    classifier per (name, label) class over a SINGLE shared feature
+    frame, then route every document to the argmax margin — the
+    domain-router step that sends crawl documents to per-topic pipelines
+    (code → code pipeline, math → math pipeline, …).
+
+    Cost: the corpus is featurized and pinned ONCE; each class adds
+    ``epochs`` one-row aggregates (k·epochs total) and the routing pass
+    is a single projection with all k weight vectors inlined as literals
+    — like binary inference, the 100 TB-facing pass has no join, no
+    shuffle, no Python.  Ties break to the EARLIEST class in ``classes``
+    (struct-ordering argmax, mirrored exactly by the oracle's
+    ``ORDER BY margin DESC, class_idx``).
+
+    Returns ``(routed, models)``: ``routed`` = (doc, route, margin) with
+    margin the winning class's score; ``models`` = per-class weight
+    vectors, each reusable via :func:`score_with_weights` /
+    :func:`save_classifier`.  Labels may overlap or miss documents —
+    one-vs-rest handles both, and a doc matching nothing still routes to
+    its least-bad class (threshold on ``margin`` to quarantine those).
+    """
+    from polars_view_spark.operators.textstats import hashed_doc_vectors
+
+    if len(classes) < 2:
+        raise ValueError("router needs at least 2 classes")
+    names = [n for n, _ in classes]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate class names: {names}")
+
+    base = hashed_doc_vectors(df, id_col=id_col, text_col=text_col, dim=dim)
+    labels = df.select(
+        F.col(id_col).alias("doc"),
+        *[
+            (F.expr(lab) if isinstance(lab, str) else lab)
+            .cast("int")
+            .alias(f"y{k}")
+            for k, (_n, lab) in enumerate(classes)
+        ],
+    )
+    feats = base.select("doc", "vec").join(labels, "doc").localCheckpoint(eager=True)
+
+    models: dict[str, list[int]] = {}
+    for k, (name, _lab) in enumerate(classes):
+        cls_feats = feats.select("doc", "vec", F.col(f"y{k}").alias("y"))
+        models[name] = _fit_weights(
+            cls_feats, dim, epochs, lr_num, lr_den, margin_cap
+        )
+
+    # argmax via greatest() over (margin, reverse-class-priority, name)
+    # structs: equal margins -> higher priority = earlier class wins
+    k_total = len(classes)
+    cands = [
+        F.struct(
+            F.expr(_margin_sql(models[name], dim)).cast("long").alias("m"),
+            F.lit(k_total - k).alias("pri"),
+            F.lit(name).alias("route"),
+        )
+        for k, (name, _lab) in enumerate(classes)
+    ]
+    best = F.greatest(*cands)
+    return (
+        feats.select(
+            "doc", best["route"].alias("route"), best["m"].alias("margin")
+        ),
+        models,
+    )
+
+
+def duck_router_oracle(
+    classes: list[tuple[str, str]],
+    dim: int = CLASSIFIER_DIM,
+    epochs: int = CLASSIFIER_EPOCHS,
+    lr_num: int = LR_NUM,
+    lr_den: int = LR_DEN,
+    margin_cap: int = MARGIN_CAP,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Replay the router end-to-end: ONE shared feature header, one
+    label/count/descent chain per class (prefixes c0/c1/…), per-class
+    score CTEs, and the argmax with the Spark side's exact tie-break."""
+    # header (bx + lab over class 0's label just to define the doc set —
+    # every class chain uses its OWN labels below; lab is the shared
+    # "all scored docs" frame, label value unused)
+    header = _feature_ctes("TRUE", dim, table, id_col, text_col)
+    parts = [header]
+    score_ctes = []
+    for k, (_name, lsql) in enumerate(classes):
+        parts.append(f""",
+    lab{k} AS MATERIALIZED (
+      SELECT b.doc, (CASE WHEN {lsql} THEN 1 ELSE 0 END)::HUGEINT AS y
+      FROM (SELECT DISTINCT doc FROM bx) b
+      JOIN {table} t ON b.doc = t.{id_col}
+    ),
+    cnt{k} AS MATERIALIZED (
+      SELECT SUM(y)::HUGEINT AS npos, (COUNT(*) - SUM(y))::HUGEINT AS nneg
+      FROM lab{k}
+    )""")
+        chain, w_final = _epoch_chain(
+            f"c{k}", f"lab{k}", f"cnt{k}", "zw", epochs, lr_num, lr_den, margin_cap
+        )
+        parts.append(chain)
+        score_ctes.append(
+            f""",
+    s{k} AS (
+      SELECT l.doc, {k} AS idx, SUM(b.b * w.w) AS m
+      FROM lab{k} l JOIN bx b ON l.doc = b.doc JOIN {w_final} w ON b.i = w.i
+      GROUP BY l.doc
+    )"""
+        )
+    parts.extend(score_ctes)
+    names_case = " ".join(
+        f"WHEN {k} THEN '{name}'" for k, (name, _l) in enumerate(classes)
+    )
+    unions = " UNION ALL ".join(f"SELECT * FROM s{k}" for k in range(len(classes)))
+    parts.append(f""",
+    allscores AS ({unions}),
+    ranked AS (
+      SELECT doc, idx, m,
+             ROW_NUMBER() OVER (PARTITION BY doc ORDER BY m DESC, idx) AS rn
+      FROM allscores
+    )
+    SELECT doc, (CASE idx {names_case} END) AS route, CAST(m AS BIGINT) AS margin
+    FROM ranked WHERE rn = 1 ORDER BY doc""")
+    return "".join(parts)

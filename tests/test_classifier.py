@@ -549,3 +549,64 @@ class TestStreamingQualityScoreDedup:
         ).collect()
         assert len(out) == 5
         assert {r["doc"] for r in out} == set(range(5))
+
+
+class TestTopicRouter:
+    def _tri_planted(self, spark, n=60):
+        vocabs = {
+            "code": ["def", "class", "import", "return"],
+            "math": ["theorem", "lemma", "proof", "integral"],
+            "news": ["reuters", "reported", "minister", "election"],
+        }
+        names = list(vocabs)
+        rows = []
+        for i in range(n):
+            name = names[i % 3]
+            v = vocabs[name]
+            rows.append((i, " ".join(v[(i + j) % len(v)] for j in range(7)), name))
+        return rows, names, vocabs
+
+    def test_planted_three_way_routing(self, spark):
+        """Disjoint vocabularies route perfectly to their own class."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.classifier import train_topic_router
+
+        rows, names, vocabs = self._tri_planted(spark)
+        docs = spark.createDataFrame(rows, "doc_id long, text string, topic string")
+        classes = [
+            (name, F.expr(f"array_contains(split(text, ' '), '{vocabs[name][0]}')"))
+            for name in names
+        ]
+        routed, models = train_topic_router(docs, classes)
+        got = {r["doc"]: r["route"] for r in routed.collect()}
+        want = {i: names[i % 3] for i in range(60)}
+        acc = sum(got[d] == want[d] for d in want) / len(want)
+        assert acc == 1.0, f"planted topics must route perfectly, got {acc}"
+        assert set(models) == set(names)
+        assert all(len(w) == 65 for w in models.values())
+
+    def test_tie_breaks_to_earliest_class(self, spark):
+        """Identical labels for two classes give identical margins — the
+        argmax must pick the EARLIER class deterministically."""
+        from polars_view_spark.operators.classifier import train_topic_router
+
+        rows, names, vocabs = self._tri_planted(spark, n=30)
+        docs = spark.createDataFrame(rows, "doc_id long, text string, topic string")
+        same = f"array_contains(split(text, ' '), '{vocabs[names[0]][0]}')"
+        routed, _ = train_topic_router(
+            docs, [("first", same), ("second", same)], epochs=2
+        )
+        assert {r["route"] for r in routed.collect()} == {"first"}
+
+    def test_guards(self, spark):
+        import pytest as _pt
+
+        from polars_view_spark.operators.classifier import train_topic_router
+
+        rows, _, _ = self._tri_planted(spark, n=12)
+        docs = spark.createDataFrame(rows, "doc_id long, text string, topic string")
+        with _pt.raises(ValueError, match="at least 2"):
+            train_topic_router(docs, [("only", "TRUE")])
+        with _pt.raises(ValueError, match="duplicate"):
+            train_topic_router(docs, [("a", "TRUE"), ("a", "FALSE")])
