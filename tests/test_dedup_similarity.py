@@ -2369,3 +2369,52 @@ class TestPiiRedactParityFuzz:
         }
         mism = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
         assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
+
+
+class TestShingleParityFuzz:
+    def test_shingles_cross_engine_on_arbitrary_unicode(self, spark):
+        """Distinct word-shingle sets (the MinHash / containment /
+        contamination feature) must agree across engines for ANY text —
+        completes the text-chain parity coverage beside the token,
+        fingerprint, PII, and trajectory fuzzes.  Sets compared (both
+        sides distinct; order is engine-internal)."""
+        import duckdb
+        import pandas as pd
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from polars_view_spark.functions.texthash import (
+            duck_shingles_sql,
+            shingles_sql,
+        )
+
+        texts: list[str] = []
+
+        @settings(
+            max_examples=200,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.text(max_size=80))
+        def collect(t):
+            texts.append(t)
+
+        collect()
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: frozenset(r["sh"] or [])
+            for r in docs.selectExpr(
+                "doc_id", f"{shingles_sql('text')} AS sh"
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = {
+            int(d): frozenset(sh or [])
+            for d, sh in con.execute(
+                f"SELECT doc_id, {duck_shingles_sql('text')} FROM docs"
+            ).fetchall()
+        }
+        mism = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+        assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
