@@ -129,7 +129,13 @@ def train_quality_classifier(
         label = F.expr(label)
     assert epochs >= 1 and dim >= 1 and lr_den >= 1 and margin_cap >= 1
 
-    labels = df.select(F.col(id_col).alias("doc"), label.cast("int").alias("y"))
+    # NULL labels count as 0 (not-reference), matching the oracle's
+    # CASE WHEN … THEN 1 ELSE 0 — a NULL y would otherwise silently drop
+    # the row from the error sum on the Spark side only
+    labels = df.select(
+        F.col(id_col).alias("doc"),
+        F.coalesce(label.cast("int"), F.lit(0)).alias("y"),
+    )
     feats = (
         hashed_doc_vectors(df, id_col=id_col, text_col=text_col, dim=dim)
         .select("doc", "vec")
@@ -502,9 +508,10 @@ def train_topic_router(
     labels = df.select(
         F.col(id_col).alias("doc"),
         *[
-            (F.expr(lab) if isinstance(lab, str) else lab)
-            .cast("int")
-            .alias(f"y{k}")
+            F.coalesce(
+                (F.expr(lab) if isinstance(lab, str) else lab).cast("int"),
+                F.lit(0),
+            ).alias(f"y{k}")
             for k, (_n, lab) in enumerate(classes)
         ],
     )

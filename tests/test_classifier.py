@@ -610,3 +610,19 @@ class TestTopicRouter:
             train_topic_router(docs, [("only", "TRUE")])
         with _pt.raises(ValueError, match="duplicate"):
             train_topic_router(docs, [("a", "TRUE"), ("a", "FALSE")])
+
+
+def test_null_label_counts_as_not_reference(spark):
+    """A NULL label (possible with arbitrary user expressions) must train
+    as y=0, matching the oracle's CASE … ELSE 0 — not silently vanish
+    from the error sum."""
+    from polars_view_spark.operators.classifier import train_quality_classifier
+
+    docs = _planted(spark, n=20).withColumn(
+        "is_ref",
+        F.when(F.col("doc_id") < 3, None).otherwise(F.col("is_ref")),
+    )
+    scored, _ = train_quality_classifier(docs, F.col("is_ref"), epochs=2)
+    got = {r["doc"]: r["y"] for r in scored.collect()}
+    assert len(got) == 20  # nobody dropped
+    assert got[0] == 0 and got[1] == 0 and got[2] == 0
