@@ -183,6 +183,8 @@ DRIVER_PRIORITY = [
     # ...plus the per-source corpus-health card and the multiclass topic
     # router (they take q15's and q11's slots):
     "x_source_quality_card", "x_topic_router",
+    # ...plus the streaming face of the router (takes q10's slot):
+    "e_streaming_router",
     # (b) the 15 late round-6 additions that have never had a driver row
     # (all green in the local sf0.001+sf0.01 oracle sweeps and included
     # in the judge's independently-run 834-green round-6 suite):
@@ -201,7 +203,7 @@ DRIVER_PRIORITY = [
     "e_streaming_tumbling", "e_streaming_sessions", "e_streaming_sliding",
     "x_multimodal_framesample", "x_multimodal_resize",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q8_market_share", "q9_product_profit",
 ]
 # Everything demoted out of the window is green in CORRECTNESS_r01-r06 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
@@ -223,8 +225,8 @@ DRIVER_PRIORITY = [
 # x_audience_overlap, x_snapshot_drift, x_heavy_hitters, x_sketch_rollup,
 # q22_global_sales_opportunity, q21_suppliers_kept_waiting,
 # q20_potential_promotion, q18_large_orders, q17_small_quantity_revenue,
-# q16_parts_supplier_counts, q15_top_supplier, and q11_important_stock,
-# displaced late in round 7):
+# q16_parts_supplier_counts, q15_top_supplier, q11_important_stock, and
+# q10_returned_items, displaced late in round 7):
 # x_train_val_test_split, x_chunk_documents, q_window_range_frame,
 # q_dwell_time, q_event_funnel,
 # q_retention_cohorts,

@@ -7132,3 +7132,58 @@ register(
     oracle=_duck_router_entry_oracle(),
     tables=("documents",),
 )(_x_topic_router)
+
+
+def _e_streaming_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming domain routing against the persisted per-class heads
+    (streaming/events.py:streaming_router): the three topic models are
+    trained once and saved, then the arriving-doc stream is routed per
+    micro-batch into a route/batch_id-partitioned sink — each topic
+    pipeline tails only its own route= subtree.  Pure per-doc function of
+    fixed models ⇒ held to the SAME oracle as x_topic_router."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.classifier import (
+        save_classifier,
+        train_topic_router,
+    )
+    from polars_view_spark.streaming.events import (
+        _single_file_to_glob,
+        read_sink_or_empty,
+        streaming_router,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    tok = (
+        "array_contains(split(lower(trim(text)), "
+        "'[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), '{w}')"
+    )
+    _routed, models = train_topic_router(
+        d, [(w, tok.format(w=w)) for w in ROUTER_CLASSES]
+    )
+    scratch = _scratch_dir("stream_route", sf_dir)
+    paths = []
+    for name in ROUTER_CLASSES:
+        p = os.path.join(scratch, f"head_{name}")
+        save_classifier(spark, models[name], p)
+        paths.append((name, p))
+    sink = os.path.join(scratch, "routed")
+
+    reader = spark.readStream.schema(d.schema)
+    src = _single_file_to_glob(reader, f"{sf_dir}/documents.parquet")
+    stream = reader.parquet(src)
+    q = streaming_router(stream, paths, sink)
+    q.awaitTermination()
+    out = read_sink_or_empty(
+        spark, sink, "doc long, margin long, route string, batch_id long"
+    )
+    return out.select("doc", "route", "margin").orderBy("doc")
+
+
+register(
+    "e_streaming_router",
+    oracle=_duck_router_entry_oracle(),
+    tables=("documents",),
+)(_e_streaming_router)

@@ -446,9 +446,13 @@ def save_classifier(spark, weights: list[int], path: str) -> None:
     count on load, so a loaded model can never silently score with the
     wrong feature width."""
     rows = [(i, int(w)) for i, w in enumerate(weights)]
-    spark.createDataFrame(rows, "i int, w long").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    # ONE slice up front: createDataFrame on local[N] makes N Python
+    # slices, and coalesce(1) would then evaluate all N Python-worker
+    # roundtrips SEQUENTIALLY inside the single write task — measured
+    # ~5 s per 65-row model save at N=32 vs ~0.2 s this way
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), "i int, w long"
+    ).write.mode("overwrite").parquet(path)
 
 
 def load_classifier(spark, path: str) -> tuple[list[int], int]:

@@ -1425,9 +1425,10 @@ def containment_build_index(
     try:
         kept.write.mode("overwrite").parquet(f"{path}/kept")
         freq.write.mode("overwrite").parquet(f"{path}/freq")
+        sc = corpus.sparkSession.sparkContext
         corpus.sparkSession.createDataFrame(
-            [(int(cap),)], "cap long"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+            sc.parallelize([(int(cap),)], numSlices=1), "cap long"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
     finally:
         kept.unpersist()
         freq.unpersist()

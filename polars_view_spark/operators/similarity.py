@@ -431,10 +431,14 @@ def ivf_build_index(
     spark = corpus.sparkSession
     from polars_view_spark.functions.vectors import norm_sql
 
+    # one slice up front: createDataFrame on local[N] makes N Python
+    # slices and coalesce(1) evaluates them sequentially in the write
+    # task (~5 s of Python-worker roundtrips at N=32 for a tiny table)
     cent = spark.createDataFrame(
-        list(zip(cells, seed_ints)), "cell BIGINT, sv ARRAY<BIGINT>"
+        spark.sparkContext.parallelize(list(zip(cells, seed_ints)), numSlices=1),
+        "cell BIGINT, sv ARRAY<BIGINT>",
     )
-    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = _with_sorted_cells(
         corpus.filter(F.col(vec_col).isNotNull()), vec_col, cells, seed_ints, scale
     ).select(

@@ -1142,3 +1142,81 @@ def streaming_score_drift_gate(
             score_batch(batch_df), rules, None, ref_profiles
         ),
     )
+
+
+def streaming_router(
+    docs_stream: DataFrame,
+    model_paths: list[tuple[str, str]],
+    sink_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous domain routing: every micro-batch is scored against the
+    k PERSISTED one-vs-rest heads (classifier.py:save_classifier, one
+    path per class) and lands in ``sink_dir`` partitioned by
+    ``route/batch_id`` — so each per-topic pipeline tails ONLY its own
+    ``route=<name>/`` subtree, which is the point of routing at ingest:
+    the fan-out happens once, in the sink layout, not in k downstream
+    scans.
+
+    Same batch-invariance contract as `streaming_quality_score` (pure
+    per-doc function of fixed models ⇒ batch union ≡ one-shot routing);
+    ties break to the earliest class in ``model_paths``, exactly as
+    `train_topic_router`.  Weights load once at wiring time; per-trigger
+    cost is O(|batch|) — one featurize + one projection with all k
+    weight vectors inlined.
+    """
+    from polars_view_spark.operators.classifier import (
+        _margin_sql,
+        load_classifier,
+    )
+    from polars_view_spark.operators.textstats import hashed_doc_vectors
+
+    if len(model_paths) < 2:
+        raise ValueError("router needs at least 2 classes")
+    spark = docs_stream.sparkSession
+    models: list[tuple[str, list[int]]] = []
+    dims = set()
+    for name, path in model_paths:
+        w, dim = load_classifier(spark, path)
+        models.append((name, w))
+        dims.add(dim)
+    if len(dims) != 1:
+        raise ValueError(f"heads disagree on feature width: {sorted(dims)}")
+    dim = dims.pop()
+
+    k_total = len(models)
+    cands = [
+        F.struct(
+            F.expr(_margin_sql(w, dim)).cast("long").alias("m"),
+            F.lit(k_total - k).alias("pri"),
+            F.lit(name).alias("route"),
+        )
+        for k, (name, w) in enumerate(models)
+    ]
+    best = F.greatest(*cands)
+
+    def route_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates([id_col])
+        if batch_df.isEmpty():
+            return
+        feats = hashed_doc_vectors(
+            batch_df, id_col=id_col, text_col=text_col, dim=dim
+        ).select("doc", "vec")
+        (
+            feats.select(
+                "doc", best["route"].alias("route"), best["m"].alias("margin")
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("route", "batch_id")
+            .parquet(sink_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(route_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", sink_dir.rstrip("/") + ".__pvs_ckpt")
+        .start()
+    )

@@ -626,3 +626,78 @@ def test_null_label_counts_as_not_reference(spark):
     got = {r["doc"]: r["y"] for r in scored.collect()}
     assert len(got) == 20  # nobody dropped
     assert got[0] == 0 and got[1] == 0 and got[2] == 0
+
+
+class TestStreamingRouter:
+    def test_route_partitioned_sink_and_batch_parity(self, spark, tmp_path):
+        """Multi-batch routing == one-shot routing, AND the sink is
+        physically partitioned by route (each topic pipeline tails its
+        own subtree — the point of routing at ingest)."""
+        import os
+
+        from polars_view_spark.operators.classifier import (
+            save_classifier,
+            train_topic_router,
+        )
+        from polars_view_spark.streaming.events import (
+            read_sink_or_empty,
+            streaming_router,
+        )
+
+        vocabs = {"code": "def", "math": "lemma", "news": "reuters"}
+        rows = [
+            (i, f"{list(vocabs.values())[i % 3]} filler{i % 3} common")
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        classes = [
+            (n, f"array_contains(split(text, ' '), '{w}')")
+            for n, w in vocabs.items()
+        ]
+        routed, models = train_topic_router(docs, classes, epochs=3)
+        want = {(r["doc"], r["route"], r["margin"]) for r in routed.collect()}
+
+        paths = []
+        for n in vocabs:
+            p = str(tmp_path / f"head_{n}")
+            save_classifier(spark, models[n], p)
+            paths.append((n, p))
+
+        qdir = tmp_path / "arrivals"
+        for lo, hi in ((0, 10), (10, 20), (20, 30)):
+            docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(
+                1
+            ).write.mode("append").parquet(str(qdir))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(qdir))
+        )
+        sink = str(tmp_path / "routed")
+        streaming_router(stream, paths, sink).awaitTermination()
+
+        got = {
+            (r["doc"], r["route"], r["margin"])
+            for r in read_sink_or_empty(
+                spark, sink, "doc long, margin long, route string, batch_id long"
+            ).collect()
+        }
+        assert got == want and len(got) == 30
+        subdirs = {d for d in os.listdir(sink) if d.startswith("route=")}
+        assert subdirs == {f"route={n}" for n in vocabs}
+
+    def test_mismatched_head_widths_rejected(self, spark, tmp_path):
+        from polars_view_spark.operators.classifier import save_classifier
+        from polars_view_spark.streaming.events import streaming_router
+
+        save_classifier(spark, [1] * 65, str(tmp_path / "a"))
+        save_classifier(spark, [1] * 33, str(tmp_path / "b"))
+        src = tmp_path / "landing"
+        spark.createDataFrame([], "doc_id long, text string").write.parquet(str(src))
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        with pytest.raises(ValueError, match="feature width"):
+            streaming_router(
+                stream,
+                [("a", str(tmp_path / "a")), ("b", str(tmp_path / "b"))],
+                str(tmp_path / "out"),
+            )
