@@ -211,15 +211,16 @@ DRIVER_PRIORITY = [
 # Stamp state entering round 7: 212 catalog entries (204 + the eight
 # round-7 adds in group (a)); CORRECTNESS_r06 landed 50/50 green, so the
 # only entries without a driver row were the fifteen round-6 late adds in
-# group (b).  Eleven MORE entries landed late in round 7 (classifier
-# family: x_quality_classifier, x_epoch_shuffle, e_streaming_quality_score,
-# x_cluster_balanced_sample, q_listagg, x_classifier_warm_start,
-# x_model_filtered_mix, x_retrieval_eval, e_streaming_score_drift,
-# x_curriculum_order, s_margin_bitext_pairs) — all inserted into the
-# window above, each displacing an r03-stamped anchor listed below.
-# After CORRECTNESS_r07: every entry except the 11 displaced refresh
-# anchors has a driver row no older than r04, and round 8 owes first
-# refreshes to the displaced list plus the r03 holdouts.
+# group (b).  Fourteen MORE entries landed late in round 7 (the
+# classifier family and friends: x_quality_classifier, x_epoch_shuffle,
+# e_streaming_quality_score, x_cluster_balanced_sample, q_listagg,
+# x_classifier_warm_start, x_model_filtered_mix, x_retrieval_eval,
+# e_streaming_score_drift, x_curriculum_order, x_source_quality_card,
+# x_topic_router, e_streaming_router, s_margin_bitext_pairs) — all
+# inserted into the window above, each displacing an r03-stamped anchor
+# listed below.  After CORRECTNESS_r07: every entry except the displaced
+# refresh anchors has a driver row no older than r04, and round 8 owes
+# first refreshes to the displaced list plus the r03 holdouts.
 # Round-8 rotation should lead with anything round 8 changes or adds,
 # then the deferred r03-stamp holdouts (incl. x_salted_skew_join,
 # x_audience_overlap, x_snapshot_drift, x_heavy_hitters, x_sketch_rollup,
