@@ -183,8 +183,9 @@ DRIVER_PRIORITY = [
     # ...plus the per-source corpus-health card and the multiclass topic
     # router (they take q15's and q11's slots):
     "x_source_quality_card", "x_topic_router",
-    # ...plus the streaming face of the router (takes q10's slot):
-    "e_streaming_router",
+    # ...plus the streaming face of the router and the ANSI try_*
+    # escape-hatch coverage (they take q10's and q9's slots):
+    "e_streaming_router", "q_try_arithmetic",
     # (b) the 15 late round-6 additions that have never had a driver row
     # (all green in the local sf0.001+sf0.01 oracle sweeps and included
     # in the judge's independently-run 834-green round-6 suite):
@@ -203,7 +204,7 @@ DRIVER_PRIORITY = [
     "e_streaming_tumbling", "e_streaming_sessions", "e_streaming_sliding",
     "x_multimodal_framesample", "x_multimodal_resize",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit",
+    "q8_market_share",
 ]
 # Everything demoted out of the window is green in CORRECTNESS_r01-r06 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
@@ -216,7 +217,8 @@ DRIVER_PRIORITY = [
 # e_streaming_quality_score, x_cluster_balanced_sample, q_listagg,
 # x_classifier_warm_start, x_model_filtered_mix, x_retrieval_eval,
 # e_streaming_score_drift, x_curriculum_order, x_source_quality_card,
-# x_topic_router, e_streaming_router, s_margin_bitext_pairs) — all
+# x_topic_router, e_streaming_router, q_try_arithmetic,
+# s_margin_bitext_pairs) — all
 # inserted into the window above, each displacing an r03-stamped anchor
 # listed below.  After CORRECTNESS_r07: every entry except the displaced
 # refresh anchors has a driver row no older than r04, and round 8 owes
@@ -226,8 +228,8 @@ DRIVER_PRIORITY = [
 # x_audience_overlap, x_snapshot_drift, x_heavy_hitters, x_sketch_rollup,
 # q22_global_sales_opportunity, q21_suppliers_kept_waiting,
 # q20_potential_promotion, q18_large_orders, q17_small_quantity_revenue,
-# q16_parts_supplier_counts, q15_top_supplier, q11_important_stock, and
-# q10_returned_items, displaced late in round 7):
+# q16_parts_supplier_counts, q15_top_supplier, q11_important_stock,
+# q10_returned_items, and q9_product_profit, displaced late in round 7):
 # x_train_val_test_split, x_chunk_documents, q_window_range_frame,
 # q_dwell_time, q_event_funnel,
 # q_retention_cohorts,

@@ -7187,3 +7187,42 @@ register(
     oracle=_duck_router_entry_oracle(),
     tables=("documents",),
 )(_e_streaming_router)
+
+
+def _q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ANSI-mode safe arithmetic: under default ANSI semantics a
+    division by zero or an overflowing cast THROWS, and ``try_divide`` /
+    ``try_cast`` are the sanctioned NULL-on-error escape hatches (the
+    same contract readers.py uses for euro-number normalization).  The
+    oracle states the equivalent guarded CASE forms — DuckDB's integer
+    ``/`` never throws, so the guard IS the semantics being verified."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               try_divide(CAST(round(o_totalprice * 100) AS BIGINT),
+                          o_custkey % 5) AS per_bucket,
+               try_cast(o_orderpriority AS INT) AS prio_num,
+               try_cast(substring(o_orderpriority, 1, 1) AS INT) AS prio_digit
+        FROM orders
+        WHERE o_orderkey < 400
+        ORDER BY o_orderkey
+        """
+    )
+
+
+register(
+    "q_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 5 = 0 THEN NULL
+                ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                     / CAST(o_custkey % 5 AS DOUBLE) END AS per_bucket,
+           TRY_CAST(o_orderpriority AS INT) AS prio_num,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_digit
+    FROM orders
+    WHERE o_orderkey < 400
+    ORDER BY o_orderkey
+    """,
+    tables=("orders",),
+)(_q_try_arithmetic)
