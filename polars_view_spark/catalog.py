@@ -186,6 +186,13 @@ DRIVER_PRIORITY = [
     # ...plus the streaming face of the router and the ANSI try_*
     # escape-hatch coverage (they take q10's and q9's slots):
     "e_streaming_router", "q_try_arithmetic",
+    # ...plus the four continuation-session adds: NFC-normalization
+    # parity, URL canonicalization, Fellegi–Sunter record linkage, and
+    # the observe()-backed write audit (they take the q2/q4/q7/q8
+    # refresh slots; those r03-stamped TPC-H anchors join the round-8
+    # holdouts):
+    "x_unicode_normalize", "x_url_canonicalize",
+    "d_record_linkage", "x_observe_audit",
     # (b) the 15 late round-6 additions that have never had a driver row
     # (all green in the local sf0.001+sf0.01 oracle sweeps and included
     # in the judge's independently-run 834-green round-6 suite):
@@ -203,8 +210,6 @@ DRIVER_PRIORITY = [
     "d_dedup_apply", "d_dedup_clusters", "d_minhash_incremental",
     "e_streaming_tumbling", "e_streaming_sessions", "e_streaming_sliding",
     "x_multimodal_framesample", "x_multimodal_resize",
-    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share",
 ]
 # Everything demoted out of the window is green in CORRECTNESS_r01-r06 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
@@ -220,7 +225,10 @@ DRIVER_PRIORITY = [
 # x_topic_router, e_streaming_router, q_try_arithmetic,
 # s_margin_bitext_pairs) — all
 # inserted into the window above, each displacing an r03-stamped anchor
-# listed below.  After CORRECTNESS_r07: every entry except the displaced
+# listed below.  A continuation session then added FOUR more
+# (x_unicode_normalize, x_url_canonicalize, d_record_linkage,
+# x_observe_audit), displacing the four TPC-H refresh anchors q2/q4/q7/q8.
+# After CORRECTNESS_r07: every entry except the displaced
 # refresh anchors has a driver row no older than r04, and round 8 owes
 # first refreshes to the displaced list plus the r03 holdouts.
 # Round-8 rotation should lead with anything round 8 changes or adds,
@@ -229,7 +237,11 @@ DRIVER_PRIORITY = [
 # q22_global_sales_opportunity, q21_suppliers_kept_waiting,
 # q20_potential_promotion, q18_large_orders, q17_small_quantity_revenue,
 # q16_parts_supplier_counts, q15_top_supplier, q11_important_stock,
-# q10_returned_items, and q9_product_profit, displaced late in round 7):
+# q10_returned_items, q9_product_profit, and — displaced by the four
+# continuation-session adds (x_unicode_normalize, x_url_canonicalize,
+# d_record_linkage, x_observe_audit) — q2_min_cost_supplier,
+# q4_order_priority, q7_volume_shipping, q8_market_share, all displaced
+# late in round 7):
 # x_train_val_test_split, x_chunk_documents, q_window_range_frame,
 # q_dwell_time, q_event_funnel,
 # q_retention_cohorts,

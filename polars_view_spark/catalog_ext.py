@@ -7226,3 +7226,311 @@ register(
     """,
     tables=("orders",),
 )(_q_try_arithmetic)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 continuation: unicode canonicalization, URL canonicalization,
+# probabilistic record linkage, and the observe()-backed zero-extra-scan
+# write audit.
+# ---------------------------------------------------------------------------
+
+#: The mixed-composition suffixes for the NFC parity entry, single-sourced
+#: so the Spark literal and the DuckDB chr() construction cannot drift:
+#: (python string, duckdb SQL expression).
+_NFC_SUFFIXES = (
+    ("éclair", "'e' || chr(769) || 'clair'"),          # decomposed é
+    ("éclair", "chr(233) || 'clair'"),                  # composed é
+    ("café ﬁle", "'cafe' || chr(769) || ' ' || chr(64257) || 'le'"),
+)
+
+
+def _x_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization parity: build per-doc strings that mix composed,
+    decomposed, and compatibility-class codepoints, normalize with the
+    Arrow-batched ``nfc_normalize`` operator (Spark has no built-in —
+    see its docstring), and report length-before/after, a changed flag,
+    and the md5 of the normalized bytes.  The oracle runs DuckDB's
+    native ``nfc_normalize`` over the identically-constructed strings —
+    a full cross-engine byte-parity check of the normalization pass that
+    guards every hash-keyed dedup operator in this package."""
+    from polars_view_spark.operators.textstats import nfc_normalize
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].filter(F.col("doc_id") < 400)
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_NFC_SUFFIXES[0][0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_NFC_SUFFIXES[1][0]))
+        .otherwise(F.lit(_NFC_SUFFIXES[2][0]))
+    )
+    mixed = d.select(
+        "doc_id", F.concat(F.substring("text", 1, 12), suffix).alias("raw")
+    )
+    out = nfc_normalize(mixed, "raw")
+    return out.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("raw_len"),
+        F.length("raw_nfc").cast("long").alias("nfc_len"),
+        (F.col("raw") != F.col("raw_nfc")).alias("changed"),
+        F.md5("raw_nfc").alias("nfc_hash"),
+    ).orderBy("doc_id")
+
+
+register(
+    "x_unicode_normalize",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             substring(text, 1, 12) ||
+             CASE WHEN doc_id % 3 = 0 THEN {_NFC_SUFFIXES[0][1]}
+                  WHEN doc_id % 3 = 1 THEN {_NFC_SUFFIXES[1][1]}
+                  ELSE {_NFC_SUFFIXES[2][1]} END AS raw
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS raw_len,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
+           raw <> nfc_normalize(raw) AS changed,
+           md5(nfc_normalize(raw)) AS nfc_hash
+    FROM m ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_x_unicode_normalize)
+
+
+def _x_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over a deterministically-synthesized raw-URL
+    column (scheme/host case noise, default and non-default ports,
+    ``/index.html`` tails, utm/ref tracking params, fragments — the
+    variants crawl feeds actually emit).  Spark side is pure codegen
+    (``parse_url`` + lambda filter, see ``url_canonicalize``); the
+    oracle re-parses the same URLs with RE2 regexps and DuckDB list
+    lambdas.  The canonical key is what per-domain caps (``domain_cap``)
+    and URL-keyed exact dedup must group on."""
+    from polars_view_spark.operators.textstats import url_canonicalize
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].filter(F.col("doc_id") < 300)
+    sid = F.col("doc_id").cast("string")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+                F.lit("https://")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.upper("source")).otherwise(
+                F.col("source")
+            ),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(":443"))
+            .when(F.col("doc_id") % 11 == 0, F.lit(":8443"))
+            .otherwise(F.lit("")),
+            F.lit("/docs/"),
+            sid,
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/index.html")).otherwise(
+                F.lit("")
+            ),
+            F.lit("?utm_source=feed&id="),
+            sid,
+            F.when(F.col("doc_id") % 4 == 0, F.lit("&ref=tw")).otherwise(
+                F.lit("")
+            ),
+            F.lit("&q=spark#frag"),
+        ).alias("url"),
+    )
+    out = url_canonicalize(raw, "url")
+    return out.select("doc_id", "canon_url", "registered_domain").orderBy(
+        "doc_id"
+    )
+
+
+register(
+    "x_url_canonicalize",
+    oracle=r"""
+    WITH r AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END)
+             || '.Example.COM'
+             || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+                      WHEN doc_id % 11 = 0 THEN ':8443' ELSE '' END)
+             || '/docs/' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '/index.html' ELSE '' END)
+             || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '&ref=tw' ELSE '' END)
+             || '&q=spark#frag' AS url
+      FROM documents WHERE doc_id < 300
+    ),
+    p AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS auth,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS pth,
+             regexp_extract(url, '\?([^#]*)', 1) AS q
+      FROM r
+    ),
+    c AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'https' AND auth LIKE '%:443'
+                    THEN substring(auth, 1, length(auth) - 4)
+                  WHEN scheme = 'http' AND auth LIKE '%:80'
+                    THEN substring(auth, 1, length(auth) - 3)
+                  ELSE auth END AS auth2,
+             regexp_replace(pth, '/index\.html$', '/') AS pth2,
+             array_to_string(list_filter(string_split(q, '&'),
+               x -> x <> '' AND x NOT LIKE 'utm_%' AND x NOT LIKE 'ref=%'
+                    AND x NOT LIKE 'fbclid=%' AND x NOT LIKE 'gclid=%'),
+               '&') AS cq,
+             regexp_extract(regexp_replace(auth, ':[0-9]+$', ''),
+                            '([^.]+\.[^.]+)$', 1) AS dom
+      FROM p
+    )
+    SELECT doc_id,
+           scheme || '://' || auth2 || pth2 ||
+           CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canon_url,
+           dom AS registered_domain
+    FROM c ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_x_url_canonicalize)
+
+
+def _d_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (operators/linkage.py):
+    link the customer table against a deterministically-perturbed copy of
+    itself (dropped characters, appended characters, reversed names,
+    shifted balances), blocked on (nation, segment), scored with
+    levenshtein + balance-band field rules under literal log-likelihood
+    weights.  Returns the accepted matches — including the occasional
+    cross-customer false positive the weight sum genuinely admits, which
+    the oracle reproduces exactly."""
+    from polars_view_spark.operators.linkage import FieldRule, linkage_score
+
+    t = load_tables(spark, sf_dir, "customer")
+    c = t["customer"].filter(F.col("c_custkey") < 600)
+    left = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+    )
+    right = c.select(
+        (F.col("c_custkey") + 100000).alias("key"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(F.substring("c_name", 1, 5), F.substring("c_name", 7, 100)),
+        )
+        .when(F.col("c_custkey") % 4 == 1, F.concat("c_name", F.lit("x")))
+        .when(F.col("c_custkey") % 4 == 2, F.col("c_name"))
+        .otherwise(F.reverse(F.col("c_name")))
+        .alias("name"),
+        "c_nationkey",
+        "c_mktsegment",
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 5 == 0, 0.5).otherwise(0.0)
+        ).alias("bal"),
+    )
+    rules = [
+        FieldRule(
+            "name",
+            F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
+            6.0,
+            -2.0,
+        ),
+        FieldRule("bal", F.abs(F.col("l_bal") - F.col("r_bal")) < 1.0, 4.0, -1.0),
+    ]
+    scored = linkage_score(
+        left, right, ["c_nationkey", "c_mktsegment"], rules, threshold=8.0
+    )
+    return (
+        scored.filter("is_match")
+        .select(
+            "l_key",
+            "r_key",
+            "agree_name",
+            "agree_bal",
+            F.col("score").cast("long").alias("score"),
+        )
+        .orderBy("l_key", "r_key")
+    )
+
+
+register(
+    "d_record_linkage",
+    oracle="""
+    WITH left_t AS (
+      SELECT c_custkey AS key, c_name AS name, c_nationkey, c_mktsegment,
+             c_acctbal AS bal
+      FROM customer WHERE c_custkey < 600
+    ),
+    right_t AS (
+      SELECT c_custkey + 100000 AS key,
+             CASE WHEN c_custkey % 4 = 0
+                    THEN substring(c_name, 1, 5) || substring(c_name, 7)
+                  WHEN c_custkey % 4 = 1 THEN c_name || 'x'
+                  WHEN c_custkey % 4 = 2 THEN c_name
+                  ELSE reverse(c_name) END AS name,
+             c_nationkey, c_mktsegment,
+             c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 0.5 ELSE 0.0 END AS bal
+      FROM customer WHERE c_custkey < 600
+    ),
+    pairs AS (
+      SELECT l.key AS l_key, r.key AS r_key,
+             levenshtein(l.name, r.name) <= 1 AS agree_name,
+             abs(l.bal - r.bal) < 1.0 AS agree_bal
+      FROM left_t l JOIN right_t r USING (c_nationkey, c_mktsegment)
+    )
+    SELECT l_key, r_key, agree_name, agree_bal,
+           CAST(CASE WHEN agree_name THEN 6.0 ELSE -2.0 END
+              + CASE WHEN agree_bal THEN 4.0 ELSE -1.0 END AS BIGINT) AS score
+    FROM pairs
+    WHERE CASE WHEN agree_name THEN 6.0 ELSE -2.0 END
+        + CASE WHEN agree_bal THEN 4.0 ELSE -1.0 END >= 8.0
+    ORDER BY l_key, r_key
+    """,
+    tables=("customer",),
+)(_d_record_linkage)
+
+
+def _x_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-extra-scan write audit: materialize the documents table to a
+    scratch dataset while ``DataFrame.observe`` piggybacks the input
+    metrics (row/null/char aggregates) on the SAME write job — no second
+    scan, no separate aggregate job (``audited_write`` docstring has the
+    scale argument).  The oracle recomputes the metrics as a plain
+    aggregate; matching it proves the observed partials merged to the
+    exact global answer."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.expectations import audited_write
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    out_path = os.path.join(_scratch_dir("observe_audit", sf_dir), "copy")
+    metrics = {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_lang": F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)),
+        "sum_chars": F.sum("n_chars"),
+        "min_chars": F.min("n_chars"),
+        "max_chars": F.max("n_chars"),
+        "n_es": F.sum(F.when(F.col("lang") == "es", 1).otherwise(0)),
+    }
+    return audited_write(d, metrics, out_path)
+
+
+register(
+    "x_observe_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_lang,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es
+    FROM documents
+    """,
+    tables=("documents",),
+)(_x_observe_audit)

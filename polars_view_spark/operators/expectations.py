@@ -350,3 +350,44 @@ def expectations_report(
         )
         .orderBy("rule")
     )
+
+
+def audited_write(
+    df: DataFrame,
+    metrics: dict[str, "F.Column"],
+    path: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Write ``df`` while collecting input-audit metrics IN THE SAME
+    PASS via ``DataFrame.observe`` — the zero-extra-scan version of the
+    ingest audit every pipeline wants next to every materialization
+    ("how many rows / nulls / bytes went into this dataset?").
+
+    ``metrics`` maps output column name → aggregate Column (observe's
+    contract: aggregates only, no DISTINCT).  The frame is written to
+    ``path`` and the observed values come back as a ONE-ROW DataFrame in
+    the key order given.
+
+    Scale shape: this is the whole point — ``observe`` piggybacks the
+    aggregates on the write job's tasks (a map-side partial per task,
+    merged on the driver), so the audit costs ZERO additional scans,
+    shuffles, or jobs.  The naive alternative — write, then run a
+    separate aggregate — reads the 100 TB input twice.  The metrics row
+    is driver-side by construction (a few numbers), created with one
+    slice per this package's small-table discipline.
+    """
+    from pyspark.sql import Observation
+
+    if not metrics:
+        raise ValueError("metrics must name at least one aggregate")
+    names = list(metrics)
+    obs = Observation("audited_write")
+    observed = df.observe(obs, *[metrics[n].alias(n) for n in names])
+    observed.write.mode("overwrite").format(fmt).save(path)
+    got = obs.get  # blocks until the write's QueryExecution reports
+    spark = df.sparkSession
+    row = tuple(int(got[n]) for n in names)
+    schema = ", ".join(f"{n} long" for n in names)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([row], numSlices=1), schema
+    )

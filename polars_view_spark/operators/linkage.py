@@ -1,0 +1,108 @@
+"""Probabilistic record linkage — Fellegi–Sunter scoring over blocked
+candidate pairs.
+
+The entity-resolution step a training-data pipeline runs when the same
+logical record arrives from several feeds with typos and drift (user
+profiles, paper metadata, product records): decide MATCH / NON-MATCH per
+candidate pair by summing per-field log-likelihood weights
+(log2(m/u) on agreement, log2((1−m)/(1−u)) on disagreement), the
+Fellegi–Sunter (1969) decision rule.  Related-but-different operators in
+this package: ``sorted_neighborhood_pairs`` / ``fuzzy_levenshtein``
+(dedup.py) find WITHIN-table near-duplicates; this one links ACROSS two
+tables and attaches a calibrated score, not just a distance.
+
+Scale shape: candidates come from an equi-join on the blocking key —
+never a cartesian — so the pair count is sum of |A_b|·|B_b| over blocks,
+controlled by the blocking scheme exactly as in the dedup family.  Field
+comparisons (levenshtein, numeric bands, equality) and the weight sum
+are all codegen expressions on the joined row; the decision is a filter.
+One shuffle for the join (or zero with a broadcast right side), nothing
+quadratic, no Python.  Skewed blocks are ordinary join skew — AQE skew
+splitting applies because the block key IS the join key.
+
+Reference scope note: the reference viewer (claudiofsr/polars-view) has
+no linkage operator; this extends the LLM-pipeline family the build
+brief asks for beyond the reference's own surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FieldRule:
+    """One compared field: ``agree`` is a boolean Column over the joined
+    frame (use ``F.col("l_<name>")`` / ``F.col("r_<name>")``), and the
+    two weights are the Fellegi–Sunter log-likelihood contributions.
+
+    Weights are plain floats supplied by the caller (estimated offline or
+    set from priors); keeping them as literals keeps the whole score
+    inside whole-stage codegen — no model join, no Python.
+    """
+
+    name: str
+    agree: Column
+    agree_weight: float
+    disagree_weight: float
+
+
+def linkage_score(
+    left: DataFrame,
+    right: DataFrame,
+    block_on: list[str],
+    rules: list[FieldRule],
+    threshold: float,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Blocked Fellegi–Sunter linkage.
+
+    ``left`` / ``right`` must share the ``block_on`` column names; all
+    other columns are prefixed ``l_`` / ``r_`` in the joined frame the
+    rules see.  Returns candidate pairs with per-field agreement flags,
+    the summed ``score``, and ``is_match = score >= threshold`` —
+    callers filter or keep the full weight distribution for threshold
+    calibration (the classic Fellegi–Sunter histogram).
+
+    At 100 TB: blocking is the recall/cost dial — block keys should give
+    bounded blocks (the same discipline as the LSH band caps in
+    dedup.py).  ``broadcast_right`` fits the daily-increment shape
+    (small new feed vs big master); set it False for two large tables
+    and let AQE pick the shuffle join.
+    """
+    if not block_on:
+        raise ValueError("block_on must name at least one blocking column")
+    if not rules:
+        raise ValueError("rules must contain at least one FieldRule")
+
+    def prefixed(df: DataFrame, tag: str) -> DataFrame:
+        cols = [
+            F.col(c).alias(c if c in block_on else f"{tag}_{c}")
+            for c in df.columns
+        ]
+        return df.select(*cols)
+
+    lhs = prefixed(left, "l")
+    rhs = prefixed(right, "r")
+    if broadcast_right:
+        rhs = F.broadcast(rhs)
+    pairs = lhs.join(rhs, on=block_on, how="inner")
+
+    score = None
+    flags = []
+    for r in rules:
+        flag = r.agree.cast("boolean").alias(f"agree_{r.name}")
+        flags.append(flag)
+        contrib = F.when(
+            F.col(f"agree_{r.name}"), F.lit(float(r.agree_weight))
+        ).otherwise(F.lit(float(r.disagree_weight)))
+        score = contrib if score is None else score + contrib
+
+    return (
+        pairs.select("*", *flags)
+        .withColumn("score", score)
+        .withColumn("is_match", F.col("score") >= F.lit(float(threshold)))
+    )

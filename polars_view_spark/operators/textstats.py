@@ -729,3 +729,104 @@ def bigram_pmi(
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def nfc_normalize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization of ``text_col`` (added as
+    ``<text_col>_nfc``) — the canonical-composition pass a multilingual
+    corpus needs BEFORE any hash-keyed operator in this package
+    (fingerprints, shingles, exact dedup): "é" as U+00E9 and as
+    "e"+U+0301 are the same text to a reader but different bytes to
+    every hash, so un-normalized corpora leak duplicates past exact and
+    MinHash dedup and split counts in vocab/PMI stats.
+
+    Spark has no built-in Unicode-normalize function (checked against
+    Spark 4.1: ``normalize`` is UNRESOLVED_ROUTINE), so this is the
+    sanctioned slow-path shape: an Arrow-batched ``pandas_udf`` over
+    ``pandas.Series.str.normalize`` — one Python roundtrip per batch,
+    not per row, and a pure per-row map: no shuffle, fully pipelined
+    into whatever scan/write surrounds it.  At 100 TB it runs at scan
+    cost × the Arrow transfer tax; hot paths that only need a STABLE key
+    (not the normalized text itself) can hash the NFC output once and
+    persist it, after which every downstream pass is codegen again.
+
+    Cross-engine parity: DuckDB's ``nfc_normalize`` implements the same
+    Unicode canonical composition; the oracle-gated catalog entry and a
+    hypothesis fuzz hold the two engines byte-identical (md5) on
+    composed, decomposed, and compatibility-class inputs.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # pandas Series[str] -> Series[str]
+        return s.str.normalize("NFC")
+
+    return df.withColumn(f"{text_col}_nfc", _nfc(F.col(text_col)))
+
+
+#: query parameters stripped by url_canonicalize: click-tracking noise
+#: that makes one logical page look like many distinct URLs.  LIKE
+#: patterns, evaluated per '&'-separated pair.
+URL_TRACKING_PARAM_PATTERNS = ("utm_%", "ref=%", "fbclid=%", "gclid=%")
+
+
+def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonicalize a URL column for dedup/grouping keys: lowercase the
+    scheme and host, drop the default-port suffix, strip a trailing
+    ``/index.html``, remove click-tracking query parameters
+    (:data:`URL_TRACKING_PARAM_PATTERNS`), and drop the fragment.  Adds
+    ``canon_url`` plus ``registered_domain`` (last two host labels — the
+    per-site cap key used by crawl pipelines, cf. ``domain_cap``).
+
+    Without this, one logical page fans out into dozens of raw variants
+    (case, tracking params, fragments) and every URL-keyed operator —
+    exact dedup, per-domain caps, crawl-frontier joins — over-counts.
+
+    Scale shape: pure codegen projections — ``parse_url`` (JVM
+    built-in) for the parts, a ``filter`` lambda over the split query
+    string, ``concat`` to reassemble.  No Python, no shuffle, no UDF:
+    canonicalization rides the scan.
+    """
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    scheme = F.lower(F.regexp_extract(F.col(url_col), r"^([A-Za-z]+)://", 1))
+    # AUTHORITY keeps the port; drop it only when it is the scheme default
+    # (https:443 / http:80) — a non-default port is a different endpoint
+    # and must survive canonicalization.
+    authority = F.lower(F.parse_url(F.col(url_col), F.lit("AUTHORITY")))
+    authority = F.when(
+        (scheme == "https") & authority.endswith(":443"),
+        F.substring_index(authority, ":", 1),
+    ).when(
+        (scheme == "http") & authority.endswith(":80"),
+        F.substring_index(authority, ":", 1),
+    ).otherwise(authority)
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/index\.html$", "/")
+    query = F.coalesce(F.parse_url(F.col(url_col), F.lit("QUERY")), F.lit(""))
+    keep = " AND ".join(
+        f"p NOT LIKE '{pat}'" for pat in URL_TRACKING_PARAM_PATTERNS
+    )
+    clean_q = F.expr(
+        f"array_join(filter(split({{q}}, '&'), p -> p != '' AND {keep}), '&')"
+        .format(q="__pvs_q")
+    )
+    return (
+        df.withColumn("__pvs_q", query)
+        .withColumn(
+            "canon_url",
+            F.concat(
+                scheme,
+                F.lit("://"),
+                authority,
+                path,
+                F.when(clean_q != "", F.concat(F.lit("?"), clean_q)).otherwise(
+                    F.lit("")
+                ),
+            ),
+        )
+        .withColumn(
+            "registered_domain",
+            F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
+        )
+        .drop("__pvs_q")
+    )

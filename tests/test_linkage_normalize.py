@@ -1,0 +1,216 @@
+"""Tests for the round-7 continuation operators: NFC normalization
+(cross-engine parity fuzz), URL canonicalization (unit semantics + plan
+gate), Fellegi–Sunter record linkage (planted pairs), and the
+observe()-backed write audit (metrics vs direct aggregation)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestNfcParityFuzz:
+    def test_nfc_matches_duckdb_on_composition_classes(self, spark):
+        """nfc_normalize (pandas .str.normalize, i.e. Python's
+        unicodedata) must byte-agree with DuckDB's utf8proc
+        nfc_normalize.  The fuzz alphabet is pinned to long-stable
+        composition classes (ASCII, Latin-1 precomposed, combining
+        diacritics, Hangul jamo, compatibility ligatures) — Unicode's
+        normalization-stability policy makes these version-safe, while
+        arbitrary newly-assigned codepoints could legitimately differ
+        between the two libraries' Unicode tables."""
+        import duckdb
+        import pandas as pd
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from polars_view_spark.operators.textstats import nfc_normalize
+
+        alphabet = (
+            "abcdeé öñ"  # ASCII + precomposed latin-1
+            "̧́̀̈"  # combining acute/grave/diaeresis/cedilla
+            "각각"  # Hangul jamo + precomposed syllable
+            "ﬁﬂ"  # fi/fl ligatures (NFC-invariant)
+        )
+        texts: list[str] = []
+
+        @settings(
+            max_examples=200,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.text(alphabet=alphabet, max_size=24))
+        def collect(t):
+            texts.append(t)
+
+        collect()
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text_nfc"]
+            for r in nfc_normalize(docs).select("doc_id", "text_nfc").collect()
+        }
+        con = duckdb.connect()
+        con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = dict(
+            con.execute(
+                "SELECT doc_id, nfc_normalize(text) FROM docs"
+            ).fetchall()
+        )
+        mism = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+        assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
+        # idempotence: NFC(NFC(x)) == NFC(x)
+        import unicodedata
+
+        for t in texts:
+            n = unicodedata.normalize("NFC", t)
+            assert unicodedata.normalize("NFC", n) == n
+
+    def test_nfc_runs_on_arrow_not_row_path(self, spark):
+        """The normalization UDF must be the Arrow-batched evaluator
+        (ArrowEvalPython), never row-at-a-time BatchEvalPython."""
+        from polars_view_spark.operators.textstats import nfc_normalize
+
+        df = spark.createDataFrame([(1, "é")], "doc_id long, text string")
+        plan = nfc_normalize(df)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+
+
+class TestUrlCanonicalize:
+    @pytest.fixture(scope="class")
+    def canon(self, spark):
+        from polars_view_spark.operators.textstats import url_canonicalize
+
+        urls = [
+            (1, "HTTPS://News.Example.COM:443/docs/1?utm_source=a&id=1#top"),
+            (2, "https://news.example.com:8443/a"),
+            (3, "HTTP://Example.COM:80/x/index.html?ref=tw&utm_campaign=c"),
+            (4, "https://example.com/p?id=4&q=spark&fbclid=zz"),
+            (5, "https://sub.a.example.org/p"),
+        ]
+        df = spark.createDataFrame(urls, "doc_id long, url string")
+        return {
+            r["doc_id"]: (r["canon_url"], r["registered_domain"])
+            for r in url_canonicalize(df).collect()
+        }
+
+    def test_default_port_and_case_and_tracking(self, canon):
+        assert canon[1] == (
+            "https://news.example.com/docs/1?id=1",
+            "example.com",
+        )
+
+    def test_non_default_port_survives(self, canon):
+        assert canon[2] == ("https://news.example.com:8443/a", "example.com")
+
+    def test_http_80_stripped_and_index_html(self, canon):
+        # all params are tracking -> no '?' at all
+        assert canon[3] == ("http://example.com/x/", "example.com")
+
+    def test_only_tracking_params_removed(self, canon):
+        assert canon[4] == ("https://example.com/p?id=4&q=spark", "example.com")
+
+    def test_registered_domain_is_last_two_labels(self, canon):
+        assert canon[5][1] == "example.org"
+
+    def test_pure_codegen_no_python(self, spark):
+        from polars_view_spark.operators.textstats import url_canonicalize
+
+        df = spark.createDataFrame([(1, "https://a.b/c")], "doc_id long, url string")
+        plan = url_canonicalize(df)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan  # neither Arrow nor Batch
+
+
+class TestLinkage:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "Alice Smith", "US", 100.0), (2, "Bob Jones", "US", 50.0),
+             (3, "Carol King", "DE", 70.0)],
+            "id long, name string, country string, bal double",
+        )
+        right = spark.createDataFrame(
+            [(11, "Alice Smyth", "US", 100.2),   # name lev 1, bal close -> match
+             (12, "Bob Jones", "US", 500.0),     # name exact, bal far -> 6-1=5
+             (13, "Karol Kong", "DE", 70.0)],    # name lev 2, bal close -> -2+4=2
+            "id long, name string, country string, bal double",
+        )
+        return left, right
+
+    def _rules(self):
+        from polars_view_spark.operators.linkage import FieldRule
+
+        return [
+            FieldRule(
+                "name", F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
+                6.0, -2.0,
+            ),
+            FieldRule(
+                "bal", F.abs(F.col("l_bal") - F.col("r_bal")) < 1.0, 4.0, -1.0
+            ),
+        ]
+
+    def test_planted_match_and_scores(self, spark):
+        from polars_view_spark.operators.linkage import linkage_score
+
+        left, right = self._frames(spark)
+        out = linkage_score(left, right, ["country"], self._rules(), 8.0)
+        rows = {(r["l_id"], r["r_id"]): r for r in out.collect()}
+        assert rows[(1, 11)]["is_match"] and rows[(1, 11)]["score"] == 10.0
+        assert not rows[(2, 12)]["is_match"] and rows[(2, 12)]["score"] == 5.0
+        assert not rows[(3, 13)]["is_match"] and rows[(3, 13)]["score"] == 2.0
+        # blocking: no cross-country candidates at all
+        assert (1, 13) not in rows and (3, 11) not in rows
+
+    def test_shuffle_join_path_same_answer(self, spark):
+        from polars_view_spark.operators.linkage import linkage_score
+
+        left, right = self._frames(spark)
+        a = linkage_score(left, right, ["country"], self._rules(), 8.0)
+        b = linkage_score(
+            left, right, ["country"], self._rules(), 8.0, broadcast_right=False
+        )
+        key = ["l_id", "r_id", "score", "is_match"]
+        assert sorted(map(tuple, a.select(key).collect())) == sorted(
+            map(tuple, b.select(key).collect())
+        )
+
+    def test_validation(self, spark):
+        from polars_view_spark.operators.linkage import linkage_score
+
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError, match="block_on"):
+            linkage_score(left, right, [], self._rules(), 1.0)
+        with pytest.raises(ValueError, match="rules"):
+            linkage_score(left, right, ["country"], [], 1.0)
+
+
+class TestAuditedWrite:
+    def test_metrics_match_direct_aggregation(self, spark, tmp_path):
+        from polars_view_spark.operators.expectations import audited_write
+
+        df = spark.range(0, 1000).select(
+            F.col("id"),
+            F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 7)
+            .alias("v"),
+        )
+        out = audited_write(
+            df,
+            {
+                "n_rows": F.count(F.lit(1)),
+                "n_null": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+                "sum_v": F.sum("v"),
+            },
+            str(tmp_path / "sink"),
+        )
+        row = out.collect()[0]
+        want_sum = sum(i % 7 for i in range(1000) if i % 10 != 0)
+        assert (row["n_rows"], row["n_null"], row["sum_v"]) == (
+            1000, 100, want_sum,
+        )
+        # the write itself really happened, with every input row
+        assert spark.read.parquet(str(tmp_path / "sink")).count() == 1000
+
+    def test_empty_metrics_rejected(self, spark, tmp_path):
+        from polars_view_spark.operators.expectations import audited_write
+
+        with pytest.raises(ValueError, match="metrics"):
+            audited_write(spark.range(1), {}, str(tmp_path / "x"))
