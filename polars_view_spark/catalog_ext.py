@@ -7456,9 +7456,10 @@ def _d_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "d_record_linkage",
-    oracle="""
+#: Shared by d_record_linkage and its streaming face — the sink union of
+#: the streaming entry provably equals the one-shot batch linkage (see
+#: streaming_linkage docstring), so ONE oracle text serves both.
+_DUCK_LINKAGE_ORACLE = """
     WITH left_t AS (
       SELECT c_custkey AS key, c_name AS name, c_nationkey, c_mktsegment,
              c_acctbal AS bal
@@ -7488,7 +7489,11 @@ register(
     WHERE CASE WHEN agree_name THEN 6.0 ELSE -2.0 END
         + CASE WHEN agree_bal THEN 4.0 ELSE -1.0 END >= 8.0
     ORDER BY l_key, r_key
-    """,
+    """
+
+register(
+    "d_record_linkage",
+    oracle=_DUCK_LINKAGE_ORACLE,
     tables=("customer",),
 )(_d_record_linkage)
 
@@ -7534,3 +7539,98 @@ register(
     """,
     tables=("documents",),
 )(_x_observe_audit)
+
+
+def _e_streaming_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of Fellegi–Sunter linkage: the perturbed feed from
+    ``d_record_linkage`` arrives as a stream and every micro-batch is
+    scored against the static master (broadcast, never rescanned); the
+    sink union equals the one-shot batch linkage, so the SAME oracle SQL
+    verifies it."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.streaming.events import (
+        _single_file_to_glob,
+        read_sink_or_empty,
+        streaming_linkage,
+    )
+
+    t = load_tables(spark, sf_dir, "customer")
+    c = t["customer"].filter(F.col("c_custkey") < 600)
+    master = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+    )
+    feed = c.select(
+        (F.col("c_custkey") + 100000).alias("key"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(F.substring("c_name", 1, 5), F.substring("c_name", 7, 100)),
+        )
+        .when(F.col("c_custkey") % 4 == 1, F.concat("c_name", F.lit("x")))
+        .when(F.col("c_custkey") % 4 == 2, F.col("c_name"))
+        .otherwise(F.reverse(F.col("c_name")))
+        .alias("name"),
+        "c_nationkey",
+        "c_mktsegment",
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 5 == 0, 0.5).otherwise(0.0)
+        ).alias("bal"),
+    )
+    scratch = _scratch_dir("stream_linkage", sf_dir)
+    landing = os.path.join(scratch, "landing")
+    feed.coalesce(1).write.mode("overwrite").parquet(landing)
+    sink = os.path.join(scratch, "matches")
+
+    def rules():
+        from polars_view_spark.operators.linkage import FieldRule
+
+        return [
+            FieldRule(
+                "name",
+                F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
+                6.0,
+                -2.0,
+            ),
+            FieldRule(
+                "bal", F.abs(F.col("l_bal") - F.col("r_bal")) < 1.0, 4.0, -1.0
+            ),
+        ]
+
+    reader = spark.readStream.schema(feed.schema)
+    src = _single_file_to_glob(reader, landing)
+    stream = reader.parquet(src)
+    q = streaming_linkage(
+        stream, master, sink, ["c_nationkey", "c_mktsegment"], rules, 8.0
+    )
+    q.awaitTermination()
+    out = read_sink_or_empty(
+        spark,
+        sink,
+        "c_nationkey int, c_mktsegment string, l_key long, l_name string,"
+        " l_bal double, r_key long, r_name string, r_bal double,"
+        " agree_name boolean, agree_bal boolean, score double,"
+        " is_match boolean, batch_id long",
+    )
+    return (
+        out.select(
+            "l_key",
+            "r_key",
+            "agree_name",
+            "agree_bal",
+            F.col("score").cast("long").alias("score"),
+        )
+        .orderBy("l_key", "r_key")
+    )
+
+
+register(
+    "e_streaming_linkage",
+    oracle=_DUCK_LINKAGE_ORACLE,
+    tables=("customer",),
+)(_e_streaming_linkage)

@@ -1220,3 +1220,43 @@ def streaming_router(
         .option("checkpointLocation", sink_dir.rstrip("/") + ".__pvs_ckpt")
         .start()
     )
+
+
+def streaming_linkage(
+    arrivals: DataFrame,
+    master: DataFrame,
+    sink_dir: str,
+    block_on: list[str],
+    rules_fn,
+    threshold: float,
+    id_col: str = "key",
+):
+    """Continuous record linkage: every micro-batch of arriving feed
+    records is Fellegi–Sunter-scored (operators/linkage.py) against the
+    FIXED master table and the accepted matches land in ``sink_dir`` —
+    the streaming face of ``linkage_score``, completing the
+    build/lookup pattern the ANN and MinHash indexes follow (the master
+    is the persisted state; arrivals only ever join against it).
+
+    ``rules_fn`` is a zero-arg callable returning the ``FieldRule`` list
+    (Columns are plan fragments — building them fresh per query keeps
+    the function picklable for foreachBatch).
+
+    Because each arrival's verdict depends only on (arrival, master),
+    the union of appended batches equals the one-shot batch linkage of
+    the distinct arrivals — the same no-divergence property as
+    :func:`streaming_ann_lookup`, with the same per-batch-only dedup
+    caveat.  Per-trigger cost: O(|batch| × block width) — the master
+    side broadcasts (daily-increment shape) and is never self-joined or
+    rescanned beyond the broadcast build.
+    """
+    from polars_view_spark.operators.linkage import linkage_score
+
+    return _available_now_sink(
+        arrivals,
+        sink_dir,
+        lambda batch_df: linkage_score(
+            master, batch_df, block_on, rules_fn(), threshold
+        ).filter("is_match"),
+        dedup_col=id_col,
+    )

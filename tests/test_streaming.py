@@ -1330,3 +1330,76 @@ def test_streaming_score_drift_gate_rejects_bad_rules_at_creation(spark, tmp_pat
             [{"name": "bad", "kind": "no_such_kind", "column": "margin"}],
             str(tmp_path / "r"),
         )
+
+
+def test_streaming_linkage_union_equals_batch(spark, tmp_path):
+    """Three feed files → three micro-batches; the sink union of accepted
+    matches must equal the one-shot batch linkage of the full feed (each
+    verdict depends only on (arrival, master) — streaming_linkage's
+    no-divergence contract)."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.operators.linkage import FieldRule, linkage_score
+    from polars_view_spark.streaming.events import (
+        read_sink_or_empty,
+        streaming_linkage,
+    )
+
+    master = spark.createDataFrame(
+        [(i, f"Name{i:03d}", "US" if i % 2 else "DE", float(i)) for i in range(30)],
+        "key long, name string, country string, bal double",
+    )
+    feed = master.select(
+        (F.col("key") + 1000).alias("key"),
+        F.when(F.col("key") % 3 == 0, F.concat("name", F.lit("x")))
+        .otherwise(F.col("name"))
+        .alias("name"),
+        "country",
+        (F.col("bal") + 0.25).alias("bal"),
+    )
+
+    def rules():
+        return [
+            FieldRule(
+                "name",
+                F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
+                6.0,
+                -2.0,
+            ),
+            FieldRule(
+                "bal", F.abs(F.col("l_bal") - F.col("r_bal")) < 1.0, 4.0, -1.0
+            ),
+        ]
+
+    landing = str(tmp_path / "landing")
+    tagged = feed.withColumn("__f", F.col("key") % 3)
+    for i in range(3):
+        tagged.filter(F.col("__f") == i).drop("__f").coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    sink = str(tmp_path / "matches")
+    q = streaming_linkage(stream, master, sink, ["country"], rules, 8.0)
+    assert q.awaitTermination(300)
+
+    got = read_sink_or_empty(
+        spark,
+        sink,
+        "country string, l_key long, l_name string, l_bal double,"
+        " r_key long, r_name string, r_bal double, agree_name boolean,"
+        " agree_bal boolean, score double, is_match boolean, batch_id long",
+    )
+    assert {r["batch_id"] for r in got.select("batch_id").distinct().collect()} == {
+        0, 1, 2,
+    }
+    want = linkage_score(master, feed, ["country"], rules(), 8.0).filter(
+        "is_match"
+    )
+    key = ["l_key", "r_key", "score"]
+    assert sorted(map(tuple, got.select(key).collect())) == sorted(
+        map(tuple, want.select(key).collect())
+    )
