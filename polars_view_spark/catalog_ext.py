@@ -7634,3 +7634,165 @@ register(
     oracle=_DUCK_LINKAGE_ORACLE,
     tables=("customer",),
 )(_e_streaming_linkage)
+
+
+def _d_nfc_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition proof for ``nfc_normalize``: plant per-doc variant
+    pairs that differ ONLY in Unicode composition (composed vs decomposed
+    é) — plus a control group whose variants genuinely differ — and
+    exact-dedup on both the raw md5 key and the NFC md5 key.  Raw hashing
+    sees every composition variant as distinct (2 keys); NFC hashing
+    collapses them (1 key) while correctly keeping the control group's
+    true variants apart.  ``dup_caught`` is the per-doc count of
+    duplicates only the normalized key finds — exactly the leak class the
+    nfc_normalize docstring warns about."""
+    from polars_view_spark.operators.textstats import nfc_normalize
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].filter(F.col("doc_id") < 200)
+    composed = d.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 16), F.lit("café")).alias("raw"),
+    )
+    variant = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 16),
+            # control group (doc_id % 4 == 0): genuinely different text;
+            # everyone else: the decomposed spelling of the same text
+            F.when(F.col("doc_id") % 4 == 0, F.lit("cafX")).otherwise(
+                F.lit("café")
+            ),
+        ).alias("raw"),
+    )
+    both = composed.unionByName(variant)
+    keyed = nfc_normalize(both, "raw").select(
+        "doc_id", F.md5("raw").alias("raw_key"), F.md5("raw_nfc").alias("nfc_key")
+    )
+    return (
+        keyed.groupBy("doc_id")
+        .agg(
+            F.countDistinct("raw_key").alias("n_raw_keys"),
+            F.countDistinct("nfc_key").alias("n_nfc_keys"),
+        )
+        .withColumn(
+            "dup_caught", (F.col("n_raw_keys") - F.col("n_nfc_keys"))
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "d_nfc_aware_dedup",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    both_v AS (
+      SELECT doc_id, substring(text, 1, 16) || 'caf' || chr(233) AS raw FROM d
+      UNION ALL
+      SELECT doc_id, substring(text, 1, 16) ||
+             CASE WHEN doc_id % 4 = 0 THEN 'cafX'
+                  ELSE 'cafe' || chr(769) END AS raw
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT md5(raw)) AS BIGINT) AS n_raw_keys,
+           CAST(count(DISTINCT md5(nfc_normalize(raw))) AS BIGINT) AS n_nfc_keys,
+           CAST(count(DISTINCT md5(raw))
+              - count(DISTINCT md5(nfc_normalize(raw))) AS BIGINT) AS dup_caught
+    FROM both_v GROUP BY doc_id ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_d_nfc_aware_dedup)
+
+
+def _q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL user-defined functions (CREATE OR REPLACE TEMPORARY
+    FUNCTION ... RETURNS ... RETURN <expr>): reusable scalar logic that
+    stays INSIDE Catalyst — the body is inlined into the plan at analysis
+    time, so unlike Python UDFs a SQL UDF costs nothing at 100 TB (same
+    codegen as writing the expression inline).  The oracle states the
+    inlined expressions, which IS the semantics being verified."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pvs_net_cents(p DOUBLE, d DOUBLE)"
+        " RETURNS BIGINT RETURN CAST(round(p * (1.0 - d) * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pvs_band(q BIGINT) RETURNS STRING"
+        " RETURN CASE WHEN q < 10 THEN 'small' WHEN q < 30 THEN 'mid'"
+        " ELSE 'large' END"
+    )
+    load_tables(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT pvs_band(CAST(l_quantity AS BIGINT)) AS band,
+               COUNT(*) AS n,
+               SUM(pvs_net_cents(l_extendedprice, l_discount)) AS net_cents
+        FROM lineitem
+        WHERE l_orderkey < 2000
+        GROUP BY band
+        ORDER BY band
+        """
+    )
+
+
+register(
+    "q_sql_udf",
+    oracle="""
+    SELECT CASE WHEN CAST(l_quantity AS BIGINT) < 10 THEN 'small'
+                WHEN CAST(l_quantity AS BIGINT) < 30 THEN 'mid'
+                ELSE 'large' END AS band,
+           COUNT(*) AS n,
+           SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS net_cents
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    GROUP BY band
+    ORDER BY band
+    """,
+    tables=("lineitem",),
+)(_q_sql_udf)
+
+
+def _q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collation: group case-noisy keys under
+    ``COLLATE UTF8_LCASE`` — collation-aware equality INSIDE the engine
+    (hash/sort operators compare under the collation, no lower() rewrite
+    of the data).  Case noise is synthesized from the lang column
+    (upper / unchanged / first-letter-upper by doc_id).  The group
+    representative is min() over the ORIGINAL strings (binary order) so
+    the output is deterministic; the oracle states the lower()-key
+    equivalent."""
+    load_tables(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+                      WHEN doc_id % 3 = 1 THEN lang
+                      ELSE upper(substring(lang, 1, 1)) || substring(lang, 2)
+                 END AS g
+          FROM documents
+        )
+        SELECT min(g) AS representative, count(*) AS n
+        FROM v
+        GROUP BY g COLLATE UTF8_LCASE
+        ORDER BY representative
+        """
+    )
+
+
+register(
+    "q_collated_group",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+                  WHEN doc_id % 3 = 1 THEN lang
+                  ELSE upper(substring(lang, 1, 1)) || substring(lang, 2)
+             END AS g
+      FROM documents
+    )
+    SELECT min(g) AS representative, CAST(count(*) AS BIGINT) AS n
+    FROM v
+    GROUP BY lower(g)
+    ORDER BY representative
+    """,
+    tables=("documents",),
+)(_q_collated_group)
