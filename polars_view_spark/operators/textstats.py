@@ -787,12 +787,15 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     string, ``concat`` to reassemble.  No Python, no shuffle, no UDF:
     canonicalization rides the scan.
     """
-    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
     scheme = F.lower(F.regexp_extract(F.col(url_col), r"^([A-Za-z]+)://", 1))
     # AUTHORITY keeps the port; drop it only when it is the scheme default
     # (https:443 / http:80) — a non-default port is a different endpoint
-    # and must survive canonicalization.
+    # and must survive canonicalization.  The host is derived from the
+    # AUTHORITY (port stripped) rather than parse_url('HOST'): Java's URI
+    # host validation NULLs out hosts whose top label starts with a digit,
+    # while the authority always survives.
     authority = F.lower(F.parse_url(F.col(url_col), F.lit("AUTHORITY")))
+    host = F.regexp_replace(authority, r":[0-9]+$", "")
     authority = F.when(
         (scheme == "https") & authority.endswith(":443"),
         F.substring_index(authority, ":", 1),

@@ -214,3 +214,102 @@ class TestAuditedWrite:
 
         with pytest.raises(ValueError, match="metrics"):
             audited_write(spark.range(1), {}, str(tmp_path / "x"))
+
+
+class TestUrlCanonicalizeFuzz:
+    def test_matches_urllib_reference_on_structured_urls(self, spark):
+        """Structured fuzz: build URLs from generated components, then
+        check url_canonicalize against an independent Python reference
+        (urllib.parse) implementing the same rules.  One batched Spark
+        job (same discipline as the other cross-engine fuzzes)."""
+        from urllib.parse import urlsplit
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from polars_view_spark.operators.textstats import (
+            URL_TRACKING_PARAM_PATTERNS,
+            url_canonicalize,
+        )
+
+        label = st.text(
+            alphabet="abcXYZ09", min_size=1, max_size=6
+        ).filter(lambda s: not s.isdigit())
+        urls: list[str] = []
+
+        @settings(
+            max_examples=150,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+            labels=st.lists(label, min_size=2, max_size=4),
+            port=st.sampled_from(["", ":80", ":443", ":8080"]),
+            path=st.lists(label, max_size=3),
+            index=st.booleans(),
+            params=st.lists(
+                st.sampled_from(
+                    ["utm_source=a", "utm_campaign=b", "ref=tw", "fbclid=1",
+                     "gclid=2", "id=7", "q=x", "page=2"]
+                ),
+                max_size=4,
+            ),
+            frag=st.sampled_from(["", "#top", "#sec-2"]),
+        )
+        def collect(scheme, labels, port, path, index, params, frag):
+            u = scheme + "://" + ".".join(labels) + port + "/" + "/".join(path)
+            if index:
+                u = u.rstrip("/") + "/index.html"
+            if params:
+                u += "?" + "&".join(params)
+            u += frag
+            urls.append(u)
+
+        collect()
+
+        def reference(u: str) -> tuple[str, str]:
+            s = urlsplit(u)
+            scheme = s.scheme.lower()
+            host = (s.hostname or "").lower()
+            netloc = host + (
+                f":{s.port}"
+                if s.port is not None
+                and not (scheme == "https" and s.port == 443)
+                and not (scheme == "http" and s.port == 80)
+                else ""
+            )
+            import re
+
+            path = re.sub(r"/index\.html$", "/", s.path)
+            keep = [
+                p
+                for p in s.query.split("&")
+                if p
+                and not any(
+                    # LIKE 'utm_%' == startswith for these patterns ('_'
+                    # wildcard can only widen, and our params are ASCII)
+                    p.startswith(pat[:-1].replace("\\", ""))
+                    for pat in URL_TRACKING_PARAM_PATTERNS
+                )
+            ]
+            q = "&".join(keep)
+            labels = host.split(".")
+            dom = ".".join(labels[-2:]) if len(labels) >= 2 else ""
+            return (
+                scheme + "://" + netloc + path + (("?" + q) if q else ""),
+                dom,
+            )
+
+        rows = [(i, u) for i, u in enumerate(urls)]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {
+            r["doc_id"]: (r["canon_url"], r["registered_domain"])
+            for r in url_canonicalize(df).collect()
+        }
+        mism = {
+            u: (got[i], reference(u))
+            for i, u in enumerate(urls)
+            if got[i] != reference(u)
+        }
+        assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
