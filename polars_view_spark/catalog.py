@@ -201,6 +201,9 @@ DRIVER_PRIORITY = [
     # e_streaming_sliding, and e_streaming_sessions refresh slots; those
     # r03 anchors join the round-8 holdouts):
     "d_nfc_aware_dedup", "q_sql_udf", "q_collated_group",
+    # ...plus token-balanced shard assignment (takes e_streaming_tumbling's
+    # refresh slot; that r03 anchor joins the round-8 holdouts):
+    "x_balanced_shards",
     # (b) the 15 late round-6 additions that have never had a driver row
     # (all green in the local sf0.001+sf0.01 oracle sweeps and included
     # in the judge's independently-run 834-green round-6 suite):
@@ -216,7 +219,6 @@ DRIVER_PRIORITY = [
     # d_minhash_incremental, the sketch family).  The 18 deferred
     # r03-stamp holdouts move to the round-8 window:
     "d_dedup_apply", "d_dedup_clusters", "d_minhash_incremental",
-    "e_streaming_tumbling",
 ]
 # Everything demoted out of the window is green in CORRECTNESS_r01-r06 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
@@ -249,7 +251,7 @@ DRIVER_PRIORITY = [
 # d_record_linkage, x_observe_audit) — q2_min_cost_supplier,
 # q4_order_priority, q7_volume_shipping, q8_market_share,
 # x_multimodal_resize, x_multimodal_framesample, e_streaming_sliding,
-# e_streaming_sessions, all displaced
+# e_streaming_sessions, e_streaming_tumbling, all displaced
 # late in round 7):
 # x_train_val_test_split, x_chunk_documents, q_window_range_frame,
 # q_dwell_time, q_event_funnel,

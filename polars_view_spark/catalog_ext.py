@@ -7796,3 +7796,49 @@ register(
     """,
     tables=("documents",),
 )(_q_collated_group)
+
+
+def _x_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced contiguous shard assignment (packing.py:
+    balanced_shards — the rowindex partition-offset technique generalized
+    to weighted prefix sums; no single-partition global window).  The
+    entry reports the per-shard doc/token totals; the oracle recomputes
+    the assignment with a window prefix sum, so the hash pins both the
+    balance AND the exact doc→shard mapping rule."""
+    from polars_view_spark.operators.packing import balanced_shards
+
+    t = load_tables(spark, sf_dir, "documents")
+    assigned = balanced_shards(t["documents"], n_shards=8)
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+register(
+    "x_balanced_shards",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text, ' '),
+                  '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (SELECT (sum(n_tokens) + 7) // 8 AS target FROM t),
+    p AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM t
+    )
+    SELECT least(7, prefix // target) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM p, tot GROUP BY shard ORDER BY shard
+    """,
+    tables=("documents",),
+)(_x_balanced_shards)

@@ -545,3 +545,101 @@ def curriculum_order(
         "bucket",
         (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
     )
+
+
+#: range-partition count for the balanced-shard prefix computation; at
+#: 100 TB raise toward cluster parallelism (cost is one #partitions-row
+#: driver collect, same bound as rowindex.py's offsets)
+SHARD_RANGE_PARTITIONS = 16
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to ``n_shards`` contiguous, token-balanced output
+    shards — the export step that decides which physical training file
+    each document lands in.  Equal-DOC-count sharding (``ntile``) skews
+    token counts badly when document lengths vary by 100×; this assigns
+    by cumulative token position, so every shard carries ~total/n tokens
+    (overshoot bounded by one document).
+
+    Shard id is a pure function of the GLOBAL ``id_col`` order and token
+    counts — independent of partitioning/layout — so the assignment is
+    reproducible run to run (and SQL-expressible for the oracle).
+
+    Returns one row per document: ``(id, n_tokens, shard)``.
+
+    Scale shape (the rowindex.py technique, generalized to weighted
+    prefix sums): NO single-partition global window.  The frame is
+    range-partitioned and sorted by ``id_col``; per-partition token sums
+    (one tiny aggregate, #partitions rows) become driver-side cumulative
+    offsets broadcast back; each row's exclusive prefix is its
+    partition's offset plus an intra-partition running sum.  Cost: one
+    extra aggregate pass + one broadcast join — no global shuffle beyond
+    the range partitioning the export write wants anyway (shards ARE
+    contiguous id ranges, so the final partitionBy(shard) write moves
+    nothing between tasks that the range partitioning hasn't already
+    co-located).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    ws = "[ \\t\\n\\x0B\\f\\r]+"
+    toks = F.size(F.split(F.trim(F.col(text_col)), ws)).cast("long")
+    # pin partition ids exactly as rowindex.py does: the per-partition sum
+    # job and the final assignment job must see ONE evaluation of the
+    # partition layout
+    tagged = (
+        df.select(F.col(id_col), toks.alias("n_tokens"))
+        .repartitionByRange(SHARD_RANGE_PARTITIONS, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per_part = (
+        tagged.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("ptoks"))
+        .orderBy("__pid")
+        .collect()
+    )
+    total = sum(r["ptoks"] for r in per_part)
+    if total == 0:
+        return tagged.select(
+            id_col, "n_tokens", F.lit(0).cast("long").alias("shard")
+        )
+    target = -(-total // n_shards)  # ceil
+    cum = 0
+    offsets = []
+    for r in per_part:
+        offsets.append((r["__pid"], cum))
+        cum += r["ptoks"]
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        spark.sparkContext.parallelize(offsets, numSlices=1),
+        "__pid int, __off long",
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.join(F.broadcast(off), "__pid")
+        .withColumn(
+            "__prefix",
+            F.col("__off") + F.sum("n_tokens").over(w) - F.col("n_tokens"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            # integer division (div), not float floor: exact at any scale
+            F.least(
+                F.lit(n_shards - 1).cast("long"),
+                F.expr(f"__prefix div {int(target)}").cast("long"),
+            ).alias("shard"),
+        )
+    )

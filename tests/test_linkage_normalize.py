@@ -313,3 +313,52 @@ class TestUrlCanonicalizeFuzz:
             if got[i] != reference(u)
         }
         assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
+
+
+class TestBalancedShards:
+    def test_balance_bound_and_contiguity(self, spark):
+        """Every shard's token sum is ≤ target + the largest single doc
+        (contiguous assignment can overshoot by at most one document),
+        and shard ids are non-decreasing in doc order."""
+        from polars_view_spark.operators.packing import balanced_shards
+
+        docs = spark.createDataFrame(
+            [(i, "w " * ((i * 37) % 100 + 1)) for i in range(300)],
+            "doc_id long, text string",
+        )
+        out = balanced_shards(docs, n_shards=5).collect()
+        by_doc = sorted(out, key=lambda r: r["doc_id"])
+        shards = [r["shard"] for r in by_doc]
+        assert shards == sorted(shards)  # contiguous ranges
+        assert set(shards) == {0, 1, 2, 3, 4}
+        total = sum(r["n_tokens"] for r in out)
+        target = -(-total // 5)
+        biggest = max(r["n_tokens"] for r in out)
+        sums = {}
+        for r in out:
+            sums[r["shard"]] = sums.get(r["shard"], 0) + r["n_tokens"]
+        assert all(s <= target + biggest for s in sums.values()), sums
+
+    def test_layout_independent_assignment(self, spark):
+        """The doc→shard mapping must not depend on the input's physical
+        partitioning (it is a pure function of global id order)."""
+        from polars_view_spark.operators.packing import balanced_shards
+
+        rows = [(i, "tok " * (i % 13 + 1)) for i in range(200)]
+        a = spark.createDataFrame(rows, "doc_id long, text string")
+        b = spark.createDataFrame(rows, "doc_id long, text string").repartition(
+            7, "text"
+        )
+        got_a = sorted(map(tuple, balanced_shards(a, 4).collect()))
+        got_b = sorted(map(tuple, balanced_shards(b, 4).collect()))
+        assert got_a == got_b
+
+    def test_single_shard_and_validation(self, spark):
+        from polars_view_spark.operators.packing import balanced_shards
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        assert balanced_shards(docs, 1).collect()[0]["shard"] == 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="n_shards"):
+            balanced_shards(docs, 0)
