@@ -14,11 +14,11 @@ Usage (each conf needs its own process for a fresh JVM):
     python scripts/determinism_check.py b        # conf B -> /tmp/det_b.json
     python scripts/determinism_check.py compare  # exit 1 on any mismatch
 
-Last run (final r07 window incl. all 13 late round-7 adds — the
-classifier family through the topic router and source card — plus the
-15 never-stamped round-6 adds and the remaining r03 refreshes; sf0.01,
-concurrent with the full suite as an extra stress): checked 50 entries,
-mismatches: 0.
+Last run (continuation-session r07 window: the 9 continuation adds —
+NFC/URL canonicalization, record linkage + streaming face, observe
+audit, balanced shards, SQL UDF, collation — displaced the remaining
+r03 refresh anchors to the round-8 holdouts; sf0.01, idle box):
+checked 50 entries, mismatches: 0.
 """
 
 import hashlib
