@@ -204,6 +204,12 @@ DRIVER_PRIORITY = [
     # ...plus token-balanced shard assignment (takes e_streaming_tumbling's
     # refresh slot; that r03 anchor joins the round-8 holdouts):
     "x_balanced_shards",
+    # ...plus the linkage-family completion — supervised m/u weight
+    # estimation and golden-record survivorship (they take the
+    # d_dedup_apply and d_dedup_clusters refresh slots; those r03/r04
+    # anchors join the round-8 holdouts — d_minhash_incremental keeps its
+    # slot because the round-6 verdict flagged its bench band):
+    "d_linkage_weights", "d_golden_records",
     # (b) the 15 late round-6 additions that have never had a driver row
     # (all green in the local sf0.001+sf0.01 oracle sweeps and included
     # in the judge's independently-run 834-green round-6 suite):
@@ -218,7 +224,7 @@ DRIVER_PRIORITY = [
     # ops, the r03 TPC-H block, dedup cluster/apply + the flagged
     # d_minhash_incremental, the sketch family).  The 18 deferred
     # r03-stamp holdouts move to the round-8 window:
-    "d_dedup_apply", "d_dedup_clusters", "d_minhash_incremental",
+    "d_minhash_incremental",
 ]
 # Everything demoted out of the window is green in CORRECTNESS_r01-r06 and
 # stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
@@ -251,7 +257,8 @@ DRIVER_PRIORITY = [
 # d_record_linkage, x_observe_audit) — q2_min_cost_supplier,
 # q4_order_priority, q7_volume_shipping, q8_market_share,
 # x_multimodal_resize, x_multimodal_framesample, e_streaming_sliding,
-# e_streaming_sessions, e_streaming_tumbling, all displaced
+# e_streaming_sessions, e_streaming_tumbling, d_dedup_apply,
+# d_dedup_clusters, all displaced
 # late in round 7):
 # x_train_val_test_split, x_chunk_documents, q_window_range_frame,
 # q_dwell_time, q_event_funnel,

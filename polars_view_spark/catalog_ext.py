@@ -7403,43 +7403,9 @@ def _d_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights.  Returns the accepted matches — including the occasional
     cross-customer false positive the weight sum genuinely admits, which
     the oracle reproduces exactly."""
-    from polars_view_spark.operators.linkage import FieldRule, linkage_score
+    from polars_view_spark.operators.linkage import linkage_score
 
-    t = load_tables(spark, sf_dir, "customer")
-    c = t["customer"].filter(F.col("c_custkey") < 600)
-    left = c.select(
-        F.col("c_custkey").alias("key"),
-        F.col("c_name").alias("name"),
-        "c_nationkey",
-        "c_mktsegment",
-        F.col("c_acctbal").alias("bal"),
-    )
-    right = c.select(
-        (F.col("c_custkey") + 100000).alias("key"),
-        F.when(
-            F.col("c_custkey") % 4 == 0,
-            F.concat(F.substring("c_name", 1, 5), F.substring("c_name", 7, 100)),
-        )
-        .when(F.col("c_custkey") % 4 == 1, F.concat("c_name", F.lit("x")))
-        .when(F.col("c_custkey") % 4 == 2, F.col("c_name"))
-        .otherwise(F.reverse(F.col("c_name")))
-        .alias("name"),
-        "c_nationkey",
-        "c_mktsegment",
-        (
-            F.col("c_acctbal")
-            + F.when(F.col("c_custkey") % 5 == 0, 0.5).otherwise(0.0)
-        ).alias("bal"),
-    )
-    rules = [
-        FieldRule(
-            "name",
-            F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
-            6.0,
-            -2.0,
-        ),
-        FieldRule("bal", F.abs(F.col("l_bal") - F.col("r_bal")) < 1.0, 4.0, -1.0),
-    ]
+    left, right, rules = _linkage_frames(spark, sf_dir)
     scored = linkage_score(
         left, right, ["c_nationkey", "c_mktsegment"], rules, threshold=8.0
     )
@@ -7556,32 +7522,7 @@ def _e_streaming_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_linkage,
     )
 
-    t = load_tables(spark, sf_dir, "customer")
-    c = t["customer"].filter(F.col("c_custkey") < 600)
-    master = c.select(
-        F.col("c_custkey").alias("key"),
-        F.col("c_name").alias("name"),
-        "c_nationkey",
-        "c_mktsegment",
-        F.col("c_acctbal").alias("bal"),
-    )
-    feed = c.select(
-        (F.col("c_custkey") + 100000).alias("key"),
-        F.when(
-            F.col("c_custkey") % 4 == 0,
-            F.concat(F.substring("c_name", 1, 5), F.substring("c_name", 7, 100)),
-        )
-        .when(F.col("c_custkey") % 4 == 1, F.concat("c_name", F.lit("x")))
-        .when(F.col("c_custkey") % 4 == 2, F.col("c_name"))
-        .otherwise(F.reverse(F.col("c_name")))
-        .alias("name"),
-        "c_nationkey",
-        "c_mktsegment",
-        (
-            F.col("c_acctbal")
-            + F.when(F.col("c_custkey") % 5 == 0, 0.5).otherwise(0.0)
-        ).alias("bal"),
-    )
+    master, feed, _ = _linkage_frames(spark, sf_dir)
     scratch = _scratch_dir("stream_linkage", sf_dir)
     landing = os.path.join(scratch, "landing")
     feed.coalesce(1).write.mode("overwrite").parquet(landing)
@@ -7842,3 +7783,188 @@ register(
     """,
     tables=("documents",),
 )(_x_balanced_shards)
+
+
+#: The d_record_linkage pair construction, shared as SQL CTEs by the
+#: weight-estimation and golden-record oracles (keys the Spark entries
+#: build identically via _linkage_frames below).
+_DUCK_LINKAGE_CTES = """
+    left_t AS (
+      SELECT c_custkey AS key, c_name AS name, c_nationkey, c_mktsegment,
+             c_acctbal AS bal
+      FROM customer WHERE c_custkey < 600
+    ),
+    right_t AS (
+      SELECT c_custkey + 100000 AS key,
+             CASE WHEN c_custkey % 4 = 0
+                    THEN substring(c_name, 1, 5) || substring(c_name, 7)
+                  WHEN c_custkey % 4 = 1 THEN c_name || 'x'
+                  WHEN c_custkey % 4 = 2 THEN c_name
+                  ELSE reverse(c_name) END AS name,
+             c_nationkey, c_mktsegment,
+             c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 0.5 ELSE 0.0 END AS bal
+      FROM customer WHERE c_custkey < 600
+    ),
+    pairs AS (
+      SELECT l.key AS l_key, r.key AS r_key, l.name AS l_name,
+             r.name AS r_name,
+             levenshtein(l.name, r.name) <= 1 AS agree_name,
+             abs(l.bal - r.bal) < 1.0 AS agree_bal
+      FROM left_t l JOIN right_t r USING (c_nationkey, c_mktsegment)
+    )
+"""
+
+
+def _linkage_frames(spark: SparkSession, sf_dir: str):
+    """The shared left/right/rules construction behind d_record_linkage,
+    d_linkage_weights, and d_golden_records (mirrors _DUCK_LINKAGE_CTES)."""
+    from polars_view_spark.operators.linkage import FieldRule
+
+    t = load_tables(spark, sf_dir, "customer")
+    c = t["customer"].filter(F.col("c_custkey") < 600)
+    left = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+    )
+    right = c.select(
+        (F.col("c_custkey") + 100000).alias("key"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(F.substring("c_name", 1, 5), F.substring("c_name", 7, 100)),
+        )
+        .when(F.col("c_custkey") % 4 == 1, F.concat("c_name", F.lit("x")))
+        .when(F.col("c_custkey") % 4 == 2, F.col("c_name"))
+        .otherwise(F.reverse(F.col("c_name")))
+        .alias("name"),
+        "c_nationkey",
+        "c_mktsegment",
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 5 == 0, 0.5).otherwise(0.0)
+        ).alias("bal"),
+    )
+    rules = [
+        FieldRule(
+            "name",
+            F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
+            6.0,
+            -2.0,
+        ),
+        FieldRule("bal", F.abs(F.col("l_bal") - F.col("r_bal")) < 1.0, 4.0, -1.0),
+    ]
+    return left, right, rules
+
+
+def _d_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised Fellegi–Sunter m/u estimation (linkage.py:
+    estimate_linkage_weights): label the d_record_linkage candidate pairs
+    with provenance truth (r_key − 100000 == l_key) and estimate
+    P(agree | match) / P(agree | non-match) per field as exact integer
+    milli-probabilities — one scan, one aggregate, any rule count."""
+    from polars_view_spark.operators.linkage import (
+        estimate_linkage_weights,
+        linkage_score,
+    )
+
+    left, right, rules = _linkage_frames(spark, sf_dir)
+    scored = linkage_score(
+        left, right, ["c_nationkey", "c_mktsegment"], rules, 8.0
+    ).withColumn("truth", F.col("r_key") - 100000 == F.col("l_key"))
+    return estimate_linkage_weights(scored, "truth", ["name", "bal"]).orderBy(
+        "field"
+    )
+
+
+register(
+    "d_linkage_weights",
+    oracle=f"""
+    WITH {_DUCK_LINKAGE_CTES},
+    lab AS (
+      SELECT *, (r_key - 100000 = l_key) AS truth FROM pairs
+    ),
+    ag AS (
+      SELECT
+        CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        CAST(sum(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_nonmatch,
+        CAST(sum(CASE WHEN truth AND agree_name THEN 1 ELSE 0 END) AS BIGINT)
+          AS am_name,
+        CAST(sum(CASE WHEN NOT truth AND agree_name THEN 1 ELSE 0 END)
+          AS BIGINT) AS an_name,
+        CAST(sum(CASE WHEN truth AND agree_bal THEN 1 ELSE 0 END) AS BIGINT)
+          AS am_bal,
+        CAST(sum(CASE WHEN NOT truth AND agree_bal THEN 1 ELSE 0 END)
+          AS BIGINT) AS an_bal
+      FROM lab
+    )
+    SELECT 'bal' AS field, n_match, n_nonmatch, am_bal AS agree_match,
+           an_bal AS agree_nonmatch,
+           1000 * am_bal // n_match AS m_milli,
+           1000 * an_bal // n_nonmatch AS u_milli
+    FROM ag
+    UNION ALL
+    SELECT 'name', n_match, n_nonmatch, am_name, an_name,
+           1000 * am_name // n_match, 1000 * an_name // n_nonmatch
+    FROM ag
+    ORDER BY field
+    """,
+    tables=("customer",),
+)(_d_linkage_weights)
+
+
+def _d_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (linkage.py:golden_records): accepted linkage matches
+    → connected components (the SAME checkpointed min-label machinery as
+    near-dup clustering) → one golden record per entity with
+    deterministic field survivorship (longest name with struct-max value
+    tiebreak, max balance).  Unmatched records survive as singleton
+    entities, so the output covers the whole record set."""
+    from polars_view_spark.operators.linkage import golden_records, linkage_score
+
+    left, right, rules = _linkage_frames(spark, sf_dir)
+    matches = (
+        linkage_score(left, right, ["c_nationkey", "c_mktsegment"], rules, 8.0)
+        .filter("is_match")
+        .select("l_key", "r_key")
+    )
+    records = left.select("key", "name", "bal").unionByName(
+        right.select("key", "name", "bal")
+    )
+    return golden_records(records, matches)
+
+
+register(
+    "d_golden_records",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_LINKAGE_CTES},
+    matches AS (
+      SELECT l_key, r_key FROM pairs
+      WHERE CASE WHEN agree_name THEN 6.0 ELSE -2.0 END
+          + CASE WHEN agree_bal THEN 4.0 ELSE -1.0 END >= 8.0
+    ),
+    records AS (
+      SELECT key, name, bal FROM left_t
+      UNION ALL SELECT key, name, bal FROM right_t
+    ),
+    edges AS (
+      SELECT l_key AS src, r_key AS dst FROM matches
+      UNION ALL SELECT r_key, l_key FROM matches
+    ),
+    reach(v, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.v = e.dst
+    ),
+    labels AS (SELECT v, MIN(r) AS label FROM reach GROUP BY v)
+    SELECT COALESCE(l.label, rec.key) AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           (max({{'l': length(rec.name), 'n': rec.name}})).n AS canonical_name,
+           max(rec.bal) AS max_bal
+    FROM records rec LEFT JOIN labels l ON l.v = rec.key
+    GROUP BY entity_id ORDER BY entity_id
+    """,
+    tables=("customer",),
+)(_d_golden_records)

@@ -106,3 +106,110 @@ def linkage_score(
         .withColumn("score", score)
         .withColumn("is_match", F.col("score") >= F.lit(float(threshold)))
     )
+
+
+def estimate_linkage_weights(
+    scored: DataFrame,
+    truth_col: str,
+    rule_names: list[str],
+) -> DataFrame:
+    """Estimate the Fellegi–Sunter m/u probabilities from a labeled pair
+    sample: ``m_f = P(agree_f | match)``, ``u_f = P(agree_f | non-match)``
+    — the supervised estimate that replaces hand-set weights (the
+    log-likelihood weights are ``log2(m/u)`` / ``log2((1−m)/(1−u))``,
+    computed offline from these).  ``scored`` is ``linkage_score`` output
+    (or any frame with ``agree_<rule>`` booleans) plus a boolean
+    ``truth_col``.
+
+    Returns one row per field: match/non-match totals, agreement counts,
+    and EXACT integer milli-probabilities (``1000·agree // total``) — no
+    floating point, so the estimate is reproducible bit-for-bit on any
+    engine.
+
+    Scale shape: ONE scan + ONE aggregate whatever the rule count (4
+    conditional sums per rule), then a constant-width ``stack`` to rows —
+    the expectations_report discipline applied to weight estimation.
+    """
+    if not rule_names:
+        raise ValueError("rule_names must name at least one field rule")
+    t = F.col(truth_col).cast("boolean")
+    aggs = [
+        F.sum(F.when(t, 1).otherwise(0)).cast("long").alias("n_match"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("long").alias("n_nonmatch"),
+    ]
+    for r in rule_names:
+        a = F.col(f"agree_{r}").cast("boolean")
+        aggs.append(
+            F.sum(F.when(t & a, 1).otherwise(0))
+            .cast("long")
+            .alias(f"am_{r}")
+        )
+        aggs.append(
+            F.sum(F.when((~t) & a, 1).otherwise(0))
+            .cast("long")
+            .alias(f"an_{r}")
+        )
+    one = scored.agg(*aggs)
+    groups = ", ".join(
+        f"'{r}', am_{r}, an_{r}" for r in rule_names
+    )
+    return one.selectExpr(
+        "n_match",
+        "n_nonmatch",
+        f"stack({len(rule_names)}, {groups}) AS (field, agree_match, agree_nonmatch)",
+    ).selectExpr(
+        "field",
+        "n_match",
+        "n_nonmatch",
+        "agree_match",
+        "agree_nonmatch",
+        "CAST(1000 * agree_match DIV n_match AS BIGINT) AS m_milli",
+        "CAST(1000 * agree_nonmatch DIV n_nonmatch AS BIGINT) AS u_milli",
+    )
+
+
+def golden_records(
+    records: DataFrame,
+    matches: DataFrame,
+    id_col: str = "key",
+    l_col: str = "l_key",
+    r_col: str = "r_key",
+    name_col: str = "name",
+    bal_col: str = "bal",
+) -> DataFrame:
+    """Survivorship: collapse linked records into one golden record per
+    entity — the step after blocking/scoring that master-data pipelines
+    actually ship.  Matched pairs form an undirected graph; connected
+    components (dedup.py's checkpointed min-label propagation — the SAME
+    machinery as near-dup clustering) assign every record the minimum
+    reachable key as its ``entity_id``; unmatched records are singleton
+    entities of themselves.  Field survivorship is deterministic
+    per-field aggregation: longest name (ties broken by value via a
+    struct max — never nondeterministic), maximum balance, member count.
+
+    Scale shape: CC is O(log diameter) rounds of edge joins (see
+    connected_components); the label join is key-equi (broadcast when the
+    matched set is small, the usual case); survivorship is one groupBy.
+    """
+    from polars_view_spark.operators.dedup import connected_components
+
+    edges = matches.select(
+        F.col(l_col).alias("src"), F.col(r_col).alias("dst")
+    )
+    labels = connected_components(edges, "src", "dst")
+    labeled = records.join(
+        F.broadcast(labels.withColumnRenamed("v", id_col)),
+        id_col,
+        "left",
+    ).withColumn("entity_id", F.coalesce(F.col("label"), F.col(id_col)))
+    return (
+        labeled.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.expr(
+                f"max(struct(length({name_col}) AS l, {name_col} AS n)).n"
+            ).alias("canonical_name"),
+            F.max(bal_col).alias("max_bal"),
+        )
+        .orderBy("entity_id")
+    )

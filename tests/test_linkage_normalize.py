@@ -362,3 +362,59 @@ class TestBalancedShards:
 
         with _pytest.raises(ValueError, match="n_shards"):
             balanced_shards(docs, 0)
+
+
+class TestLinkageWeightsAndGolden:
+    def test_weight_estimation_exact_counts(self, spark):
+        """Planted labeled pairs → exact m/u milli-probabilities."""
+        from polars_view_spark.operators.linkage import estimate_linkage_weights
+
+        # 4 matches (3 agree name), 6 non-matches (1 agrees name)
+        rows = [(True, True)] * 3 + [(True, False)] + \
+               [(False, True)] + [(False, False)] * 5
+        df = spark.createDataFrame(rows, "truth boolean, agree_name boolean")
+        out = {r["field"]: r for r in estimate_linkage_weights(
+            df, "truth", ["name"]).collect()}
+        r = out["name"]
+        assert (r["n_match"], r["n_nonmatch"]) == (4, 6)
+        assert (r["agree_match"], r["agree_nonmatch"]) == (3, 1)
+        assert r["m_milli"] == 750
+        assert r["u_milli"] == 166  # 1000*1 // 6
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="rule_names"):
+            estimate_linkage_weights(df, "truth", [])
+
+    def test_golden_records_clusters_and_singletons(self, spark):
+        """Chained matches collapse to one entity (min key), field
+        survivorship picks the longest name deterministically, and
+        unmatched records stay as singleton entities."""
+        from polars_view_spark.operators.linkage import golden_records
+
+        records = spark.createDataFrame(
+            [(1, "Ann", 10.0), (2, "Annabelle", 20.0), (3, "Anna", 15.0),
+             (9, "Solo", 5.0)],
+            "key long, name string, bal double",
+        )
+        # 1-2 and 2-3 matched -> {1,2,3} one entity; 9 singleton
+        matches = spark.createDataFrame(
+            [(1, 2), (2, 3)], "l_key long, r_key long"
+        )
+        out = {r["entity_id"]: r for r in golden_records(records, matches).collect()}
+        assert set(out) == {1, 9}
+        assert out[1]["n_members"] == 3
+        assert out[1]["canonical_name"] == "Annabelle"
+        assert out[1]["max_bal"] == 20.0
+        assert out[9]["n_members"] == 1 and out[9]["canonical_name"] == "Solo"
+
+    def test_golden_name_tie_broken_by_value(self, spark):
+        """Two equal-length names in one entity → struct max picks the
+        lexicographically larger one, same on every run/layout."""
+        from polars_view_spark.operators.linkage import golden_records
+
+        records = spark.createDataFrame(
+            [(1, "abc", 1.0), (2, "abd", 1.0)], "key long, name string, bal double"
+        )
+        matches = spark.createDataFrame([(1, 2)], "l_key long, r_key long")
+        out = golden_records(records, matches).collect()
+        assert len(out) == 1 and out[0]["canonical_name"] == "abd"
