@@ -7405,9 +7405,9 @@ def _d_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle reproduces exactly."""
     from polars_view_spark.operators.linkage import linkage_score
 
-    left, right, rules = _linkage_frames(spark, sf_dir)
+    left, right, rules_fn = _linkage_frames(spark, sf_dir)
     scored = linkage_score(
-        left, right, ["c_nationkey", "c_mktsegment"], rules, threshold=8.0
+        left, right, ["c_nationkey", "c_mktsegment"], rules_fn(), threshold=8.0
     )
     return (
         scored.filter("is_match")
@@ -7422,11 +7422,13 @@ def _d_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Shared by d_record_linkage and its streaming face — the sink union of
-#: the streaming entry provably equals the one-shot batch linkage (see
-#: streaming_linkage docstring), so ONE oracle text serves both.
-_DUCK_LINKAGE_ORACLE = """
-    WITH left_t AS (
+#: The ONE linkage pair construction every linkage oracle builds on (the
+#: Spark entries build the identical frames via _linkage_frames) — batch,
+#: streaming, weight-estimation, and golden-record oracles all derive
+#: from THIS text, so a perturbation/weight tweak cannot silently desync
+#: the family.
+_DUCK_LINKAGE_CTES = """
+    left_t AS (
       SELECT c_custkey AS key, c_name AS name, c_nationkey, c_mktsegment,
              c_acctbal AS bal
       FROM customer WHERE c_custkey < 600
@@ -7443,11 +7445,19 @@ _DUCK_LINKAGE_ORACLE = """
       FROM customer WHERE c_custkey < 600
     ),
     pairs AS (
-      SELECT l.key AS l_key, r.key AS r_key,
+      SELECT l.key AS l_key, r.key AS r_key, l.name AS l_name,
+             r.name AS r_name,
              levenshtein(l.name, r.name) <= 1 AS agree_name,
              abs(l.bal - r.bal) < 1.0 AS agree_bal
       FROM left_t l JOIN right_t r USING (c_nationkey, c_mktsegment)
     )
+"""
+
+#: Shared by d_record_linkage and its streaming face — the sink union of
+#: the streaming entry provably equals the one-shot batch linkage (see
+#: streaming_linkage docstring), so ONE oracle text serves both.
+_DUCK_LINKAGE_ORACLE = f"""
+    WITH {_DUCK_LINKAGE_CTES}
     SELECT l_key, r_key, agree_name, agree_bal,
            CAST(CASE WHEN agree_name THEN 6.0 ELSE -2.0 END
               + CASE WHEN agree_bal THEN 4.0 ELSE -1.0 END AS BIGINT) AS score
@@ -7510,7 +7520,8 @@ register(
 def _e_streaming_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of Fellegi–Sunter linkage: the perturbed feed from
     ``d_record_linkage`` arrives as a stream and every micro-batch is
-    scored against the static master (broadcast, never rescanned); the
+    scored against the static master (persisted; the small BATCH is the
+    broadcast side, so the master is never shuffled); the
     sink union equals the one-shot batch linkage, so the SAME oracle SQL
     verifies it."""
     import os
@@ -7522,32 +7533,17 @@ def _e_streaming_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_linkage,
     )
 
-    master, feed, _ = _linkage_frames(spark, sf_dir)
+    master, feed, rules_fn = _linkage_frames(spark, sf_dir)
     scratch = _scratch_dir("stream_linkage", sf_dir)
     landing = os.path.join(scratch, "landing")
     feed.coalesce(1).write.mode("overwrite").parquet(landing)
     sink = os.path.join(scratch, "matches")
 
-    def rules():
-        from polars_view_spark.operators.linkage import FieldRule
-
-        return [
-            FieldRule(
-                "name",
-                F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
-                6.0,
-                -2.0,
-            ),
-            FieldRule(
-                "bal", F.abs(F.col("l_bal") - F.col("r_bal")) < 1.0, 4.0, -1.0
-            ),
-        ]
-
     reader = spark.readStream.schema(feed.schema)
     src = _single_file_to_glob(reader, landing)
     stream = reader.parquet(src)
     q = streaming_linkage(
-        stream, master, sink, ["c_nationkey", "c_mktsegment"], rules, 8.0
+        stream, master, sink, ["c_nationkey", "c_mktsegment"], rules_fn, 8.0
     )
     q.awaitTermination()
     out = read_sink_or_empty(
@@ -7785,41 +7781,13 @@ register(
 )(_x_balanced_shards)
 
 
-#: The d_record_linkage pair construction, shared as SQL CTEs by the
-#: weight-estimation and golden-record oracles (keys the Spark entries
-#: build identically via _linkage_frames below).
-_DUCK_LINKAGE_CTES = """
-    left_t AS (
-      SELECT c_custkey AS key, c_name AS name, c_nationkey, c_mktsegment,
-             c_acctbal AS bal
-      FROM customer WHERE c_custkey < 600
-    ),
-    right_t AS (
-      SELECT c_custkey + 100000 AS key,
-             CASE WHEN c_custkey % 4 = 0
-                    THEN substring(c_name, 1, 5) || substring(c_name, 7)
-                  WHEN c_custkey % 4 = 1 THEN c_name || 'x'
-                  WHEN c_custkey % 4 = 2 THEN c_name
-                  ELSE reverse(c_name) END AS name,
-             c_nationkey, c_mktsegment,
-             c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 0.5 ELSE 0.0 END AS bal
-      FROM customer WHERE c_custkey < 600
-    ),
-    pairs AS (
-      SELECT l.key AS l_key, r.key AS r_key, l.name AS l_name,
-             r.name AS r_name,
-             levenshtein(l.name, r.name) <= 1 AS agree_name,
-             abs(l.bal - r.bal) < 1.0 AS agree_bal
-      FROM left_t l JOIN right_t r USING (c_nationkey, c_mktsegment)
-    )
-"""
-
-
 def _linkage_frames(spark: SparkSession, sf_dir: str):
-    """The shared left/right/rules construction behind d_record_linkage,
-    d_linkage_weights, and d_golden_records (mirrors _DUCK_LINKAGE_CTES)."""
-    from polars_view_spark.operators.linkage import FieldRule
-
+    """The ONE left/right/rules construction behind the whole linkage
+    family — d_record_linkage, e_streaming_linkage, d_linkage_weights,
+    d_golden_records (mirrors _DUCK_LINKAGE_CTES).  Returns
+    ``(left, right, rules_fn)`` with ``rules_fn`` a zero-arg factory:
+    Columns are plan fragments, and building them fresh per use keeps
+    the factory picklable for streaming_linkage's foreachBatch."""
     t = load_tables(spark, sf_dir, "customer")
     c = t["customer"].filter(F.col("c_custkey") < 600)
     left = c.select(
@@ -7846,16 +7814,23 @@ def _linkage_frames(spark: SparkSession, sf_dir: str):
             + F.when(F.col("c_custkey") % 5 == 0, 0.5).otherwise(0.0)
         ).alias("bal"),
     )
-    rules = [
-        FieldRule(
-            "name",
-            F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
-            6.0,
-            -2.0,
-        ),
-        FieldRule("bal", F.abs(F.col("l_bal") - F.col("r_bal")) < 1.0, 4.0, -1.0),
-    ]
-    return left, right, rules
+
+    def rules_fn():
+        from polars_view_spark.operators.linkage import FieldRule
+
+        return [
+            FieldRule(
+                "name",
+                F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
+                6.0,
+                -2.0,
+            ),
+            FieldRule(
+                "bal", F.abs(F.col("l_bal") - F.col("r_bal")) < 1.0, 4.0, -1.0
+            ),
+        ]
+
+    return left, right, rules_fn
 
 
 def _d_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7869,9 +7844,9 @@ def _d_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         linkage_score,
     )
 
-    left, right, rules = _linkage_frames(spark, sf_dir)
+    left, right, rules_fn = _linkage_frames(spark, sf_dir)
     scored = linkage_score(
-        left, right, ["c_nationkey", "c_mktsegment"], rules, 8.0
+        left, right, ["c_nationkey", "c_mktsegment"], rules_fn(), 8.0
     ).withColumn("truth", F.col("r_key") - 100000 == F.col("l_key"))
     return estimate_linkage_weights(scored, "truth", ["name", "bal"]).orderBy(
         "field"
@@ -7924,9 +7899,9 @@ def _d_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     entities, so the output covers the whole record set."""
     from polars_view_spark.operators.linkage import golden_records, linkage_score
 
-    left, right, rules = _linkage_frames(spark, sf_dir)
+    left, right, rules_fn = _linkage_frames(spark, sf_dir)
     matches = (
-        linkage_score(left, right, ["c_nationkey", "c_mktsegment"], rules, 8.0)
+        linkage_score(left, right, ["c_nationkey", "c_mktsegment"], rules_fn(), 8.0)
         .filter("is_match")
         .select("l_key", "r_key")
     )

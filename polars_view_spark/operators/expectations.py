@@ -366,7 +366,10 @@ def audited_write(
     ``metrics`` maps output column name → aggregate Column (observe's
     contract: aggregates only, no DISTINCT).  The frame is written to
     ``path`` and the observed values come back as a ONE-ROW DataFrame in
-    the key order given.
+    the key order given — integer aggregates as ``long``, floating ones
+    as ``double``, and NULL where the aggregate is undefined (sum/min/max
+    over an EMPTY write — the zero-row daily increment still gets its
+    audit row instead of a crash).
 
     Scale shape: this is the whole point — ``observe`` piggybacks the
     aggregates on the write job's tasks (a map-side partial per task,
@@ -386,8 +389,13 @@ def audited_write(
     observed.write.mode("overwrite").format(fmt).save(path)
     got = obs.get  # blocks until the write's QueryExecution reports
     spark = df.sparkSession
-    row = tuple(int(got[n]) for n in names)
-    schema = ", ".join(f"{n} long" for n in names)
+    # preserve value types: float aggregates stay double (never silently
+    # truncated), NULLs (empty-input sum/min/max) stay NULL
+    row = tuple(got[n] for n in names)
+    schema = ", ".join(
+        f"{n} double" if isinstance(got[n], float) else f"{n} long"
+        for n in names
+    )
     return spark.createDataFrame(
         spark.sparkContext.parallelize([row], numSlices=1), schema
     )

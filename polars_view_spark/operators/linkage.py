@@ -163,8 +163,11 @@ def estimate_linkage_weights(
         "n_nonmatch",
         "agree_match",
         "agree_nonmatch",
-        "CAST(1000 * agree_match DIV n_match AS BIGINT) AS m_milli",
-        "CAST(1000 * agree_nonmatch DIV n_nonmatch AS BIGINT) AS u_milli",
+        # nullif: a sample with zero matches (or zero non-matches) yields
+        # NULL for that class's probability instead of ANSI DIVIDE_BY_ZERO
+        "CAST(1000 * agree_match DIV nullif(n_match, 0) AS BIGINT) AS m_milli",
+        "CAST(1000 * agree_nonmatch DIV nullif(n_nonmatch, 0) AS BIGINT)"
+        " AS u_milli",
     )
 
 
@@ -188,8 +191,10 @@ def golden_records(
     struct max — never nondeterministic), maximum balance, member count.
 
     Scale shape: CC is O(log diameter) rounds of edge joins (see
-    connected_components); the label join is key-equi (broadcast when the
-    matched set is small, the usual case); survivorship is one groupBy.
+    connected_components); the label join is key-equi — AQE picks
+    broadcast when the matched set is small (the usual case) and falls
+    back to a shuffle join on a heavily-linked corpus, so the hint is
+    deliberately NOT forced; survivorship is one groupBy.
     """
     from polars_view_spark.operators.dedup import connected_components
 
@@ -198,7 +203,7 @@ def golden_records(
     )
     labels = connected_components(edges, "src", "dst")
     labeled = records.join(
-        F.broadcast(labels.withColumnRenamed("v", id_col)),
+        labels.withColumnRenamed("v", id_col),
         id_col,
         "left",
     ).withColumn("entity_id", F.coalesce(F.col("label"), F.col(id_col)))

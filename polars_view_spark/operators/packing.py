@@ -589,7 +589,13 @@ def balanced_shards(
     from pyspark.sql import Window
 
     ws = "[ \\t\\n\\x0B\\f\\r]+"
-    toks = F.size(F.split(F.trim(F.col(text_col)), ws)).cast("long")
+    # NULL text counts as 0 tokens — without the coalesce a NULL n_tokens
+    # poisons the prefix sums (NULL-skipping least() would dump the doc in
+    # the LAST shard, breaking contiguity) and a NULL partition sum breaks
+    # the driver-side offset arithmetic
+    toks = F.coalesce(
+        F.size(F.split(F.trim(F.col(text_col)), ws)).cast("long"), F.lit(0)
+    )
     # pin partition ids exactly as rowindex.py does: the per-partition sum
     # job and the final assignment job must see ONE evaluation of the
     # partition layout

@@ -795,13 +795,18 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     # host validation NULLs out hosts whose top label starts with a digit,
     # while the authority always survives.
     authority = F.lower(F.parse_url(F.col(url_col), F.lit("AUTHORITY")))
-    host = F.regexp_replace(authority, r":[0-9]+$", "")
+    # host = authority minus userinfo and port — anchored regexps, NOT
+    # substring_index: a colon inside userinfo (user:pw@) or an IPv6
+    # literal ([::1]) must never be mistaken for the port separator
+    host = F.regexp_replace(
+        F.regexp_replace(authority, r"^[^@]*@", ""), r":[0-9]+$", ""
+    )
     authority = F.when(
         (scheme == "https") & authority.endswith(":443"),
-        F.substring_index(authority, ":", 1),
+        F.regexp_replace(authority, r":443$", ""),
     ).when(
         (scheme == "http") & authority.endswith(":80"),
-        F.substring_index(authority, ":", 1),
+        F.regexp_replace(authority, r":80$", ""),
     ).otherwise(authority)
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"/index\.html$", "/")

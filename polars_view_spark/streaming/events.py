@@ -654,6 +654,63 @@ def _available_now_sink(
     )
 
 
+def _release_on_termination(spark, frames):
+    """Register (BEFORE ``start()``) a listener that unpersists ``frames``
+    when the caller's query ends (terminated or failed), then deregisters
+    itself — the only end-of-query hook foreachBatch offers.  Registered
+    pre-start so an availableNow query that terminates immediately (empty
+    landing dir) cannot finish before the listener exists; because the
+    target query id is only known after ``start()`` returns, the listener
+    buffers terminations seen while unarmed and ``arm()`` replays them.
+    Callers: ``release_now()`` in the except path around ``start()``,
+    ``arm(str(q.id))`` after it."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Release(StreamingQueryListener):
+        def __init__(self) -> None:
+            import threading
+
+            self._lock = threading.Lock()
+            self._target: str | None = None
+            self._seen: set[str] = set()
+            self._done = False
+
+        def _release(self) -> None:
+            # idempotent: arm() and a late event may both land here
+            if not self._done:
+                self._done = True
+                for f in frames:
+                    f.unpersist()
+                spark.streams.removeListener(self)
+
+        def arm(self, query_id: str) -> None:
+            with self._lock:
+                self._target = query_id
+                if query_id in self._seen:
+                    self._release()
+
+        def release_now(self) -> None:
+            with self._lock:
+                self._release()
+
+        def onQueryStarted(self, event) -> None: ...
+
+        def onQueryProgress(self, event) -> None: ...
+
+        def onQueryIdle(self, event) -> None: ...
+
+        def onQueryTerminated(self, event) -> None:
+            with self._lock:
+                if self._target is None:
+                    self._seen.add(str(event.id))
+                elif str(event.id) == self._target:
+                    self._release()
+
+    listener = _Release()
+    spark.streams.addListener(listener)
+    return listener
+
+
 def streaming_containment_screen(
     docs_stream: DataFrame,
     corpus: DataFrame,
@@ -694,8 +751,6 @@ def streaming_containment_screen(
     back through :func:`read_sink_or_empty` (as the catalog entry does)
     rather than a bare ``spark.read.parquet``.
     """
-    from pyspark.sql.streaming import StreamingQueryListener
-
     from polars_view_spark.operators.dedup import (
         containment_corpus_stats,
         doc_containment_screen,
@@ -714,59 +769,9 @@ def streaming_containment_screen(
     else:
         stats = containment_corpus_stats(corpus, id_col, text_col)
 
-    spark = corpus.sparkSession
-
-    class _ReleaseStats(StreamingQueryListener):
-        """Unpins the corpus tables when THIS query ends (terminated or
-        failed), then deregisters itself — the only end-of-query hook
-        foreachBatch offers.  Registered BEFORE ``start()`` so an
-        availableNow query that terminates immediately (empty landing
-        dir) cannot finish before the listener exists; because the
-        target query id is only known after ``start()`` returns, the
-        listener buffers terminations seen while unarmed and ``arm()``
-        replays them."""
-
-        def __init__(self) -> None:
-            import threading
-
-            self._lock = threading.Lock()
-            self._target: str | None = None
-            self._seen: set[str] = set()
-            self._done = False
-
-        def _release(self) -> None:
-            # idempotent: arm() and a late event may both land here
-            if not self._done:
-                self._done = True
-                stats[0].unpersist()
-                stats[1].unpersist()
-                spark.streams.removeListener(self)
-
-        def arm(self, query_id: str) -> None:
-            with self._lock:
-                self._target = query_id
-                if query_id in self._seen:
-                    self._release()
-
-        def release_now(self) -> None:
-            with self._lock:
-                self._release()
-
-        def onQueryStarted(self, event) -> None: ...
-
-        def onQueryProgress(self, event) -> None: ...
-
-        def onQueryIdle(self, event) -> None: ...
-
-        def onQueryTerminated(self, event) -> None:
-            with self._lock:
-                if self._target is None:
-                    self._seen.add(str(event.id))
-                elif str(event.id) == self._target:
-                    self._release()
-
-    listener = _ReleaseStats()
-    spark.streams.addListener(listener)
+    listener = _release_on_termination(
+        corpus.sparkSession, [stats[0], stats[1]]
+    )
     try:
         q = _available_now_sink(
             docs_stream,
@@ -1234,9 +1239,7 @@ def streaming_linkage(
     """Continuous record linkage: every micro-batch of arriving feed
     records is Fellegi–Sunter-scored (operators/linkage.py) against the
     FIXED master table and the accepted matches land in ``sink_dir`` —
-    the streaming face of ``linkage_score``, completing the
-    build/lookup pattern the ANN and MinHash indexes follow (the master
-    is the persisted state; arrivals only ever join against it).
+    the streaming face of ``linkage_score``.
 
     ``rules_fn`` is a zero-arg callable returning the ``FieldRule`` list
     (Columns are plan fragments — building them fresh per query keeps
@@ -1246,17 +1249,34 @@ def streaming_linkage(
     the union of appended batches equals the one-shot batch linkage of
     the distinct arrivals — the same no-divergence property as
     :func:`streaming_ann_lookup`, with the same per-batch-only dedup
-    caveat.  Per-trigger cost: O(|batch| × block width) — the master
-    side broadcasts (daily-increment shape) and is never self-joined or
-    rescanned beyond the broadcast build.
+    caveat.
+
+    Per-trigger cost and orientation (stated precisely — a 100 TB master
+    cannot broadcast): the ARRIVING BATCH is the broadcast side
+    (``linkage_score``'s ``broadcast_right``), so the master is never
+    shuffled; the master is the probe side, persisted here for the
+    query's lifetime (released on termination via the shared listener)
+    so each trigger probes cached state rather than re-reading the
+    source.  At true 100 TB the production path is a master PARTITIONED
+    BY the blocking key, where the broadcast-hash join's pushed block
+    filter prunes each trigger's probe to the arriving blocks only —
+    the same persisted-index economics as the MinHash/ANN lookups.
     """
     from polars_view_spark.operators.linkage import linkage_score
 
-    return _available_now_sink(
-        arrivals,
-        sink_dir,
-        lambda batch_df: linkage_score(
-            master, batch_df, block_on, rules_fn(), threshold
-        ).filter("is_match"),
-        dedup_col=id_col,
-    )
+    pinned = master.persist()
+    listener = _release_on_termination(master.sparkSession, [pinned])
+    try:
+        q = _available_now_sink(
+            arrivals,
+            sink_dir,
+            lambda batch_df: linkage_score(
+                pinned, batch_df, block_on, rules_fn(), threshold
+            ).filter("is_match"),
+            dedup_col=id_col,
+        )
+    except Exception:
+        listener.release_now()
+        raise
+    listener.arm(str(q.id))
+    return q

@@ -418,3 +418,74 @@ class TestLinkageWeightsAndGolden:
         matches = spark.createDataFrame([(1, 2)], "l_key long, r_key long")
         out = golden_records(records, matches).collect()
         assert len(out) == 1 and out[0]["canonical_name"] == "abd"
+
+
+class TestReviewFixes:
+    """Regression tests for the continuation-session review findings."""
+
+    def test_audited_write_empty_input(self, spark, tmp_path):
+        """A zero-row write still gets its audit row: count 0, undefined
+        aggregates NULL — never a crash after the data already wrote."""
+        from polars_view_spark.operators.expectations import audited_write
+
+        df = spark.range(0).select(F.col("id"), F.col("id").alias("v"))
+        out = audited_write(
+            df,
+            {"n_rows": F.count(F.lit(1)), "sum_v": F.sum("v"),
+             "min_v": F.min("v")},
+            str(tmp_path / "empty_sink"),
+        ).collect()[0]
+        assert out["n_rows"] == 0
+        assert out["sum_v"] is None and out["min_v"] is None
+
+    def test_audited_write_float_metric_not_truncated(self, spark, tmp_path):
+        from polars_view_spark.operators.expectations import audited_write
+
+        df = spark.range(1, 4).select(F.col("id").cast("double").alias("v"))
+        out = audited_write(
+            df, {"avg_v": F.avg("v")}, str(tmp_path / "f_sink")
+        ).collect()[0]
+        assert out["avg_v"] == 2.0
+        assert isinstance(out["avg_v"], float)
+
+    def test_balanced_shards_null_text(self, spark):
+        """NULL text = 0 tokens: stays in id order (never dumped into the
+        last shard) and never crashes the driver offset arithmetic."""
+        from polars_view_spark.operators.packing import balanced_shards
+
+        rows = [(0, None)] + [(i, "w " * 20) for i in range(1, 100)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in balanced_shards(docs, 4).collect()}
+        assert out[0]["n_tokens"] == 0 and out[0]["shard"] == 0
+        shards = [out[i]["shard"] for i in sorted(out)]
+        assert shards == sorted(shards)
+
+    def test_url_canonicalize_userinfo_and_ipv6(self, spark):
+        """Colons before the port (userinfo, IPv6 literal) must never be
+        mistaken for the port separator."""
+        from polars_view_spark.operators.textstats import url_canonicalize
+
+        urls = [
+            (1, "https://user:pw@example.com:443/a"),
+            (2, "https://[2001:db8::1]:443/a"),
+            (3, "https://[2001:db8::1]:8443/a"),
+        ]
+        df = spark.createDataFrame(urls, "doc_id long, url string")
+        got = {
+            r["doc_id"]: (r["canon_url"], r["registered_domain"])
+            for r in url_canonicalize(df).collect()
+        }
+        assert got[1] == ("https://user:pw@example.com/a", "example.com")
+        assert got[2][0] == "https://[2001:db8::1]/a"
+        assert got[3][0] == "https://[2001:db8::1]:8443/a"
+
+    def test_weight_estimation_zero_match_class(self, spark):
+        """No confirmed matches → NULL m_milli, not ANSI DIVIDE_BY_ZERO."""
+        from polars_view_spark.operators.linkage import estimate_linkage_weights
+
+        df = spark.createDataFrame(
+            [(False, True), (False, False)], "truth boolean, agree_f boolean"
+        )
+        r = estimate_linkage_weights(df, "truth", ["f"]).collect()[0]
+        assert r["n_match"] == 0 and r["m_milli"] is None
+        assert r["u_milli"] == 500
