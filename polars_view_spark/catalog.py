@@ -240,9 +240,15 @@ DRIVER_PRIORITY = [
 # x_topic_router, e_streaming_router, q_try_arithmetic,
 # s_margin_bitext_pairs) — all
 # inserted into the window above, each displacing an r03-stamped anchor
-# listed below.  A continuation session then added FOUR more
+# listed below.  A continuation session then added ELEVEN more
 # (x_unicode_normalize, x_url_canonicalize, d_record_linkage,
-# x_observe_audit), displacing the four TPC-H refresh anchors q2/q4/q7/q8.
+# x_observe_audit, e_streaming_linkage, d_nfc_aware_dedup, q_sql_udf,
+# q_collated_group, x_balanced_shards, d_linkage_weights,
+# d_golden_records), displacing the q2/q4/q7/q8 TPC-H,
+# multimodal-resize/framesample, streaming-window, and
+# dedup-apply/clusters refresh anchors.  The window now holds ONLY
+# never-stamped entries plus the flagged d_minhash_incremental — no
+# further adds fit round 7 without costing a first stamp.
 # After CORRECTNESS_r07: every entry except the displaced
 # refresh anchors has a driver row no older than r04, and round 8 owes
 # first refreshes to the displaced list plus the r03 holdouts.

@@ -489,3 +489,42 @@ class TestReviewFixes:
         r = estimate_linkage_weights(df, "truth", ["f"]).collect()[0]
         assert r["n_match"] == 0 and r["m_milli"] is None
         assert r["u_milli"] == 500
+
+
+class TestPlanShapes:
+    def test_linkage_broadcast_join_shape(self, spark):
+        """broadcast_right=True must plan a BroadcastHashJoin (the
+        daily-increment shape: feed broadcast, master never shuffled)."""
+        from polars_view_spark.operators.linkage import FieldRule, linkage_score
+
+        left = spark.createDataFrame(
+            [(1, "a", "US", 1.0)], "id long, name string, country string, bal double"
+        )
+        right = spark.createDataFrame(
+            [(2, "a", "US", 1.0)], "id long, name string, country string, bal double"
+        )
+        rules = [FieldRule("name", F.col("l_name") == F.col("r_name"), 1.0, -1.0)]
+        plan = (
+            linkage_score(left, right, ["country"], rules, 0.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_balanced_shards_no_single_partition_exchange(self, spark):
+        """The prefix-sum must never plan a SinglePartition exchange (the
+        global-window trap the partition-offset technique exists to
+        avoid)."""
+        from polars_view_spark.operators.packing import balanced_shards
+
+        docs = spark.createDataFrame(
+            [(i, "w " * 5) for i in range(50)], "doc_id long, text string"
+        )
+        plan = (
+            balanced_shards(docs, 4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SinglePartition" not in plan
