@@ -79,6 +79,8 @@ def linkage_score(
         raise ValueError("rules must contain at least one FieldRule")
 
     def prefixed(df: DataFrame, tag: str) -> DataFrame:
+        # every non-block column is prefixed — including one already named
+        # "l_x" (it becomes "l_l_x") — so prefixing cannot create duplicates
         cols = [
             F.col(c).alias(c if c in block_on else f"{tag}_{c}")
             for c in df.columns

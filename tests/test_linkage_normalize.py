@@ -528,3 +528,4 @@ class TestPlanShapes:
             .toString()
         )
         assert "SinglePartition" not in plan
+
