@@ -220,3 +220,42 @@ def golden_records(
         )
         .orderBy("entity_id")
     )
+
+
+def weights_from_estimates(
+    estimates: DataFrame,
+    floor_milli: int = 1,
+    cap_milli: int = 999,
+) -> dict[str, tuple[float, float]]:
+    """Close the estimate→score loop: turn ``estimate_linkage_weights``
+    output into per-field (agree_weight, disagree_weight) pairs —
+    ``log2(m/u)`` and ``log2((1−m)/(1−u))`` — ready to plug into
+    :class:`FieldRule`.
+
+    Degenerate probabilities are clamped to [floor_milli, cap_milli]
+    before the log (the standard smoothing: an m of exactly 1.0 or a u of
+    0.0 would give infinite weights), and a NULL class estimate (no
+    labeled matches yet) raises rather than silently producing garbage
+    weights.
+
+    Driver-side by design: the estimates frame is one row per FIELD (a
+    handful), and the returned literals are inlined into the score plan —
+    weights never ride a join.
+    """
+    import math
+
+    rows = estimates.collect()
+    out: dict[str, tuple[float, float]] = {}
+    for r in rows:
+        if r["m_milli"] is None or r["u_milli"] is None:
+            raise ValueError(
+                f"field {r['field']!r} has an empty truth class "
+                "(m/u undefined) — label more pairs before deriving weights"
+            )
+        m = min(max(int(r["m_milli"]), floor_milli), cap_milli) / 1000.0
+        u = min(max(int(r["u_milli"]), floor_milli), cap_milli) / 1000.0
+        out[r["field"]] = (
+            math.log2(m / u),
+            math.log2((1.0 - m) / (1.0 - u)),
+        )
+    return out

@@ -649,3 +649,37 @@ def balanced_shards(
             ).alias("shard"),
         )
     )
+
+
+def write_balanced_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize :func:`balanced_shards`: join the assignment back to
+    the full rows (broadcast — the assignment frame is (id, tokens,
+    shard), tiny relative to the documents) and write
+    ``partitionBy("shard")`` so each training shard IS one directory.
+    Returns the per-shard manifest (docs, tokens) read back from the
+    written dataset — the manifest reflects what is actually on disk,
+    not what the plan intended.
+
+    Scale note: shards are contiguous ``id_col`` ranges, so after
+    balanced_shards' range partitioning the write moves no data between
+    tasks that the range exchange hasn't already co-located; the join is
+    id-keyed and AQE-broadcast.
+    """
+    assigned = balanced_shards(df, n_shards, id_col, text_col)
+    full = df.join(assigned.select(id_col, "n_tokens", "shard"), id_col)
+    full.write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("shard")
+    )

@@ -529,3 +529,53 @@ class TestPlanShapes:
         )
         assert "SinglePartition" not in plan
 
+
+
+class TestLoopClosers:
+    def test_weights_from_estimates_roundtrip(self, spark):
+        """estimate → weights → FieldRule: weights are the log2 ratios of
+        the clamped milli-probabilities, and the degenerate (NULL) class
+        raises instead of producing garbage."""
+        import math
+
+        from polars_view_spark.operators.linkage import (
+            estimate_linkage_weights,
+            weights_from_estimates,
+        )
+
+        rows = [(True, True)] * 9 + [(True, False)] + \
+               [(False, True)] + [(False, False)] * 9
+        df = spark.createDataFrame(rows, "truth boolean, agree_name boolean")
+        est = estimate_linkage_weights(df, "truth", ["name"])
+        w = weights_from_estimates(est)
+        m, u = 0.9, 0.1
+        assert math.isclose(w["name"][0], math.log2(m / u))
+        assert math.isclose(w["name"][1], math.log2((1 - m) / (1 - u)))
+
+        empty = spark.createDataFrame(
+            [(False, True)], "truth boolean, agree_name boolean"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="empty truth class"):
+            weights_from_estimates(
+                estimate_linkage_weights(empty, "truth", ["name"])
+            )
+
+    def test_write_balanced_shards_manifest_matches_disk(self, spark, tmp_path):
+        """The manifest is read back from the WRITTEN dataset: one
+        directory per shard, totals equal the assignment."""
+        import os
+
+        from polars_view_spark.operators.packing import write_balanced_shards
+
+        docs = spark.createDataFrame(
+            [(i, "w " * (i % 9 + 1)) for i in range(120)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "shards")
+        manifest = write_balanced_shards(docs, path, 4).collect()
+        assert [r["shard"] for r in manifest] == [0, 1, 2, 3]
+        assert sum(r["n_docs"] for r in manifest) == 120
+        dirs = {d for d in os.listdir(path) if d.startswith("shard=")}
+        assert dirs == {"shard=0", "shard=1", "shard=2", "shard=3"}
