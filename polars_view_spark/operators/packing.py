@@ -568,7 +568,11 @@ def balanced_shards(
 
     Shard id is a pure function of the GLOBAL ``id_col`` order and token
     counts — independent of partitioning/layout — so the assignment is
-    reproducible run to run (and SQL-expressible for the oracle).
+    reproducible run to run (and SQL-expressible for the oracle).  A
+    document LARGER than the per-shard target legitimately skips shard
+    indices (its prefix jump crosses several target multiples — found by
+    the property fuzz); with any realistic corpus (doc ≪ target) the
+    used shard ids are gap-free 0..n_shards-1.
 
     Returns one row per document: ``(id, n_tokens, shard)``.
 

