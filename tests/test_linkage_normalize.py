@@ -688,3 +688,45 @@ class TestLinkageScorePropertyFuzz:
                 want = (aw1 if r["l_f1"] else dw1) + (aw2 if r["l_f2"] else dw2)
                 assert r["score"] == float(want)
                 assert r["is_match"] == (r["score"] >= 0.0)
+
+
+class TestCollationOracleEquivalence:
+    def test_utf8_lcase_grouping_equals_lower_grouping(self, spark):
+        """q_collated_group's oracle states GROUP BY lower(g) as the
+        DuckDB equivalent of Spark's GROUP BY g COLLATE UTF8_LCASE.  Pin
+        that equivalence on this Spark build — including the classic
+        danger case ß (full ICU case folding would merge it with 'ss';
+        this build's UTF8_LCASE, like lower(), keeps it separate) and a
+        generated mixed-case sample."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        vals: list[str] = ["ß", "ss", "SS", "İ", "x"]
+
+        @settings(
+            max_examples=120,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.text(alphabet="aAbBzZ09éÉ", min_size=1, max_size=6))
+        def collect(s):
+            vals.append(s)
+
+        collect()
+        df = spark.createDataFrame([(v,) for v in vals], "g string")
+        df.createOrReplaceTempView("coll_fuzz")
+        collated = {
+            (r["rep"], r["n"])
+            for r in spark.sql(
+                "SELECT min(g) AS rep, count(*) AS n FROM coll_fuzz "
+                "GROUP BY g COLLATE UTF8_LCASE"
+            ).collect()
+        }
+        lowered = {
+            (r["rep"], r["n"])
+            for r in spark.sql(
+                "SELECT min(g) AS rep, count(*) AS n FROM coll_fuzz "
+                "GROUP BY lower(g)"
+            ).collect()
+        }
+        assert collated == lowered
