@@ -592,7 +592,7 @@ def balanced_shards(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     from pyspark.sql import Window
 
-    ws = "[ \\t\\n\\x0B\\f\\r]+"
+    from polars_view_spark.functions.texthash import _WS_JAVA as ws
     # NULL text counts as 0 tokens — without the coalesce a NULL n_tokens
     # poisons the prefix sums (NULL-skipping least() would dump the doc in
     # the LAST shard, breaking contiguity) and a NULL partition sum breaks
