@@ -730,3 +730,80 @@ class TestCollationOracleEquivalence:
             ).collect()
         }
         assert collated == lowered
+
+
+def test_linkage_full_loop_end_to_end(spark):
+    """The whole entity-resolution loop composes: score with priors →
+    label a sample → estimate m/u → derive weights → re-score with the
+    LEARNED weights → golden records.  The learned weights must separate
+    the planted matches from non-matches at least as well as the priors
+    (threshold at the midpoint of the two learned score populations)."""
+    from polars_view_spark.operators.linkage import (
+        FieldRule,
+        estimate_linkage_weights,
+        golden_records,
+        linkage_score,
+        weights_from_estimates,
+    )
+
+    # balances are 10 apart so only true pairs fall inside the band —
+    # adjacent numeric names (lev 1) still create name-only lookalikes,
+    # which is what the learned bal weight must dominate
+    left = spark.createDataFrame(
+        [(i, f"Name{i:03d}", "B", float(i) * 10.0) for i in range(40)],
+        "key long, name string, blk string, bal double",
+    )
+    right = spark.createDataFrame(
+        [(i + 100, f"Name{i:03d}" + ("x" if i % 2 else ""), "B",
+          float(i) * 10.0 + 0.25) for i in range(40)],
+        "key long, name string, blk string, bal double",
+    )
+
+    def prior_rules():
+        return [
+            FieldRule(
+                "name",
+                F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
+                1.0, -1.0,
+            ),
+            FieldRule(
+                "bal", F.abs(F.col("l_bal") - F.col("r_bal")) < 1.0, 1.0, -1.0
+            ),
+        ]
+
+    scored = linkage_score(left, right, ["blk"], prior_rules(), 99.0)
+    labeled = scored.withColumn(
+        "truth", F.col("r_key") - 100 == F.col("l_key")
+    )
+    est = estimate_linkage_weights(labeled, "truth", ["name", "bal"])
+    w = weights_from_estimates(est)
+    learned = [
+        FieldRule(
+            "name",
+            F.levenshtein(F.col("l_name"), F.col("r_name")) <= 1,
+            *w["name"],
+        ),
+        FieldRule(
+            "bal", F.abs(F.col("l_bal") - F.col("r_bal")) < 1.0, *w["bal"]
+        ),
+    ]
+    rescored = linkage_score(left, right, ["blk"], learned, 0.0).withColumn(
+        "truth", F.col("r_key") - 100 == F.col("l_key")
+    )
+    rows = rescored.select("truth", "score").collect()
+    match_scores = [r["score"] for r in rows if r["truth"]]
+    non_scores = [r["score"] for r in rows if not r["truth"]]
+    # learned weights must rank every true match above every non-match
+    assert min(match_scores) > max(non_scores)
+
+    thr = (min(match_scores) + max(non_scores)) / 2
+    matches = linkage_score(left, right, ["blk"], learned, thr).filter(
+        "is_match"
+    ).select("l_key", "r_key")
+    records = left.select("key", "name", "bal").unionByName(
+        right.select("key", "name", "bal")
+    )
+    golden = golden_records(records, matches).collect()
+    # 40 true entities, every one merged (2 members), none spurious
+    assert len(golden) == 40
+    assert all(r["n_members"] == 2 for r in golden)
