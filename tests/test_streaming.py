@@ -1383,6 +1383,7 @@ def test_streaming_linkage_union_equals_batch(spark, tmp_path):
         .parquet(landing)
     )
     sink = str(tmp_path / "matches")
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     q = streaming_linkage(stream, master, sink, ["country"], rules, 8.0)
     assert q.awaitTermination(300)
 
@@ -1403,3 +1404,15 @@ def test_streaming_linkage_union_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, got.select(key).collect())) == sorted(
         map(tuple, want.select(key).collect())
     )
+    # the termination listener must have released the pinned master: the
+    # persisted-RDD count returns to its pre-query level (compare deltas,
+    # not emptiness — unrelated fixtures' checkpoints may still be alive).
+    # Listener events are delivered asynchronously, so poll briefly.
+    import time
+
+    sc = spark.sparkContext._jsc.sc()
+    for _ in range(40):
+        if sc.getPersistentRDDs().size() <= before:
+            break
+        time.sleep(0.25)
+    assert sc.getPersistentRDDs().size() <= before
