@@ -7377,8 +7377,10 @@ register(
                   ELSE auth END AS auth2,
              regexp_replace(pth, '/index\.html$', '/') AS pth2,
              array_to_string(list_filter(string_split(q, '&'),
-               x -> x <> '' AND x NOT LIKE 'utm_%' AND x NOT LIKE 'ref=%'
-                    AND x NOT LIKE 'fbclid=%' AND x NOT LIKE 'gclid=%'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_')
+                    AND NOT starts_with(x, 'ref=')
+                    AND NOT starts_with(x, 'fbclid=')
+                    AND NOT starts_with(x, 'gclid=')),
                '&') AS cq,
              regexp_extract(regexp_replace(auth, ':[0-9]+$', ''),
                             '([^.]+\.[^.]+)$', 1) AS dom
@@ -7679,7 +7681,7 @@ register(
                 WHEN CAST(l_quantity AS BIGINT) < 30 THEN 'mid'
                 ELSE 'large' END AS band,
            COUNT(*) AS n,
-           SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS net_cents
+           CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS net_cents
     FROM lineitem
     WHERE l_orderkey < 2000
     GROUP BY band
@@ -7772,7 +7774,7 @@ register(
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
       FROM t
     )
-    SELECT least(7, prefix // target) AS shard,
+    SELECT CAST(least(7, prefix // target) AS BIGINT) AS shard,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
     FROM p, tot GROUP BY shard ORDER BY shard

@@ -365,11 +365,13 @@ def audited_write(
 
     ``metrics`` maps output column name → aggregate Column (observe's
     contract: aggregates only, no DISTINCT).  The frame is written to
-    ``path`` and the observed values come back as a ONE-ROW DataFrame in
-    the key order given — integer aggregates as ``long``, floating ones
-    as ``double``, and NULL where the aggregate is undefined (sum/min/max
-    over an EMPTY write — the zero-row daily increment still gets its
-    audit row instead of a crash).
+    ``path`` and the observed values come back as a ONE-ROW DataFrame
+    whose column types are the aggregates' ANALYZED datatypes (taken
+    from ``df.agg(...)``'s schema — a driver-side plan analysis, no
+    job), so a double aggregate stays ``double`` even when an EMPTY
+    write makes observe return NULL for it, and string/boolean
+    aggregates type correctly — the zero-row daily increment still gets
+    its audit row instead of a crash or a silently re-typed column.
 
     Scale shape: this is the whole point — ``observe`` piggybacks the
     aggregates on the write job's tasks (a map-side partial per task,
@@ -384,18 +386,21 @@ def audited_write(
     if not metrics:
         raise ValueError("metrics must name at least one aggregate")
     names = list(metrics)
+    aliased = [metrics[n].alias(n) for n in names]
+    # the metrics row's schema comes from the ANALYZED aggregate types
+    # (df.agg(...).schema is pure driver-side analysis — no job runs),
+    # never from isinstance() checks on the returned Python values: an
+    # empty write returns None for sum/min/max and a runtime-value probe
+    # would degrade double→long (or crash on string/boolean aggregates).
+    from pyspark.sql.types import StructType
+
+    metrics_schema = StructType(df.agg(*aliased).schema.fields)
     obs = Observation("audited_write")
-    observed = df.observe(obs, *[metrics[n].alias(n) for n in names])
+    observed = df.observe(obs, *aliased)
     observed.write.mode("overwrite").format(fmt).save(path)
     got = obs.get  # blocks until the write's QueryExecution reports
     spark = df.sparkSession
-    # preserve value types: float aggregates stay double (never silently
-    # truncated), NULLs (empty-input sum/min/max) stay NULL
     row = tuple(got[n] for n in names)
-    schema = ", ".join(
-        f"{n} double" if isinstance(got[n], float) else f"{n} long"
-        for n in names
-    )
     return spark.createDataFrame(
-        spark.sparkContext.parallelize([row], numSlices=1), schema
+        spark.sparkContext.parallelize([row], numSlices=1), metrics_schema
     )

@@ -244,7 +244,33 @@ def weights_from_estimates(
     """
     import math
 
-    rows = estimates.collect()
+    missing = {"field", "m_milli", "u_milli"} - set(estimates.columns)
+    if missing:
+        raise ValueError(
+            f"estimates frame is missing column(s) {sorted(missing)} — "
+            "expected the output of estimate_linkage_weights"
+        )
+    # bounded probe: one row per FIELD means a handful of rows — a frame
+    # larger than 256 is malformed (e.g. the raw labeled pairs were
+    # passed by mistake) and must fail loudly, not flood the driver.
+    rows = estimates.limit(257).collect()
+    if len(rows) > 256:
+        raise ValueError(
+            "estimates frame has >256 rows — expected one row per field "
+            "(did you pass the labeled-pairs frame instead of "
+            "estimate_linkage_weights output?)"
+        )
+    if not rows:
+        raise ValueError(
+            "estimates frame is empty — run estimate_linkage_weights over "
+            "labeled pairs before deriving weights"
+        )
+    fields = [r["field"] for r in rows]
+    if len(set(fields)) != len(fields):
+        raise ValueError(
+            f"estimates frame has duplicate field rows ({fields}) — "
+            "one row per field is required"
+        )
     out: dict[str, tuple[float, float]] = {}
     for r in rows:
         if r["m_milli"] is None or r["u_milli"] is None:

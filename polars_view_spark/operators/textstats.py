@@ -765,9 +765,11 @@ def nfc_normalize(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 #: query parameters stripped by url_canonicalize: click-tracking noise
-#: that makes one logical page look like many distinct URLs.  LIKE
-#: patterns, evaluated per '&'-separated pair.
-URL_TRACKING_PARAM_PATTERNS = ("utm_%", "ref=%", "fbclid=%", "gclid=%")
+#: that makes one logical page look like many distinct URLs.  Literal
+#: PREFIXES matched with startswith per '&'-separated pair (NOT LIKE
+#: patterns — '_' is a single-char wildcard in LIKE, so 'utm_%' would
+#: also strip unrelated params like 'utmost=1').
+URL_TRACKING_PARAM_PATTERNS = ("utm_", "ref=", "fbclid=", "gclid=")
 
 
 def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -812,7 +814,7 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     path = F.regexp_replace(path, r"/index\.html$", "/")
     query = F.coalesce(F.parse_url(F.col(url_col), F.lit("QUERY")), F.lit(""))
     keep = " AND ".join(
-        f"p NOT LIKE '{pat}'" for pat in URL_TRACKING_PARAM_PATTERNS
+        f"NOT startswith(p, '{pat}')" for pat in URL_TRACKING_PARAM_PATTERNS
     )
     clean_q = F.expr(
         f"array_join(filter(split({{q}}, '&'), p -> p != '' AND {keep}), '&')"

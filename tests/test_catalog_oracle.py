@@ -45,5 +45,23 @@ def test_oracle_match(spark, oracle_con, name):
         # rows-only check, mirroring the driver's weaker gate
         assert spark_df.count() >= 0
         return
-    want = oracle_con.sql(entry.oracle).df()
+    rel = oracle_con.sql(entry.oracle)
+    # Driver-parity typing gate: the driver hashes values WITH their
+    # engine-native types, so a DuckDB column widened to HUGEINT (bare
+    # SUM over BIGINT, integer window sums, //-division of sums) hash-
+    # mismatches Spark's long even when every value is identical — the
+    # exact failure mode of q_sql_udf / x_balanced_shards in r07.  The
+    # local normalize() casts all int kinds to int64 and would hide it,
+    # so reject uncast 128-bit integer oracle columns outright.
+    wide = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in ("HUGEINT", "UHUGEINT", "INT128", "UINT128")
+    ]
+    assert not wide, (
+        f"{name}: oracle column(s) {wide} are 128-bit integers in DuckDB — "
+        "pin them with CAST(... AS BIGINT) or the driver's value-hash will "
+        "mismatch Spark's long"
+    )
+    want = rel.df()
     compare(spark_df, want, name)

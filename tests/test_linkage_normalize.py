@@ -287,9 +287,7 @@ class TestUrlCanonicalizeFuzz:
                 for p in s.query.split("&")
                 if p
                 and not any(
-                    # LIKE 'utm_%' == startswith for these patterns ('_'
-                    # wildcard can only widen, and our params are ASCII)
-                    p.startswith(pat[:-1].replace("\\", ""))
+                    p.startswith(pat)
                     for pat in URL_TRACKING_PARAM_PATTERNS
                 )
             ]
@@ -807,3 +805,81 @@ def test_linkage_full_loop_end_to_end(spark):
     # 40 true entities, every one merged (2 members), none spurious
     assert len(golden) == 40
     assert all(r["n_members"] == 2 for r in golden)
+
+
+class TestRound8AdviceFixes:
+    """Regression tests for the round-7 ADVICE findings fixed in round 8."""
+
+    def test_url_canonicalize_keeps_non_tracking_utm_lookalikes(self, spark):
+        """ADVICE r07: LIKE 'utm_%' treated '_' as a single-char wildcard,
+        so 'utmost=1' / 'utmx=2' were wrongly stripped.  The prefix match
+        must strip only literal utm_* params."""
+        from polars_view_spark.operators.textstats import url_canonicalize
+
+        urls = [
+            (1, "https://example.com/a?utmost=1&q=x"),
+            (2, "https://example.com/a?utmx=2&utm_source=feed&q=x"),
+            (3, "https://example.com/a?reform=1&ref=tw&q=x"),
+        ]
+        df = spark.createDataFrame(urls, "id long, url string")
+        out = {r["id"]: r["canon_url"] for r in url_canonicalize(df).collect()}
+        assert out[1] == "https://example.com/a?utmost=1&q=x"
+        assert out[2] == "https://example.com/a?utmx=2&q=x"
+        assert out[3] == "https://example.com/a?reform=1&q=x"
+
+    def test_audited_write_empty_float_metric_stays_double(self, spark, tmp_path):
+        """ADVICE r07: runtime-value type probes degraded double→long
+        exactly when the write was empty (sum → None).  The schema now
+        comes from the analyzed aggregate types."""
+        from polars_view_spark.operators.expectations import audited_write
+
+        df = spark.range(0).select(F.col("id").cast("double").alias("v"))
+        out = audited_write(
+            df, {"sum_v": F.sum("v"), "n": F.count(F.lit(1))},
+            str(tmp_path / "empty_double_sink"),
+        )
+        assert dict(out.dtypes)["sum_v"] == "double"
+        row = out.collect()[0]
+        assert row["sum_v"] is None and row["n"] == 0
+
+    def test_audited_write_string_and_boolean_metrics(self, spark, tmp_path):
+        """ADVICE r07: string/boolean aggregates failed createDataFrame
+        type verification under the isinstance-based schema."""
+        from polars_view_spark.operators.expectations import audited_write
+
+        df = spark.createDataFrame(
+            [(1, "b"), (2, "a")], "id long, name string"
+        )
+        out = audited_write(
+            df,
+            {"min_name": F.min("name"),
+             "any_big": F.max(F.col("id") > 1)},
+            str(tmp_path / "str_bool_sink"),
+        )
+        assert dict(out.dtypes) == {"min_name": "string", "any_big": "boolean"}
+        row = out.collect()[0]
+        assert row["min_name"] == "a" and row["any_big"] is True
+
+    def test_weights_from_estimates_rejects_malformed_frames(self, spark):
+        """VERDICT r07 task 4: fail loudly on malformed estimate frames
+        instead of deriving garbage weights."""
+        import pytest as _pytest
+
+        from polars_view_spark.operators.linkage import weights_from_estimates
+
+        empty = spark.createDataFrame(
+            [], "field string, m_milli long, u_milli long"
+        )
+        with _pytest.raises(ValueError, match="empty"):
+            weights_from_estimates(empty)
+
+        dup = spark.createDataFrame(
+            [("name", 900, 10), ("name", 800, 20)],
+            "field string, m_milli long, u_milli long",
+        )
+        with _pytest.raises(ValueError, match="duplicate"):
+            weights_from_estimates(dup)
+
+        wrong_cols = spark.createDataFrame([(1,)], "x long")
+        with _pytest.raises(ValueError, match="missing column"):
+            weights_from_estimates(wrong_cols)
