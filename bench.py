@@ -264,11 +264,33 @@ def main() -> None:
     # medians + the engine ratio, ~1.1 KB for the 26 headliners — and the
     # full detail goes to BENCH_local.json for human/judge audit.
     full_line = json.dumps(out)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
-        "w",
-    ) as f:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_local.json"), "w") as f:
         f.write(full_line + "\n")
+    # Per-round detail sidecar (VERDICT r07 task 3): the judge audits
+    # per-query engine ratios from duckdb_queries / scaling_x10, which the
+    # compact stdout line sheds.  The round number is inferred as
+    # 1 + the newest recorded BENCH_r{N}.json — correct when the driver
+    # runs bench.py at end-of-round N before writing BENCH_r{N}.json.
+    # Local iteration runs just keep overwriting the same upcoming-round
+    # file, which is the freshest-data behavior we want anyway.
+    import glob
+    import re as _re
+
+    stamped = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r[0-9]*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    rnd = (max(stamped) if stamped else 0) + 1
+    with open(os.path.join(repo, f"BENCH_detail_r{rnd:02d}.json"), "w") as f:
+        f.write(full_line + "\n")
+    try:
+        from scripts.bench_trend import write_trend
+
+        write_trend(repo)
+    except Exception as ex:  # noqa: BLE001 - trend is additive info
+        print(f"bench_trend skipped: {ex}", file=sys.stderr)
     compact = {
         k: out[k]
         for k in (

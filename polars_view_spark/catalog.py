@@ -145,148 +145,73 @@ def sql_query(
 # anchors for the headline/bench queries.  Demoted entries stay registered
 # and stay covered by the local oracle gate (tests/test_catalog_oracle.py).
 DRIVER_PRIORITY = [
-    # ROUND-7 WINDOW — executes the rotation plan committed in round 6.
-    # (a) the 8 round-7 additions: the persisted-MinHash build/query
-    # split (VERDICT r06 task 3), the distribution-expectations gate
-    # (task 7), and the three later builds extending the persisted-state
-    # theme (streaming MinHash lookup, persisted drift profiles,
-    # containment index).  x_data_expectations (schema widened by task
-    # 7) and d_sorted_neighborhood_pairs (multi-pass upgrade, task 6)
-    # are owed re-stamps and sit in group (b) anyway:
-    "d_minhash_index_query", "x_expectations_distribution",
-    "e_streaming_minhash_lookup", "x_expectations_persisted_drift",
-    "d_containment_index_screen", "e_streaming_expectations",
-    "d_minhash_index_append", "s_ann_index_append",
-    # ...plus the margin-based bitext mining entry added late in round
-    # 7 (takes the window slot x_salted_skew_join held; that r03-stamped
-    # anchor moves to the round-8 holdout list below):
-    "s_margin_bitext_pairs",
-    # ...plus the trained quality classifier and the epoch-shuffle
-    # ordering (they take x_audience_overlap's and x_snapshot_drift's
-    # slots; those r03-stamped sketch anchors join the round-8 holdouts):
-    "x_quality_classifier", "x_epoch_shuffle",
-    # ...plus the streaming face of the persisted classifier and the
-    # cluster-balanced coreset sample (they take x_heavy_hitters' and
-    # x_sketch_rollup's slots — the r03 sketch anchors defer to r08):
-    "e_streaming_quality_score", "x_cluster_balanced_sample",
-    # ...plus the LISTAGG WITHIN GROUP coverage and the warm-start
-    # incremental retrain (they take the q22 and q21 r03 TPC-H anchor
-    # slots, deferred to the round-8 holdouts):
-    "q_listagg", "x_classifier_warm_start",
-    # ...plus the model-filtered training mix and the retrieval-eval
-    # harness (they take q20's and q18's slots; everything displaced is
-    # r03-stamped and rotates back in round 8):
-    "x_model_filtered_mix", "x_retrieval_eval",
-    # ...plus the model-monitoring score-drift gate and curriculum
-    # ordering (they take q17's and q16's slots):
-    "e_streaming_score_drift", "x_curriculum_order",
-    # ...plus the per-source corpus-health card and the multiclass topic
-    # router (they take q15's and q11's slots):
-    "x_source_quality_card", "x_topic_router",
-    # ...plus the streaming face of the router and the ANSI try_*
-    # escape-hatch coverage (they take q10's and q9's slots):
-    "e_streaming_router", "q_try_arithmetic",
-    # ...plus the four continuation-session adds: NFC-normalization
-    # parity, URL canonicalization, Fellegi–Sunter record linkage, and
-    # the observe()-backed write audit (they take the q2/q4/q7/q8
-    # refresh slots; those r03-stamped TPC-H anchors join the round-8
-    # holdouts):
-    "x_unicode_normalize", "x_url_canonicalize",
-    "d_record_linkage", "x_observe_audit",
-    # ...plus the streaming face of linkage (takes x_multimodal_resize's
-    # refresh slot; that r03 anchor joins the round-8 holdouts):
-    "e_streaming_linkage",
-    # ...plus the NFC-aware dedup composition and the Spark 4 SQL-UDF /
-    # collation coverage (they take the x_multimodal_framesample,
-    # e_streaming_sliding, and e_streaming_sessions refresh slots; those
-    # r03 anchors join the round-8 holdouts):
-    "d_nfc_aware_dedup", "q_sql_udf", "q_collated_group",
-    # ...plus token-balanced shard assignment (takes e_streaming_tumbling's
-    # refresh slot; that r03 anchor joins the round-8 holdouts):
-    "x_balanced_shards",
-    # ...plus the linkage-family completion — supervised m/u weight
-    # estimation and golden-record survivorship (they take the
-    # d_dedup_apply and d_dedup_clusters refresh slots; those r03/r04
-    # anchors join the round-8 holdouts — d_minhash_incremental keeps its
-    # slot because the round-6 verdict flagged its bench band):
-    "d_linkage_weights", "d_golden_records",
-    # (b) the 15 late round-6 additions that have never had a driver row
-    # (all green in the local sf0.001+sf0.01 oracle sweeps and included
-    # in the judge's independently-run 834-green round-6 suite):
-    "x_sentence_split_udtf", "s_hybrid_rrf_topk", "x_leakage_safe_split",
-    "s_mmr_rerank", "d_cdc_chunks", "x_incremental_agg",
-    "x_join_explosion_check", "q_pipe_syntax", "q_parameterized_sql",
-    "d_sorted_neighborhood_pairs", "e_streaming_static_join",
-    "x_data_expectations", "e_streaming_ann_lookup",
-    "q_session_variable", "q_lateral_alias",
-    # (c) 26 of the 44 entries whose newest driver row is round 3 — the
-    # oldest stamps in the catalog (streaming windows, multimodal frame
-    # ops, the r03 TPC-H block, dedup cluster/apply + the flagged
-    # d_minhash_incremental, the sketch family).  The 18 deferred
-    # r03-stamp holdouts move to the round-8 window:
-    "d_minhash_incremental",
+    # ROUND-8 WINDOW — executes the rotation plan committed in round 7
+    # (see git history for the full displacement ledger).
+    # (a) everything round 8 changed: the two r07 hash-fails fixed by
+    # pinning the oracles' integer types (VERDICT r07 items 1-2), the
+    # URL canonicalizer whose tracking-param match moved from LIKE
+    # 'utm_%' to literal prefixes (ADVICE r07), and the observe()-backed
+    # write audit whose metrics-row schema now derives from analyzed
+    # aggregate datatypes (ADVICE r07):
+    "q_sql_udf", "x_balanced_shards", "x_url_canonicalize",
+    "x_observe_audit",
+    # (a2) the three round-8 additions, never driver-stamped: int8-code
+    # ANN search (the compute face of x_embedding_quantize), C4-style
+    # within-document line dedup, and the applyInPandasWithState
+    # running-counts flagship (previously pytest-only):
+    "s_ann_quantized_topk", "d_dedup_lines", "e_streaming_running_counts",
+    # (b) VERDICT r07 task 5: q12 variant failed r04, fixed r05, never
+    # re-stamped since:
+    "q12_ship_priority_class",
+    # (c) the refresh anchors displaced late in round 7 (r03/r04 stamps;
+    # q2/q4/q7/q8 TPC-H, multimodal frame ops, streaming windows, dedup
+    # apply/clusters):
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "x_multimodal_resize", "x_multimodal_framesample",
+    "e_streaming_sliding", "e_streaming_sessions", "e_streaming_tumbling",
+    "d_dedup_apply", "d_dedup_clusters",
+    # (d) the r03-stamp holdouts deferred from the round-7 window — the
+    # sketch family and the r03 TPC-H block:
+    "x_salted_skew_join", "x_audience_overlap", "x_snapshot_drift",
+    "x_heavy_hitters", "x_sketch_rollup",
+    "q22_global_sales_opportunity", "q21_suppliers_kept_waiting",
+    "q20_potential_promotion", "q18_large_orders",
+    "q17_small_quantity_revenue", "q16_parts_supplier_counts",
+    "q15_top_supplier", "q11_important_stock", "q10_returned_items",
+    "q9_product_profit",
+    # (e) the remaining r03-stamped entries (splits/chunking, the window
+    # and subquery construct family, layout roundtrips, corpus tooling):
+    "x_train_val_test_split", "x_chunk_documents", "q_window_range_frame",
+    "q_dwell_time", "q_event_funnel", "q_retention_cohorts",
+    "q_exists_correlated", "q_gap_fill_series", "q_group_by_all_values",
+    "q_lateral_subquery", "q_not_in_null_semantics", "q_scalar_subquery",
+    "q_value_histogram", "t_clustered_roundtrip", "x_corpus_card",
+    "x_group_sample",
+    # (f) displaced by the three (a2) adds: the r04 tail fills
+    # d_dedup_exact / d_minhash_lsh_pairs and the r03-stamped
+    # x_outlier_filter roll to the round-9 window.
 ]
-# Everything demoted out of the window is green in CORRECTNESS_r01-r06 and
-# stays covered by the local oracle gate (tests/test_catalog_oracle.py) at
-# sf0.001/0.01/0.1 — the window rotates so every entry gets a driver row.
-# Stamp state entering round 7: 212 catalog entries (204 + the eight
-# round-7 adds in group (a)); CORRECTNESS_r06 landed 50/50 green, so the
-# only entries without a driver row were the fifteen round-6 late adds in
-# group (b).  Fourteen MORE entries landed late in round 7 (the
-# classifier family and friends: x_quality_classifier, x_epoch_shuffle,
-# e_streaming_quality_score, x_cluster_balanced_sample, q_listagg,
-# x_classifier_warm_start, x_model_filtered_mix, x_retrieval_eval,
-# e_streaming_score_drift, x_curriculum_order, x_source_quality_card,
-# x_topic_router, e_streaming_router, q_try_arithmetic,
-# s_margin_bitext_pairs) — all
-# inserted into the window above, each displacing an r03-stamped anchor
-# listed below.  A continuation session then added ELEVEN more
-# (x_unicode_normalize, x_url_canonicalize, d_record_linkage,
-# x_observe_audit, e_streaming_linkage, d_nfc_aware_dedup, q_sql_udf,
-# q_collated_group, x_balanced_shards, d_linkage_weights,
-# d_golden_records), displacing the q2/q4/q7/q8 TPC-H,
-# multimodal-resize/framesample, streaming-window, and
-# dedup-apply/clusters refresh anchors.  The window now holds ONLY
-# never-stamped entries plus the flagged d_minhash_incremental — no
-# further adds fit round 7 without costing a first stamp.
-# After CORRECTNESS_r07: every entry except the displaced
-# refresh anchors has a driver row no older than r04, and round 8 owes
-# first refreshes to the displaced list plus the r03 holdouts.
-# Round-8 rotation should lead with anything round 8 changes or adds,
-# then the deferred r03-stamp holdouts (incl. x_salted_skew_join,
-# x_audience_overlap, x_snapshot_drift, x_heavy_hitters, x_sketch_rollup,
-# q22_global_sales_opportunity, q21_suppliers_kept_waiting,
-# q20_potential_promotion, q18_large_orders, q17_small_quantity_revenue,
-# q16_parts_supplier_counts, q15_top_supplier, q11_important_stock,
-# q10_returned_items, q9_product_profit, and — displaced by the four
-# continuation-session adds (x_unicode_normalize, x_url_canonicalize,
-# d_record_linkage, x_observe_audit) — q2_min_cost_supplier,
-# q4_order_priority, q7_volume_shipping, q8_market_share,
-# x_multimodal_resize, x_multimodal_framesample, e_streaming_sliding,
-# e_streaming_sessions, e_streaming_tumbling, d_dedup_apply,
-# d_dedup_clusters, all displaced
-# late in round 7):
-# x_train_val_test_split, x_chunk_documents, q_window_range_frame,
-# q_dwell_time, q_event_funnel,
-# q_retention_cohorts,
-# q_exists_correlated, q_gap_fill_series, q_group_by_all_values,
-# q_lateral_subquery, q_not_in_null_semantics, q_scalar_subquery,
-# q_value_histogram, t_clustered_roundtrip, x_corpus_card,
-# x_group_sample, x_outlier_filter, x_salted_skew_join —
-# then fill with the oldest r04 stamps (46 entries:
-# d_dedup_by_fingerprint, d_dedup_exact, d_minhash_lsh_pairs,
-# d_ngram_jaccard_pairs, d_semantic_dedup, d_simhash, e_asof_join,
-# e_json_extract, e_range_join, e_rollup_pyramid, e_sessionize,
-# e_streaming_join, e_tumbling_agg, the q13/q14/q19/q1/q21sp/q3/q5/q6
-# TPC-H block, q_approx_aggregates, q_count_distinct, q_having_alias,
-# q_semi_anti_join, q_window_running, q_window_topn,
-# s_ann_bruteforce_topk, s_ann_ivf_topk, t_compact_roundtrip,
-# t_corrupt_quarantine, t_csv_gz_roundtrip, t_pipeline_full,
-# t_schema_evolution, x_bigram_pmi, x_fingerprint, x_gopher_quality,
-# x_grouped_rank_pandas, x_kmeans_clusters, x_lang_id,
+# Everything demoted out of the window is green at its latest driver stamp
+# (CORRECTNESS_r01-r07; 236/238 green entering round 8, and the two reds are
+# the (a)-group oracle-typing fixes above) and stays covered by the local
+# oracle gate (tests/test_catalog_oracle.py) at sf0.001/0.01/0.1 — the
+# window rotates so every entry gets a driver refresh.  Stamp state entering
+# round 8: all 238 entries have at least one driver row; the oldest stamps
+# are r03 (the (c)/(d)/(e) groups above, ~44 entries) and r04 (46 entries:
+# d_dedup_by_fingerprint, d_minhash_lsh_pairs, d_ngram_jaccard_pairs,
+# d_semantic_dedup, d_simhash, e_asof_join, e_json_extract, e_range_join,
+# e_rollup_pyramid, e_sessionize, e_streaming_join, e_tumbling_agg, the
+# q13/q14/q19/q1/q21sp/q3/q5/q6 TPC-H block, q_approx_aggregates,
+# q_count_distinct, q_having_alias, q_semi_anti_join, q_window_running,
+# q_window_topn, s_ann_bruteforce_topk, s_ann_ivf_topk,
+# t_compact_roundtrip, t_corrupt_quarantine, t_csv_gz_roundtrip,
+# t_pipeline_full, t_schema_evolution, x_bigram_pmi, x_fingerprint,
+# x_gopher_quality, x_grouped_rank_pandas, x_kmeans_clusters, x_lang_id,
 # x_profile_columns, x_quality_score, x_tfidf_top_terms, x_token_count,
-# x_training_mix_e2e, x_winnow_fingerprints); the remainder roll to
-# round 9.
+# x_training_mix_e2e, x_winnow_fingerprints).
+# Round-9 rotation: lead with anything round 9 changes or adds, then the
+# r03 remainder not covered by this window, then the r04 block above
+# (oldest first).
 
 
 def entries() -> dict[str, CatalogEntry]:

@@ -7945,3 +7945,173 @@ register(
     """,
     tables=("customer",),
 )(_d_golden_records)
+
+
+# --------------------------------------------------------------------------
+# round 8: quantized ANN search, C4 line dedup, stateful running counts
+# --------------------------------------------------------------------------
+
+
+def _s_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k scored directly on int8-quantized codes
+    (operators/similarity.py:quantized_topk) — the compute face of
+    x_embedding_quantize: cosine is scale-invariant, so the per-vector
+    quantization scale cancels and the codes rank without dequantization.
+    At 100 TB this shrinks the broadcast/shuffle payload 4x vs float32 and
+    swaps the distance kernel to integer SIMD; recall vs the float
+    baseline is pinned by pytest (test_quantized_topk_recall_vs_float).
+    Same plan shape as brute force: queries broadcast, zero corpus
+    shuffles.  The oracle re-derives the identical codes (the
+    x_embedding_quantize quantizer, epsilon-pinned round) and ranks on the
+    same 6-decimal-rounded integer-code cosine."""
+    from polars_view_spark.operators.similarity import quantized_topk
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    out = quantized_topk(e, e.filter(F.col("vec_id") < ANN_N_QUERIES), k=ANN_K)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+register(
+    "s_ann_quantized_topk",
+    oracle=f"""
+    WITH coded AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(round({_QUANT_DUCK_X} *
+                 (CASE WHEN {_QUANT_DUCK_MAXABS} = 0.0 THEN 1.0
+                       ELSE 127.0 / {_QUANT_DUCK_MAXABS} END) + 1e-9)
+                 AS INTEGER)) AS q
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS query_id, q AS qv FROM coded
+           WHERE vec_id < {ANN_N_QUERIES}),
+    cs AS (SELECT vec_id AS neighbor_id, q AS cv FROM coded),
+    s AS (SELECT query_id, neighbor_id,
+                 round({duck_cosine_sql("qv", "cv")}, 6) AS score
+          FROM qs, cs WHERE query_id != neighbor_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+    SELECT query_id, neighbor_id, score, rank FROM r
+    WHERE rank <= {ANN_K} ORDER BY query_id, rank
+    """,
+    tables=("embeddings",),
+)(_s_ann_quantized)
+
+
+def _d_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style within-document line deduplication
+    (operators/textstats.py:dedup_lines, Raffel et al. arXiv:1910.10683:
+    keep one occurrence of each line per page).  Multi-line text is
+    synthesized deterministically from the documents table — three fixed
+    40-char windows with the first line REPEATED, so every doc exercises
+    the drop-and-preserve-order path — then deduped with the pure
+    array-fold projection (zero shuffles, O(lines^2) per DOCUMENT, never
+    per corpus).  The oracle re-derives first-occurrence-per-line with
+    unnest + min(ordinal) + ordered string_agg."""
+    from polars_view_spark.operators.textstats import dedup_lines
+
+    t = load_tables(spark, sf_dir, "documents")
+    raw = (
+        t["documents"]
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.expr("substring(text, 1, 40)"),
+                F.expr("substring(text, 41, 40)"),
+                F.expr("substring(text, 1, 40)"),
+                F.expr("substring(text, 81, 40)"),
+            ).alias("text"),
+        )
+    )
+    out = dedup_lines(raw)
+    return out.select(
+        "doc_id",
+        F.md5("text_deduped").alias("dedup_md5"),
+        F.col("n_dup_lines"),
+    ).orderBy("doc_id")
+
+
+register(
+    "d_dedup_lines",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             substring(text, 1, 40) || chr(10) || substring(text, 41, 40)
+               || chr(10) || substring(text, 1, 40) || chr(10)
+               || substring(text, 81, 40) AS text
+      FROM documents WHERE doc_id < 500
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS ord
+      FROM raw
+    ),
+    firsts AS (
+      SELECT doc_id, line, min(ord) AS ord
+      FROM lines GROUP BY doc_id, line
+    )
+    SELECT l.doc_id,
+           md5((SELECT string_agg(f.line, chr(10) ORDER BY f.ord)
+                FROM firsts f WHERE f.doc_id = l.doc_id)) AS dedup_md5,
+           CAST(count(*) - (SELECT count(*) FROM firsts f
+                            WHERE f.doc_id = l.doc_id) AS BIGINT)
+             AS n_dup_lines
+    FROM lines l GROUP BY l.doc_id ORDER BY l.doc_id
+    """,
+    tables=("documents",),
+)(_d_dedup_lines)
+
+
+def _e_streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState flagship driver-gated: per-user running
+    event count + last-seen (streaming/events.py:streaming_running_counts,
+    GroupState with explicit timeout, Arrow-batched pandas per
+    micro-batch), drained with ``availableNow`` into an update-mode memory
+    sink.  Update mode emits one row per (user, batch-that-changed-it);
+    counts are MONOTONIC, so max() per user recovers the final state —
+    multi-batch-robust without assuming a batch count.  Checkpoint
+    recovery for this exact operator (kill + restart, state restored from
+    the state store) is pinned by
+    test_stateful_recovery_restores_state_after_restart."""
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_running_counts,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_memory(
+        streaming_running_counts(stream),
+        "e_streaming_running_counts_sink",
+        output_mode="update",
+        state_partitions=8,
+    )
+    return (
+        spark.table("e_streaming_running_counts_sink")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.date_format(F.max("last_seen"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_seen"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    "e_streaming_running_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tables=("events",),
+)(_e_streaming_running_counts)
