@@ -18,6 +18,35 @@ def _names():
     return sorted(_catalog())
 
 
+def _type_kind(s: str) -> str:
+    """Collapse an engine type name to a comparable kind: integer widths
+    are equivalent (the driver normalizes int32/int64), but int-vs-float,
+    decimal-vs-double, string-vs-number, list-vs-scalar are not."""
+    u = s.upper()
+    if u in (
+        "BIGINT", "INT", "INTEGER", "SMALLINT", "TINYINT",
+        "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+    ):
+        return "int"
+    if u in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if u.startswith("DECIMAL"):
+        return "decimal"
+    if u in ("STRING", "VARCHAR"):
+        return "str"
+    if u == "BOOLEAN":
+        return "bool"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    if u == "DATE":
+        return "date"
+    if u.startswith("ARRAY") or u.endswith("[]") or u.startswith("LIST"):
+        return "list"
+    if u in ("BINARY", "BLOB"):
+        return "bytes"
+    return u
+
+
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duck_con(SF_CORRECT)
@@ -63,5 +92,16 @@ def test_oracle_match(spark, oracle_con, name):
         "pin them with CAST(... AS BIGINT) or the driver's value-hash will "
         "mismatch Spark's long"
     )
+    # Type-KIND parity (swept clean over all entries in round 8): an
+    # int-vs-float / decimal-vs-double / string-vs-number divergence
+    # between the engines is a latent driver hash mismatch even when the
+    # local value compare (which casts both sides) passes.
+    skinds = {f.name: _type_kind(f.dataType.simpleString()) for f in spark_df.schema.fields}
+    dkinds = {c: _type_kind(str(t)) for c, t in zip(rel.columns, rel.types)}
+    assert set(skinds) == set(dkinds), (
+        f"{name}: column sets differ spark={sorted(skinds)} oracle={sorted(dkinds)}"
+    )
+    kind_bad = {c: (skinds[c], dkinds[c]) for c in skinds if skinds[c] != dkinds[c]}
+    assert not kind_bad, f"{name}: type-kind mismatch {kind_bad}"
     want = rel.df()
     compare(spark_df, want, name)

@@ -959,3 +959,20 @@ def test_sentence_udtf_plan_no_shuffle(spark):
     plan = plan_of(sentence_table(docs))
     assert "PythonUDTF" in plan, plan[:2000]
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_quantized_topk_broadcasts_queries_no_python(spark):
+    """Int8-code ANN (s_ann_quantized_topk): quantization is pure codegen
+    array lambdas fused into both scans, the query side is BROADCAST
+    (corpus never shuffles), and nothing falls back to Python eval — the
+    4x-smaller broadcast payload is the whole point at 100 TB."""
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.similarity import quantized_topk
+
+    from pyspark.sql import functions as F
+
+    e = load_tables(spark, SF, "embeddings")["embeddings"]
+    plan = plan_of(quantized_topk(e, e.filter(F.col("vec_id") < 5), k=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
