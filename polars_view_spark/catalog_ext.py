@@ -8115,3 +8115,144 @@ register(
     """,
     tables=("events",),
 )(_e_streaming_running_counts)
+
+
+def _q_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``IDENTIFIER()`` clause: table AND column names bound from
+    parameter markers — the injection-safe dynamic-identifier surface
+    (templated per-tenant/per-date queries pick their table at execution
+    without string-splicing SQL).  The identifier resolves at parse time,
+    so the plan is identical to the static query — Catalyst pushdown and
+    pruning are unaffected; the oracle states the resolved static SQL."""
+    load_tables(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:seg_col) AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS sum_bal
+        FROM IDENTIFIER(:tbl)
+        WHERE c_acctbal > :floor
+        GROUP BY IDENTIFIER(:seg_col)
+        ORDER BY segment
+        """,
+        args={"tbl": "customer", "seg_col": "c_mktsegment", "floor": 0.0},
+    )
+
+
+register(
+    "q_identifier_clause",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer
+    WHERE c_acctbal > 0.0
+    GROUP BY c_mktsegment ORDER BY segment
+    """,
+    tables=("customer",),
+)(_q_identifier_clause)
+
+
+def _d_url_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL-key exact dedup — the composition the URL
+    canonicalizer exists FOR: raw crawl URLs (case noise, default ports,
+    ``/index.html`` tails, tracking params, fragments — the same
+    deterministic synthesis as x_url_canonicalize, here with doc_id%6
+    collapsing six raw variants per logical page) group on ``canon_url``
+    and keep the minimum doc_id per page.  Scale shape: canonicalization
+    is pure codegen riding the scan; the dedup is ONE keyed shuffle on
+    the canonical key — without canonicalization the same corpus
+    over-counts 6x and every per-domain cap misfires."""
+    from polars_view_spark.operators.textstats import url_canonicalize
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].filter(F.col("doc_id") < 600)
+    page = (F.col("doc_id") % 6).cast("string")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+                F.lit("https://")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("WWW")).otherwise(
+                F.lit("www")
+            ),
+            F.lit(".example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/page/"),
+            page,
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/index.html")).otherwise(
+                F.lit("/")
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed")
+            ).otherwise(F.lit("?id=1")),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    canon = url_canonicalize(raw, "url")
+    return (
+        canon.groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+        )
+        .orderBy("canon_url")
+    )
+
+
+register(
+    "d_url_exact_dedup",
+    oracle=r"""
+    WITH r AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN 'WWW' ELSE 'www' END)
+             || '.example.com'
+             || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+             || '/page/' || CAST(doc_id % 6 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '/index.html' ELSE '/' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed'
+                      ELSE '?id=1' END)
+             || '#frag' AS url
+      FROM documents WHERE doc_id < 600
+    ),
+    p AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS auth,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS pth,
+             regexp_extract(url, '\?([^#]*)', 1) AS q
+      FROM r
+    ),
+    c AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'https' AND auth LIKE '%:443'
+                    THEN substring(auth, 1, length(auth) - 4)
+                  WHEN scheme = 'http' AND auth LIKE '%:80'
+                    THEN substring(auth, 1, length(auth) - 3)
+                  ELSE auth END AS auth2,
+             regexp_replace(pth, '/index\.html$', '/') AS pth2,
+             array_to_string(list_filter(string_split(q, '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_')
+                    AND NOT starts_with(x, 'ref=')
+                    AND NOT starts_with(x, 'fbclid=')
+                    AND NOT starts_with(x, 'gclid=')),
+               '&') AS cq
+      FROM p
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || auth2 || pth2 ||
+             CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canon_url
+      FROM c
+    )
+    SELECT canon_url,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc,
+           CAST(count(*) AS BIGINT) AS n_variants
+    FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    tables=("documents",),
+)(_d_url_exact_dedup)
