@@ -976,3 +976,18 @@ def test_quantized_topk_broadcasts_queries_no_python(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_exact_dedup_single_shuffle_no_python(spark, cat):
+    """Canonical-URL dedup (d_url_exact_dedup): canonicalization is pure
+    codegen riding the scan; the whole entry costs ONE keyed shuffle (the
+    canon_url aggregate; orderBy rides a final sort for display) and never
+    touches Python."""
+    plan = plan_of(cat["d_url_exact_dedup"].spark_fn(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one hashpartitioning exchange for the groupBy; rangepartitioning for
+    # the display sort is tolerated
+    import re as _re
+
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) == 1, plan
