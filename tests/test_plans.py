@@ -813,6 +813,10 @@ CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "q_approx_aggregates": "1-row scalar approx-aggregate subquery broadcast",
     "q_cross_join": "deliberate CROSS JOIN entry over two tiny dims (region heads)",
     "s_ann_bruteforce_topk": "query set broadcast by design (baseline scorer)",
+    "s_ann_quantized_topk": "query set broadcast by design, 4x smaller than "
+    "the float baseline's (int8 codes — similarity.py:quantized_topk "
+    "docstring); the scale path composes the same codes with lsh_topk/IVF "
+    "candidate generation",
     "s_two_tower_text_topk": "bounded query-tower vectors broadcast by design "
     "(exact-scoring baseline; the scale path swaps in lsh_topk/IVF candidates "
     "with the same scoring tail — retrieval.py:two_tower_topk docstring)",
