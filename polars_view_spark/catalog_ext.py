@@ -2012,9 +2012,9 @@ def _s_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
-register(
-    "s_ann_bruteforce_topk",
-    oracle=f"""
+# shared by s_ann_bruteforce_topk and s_ann_recall_eval (the recall
+# entry embeds both the exact and the IVF rankings as subqueries)
+_BRUTE_TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
                WHERE vec_id < {ANN_N_QUERIES}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -2025,7 +2025,11 @@ register(
                     ORDER BY score DESC, neighbor_id) AS rank FROM s)
     SELECT query_id, neighbor_id, score, rank FROM r
     WHERE rank <= {ANN_K} ORDER BY query_id, rank
-    """,
+    """
+
+register(
+    "s_ann_bruteforce_topk",
+    oracle=_BRUTE_TOPK_ORACLE,
     tables=("embeddings",),
 )(_s_ann_brute)
 
@@ -8256,3 +8260,78 @@ register(
     """,
     tables=("documents",),
 )(_d_url_exact_dedup)
+
+
+def _s_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@k vs the exact baseline, self-measured in-engine: the
+    IVF-flat retriever's top-k (s_ann_ivf_topk's exact configuration) is
+    intersected per query with brute-force top-k, yielding integer
+    ``n_overlap`` and ``recall_ppm = (n_overlap·10⁶) // k`` — the number
+    every ANN deployment must monitor, produced as exact integers so both
+    engines agree bit-for-bit.  A query the approximate retriever missed
+    entirely still gets its zero row (left join from the exact side).
+
+    Scale shape: both retrievals are the already-gated plans (queries
+    broadcast / cell-probed); the evaluation itself is one equi-join of
+    two O(queries·k) frames — corpus-independent, the same discipline as
+    retrieval_eval.  At 100 TB you run this on a SAMPLE of queries
+    against the production index to watch recall drift as the corpus
+    grows (pair with e_streaming_score_drift for the monitoring face)."""
+    from polars_view_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_flat_topk,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < ANN_N_QUERIES)
+    ivf = ivf_flat_topk(
+        e, q, k=ANN_K, seed_mod=IVF_SEED_MOD, n_probe=IVF_N_PROBE,
+        scale=IVF_SCALE, max_seeds=IVF_MAX_SEEDS,
+    ).select("query_id", "neighbor_id")
+    brute = brute_force_topk(e, q, k=ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    overlap = (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)) * F.lit(1_000_000)
+                / F.lit(ANN_K)
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+register(
+    "s_ann_recall_eval",
+    oracle=f"""
+    WITH ivf AS (SELECT query_id, neighbor_id
+                 FROM ({_IVF_TOPK_ORACLE}) t),
+    brute AS (SELECT query_id, neighbor_id
+              FROM ({_BRUTE_TOPK_ORACLE}) t),
+    ov AS (
+      SELECT b.query_id,
+             CAST(count(i.neighbor_id) AS BIGINT) AS n_overlap
+      FROM brute b LEFT JOIN ivf i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT query_id, n_overlap,
+           CAST((n_overlap * 1000000) // {ANN_K} AS BIGINT) AS recall_ppm
+    FROM ov ORDER BY query_id
+    """,
+    tables=("embeddings",),
+)(_s_ann_recall_eval)

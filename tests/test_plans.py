@@ -813,6 +813,10 @@ CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "q_approx_aggregates": "1-row scalar approx-aggregate subquery broadcast",
     "q_cross_join": "deliberate CROSS JOIN entry over two tiny dims (region heads)",
     "s_ann_bruteforce_topk": "query set broadcast by design (baseline scorer)",
+    "s_ann_recall_eval": "embeds the brute-force baseline (bounded query "
+    "broadcast, its documented reason) as the exact side of the recall "
+    "intersection; the eval join itself is a bounded O(queries*k) equi-join "
+    "— catalog_ext.py:_s_ann_recall_eval docstring",
     "s_ann_quantized_topk": "query set broadcast by design, 4x smaller than "
     "the float baseline's (int8 codes — similarity.py:quantized_topk "
     "docstring); the scale path composes the same codes with lsh_topk/IVF "
