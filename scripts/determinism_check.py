@@ -14,10 +14,10 @@ Usage (each conf needs its own process for a fresh JVM):
     python scripts/determinism_check.py b        # conf B -> /tmp/det_b.json
     python scripts/determinism_check.py compare  # exit 1 on any mismatch
 
-Last run (continuation-session r07 window: the 9 continuation adds —
-NFC/URL canonicalization, record linkage + streaming face, observe
-audit, balanced shards, SQL UDF, collation — displaced the remaining
-r03 refresh anchors to the round-8 holdouts; sf0.01, idle box):
+Last run (round-8 window: the six round-8 adds — quantized ANN, line
+dedup, stateful running counts, IDENTIFIER(), canonical-URL dedup, ANN
+recall eval — plus the fixed q_sql_udf/x_balanced_shards oracles and
+the displaced-anchor refreshes; sf0.01, idle box):
 checked 50 entries, mismatches: 0.
 """
 

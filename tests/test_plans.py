@@ -999,3 +999,54 @@ def test_url_exact_dedup_single_shuffle_no_python(spark, cat):
 
     hash_exchanges = _re.findall(r"Exchange hashpartitioning", plan)
     assert len(hash_exchanges) == 1, plan
+
+
+def test_countmin_sketch_properties_and_plan(spark):
+    """Count-Min (x_countmin_sketch): (1) the sketch NEVER underestimates —
+    for EVERY distinct token, min-over-rows ≥ the exact count; (2) the
+    sketch is mergeable — counters over A∪B equal the cell-wise sum of the
+    two halves' counters (the partial-combine contract that makes it one
+    aggregate at 100 TB); (3) the build is JVM-side (no Python) with
+    map-side partial aggregation, and estimation broadcasts the sketch."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.sketches import (
+        countmin_estimates,
+        countmin_sketch,
+    )
+    from polars_view_spark.functions.texthash import tokens_expr
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    sketch = countmin_sketch(d)
+
+    # (1) every-token property, not just the entry's top-15 probe set
+    exact = (
+        d.select(F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    est = countmin_estimates(sketch, exact)
+    n_bad = est.filter(F.col("cm_est") < F.col("n_exact")).count()
+    assert n_bad == 0
+
+    # (2) mergeability: cell-wise sum of the halves == whole
+    a = countmin_sketch(d.filter(F.col("doc_id") % 2 == 0))
+    b = countmin_sketch(d.filter(F.col("doc_id") % 2 == 1))
+    merged = (
+        a.select("j", "bucket", "c")
+        .unionAll(b.select("j", "bucket", "c"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    whole = {(r["j"], r["bucket"]): r["c"] for r in sketch.collect()}
+    got = {(r["j"], r["bucket"]): r["c"] for r in merged.collect()}
+    assert got == whole and len(whole) > 0
+
+    # (3) plan gates
+    build_plan = plan_of(sketch)
+    assert "BatchEvalPython" not in build_plan and "ArrowEvalPython" not in build_plan
+    assert len(re.findall(r"HashAggregate", build_plan)) >= 2  # partial+final
+    est_plan = plan_of(est)
+    assert "BroadcastHashJoin" in est_plan
+    assert "CartesianProduct" not in est_plan
