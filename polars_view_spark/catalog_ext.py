@@ -8433,3 +8433,86 @@ register(
     """,
     tables=("documents",),
 )(_x_countmin_sketch)
+
+
+def _e_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join driver-gated
+    (streaming/events.py:streaming_click_outcomes): clicks pair with
+    errors in the following 10 minutes, and clicks with NO such error
+    emit NULL error columns once the watermark proves absence.  Outer
+    results are inherently late by the watermark delay — they emit in
+    the batch whose STARTING watermark passes the click's join horizon —
+    so the finite drain appends two far-future sentinel batches (one to
+    advance both sides' watermarks past the real data, one to flush the
+    resulting evictions); sentinels carry user_id = -1 and are excluded
+    from the result.  With that, the drained stream equals the batch
+    LEFT JOIN, giving the outer join a full value-hash oracle."""
+    import datetime
+    import os
+    import shutil
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_click_outcomes,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    scratch = _scratch_dir("outer_join", sf_dir)
+    stage = os.path.join(scratch, "stage")
+    stream_dir = os.path.join(scratch, "stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "f0"))
+    for i in (1, 2):
+        sent_ts = max_ts + datetime.timedelta(days=10 * i)
+        rows = [
+            (-(100 + 10 * i + k), sent_ts, -1, et, 0.0, "")
+            for k, et in enumerate(("click", "error"))
+        ]
+        spark.createDataFrame(rows, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, f"f{i}"))
+    import glob as _glob
+    import time as _time
+
+    base = int(_time.time()) - 100
+    for i in range(3):
+        part = _glob.glob(os.path.join(stage, f"f{i}", "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+        shutil.copy(part, dst)
+        # file-source batch order follows modification time — pin it
+        os.utime(dst, (base + i, base + i))
+
+    stream = read_event_stream(spark, stream_dir)
+    run_stream_to_memory(
+        streaming_click_outcomes(stream),
+        "e_streaming_outer_join_sink",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return (
+        spark.table("e_streaming_outer_join_sink")
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "click_id", "error_id")
+    )
+
+
+register(
+    "e_streaming_outer_join",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           e.event_id AS error_id,
+           CAST(floor(epoch(e.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON e.user_id = c.user_id
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    ORDER BY c.user_id, click_id, error_id
+    """,
+    tables=("events",),
+)(_e_streaming_outer_join)

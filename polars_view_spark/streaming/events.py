@@ -1280,3 +1280,63 @@ def streaming_linkage(
         raise
     listener.arm(str(q.id))
     return q
+
+
+def streaming_click_outcomes(
+    events: DataFrame,
+    max_gap_minutes: int = 10,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every ``click`` paired
+    with each ``error`` by the same user within the FOLLOWING
+    ``max_gap_minutes`` — and clicks with NO such error still emit, with
+    NULL error columns, once the watermark passes their join horizon.
+
+    This is the semantics the inner join (streaming_error_after_click)
+    cannot express: "which interactions concluded cleanly" requires the
+    engine to PROVE absence, which it can only do after event time
+    ``click_ts + gap`` is watermark-expired — so unmatched results are
+    inherently late by the watermark delay, and they emit in the
+    micro-batch whose starting watermark first exceeds that horizon (not
+    the batch that buffered them).  State for both sides evicts on the
+    same schedule, which is what keeps the join runnable forever.
+
+    Caller contract for finite drains: the LAST real row's unmatched
+    result only emits if a later batch advances the watermark past it —
+    a live stream does this naturally; a backfill appends a sentinel
+    (the catalog entry synthesizes two, one to advance the watermark
+    past the real data and one to flush the evictions)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (
+            F.col("error_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        )
+    )
+    return clicks.join(errors, cond, "leftOuter").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        (
+            F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts")
+        ).alias("gap_sec"),
+    )

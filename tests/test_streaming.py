@@ -1547,3 +1547,75 @@ def test_stateful_recovery_restores_state_after_restart(spark, tmp_path):
     )
     got = {tuple(r) for r in latest.collect()}
     assert got == want
+
+
+def test_streaming_outer_join_emits_unmatched_and_needs_watermark_advance(
+    spark, tmp_path
+):
+    """LEFT OUTER stream-stream join: (a) the catalog entry's sentinel
+    harness makes the drained stream equal the batch LEFT JOIN, including
+    NULL-error rows for clicks that concluded cleanly; (b) the negative
+    control — WITHOUT a watermark-advancing later batch, the engine
+    cannot prove absence and emits NO unmatched rows (the contract the
+    entry's sentinels exist to satisfy)."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.catalog import entries, load_tables
+    from polars_view_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_click_outcomes,
+    )
+
+    # (a) entry equals batch
+    got = entries()["e_streaming_outer_join"].spark_fn(spark, SF)
+    ev = load_tables(spark, SF, "events")["events"]
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = ev.filter("event_type = 'error'").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    want = clicks.join(errors, cond, "leftOuter").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        (F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts")).alias(
+            "gap_sec"
+        ),
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    want_set = {tuple(r) for r in want.collect()}
+    assert got_set == want_set
+    assert any(r[2] is None for r in got_set), "no unmatched clicks emitted"
+
+    # (b) negative control: WITHOUT the sentinel batches, availableNow's
+    # final watermark advance (max real ts - 1 h) still leaves every
+    # click inside the trailing watermark+gap horizon unprovable — those
+    # unmatched rows never emit, so the drain is a strict SUBSET of the
+    # batch truth.  The entry's sentinels exist to close exactly this
+    # gap.
+    src = tmp_path / "oj_neg"
+    ev.coalesce(1).write.parquet(str(src))
+    stream = read_event_stream(spark, str(src))
+    run_stream_to_memory(
+        streaming_click_outcomes(stream),
+        "oj_neg_sink",
+        output_mode="append",
+        state_partitions=8,
+    )
+    neg_set = {tuple(r) for r in spark.table("oj_neg_sink").collect()}
+    assert neg_set < want_set, "sentinel-less drain should be a strict subset"
+    missing = want_set - neg_set
+    assert missing and all(r[2] is None for r in missing), (
+        "exactly the trailing unmatched clicks should be missing"
+    )
