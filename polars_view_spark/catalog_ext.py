@@ -8516,3 +8516,98 @@ register(
     """,
     tables=("events",),
 )(_e_streaming_outer_join)
+
+
+_LPA_IT = """
+  vote{n} AS MATERIALIZED (
+    SELECT e.a AS v, r.label AS nl, SUM(e.w) AS s
+    FROM und e JOIN it{p} r ON e.b = r.v
+    GROUP BY 1, 2
+  ),
+  it{n} AS MATERIALIZED (
+    SELECT p.v, coalesce(b.nl, p.label) AS label
+    FROM it{p} p LEFT JOIN (
+      SELECT v, nl FROM (
+        SELECT v, nl,
+               ROW_NUMBER() OVER (PARTITION BY v ORDER BY s DESC, nl) AS rn
+        FROM vote{n}) t
+      WHERE rn = 1) b ON p.v = b.v
+  )"""
+
+
+def _x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the nation trade graph
+    (operators/graph.py:label_propagation): 3 synchronous rounds,
+    highest-incident-weight label wins, ties toward the smallest label —
+    a fully deterministic trajectory, so the THIRD iterative algorithm in
+    the catalog (after kmeans and pagerank) carries a full value-hash
+    oracle that replays every round.  The crawl-pipeline reading:
+    communities over a domain link graph group sites that cite each
+    other — the grouping key for per-community caps and topic-balanced
+    sampling where per-domain caps (x_domain_cap) are too fine.
+
+    Graph construction: TPC-H trade is deliberately uniform (every nation
+    trades with every nation at similar volume), which has no community
+    structure to find — so the demo graph keeps INTRA-REGION trade edges
+    (regions are the planted ground truth) plus a sparse deterministic
+    set of cross-region noise edges (``(5u+v) % 11 = 0``), and the
+    asserted recovery is that propagation re-discovers region-shaped
+    communities through the noise (pinned ≥ 3 communities in pytest)."""
+    from polars_view_spark.operators.graph import label_propagation
+
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    nreg = t["nation"].select(
+        F.col("n_nationkey").alias("nk"), F.col("n_regionkey").alias("rk")
+    )
+    pairs = (
+        _trade_nation_pairs(t)
+        .join(nreg.withColumnRenamed("nk", "u").withColumnRenamed("rk", "ru"), "u")
+        .join(nreg.withColumnRenamed("nk", "v").withColumnRenamed("rk", "rv"), "v")
+        .filter(
+            (F.col("ru") == F.col("rv"))
+            | ((F.col("u") * 5 + F.col("v")) % 11 == 0)
+        )
+    )
+    edges = pairs.groupBy(F.col("u").alias("src"), F.col("v").alias("dst")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    labels = label_propagation(edges, weight_col="w", iterations=3)
+    return (
+        labels.join(t["nation"], labels.v == F.col("n_nationkey"))
+        .select("n_name", F.col("label").cast("long").alias("community"))
+        .orderBy("n_name")
+    )
+
+
+register(
+    "x_label_propagation",
+    oracle=("""
+    WITH raw AS MATERIALIZED (
+      SELECT d.u, d.v, COUNT(*) AS w
+      FROM ({TRADE}) d
+      JOIN nation nu ON d.u = nu.n_nationkey
+      JOIN nation nv ON d.v = nv.n_nationkey
+      WHERE d.u <> d.v
+        AND (nu.n_regionkey = nv.n_regionkey OR (d.u * 5 + d.v) % 11 = 0)
+      GROUP BY 1, 2
+    ),
+    und AS MATERIALIZED (
+      SELECT a, b, SUM(w) AS w FROM (
+        SELECT u AS a, v AS b, w FROM raw
+        UNION ALL SELECT v AS a, u AS b, w FROM raw) t
+      GROUP BY a, b
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS v FROM und),
+    it0 AS MATERIALIZED (SELECT v, v AS label FROM nodes),"""
+    + _LPA_IT.format(n=1, p=0) + ","
+    + _LPA_IT.format(n=2, p=1) + ","
+    + _LPA_IT.format(n=3, p=2)
+    + """
+    SELECT n.n_name, CAST(r.label AS BIGINT) AS community
+    FROM it3 r JOIN nation n ON r.v = n.n_nationkey
+    ORDER BY n_name
+    """).replace("{TRADE}", _TRADE_EDGES_SQL),
+    tables=("lineitem", "orders", "customer", "supplier", "nation"),
+)(_x_label_propagation)

@@ -1050,3 +1050,18 @@ def test_countmin_sketch_properties_and_plan(spark):
     est_plan = plan_of(est)
     assert "BroadcastHashJoin" in est_plan
     assert "CartesianProduct" not in est_plan
+
+
+def test_label_propagation_recovers_planted_communities(spark, cat):
+    """x_label_propagation: the planted-structure graph (intra-region
+    trade + sparse cross-region noise) must resolve into several
+    communities — not collapse to one label (noise won) and not stay
+    fully fragmented (no propagation happened).  Also gates the plan:
+    iterative joins stay JVM-side with no cartesian blowup."""
+    df = cat["x_label_propagation"].spark_fn(spark, SF)
+    rows = df.collect()
+    comms = {r["community"] for r in rows}
+    assert 3 <= len(comms) < len(rows), (len(comms), len(rows))
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
