@@ -8396,9 +8396,9 @@ def _duck_cm_cells(h: str) -> str:
     )
 
 
-register(
-    "x_countmin_sketch",
-    oracle=f"""
+# shared by x_countmin_sketch and e_streaming_countmin (merge law: the
+# streamed partial-sum sketch equals the one-shot sketch)
+_CM_ORACLE = f"""
     WITH toks AS (
       SELECT unnest({duck_tokens_sql("text")}) AS token FROM documents
     ),
@@ -8430,7 +8430,11 @@ register(
     FROM probe p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
     GROUP BY p.token, p.n_exact
     ORDER BY p.n_exact DESC, p.token
-    """,
+    """
+
+register(
+    "x_countmin_sketch",
+    oracle=_CM_ORACLE,
     tables=("documents",),
 )(_x_countmin_sketch)
 
@@ -8611,3 +8615,91 @@ register(
     """).replace("{TRADE}", _TRADE_EDGES_SQL),
     tables=("lineitem", "orders", "customer", "supplier", "nation"),
 )(_x_label_propagation)
+
+
+def _q_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``GROUP BY ALL`` + ``ORDER BY ALL`` resolution sugar: the
+    engine infers the grouping set as every non-aggregate select item and
+    the sort key as the full select list — the notebook-speed idiom that
+    must resolve to the identical plan as the explicit form.  The oracle
+    states the explicit GROUP BY/ORDER BY (DuckDB pioneered the ALL
+    shorthand, but spelling it out keeps the oracle self-describing)."""
+    load_tables(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o.o_totalprice) + 1e-6, 2) AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+register(
+    "q_group_order_by_all",
+    oracle="""
+    SELECT c.c_mktsegment,
+           o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o.o_totalprice) + 1e-6, 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderstatus
+    ORDER BY c.c_mktsegment, o.o_orderstatus, n, total
+    """,
+    tables=("orders", "customer"),
+)(_q_group_order_by_all)
+
+
+def _e_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of the Count-Min sketch
+    (streaming/events.py:streaming_countmin): the documents feed drains
+    through foreachBatch, each micro-batch writing its own partial
+    counter set to a batch_id partition (dynamic overwrite — replayed
+    batches land idempotently), and the queryable sketch is the cell-wise
+    sum of partials.  By the Count-Min merge law that sum equals the
+    one-shot batch sketch, so this entry probes the SAME top tokens and
+    is held to the SAME value-hash oracle as x_countmin_sketch — a
+    counter lost to a dropped batch or doubled by a non-idempotent replay
+    breaks the hash."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.sketches import countmin_estimates
+    from polars_view_spark.functions.texthash import tokens_expr
+    from polars_view_spark.streaming.events import (
+        read_countmin,
+        read_document_stream,
+        streaming_countmin,
+    )
+
+    sketch_dir = os.path.join(_scratch_dir("stream_cm", sf_dir), "sketch")
+    stream = read_document_stream(spark, f"{sf_dir}/documents.parquet")
+    streaming_countmin(stream, sketch_dir).awaitTermination()
+    sketch = read_countmin(spark, sketch_dir)
+
+    t = load_tables(spark, sf_dir, "documents")
+    exact = (
+        t["documents"]
+        .select(F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("token"))
+        .limit(CM_TOP)
+    )
+    est = countmin_estimates(sketch, exact)
+    return est.select(
+        "token",
+        "n_exact",
+        F.col("cm_est").cast("long").alias("cm_est"),
+        (F.col("cm_est") >= F.col("n_exact")).alias("no_underestimate"),
+    ).orderBy(F.desc("n_exact"), F.asc("token"))
+
+
+register(
+    "e_streaming_countmin",
+    oracle=_CM_ORACLE,
+    tables=("documents",),
+)(_e_streaming_countmin)

@@ -1340,3 +1340,62 @@ def streaming_click_outcomes(
             F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts")
         ).alias("gap_sec"),
     )
+
+
+def streaming_countmin(
+    docs_stream: DataFrame, sketch_dir: str, text_col: str = "text"
+):
+    """Continuously-maintained Count-Min frequency sketch: each
+    micro-batch contributes its own PARTIAL counter set
+    (operators/sketches.py:countmin_sketch over just that batch), written
+    to a ``batch_id``-partitioned parquet with dynamic partition
+    OVERWRITE — the replay-stable idiom (streaming_minhash_dedup
+    docstring): at-least-once ``foreachBatch`` re-runs replace their own
+    partition, so delivery + idempotent writes = effectively-once
+    counters.  The queryable sketch is the cell-wise SUM over partials
+    (:func:`read_countmin`), and the Count-Min merge law guarantees it
+    equals the one-shot sketch of everything ingested — the property the
+    batch entry's pytest pins (test_countmin_sketch_properties_and_plan).
+
+    This is the streaming shape of "how often does X occur in the feed":
+    the corpus is never re-scanned, per-trigger cost is the batch's token
+    explode + a 1024-cell aggregate, and the persisted state is
+    O(batches · CM_DEPTH · CM_WIDTH) integers, compacting to
+    O(CM_DEPTH · CM_WIDTH) whenever a maintenance pass rewrites the sum.
+
+    Returns the started StreamingQuery (``availableNow`` — drain and
+    stop; processing-time trigger in a live deployment).
+    """
+    from polars_view_spark.operators.sketches import countmin_sketch
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = countmin_sketch(batch_df, text_col).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            part.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", sketch_dir.rstrip("/") + ".__pvs_ckpt")
+        .start()
+    )
+
+
+def read_countmin(spark, sketch_dir: str) -> DataFrame:
+    """Collapse the batch-partitioned Count-Min partials into the
+    queryable ``(j, bucket, c)`` sketch — usable anywhere the batch
+    sketch is (countmin_estimates)."""
+    partials = read_sink_or_empty(
+        spark, sketch_dir, "j int, bucket bigint, c long, batch_id long"
+    )
+    return partials.groupBy("j", "bucket").agg(
+        F.sum("c").cast("long").alias("c")
+    )
