@@ -8703,3 +8703,64 @@ register(
     oracle=_CM_ORACLE,
     tables=("documents",),
 )(_e_streaming_countmin)
+
+
+def _x_score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a quality score — the
+    calibration step before cross-source mixing: raw scores from
+    different sources are not comparable (one crawl's '0.8' is another's
+    noise floor), so each document gets its score's PERCENTILE WITHIN ITS
+    SOURCE, and mixture/threshold logic (x_mixture_sample,
+    x_quality_buckets) operates on those.  Kept exact-integer:
+    ``pctl_ppm = (rank−1)·10⁶ // (n−1)`` from a dense (score, doc_id)
+    rank — no percent_rank float division, so the oracle matches
+    bit-for-bit; single-document sources emit NULL (their percentile is
+    undefined, and a silent 0 would pin every such doc to the reject
+    bucket).
+
+    Scale shape: ONE shuffle on source for the rank window + the
+    per-source count rides the same partitioning; everything else is
+    projection.  The demo score is n_chars (any projection-computable
+    score slots in — gopher weights, classifier margin, LM score)."""
+    t = load_tables(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    wn = Window.partitionBy("source")
+    d = (
+        t["documents"]
+        .select("doc_id", "source", F.col("n_chars").alias("score"))
+        .withColumn("r", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wn).cast("long"))
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "score",
+        F.when(
+            F.col("n") > 1,
+            ((F.col("r") - 1) * F.lit(1_000_000)) / (F.col("n") - 1),
+        )
+        .cast("long")
+        .alias("pctl_ppm"),
+    ).orderBy("doc_id")
+
+
+register(
+    "x_score_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars AS score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source, score,
+           CASE WHEN n > 1
+                THEN CAST((r - 1) * 1000000 // (n - 1) AS BIGINT)
+                ELSE NULL END AS pctl_ppm
+    FROM ranked ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_x_score_quantile_normalize)
