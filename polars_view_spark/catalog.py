@@ -217,9 +217,17 @@ DRIVER_PRIORITY = [
 # x_gopher_quality, x_grouped_rank_pandas, x_kmeans_clusters, x_lang_id,
 # x_profile_columns, x_quality_score, x_tfidf_top_terms, x_token_count,
 # x_training_mix_e2e, x_winnow_fingerprints).
-# Round-9 rotation: lead with anything round 9 changes or adds, then the
-# r03 remainder not covered by this window, then the r04 block above
-# (oldest first).
+# Round-9 rotation (committed plan): lead with (1) anything round 9
+# changes or adds, then (2) the five round-8 below-window adds awaiting
+# their FIRST stamp — e_streaming_outer_join, x_label_propagation,
+# e_streaming_countmin, q_group_order_by_all,
+# x_score_quantile_normalize — then (3) the entries this round's adds
+# displaced (x_outlier_filter, x_corpus_card, x_group_sample,
+# t_clustered_roundtrip, q_value_histogram — r03 stamps), then (4) the
+# r04 block above, oldest first (d_dedup_exact and d_minhash_lsh_pairs
+# lead it, having been displaced from this window's tail).  All five
+# below-window adds are locally oracle-verified at sf0.001/0.01/0.1
+# (commits b26373c..89a7e0b).
 
 
 def entries() -> dict[str, CatalogEntry]:
