@@ -8764,3 +8764,65 @@ register(
     """,
     tables=("documents",),
 )(_x_score_quantile_normalize)
+
+
+def _t_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition retention end-to-end
+    (operators/snapshot.py:retention_vacuum): orders land year-partitioned
+    (write_dataset partition_by), the vacuum keeps the newest 4 years and
+    recursively deletes the rest — driver-side directory operations only,
+    no data file ever read — and the entry re-reads the SURVIVING dataset
+    so the value hash proves both faces: dropped years really gone
+    (n_rows_after = 0), kept years byte-complete (their counts survive the
+    delete untouched).  The read-back count also exercises partition
+    pruning over the post-vacuum layout."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.snapshot import retention_vacuum
+    from polars_view_spark.sources.writers import write_dataset
+
+    t = load_tables(spark, sf_dir, "orders")
+    ds = os.path.join(_scratch_dir("retention", sf_dir), "orders_by_year")
+    write_dataset(
+        t["orders"].withColumn(
+            "o_year", F.substring(F.col("o_orderdate").cast("string"), 1, 4)
+        ),
+        ds,
+        partition_by=["o_year"],
+    )
+    audit = retention_vacuum(spark, ds, "o_year", keep=4)
+    counts = (
+        spark.read.parquet(ds)
+        .groupBy(F.col("o_year").cast("string").alias("o_year"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        audit.join(counts, "o_year", "left")
+        .select(
+            "o_year",
+            "kept",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_rows_after"),
+        )
+        .orderBy("o_year")
+    )
+
+
+register(
+    "t_retention_vacuum",
+    oracle="""
+    WITH years AS (
+      SELECT substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS o_year,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY o_year DESC) AS rn FROM years
+    )
+    SELECT o_year,
+           rn <= 4 AS kept,
+           CASE WHEN rn <= 4 THEN n ELSE 0 END AS n_rows_after
+    FROM ranked ORDER BY o_year
+    """,
+    tables=("orders",),
+)(_t_retention_vacuum)

@@ -108,3 +108,50 @@ def snapshot_diff(
         joined.select(*keys, change.alias("change_type"), *olds, *news)
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def retention_vacuum(
+    spark, path: str, partition_col: str, keep: int
+) -> DataFrame:
+    """Partition retention — the maintenance pass every partitioned
+    dataset needs: keep the newest ``keep`` values of ``partition_col``
+    (lexicographic order, which is chronological for ISO dates / months /
+    years) and recursively DELETE the older partition directories.
+    Returns a one-row-per-partition audit frame ``(value, kept)`` —
+    callers write it next to the dataset the way ``audited_write``
+    records ingest metrics.
+
+    Scale shape: the whole operation is driver-side O(partitions) —
+    a directory listing plus per-partition recursive deletes through the
+    Hadoop FileSystem API resolved FROM the path (the
+    ``read_sink_or_empty`` discipline: ``file:``, ``hdfs://``,
+    ``s3a://`` all hit the store the data actually lives on).  No
+    executor ever reads a data file; a 100 TB dataset vacuums in
+    directory-listing time.
+
+    Safety: refuses a ``keep`` < 1 (that would be "delete everything",
+    which is a different, scarier function) and ignores anything in the
+    dataset root that is not a ``{partition_col}=`` directory (metadata
+    files, other partition columns' layouts) rather than deleting it.
+    """
+    if keep < 1:
+        raise ValueError("keep must be >= 1 (refusing to drop every partition)")
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise ValueError(f"dataset path {path!r} does not exist")
+    prefix = f"{partition_col}="
+    parts = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            parts.append((name[len(prefix):], st.getPath()))
+    parts.sort(key=lambda p: p[0])
+    kept_values = {v for v, _ in parts[-keep:]}
+    audit = []
+    for value, ppath in parts:
+        is_kept = value in kept_values
+        if not is_kept:
+            fs.delete(ppath, True)
+        audit.append((value, is_kept))
+    return spark.createDataFrame(audit, f"{partition_col} string, kept boolean")

@@ -1065,3 +1065,27 @@ def test_label_propagation_recovers_planted_communities(spark, cat):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retention_vacuum_safety(spark, tmp_path):
+    """retention_vacuum: keep<1 refuses; non-partition entries in the
+    dataset root (metadata files, _SUCCESS) survive the vacuum."""
+    import pytest as _pytest
+
+    from polars_view_spark.operators.snapshot import retention_vacuum
+
+    ds = tmp_path / "ds"
+    spark.range(10).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS part"
+    ).write.partitionBy("part").parquet(str(ds))
+    (ds / "_extra.txt").write_text("keep me")
+    with _pytest.raises(ValueError, match="keep must be >= 1"):
+        retention_vacuum(spark, str(ds), "part", keep=0)
+    audit = {r["part"]: r["kept"] for r in
+             retention_vacuum(spark, str(ds), "part", keep=2).collect()}
+    assert audit == {"0": False, "1": True, "2": True}
+    assert (ds / "_extra.txt").exists()
+    left = spark.read.parquet(str(ds)).selectExpr(
+        "CAST(part AS STRING) AS part"
+    ).distinct().collect()
+    assert {r["part"] for r in left} == {"1", "2"}
