@@ -218,10 +218,10 @@ DRIVER_PRIORITY = [
 # x_profile_columns, x_quality_score, x_tfidf_top_terms, x_token_count,
 # x_training_mix_e2e, x_winnow_fingerprints).
 # Round-9 rotation (committed plan): lead with (1) anything round 9
-# changes or adds, then (2) the six round-8 below-window adds awaiting
+# changes or adds, then (2) the seven round-8 below-window adds awaiting
 # their FIRST stamp — e_streaming_outer_join, x_label_propagation,
 # e_streaming_countmin, q_group_order_by_all, x_score_quantile_normalize,
-# t_retention_vacuum — then (3) the entries this round's adds
+# t_retention_vacuum, x_ngram_novelty — then (3) the entries this round's adds
 # displaced (x_outlier_filter, x_corpus_card, x_group_sample,
 # t_clustered_roundtrip, q_value_histogram — r03 stamps), then (4) the
 # r04 block above, oldest first (d_dedup_exact and d_minhash_lsh_pairs

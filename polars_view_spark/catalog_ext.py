@@ -8826,3 +8826,41 @@ register(
     """,
     tables=("orders",),
 )(_t_retention_vacuum)
+
+
+def _x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-level novelty vs a reference slice
+    (operators/textstats.py:ngram_novelty): docs with ``doc_id % 5 = 0``
+    play yesterday's corpus, the rest are scored by how many of their
+    distinct 3-shingles the reference has never seen — exact integer
+    ppm, one keyed join + one doc-keyed aggregate."""
+    from polars_view_spark.operators.textstats import ngram_novelty
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    ref = d.filter(F.col("doc_id") % 5 == 0)
+    cand = d.filter(F.col("doc_id") % 5 != 0)
+    return ngram_novelty(cand, ref).orderBy("doc_id")
+
+
+register(
+    "x_ngram_novelty",
+    oracle=f"""
+    WITH ref AS (
+      SELECT DISTINCT unnest({duck_shingles_sql("text")}) AS sh
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    cand AS (
+      SELECT doc_id, unnest({duck_shingles_sql("text")}) AS sh
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE r.sh IS NULL) AS BIGINT) AS n_novel,
+           CAST(count(*) FILTER (WHERE r.sh IS NULL) * 1000000
+                // count(*) AS BIGINT) AS novelty_ppm
+    FROM cand c LEFT JOIN ref r ON c.sh = r.sh
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    tables=("documents",),
+)(_x_ngram_novelty)

@@ -840,3 +840,64 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
         )
         .drop("__pvs_q")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus: the fraction of
+    a document's distinct word 3-shingles that the reference has never
+    seen — the complement of the containment/contamination screens: where
+    ``d_contamination`` asks "is this document COPIED from the benchmark",
+    novelty asks "how much of it is NEW relative to yesterday's corpus",
+    the signal dedup-then-sample pipelines use to prioritize genuinely
+    fresh text over near-paraphrases that slipped past the hash screens.
+
+    Emits ``n_shingles`` / ``n_novel`` / ``novelty_ppm`` (exact integers:
+    ``n_novel·10⁶ // n_shingles``); documents shorter than one shingle
+    carry no evidence and are absent, the same drop contract as the
+    classifier's feature frame.
+
+    Scale shape: shingling is the codegen array projection the MinHash
+    family shares; the novelty test is ONE equi-join of the candidate
+    shingle stream against the DISTINCT reference shingle set (keyed
+    shuffle — at 100 TB the reference set is itself large, so no
+    broadcast is forced; AQE picks one when it fits), then a per-doc
+    aggregate that reuses the doc-keyed partitioning.
+    """
+    from polars_view_spark.functions.texthash import (
+        shingles_from_tokens_sql,
+        tokens_sql,
+    )
+
+    def shingle_stream(frame: DataFrame, with_id: bool) -> DataFrame:
+        toked = frame.withColumn("__toks", F.expr(tokens_sql(text_col)))
+        sh = F.explode(F.expr(shingles_from_tokens_sql("__toks"))).alias("sh")
+        cols = [F.col(id_col).alias("doc"), sh] if with_id else [sh]
+        return toked.select(*cols)
+
+    ref = shingle_stream(reference, with_id=False).distinct().withColumn(
+        "__seen", F.lit(1)
+    )
+    cand = shingle_stream(df, with_id=True)
+    marked = cand.join(ref, "sh", "left")
+    return (
+        marked.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            "n_novel",
+            ((F.col("n_novel") * F.lit(1_000_000)) / F.col("n_shingles"))
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )
