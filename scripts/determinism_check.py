@@ -14,11 +14,11 @@ Usage (each conf needs its own process for a fresh JVM):
     python scripts/determinism_check.py b        # conf B -> /tmp/det_b.json
     python scripts/determinism_check.py compare  # exit 1 on any mismatch
 
-Last run (round-8 window: the six round-8 adds — quantized ANN, line
-dedup, stateful running counts, IDENTIFIER(), canonical-URL dedup, ANN
-recall eval — plus the fixed q_sql_udf/x_balanced_shards oracles and
-the displaced-anchor refreshes; sf0.01, idle box):
-checked 50 entries, mismatches: 0.
+Last run (FINAL round-8 window: the seven in-window round-8 adds —
+quantized ANN, line dedup, stateful running counts, IDENTIFIER(),
+canonical-URL dedup, ANN recall eval, Count-Min sketch — plus the fixed
+q_sql_udf/x_balanced_shards oracles and the displaced-anchor refreshes;
+sf0.01): checked 50 entries, mismatches: 0.
 """
 
 import hashlib
