@@ -145,89 +145,66 @@ def sql_query(
 # anchors for the headline/bench queries.  Demoted entries stay registered
 # and stay covered by the local oracle gate (tests/test_catalog_oracle.py).
 DRIVER_PRIORITY = [
-    # ROUND-8 WINDOW — executes the rotation plan committed in round 7
-    # (see git history for the full displacement ledger).
-    # (a) everything round 8 changed: the two r07 hash-fails fixed by
-    # pinning the oracles' integer types (VERDICT r07 items 1-2), the
-    # URL canonicalizer whose tracking-param match moved from LIKE
-    # 'utm_%' to literal prefixes (ADVICE r07), and the observe()-backed
-    # write audit whose metrics-row schema now derives from analyzed
-    # aggregate datatypes (ADVICE r07):
-    "q_sql_udf", "x_balanced_shards", "x_url_canonicalize",
-    "x_observe_audit",
-    # (a2) the seven round-8 additions, never driver-stamped: int8-code
-    # ANN search (the compute face of x_embedding_quantize), C4-style
-    # within-document line dedup, the applyInPandasWithState
-    # running-counts flagship (previously pytest-only), the Spark 4
-    # IDENTIFIER() dynamic-identifier surface, canonical-URL-key
-    # exact dedup (the composition url_canonicalize exists for),
-    # in-engine ANN recall@k vs the exact baseline, and the mergeable
-    # Count-Min frequency sketch:
-    "s_ann_quantized_topk", "d_dedup_lines", "e_streaming_running_counts",
-    "q_identifier_clause", "d_url_exact_dedup", "s_ann_recall_eval",
-    "x_countmin_sketch",
-    # (b) VERDICT r07 task 5: q12 variant failed r04, fixed r05, never
-    # re-stamped since:
-    "q12_ship_priority_class",
-    # (c) the refresh anchors displaced late in round 7 (r03/r04 stamps;
-    # q2/q4/q7/q8 TPC-H, multimodal frame ops, streaming windows, dedup
-    # apply/clusters):
-    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "x_multimodal_resize", "x_multimodal_framesample",
-    "e_streaming_sliding", "e_streaming_sessions", "e_streaming_tumbling",
-    "d_dedup_apply", "d_dedup_clusters",
-    # (d) the r03-stamp holdouts deferred from the round-7 window — the
-    # sketch family and the r03 TPC-H block:
-    "x_salted_skew_join", "x_audience_overlap", "x_snapshot_drift",
-    "x_heavy_hitters", "x_sketch_rollup",
-    "q22_global_sales_opportunity", "q21_suppliers_kept_waiting",
-    "q20_potential_promotion", "q18_large_orders",
-    "q17_small_quantity_revenue", "q16_parts_supplier_counts",
-    "q15_top_supplier", "q11_important_stock", "q10_returned_items",
-    "q9_product_profit",
-    # (e) the remaining r03-stamped entries (splits/chunking, the window
-    # and subquery construct family, layout roundtrips, corpus tooling):
-    "x_train_val_test_split", "x_chunk_documents", "q_window_range_frame",
-    "q_dwell_time", "q_event_funnel", "q_retention_cohorts",
-    "q_exists_correlated", "q_gap_fill_series", "q_group_by_all_values",
-    "q_lateral_subquery", "q_not_in_null_semantics", "q_scalar_subquery",
-    # (f) displaced by the seven (a2) adds: the r04 tail fills
-    # d_dedup_exact / d_minhash_lsh_pairs and the r03-stamped
-    # x_outlier_filter, x_corpus_card, x_group_sample,
-    # t_clustered_roundtrip, q_value_histogram roll to the round-9
-    # window.  Any FURTHER round-8 additions register BELOW this window
-    # (local oracle-gated now, first driver stamp in round 9) so each
-    # add stops costing a displaced refresh.
+    # ROUND-9 WINDOW — executes the rotation plan committed in round 8
+    # (the comment block below line ~200 in git history r8 carries the
+    # full displacement ledger; VERDICT r08 "Next round" task 1).
+    # (a) everything round 9 changed: q_identifier_clause gained the
+    # conventional ROUND(... + 1e-6, 2) boundary guard on BOTH sides
+    # (ADVICE r08), so its r08 stamp no longer covers the live SQL:
+    "q_identifier_clause",
+    # (b) the seven round-8 below-window additions awaiting their FIRST
+    # driver stamp (all locally oracle-verified at sf0.001/0.01/0.1 since
+    # round 8; two of them also changed this round — label_propagation's
+    # no-vote fallback now carries the previous round's label per
+    # standard sync-LPA (ADVICE r08), and retention_vacuum gained the
+    # zero-padded-partition-value ordering assertion (VERDICT r08
+    # task 7)):
+    "e_streaming_outer_join", "x_label_propagation", "e_streaming_countmin",
+    "q_group_order_by_all", "x_score_quantile_normalize",
+    "t_retention_vacuum", "x_ngram_novelty",
+    # (c) the five r03-stamped entries the round-8 adds displaced:
+    "x_outlier_filter", "x_corpus_card", "x_group_sample",
+    "t_clustered_roundtrip", "q_value_histogram",
+    # (d) the r04 block, oldest stamps on the board — d_dedup_exact and
+    # d_minhash_lsh_pairs lead (displaced from the round-8 window tail),
+    # then the rest of the 46-entry r04 cohort; 37 fit this window:
+    "d_dedup_exact", "d_minhash_lsh_pairs",
+    "d_dedup_by_fingerprint", "d_ngram_jaccard_pairs", "d_semantic_dedup",
+    "d_simhash", "e_asof_join", "e_json_extract", "e_range_join",
+    "e_rollup_pyramid", "e_sessionize", "e_streaming_join",
+    "e_tumbling_agg", "q13_customer_distribution", "q14_promo_revenue",
+    "q19_discounted_revenue", "q1_pricing_summary", "q21_single_pass",
+    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "q_approx_aggregates", "q_count_distinct", "q_having_alias",
+    "q_semi_anti_join", "q_window_running", "q_window_topn",
+    "s_ann_bruteforce_topk", "s_ann_ivf_topk", "t_compact_roundtrip",
+    "t_corrupt_quarantine", "t_csv_gz_roundtrip", "t_pipeline_full",
+    "t_schema_evolution", "x_bigram_pmi", "x_fingerprint",
+    "x_gopher_quality",
+    # (e) deferred to round 10: the 9-entry r04 tail —
+    # x_grouped_rank_pandas, x_kmeans_clusters, x_lang_id,
+    # x_profile_columns, x_quality_score, x_tfidf_top_terms,
+    # x_token_count, x_training_mix_e2e, x_winnow_fingerprints.
+    # Any round-9 additions register BELOW this window (local
+    # oracle-gated now, first driver stamp in round 10) so each add
+    # stops costing a displaced refresh.
 ]
 # Everything demoted out of the window is green at its latest driver stamp
-# (CORRECTNESS_r01-r07; 236/238 green entering round 8, and the two reds are
-# the (a)-group oracle-typing fixes above) and stays covered by the local
-# oracle gate (tests/test_catalog_oracle.py) at sf0.001/0.01/0.1 — the
-# window rotates so every entry gets a driver refresh.  Stamp state entering
-# round 8: all 238 entries have at least one driver row; the oldest stamps
-# are r03 (the (c)/(d)/(e) groups above, ~44 entries) and r04 (46 entries:
-# d_dedup_by_fingerprint, d_minhash_lsh_pairs, d_ngram_jaccard_pairs,
-# d_semantic_dedup, d_simhash, e_asof_join, e_json_extract, e_range_join,
-# e_rollup_pyramid, e_sessionize, e_streaming_join, e_tumbling_agg, the
-# q13/q14/q19/q1/q21sp/q3/q5/q6 TPC-H block, q_approx_aggregates,
-# q_count_distinct, q_having_alias, q_semi_anti_join, q_window_running,
-# q_window_topn, s_ann_bruteforce_topk, s_ann_ivf_topk,
-# t_compact_roundtrip, t_corrupt_quarantine, t_csv_gz_roundtrip,
-# t_pipeline_full, t_schema_evolution, x_bigram_pmi, x_fingerprint,
-# x_gopher_quality, x_grouped_rank_pandas, x_kmeans_clusters, x_lang_id,
-# x_profile_columns, x_quality_score, x_tfidf_top_terms, x_token_count,
-# x_training_mix_e2e, x_winnow_fingerprints).
-# Round-9 rotation (committed plan): lead with (1) anything round 9
-# changes or adds, then (2) the seven round-8 below-window adds awaiting
-# their FIRST stamp — e_streaming_outer_join, x_label_propagation,
-# e_streaming_countmin, q_group_order_by_all, x_score_quantile_normalize,
-# t_retention_vacuum, x_ngram_novelty — then (3) the entries this round's adds
-# displaced (x_outlier_filter, x_corpus_card, x_group_sample,
-# t_clustered_roundtrip, q_value_histogram — r03 stamps), then (4) the
-# r04 block above, oldest first (d_dedup_exact and d_minhash_lsh_pairs
-# lead it, having been displaced from this window's tail).  All five
-# below-window adds are locally oracle-verified at sf0.001/0.01/0.1
-# (commits b26373c..89a7e0b).
+# (CORRECTNESS_r01-r08; 245/245 stamped entries green at their latest
+# stamp entering round 9) and stays covered by the local oracle gate
+# (tests/test_catalog_oracle.py) at sf0.001/0.01/0.1 — the window rotates
+# so every entry gets a driver refresh.  Stamp state entering round 9:
+# 245 of 252 entries have at least one driver row; the seven round-8
+# below-window adds in group (b) have none yet (this window lands them);
+# the oldest remaining stamps after this window executes will be the
+# 9-entry r04 tail in (e) and the 48-entry r05 cohort.
+# ROUND-10 ROTATION (committed plan, VERDICT r08 task 8): lead with
+# (1) anything round 10 changes, then (2) the round-9 below-window adds
+# awaiting their FIRST stamp, then (3) the 9-entry r04 tail from (e)
+# above, then (4) the r05 cohort oldest-first (48 entries; the remainder
+# after the window fills rolls to round 11, which closes out all
+# pre-r06 stamps — with ~7 adds/round the board is fully refreshed to
+# >=r08 stamps by round 12).
 
 
 def entries() -> dict[str, CatalogEntry]:

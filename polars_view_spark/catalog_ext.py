@@ -8133,7 +8133,7 @@ def _q_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT IDENTIFIER(:seg_col) AS segment,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
-               ROUND(SUM(c_acctbal), 2) AS sum_bal
+               ROUND(SUM(c_acctbal) + 1e-6, 2) AS sum_bal
         FROM IDENTIFIER(:tbl)
         WHERE c_acctbal > :floor
         GROUP BY IDENTIFIER(:seg_col)
@@ -8148,7 +8148,7 @@ register(
     oracle="""
     SELECT c_mktsegment AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS sum_bal
+           ROUND(SUM(c_acctbal) + 1e-6, 2) AS sum_bal
     FROM customer
     WHERE c_acctbal > 0.0
     GROUP BY c_mktsegment ORDER BY segment

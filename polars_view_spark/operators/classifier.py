@@ -172,6 +172,15 @@ def _fit_weights(
     n_neg = int(counts["n"]) - n_pos
     assert n_pos > 0 and n_neg > 0, "label must have both classes"
 
+    # Right-size the epoch loop's task count to the SAMPLE the trainer
+    # actually sees: training runs on a bounded sample by contract (the
+    # int64 overflow bound above caps it at ~2e6 rows), so ~100k rows
+    # per task keeps every epoch 1-to-20 tasks without ever
+    # under-parallelizing a legitimate sample; coalesce is a narrow
+    # dependency — no shuffle, and integer sums are order-free, so the
+    # trajectory (and the oracle hash) is bit-identical.
+    feats = feats.coalesce(max(1, min(32, int(counts["n"]) // 100_000 + 1)))
+
     # class-balanced gradient: each row's error is weighted by the OTHER
     # class's count, so both classes contribute equal total mass and the
     # majority class can't buy an always-majority bias (the standard
@@ -187,27 +196,42 @@ def _fit_weights(
                 f"init_weights has {len(init_weights)} entries, model needs {dim + 1}"
             )
         weights = [int(w) for w in init_weights]
-    for t in range(1, epochs + 1):
-        m = _margin_sql(weights, dim)
-        pnum = f"LEAST(GREATEST({margin_cap}L + {m}, 0L), {two_mc}L)"
-        err = f"(({pnum} - {two_mc}L * y) * {cls_w})"
-        # materialize err once per row BEFORE the fan-out: inlining the
-        # O(dim)-term margin into every one of the dim+1 gradient sums
-        # hands codegen an O(dim²)-term aggregate (measured: epochs went
-        # from sub-second to minutes at dim=64)
-        per_row = feats.select(F.expr(err).alias("err"), "vec")
-        row = per_row.agg(
-            F.sum("err").alias("gb"),
-            *[
-                F.sum(F.expr(f"err * vec[{i}]")).alias(f"g{i}")
-                for i in range(dim)
-            ],
-        ).first()
-        assert row is not None
-        denom = lr_den * two_mc * 2 * n_pos * n_neg
-        step = lr_num // t
-        grads = [int(row[f"g{i}"]) for i in range(dim)] + [int(row["gb"])]
-        weights = [w - (step * g) // denom for w, g in zip(weights, grads)]
+    # The descent is N_EPOCHS sequential one-row aggregate jobs (each
+    # epoch's margin needs the previous epoch's weights, so the jobs
+    # cannot fuse — a 2-epoch broadcast-stacked plan was prototyped and
+    # COMPILES 6x slower than two plain jobs, VERDICT r08 task 2).  What
+    # CAN go: AQE's query-stage materialization barriers, which re-plan
+    # nothing for a partial+final aggregate to one row over a pinned
+    # frame and cost a measured ~0.15 s of driver latency per epoch job.
+    # Scoped off for the loop only and always restored; 100 TB inference
+    # never runs through here (it is score_with_weights, projection-only).
+    sess = feats.sparkSession
+    old_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for t in range(1, epochs + 1):
+            m = _margin_sql(weights, dim)
+            pnum = f"LEAST(GREATEST({margin_cap}L + {m}, 0L), {two_mc}L)"
+            err = f"(({pnum} - {two_mc}L * y) * {cls_w})"
+            # materialize err once per row BEFORE the fan-out: inlining the
+            # O(dim)-term margin into every one of the dim+1 gradient sums
+            # hands codegen an O(dim²)-term aggregate (measured: epochs went
+            # from sub-second to minutes at dim=64)
+            per_row = feats.select(F.expr(err).alias("err"), "vec")
+            row = per_row.agg(
+                F.sum("err").alias("gb"),
+                *[
+                    F.sum(F.expr(f"err * vec[{i}]")).alias(f"g{i}")
+                    for i in range(dim)
+                ],
+            ).first()
+            assert row is not None
+            denom = lr_den * two_mc * 2 * n_pos * n_neg
+            step = lr_num // t
+            grads = [int(row[f"g{i}"]) for i in range(dim)] + [int(row["gb"])]
+            weights = [w - (step * g) // denom for w, g in zip(weights, grads)]
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", old_aqe)
     return weights
 
 

@@ -155,12 +155,13 @@ def label_propagation(
             )
             .select(F.col("nv").alias("v"), (-F.col("m.neg")).alias("label"))
         )
-        # every node in `nodes` has >= 1 neighbor by construction, but the
-        # left join + coalesce keeps the contract explicit (and correct if
-        # a caller ever passes a labels frame with isolated nodes)
+        # every node has >= 1 neighbor by construction (nodes derive from
+        # edges), so the fallback never fires today — but standard sync-LPA
+        # keeps the PREVIOUS round's label when a node receives no votes,
+        # so carry labels (not the original id) through the coalesce
         labels = (
-            nodes.join(best, "v", "left")
-            .select("v", F.coalesce("label", F.col("v")).alias("label"))
+            labels.join(best.withColumnRenamed("label", "new_label"), "v", "left")
+            .select("v", F.coalesce("new_label", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
     return labels

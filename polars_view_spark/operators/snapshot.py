@@ -133,6 +133,14 @@ def retention_vacuum(
     which is a different, scarier function) and ignores anything in the
     dataset root that is not a ``{partition_col}=`` directory (metadata
     files, other partition columns' layouts) rather than deleting it.
+    "Newest" is LEXICOGRAPHIC order, which equals chronological order
+    only when values are equal-width (ISO dates, zero-padded numbers) —
+    ``o_year=999`` sorts AFTER ``o_year=1000`` and would survive a vacuum
+    that deletes the genuinely newer partition.  So when every partition
+    value is a bare integer, the widths must all match (zero-padded) or
+    the call refuses rather than delete the wrong partitions (VERDICT
+    r08 task 7); non-numeric values keep the documented lexicographic
+    contract unchanged.
     """
     if keep < 1:
         raise ValueError("keep must be >= 1 (refusing to drop every partition)")
@@ -146,6 +154,13 @@ def retention_vacuum(
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith(prefix):
             parts.append((name[len(prefix):], st.getPath()))
+    values = [v for v, _ in parts]
+    if values and all(v.isdigit() for v in values) and len({len(v) for v in values}) > 1:
+        raise ValueError(
+            f"numeric partition values of mixed width {sorted(set(values))[:4]}... "
+            "sort lexicographically, not numerically; zero-pad the partition "
+            "values (or use ISO dates) before vacuuming"
+        )
     parts.sort(key=lambda p: p[0])
     kept_values = {v for v, _ in parts[-keep:]}
     audit = []

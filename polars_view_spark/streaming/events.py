@@ -1366,26 +1366,37 @@ def streaming_countmin(
     Returns the started StreamingQuery (``availableNow`` — drain and
     stop; processing-time trigger in a live deployment).
     """
-    from polars_view_spark.operators.sketches import countmin_sketch
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        part = countmin_sketch(batch_df, text_col).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
-        (
-            part.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(sketch_dir)
-        )
+        countmin_apply_batch(batch_df, batch_id, sketch_dir, text_col)
 
     return (
         docs_stream.writeStream.foreachBatch(apply_batch)
         .trigger(availableNow=True)
         .option("checkpointLocation", sketch_dir.rstrip("/") + ".__pvs_ckpt")
         .start()
+    )
+
+
+def countmin_apply_batch(
+    batch_df: DataFrame, batch_id: int, sketch_dir: str, text_col: str = "text"
+) -> None:
+    """The foreachBatch body of :func:`streaming_countmin`, module-level
+    so the replay contract is directly testable (VERDICT r08 task 3):
+    re-running the SAME ``batch_id`` dynamically overwrites ONLY its own
+    partition, leaving the summed sketch unchanged — at-least-once
+    delivery + this idempotent write = effectively-once counters."""
+    from polars_view_spark.operators.sketches import countmin_sketch
+
+    if batch_df.isEmpty():
+        return
+    part = countmin_sketch(batch_df, text_col).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    (
+        part.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(sketch_dir)
     )
 
 

@@ -1089,3 +1089,35 @@ def test_retention_vacuum_safety(spark, tmp_path):
         "CAST(part AS STRING) AS part"
     ).distinct().collect()
     assert {r["part"] for r in left} == {"1", "2"}
+
+
+def test_retention_vacuum_mixed_width_numeric_refuses(spark, tmp_path):
+    """VERDICT r08 task 7: 'newest' is lexicographic, so o_year=999 would
+    outlive o_year=1000 — mixed-width bare-integer partition values must
+    refuse rather than delete the genuinely newer partition.  Equal-width
+    (zero-padded) numerics and ISO dates keep working."""
+    import pytest as _pytest
+
+    from polars_view_spark.operators.snapshot import retention_vacuum
+
+    ds = tmp_path / "years"
+    spark.createDataFrame(
+        [(1, "999"), (2, "1000"), (3, "1001")], "id long, y string"
+    ).write.partitionBy("y").parquet(str(ds))
+    with _pytest.raises(ValueError, match="mixed width"):
+        retention_vacuum(spark, str(ds), "y", keep=2)
+    # nothing was deleted by the refused call
+    survivors = spark.read.parquet(str(ds)).selectExpr(
+        "CAST(y AS STRING) AS y"
+    ).distinct().collect()
+    assert {r["y"] for r in survivors} == {"999", "1000", "1001"}
+
+    padded = tmp_path / "padded"
+    spark.createDataFrame(
+        [(1, "0999"), (2, "1000"), (3, "1001")], "id long, y string"
+    ).write.partitionBy("y").parquet(str(padded))
+    audit = {
+        r["y"]: r["kept"]
+        for r in retention_vacuum(spark, str(padded), "y", keep=2).collect()
+    }
+    assert audit == {"0999": False, "1000": True, "1001": True}
