@@ -8864,3 +8864,219 @@ register(
     """,
     tables=("documents",),
 )(_x_ngram_novelty)
+
+
+# ---------------------------------------------------------------------------
+# round 9 additions — registered BELOW the driver window (first stamps in
+# round 10); each locally oracle-gated at sf0.001/0.01/0.1 on add.
+
+
+def _x_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional Pareto frontier (operators/scale.py:
+    pareto_frontier): the orders no other order beats on BOTH value and
+    recency — the multi-objective selection shape (quality × freshness
+    document picking) single-key top-k can't express.  The engine runs
+    the bucketed prefix-scan decomposition (two keyed shuffles, no O(n²)
+    join, no global-order window over the data); the oracle is the
+    classic one-pass sorted sweep, and
+    tests/test_scale.py pins BOTH against the NOT EXISTS dominance
+    spec at sf0.001."""
+    from polars_view_spark.operators.scale import pareto_frontier
+
+    t = load_tables(spark, sf_dir, "orders")
+    o = t["orders"].select(
+        "o_totalprice", F.col("o_orderdate").cast("date").alias("odate")
+    )
+    return (
+        pareto_frontier(o, "o_totalprice", "odate")
+        .select(
+            F.col("d1").alias("price"),
+            F.col("d2").alias("odate"),
+            F.col("n_rows").alias("n_orders"),
+        )
+        .orderBy(F.desc("price"))
+    )
+
+
+register(
+    "x_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT o_totalprice AS price, CAST(o_orderdate AS DATE) AS odate,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ),
+    swept AS (
+      SELECT price, odate, n_orders,
+             MAX(odate) OVER (ORDER BY price DESC, odate DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS rm
+      FROM pts
+    )
+    SELECT price, odate, n_orders FROM swept
+    WHERE rm IS NULL OR odate > rm
+    ORDER BY price DESC
+    """,
+    tables=("orders",),
+)(_x_pareto_frontier)
+
+
+def _x_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent-pair mining (operators/mining.py:frequent_pairs):
+    parts co-purchased in >= 2 distinct orders — items support-pruned
+    BEFORE pair generation, pairs via one basket-keyed self-equi-join
+    (per-basket fan-out bounded by basket size), counts map-side
+    combined.  Top-20 by (count desc, pair) keeps the frame bounded at
+    every SF."""
+    from polars_view_spark.operators.mining import frequent_pairs
+
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (
+        frequent_pairs(t["lineitem"], "l_orderkey", "l_partkey", min_support=2)
+        .orderBy(F.desc("n_baskets"), "item_a", "item_b")
+        .limit(20)
+    )
+
+
+register(
+    "x_itemset_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    freq AS (
+      SELECT i FROM items GROUP BY i HAVING count(*) >= 2
+    ),
+    fi AS (
+      SELECT b, i FROM items WHERE i IN (SELECT i FROM freq)
+    )
+    SELECT a.i AS item_a, b.i AS item_b,
+           CAST(count(*) AS BIGINT) AS n_baskets
+    FROM fi a JOIN fi b ON a.b = b.b AND a.i < b.i
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY n_baskets DESC, item_a, item_b LIMIT 20
+    """,
+    tables=("lineitem",),
+)(_x_itemset_pairs)
+
+
+def _x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp each event's value to its event
+    type's exact [p05, p95] band — the outlier MITIGATION twin of
+    x_outlier_filter's row-dropping (winsorizing keeps the row, caps the
+    leverage; the standard pre-step before means/regressions on
+    heavy-tailed telemetry).  Scale shape: one keyed aggregate computes
+    the per-type bounds (a |types|-row frame, broadcast back), the clamp
+    is pure codegen riding the scan, and the report is a second map-side
+    combined aggregate — no sort, no window over the data.  Exact
+    percentile interpolation matches DuckDB's quantile_cont bit-for-bit
+    (the q_percentiles precedent); the winsorized sum carries the
+    conventional ROUND(+1e-6) accumulation-order guard."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("lo"),
+        F.expr("percentile(value, 0.95D)").alias("hi"),
+    )
+    w = ev.join(F.broadcast(bounds), "event_type")
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("value") < F.col("lo")).cast("long"))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long"))
+            .cast("long")
+            .alias("n_clamped_high"),
+            F.round(
+                F.sum(F.expr("LEAST(GREATEST(value, lo), hi)")) + F.lit(1e-6), 2
+            ).alias("winsorized_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "x_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE e.value < b.lo) AS BIGINT)
+             AS n_clamped_low,
+           CAST(count(*) FILTER (WHERE e.value > b.hi) AS BIGINT)
+             AS n_clamped_high,
+           ROUND(SUM(LEAST(GREATEST(e.value, b.lo), b.hi)) + 1e-6, 2)
+             AS winsorized_sum
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type ORDER BY event_type
+    """,
+    tables=("events",),
+)(_x_winsorize)
+
+
+def _x_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction (operators/textstats.py:html_text_sql)
+    over deterministically-synthesized markup (synth_html_sql — the
+    url_canonicalize discipline: the corpus has no HTML, so the entry
+    manufactures head/script/style blocks, nested inline tags and
+    entities from the row's own values).  The extraction — drop
+    script/style WITH contents, strip tags, decode entities, collapse
+    whitespace — is one codegen scalar riding the scan: the HTML→text
+    front door of a crawl pipeline runs at scan throughput with zero
+    shuffles.  The value hash pins the FULL extracted string (md5) plus
+    the markup-ratio ppm, so a one-character divergence between Spark's
+    Java-regex path and DuckDB's RE2 path (replace-all flags, literal
+    escaping — the two pinned dialect traps) breaks the entry."""
+    from polars_view_spark.operators.textstats import (
+        html_text_sql,
+        synth_html_sql,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].withColumn("html", F.expr(synth_html_sql()))
+    d = d.withColumn("extracted", F.expr(html_text_sql("html")))
+    return d.select(
+        "doc_id",
+        F.md5("extracted").alias("md5_extracted"),
+        F.length("extracted").cast("long").alias("n_chars_extracted"),
+        # exact integer arithmetic (no double division): lengths are
+        # non-negative so truncating DIV == floor == DuckDB's //
+        F.expr(
+            "CAST((CAST(length(html) AS BIGINT) - length(extracted)) "
+            "* 1000000L DIV length(html) AS BIGINT)"
+        ).alias("markup_ratio_ppm"),
+    ).orderBy("doc_id")
+
+
+def _x_html_extract_oracle() -> str:
+    from polars_view_spark.operators.textstats import (
+        html_text_sql,
+        synth_html_sql,
+    )
+
+    h = synth_html_sql()
+    e = html_text_sql("h", "duck")
+    return f"""
+    WITH hh AS (SELECT doc_id, {h} AS h FROM documents),
+    ex AS (SELECT doc_id, h, {e} AS extracted FROM hh)
+    SELECT doc_id,
+           md5(extracted) AS md5_extracted,
+           CAST(length(extracted) AS BIGINT) AS n_chars_extracted,
+           CAST((length(h) - length(extracted)) * 1000000
+                // length(h) AS BIGINT) AS markup_ratio_ppm
+    FROM ex ORDER BY doc_id
+    """
+
+
+register(
+    "x_html_extract",
+    oracle=_x_html_extract_oracle(),
+    tables=("documents",),
+)(_x_html_extract)

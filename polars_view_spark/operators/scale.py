@@ -360,3 +360,76 @@ def join_explosion_profile(
         .orderBy(F.col("out_rows").desc(), F.col("join_key").asc())
         .limit(k)
     )
+
+
+def pareto_frontier(
+    df: DataFrame, d1: str, d2: str, n_buckets: int = 64
+) -> DataFrame:
+    """Two-dimensional Pareto frontier (skyline): the distinct ``(d1,
+    d2)`` points not dominated by any other point — q dominates p when
+    q.d1 >= p.d1 AND q.d2 >= p.d2 with at least one strict.  The
+    multi-objective selection operator (pick documents maximizing quality
+    AND freshness, orders maximizing value AND recency) the single-key
+    top-k family can't express.  Returns ``(d1, d2, n_rows)`` — exact
+    ties collapse to one frontier point carrying their row count.
+
+    Spark-first shape, and why there is no O(n²) join: the classic
+    skyline identity is one sorted sweep — order points by d1 DESC then
+    d2 DESC, keep a point iff its d2 strictly exceeds the running max of
+    every point before it.  A naive window over that global ORDER is a
+    single-partition bottleneck at 100 TB, so this runs the prefix-scan
+    decomposition (the AddRowIndexTransform discipline,
+    operators/rowindex.py): range-bucket d1 (one min/max probe job picks
+    the width), (A) per-bucket max(d2) — a 64-row frame — prefix-maxed
+    across strictly-higher buckets on the driver-sized frame, (B) the
+    within-bucket running max under a window PARTITIONED by bucket,
+    seeded by (A) via a broadcast join.  Two keyed shuffles total
+    (distinct-points groupBy, bucket window); every stage parallel.
+
+    Bucket monotonicity makes the seed exact: floor-width buckets are
+    disjoint d1 intervals, so EVERY point in a higher bucket has strictly
+    greater d1, and such a q dominates p iff q.d2 >= p.d2 — exactly
+    "survive iff d2 > cross-bucket prefix max".
+    """
+    assert n_buckets >= 1
+    pts = (
+        df.groupBy(F.col(d1).alias("d1"), F.col(d2).alias("d2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    lo, hi = df.agg(F.min(d1), F.max(d1)).first()
+    if lo is None:  # empty input
+        return pts.select("d1", "d2", "n_rows")
+    span = float(hi) - float(lo)
+    width = (span / n_buckets) if span > 0 else 1.0
+    bucket = F.least(
+        F.floor((F.col("d1").cast("double") - F.lit(float(lo))) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    pb = pts.withColumn("b", bucket)
+
+    from pyspark.sql import Window
+
+    # (A) cross-bucket prefix: max d2 over strictly-HIGHER buckets
+    wb = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seeds = (
+        pb.groupBy("b")
+        .agg(F.max("d2").alias("bmax"))
+        .select("b", F.max("bmax").over(wb).alias("seed"))
+    )
+    # (B) within-bucket running max, seeded; survive iff d2 beats both
+    ww = (
+        Window.partitionBy("b")
+        .orderBy(F.col("d1").desc(), F.col("d2").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pb.join(F.broadcast(seeds), "b")
+        .withColumn("rm", F.max("d2").over(ww))
+        .filter(
+            (F.col("rm").isNull() | (F.col("d2") > F.col("rm")))
+            & (F.col("seed").isNull() | (F.col("d2") > F.col("seed")))
+        )
+        .select("d1", "d2", "n_rows")
+    )

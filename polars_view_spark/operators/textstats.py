@@ -901,3 +901,54 @@ def ngram_novelty(
             .alias("novelty_ppm"),
         )
     )
+
+
+def synth_html_sql(id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Deterministic HTML wrapper around a plain-text column — the same
+    synthesis discipline as url_canonicalize's raw-URL generator: the
+    corpus has no markup, so the entry manufactures realistic boilerplate
+    (head/title, a script block, a style block, nested inline tags,
+    entities, a footer) entirely from the row's own values, making the
+    extraction oracle-checkable.  Identical SQL on both engines: concat +
+    LITERAL replace() only (no backreferences — Spark uses ``$1`` where
+    DuckDB uses ``\\1``, so replacements stay backref-free by design)."""
+    # literal replace() — both engines replace every occurrence
+    bolded = f"replace({text_col}, ' the ', ' <b>the</b> ')"
+    return (
+        "concat('<html><head><title>doc ', CAST("
+        + id_col
+        + " AS STRING), '</title>"
+        "<script>var tracker = 1;</script>"
+        "<style>.c {{ color: red }}</style>"
+        "</head><body><div class=\"c\" id=\"main\">', "
+        + bolded
+        + ", '</div><p>&amp;copy; corp &lt;footer&gt;</p></body></html>')"
+    ).replace("{{", "{").replace("}}", "}")
+
+
+def html_text_sql(html_col: str, dialect: str = "spark") -> str:
+    """Boilerplate-stripping extraction as ONE scalar expression — the
+    HTML→text stage every crawl pipeline runs before any quality or
+    dedup operator sees a document:
+
+    1. drop ``<script>``/``<style>`` blocks WITH their contents
+       (``(?s)`` + non-greedy — supported by both Java regex and RE2);
+    2. strip every remaining tag to a space (content survives);
+    3. decode the three structural entities (&amp;/&lt;/&gt;);
+    4. collapse whitespace runs and trim.
+
+    Pure codegen riding the scan — no shuffle, no Python; 100 TB of HTML
+    extracts at scan throughput.  ``dialect`` exists because DuckDB's
+    regexp_replace replaces the FIRST match unless passed ``'g'`` while
+    Spark always replaces all — the ONLY divergence between the two
+    spellings, pinned by the catalog entry's value hash."""
+    g = ", 'g'" if dialect == "duck" else ""
+    # Spark SQL string literals process backslash escapes ('\\s' -> \s);
+    # DuckDB literals are standard SQL (no escaping: '\s' IS \s) — the
+    # second dialect divergence this helper pins
+    ws = "'\\\\s+'" if dialect != "duck" else "'\\s+'"
+    s = f"regexp_replace({html_col}, '(?s)<script.*?</script>', ''{g})"
+    s = f"regexp_replace({s}, '(?s)<style.*?</style>', ''{g})"
+    s = f"regexp_replace({s}, '<[^>]*>', ' '{g})"
+    s = f"replace(replace(replace({s}, '&amp;', '&'), '&lt;', '<'), '&gt;', '>')"
+    return f"trim(regexp_replace({s}, {ws}, ' '{g}))"

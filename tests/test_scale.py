@@ -535,3 +535,81 @@ class TestExpectations:
             )
         with _pytest.raises(ValueError, match="nothing to profile"):
             snapshot_profile(snap, [{"name": "r", "kind": "not_null", "column": "k"}], prof)
+
+
+class TestParetoFrontier:
+    def test_matches_not_exists_spec(self, spark):
+        """Both the engine's bucketed prefix-scan AND the oracle's sorted
+        sweep must equal the NOT EXISTS dominance definition."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.catalog import load_tables
+        from polars_view_spark.operators.scale import pareto_frontier
+
+        t = load_tables(spark, "/root/testdata/sf0.001", "orders")
+        o = t["orders"].select(
+            "o_totalprice", F.col("o_orderdate").cast("date").alias("odate")
+        )
+        got = sorted(
+            tuple(r) for r in pareto_frontier(o, "o_totalprice", "odate").collect()
+        )
+        pts = o.groupBy(
+            F.col("o_totalprice").alias("d1"), F.col("odate").alias("d2")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        pts.createOrReplaceTempView("pareto_pts")
+        want = sorted(
+            tuple(r)
+            for r in spark.sql(
+                """
+                SELECT d1, d2, n_rows FROM pareto_pts p
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM pareto_pts q
+                  WHERE q.d1 >= p.d1 AND q.d2 >= p.d2
+                    AND (q.d1 > p.d1 OR q.d2 > p.d2))
+                """
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_bucket_decomposition_edge_cases(self, spark):
+        """Single-value d1 (span 0), n_buckets=1 (pure within-bucket
+        sweep), and duplicate points collapsing with counts."""
+        from polars_view_spark.operators.scale import pareto_frontier
+
+        df = spark.createDataFrame(
+            [(5, 1), (5, 9), (5, 9), (5, 3)], "a int, b int"
+        )
+        got = {tuple(r) for r in pareto_frontier(df, "a", "b").collect()}
+        assert got == {(5, 9, 2)}
+
+        df2 = spark.createDataFrame(
+            [(1, 10), (2, 9), (3, 8), (2, 11), (3, 1)], "a int, b int"
+        )
+        for nb in (1, 2, 64):
+            got2 = {
+                tuple(r) for r in pareto_frontier(df2, "a", "b", n_buckets=nb).collect()
+            }
+            assert got2 == {(2, 11, 1), (3, 8, 1)}, (nb, got2)
+
+    def test_plan_shape(self, spark):
+        """No cartesian product, no Python eval; the data-level window is
+        PARTITIONED (the only global window runs over the 64-row bucket
+        seed frame)."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.catalog import load_tables
+        from polars_view_spark.operators.scale import pareto_frontier
+
+        t = load_tables(spark, "/root/testdata/sf0.001", "orders")
+        o = t["orders"].select(
+            "o_totalprice", F.col("o_orderdate").cast("date").alias("odate")
+        )
+        plan = pareto_frontier(o, "o_totalprice", "odate")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the data-level window is keyed by the bucket column (first arg
+        # of its windowspecdefinition), so it parallelizes across buckets
+        import re
+
+        specs = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
+        assert any(s.strip().startswith("b#") for s in specs), specs
