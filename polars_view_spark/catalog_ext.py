@@ -9080,3 +9080,180 @@ register(
     oracle=_x_html_extract_oracle(),
     tables=("documents",),
 )(_x_html_extract)
+
+
+def _x_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom membership sketch (operators/sketches.py:
+    bloom_build/bloom_probe): the 'have we ever ingested this
+    fingerprint' gate — build a 4096-bit filter over the reference
+    slice's text fingerprints (docs with doc_id % 5 = 0), probe EVERY
+    document, and report the (is_ref, maybe_member) confusion matrix.
+    No false negative is possible by construction (a member's bits are
+    all set — the matrix's (true, false) cell must be absent, which the
+    value hash enforces); false positives are bounded and deterministic.
+    Completes the mergeable-sketch family: HLL (distinct), KLL
+    (quantiles), Theta (set algebra), Count-Min (frequency), Bloom
+    (membership).  Scale shape: build is explode → ONE map-side-combined
+    bit_or over <=128 word groups; the probe joins a <=128-row broadcast —
+    both ends O(1) state however large the corpus."""
+    from polars_view_spark.operators.sketches import bloom_build, bloom_probe
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        (F.col("doc_id") % 5 == 0).alias("is_ref"),
+    )
+    sketch = bloom_build(d.filter("is_ref"), "fp")
+    probed = bloom_probe(sketch, d, "fp")
+    return (
+        probed.groupBy("is_ref", "maybe_member")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("is_ref", "maybe_member")
+    )
+
+
+def _x_bloom_membership_oracle() -> str:
+    from polars_view_spark.operators.sketches import BF_DEPTH, _bloom_cells_sql
+
+    cells = _bloom_cells_sql("fp", duck=True)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS fp, doc_id % 5 = 0 AS is_ref FROM documents
+    ),
+    build AS (
+      SELECT cell.word AS word, bit_or(cell.mask) AS bits
+      FROM (SELECT unnest({cells}) AS cell FROM d WHERE is_ref)
+      GROUP BY 1
+    ),
+    probe AS (
+      SELECT doc_id, is_ref, unnest({cells}) AS cell FROM d
+    ),
+    hits AS (
+      SELECT p.doc_id, p.is_ref,
+             SUM(CASE WHEN b.bits IS NOT NULL
+                       AND (b.bits & p.cell.mask) <> 0
+                      THEN 1 ELSE 0 END) = {BF_DEPTH} AS maybe_member
+      FROM probe p LEFT JOIN build b ON p.cell.word = b.word
+      GROUP BY 1, 2
+    )
+    SELECT is_ref, maybe_member, CAST(count(*) AS BIGINT) AS n
+    FROM hits GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+register(
+    "x_bloom_membership",
+    oracle=_x_bloom_membership_oracle(),
+    tables=("documents",),
+)(_x_bloom_membership)
+
+
+def _t_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout migration end-to-end (operators/snapshot.py:
+    evolve_partitioning): orders land month-partitioned (80 directories —
+    the small-file regime at this volume), the migration coarsens the
+    layout to year (7 directories) with ONE shuffle keyed on the new
+    value, and the audit is read back from the DESTINATION — a row lost
+    or doubled in flight breaks the hash.  ``n_dirs`` (the destination's
+    actual o_year= directory count, stamped onto every row) pins that
+    the rewrite produced exactly one directory per year, i.e. the layout
+    really evolved rather than just the column being derived."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.snapshot import evolve_partitioning
+    from polars_view_spark.sources.writers import write_dataset
+
+    t = load_tables(spark, sf_dir, "orders")
+    root = _scratch_dir("pevolve", sf_dir)
+    src = os.path.join(root, "by_month")
+    dst = os.path.join(root, "by_year")
+    write_dataset(
+        t["orders"].withColumn(
+            "o_month", F.substring(F.col("o_orderdate").cast("string"), 1, 7)
+        ),
+        src,
+        partition_by=["o_month"],
+    )
+    audit = evolve_partitioning(
+        spark, src, dst, "o_year", "substring(o_month, 1, 4)", drop_old="o_month"
+    )
+    n_dirs = len([p for p in os.listdir(dst) if p.startswith("o_year=")])
+    return (
+        audit.withColumn("n_dirs", F.lit(n_dirs).cast("long"))
+        .orderBy("o_year")
+    )
+
+
+register(
+    "t_partition_evolution",
+    oracle="""
+    WITH y AS (
+      SELECT substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS o_year,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    )
+    SELECT o_year, n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM y) AS n_dirs
+    FROM y ORDER BY o_year
+    """,
+    tables=("orders",),
+)(_t_partition_evolution)
+
+
+def _x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for every pair of sources, how
+    many distinct word 3-shingles they share — the corpus-governance view
+    ('which feeds are re-crawling each other') that x_audience_overlap
+    answers approximately with Theta sketches and this entry answers
+    EXACTLY, by reusing operators/mining.py:frequent_pairs with shingles
+    as the baskets and sources as the items: the per-basket fan-out is
+    bounded by |sources| (20 here), the a-priori prune and the
+    basket-keyed self-equi-join carry over unchanged.  At 100 TB the
+    same composition runs on a shingle SAMPLE (stratified_sample rides
+    in front at scan cost) — the matrix shape is |sources|², not corpus-
+    sized, either way."""
+    from polars_view_spark.functions.texthash import (
+        shingles_from_tokens_sql,
+        tokens_sql,
+    )
+    from polars_view_spark.operators.mining import frequent_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].withColumn("__toks", F.expr(tokens_sql("text")))
+    sh = d.select(
+        "source",
+        F.explode(F.expr(shingles_from_tokens_sql("__toks"))).alias("sh"),
+    )
+    return (
+        frequent_pairs(sh, "sh", "source", min_support=2)
+        .select(
+            F.col("item_a").alias("source_a"),
+            F.col("item_b").alias("source_b"),
+            F.col("n_baskets").alias("n_shared_shingles"),
+        )
+        .orderBy(F.desc("n_shared_shingles"), "source_a", "source_b")
+        .limit(20)
+    )
+
+
+register(
+    "x_source_overlap",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT sh AS b, source AS i FROM (
+        SELECT source, unnest({duck_shingles_sql("text")}) AS sh
+        FROM documents
+      )
+    ),
+    freq AS (SELECT i FROM items GROUP BY i HAVING count(*) >= 2),
+    fi AS (SELECT b, i FROM items WHERE i IN (SELECT i FROM freq))
+    SELECT a.i AS source_a, b.i AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM fi a JOIN fi b ON a.b = b.b AND a.i < b.i
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY n_shared_shingles DESC, source_a, source_b LIMIT 20
+    """,
+    tables=("documents",),
+)(_x_source_overlap)

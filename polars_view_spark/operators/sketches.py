@@ -287,3 +287,99 @@ def countmin_estimates(
     joined = exploded.join(F.broadcast(sketch), ["j", "bucket"])
     others = [c for c in probes.columns]
     return joined.groupBy(*others).agg(F.min("c").alias("cm_est"))
+
+
+#: Bloom geometry: 4 hash rows (the Count-Min coefficient pairs) setting
+#: bits in a 4096-bit filter stored as 128 x 32-bit words in BIGINTs —
+#: 32-bit words so every mask stays positive (a 64-bit word's top bit
+#: would need the sign bit, where Spark's shiftleft wraps but DuckDB's
+#: << range-checks; 32 bits sidesteps the divergence entirely).
+BF_DEPTH = 4
+BF_BITS = 4096
+BF_WORD = 32
+
+
+def _bloom_cells_sql(key_col: str, duck: bool = False) -> str:
+    """The ``array(named_struct('word', …, 'mask', …))`` cell expression
+    shared by build and probe — exact integer arithmetic with a
+    byte-identical DuckDB mirror (the Count-Min discipline)."""
+    from polars_view_spark.functions.texthash import (
+        MINHASH_COEFFS,
+        MINHASH_PRIME,
+        duck_hex64_sql,
+        hex64_sql,
+    )
+
+    h = f"({(duck_hex64_sql if duck else hex64_sql)(key_col)} % {MINHASH_PRIME})"
+    mk = (
+        (lambda w, m: f"{{'word': {w}, 'mask': {m}}}")
+        if duck
+        else (lambda w, m: f"named_struct('word', {w}, 'mask', {m})")
+    )
+    cells = []
+    for a, b in MINHASH_COEFFS[:BF_DEPTH]:
+        p = f"((({a} * {h} + {b}) % {MINHASH_PRIME}) % {BF_BITS})"
+        cells.append(
+            mk(
+                f"CAST({p} // {BF_WORD} AS INT)"
+                if duck
+                else f"CAST({p} DIV {BF_WORD} AS INT)",
+                f"CAST(1 AS BIGINT) << ({p} % {BF_WORD})"
+                if duck
+                else f"shiftleft(CAST(1 AS BIGINT), CAST({p} % {BF_WORD} AS INT))",
+            )
+        )
+    inner = ", ".join(cells)
+    return f"[{inner}]" if duck else f"array({inner})"
+
+
+def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Mergeable Bloom membership sketch over a key column: ``(word,
+    bits)`` rows, ``bits`` = OR of every key's masks in that 32-bit word.
+
+    The approximate-membership twin of the Count-Min counter: "has this
+    fingerprint/URL EVER been ingested" answered in O(BF_BITS) state with
+    NO false negatives (guaranteed — a member's bits are all set) and a
+    bounded false-positive rate (~(1-e^{-kn/m})^k).
+
+    Scale shape: explode each key into BF_DEPTH (word, mask) cells → ONE
+    map-side-combined ``bit_or`` aggregate over at most 128 groups — each
+    task contributes a local filter and the shuffle carries only those
+    partials; partial filters merge by OR exactly like Count-Min partials
+    merge by sum (the streaming face reuses the idiom unchanged).  The
+    result is <= 128 rows however large the corpus, so probes are always
+    a broadcast join.
+    """
+    cells = _bloom_cells_sql(key_col)
+    return (
+        df.select(F.expr(f"explode({cells})").alias("cell"))
+        .select("cell.word", "cell.mask")
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").cast("long").alias("bits"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame, probes: DataFrame, key_col: str
+) -> DataFrame:
+    """Probe keys against a Bloom sketch: ``maybe_member`` is true iff
+    ALL BF_DEPTH of the key's bits are set.  The sketch side is <= 128
+    rows → broadcast join; per-probe cost is pure codegen + the join."""
+    cells = _bloom_cells_sql(key_col)
+    exploded = probes.select(
+        "*", F.expr(f"explode({cells})").alias("cell")
+    ).select("*", "cell.word", "cell.mask")
+    joined = exploded.join(F.broadcast(sketch), "word", "left")
+    hit = (
+        F.when(
+            F.col("bits").isNotNull()
+            & (F.expr("bits & mask") != 0),
+            1,
+        )
+        .otherwise(0)
+    )
+    others = list(probes.columns)
+    return (
+        joined.groupBy(*others)
+        .agg((F.sum(hit) == F.lit(BF_DEPTH)).alias("maybe_member"))
+    )

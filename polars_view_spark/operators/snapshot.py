@@ -170,3 +170,46 @@ def retention_vacuum(
             fs.delete(ppath, True)
         audit.append((value, is_kept))
     return spark.createDataFrame(audit, f"{partition_col} string, kept boolean")
+
+
+def evolve_partitioning(
+    spark,
+    src_path: str,
+    dst_path: str,
+    new_col: str,
+    new_expr: str,
+    drop_old: str | None = None,
+) -> DataFrame:
+    """Partition-layout migration: read a dataset laid out under one
+    partitioning, derive the new partition column (``new_expr``, a SQL
+    scalar over the row — e.g. month→year coarsening when small files
+    dominate, or the reverse split when partitions outgrow executors),
+    and rewrite under the new layout.  The day→month→year re-layout is
+    the maintenance pass every time-partitioned 100 TB dataset eventually
+    needs: partition counts drift with data volume, and the right
+    granularity is a property of TODAY'S size, not the original schema.
+
+    Scale shape: one scan + ONE shuffle keyed on the new partition value
+    (``repartition(new_col)`` before ``partitionBy`` write, so each new
+    partition is written by the tasks that own it — without it every
+    task appends a sliver to every partition and the small-file problem
+    survives the migration).  Old partition columns can be dropped
+    (``drop_old``) — their information lives in ``new_col`` or the rows.
+
+    Returns the per-new-partition audit ``(new_col, n_rows)`` read back
+    from the DESTINATION, so a hash over it proves the migration moved
+    every row."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_path)
+    df = df.withColumn(new_col, F.expr(new_expr))
+    if drop_old:
+        df = df.drop(drop_old)
+    df.repartition(F.col(new_col)).write.mode("overwrite").partitionBy(
+        new_col
+    ).parquet(dst_path)
+    return (
+        spark.read.parquet(dst_path)
+        .groupBy(F.col(new_col).cast("string").alias(new_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )

@@ -1121,3 +1121,45 @@ def test_retention_vacuum_mixed_width_numeric_refuses(spark, tmp_path):
         for r in retention_vacuum(spark, str(padded), "y", keep=2).collect()
     }
     assert audit == {"0999": False, "1000": True, "1001": True}
+
+
+def test_bloom_membership_properties_and_plan(spark):
+    """Bloom (x_bloom_membership): (1) NO false negatives — every built
+    key probes true; (2) mergeable — bit_or of the halves' filters equals
+    the whole-corpus filter (the partial-combine contract); (3) build is
+    JVM-side with map-side partial aggregation and the probe broadcasts
+    the <=128-row sketch."""
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.sketches import bloom_build, bloom_probe
+
+    d = (
+        load_tables(spark, SF, "documents")["documents"]
+        .select("doc_id", F.md5("text").alias("fp"))
+    )
+    sketch = bloom_build(d, "fp")
+
+    # (1) every built key must probe true
+    probed = bloom_probe(sketch, d, "fp")
+    assert probed.filter(~F.col("maybe_member")).count() == 0
+
+    # (2) mergeability: OR of the halves == whole
+    a = bloom_build(d.filter(F.col("doc_id") % 2 == 0), "fp")
+    b = bloom_build(d.filter(F.col("doc_id") % 2 == 1), "fp")
+    merged = (
+        a.unionAll(b)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+    )
+    whole = {(r["word"]): r["bits"] for r in sketch.collect()}
+    got = {(r["word"]): r["bits"] for r in merged.collect()}
+    assert got == whole and len(whole) > 0
+
+    # (3) plan gates
+    build_plan = plan_of(sketch)
+    assert "BatchEvalPython" not in build_plan and "ArrowEvalPython" not in build_plan
+    assert len(re.findall(r"HashAggregate", build_plan)) >= 2  # partial+final
+    probe_plan = plan_of(probed)
+    assert "BroadcastHashJoin" in probe_plan
+    assert "CartesianProduct" not in probe_plan
