@@ -199,8 +199,11 @@ DRIVER_PRIORITY = [
 # the oldest remaining stamps after this window executes will be the
 # 9-entry r04 tail in (e) and the 48-entry r05 cohort.
 # ROUND-10 ROTATION (committed plan, VERDICT r08 task 8): lead with
-# (1) anything round 10 changes, then (2) the round-9 below-window adds
-# awaiting their FIRST stamp, then (3) the 9-entry r04 tail from (e)
+# (1) anything round 10 changes, then (2) the SEVEN round-9 below-window
+# adds awaiting their FIRST stamp — x_pareto_frontier, x_itemset_pairs,
+# x_winsorize, x_html_extract, x_bloom_membership, t_partition_evolution,
+# x_source_overlap (all locally oracle-verified at sf0.001/0.01/0.1,
+# commits 22e34a4/f7e8549) — then (3) the 9-entry r04 tail from (e)
 # above, then (4) the r05 cohort oldest-first (48 entries; the remainder
 # after the window fills rolls to round 11, which closes out all
 # pre-r06 stamps — with ~7 adds/round the board is fully refreshed to
