@@ -1163,3 +1163,23 @@ def test_bloom_membership_properties_and_plan(spark):
     probe_plan = plan_of(probed)
     assert "BroadcastHashJoin" in probe_plan
     assert "CartesianProduct" not in probe_plan
+
+
+def test_html_extract_codegen_only(spark, cat):
+    # the HTML->text front door must run at scan speed: whole-stage
+    # codegen projection, no shuffle before the presentation sort, no
+    # Python in the row path
+    plan = plan_of(cat["x_html_extract"].spark_fn(spark, SF), final=True)
+    assert "*(" in plan
+    pre_sort = plan.split("Sort", 1)[0]
+    assert "Exchange hashpartitioning" not in pre_sort
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winsorize_broadcasts_bounds(spark, cat):
+    # the per-type bounds frame is |types|-rows: it must come back as a
+    # broadcast join, never a shuffled merge join of the event stream
+    plan = plan_of(cat["x_winsorize"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
