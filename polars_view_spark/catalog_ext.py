@@ -9520,3 +9520,99 @@ register(
     oracle=_x_bloom_membership_oracle(),
     tables=("documents",),
 )(_e_streaming_bloom)
+
+
+def _x_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic
+    (operators/scale.py:ks_statistic): the click-value distribution vs
+    the view-value distribution, integer end-to-end (cross-multiplied
+    ECDF difference — no float division until the final ppm).  The exact
+    complement of the sketch-based drift gates (x_snapshot_drift /
+    x_expectations_persisted_drift): run it when a threshold is about to
+    move and the KLL error band is too coarse.  Cumulative counts ride
+    the extracted bucketed-prefix-sum primitive
+    (scale.py:bucketed_prefix_sums — the rowindex/pareto trick as a named
+    operator), so there is NO single-partition global window; the oracle
+    uses the plain window form."""
+    from polars_view_spark.operators.scale import ks_statistic
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    return ks_statistic(
+        ev.filter(F.col("event_type") == "click").select("value"),
+        ev.filter(F.col("event_type") == "view").select("value"),
+        "value",
+    )
+
+
+register(
+    "x_ks_drift",
+    oracle="""
+    WITH pts AS (
+      SELECT value AS v,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS cb
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY value
+    ),
+    cum AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v) AS cum_a,
+             SUM(cb) OVER (ORDER BY v) AS cum_b
+      FROM pts
+    ),
+    tot AS (SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum),
+    d AS (
+      SELECT v, ABS(cum_a * (SELECT n_b FROM tot)
+                  - cum_b * (SELECT n_a FROM tot)) AS diff
+      FROM cum
+    ),
+    mx AS (SELECT MAX(diff) AS ks_num FROM d)
+    SELECT CAST((SELECT n_a FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT n_b FROM tot) AS BIGINT) AS n_b,
+           CAST(mx.ks_num AS BIGINT) AS ks_num,
+           CAST(mx.ks_num * 1000000
+                // ((SELECT n_a FROM tot) * (SELECT n_b FROM tot))
+                AS BIGINT) AS ks_ppm,
+           MIN(d.v) AS ks_at
+    FROM d, mx WHERE d.diff = mx.ks_num
+    GROUP BY mx.ks_num
+    """,
+    tables=("events",),
+)(_x_ks_drift)
+
+
+def _x_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping audio-style chunking (operators/multimodal.py:
+    audio_chunks): width-100/hop-60 windows over the packed binary
+    payloads — consecutive chunks share 40 bytes of context, the framing
+    every ASR/STFT front end needs and non-overlapping frame_sample
+    can't express.  Pure codegen (explode(sequence) + binary substring
+    + md5): no Python, no shuffle — the fourth multimodal face, and the
+    proof that chunk plumbing doesn't need the Arrow batch path decode
+    does.  Payloads are ASCII here so the oracle mirrors the windows
+    with substr + md5 over the source text."""
+    from polars_view_spark.operators.multimodal import audio_chunks, pack_binary
+
+    t = load_tables(spark, sf_dir, "documents")
+    packed = pack_binary(t["documents"], "text", "source")
+    return audio_chunks(packed, width=100, hop=60).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+register(
+    "x_multimodal_audio_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST(u.i AS BIGINT) AS chunk_idx,
+           CAST(length(substr(text, CAST(u.i AS INT) * 60 + 1, 100)) AS BIGINT)
+             AS n_chunk_bytes,
+           md5(substr(text, CAST(u.i AS INT) * 60 + 1, 100)) AS chunk_md5
+    FROM documents,
+         UNNEST(generate_series(0, CAST((length(text) - 1) // 60 AS INT)))
+           AS u(i)
+    WHERE length(text) > 0
+    ORDER BY doc_id, chunk_idx
+    """,
+    tables=("documents",),
+)(_x_multimodal_audio_chunks)

@@ -658,3 +658,48 @@ def resize_payload(df: DataFrame, factor: int = 4, id_col: str = "doc_id") -> Da
             yield pd.DataFrame(rows)
 
     return df.select(id_col, "payload").mapInPandas(_resize, _RESIZE_SCHEMA)
+
+
+def audio_chunks(
+    df: DataFrame,
+    width: int = 100,
+    hop: int = 60,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-width chunking over binary payloads — the audio
+    framing shape (STFT windows, ASR segmenting: chunk i covers bytes
+    [i·hop, i·hop + width), consecutive chunks sharing ``width − hop``
+    bytes of context), which :func:`frame_sample`'s non-overlapping
+    stride cannot express.  The chunk tail is kept partial (the last
+    window of a clip is still a window).
+
+    Unlike the decode-shaped multimodal ops (Arrow mapInPandas because a
+    real codec needs Python), chunk arithmetic is expressible directly:
+    ``explode(sequence(...))`` + ``substring`` on the binary column —
+    whole-stage codegen end to end, no Python, no shuffle; 100 TB of
+    audio chunks at scan throughput.  Emits ``(id, chunk_idx,
+    n_chunk_bytes, chunk_md5)`` — the md5 stands in for the per-chunk
+    feature extraction a real pipeline plugs in downstream.
+    """
+    assert width >= 1 and hop >= 1
+    n_last = f"CAST((length({payload_col}) - 1) DIV {hop} AS INT)"
+    return (
+        df.filter(F.expr(f"length({payload_col}) > 0"))
+        .select(
+            F.col(id_col),
+            F.expr(f"explode(sequence(0, {n_last}))").alias("chunk_idx"),
+            F.col(payload_col),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(
+                f"CAST(length(substring({payload_col}, "
+                f"chunk_idx * {hop} + 1, {width})) AS BIGINT)"
+            ).alias("n_chunk_bytes"),
+            F.expr(
+                f"md5(substring({payload_col}, chunk_idx * {hop} + 1, {width}))"
+            ).alias("chunk_md5"),
+        )
+    )

@@ -433,3 +433,132 @@ def pareto_frontier(
         )
         .select("d1", "d2", "n_rows")
     )
+
+
+def bucketed_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Distributed prefix (cumulative) sums over a total order WITHOUT a
+    single-partition global window — the primitive under
+    AddRowIndexTransform (operators/rowindex.py), pareto_frontier and the
+    KS statistic, extracted: range-bucket ``order_col`` (one min/max
+    probe), per-bucket totals prefix-summed across strictly-lower buckets
+    (a ``n_buckets``-row frame), then a window PARTITIONED by bucket adds
+    the within-bucket running sum to the broadcast seed.  Two keyed
+    shuffles; every stage parallel; bucket monotonicity (disjoint
+    floor-width intervals) makes the seed exact.
+
+    Rows tie-broken by the full (order_col, sum_cols) ordering within a
+    bucket would be ambiguous — so the input must already be UNIQUE on
+    ``order_col`` (group first; asserted cheap via the caller's shape).
+    Adds ``cum_<col>`` (inclusive prefix sum) for each of ``sum_cols``.
+    """
+    from pyspark.sql import Window
+
+    assert n_buckets >= 1 and sum_cols
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        out = df
+        for c in sum_cols:
+            out = out.withColumn(f"cum_{c}", F.col(c))
+        return out
+    span = float(hi) - float(lo)
+    width = (span / n_buckets) if span > 0 else 1.0
+    b = F.least(
+        F.floor(
+            (F.col(order_col).cast("double") - F.lit(float(lo))) / F.lit(width)
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    pb = df.withColumn("__b", b)
+
+    wb = Window.orderBy(F.col("__b").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seeds = pb.groupBy("__b").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    for c in sum_cols:
+        seeds = seeds.withColumn(
+            f"__seed_{c}", F.coalesce(F.sum(f"__t_{c}").over(wb), F.lit(0))
+        )
+    seeds = seeds.select("__b", *[f"__seed_{c}" for c in sum_cols])
+
+    ww = (
+        Window.partitionBy("__b")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = pb.join(F.broadcast(seeds), "__b")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", (F.sum(c).over(ww) + F.col(f"__seed_{c}")).cast("long")
+        )
+    return out.drop("__b", *[f"__seed_{c}" for c in sum_cols])
+
+
+def ks_statistic(
+    a: DataFrame, b: DataFrame, value_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic, integer end to end:
+    ``KS = max_x |F_a(x) − F_b(x)|`` evaluated at every distinct observed
+    value, with the ECDF difference cross-multiplied to the integer
+    ``|cum_a·n_b − cum_b·n_a|`` (no float division until the final ppm).
+    The distribution-drift test the sketch-based gates
+    (expectations/snapshot_drift) approximate, exact — run it between
+    yesterday's and today's score distributions before a threshold moves.
+
+    Scale shape: one groupBy(value) collapses both samples to distinct
+    values with per-sample counts, the cumulative counts ride
+    :func:`bucketed_prefix_sums` (no global-order window), and the max is
+    one tiny aggregate.  Overflow bound: |D|·10⁶ ≤ n_a·n_b·10⁶ must fit
+    int64 → valid while n_a·n_b < 9.2e12 (e.g. two 3M-row samples); past
+    that, read ``ks_num`` against the also-emitted counts instead of the
+    ppm (documented, loud under ANSI if breached).
+
+    Returns ONE row: ``(n_a, n_b, ks_num, ks_ppm, ks_at)`` where
+    ``ks_at`` is the smallest value attaining the max (deterministic
+    under ties).
+    """
+    pts = (
+        a.select(F.col(value_col).alias("v"), F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+        .unionAll(
+            b.select(
+                F.col(value_col).alias("v"), F.lit(0).alias("ca"), F.lit(1).alias("cb")
+            )
+        )
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    cum = bucketed_prefix_sums(pts, "v", ["ca", "cb"], n_buckets)
+    tot = cum.agg(
+        F.max("cum_ca").alias("n_a"), F.max("cum_cb").alias("n_b")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "diff",
+            F.abs(
+                F.col("cum_ca") * F.col("n_b") - F.col("cum_cb") * F.col("n_a")
+            ).cast("long"),
+        )
+    )
+    mx = d.agg(F.max("diff").alias("ks_num"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .filter(F.col("diff") == F.col("ks_num"))
+        .groupBy("n_a", "n_b", "ks_num")
+        .agg(F.min("v").alias("ks_at"))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("ks_num").cast("long").alias("ks_num"),
+            F.expr("CAST(ks_num * 1000000L DIV (n_a * n_b) AS BIGINT)").alias(
+                "ks_ppm"
+            ),
+            "ks_at",
+        )
+    )

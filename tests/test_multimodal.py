@@ -683,3 +683,45 @@ class TestAudioVideoSniffTiers:
                             (b"mif1", "heif"), (b"isom", "mp4")):
             hdr = struct.pack(">I", 16) + b"ftyp" + brand + b"\x00\x00\x00\x00"
             assert sniff_media_header(hdr)[0] == want
+
+
+class TestAudioChunks:
+    def test_overlap_and_tail(self, spark):
+        """Consecutive chunks share width-hop bytes; the tail chunk is
+        partial; empty payloads emit nothing."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.multimodal import audio_chunks
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"abcdefghij")), (2, bytearray(b"")), (3, bytearray(b"xyz"))],
+            "doc_id long, payload binary",
+        )
+        rows = audio_chunks(df, width=6, hop=4).orderBy("doc_id", "chunk_idx").collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 1 (10 bytes, hop 4): chunks at 0,4,8 -> lengths 6,6,2
+        assert [r["n_chunk_bytes"] for r in by_doc[1]] == [6, 6, 2]
+        # doc 2 empty: absent
+        assert 2 not in by_doc
+        # doc 3 (3 bytes): one partial chunk
+        assert [r["n_chunk_bytes"] for r in by_doc[3]] == [3]
+        # overlap: chunk0 = abcdef, chunk1 = efghij share 'ef'
+        import hashlib
+
+        assert by_doc[1][0]["chunk_md5"] == hashlib.md5(b"abcdef").hexdigest()
+        assert by_doc[1][1]["chunk_md5"] == hashlib.md5(b"efghij").hexdigest()
+
+    def test_pure_codegen_plan(self, spark):
+        from polars_view_spark.catalog import load_tables
+        from polars_view_spark.operators.multimodal import audio_chunks, pack_binary
+
+        d = load_tables(spark, "/root/testdata/sf0.001", "documents")["documents"]
+        plan = (
+            audio_chunks(pack_binary(d, "text", "source"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "Exchange hashpartitioning" not in plan

@@ -613,3 +613,73 @@ class TestParetoFrontier:
 
         specs = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
         assert any(s.strip().startswith("b#") for s in specs), specs
+
+
+class TestPrefixSumsAndKS:
+    def test_prefix_sums_match_global_window(self, spark):
+        """bucketed_prefix_sums == a plain global-order window, at every
+        bucket count (incl. 1 = pure window, and > distinct values)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.scale import bucketed_prefix_sums
+
+        df = spark.range(200).select(
+            (F.col("id") * 37 % 199).alias("v"),
+            (F.col("id") % 5).alias("x"),
+            F.lit(1).alias("y"),
+        ).groupBy("v").agg(F.sum("x").alias("x"), F.sum("y").alias("y"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["v"]: (r["cx"], r["cy"])
+            for r in df.select(
+                "v", F.sum("x").over(w).alias("cx"), F.sum("y").over(w).alias("cy")
+            ).collect()
+        }
+        for nb in (1, 4, 64, 1000):
+            got = {
+                r["v"]: (r["cum_x"], r["cum_y"])
+                for r in bucketed_prefix_sums(df, "v", ["x", "y"], nb).collect()
+            }
+            assert got == want, nb
+
+    def test_ks_identical_samples_zero(self, spark):
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.catalog import load_tables
+        from polars_view_spark.operators.scale import ks_statistic
+
+        ev = load_tables(spark, "/root/testdata/sf0.001", "events")["events"]
+        a = ev.filter(F.col("event_type") == "click").select("value")
+        r = ks_statistic(a, a, "value").first()
+        assert r["ks_num"] == 0 and r["ks_ppm"] == 0
+
+    def test_ks_disjoint_samples_max(self, spark):
+        """Fully separated samples reach KS = 1 (ppm 1e6 at the crossing)."""
+        from polars_view_spark.operators.scale import ks_statistic
+
+        a = spark.createDataFrame([(float(i),) for i in range(10)], "value double")
+        b = spark.createDataFrame([(float(i + 100),) for i in range(7)], "value double")
+        r = ks_statistic(a, b, "value").first()
+        assert r["ks_num"] == 10 * 7 and r["ks_ppm"] == 1_000_000
+        assert r["ks_at"] == 9.0
+
+    def test_ks_window_is_partitioned(self, spark):
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.catalog import load_tables
+        from polars_view_spark.operators.scale import ks_statistic
+
+        ev = load_tables(spark, "/root/testdata/sf0.001", "events")["events"]
+        plan = ks_statistic(
+            ev.filter(F.col("event_type") == "click").select("value"),
+            ev.filter(F.col("event_type") == "view").select("value"),
+            "value",
+        )._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        specs = _re.findall(r"windowspecdefinition\(([^,)]+)", plan)
+        # the data-level cumsum window is keyed by the bucket column
+        assert any(s.strip().startswith("__b#") for s in specs), specs
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
