@@ -9280,9 +9280,12 @@ def _s_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared PQ oracle core: quantize -> 16x64 seed codebooks -> per-subspace
-# argmin codes -> ADC sums.  Both the raw-ADC entry and the rerank entry
-# compose on top, so the approximation arithmetic is stated ONCE.
-_PQ_CORE = f"""
+# argmin codes -> ADC sums.  The raw-ADC, rerank, persisted-index and
+# streaming-lookup entries all compose on top, so the approximation
+# arithmetic is stated ONCE (parametrized on the query-set size the way
+# _ivf_topk_oracle is).
+def _pq_core(n_queries: int = ANN_N_QUERIES) -> str:
+    return f"""
     WITH qz AS (
       SELECT vec_id, list_transform(embedding::DOUBLE[],
              x -> CAST(round(x * 1000) AS BIGINT)) AS qv
@@ -9311,10 +9314,13 @@ _PQ_CORE = f"""
              CAST(SUM(qd.d) AS BIGINT) AS approx_dist
       FROM codes c
       JOIN dists qd ON qd.m = c.m AND qd.j = c.code
-                   AND qd.vec_id < {ANN_N_QUERIES}
+                   AND qd.vec_id < {n_queries}
       WHERE c.vec_id != qd.vec_id
       GROUP BY 1, 2
     )"""
+
+
+_PQ_CORE = _pq_core()
 
 register(
     "s_ann_pq_topk",
@@ -9616,3 +9622,153 @@ register(
     """,
     tables=("documents",),
 )(_x_multimodal_audio_chunks)
+
+
+def _s_ann_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-PQ build/query split (operators/similarity.py:
+    pq_build_index / pq_query_index) — the fourth build-once/query-many
+    index beside MinHash, IVF and containment: the codebook (<=64 rows)
+    and the 16-int-per-vector codes dataset are written once; the query
+    pass reads them back, re-encodes NOTHING corpus-side, and runs the
+    same ADC helper as the in-session path.  Held to the SAME value-hash
+    oracle as s_ann_pq_topk — a code corrupted by the parquet round trip
+    or a codebook row reordered breaks the hash."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.similarity import (
+        pq_build_index,
+        pq_query_index,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    idx = os.path.join(_scratch_dir("pq_index", sf_dir), "pq")
+    pq_build_index(e, idx)
+    return pq_query_index(
+        spark, e.filter(F.col("vec_id") < ANN_N_QUERIES), idx
+    ).orderBy("query_id", "rank")
+
+
+register(
+    "s_ann_pq_persist",
+    oracle=_PQ_CORE + f""",
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY approx_dist, neighbor_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, approx_dist, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank
+    """,
+    tables=("embeddings",),
+)(_s_ann_pq_persist)
+
+
+def _q_window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS window-frame mode — the third ANSI frame unit beside ROWS
+    (q_window_running) and RANGE (q_window_range_frame): the frame spans
+    peer GROUPS of the ordering key (all rows tied on the key count as
+    one step).  Spark 4 does not parse GROUPS (PARSE_SYNTAX_ERROR,
+    probed), so this entry pins the standard EMULATION: DENSE_RANK gives
+    each peer group a consecutive integer, and RANGE over that rank with
+    the same bounds is exactly GROUPS over the original key.  The oracle
+    runs DuckDB's NATIVE GROUPS frame — the emulation is held to the real
+    semantics, not to itself.  Scale shape: both windows share ONE
+    priority-keyed shuffle (same partitioning), no global-order window."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH d AS (
+          SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS od,
+                 o_totalprice,
+                 DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY CAST(o_orderdate AS DATE)) AS dr
+          FROM orders
+        )
+        SELECT o_orderpriority, od,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_in_frame,
+               ROUND(SUM(o_totalprice) OVER w + 1e-6, 2) AS frame_total
+        FROM d
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY dr
+                     RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderpriority, od
+        """
+    )
+
+
+register(
+    "q_window_groups_frame",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS od,
+             o_totalprice,
+             DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(o_orderdate AS DATE)) AS dr
+      FROM orders
+    )
+    SELECT o_orderpriority, od,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_frame,
+           ROUND(SUM(o_totalprice) OVER w + 1e-6, 2) AS frame_total
+    FROM d
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY dr
+                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderpriority, od
+    """,
+    tables=("orders",),
+)(_q_window_groups_frame)
+
+
+def _e_streaming_pq_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ADC lookup against the persisted PQ index
+    (streaming/events.py:streaming_pq_lookup): codes + codebook are built
+    ONCE, then the query-vector stream probes them per micro-batch —
+    completing the streaming build/query quartet (MinHash, IVF,
+    containment, PQ).  Per-query independence from the fixed index makes
+    the union of batches exactly the one-shot batch query, so the drained
+    sink is held to the SAME parametrized PQ oracle with the stream's
+    larger query set."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.similarity import pq_build_index
+    from polars_view_spark.streaming.events import (
+        _single_file_to_glob,
+        read_sink_or_empty,
+        streaming_pq_lookup,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    scratch = _scratch_dir("stream_pq", sf_dir)
+    idx = os.path.join(scratch, "pq")
+    sink = os.path.join(scratch, "hits")
+    pq_build_index(e, idx)
+    reader = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", "1")
+    src = _single_file_to_glob(reader, f"{sf_dir}/embeddings.parquet")
+    stream = reader.parquet(src).filter(F.col("vec_id") < STREAM_ANN_N_QUERIES)
+    q = streaming_pq_lookup(stream, idx, sink, k=ANN_K)
+    q.awaitTermination()
+    out = read_sink_or_empty(
+        spark,
+        sink,
+        "query_id long, neighbor_id long, approx_dist long, rank long, batch_id long",
+    )
+    return out.select("query_id", "neighbor_id", "approx_dist", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+register(
+    "e_streaming_pq_lookup",
+    oracle=_pq_core(STREAM_ANN_N_QUERIES) + f""",
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY approx_dist, neighbor_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, approx_dist, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank
+    """,
+    tables=("embeddings",),
+)(_e_streaming_pq_lookup)

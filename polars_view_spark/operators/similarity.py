@@ -1632,18 +1632,36 @@ def pq_topk(
     Returns ``(query_id, neighbor_id, approx_dist, rank)`` — integer
     distances, rank ascending, self-matches excluded.
     """
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    _cells, _arrays, seed_ints = _seed_centroids(
-        corpus, id_col, vec_col, seed_mod, scale, k_sub
+    books = _pq_books(
+        _seed_centroids(corpus, id_col, vec_col, seed_mod, scale, k_sub)[2],
+        m_sub,
     )
+    codes = _pq_encode(corpus, id_col, vec_col, books, scale)
+    return _pq_adc_topk(codes, queries, id_col, vec_col, books, k, scale)
+
+
+def _pq_books(seed_ints: list[list[int]], m_sub: int):
+    """(m_sub, k_sub, d_sub) codebook tensor from the engine-quantized
+    seed rows (codeword j = seed row j, ORDER BY id — the oracle's
+    ROW_NUMBER()-1)."""
+    import numpy as np
+
     book = np.asarray(seed_ints, dtype=np.int64)  # (n_codewords, dim)
     n_codewords, dim = book.shape
     assert dim % m_sub == 0, f"dim {dim} not divisible by m_sub {m_sub}"
     d_sub = dim // m_sub
-    # (m, k_sub, d_sub) codebook tensor + per-(m, j) squared norms
-    books = book.reshape(n_codewords, m_sub, d_sub).transpose(1, 0, 2)
+    return book.reshape(n_codewords, m_sub, d_sub).transpose(1, 0, 2)
+
+
+def _pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, books, scale: int
+) -> DataFrame:
+    """(neighbor_id, codes) — per-subspace nearest-codeword argmins via
+    the Arrow int64 kernel (ties -> lowest j, the oracle's ORDER BY d, j)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m_sub, _k, d_sub = books.shape
     book_sq = (books * books).sum(axis=2)  # (m, k_sub)
 
     @pandas_udf("array<int>")
@@ -1657,6 +1675,31 @@ def pq_topk(
             out[:, m] = np.argmin(d, axis=1)  # first min -> lowest j on ties
         return pd.Series(list(out))
 
+    return corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_codes(F.expr(_quantize_sql(vec_col, scale))).alias("codes"),
+    )
+
+
+def _pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books,
+    k: int,
+    scale: int,
+) -> DataFrame:
+    """ADC scoring of a codes frame against bounded queries: per-query
+    16x64 integer distance tables broadcast, 16 codegen lookups per pair,
+    rank ascending.  Shared verbatim by pq_topk and pq_query_index so the
+    in-session and persisted paths cannot drift."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m_sub = books.shape[0]
+    d_sub = books.shape[2]
+
     @pandas_udf("array<array<bigint>>")
     def pq_dtab(qv: pd.Series) -> pd.Series:
         mat = np.stack(qv.to_numpy()).astype(np.int64, copy=False)
@@ -1668,17 +1711,12 @@ def pq_topk(
             rows.append(list((diffs * diffs).sum(axis=2)))
         return pd.Series(rows)
 
-    qz = _quantize_sql(vec_col, scale)
-    codes = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_codes(F.expr(qz)).alias("codes"),
-    )
     qtabs = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
-        pq_dtab(F.expr(qz)).alias("dtab"),
+        pq_dtab(F.expr(_quantize_sql(vec_col, scale))).alias("dtab"),
     )
     # explicit broadcast cross join: PQ's ADC stage scores EVERY code
-    # against the bounded query set (that full scan over 8-int codes is
+    # against the bounded query set (that full scan over 16-int codes is
     # the operator — IVF composes in front when cell pruning is wanted)
     scored = (
         codes.crossJoin(F.broadcast(qtabs))
@@ -1701,6 +1739,70 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    seed_mod: int = PQ_SEED_MOD,
+    scale: int = 1000,
+) -> None:
+    """Persist the PQ index — the build/query split (the fourth beside
+    MinHash, IVF and containment): two parquet datasets under ``path``,
+
+    - ``codebook``: (j, sv) — the <=k_sub engine-quantized codeword rows
+      (codewords are FROZEN at build, the IVF-append contract: they
+      define the code space; re-deriving them would invalidate every
+      stored code);
+    - ``codes``: (neighbor_id, codes) — 16 small ints per corpus vector,
+      the ENTIRE per-vector state a query ever reads.
+
+    At 100 TB this is the memory-tier index: the codes dataset is ~16
+    ints/vector where the raw vectors are 64 floats — query jobs scan
+    codes at a fraction of the vector-scan cost and never re-encode."""
+    spark = corpus.sparkSession
+    _c, _a, seed_ints = _seed_centroids(
+        corpus, id_col, vec_col, seed_mod, scale, k_sub
+    )
+    cb = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(j, sv) for j, sv in enumerate(seed_ints)], numSlices=1
+        ),
+        "j INT, sv ARRAY<BIGINT>",
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    books = _pq_books(seed_ints, m_sub)
+    _pq_encode(corpus, id_col, vec_col, books, scale).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+
+def pq_query_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_sub: int = PQ_M,
+    scale: int = 1000,
+) -> DataFrame:
+    """Query a persisted PQ index: the bounded codebook is read back and
+    collected (<=64 rows), the codes dataset is scanned AS-IS (nothing
+    corpus-side is ever re-encoded — batch-only CPU, the
+    minhash_query_index economics), and the ADC ranking is the SAME
+    helper the in-session path uses, so persisted results reproduce
+    pq_topk bit-for-bit (held to the same oracle)."""
+    rows = (
+        spark.read.parquet(f"{path}/codebook").orderBy("j").collect()
+    )
+    books = _pq_books([list(r["sv"]) for r in rows], m_sub)
+    codes = spark.read.parquet(f"{path}/codes")
+    return _pq_adc_topk(codes, queries, id_col, vec_col, books, k, scale)
 
 
 def pq_rerank_topk(

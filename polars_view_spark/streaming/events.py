@@ -1470,3 +1470,38 @@ def read_bloom(spark, filter_dir: str) -> DataFrame:
     return partials.groupBy("word").agg(
         F.expr("bit_or(bits)").cast("long").alias("bits")
     )
+
+
+def streaming_pq_lookup(
+    queries_stream: DataFrame,
+    index_path: str,
+    sink_dir: str,
+    k: int = 5,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous ADC lookup against the persisted PQ index
+    (operators/similarity.py:pq_build_index / pq_query_index) — the
+    memory-tier twin of :func:`streaming_ann_lookup`: per micro-batch the
+    arriving query vectors are ADC-scored against the 16-int-per-vector
+    codes dataset, which is never re-encoded.  Per-query independence
+    from the FIXED index gives the same no-divergence property (union of
+    batches == one-shot batch query of the distinct arrivals); sink
+    discipline is effectively-once (batch_id partitions, dynamic
+    overwrite)."""
+    from polars_view_spark.operators.similarity import pq_query_index
+
+    return _available_now_sink(
+        queries_stream,
+        sink_dir,
+        lambda batch_df: pq_query_index(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            scale=scale,
+        ),
+    )

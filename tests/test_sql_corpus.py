@@ -188,3 +188,44 @@ def test_ex2_rename_preserves_order(spark, tax_table):
     out = run(spark, q)
     assert out.columns[2] == "New Name"
     assert out.columns[0] == "CNPJ Base"
+
+
+def test_groups_frame_emulation_semantics(spark):
+    """q_window_groups_frame's DENSE_RANK+RANGE rewrite must equal true
+    ANSI GROUPS semantics — pinned on a hand-computed case with ties
+    (neither Spark nor DuckDB parses GROUPS, so the oracle can't)."""
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("a", 4, 40), ("a", 4, 50)],
+        "p string, k int, x int",
+    )
+    df.createOrReplaceTempView("gf")
+    got = {
+        (r["k"], r["x"]): (r["n"], r["s"])
+        for r in spark.sql(
+            """
+            WITH d AS (
+              SELECT *, DENSE_RANK() OVER (PARTITION BY p ORDER BY k) AS dr
+              FROM gf
+            )
+            SELECT k, x,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(x) OVER w AS BIGINT) AS s
+            FROM d
+            WINDOW w AS (PARTITION BY p ORDER BY dr
+                         RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+            """
+        ).collect()
+    }
+    # GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW over ORDER BY k:
+    #  k=1 rows: frame = {k=1 peers}            -> n=2, s=30
+    #  k=2 row:  frame = {k=1, k=2}             -> n=3, s=60
+    #  k=4 rows: frame = {k=2, k=4 peers}       -> n=3, s=120
+    #  (k=4 is ONE group back from k=2 — GROUPS counts peer groups, not
+    #   key distance, which is exactly what RANGE over dense_rank gives)
+    assert got == {
+        (1, 10): (2, 30),
+        (1, 20): (2, 30),
+        (2, 30): (3, 60),
+        (4, 40): (3, 120),
+        (4, 50): (3, 120),
+    }
