@@ -208,6 +208,9 @@ def main() -> None:
                 "x_label_propagation",
                 "x_ngram_novelty",
                 "s_ann_quantized_topk",
+                # round 9 (late): the two-stage PQ flagship — codes scan
+                # scales linearly, the rerank join stays O(queries×50)
+                "s_ann_pq_rerank",
             ):
                 if name not in cat:
                     continue

@@ -807,6 +807,21 @@ def test_no_distinct_plus_sketch_expand(spark, cat):
 #: shape for scalar-stat joins; an UNLISTED BNLJ fails the gate.
 CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "e_range_join": "broadcast side is the bounded bucket-bounds table",
+    "s_ann_pq_topk": "bounded query set broadcast with its 16x64 integer "
+    "ADC distance tables; the full scan over 16-int codes IS the operator "
+    "(IVF composes in front when cell pruning is wanted) — "
+    "similarity.py:_pq_adc_topk docstring",
+    "s_ann_pq_rerank": "stage 1 is pq_topk's bounded query-table broadcast "
+    "(same reason); stage 2 fetches only the O(queries*shortlist) rows "
+    "through id-keyed hash joins",
+    "s_ann_pq_persist": "same ADC helper as s_ann_pq_topk over the "
+    "persisted codes — identical bounded query-table broadcast",
+    "e_streaming_pq_lookup": "per-micro-batch pq_query_index call — the "
+    "bounded ARRIVING BATCH is the broadcast side, the persisted codes "
+    "stream once per trigger",
+    "x_ks_drift": "both BNLJs broadcast ONE-ROW aggregates (the sample "
+    "totals and the max statistic) into scalar comparisons — "
+    "scale.py:ks_statistic docstring",
     "x_expectations_distribution": "drift snapshot side is a 1-row broadcast "
     "aggregate per ref (operators/expectations.py docstring) — the persisted-"
     "profile mode (x_expectations_persisted_drift) removes even that join",
