@@ -150,8 +150,15 @@ DRIVER_PRIORITY = [
     # full displacement ledger; VERDICT r08 "Next round" task 1).
     # (a) everything round 9 changed: q_identifier_clause gained the
     # conventional ROUND(... + 1e-6, 2) boundary guard on BOTH sides
-    # (ADVICE r08), so its r08 stamp no longer covers the live SQL:
-    "q_identifier_clause",
+    # (ADVICE r08), so its r08 stamp no longer covers the live SQL; and
+    # x_quality_classifier's descent loop gained the sample-sized
+    # coalesce + scoped AQE-off (VERDICT r08 task 2) — execution-only
+    # (integer sums are order-free; the full local oracle sweep
+    # re-verified all eight _fit_weights consumers green), but the
+    # flagship that carries the new conf toggle earns the driver
+    # re-stamp; the other seven consumers keep their stamps and their
+    # rotation turns:
+    "q_identifier_clause", "x_quality_classifier",
     # (b) the seven round-8 below-window additions awaiting their FIRST
     # driver stamp (all locally oracle-verified at sf0.001/0.01/0.1 since
     # round 8; two of them also changed this round — label_propagation's
@@ -180,10 +187,9 @@ DRIVER_PRIORITY = [
     "s_ann_bruteforce_topk", "s_ann_ivf_topk", "t_compact_roundtrip",
     "t_corrupt_quarantine", "t_csv_gz_roundtrip", "t_pipeline_full",
     "t_schema_evolution", "x_bigram_pmi", "x_fingerprint",
-    "x_gopher_quality",
-    # (e) deferred to round 10: the 9-entry r04 tail —
-    # x_grouped_rank_pandas, x_kmeans_clusters, x_lang_id,
-    # x_profile_columns, x_quality_score, x_tfidf_top_terms,
+    # (e) deferred to round 10: the 10-entry r04 tail —
+    # x_gopher_quality, x_grouped_rank_pandas, x_kmeans_clusters,
+    # x_lang_id, x_profile_columns, x_quality_score, x_tfidf_top_terms,
     # x_token_count, x_training_mix_e2e, x_winnow_fingerprints.
     # Any round-9 additions register BELOW this window (local
     # oracle-gated now, first driver stamp in round 10) so each add
@@ -206,9 +212,9 @@ DRIVER_PRIORITY = [
 # s_ann_pq_rerank, s_ann_pq_persist, e_streaming_pq_lookup,
 # d_bloom_prefilter_dedup, e_streaming_bloom, x_ks_drift,
 # x_multimodal_audio_chunks, q_window_groups_frame (all locally
-# oracle-verified at sf0.001/0.01/0.1) — then (3) the 9-entry r04 tail
+# oracle-verified at sf0.001/0.01/0.1) — then (3) the 10-entry r04 tail
 # from (e) above, then (4) the r05 cohort oldest-first (48 entries;
-# with 16 adds + 9 r04 the window takes ~25 of them, the ~23-entry
+# with 16 adds + 10 r04 the window takes ~24 of them, the ~24-entry
 # remainder rolls to round 11, which closes out all pre-r06 stamps —
 # the board refreshes to >=r08 stamps by round 12).
 

@@ -14,12 +14,12 @@ Usage (each conf needs its own process for a fresh JVM):
     python scripts/determinism_check.py b        # conf B -> /tmp/det_b.json
     python scripts/determinism_check.py compare  # exit 1 on any mismatch
 
-Last run (FINAL round-9 window: the seven round-8 below-window adds
-taking their first stamps — streaming outer join, label propagation,
-streaming Count-Min, GROUP/ORDER BY ALL, quantile normalization,
-retention vacuum, n-gram novelty — plus q_identifier_clause's +1e-6
-re-stamp, the five displaced r03 entries, and 37 of the r04 cohort;
-sf0.01, after the round-9 classifier/graph/vacuum code changes):
+Last run (FINAL round-9 window: q_identifier_clause's +1e-6 re-stamp
+and x_quality_classifier's execution-only descent change leading, the
+seven round-8 below-window adds taking their first stamps — streaming
+outer join, label propagation, streaming Count-Min, GROUP/ORDER BY ALL,
+quantile normalization, retention vacuum, n-gram novelty — then the
+five displaced r03 entries and 36 of the r04 cohort; sf0.01):
 checked 50 entries, mismatches: 0.
 """
 
