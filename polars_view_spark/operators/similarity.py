@@ -1621,13 +1621,14 @@ def pq_topk(
     codes so the approximation itself is what the oracle hashes.
 
     Scale shape: encoding is an Arrow-batched int64 kernel per subspace
-    (one (batch×8) @ (8×16) matmul each — the _with_sorted_cells
-    discipline; interpreted HOF expressions measured ~100x slower), and
-    the corpus-side state afterwards is 8 SMALL INTS per vector: the
-    candidate stage streams codes, not vectors — at 100 TB the codes fit
-    where the floats never would.  Queries are bounded and broadcast with
-    their 8x16 integer distance tables; scoring is 8 array lookups per
-    pair in codegen.  No shuffle of the corpus anywhere.
+    (one (batch×d_sub) @ (d_sub×k_sub) matmul each — the
+    _with_sorted_cells discipline; interpreted HOF expressions measured
+    ~100x slower), and the corpus-side state afterwards is ``m_sub``
+    SMALL INTS per vector (16 at the defaults): the candidate stage
+    streams codes, not vectors — at 100 TB the codes fit where the
+    floats never would.  Queries are bounded and broadcast with their
+    m_sub×k_sub integer distance tables; scoring is m_sub array lookups
+    per pair in codegen.  No shuffle of the corpus anywhere.
 
     Returns ``(query_id, neighbor_id, approx_dist, rank)`` — integer
     distances, rank ascending, self-matches excluded.
