@@ -205,18 +205,19 @@ DRIVER_PRIORITY = [
 # the oldest remaining stamps after this window executes will be the
 # 9-entry r04 tail in (e) and the 48-entry r05 cohort.
 # ROUND-10 ROTATION (committed plan, VERDICT r08 task 8): lead with
-# (1) anything round 10 changes, then (2) the SIXTEEN round-9
+# (1) anything round 10 changes, then (2) the SEVENTEEN round-9
 # below-window adds awaiting their FIRST stamp — x_pareto_frontier,
 # x_itemset_pairs, x_winsorize, x_html_extract, x_bloom_membership,
 # t_partition_evolution, x_source_overlap, s_ann_pq_topk,
 # s_ann_pq_rerank, s_ann_pq_persist, e_streaming_pq_lookup,
 # d_bloom_prefilter_dedup, e_streaming_bloom, x_ks_drift,
-# x_multimodal_audio_chunks, q_window_groups_frame (all locally
-# oracle-verified at sf0.001/0.01/0.1) — then (3) the 10-entry r04 tail
-# from (e) above, then (4) the r05 cohort oldest-first (48 entries;
-# with 16 adds + 10 r04 the window takes ~24 of them, the ~24-entry
-# remainder rolls to round 11, which closes out all pre-r06 stamps —
-# the board refreshes to >=r08 stamps by round 12).
+# x_multimodal_audio_chunks, q_window_groups_frame,
+# x_equidepth_histogram (all locally oracle-verified at
+# sf0.001/0.01/0.1) — then (3) the 10-entry r04 tail from (e) above,
+# then (4) the r05 cohort oldest-first (48 entries; with 17 adds +
+# 10 r04 the window takes ~23 of them, the ~25-entry remainder rolls
+# to round 11, which closes out all pre-r06 stamps — the board
+# refreshes to >=r08 stamps by round 12).
 
 
 def entries() -> dict[str, CatalogEntry]:

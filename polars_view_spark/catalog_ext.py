@@ -9772,3 +9772,43 @@ register(
     """,
     tables=("embeddings",),
 )(_e_streaming_pq_lookup)
+
+
+def _x_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram (operators/scale.py:
+    equidepth_histogram) over events.value, k=8 — the skew-robust twin
+    of q_value_histogram's fixed-width buckets, and the exact arithmetic
+    behind balanced range partitioning: the (lo, hi] bounds this emits
+    are the split points repartitionByRange ESTIMATES from a reservoir
+    sample, computed exactly.  Ranks ride bucketed_prefix_sums (no
+    global-order window); each distinct value lands whole in one bucket,
+    so per-bucket counts deviate from n/k only by value multiplicity —
+    which the hashed n_rows column proves."""
+    from polars_view_spark.operators.scale import equidepth_histogram
+
+    t = load_tables(spark, sf_dir, "events")
+    return equidepth_histogram(t["events"], "value", k=8)
+
+
+register(
+    "x_equidepth_histogram",
+    oracle="""
+    WITH pts AS (
+      SELECT value AS v, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY value
+    ),
+    cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum_c FROM pts),
+    tot AS (SELECT MAX(cum_c) AS n FROM cum),
+    b AS (
+      SELECT v, c,
+             CAST((cum_c - 1) * 8 // (SELECT n FROM tot) AS INT) AS bucket
+      FROM cum
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tables=("events",),
+)(_x_equidepth_histogram)

@@ -562,3 +562,44 @@ def ks_statistic(
             "ks_at",
         )
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, value_col: str, k: int = 8, n_buckets: int = 64
+) -> DataFrame:
+    """Exact equi-depth (equal-frequency) histogram — the skew-robust
+    twin of the fixed-width histogram (q_value_histogram), and the
+    arithmetic behind range-partition boundary planning: the bucket
+    bounds this emits are exactly the split points a balanced
+    ``repartitionByRange`` wants, computed exactly instead of from
+    Spark's reservoir sample.  Each distinct value lands in the bucket of
+    its LAST row's rank (``(cum−1)·k // n``), so buckets deviate from
+    n/k only by value multiplicity — heavy ties can't be split across
+    buckets (the same contract DB equi-depth histograms document).
+
+    Integer end to end: ranks come from cumulative counts over the
+    distinct values, and those ride :func:`bucketed_prefix_sums` — one
+    groupBy(value) shuffle, the two-stage prefix scan, ZERO global-order
+    windows, and a final k-group aggregate.  Returns ``(bucket,
+    n_values, n_rows, lo, hi)`` ordered by bucket."""
+    assert k >= 1
+    pts = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = bucketed_prefix_sums(pts, "v", ["c"], n_buckets)
+    tot = cum.agg(F.max("cum_c").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket",
+            F.expr(f"CAST((cum_c - 1) * {k} DIV n AS INT)"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

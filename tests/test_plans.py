@@ -822,6 +822,9 @@ CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "x_ks_drift": "both BNLJs broadcast ONE-ROW aggregates (the sample "
     "totals and the max statistic) into scalar comparisons — "
     "scale.py:ks_statistic docstring",
+    "x_equidepth_histogram": "BNLJ broadcasts the ONE-ROW total-count "
+    "aggregate into the rank-to-bucket projection — "
+    "scale.py:equidepth_histogram docstring",
     "x_expectations_distribution": "drift snapshot side is a 1-row broadcast "
     "aggregate per ref (operators/expectations.py docstring) — the persisted-"
     "profile mode (x_expectations_persisted_drift) removes even that join",
