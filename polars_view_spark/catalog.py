@@ -174,7 +174,7 @@ DRIVER_PRIORITY = [
     "t_clustered_roundtrip", "q_value_histogram",
     # (d) the r04 block, oldest stamps on the board — d_dedup_exact and
     # d_minhash_lsh_pairs lead (displaced from the round-8 window tail),
-    # then the rest of the 46-entry r04 cohort; 37 fit this window:
+    # then the rest of the 46-entry r04 cohort; 36 fit this window:
     "d_dedup_exact", "d_minhash_lsh_pairs",
     "d_dedup_by_fingerprint", "d_ngram_jaccard_pairs", "d_semantic_dedup",
     "d_simhash", "e_asof_join", "e_json_extract", "e_range_join",
@@ -203,7 +203,7 @@ DRIVER_PRIORITY = [
 # 245 of 252 entries have at least one driver row; the seven round-8
 # below-window adds in group (b) have none yet (this window lands them);
 # the oldest remaining stamps after this window executes will be the
-# 9-entry r04 tail in (e) and the 48-entry r05 cohort.
+# 10-entry r04 tail in (e) and the 48-entry r05 cohort.
 # ROUND-10 ROTATION (committed plan, VERDICT r08 task 8): lead with
 # (1) anything round 10 changes, then (2) the SEVENTEEN round-9
 # below-window adds awaiting their FIRST stamp — x_pareto_frontier,

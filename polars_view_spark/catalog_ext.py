@@ -9261,10 +9261,10 @@ register(
 
 def _s_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) scoring
-    (operators/similarity.py:pq_topk, Jégou et al. 2011): 8 subspaces ×
-    16 deterministic seed codewords, every corpus vector compressed to
-    8 small ints, queries broadcast with their 8×16 integer distance
-    tables, approximate distance = 8 codegen array lookups per pair.
+    (operators/similarity.py:pq_topk, Jégou et al. 2011): 16 subspaces ×
+    64 deterministic seed codewords, every corpus vector compressed to
+    16 small ints, queries broadcast with their 16×64 integer distance
+    tables, approximate distance = 16 codegen array lookups per pair.
     Completes the ANN family (brute / LSH / IVF / IVF-rerank / int8 /
     PQ).  Exact-integer end to end — quantization, encoding argmins and
     ADC sums are all int64 — so the FULL approximation is value-hashed:
@@ -9672,9 +9672,13 @@ def _q_window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     one step).  Spark 4 does not parse GROUPS (PARSE_SYNTAX_ERROR,
     probed), so this entry pins the standard EMULATION: DENSE_RANK gives
     each peer group a consecutive integer, and RANGE over that rank with
-    the same bounds is exactly GROUPS over the original key.  The oracle
-    runs DuckDB's NATIVE GROUPS frame — the emulation is held to the real
-    semantics, not to itself.  Scale shape: both windows share ONE
+    the same bounds is exactly GROUPS over the original key.  DuckDB
+    1.0.0 does not parse GROUPS either ("not implemented yet", probed),
+    so BOTH engines run the same DENSE_RANK+RANGE emulation — the oracle
+    here is a cross-engine value check of the emulation, while the TRUE
+    GROUPS semantics are pinned by the hand-computed fixture in
+    tests/test_sql_corpus.py (ties collapse to one frame step, frame sums
+    include whole peer groups).  Scale shape: both windows share ONE
     priority-keyed shuffle (same partitioning), no global-order window."""
     load_tables(spark, sf_dir, "orders")
     return spark.sql(

