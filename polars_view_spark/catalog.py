@@ -145,79 +145,61 @@ def sql_query(
 # anchors for the headline/bench queries.  Demoted entries stay registered
 # and stay covered by the local oracle gate (tests/test_catalog_oracle.py).
 DRIVER_PRIORITY = [
-    # ROUND-9 WINDOW — executes the rotation plan committed in round 8
-    # (the comment block below line ~200 in git history r8 carries the
-    # full displacement ledger; VERDICT r08 "Next round" task 1).
-    # (a) everything round 9 changed: q_identifier_clause gained the
-    # conventional ROUND(... + 1e-6, 2) boundary guard on BOTH sides
-    # (ADVICE r08), so its r08 stamp no longer covers the live SQL; and
-    # x_quality_classifier's descent loop gained the sample-sized
-    # coalesce + scoped AQE-off (VERDICT r08 task 2) — execution-only
-    # (integer sums are order-free; the full local oracle sweep
-    # re-verified all eight _fit_weights consumers green), but the
-    # flagship that carries the new conf toggle earns the driver
-    # re-stamp; the other seven consumers keep their stamps and their
-    # rotation turns:
-    "q_identifier_clause", "x_quality_classifier",
-    # (b) the seven round-8 below-window additions awaiting their FIRST
-    # driver stamp (all locally oracle-verified at sf0.001/0.01/0.1 since
-    # round 8; two of them also changed this round — label_propagation's
-    # no-vote fallback now carries the previous round's label per
-    # standard sync-LPA (ADVICE r08), and retention_vacuum gained the
-    # zero-padded-partition-value ordering assertion (VERDICT r08
-    # task 7)):
-    "e_streaming_outer_join", "x_label_propagation", "e_streaming_countmin",
-    "q_group_order_by_all", "x_score_quantile_normalize",
-    "t_retention_vacuum", "x_ngram_novelty",
-    # (c) the five r03-stamped entries the round-8 adds displaced:
-    "x_outlier_filter", "x_corpus_card", "x_group_sample",
-    "t_clustered_roundtrip", "q_value_histogram",
-    # (d) the r04 block, oldest stamps on the board — d_dedup_exact and
-    # d_minhash_lsh_pairs lead (displaced from the round-8 window tail),
-    # then the rest of the 46-entry r04 cohort; 36 fit this window:
-    "d_dedup_exact", "d_minhash_lsh_pairs",
-    "d_dedup_by_fingerprint", "d_ngram_jaccard_pairs", "d_semantic_dedup",
-    "d_simhash", "e_asof_join", "e_json_extract", "e_range_join",
-    "e_rollup_pyramid", "e_sessionize", "e_streaming_join",
-    "e_tumbling_agg", "q13_customer_distribution", "q14_promo_revenue",
-    "q19_discounted_revenue", "q1_pricing_summary", "q21_single_pass",
-    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
-    "q_approx_aggregates", "q_count_distinct", "q_having_alias",
-    "q_semi_anti_join", "q_window_running", "q_window_topn",
-    "s_ann_bruteforce_topk", "s_ann_ivf_topk", "t_compact_roundtrip",
-    "t_corrupt_quarantine", "t_csv_gz_roundtrip", "t_pipeline_full",
-    "t_schema_evolution", "x_bigram_pmi", "x_fingerprint",
-    # (e) deferred to round 10: the 10-entry r04 tail —
-    # x_gopher_quality, x_grouped_rank_pandas, x_kmeans_clusters,
-    # x_lang_id, x_profile_columns, x_quality_score, x_tfidf_top_terms,
-    # x_token_count, x_training_mix_e2e, x_winnow_fingerprints.
-    # Any round-9 additions register BELOW this window (local
-    # oracle-gated now, first driver stamp in round 10) so each add
-    # stops costing a displaced refresh.
+    # ROUND-10 WINDOW — executes the rotation plan committed in round 9
+    # (the ROUND-10 ROTATION block in git history 7b1c6ae; VERDICT r09
+    # task 1).  50 slots = 17 + 10 + 23.
+    # (a) the SEVENTEEN round-9 below-window additions awaiting their
+    # FIRST driver stamp (all locally oracle-verified at
+    # sf0.001/0.01/0.1 since round 9; the round-10 PQ/GROUPS docstring
+    # fixes are comment-only — no SQL or Spark-side change):
+    "s_ann_pq_topk", "s_ann_pq_rerank", "s_ann_pq_persist",
+    "e_streaming_pq_lookup", "x_ks_drift", "x_equidepth_histogram",
+    "q_window_groups_frame", "d_bloom_prefilter_dedup",
+    "e_streaming_bloom", "x_bloom_membership", "x_pareto_frontier",
+    "x_itemset_pairs", "x_winsorize", "x_html_extract",
+    "x_source_overlap", "t_partition_evolution",
+    "x_multimodal_audio_chunks",
+    # (b) the 10-entry r04 tail — the oldest stamps on the board,
+    # deferred from the round-9 window:
+    "x_gopher_quality", "x_grouped_rank_pandas", "x_kmeans_clusters",
+    "x_lang_id", "x_profile_columns", "x_quality_score",
+    "x_tfidf_top_terms", "x_token_count", "x_training_mix_e2e",
+    "x_winnow_fingerprints",
+    # (c) the first 23 of the 48-entry r05 cohort, in their original
+    # CORRECTNESS_r05 stamp order (oldest-first within the cohort).  If
+    # round-10 code changes touch an already-stamped entry outside this
+    # window, it displaces from the TAIL of this group:
+    "x_quality_buckets", "x_nation_pagerank", "x_scd2_history",
+    "x_weighted_sample", "e_anomaly_zscore", "x_domain_cap",
+    "e_streaming_anomaly", "x_triangle_count", "q_filter_predicates",
+    "q_ilike_substr", "q_select_except", "q_select_rename",
+    "q_select_replace", "q_select_combined_modifiers", "q_cte_case_cast",
+    "q_distinct", "q_strftime_format", "q_union_intersect",
+    "q_setop_except", "q_rollup", "t_normalize_euro", "t_replace_nulls",
+    "t_replace_nulls_universal",
+    # Round-10 additions register BELOW this window (local oracle-gated
+    # now, first driver stamp in round 11) so each add stops costing a
+    # displaced refresh.
 ]
-# Everything demoted out of the window is green at its latest driver stamp
-# (CORRECTNESS_r01-r08; 245/245 stamped entries green at their latest
-# stamp entering round 9) and stays covered by the local oracle gate
-# (tests/test_catalog_oracle.py) at sf0.001/0.01/0.1 — the window rotates
-# so every entry gets a driver refresh.  Stamp state entering round 9:
-# 245 of 252 entries have at least one driver row; the seven round-8
-# below-window adds in group (b) have none yet (this window lands them);
-# the oldest remaining stamps after this window executes will be the
-# 10-entry r04 tail in (e) and the 48-entry r05 cohort.
-# ROUND-10 ROTATION (committed plan, VERDICT r08 task 8): lead with
-# (1) anything round 10 changes, then (2) the SEVENTEEN round-9
-# below-window adds awaiting their FIRST stamp — x_pareto_frontier,
-# x_itemset_pairs, x_winsorize, x_html_extract, x_bloom_membership,
-# t_partition_evolution, x_source_overlap, s_ann_pq_topk,
-# s_ann_pq_rerank, s_ann_pq_persist, e_streaming_pq_lookup,
-# d_bloom_prefilter_dedup, e_streaming_bloom, x_ks_drift,
-# x_multimodal_audio_chunks, q_window_groups_frame,
-# x_equidepth_histogram (all locally oracle-verified at
-# sf0.001/0.01/0.1) — then (3) the 10-entry r04 tail from (e) above,
-# then (4) the r05 cohort oldest-first (48 entries; with 17 adds +
-# 10 r04 the window takes ~23 of them, the ~25-entry remainder rolls
-# to round 11, which closes out all pre-r06 stamps — the board
-# refreshes to >=r08 stamps by round 12).
+# Everything demoted out of the window is green at its latest driver
+# stamp (CORRECTNESS_r01-r09: 252/252 stamped entries green at their
+# latest stamp entering round 10) and stays covered by the local oracle
+# gate (tests/test_catalog_oracle.py) at sf0.001/0.01/0.1 — the window
+# rotates so every entry gets a driver refresh.  After this window
+# executes, no stamp on the board is older than r05.
+# ROUND-11 ROTATION (committed plan, VERDICT r09 task 8): lead with
+# (1) anything round 11 changes, then (2) the round-10 below-window
+# adds awaiting their first stamp (s_ann_ivfpq_topk and any siblings),
+# then (3) the 25-entry r05 remainder in CORRECTNESS_r05 order —
+# t_drop_columns_regex, q_qualify_topn, x_multimodal_decode,
+# d_embedding_near_dup, s_ann_lsh_topk, s_ann_ivf_rerank,
+# x_random_projection, d_fuzzy_levenshtein, t_add_row_index,
+# d_span_dedup, d_contamination, x_sequence_pack, x_mixture_sample,
+# x_token_budget, s_bm25_topk, t_merge_upsert, t_snapshot_diff,
+# x_embedding_quantize, x_pii_redact, x_scrub_denylist, x_lm_score,
+# x_stratified_sample, x_vocab_topk, q_pivot, q_unpivot — then (4) the
+# 50-entry r06 cohort oldest-first filling the remaining ~20 slots; the
+# r06 remainder rolls to round 12, which closes out all pre-r07 stamps.
 
 
 def entries() -> dict[str, CatalogEntry]:
