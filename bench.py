@@ -113,6 +113,30 @@ EXT_HEADLINE = [
     "x_quality_classifier",
 ]
 
+# Drift watchlist (VERDICT r09 task 7): queries whose r8→r9 medians moved
+# beyond their recorded min–max spread while DuckDB stayed flat and git
+# showed their code unchanged — ambiguous between harness drift and a real
+# regression two rounds running.  For these the bench itself decides: n=5
+# Spark runs with a CHEAP DuckDB control probe interleaved before every
+# run (the full MinHash oracles cost ~34 s each — 5 interleaved copies
+# would triple the bench budget, so the control is a fixed ~0.3 s lineitem
+# aggregate instead: a same-box load signal, not an engine comparison).
+# `control_ratio` = spark_median / control_median — if the box slows down,
+# both inflate and the ratio holds; a moved ratio with a flat control
+# median is a Spark-side regression, decided inside ONE bench run instead
+# of across rounds.
+DRIFT_WATCH = (
+    "s_ann_bruteforce_topk",
+    "d_minhash_incremental",
+    "d_minhash_lsh_pairs",
+)
+DRIFT_CONTROL_SQL = (
+    "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev "
+    "FROM read_parquet('{sf_dir}/lineitem.parquet') "
+    "GROUP BY 1 ORDER BY 1"
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,6 +147,15 @@ def main() -> None:
     spark = get_spark("polars_view_spark_bench")
     cat = entries()
     names = [n for n in HEADLINE + EXT_HEADLINE if n in cat]
+    # Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q1,d_minhash runs the
+    # matching headliners only (comma-separated name prefixes).  Sidecar
+    # files are NOT written for filtered runs — a partial total must never
+    # masquerade as a round's headline number.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    partial = bool(only)
+    if partial:
+        prefixes = [p for p in only.split(",") if p]
+        names = [n for n in names if any(n.startswith(p) for p in prefixes)]
 
     # JVM/session warm-up on the smallest SF so the timed queries do not
     # pay classloading/codegen costs that a long-lived cluster never sees;
@@ -135,16 +168,29 @@ def main() -> None:
         except Exception:
             pass
 
+    import duckdb
+
+    ctrl_con = duckdb.connect()
+    ctrl_sql = DRIFT_CONTROL_SQL.format(sf_dir=sf_dir)
+    ctrl_con.sql(ctrl_sql).fetchall()  # warm the parquet cache once
+
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
     for name in names:
         # n=5 for the round-3 drift watchlist (e_sessionize +11%,
         # q_window_topn +9% round-over-round — VERDICT r03 asked whether
-        # that is noise; the recorded min/max answers it per-round),
+        # that is noise; the recorded min/max answers it per-round) and
+        # for DRIFT_WATCH (interleaved control, see above);
         # n=3 elsewhere (median already absorbs single-run swings)
-        n_runs = 5 if name in ("e_sessionize", "q_window_topn") else 3
+        drift = name in DRIFT_WATCH
+        n_runs = 5 if drift or name in ("e_sessionize", "q_window_topn") else 3
         runs = []
+        ctrl_runs = []
         for _ in range(n_runs):
+            if drift:
+                t0 = time.perf_counter()
+                ctrl_con.sql(ctrl_sql).fetchall()
+                ctrl_runs.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             df = cat[name].spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -156,6 +202,14 @@ def main() -> None:
             "min": round(runs[0], 4),
             "max": round(runs[-1], 4),
         }
+        if drift:
+            ctrl_runs.sort()
+            ctrl_med = ctrl_runs[len(ctrl_runs) // 2]
+            spread[name]["control_median"] = round(ctrl_med, 4)
+            spread[name]["control_ratio"] = (
+                round(timings[name] / ctrl_med, 2) if ctrl_med else None
+            )
+    ctrl_con.close()
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -191,6 +245,25 @@ def main() -> None:
                     "(adaptive_lsh_bits: 4 bits at sf0.1, 6 at 10x), the "
                     "configuration SCALE.md measured at 2.8x with "
                     "identical recall"
+                ),
+                "s_ann_quantized_topk": (
+                    "compute-bound O(N*Q) with Q PINNED at 25: replica "
+                    "vec_ids are shifted by 10M so `vec_id < 25` never "
+                    "grows, and output stays top-k per query — the scoring "
+                    "kernel itself is exactly 10x work, so a ratio near 8 "
+                    "IS the honest linear-compute growth (scan-bound "
+                    "entries land 1.3-2.0 only because fixed job overhead "
+                    "dominates their toy-scale base, not because their "
+                    "compute grows slower)"
+                ),
+                "x_ngram_novelty": (
+                    "sub-linear by construction: both candidate and "
+                    "reference SLICES grow 10x (key shift preserves "
+                    "doc_id%5), but the join's build side is the DISTINCT "
+                    "reference shingle set, which is replica-INVARIANT "
+                    "(identical text -> identical shingles), so only the "
+                    "candidate scan/aggregate legs scale and 3.9 reflects "
+                    "that flat build side plus overhead amortization"
                 ),
             }
             scaling: dict[str, dict] = {}
@@ -290,6 +363,11 @@ def main() -> None:
     # full detail goes to BENCH_local.json for human/judge audit.
     full_line = json.dumps(out)
     repo = os.path.dirname(os.path.abspath(__file__))
+    if partial:
+        # filtered run: full detail to stdout, no sidecars (see above)
+        print(full_line)
+        spark.stop()
+        return
     with open(os.path.join(repo, "BENCH_local.json"), "w") as f:
         f.write(full_line + "\n")
     # Per-round detail sidecar (VERDICT r07 task 3): the judge audits
