@@ -1654,11 +1654,11 @@ def _pq_books(seed_ints: list[list[int]], m_sub: int):
     return book.reshape(n_codewords, m_sub, d_sub).transpose(1, 0, 2)
 
 
-def _pq_encode(
-    corpus: DataFrame, id_col: str, vec_col: str, books, scale: int
-) -> DataFrame:
-    """(neighbor_id, codes) — per-subspace nearest-codeword argmins via
-    the Arrow int64 kernel (ties -> lowest j, the oracle's ORDER BY d, j)."""
+def _pq_codes_udf(books):
+    """Arrow int64 encoding kernel: per-subspace nearest-codeword argmins
+    (ties -> lowest j, the oracle's ORDER BY d, j).  Extracted so the flat
+    (_pq_encode) and IVF-PQ (ivfpq_topk) paths share one kernel and the
+    code assignment cannot drift between them."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -1676,9 +1676,51 @@ def _pq_encode(
             out[:, m] = np.argmin(d, axis=1)  # first min -> lowest j on ties
         return pd.Series(list(out))
 
+    return pq_codes
+
+
+def _pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, books, scale: int
+) -> DataFrame:
+    """(neighbor_id, codes) via the shared Arrow encoding kernel."""
+    pq_codes = _pq_codes_udf(books)
     return corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         pq_codes(F.expr(_quantize_sql(vec_col, scale))).alias("codes"),
+    )
+
+
+def _pq_dtab_udf(books):
+    """Arrow kernel for the per-query ADC distance tables: FULL squared
+    distances from the query's exact slice to every codeword (the row term
+    matters for ADC sums).  Shared by the flat and IVF-PQ paths."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m_sub = books.shape[0]
+    d_sub = books.shape[2]
+
+    @pandas_udf("array<array<bigint>>")
+    def pq_dtab(qv: pd.Series) -> pd.Series:
+        mat = np.stack(qv.to_numpy()).astype(np.int64, copy=False)
+        sl = mat.reshape(len(mat), m_sub, d_sub)
+        rows = []
+        for r in range(len(mat)):
+            diffs = sl[r][:, None, :] - books  # (m, k_sub, d_sub)
+            rows.append(list((diffs * diffs).sum(axis=2)))
+        return pd.Series(rows)
+
+    return pq_dtab
+
+
+def _adc_sum_sql(m_sub: int) -> str:
+    """The codegen ADC sum: m_sub array lookups of the broadcast distance
+    table, one per stored code.  One string so every ADC consumer scores
+    identically."""
+    return (
+        f"aggregate(sequence(1, {m_sub}), 0L, (acc, m) -> "
+        "acc + element_at(element_at(dtab, m), "
+        "element_at(codes, m) + 1))"
     )
 
 
@@ -1695,22 +1737,8 @@ def _pq_adc_topk(
     16x64 integer distance tables broadcast, 16 codegen lookups per pair,
     rank ascending.  Shared verbatim by pq_topk and pq_query_index so the
     in-session and persisted paths cannot drift."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
+    pq_dtab = _pq_dtab_udf(books)
     m_sub = books.shape[0]
-    d_sub = books.shape[2]
-
-    @pandas_udf("array<array<bigint>>")
-    def pq_dtab(qv: pd.Series) -> pd.Series:
-        mat = np.stack(qv.to_numpy()).astype(np.int64, copy=False)
-        sl = mat.reshape(len(mat), m_sub, d_sub)
-        rows = []
-        for r in range(len(mat)):
-            # FULL squared distances (the row term matters for ADC sums)
-            diffs = sl[r][:, None, :] - books  # (m, k_sub, d_sub)
-            rows.append(list((diffs * diffs).sum(axis=2)))
-        return pd.Series(rows)
 
     qtabs = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
@@ -1722,14 +1750,7 @@ def _pq_adc_topk(
     scored = (
         codes.crossJoin(F.broadcast(qtabs))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "approx_dist",
-            F.expr(
-                f"aggregate(sequence(1, {m_sub}), 0L, (acc, m) -> "
-                "acc + element_at(element_at(dtab, m), "
-                "element_at(codes, m) + 1))"
-            ).cast("long"),
-        )
+        .withColumn("approx_dist", F.expr(_adc_sum_sql(m_sub)).cast("long"))
         .select("query_id", "neighbor_id", "approx_dist")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1836,6 +1857,24 @@ def pq_rerank_topk(
         corpus, queries, id_col, vec_col, shortlist,
         m_sub, k_sub, seed_mod, scale,
     ).select("query_id", "neighbor_id")
+    return _exact_l2_rerank(short, corpus, queries, id_col, vec_col, k, scale)
+
+
+def _exact_l2_rerank(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    scale: int,
+) -> DataFrame:
+    """Stage 2 of every shortlist-then-rerank retrieval: join the
+    O(queries × shortlist) candidate pairs back to the corpus ON THE ID
+    KEY (only the shortlist's full vectors are ever read again), score
+    exact integer-quantized squared L2, rank ascending.  Shared by
+    pq_rerank_topk and ivfpq_topk so the rerank arithmetic cannot drift
+    between the flat and cell-pruned paths."""
     qz = _quantize_sql(vec_col, scale)
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.expr(qz).alias("cq")
@@ -1866,3 +1905,96 @@ def pq_rerank_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    ivf_seed_mod: int = 37,
+    n_probe: int = 2,
+    max_seeds: int = 64,
+    m_sub: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    pq_seed_mod: int = PQ_SEED_MOD,
+    scale: int = 1000,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF-PQ — the composition the flat-PQ docstrings promise and the
+    configuration production ANN actually deploys at 100 TB (Jégou et
+    al. 2011 §IV; FAISS ``IVFx,PQy``): an inverted file prunes the search
+    to ``n_probe`` cells per query, ADC over 16-int codes shortlists
+    candidates WITHIN those cells only, and an exact integer L2 rerank
+    removes the quantization error from the final ranking.
+
+    Composes the two existing exact-integer building blocks verbatim:
+    cell assignment is :func:`_with_sorted_cells` (ivf_flat_topk's
+    deterministic seed-centroid argmin) and encoding/scoring are the
+    shared PQ kernels (:func:`_pq_codes_udf` / :func:`_pq_dtab_udf` /
+    :func:`_adc_sum_sql`), so neither approximation can drift from its
+    standalone entry.  Codes are non-residual (raw vectors, not
+    x − centroid): residual encoding buys recall only when codebooks are
+    trained per corpus; with deterministic seed codebooks the raw form
+    keeps every stage exact-integer and cross-engine hashable.
+
+    Scale shape — why this is the 100 TB configuration: the corpus is
+    touched exactly twice, once at index time (ONE pass computing cell +
+    codes together — the `__qv` quantization is shared, never computed
+    twice) and once per query batch for the id-keyed shortlist fetch
+    (O(queries × shortlist) rows).  The ADC scan reads 16 small ints per
+    vector and ONLY in the probed cells — n_probe/n_cells of the codes,
+    which are already ~16× smaller than the floats; the query side
+    (probe cells + distance tables) is bounded and broadcast.  No corpus
+    shuffle anywhere; no cross join (the cell equi-join replaces flat
+    PQ's documented full-scan crossJoin).
+
+    Returns ``(query_id, neighbor_id, exact_dist, rank)``, integer
+    distances, rank ascending, self-matches excluded.
+    """
+    cells, _arr, ivf_ints = _seed_centroids(
+        corpus, id_col, vec_col, ivf_seed_mod, scale, max_seeds
+    )
+    books = _pq_books(
+        _seed_centroids(corpus, id_col, vec_col, pq_seed_mod, scale, k_sub)[2],
+        m_sub,
+    )
+    pq_codes = _pq_codes_udf(books)
+    pq_dtab = _pq_dtab_udf(books)
+
+    # ONE corpus pass: _with_sorted_cells leaves the quantized vector in
+    # __qv, so cell id and PQ codes come out of the same scan
+    codes = _with_sorted_cells(
+        corpus.filter(F.col(vec_col).isNotNull()), vec_col, cells, ivf_ints, scale
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr("__cells[0]").alias("cell"),
+        pq_codes(F.col("__qv")).alias("codes"),
+    )
+    # bounded query side: n_probe cells + one distance table per query
+    qprobe = _with_sorted_cells(
+        queries.filter(F.col(vec_col).isNotNull()), vec_col, cells, ivf_ints, scale
+    ).select(
+        F.col(id_col).alias("query_id"),
+        pq_dtab(F.col("__qv")).alias("dtab"),
+        F.explode(F.expr(f"slice(__cells, 1, {n_probe})")).alias("cell"),
+    )
+    # each corpus vector lives in exactly ONE cell and probe cells are
+    # distinct, so a (query, neighbor) pair can match at most once —
+    # no dedup needed after the join
+    scored = (
+        codes.join(F.broadcast(qprobe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx_dist", F.expr(_adc_sum_sql(m_sub)).cast("long"))
+        .select("query_id", "neighbor_id", "approx_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_l2_rerank(short, corpus, queries, id_col, vec_col, k, scale)

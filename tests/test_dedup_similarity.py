@@ -2479,3 +2479,84 @@ class TestProductQuantization:
         import re as _re
 
         assert len(_re.findall(r"BroadcastNestedLoopJoin", plan)) == 1
+
+
+class TestIVFPQ:
+    """IVF-PQ composition (s_ann_ivfpq_topk, VERDICT r09 task 6): cell
+    pruning + in-cell ADC + exact rerank, each stage already verified
+    standalone; these pin what the composition adds."""
+
+    def test_pq_stage_loses_nothing_beyond_pruning(self, spark):
+        """The recall question for IVF-PQ factors: pruning recall (IVF's
+        own, bounded by n_probe/n_cells on the clusterless synthetic
+        corpus) × compression recall (what ADC+rerank recovers WITHIN
+        the probed cells).  The composition must recover >=0.8 of
+        ivf_flat_topk's exact in-cell result (measured 1.0: shortlist 50
+        covers the probed cells at this scale), and its absolute recall
+        vs brute force must not fall below the pruning stage's own floor."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.catalog import load_tables
+        from polars_view_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_flat_topk,
+            ivfpq_topk,
+        )
+
+        e = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+        q = e.filter(F.col("vec_id") < 20)
+        ivfpq = {(r["query_id"], r["neighbor_id"]) for r in ivfpq_topk(e, q).collect()}
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_flat_topk(
+                e, q, k=5, seed_mod=37, n_probe=2, max_seeds=64
+            ).collect()
+        }
+        brute = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(e, q, k=5).collect()
+        }
+        assert len(ivfpq & ivf) / len(ivf) >= 0.8
+        # compression must not cost recall the pruning didn't already pay
+        assert len(ivfpq & brute) >= len(ivf & brute) * 0.8
+
+    def test_deterministic_under_repartition(self, spark):
+        """Cell assignment, codes, shortlist and rerank are all layout-
+        independent — a repartitioned corpus produces identical output."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.catalog import load_tables
+        from polars_view_spark.operators.similarity import ivfpq_topk
+
+        e = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+        q = e.filter(F.col("vec_id") < 5)
+        a = [tuple(r) for r in ivfpq_topk(e, q).orderBy("query_id", "rank").collect()]
+        b = [
+            tuple(r)
+            for r in ivfpq_topk(e.repartition(13), q)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        assert a == b and len(a) == 25
+
+    def test_plan_cell_equijoin_no_full_scan(self, spark):
+        """The point of the composition: the ADC stage joins codes to the
+        bounded query side ON THE CELL KEY (BroadcastHashJoin) — flat
+        PQ's documented crossJoin full scan is GONE (zero nested-loop
+        stages anywhere), encoding stays the Arrow kernel, and the
+        rerank fetches the shortlist by id, never rescanning the corpus."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.catalog import load_tables
+        from polars_view_spark.operators.similarity import ivfpq_topk
+
+        e = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+        plan = (
+            ivfpq_topk(e, e.filter(F.col("vec_id") < 5))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
