@@ -9854,9 +9854,11 @@ def _s_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-register(
-    "s_ann_ivfpq_topk",
-    oracle=f"""
+# Parametrized on the query-set size the way _ivf_topk_oracle/_pq_core
+# are, so the in-session, persisted-index and streaming-lookup entries
+# share ONE statement of the three-stage trajectory.
+def _ivfpq_oracle(n_queries: int = ANN_N_QUERIES) -> str:
+    return f"""
     WITH qz AS (
       SELECT vec_id, list_transform(embedding::DOUBLE[],
              x -> CAST(round(x * {IVF_SCALE}) AS BIGINT)) AS qv
@@ -9883,7 +9885,7 @@ register(
       SELECT vec_id AS query_id, cell FROM (
         SELECT vec_id, cell,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-        FROM idists WHERE vec_id < {ANN_N_QUERIES}) t
+        FROM idists WHERE vec_id < {n_queries}) t
       WHERE rn <= {IVF_N_PROBE}
     ),
     pseeds AS (
@@ -9937,6 +9939,111 @@ register(
     )
     SELECT query_id, neighbor_id, exact_dist, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank
-    """,
+    """
+
+
+register(
+    "s_ann_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
     tables=("embeddings",),
 )(_s_ann_ivfpq)
+
+
+def _s_ann_ivfpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ build/query split (operators/similarity.py:
+    ivfpq_build_index / ivfpq_query_index) — the fifth build-once/
+    query-many index, and the first whose query-side scan is PARTITION-
+    PRUNED: codes are written partitioned by cell, so the probe join
+    dynamically prunes to n_probe/n_cells of the index files (gated in
+    TestIVFPQ) and reads 16 small ints per surviving vector.  The base
+    table is joined BY ID only for the O(queries × shortlist) rerank
+    fetch.  Shares _ivfpq_shortlist/_exact_l2_rerank with the in-session
+    path, so it is held to the SAME oracle as s_ann_ivfpq_topk — a code
+    corrupted by the parquet round trip, a centroid row reordered, or a
+    partition-value type drift all break the hash."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    idx = os.path.join(_scratch_dir("ivfpq_index", sf_dir), "ivfpq")
+    ivfpq_build_index(
+        e, idx, ivf_seed_mod=IVF_SEED_MOD, max_seeds=IVF_MAX_SEEDS,
+        scale=IVF_SCALE,
+    )
+    return ivfpq_query_index(
+        spark,
+        e.filter(F.col("vec_id") < ANN_N_QUERIES),
+        idx,
+        e,
+        k=ANN_K,
+        n_probe=IVF_N_PROBE,
+        scale=IVF_SCALE,
+        shortlist=IVFPQ_SHORTLIST,
+    ).orderBy("query_id", "rank")
+
+
+register(
+    "s_ann_ivfpq_persist",
+    oracle=_ivfpq_oracle(),
+    tables=("embeddings",),
+)(_s_ann_ivfpq_persist)
+
+
+def _e_streaming_ivfpq_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lookup against the persisted IVF-PQ index
+    (streaming/events.py:streaming_ivfpq_lookup): the index is built
+    ONCE, then the query-vector stream probes it per micro-batch with
+    each batch's scan partition-pruned to its probe cells — the fifth
+    streaming build/query split, and the only one whose per-batch cost
+    is a SLIVER of the index rather than a full codes scan.  Per-query
+    independence from the fixed index makes the drained sink equal the
+    one-shot batch query, so it is held to the same parametrized
+    three-stage oracle with the stream's larger query set."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.similarity import ivfpq_build_index
+    from polars_view_spark.streaming.events import (
+        _single_file_to_glob,
+        read_sink_or_empty,
+        streaming_ivfpq_lookup,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    scratch = _scratch_dir("stream_ivfpq", sf_dir)
+    idx = os.path.join(scratch, "ivfpq")
+    sink = os.path.join(scratch, "hits")
+    ivfpq_build_index(
+        e, idx, ivf_seed_mod=IVF_SEED_MOD, max_seeds=IVF_MAX_SEEDS,
+        scale=IVF_SCALE,
+    )
+    reader = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", "1")
+    src = _single_file_to_glob(reader, f"{sf_dir}/embeddings.parquet")
+    stream = reader.parquet(src).filter(F.col("vec_id") < STREAM_ANN_N_QUERIES)
+    q = streaming_ivfpq_lookup(
+        stream, idx, e, sink, k=ANN_K, n_probe=IVF_N_PROBE,
+        scale=IVF_SCALE, shortlist=IVFPQ_SHORTLIST,
+    )
+    q.awaitTermination()
+    out = read_sink_or_empty(
+        spark,
+        sink,
+        "query_id long, neighbor_id long, exact_dist long, rank long, batch_id long",
+    )
+    return out.select("query_id", "neighbor_id", "exact_dist", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+register(
+    "e_streaming_ivfpq_lookup",
+    oracle=_ivfpq_oracle(STREAM_ANN_N_QUERIES),
+    tables=("embeddings",),
+)(_e_streaming_ivfpq_lookup)

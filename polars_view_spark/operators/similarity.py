@@ -1972,6 +1972,31 @@ def ivfpq_topk(
         F.expr("__cells[0]").alias("cell"),
         pq_codes(F.col("__qv")).alias("codes"),
     )
+    short = _ivfpq_shortlist(
+        codes, queries, id_col, vec_col, cells, ivf_ints, books,
+        n_probe, scale, shortlist,
+    )
+    return _exact_l2_rerank(short, corpus, queries, id_col, vec_col, k, scale)
+
+
+def _ivfpq_shortlist(
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cells: list[int],
+    ivf_ints: list[list[int]],
+    books,
+    n_probe: int,
+    scale: int,
+    shortlist: int,
+) -> DataFrame:
+    """Probe + in-cell ADC + shortlist over a ``(neighbor_id, cell,
+    codes)`` frame — shared by :func:`ivfpq_topk` and
+    :func:`ivfpq_query_index` so the in-session and persisted paths score
+    identically (the _pq_adc_topk discipline)."""
+    pq_dtab = _pq_dtab_udf(books)
+    m_sub = books.shape[0]
     # bounded query side: n_probe cells + one distance table per query
     qprobe = _with_sorted_cells(
         queries.filter(F.col(vec_col).isNotNull()), vec_col, cells, ivf_ints, scale
@@ -1992,9 +2017,107 @@ def ivfpq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
     )
-    short = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= shortlist)
         .select("query_id", "neighbor_id")
+    )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf_seed_mod: int = 37,
+    max_seeds: int = 64,
+    m_sub: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    pq_seed_mod: int = PQ_SEED_MOD,
+    scale: int = 1000,
+) -> None:
+    """Persist the IVF-PQ index — the on-disk layout production ANN ships
+    (FAISS ``IVFx,PQy`` on object storage): three parquet datasets under
+    ``path``,
+
+    - ``centroids``: the bounded IVF seed-centroid table (≤``max_seeds``
+      rows) — collected by every query job to plan probes;
+    - ``codebook``: the ≤``k_sub`` PQ codeword rows (frozen at build:
+      they define the code space — the pq_build_index contract);
+    - ``codes``: (neighbor_id, codes), PARTITIONED BY cell — a query
+      job's probe join prunes to the probed cells' directories, so the
+      unprobed bulk of the index is never READ, and what is read is 16
+      small ints per vector, not 64 floats.  The two prunings compose:
+      partition pruning cuts n_probe/n_cells of the files, PQ cuts ~16×
+      of the bytes within them.
+
+    One corpus pass computes cell + codes together (the ivfpq_topk scan);
+    one keyed shuffle lands each cell in one file (repartition-before-
+    partitionBy, the ivf_build_index discipline)."""
+    spark = corpus.sparkSession
+    cells, _arr, ivf_ints = _seed_centroids(
+        corpus, id_col, vec_col, ivf_seed_mod, scale, max_seeds
+    )
+    _c, _a, pq_ints = _seed_centroids(
+        corpus, id_col, vec_col, pq_seed_mod, scale, k_sub
+    )
+    cent = spark.createDataFrame(
+        spark.sparkContext.parallelize(list(zip(cells, ivf_ints)), numSlices=1),
+        "cell BIGINT, sv ARRAY<BIGINT>",
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(j, sv) for j, sv in enumerate(pq_ints)], numSlices=1
+        ),
+        "j INT, sv ARRAY<BIGINT>",
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    books = _pq_books(pq_ints, m_sub)
+    pq_codes = _pq_codes_udf(books)
+    codes = _with_sorted_cells(
+        corpus.filter(F.col(vec_col).isNotNull()), vec_col, cells, ivf_ints, scale
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr("__cells[0]").alias("cell"),
+        pq_codes(F.col("__qv")).alias("codes"),
+    )
+    codes.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+
+
+def ivfpq_query_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    m_sub: int = PQ_M,
+    scale: int = 1000,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: collect the two bounded tables
+    (centroids + codebook), plan each query's probe cells, scan ONLY the
+    probed cells' code partitions (partition-pruned — gated in pytest),
+    ADC-shortlist, then exact-rerank against ``corpus`` fetched BY ID —
+    the base table is touched only for O(queries × shortlist) rows, never
+    re-scanned or re-encoded.  Shares :func:`_ivfpq_shortlist` and
+    :func:`_exact_l2_rerank` with the in-session path, so persisted
+    results reproduce :func:`ivfpq_topk` bit-for-bit (same oracle)."""
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cells = [int(r["cell"]) for r in cent]
+    ivf_ints = [[int(x) for x in r["sv"]] for r in cent]
+    cb = spark.read.parquet(f"{path}/codebook").orderBy("j").collect()
+    books = _pq_books([list(r["sv"]) for r in cb], m_sub)
+    codes = spark.read.parquet(f"{path}/codes").select(
+        "neighbor_id", F.col("cell").cast("long").alias("cell"), "codes"
+    )
+    short = _ivfpq_shortlist(
+        codes, queries, id_col, vec_col, cells, ivf_ints, books,
+        n_probe, scale, shortlist,
     )
     return _exact_l2_rerank(short, corpus, queries, id_col, vec_col, k, scale)

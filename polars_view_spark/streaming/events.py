@@ -1505,3 +1505,48 @@ def streaming_pq_lookup(
             scale=scale,
         ),
     )
+
+
+def streaming_ivfpq_lookup(
+    queries_stream: DataFrame,
+    index_path: str,
+    corpus: DataFrame,
+    sink_dir: str,
+    k: int = 5,
+    n_probe: int = 2,
+    scale: int = 1000,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous lookup against the persisted IVF-PQ index
+    (operators/similarity.py:ivfpq_build_index / ivfpq_query_index) —
+    the fifth streaming build/query split (MinHash, IVF, containment,
+    PQ, IVF-PQ), and the first whose per-batch scan is PARTITION-PRUNED:
+    each micro-batch's probe cells dynamically prune the codes dataset
+    to n_probe/n_cells of its files, so a query burst touches a sliver
+    of the index where streaming_pq_lookup's flat ADC scans all codes.
+    ``corpus`` is the static base table, joined BY ID for the exact
+    rerank of O(queries × shortlist) rows per batch — never re-scanned.
+    Per-query independence from the FIXED index gives the usual
+    no-divergence property (union of batches == one-shot batch query);
+    sink discipline is effectively-once (batch_id partitions, dynamic
+    overwrite)."""
+    from polars_view_spark.operators.similarity import ivfpq_query_index
+
+    return _available_now_sink(
+        queries_stream,
+        sink_dir,
+        lambda batch_df: ivfpq_query_index(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            n_probe=n_probe,
+            scale=scale,
+            shortlist=shortlist,
+        ),
+    )

@@ -2560,3 +2560,80 @@ class TestIVFPQ:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+    def test_persisted_index_reproduces_in_session(self, spark):
+        """ivfpq_query_index over the written index must equal ivfpq_topk
+        bit-for-bit (shared shortlist/rerank helpers; parquet round trip
+        and partition-value typing are what this pins), and the codes
+        scan must be dynamically partition-pruned to the probe cells."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.catalog import load_tables
+        from polars_view_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_query_index,
+            ivfpq_topk,
+        )
+
+        e = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+        q = e.filter(F.col("vec_id") < 5)
+        idx = "/tmp/pvs_rt/test_ivfpq_idx"
+        ivfpq_build_index(e, idx)
+        persisted = ivfpq_query_index(spark, q, idx, e)
+        a = [tuple(r) for r in persisted.orderBy("query_id", "rank").collect()]
+        b = [tuple(r) for r in ivfpq_topk(e, q).orderBy("query_id", "rank").collect()]
+        assert a == b and len(a) == 25
+        plan = persisted._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[[^\]]*dynamicpruning[^\]]*\]", plan)
+        assert m, f"codes scan not partition-pruned:\n{plan[:3000]}"
+
+    def test_streaming_lookup_equals_batch(self, spark):
+        """Drained streaming sink == one-shot batch query of the same
+        query set (per-query independence from the fixed index)."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.catalog import load_tables
+        from polars_view_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_query_index,
+        )
+        from polars_view_spark.streaming.events import (
+            _single_file_to_glob,
+            read_sink_or_empty,
+            streaming_ivfpq_lookup,
+        )
+
+        e = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+        root = "/tmp/pvs_rt/test_stream_ivfpq"
+        shutil.rmtree(root, ignore_errors=True)
+        idx, sink = f"{root}/idx", f"{root}/hits"
+        ivfpq_build_index(e, idx)
+        reader = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", "1")
+        src = _single_file_to_glob(
+            reader, "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        stream = reader.parquet(src).filter(F.col("vec_id") < 10)
+        streaming_ivfpq_lookup(stream, idx, e, sink).awaitTermination()
+        got = [
+            tuple(r)
+            for r in read_sink_or_empty(
+                spark, sink,
+                "query_id long, neighbor_id long, exact_dist long, rank long, batch_id long",
+            )
+            .select("query_id", "neighbor_id", "exact_dist", "rank")
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        want = [
+            tuple(r)
+            for r in ivfpq_query_index(
+                spark, e.filter(F.col("vec_id") < 10), idx, e
+            )
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        assert got == want and len(got) == 50
