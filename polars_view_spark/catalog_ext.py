@@ -10047,3 +10047,103 @@ register(
     oracle=_ivfpq_oracle(STREAM_ANN_N_QUERIES),
     tables=("embeddings",),
 )(_e_streaming_ivfpq_lookup)
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _e_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over events (operators/events.py:funnel_steps):
+    view → click → purchase, each step counting only users whose step-N
+    event falls STRICTLY AFTER their qualifying step-N-1 event.  The
+    chained first-qualifying-timestamp windows share one user-keyed
+    sort-partitioning (one Exchange, three Window nodes); per-row state
+    is three timestamps regardless of a user's event count.  The oracle
+    replays the identical window DP, so a tie broken differently or a
+    boundary made non-strict breaks the hash."""
+    from polars_view_spark.operators.events import funnel_steps
+
+    t = load_tables(spark, sf_dir, "events")
+    return funnel_steps(t["events"], steps=FUNNEL_STEPS)
+
+
+register(
+    "e_funnel_steps",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0
+      FROM events
+    ),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click'
+                          AND t0 IS NOT NULL AND ts > t0 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase'
+                          AND t1 IS NOT NULL AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2
+      FROM w2
+    ),
+    pu AS (
+      SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+      FROM w3 GROUP BY 1
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM pu
+    )
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, n0 AS n_users FROM c
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', n1 FROM c
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', n2 FROM c
+    ORDER BY step
+    """,
+    tables=("events",),
+)(_e_funnel_steps)
+
+
+def _e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix (operators/events.py:
+    retention_cohorts): users cohorted by the Monday-start week of their
+    first event; each cell counts the cohort's users active
+    ``week_offset`` weeks later.  No join — the cohort label travels
+    with the row through an orderless user-partitioned window min, and
+    the week arithmetic is exact (day diffs are multiples of 7 in both
+    engines)."""
+    from polars_view_spark.operators.events import retention_cohorts
+
+    t = load_tables(spark, sf_dir, "events")
+    return retention_cohorts(t["events"])
+
+
+register(
+    "e_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS aw,
+             CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+                  AS DATE) AS cw
+      FROM events
+    ),
+    a AS (
+      SELECT DISTINCT user_id, cw AS cohort_week,
+             CAST(datediff('day', cw, aw) // 7 AS BIGINT) AS week_offset
+      FROM f
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM a GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tables=("events",),
+)(_e_retention_cohorts)

@@ -4,6 +4,8 @@
 - sessionization (gap-based)
 - as-of join (latest right row at or before each left timestamp)
 - range join (value-in-bucket)
+- ordered funnel analysis (chained first-qualifying-timestamp windows)
+- weekly retention cohorts (cohort × week-offset activity matrix)
 
 The as-of join is the interesting one at scale: the naive formulation is an
 inequality join (quadratic blowup per key).  This implementation uses the
@@ -193,3 +195,129 @@ def range_join(
     for large range tables, bucketize arithmetic replaces the join."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return facts.join(F.broadcast(buckets), cond, "left")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel analysis — per user, step N counts only if it
+    happens STRICTLY AFTER that user's qualifying step N-1 (the product
+    analytics primitive; reference analogue: the filter→aggregate
+    pipelines of SURVEY §2B composed over event order).
+
+    Semantics (the standard funnel DP): walking each user's events in
+    ``(ts, event_id)`` order, carry the earliest qualifying timestamp of
+    every step so far; an event qualifies for step N when its type
+    matches and the step N-1 carry is non-null and strictly earlier.
+    Emits one row per step: ``(step, event_type, n_users)`` with
+    ``n_users`` monotonically non-increasing by construction.
+
+    Scale shape: ONE user-keyed shuffle — the chained per-step windows
+    share a single ``(user, ts, id)`` sort-partitioning (one Exchange,
+    N Window nodes over it — verified via .explain), and the final
+    per-user collapse reuses the same partitioning; no self-join, no
+    per-user collect_list (state per row is ``len(steps)`` timestamps,
+    independent of a user's event count — a power user with 10⁶ events
+    costs no more memory than a one-event user)."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        qual = F.col(type_col) == step
+        if prev is not None:
+            qual = qual & F.col(prev).isNotNull() & (F.col(ts_col) > F.col(prev))
+        cur = f"__t{i}"
+        # earliest qualifying ts of this step among rows up to here
+        df = df.withColumn(cur, F.min(F.when(qual, F.col(ts_col))).over(w))
+        prev = cur
+    per_user = df.groupBy(user_col).agg(
+        *[F.min(f"__t{i}").alias(f"__t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.select(
+        *[
+            F.sum(F.when(F.col(f"__t{i}").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    # unpivot the one-row aggregate with an explode of literal structs —
+    # no join node at all (a steps-table crossJoin would plan as a
+    # BroadcastNestedLoopJoin the audit has to allowlist)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"__n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return (
+        counts.select(F.explode(structs).alias("r"))
+        .select("r.step", "r.event_type", "r.n_users")
+        .orderBy("step")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention-cohort matrix: users are cohorted by the ISO week
+    of their FIRST event, and each cell counts how many of a cohort's
+    users were active ``week_offset`` weeks later — the
+    activation/retention curve every growth dashboard draws, and at
+    training-pipeline scale the freshness profile of a source (how long
+    documents from crawl-week W keep appearing in later snapshots).
+
+    Exactness: both the cohort and the activity week are
+    ``date_trunc('week', ts)`` (Monday-start in Spark AND DuckDB), so the
+    day difference is an exact multiple of 7 and ``// 7`` is exact
+    integer arithmetic.
+
+    Scale shape: the first-event timestamp is a user-partitioned window
+    ``min`` (no order — one Exchange, no sort), and the per-user week
+    dedup is a ``collect_set`` that RIDES the same user-keyed
+    partitioning (Catalyst reuses the window's Exchange — a 3-key
+    ``distinct`` here would re-shuffle every event row); only the final
+    cohort×offset rollup reshuffles.  Two shuffles total, each on keys
+    with cardinality ≪ rows; per-user state is the set of distinct
+    active weeks (bounded by the observation span, not the event
+    count).  No join anywhere: the cohort label travels with the row
+    through the window."""
+    wu = Window.partitionBy(user_col)
+    # keep user_col's NAME through the projections: re-aliasing the key
+    # breaks alias-aware partitioning propagation and re-introduces the
+    # shuffle the collect_set exists to avoid (observed: an Exchange on
+    # the renamed key between the window and the aggregate)
+    per_row = events.select(
+        F.col(user_col),
+        F.to_date(F.date_trunc("week", F.col(ts_col))).alias("aw"),
+        F.to_date(F.date_trunc("week", F.min(ts_col).over(wu))).alias("cw"),
+    ).select(
+        user_col,
+        "cw",
+        (F.datediff("aw", "cw") / 7).cast("long").alias("off"),
+    )
+    per_user = per_row.groupBy(user_col).agg(
+        F.first("cw").alias("cohort_week"),
+        F.collect_set("off").alias("offsets"),
+    )
+    return (
+        per_user.select("cohort_week", F.explode("offsets").alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

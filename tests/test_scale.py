@@ -683,3 +683,92 @@ class TestPrefixSumsAndKS:
         assert any(s.strip().startswith("__b#") for s in specs), specs
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestFunnelRetention:
+    """Round-10 event analytics: ordered funnel DP and weekly retention
+    cohorts (operators/events.py) — semantics pinned on hand cases, plan
+    shape pinned on shuffle counts."""
+
+    def _events(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def test_funnel_strict_order_semantics(self, spark):
+        """User 10 has all three types in REVERSE order (counts only for
+        step 1); user 30's click shares its view's timestamp (strictly-
+        after fails); user 20 converts fully."""
+        from polars_view_spark.operators.events import funnel_steps
+
+        df = self._events(spark, [
+            (1, "2024-01-01 00:00:00", 10, "purchase"),
+            (2, "2024-01-01 00:01:00", 10, "click"),
+            (3, "2024-01-01 00:02:00", 10, "view"),
+            (4, "2024-01-01 00:00:00", 20, "view"),
+            (5, "2024-01-01 00:01:00", 20, "click"),
+            (6, "2024-01-01 00:02:00", 20, "purchase"),
+            (7, "2024-01-01 00:00:00", 30, "view"),
+            (8, "2024-01-01 00:00:00", 30, "click"),
+        ])
+        got = [tuple(r) for r in funnel_steps(df).collect()]
+        assert got == [(1, "view", 3), (2, "click", 1), (3, "purchase", 1)]
+
+    def test_funnel_step2_before_later_view_still_counts(self, spark):
+        """The DP carries the EARLIEST qualifying timestamp: a click after
+        the first view qualifies even when more views follow, and a
+        purchase between click and a later view still converts."""
+        from polars_view_spark.operators.events import funnel_steps
+
+        df = self._events(spark, [
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:01:00", 1, "click"),
+            (3, "2024-01-01 00:02:00", 1, "purchase"),
+            (4, "2024-01-01 00:03:00", 1, "view"),
+        ])
+        got = [tuple(r) for r in funnel_steps(df).collect()]
+        assert got == [(1, "view", 1), (2, "click", 1), (3, "purchase", 1)]
+
+    def test_funnel_one_shuffle_no_join(self, spark):
+        """The three chained windows and the per-user collapse share ONE
+        user-keyed Exchange; the step unpivot is an explode, not a join."""
+        from polars_view_spark.operators.events import funnel_steps
+
+        df = self._events(spark, [(1, "2024-01-01 00:00:00", 1, "view")])
+        plan = (
+            funnel_steps(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+        assert "Join" not in plan and "CartesianProduct" not in plan
+
+    def test_retention_hand_case(self, spark):
+        """User 1 first active in week of Jan 1 (Mon), active again 2
+        weeks later; user 2 cohorts one week later, active only then."""
+        from polars_view_spark.operators.events import retention_cohorts
+
+        df = self._events(spark, [
+            (1, "2024-01-02 10:00:00", 1, "view"),
+            (2, "2024-01-16 10:00:00", 1, "click"),
+            (3, "2024-01-10 10:00:00", 2, "view"),
+        ])
+        got = [
+            (str(r["cohort_week"]), r["week_offset"], r["n_active_users"])
+            for r in retention_cohorts(df).collect()
+        ]
+        assert got == [
+            ("2024-01-01", 0, 1),
+            ("2024-01-01", 2, 1),
+            ("2024-01-08", 0, 1),
+        ]
+
+    def test_retention_two_shuffles(self, spark):
+        """The collect_set dedup rides the window's user partitioning
+        (alias-aware propagation requires keeping the key's NAME — a
+        rename re-introduced a third shuffle); only the window and the
+        cohort rollup exchange."""
+        from polars_view_spark.operators.events import retention_cohorts
+
+        df = self._events(spark, [(1, "2024-01-01 00:00:00", 1, "view")])
+        assert n_exchanges(retention_cohorts(df)) == 2
