@@ -10147,3 +10147,54 @@ register(
     """,
     tables=("events",),
 )(_e_retention_cohorts)
+
+
+def _s_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ (operators/similarity.py:ivfpq_append_index):
+    build the index WITHOUT a withheld slice, append the slice, query the
+    grown index — held to the SAME three-stage oracle over the FULL
+    corpus, so an append that drops vectors, mis-assigns a cell,
+    re-derives a codeword, or double-writes breaks the value hash.  The
+    withheld slice deliberately excludes seed-eligible ids for BOTH
+    frozen tables (``% {IVF_SEED_MOD} != 0`` for centroids, ``% 7 != 0``
+    for codewords) so build-time geometry equals the oracle's
+    all-at-once derivation — freezing is the append contract."""
+    import os
+
+    from polars_view_spark.catalog import _scratch_dir
+    from polars_view_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    later = (
+        (F.col("vec_id") % 10 == 5)
+        & (F.col("vec_id") % IVF_SEED_MOD != 0)
+        & (F.col("vec_id") % 7 != 0)
+    )
+    idx = os.path.join(_scratch_dir("ivfpq_append", sf_dir), "ivfpq")
+    ivfpq_build_index(
+        e.filter(~later), idx, ivf_seed_mod=IVF_SEED_MOD,
+        max_seeds=IVF_MAX_SEEDS, scale=IVF_SCALE,
+    )
+    ivfpq_append_index(e.filter(later), idx, scale=IVF_SCALE)
+    return ivfpq_query_index(
+        spark,
+        e.filter(F.col("vec_id") < ANN_N_QUERIES),
+        idx,
+        e,
+        k=ANN_K,
+        n_probe=IVF_N_PROBE,
+        scale=IVF_SCALE,
+        shortlist=IVFPQ_SHORTLIST,
+    ).orderBy("query_id", "rank")
+
+
+register(
+    "s_ann_ivfpq_append",
+    oracle=_ivfpq_oracle(),
+    tables=("embeddings",),
+)(_s_ann_ivfpq_append)

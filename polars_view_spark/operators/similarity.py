@@ -2121,3 +2121,75 @@ def ivfpq_query_index(
         n_probe, scale, shortlist,
     )
     return _exact_l2_rerank(short, corpus, queries, id_col, vec_col, k, scale)
+
+
+def ivfpq_append_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = PQ_M,
+    scale: int = 1000,
+) -> None:
+    """Append a vector batch to a persisted IVF-PQ index — the operating
+    mode of a GROWING corpus: both the centroids AND the codebook are
+    FROZEN at build (cells define the index geometry; codewords define
+    the code space — re-deriving either would invalidate every stored
+    assignment/code), so appending is per-vector work: assign each new
+    vector to its cell and encode it with the same shared Arrow kernels
+    the build used, then append into the cell-partitioned codes dataset.
+    Queries immediately see appended vectors through the same
+    partition-pruned probe join.  Distribution drift away from the
+    frozen geometry degrades recall for new-regime vectors — a rebuild
+    trigger (monitored via cell-size skew), not something append fixes.
+
+    Guards (the ivf_append_index contract): ids duplicated within the
+    batch and ids already present in the index are rejected up front —
+    either would let one vector occupy several top-k slots; the
+    index-side check reads ONLY the ``neighbor_id`` column against the
+    broadcast batch ids."""
+    spark = new_vectors.sparkSession
+    dup = (
+        new_vectors.groupBy(F.col(id_col).alias("neighbor_id"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"ivfpq_append_index: batch contains duplicate ids (e.g. "
+            f"{sorted(r['neighbor_id'] for r in dup)}) — deduplicate "
+            f"before appending"
+        )
+    new_ids = new_vectors.select(F.col(id_col).alias("neighbor_id"))
+    clash = (
+        spark.read.parquet(f"{path}/codes")
+        .select("neighbor_id")
+        .join(F.broadcast(new_ids), "neighbor_id", "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"ivfpq_append_index: ids already indexed (e.g. "
+            f"{sorted(r['neighbor_id'] for r in clash)}) — appending "
+            f"would duplicate their rows; deduplicate the batch or rebuild"
+        )
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cells = [int(r["cell"]) for r in cent]
+    ivf_ints = [[int(x) for x in r["sv"]] for r in cent]
+    cb = spark.read.parquet(f"{path}/codebook").orderBy("j").collect()
+    books = _pq_books([list(r["sv"]) for r in cb], m_sub)
+    pq_codes = _pq_codes_udf(books)
+    codes = _with_sorted_cells(
+        new_vectors.filter(F.col(vec_col).isNotNull()),
+        vec_col, cells, ivf_ints, scale,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr("__cells[0]").alias("cell"),
+        pq_codes(F.col("__qv")).alias("codes"),
+    )
+    codes.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )

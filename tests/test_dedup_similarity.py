@@ -2637,3 +2637,45 @@ class TestIVFPQ:
             .collect()
         ]
         assert got == want and len(got) == 50
+
+    def test_append_guards_and_parity(self, spark):
+        """Appending a withheld slice reproduces the all-at-once build
+        (frozen centroids + codebook); duplicate-id batches and already-
+        indexed ids are rejected before any write."""
+        import shutil
+
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.catalog import load_tables
+        from polars_view_spark.operators.similarity import (
+            ivfpq_append_index,
+            ivfpq_build_index,
+            ivfpq_query_index,
+            ivfpq_topk,
+        )
+
+        e = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+        q = e.filter(F.col("vec_id") < 5)
+        later = (
+            (F.col("vec_id") % 10 == 5)
+            & (F.col("vec_id") % 37 != 0)
+            & (F.col("vec_id") % 7 != 0)
+        )
+        idx = "/tmp/pvs_rt/test_ivfpq_append_idx"
+        shutil.rmtree(idx, ignore_errors=True)
+        ivfpq_build_index(e.filter(~later), idx)
+        ivfpq_append_index(e.filter(later), idx)
+        a = [
+            tuple(r)
+            for r in ivfpq_query_index(spark, q, idx, e)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        b = [tuple(r) for r in ivfpq_topk(e, q).orderBy("query_id", "rank").collect()]
+        assert a == b and len(a) == 25
+        with _pytest.raises(ValueError, match="already indexed"):
+            ivfpq_append_index(e.filter(later).limit(3), idx)
+        dup_batch = e.filter(later).limit(2).union(e.filter(later).limit(2))
+        with _pytest.raises(ValueError, match="duplicate ids"):
+            ivfpq_append_index(dup_batch, idx)
