@@ -284,6 +284,12 @@ def main() -> None:
                 # round 9 (late): the two-stage PQ flagship — codes scan
                 # scales linearly, the rerank join stays O(queries×50)
                 "s_ann_pq_rerank",
+                # round 10: the IVF-PQ composition — ADC work is
+                # ~n_probe/n_cells of the codes (the seed cap fills 55→64
+                # cells at 10x, so the probed fraction tightens to 2/64)
+                # where flat PQ scans ALL codes; the ratio row makes the
+                # claimed constant-factor advantage measurable per round
+                "s_ann_ivfpq_topk",
             ):
                 if name not in cat:
                     continue
