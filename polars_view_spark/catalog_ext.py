@@ -10198,3 +10198,65 @@ register(
     oracle=_ivfpq_oracle(),
     tables=("embeddings",),
 )(_s_ann_ivfpq_append)
+
+
+def _x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/scale.py:psi_drift) over the
+    same click-vs-view value slices as x_ks_drift — the bucketed
+    WHERE-did-it-move diagnostic beside KS's exact did-it-move number.
+    Counts are exact integers; the per-bucket ``(p−q)·ln(p/q)`` term is
+    the one transcendental, rounded at 4 dp per the rounding rule.  All
+    k buckets emitted even when empty (generated spine), so the output
+    shape is data-independent."""
+    from polars_view_spark.operators.scale import psi_drift
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    return psi_drift(
+        ev.filter(F.col("event_type") == "click").select("value"),
+        ev.filter(F.col("event_type") == "view").select("value"),
+        "value",
+    )
+
+
+register(
+    "x_psi_drift",
+    oracle="""
+    WITH r AS (SELECT value AS v FROM events
+               WHERE event_type = 'click' AND value IS NOT NULL),
+    c AS (SELECT value AS v FROM events
+          WHERE event_type = 'view' AND value IS NOT NULL),
+    e AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
+    b AS (
+      SELECT LEAST(9, GREATEST(0, CAST(floor(
+               (v - lo) * 10 / (CASE WHEN hi = lo THEN CAST(1 AS DOUBLE)
+                                ELSE hi - lo END)) AS INT))) AS bucket,
+             1 AS cr, 0 AS cc
+      FROM r, e
+      UNION ALL
+      SELECT LEAST(9, GREATEST(0, CAST(floor(
+               (v - lo) * 10 / (CASE WHEN hi = lo THEN CAST(1 AS DOUBLE)
+                                ELSE hi - lo END)) AS INT))) AS bucket,
+             0 AS cr, 1 AS cc
+      FROM c, e
+    ),
+    g AS (SELECT bucket, sum(cr) AS n_ref, sum(cc) AS n_cur FROM b GROUP BY 1),
+    spine AS (SELECT CAST(x AS BIGINT) AS bucket FROM range(10) t(x)),
+    j AS (
+      SELECT s.bucket, COALESCE(g.n_ref, 0) AS n_ref,
+             COALESCE(g.n_cur, 0) AS n_cur
+      FROM spine s LEFT JOIN g USING (bucket)
+    ),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+    SELECT bucket,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND((GREATEST(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE), 0.0001)
+                - GREATEST(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 0.0001))
+              * ln(GREATEST(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE), 0.0001)
+                 / GREATEST(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 0.0001)),
+              4) AS psi_term
+    FROM j, t ORDER BY bucket
+    """,
+    tables=("events",),
+)(_x_psi_drift)

@@ -603,3 +603,78 @@ def equidepth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def psi_drift(
+    ref: DataFrame, cur: DataFrame, value_col: str, k: int = 10
+) -> DataFrame:
+    """Population Stability Index — the bucketed drift diagnostic beside
+    the exact KS statistic (:func:`ks_statistic`): ``PSI = Σ_i (p_i −
+    q_i)·ln(p_i/q_i)`` over ``k`` fixed-width buckets whose edges come
+    from the REFERENCE min/max (the industry convention: current values
+    outside the reference range clamp into the edge buckets, which is
+    exactly where "new regime" mass should show up).  Where KS answers
+    "did the distribution move at all" with one exact number, PSI says
+    WHERE it moved — the per-bucket terms are the diagnostic, so this
+    emits them (``bucket, n_ref, n_cur, psi_term``) rather than just the
+    total, and every bucket appears even when empty (a generated spine —
+    determinism of the output shape does not depend on the data).
+
+    Exactness discipline: counts and totals are exact integers; the only
+    floats are the two proportion divisions (exact int64 → binary64, the
+    same value in any IEEE engine), the 1e-4 floor (the standard
+    zero-bucket clamp — both sides clamped, so ln never sees 0), and one
+    ``ln`` rounded at 4 dp per the transcendental-rounding rule
+    (tests/test_docs.py caps oracle rounding of ln/log below 5 dp).
+
+    Scale shape: ONE pass over each sample (union + map-side-combined
+    groupBy onto ≤k buckets), the reference edges and the totals are
+    one-row broadcast aggregates, and the spine join is k rows — total
+    shuffled bytes are O(k), independent of sample size."""
+    v = F.col(value_col)
+    edges = ref.filter(v.isNotNull()).agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi")
+    )
+    pts = (
+        ref.filter(v.isNotNull())
+        .select(v.alias("v"), F.lit(1).alias("cr"), F.lit(0).alias("cc"))
+        .unionAll(
+            cur.filter(v.isNotNull()).select(
+                v.alias("v"), F.lit(0).alias("cr"), F.lit(1).alias("cc")
+            )
+        )
+        .crossJoin(F.broadcast(edges))
+    )
+    idx = F.expr(
+        f"LEAST({k} - 1, GREATEST(0, CAST(floor("
+        f"(v - lo) * {k} / (CASE WHEN hi = lo THEN CAST(1 AS DOUBLE) "
+        f"ELSE hi - lo END)) AS INT)))"
+    )
+    counts = (
+        pts.withColumn("bucket", idx.cast("long"))
+        .groupBy("bucket")
+        .agg(F.sum("cr").alias("n_ref"), F.sum("cc").alias("n_cur"))
+    )
+    spark = ref.sparkSession
+    spine = spark.range(k).select(F.col("id").alias("bucket"))
+    j = spine.join(F.broadcast(counts), "bucket", "left").na.fill(
+        0, ["n_ref", "n_cur"]
+    )
+    tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p", F.expr("GREATEST(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE), 0.0001)")
+        )
+        .withColumn(
+            "q", F.expr("GREATEST(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 0.0001)")
+        )
+        .select(
+            "bucket",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 4)
+            .alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

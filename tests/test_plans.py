@@ -822,6 +822,9 @@ CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "x_ks_drift": "both BNLJs broadcast ONE-ROW aggregates (the sample "
     "totals and the max statistic) into scalar comparisons — "
     "scale.py:ks_statistic docstring",
+    "x_psi_drift": "both BNLJs broadcast ONE-ROW aggregates (the reference "
+    "min/max edges and the sample totals) into scalar projections; the "
+    "k-row bucket spine joins hash-side — scale.py:psi_drift docstring",
     "x_equidepth_histogram": "BNLJ broadcasts the ONE-ROW total-count "
     "aggregate into the rank-to-bucket projection — "
     "scale.py:equidepth_histogram docstring",

@@ -772,3 +772,44 @@ class TestFunnelRetention:
 
         df = self._events(spark, [(1, "2024-01-01 00:00:00", 1, "view")])
         assert n_exchanges(retention_cohorts(df)) == 2
+
+
+class TestPSIDrift:
+    def test_identical_distributions_zero_terms(self, spark):
+        """Same sample on both sides → p_i == q_i everywhere → every
+        psi_term is exactly 0.0 and all k buckets appear."""
+        from polars_view_spark.operators.scale import psi_drift
+
+        df = spark.range(100).selectExpr("CAST(id % 7 AS DOUBLE) AS value")
+        out = psi_drift(df, df, "value").collect()
+        assert len(out) == 10
+        assert all(r["psi_term"] == 0.0 for r in out)
+        assert sum(r["n_ref"] for r in out) == 100
+
+    def test_shifted_mass_lands_in_edge_buckets(self, spark):
+        """Current values beyond the REFERENCE max clamp into the top
+        bucket (the convention that makes new-regime mass visible), the
+        clamp floor keeps ln finite for empty reference buckets, and the
+        drifted side's top-bucket term is positive for q > p."""
+        from polars_view_spark.operators.scale import psi_drift
+
+        ref = spark.range(100).selectExpr("CAST(id % 10 AS DOUBLE) AS value")
+        cur = spark.range(100).selectExpr("CAST(50 + id % 3 AS DOUBLE) AS value")
+        out = {r["bucket"]: r for r in psi_drift(ref, cur, "value").collect()}
+        assert len(out) == 10
+        assert out[9]["n_cur"] == 100  # all drifted mass clamps to top
+        assert out[9]["psi_term"] > 0  # (p-q)·ln(p/q) > 0 whenever p ≠ q
+        assert all(v["psi_term"] >= 0 for v in out.values())
+
+    def test_plan_tiny_shuffle_only(self, spark):
+        """Shuffled bytes are O(k): one map-side-combined groupBy onto
+        <=k buckets; edges/totals are one-row broadcasts; no cartesian."""
+        from polars_view_spark.operators.scale import psi_drift
+
+        df = spark.range(100).selectExpr("CAST(id % 7 AS DOUBLE) AS value")
+        plan = (
+            psi_drift(df, df, "value")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
