@@ -10260,3 +10260,48 @@ register(
     """,
     tables=("events",),
 )(_x_psi_drift)
+
+
+def _d_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with the PRODUCTION keep rule
+    (operators/dedup.py:dedup_keep_best): one fingerprint-keyed window
+    keeps each duplicate group's highest-quality member (composite
+    quality score, ties → lowest doc_id) instead of d_dedup_exact's
+    minimum id.  Fingerprint and quality are computed in the SAME scan
+    (both pure codegen projections), so the whole operator is one
+    shuffle; the oracle recomputes fingerprint, score, and the ranked
+    keep decision end to end."""
+    from polars_view_spark.operators.dedup import dedup_keep_best
+    from polars_view_spark.operators.textstats import fingerprint, quality_score
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = quality_score(fingerprint(t["documents"]))
+    return (
+        dedup_keep_best(d, "fingerprint", "doc_id", "quality")
+        .select("doc_id", "fingerprint", "quality")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "d_dedup_keep_best",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text, ' ')),
+                 '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fingerprint,
+             round(0.4 * least({_q_words} / 100.0, 1.0)
+                 + 0.3 * (1.0 - {_q_punct} / CAST(greatest(length(text), 1) AS DOUBLE))
+                 + 0.3 * least({_q_stops} / CAST(greatest({_q_words}, 1) AS DOUBLE) * 5.0, 1.0),
+               6) AS quality
+      FROM documents
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                ORDER BY quality DESC, doc_id) AS rn
+      FROM q
+    )
+    SELECT doc_id, fingerprint, quality FROM r WHERE rn = 1 ORDER BY doc_id
+    """,
+    tables=("documents",),
+)(_d_dedup_keep_best)

@@ -1795,3 +1795,30 @@ def sorted_neighborhood_pairs(
     # exact Jaccard is pass-independent, so the cross-pass dedup is a
     # plain DISTINCT over the (already threshold-filtered, tiny) pairs
     return scored.filter(F.col("jaccard") >= jaccard_threshold).distinct()
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact dedup keeping the BEST-scoring member of each duplicate
+    group (ties → lowest id) — the production keep rule: when identical
+    content appears with different metadata/provenance, pipelines keep
+    the highest-quality copy (longest extraction, cleanest source), not
+    the arbitrary minimum id :func:`dedup_exact` uses.  Same scale shape
+    as dedup_exact — ONE hash-partitioned shuffle on the key, the
+    row_number window riding it — the only difference is the ORDER the
+    window ranks by.  Deterministic under score ties via the id
+    tiebreak."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

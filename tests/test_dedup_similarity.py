@@ -2679,3 +2679,44 @@ class TestIVFPQ:
         dup_batch = e.filter(later).limit(2).union(e.filter(later).limit(2))
         with _pytest.raises(ValueError, match="duplicate ids"):
             ivfpq_append_index(dup_batch, idx)
+
+
+class TestDedupKeepBest:
+    def test_best_survives_not_min_id(self, spark):
+        """The HIGHER-quality duplicate survives even with the larger id;
+        ties fall back to the lowest id; singletons pass through."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.dedup import dedup_keep_best
+
+        df = spark.createDataFrame(
+            [
+                (1, "k1", 0.2),
+                (2, "k1", 0.9),   # best of k1 despite larger id
+                (3, "k2", 0.5),
+                (4, "k2", 0.5),   # tie -> id 3 survives
+                (5, "k3", 0.1),   # singleton
+            ],
+            "doc_id long, fp string, quality double",
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in dedup_keep_best(df, "fp", "doc_id", "quality").collect()
+        )
+        assert got == [2, 3, 5]
+
+    def test_one_shuffle(self, spark):
+        """Same scale shape as dedup_exact: one hash exchange on the key."""
+        import re
+
+        from polars_view_spark.operators.dedup import dedup_keep_best
+
+        df = spark.range(100).selectExpr(
+            "id AS doc_id", "CAST(id % 10 AS STRING) AS fp",
+            "CAST(id AS DOUBLE) AS quality",
+        )
+        plan = (
+            dedup_keep_best(df, "fp", "doc_id", "quality")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
