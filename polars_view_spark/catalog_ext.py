@@ -10305,3 +10305,72 @@ register(
     """,
     tables=("documents",),
 )(_d_dedup_keep_best)
+
+
+def _x_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group (lower) median without sorting raw rows
+    (operators/scale.py:grouped_exact_median): collapse to distinct
+    (group, value) counts, accumulate within each group — a
+    group-partitioned window, never a global one — and take the smallest
+    value whose cumulative count reaches ceil(n/2).  The exact companion
+    of percentile_approx, per group: the shuffle carries distinct
+    values, not rows, so it holds at any group cardinality."""
+    from polars_view_spark.operators.scale import grouped_exact_median
+
+    t = load_tables(spark, sf_dir, "events")
+    return grouped_exact_median(t["events"], "event_type", "value")
+
+
+register(
+    "x_grouped_median",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type AS g, value AS v, count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM pts
+    )
+    SELECT g AS event_type, MIN(v) AS median, CAST(MAX(n) AS BIGINT) AS n_rows
+    FROM cum WHERE cum * 2 >= n GROUP BY g ORDER BY g
+    """,
+    tables=("events",),
+)(_x_grouped_median)
+
+
+def _x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix
+    (operators/events.py:event_transitions): adjacency from one lag
+    window over the funnel's user-keyed sort-partitioning — never an
+    events⋈events self-join — then a rollup onto the |types|² matrix
+    with integer-exact per-from_type shares (count·10⁶ // row total)."""
+    from polars_view_spark.operators.events import event_transitions
+
+    t = load_tables(spark, sf_dir, "events")
+    return event_transitions(t["events"])
+
+
+register(
+    "x_event_transitions",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    g AS (
+      SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS share_ppm
+    FROM g ORDER BY from_type, to_type
+    """,
+    tables=("events",),
+)(_x_event_transitions)

@@ -321,3 +321,45 @@ def retention_cohorts(
         .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    ``(from_type, to_type) → count, share_ppm`` where consecutive means
+    adjacent in the user's ``(ts, id)`` order — the Markov-chain summary
+    behind next-event prediction, session-flow dashboards, and (in a
+    training pipeline) the document-state transition profile of a
+    multi-stage filter.  ``share_ppm`` is the integer-exact row share
+    within each ``from_type`` (count·10⁶ // row total), so the entire
+    matrix value-hashes.
+
+    Scale shape: one user-keyed sort-partitioning for the ``lag`` window
+    (the funnel's Exchange shape), then one rollup onto the
+    |types|² matrix — the shuffle after the window carries at most one
+    row per (partition × pair).  No self-join: adjacency comes from
+    ``lag``, never from events ⋈ events."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(n * 1000000L DIV SUM(n) OVER (PARTITION BY from_type) AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    ).orderBy("from_type", "to_type")

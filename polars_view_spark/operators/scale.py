@@ -678,3 +678,54 @@ def psi_drift(
         )
         .orderBy("bucket")
     )
+
+
+def grouped_exact_median(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Exact per-group median without sorting raw rows: collapse to
+    ``(group, value) → count`` (map-side combined — the shuffle carries
+    distinct values, not rows), accumulate within each group by value
+    order (a GROUP-partitioned window: no global-order window anywhere),
+    and pick the lower-median element — the smallest value whose
+    cumulative count reaches ``ceil(n/2)``.  The convention is
+    LOWER median (an element of the data, no averaging): it keeps the
+    result exact for every input type and hashes cross-engine without
+    float midpoints.
+
+    The exact companion of ``percentile_approx``'s sketch: run it when a
+    threshold is about to move and the sketch's error band is too coarse
+    (the x_ks_drift discipline, per group).  Scale shape: one keyed
+    shuffle to the distinct-value frame, one windowed pass partitioned
+    by group, one thin aggregate — works for any group cardinality
+    because no group ever needs its raw rows co-resident."""
+    pts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("g"))
+    )
+    # lower median = smallest value with rank >= ceil(n/2); for integer
+    # cum that is exactly cum*2 >= n — no float comparison anywhere
+    # (cum >= (n+1)/2.0 looks equivalent but picks the UPPER median on
+    # even groups: for n=4 it demands cum >= 2.5 → the 3rd element)
+    return (
+        cum.filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("g")
+        .agg(F.min("v").alias("median"), F.max("n").alias("n_rows"))
+        .select(
+            F.col("g").alias(group_col),
+            "median",
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        .orderBy(group_col)
+    )

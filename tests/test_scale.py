@@ -813,3 +813,76 @@ class TestPSIDrift:
         )
         assert "CartesianProduct" not in plan
         assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+class TestGroupedMedianTransitions:
+    def test_lower_median_convention(self, spark):
+        """Odd group → true middle; even group → LOWER median (an element
+        of the data, no float midpoint); nulls excluded from n."""
+        from polars_view_spark.operators.scale import grouped_exact_median
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("a", 9.0),        # odd: median 3
+             ("b", 1.0), ("b", 2.0), ("b", 7.0), ("b", 8.0),  # even: lower 2
+             ("c", 5.0), ("c", None)],                  # null dropped: n=1
+            "g string, v double",
+        )
+        got = {r["g"]: (r["median"], r["n_rows"])
+               for r in grouped_exact_median(df, "g", "v").collect()}
+        assert got == {"a": (3.0, 3), "b": (2.0, 4), "c": (5.0, 1)}
+
+    def test_median_duplicate_mass(self, spark):
+        """Duplicated values collapse to one (group,value) row but keep
+        full weight: [1,2,2,2,9] → median 2."""
+        from polars_view_spark.operators.scale import grouped_exact_median
+
+        df = spark.createDataFrame(
+            [("a", v) for v in (1.0, 2.0, 2.0, 2.0, 9.0)], "g string, v double"
+        )
+        [r] = grouped_exact_median(df, "g", "v").collect()
+        assert (r["median"], r["n_rows"]) == (2.0, 5)
+
+    def test_transitions_hand_sequence(self, spark):
+        """view→click→click→purchase for one user plus a 1-event user (no
+        pairs): counts and integer ppm shares per from_type."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.events import event_transitions
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", 1, "view"),
+                (2, "2024-01-01 00:01:00", 1, "click"),
+                (3, "2024-01-01 00:02:00", 1, "click"),
+                (4, "2024-01-01 00:03:00", 1, "purchase"),
+                (5, "2024-01-01 00:00:00", 2, "view"),
+            ],
+            "event_id long, ts string, user_id long, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = [tuple(r) for r in event_transitions(df).collect()]
+        assert got == [
+            ("click", "click", 1, 500000),
+            ("click", "purchase", 1, 500000),
+            ("view", "click", 1, 1000000),
+        ]
+
+    def test_plans_no_global_window_no_selfjoin(self, spark):
+        """Median: group-partitioned windows only (no empty-partition
+        global window).  Transitions: lag over the user partitioning,
+        zero Join nodes."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.events import event_transitions
+        from polars_view_spark.operators.scale import grouped_exact_median
+
+        ev = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1, "view", 1.0)],
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        p1 = (
+            grouped_exact_median(ev, "event_type", "value")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "partitionBy=[]" not in p1.replace(" ", "")
+        p2 = event_transitions(ev)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in p2 and "CartesianProduct" not in p2
