@@ -10374,3 +10374,90 @@ register(
     """,
     tables=("events",),
 )(_x_event_transitions)
+
+
+def _x_grouped_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group p90 (operators/scale.py:grouped_exact_quantile at
+    q_ppm=900000) — the tail-threshold companion of x_grouped_median:
+    same distinct-value shuffle, same pure-integer rank test
+    cum·10⁶ ≥ 9·10⁵·n, different cut point.  Run it where a p90 gate is
+    about to move and percentile_approx's error band is too coarse."""
+    from polars_view_spark.operators.scale import grouped_exact_quantile
+
+    t = load_tables(spark, sf_dir, "events")
+    return grouped_exact_quantile(
+        t["events"], "event_type", "value", 900_000, out_col="p90"
+    )
+
+
+register(
+    "x_grouped_p90",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type AS g, value AS v, count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM pts
+    )
+    SELECT g AS event_type, MIN(v) AS p90, CAST(MAX(n) AS BIGINT) AS n_rows
+    FROM cum WHERE cum * 1000000 >= 900000 * n GROUP BY g ORDER BY g
+    """,
+    tables=("events",),
+)(_x_grouped_p90)
+
+
+def _x_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group median absolute deviation
+    (operators/scale.py:grouped_mad): the robust spread behind
+    heavy-tail-safe anomaly screens — both medians exact lower-median
+    elements of the data, the per-group medians joined back on the
+    group key (AQE broadcast when small), pass 2 reuses the same
+    quantile primitive over deviations."""
+    from polars_view_spark.operators.scale import grouped_mad
+
+    t = load_tables(spark, sf_dir, "events")
+    return grouped_mad(t["events"], "event_type", "value")
+
+
+register(
+    "x_grouped_mad",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type AS g, value AS v, count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM pts
+    ),
+    med AS (
+      SELECT g, MIN(v) AS median FROM cum
+      WHERE cum * 2 >= n GROUP BY g
+    ),
+    dev AS (
+      SELECT e.event_type AS g, m.median, abs(e.value - m.median) AS d
+      FROM events e JOIN med m ON m.g = e.event_type
+      WHERE e.value IS NOT NULL
+    ),
+    dpts AS (SELECT g, median, d, count(*) AS c FROM dev GROUP BY 1, 2, 3),
+    dcum AS (
+      SELECT g, median, d, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM dpts
+    )
+    SELECT g AS event_type, MIN(median) AS median, MIN(d) AS mad,
+           CAST(MAX(n) AS BIGINT) AS n_rows
+    FROM dcum WHERE cum * 2 >= n GROUP BY g ORDER BY g
+    """,
+    tables=("events",),
+)(_x_grouped_mad)

@@ -680,18 +680,23 @@ def psi_drift(
     )
 
 
-def grouped_exact_median(
-    df: DataFrame, group_col: str, value_col: str
+def grouped_exact_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q_ppm: int = 500_000,
+    out_col: str = "quantile",
 ) -> DataFrame:
-    """Exact per-group median without sorting raw rows: collapse to
-    ``(group, value) → count`` (map-side combined — the shuffle carries
-    distinct values, not rows), accumulate within each group by value
-    order (a GROUP-partitioned window: no global-order window anywhere),
-    and pick the lower-median element — the smallest value whose
-    cumulative count reaches ``ceil(n/2)``.  The convention is
-    LOWER median (an element of the data, no averaging): it keeps the
-    result exact for every input type and hashes cross-engine without
-    float midpoints.
+    """Exact per-group lower quantile without sorting raw rows: collapse
+    to ``(group, value) → count`` (map-side combined — the shuffle
+    carries distinct values, not rows), accumulate within each group by
+    value order (a GROUP-partitioned window: no global-order window
+    anywhere), and pick the smallest value whose rank reaches
+    ``ceil(q·n)`` — as a PURE-INTEGER test ``cum·10⁶ ≥ q_ppm·n`` (no
+    float comparison; the seemingly-equivalent ``cum ≥ (n+1)/2.0``
+    median form picks the UPPER median on even groups — caught by test).
+    Lower-quantile convention: the result is an element of the data, so
+    it stays exact for every input type and hashes cross-engine.
 
     The exact companion of ``percentile_approx``'s sketch: run it when a
     threshold is about to move and the sketch's error band is too coarse
@@ -714,18 +719,65 @@ def grouped_exact_median(
     cum = pts.withColumn("cum", F.sum("c").over(w)).withColumn(
         "n", F.sum("c").over(Window.partitionBy("g"))
     )
-    # lower median = smallest value with rank >= ceil(n/2); for integer
-    # cum that is exactly cum*2 >= n — no float comparison anywhere
-    # (cum >= (n+1)/2.0 looks equivalent but picks the UPPER median on
-    # even groups: for n=4 it demands cum >= 2.5 → the 3rd element)
     return (
-        cum.filter(F.col("cum") * 2 >= F.col("n"))
+        cum.filter(F.col("cum") * F.lit(1_000_000) >= F.lit(int(q_ppm)) * F.col("n"))
         .groupBy("g")
-        .agg(F.min("v").alias("median"), F.max("n").alias("n_rows"))
+        .agg(F.min("v").alias(out_col), F.max("n").alias("n_rows"))
         .select(
             F.col("g").alias(group_col),
-            "median",
+            out_col,
             F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def grouped_exact_median(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Exact per-group lower median — :func:`grouped_exact_quantile` at
+    q_ppm=500000 (``cum·10⁶ ≥ 5·10⁵·n`` ≡ ``cum·2 ≥ n``)."""
+    return grouped_exact_quantile(
+        df, group_col, value_col, 500_000, out_col="median"
+    )
+
+
+def grouped_mad(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group median absolute deviation — the robust spread estimate
+    behind production anomaly screens (the mean/σ z-score of
+    e_anomaly_zscore breaks under heavy tails; median/MAD does not):
+    ``MAD_g = median(|v − median_g|)``, both medians exact lower-median
+    elements via :func:`grouped_exact_quantile`.
+
+    Scale shape: pass 1 is the grouped-median primitive (distinct-value
+    shuffle); the per-group medians — group-cardinality rows, a
+    hyperparameter-small frame in any real screen — join back to the
+    rows on the group key (AQE broadcasts it when it fits; no explicit
+    broadcast so arbitrarily many groups stay correct), and pass 2 runs
+    the same primitive over the deviations.  No global window, no
+    self-join of the data."""
+    med = grouped_exact_median(df, group_col, value_col).select(
+        group_col, F.col("median").alias("__med")
+    )
+    dev = (
+        df.filter(F.col(value_col).isNotNull())
+        .join(med, group_col)
+        .select(
+            group_col,
+            F.col("__med").alias("median"),
+            F.abs(F.col(value_col) - F.col("__med")).alias("__dev"),
+        )
+    )
+    out = grouped_exact_quantile(dev, group_col, "__dev", 500_000, out_col="mad")
+    return (
+        out.join(med, group_col)
+        .select(
+            group_col,
+            F.col("__med").alias("median"),
+            "mad",
+            "n_rows",
         )
         .orderBy(group_col)
     )

@@ -886,3 +886,40 @@ class TestGroupedMedianTransitions:
         assert "partitionBy=[]" not in p1.replace(" ", "")
         p2 = event_transitions(ev)._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in p2 and "CartesianProduct" not in p2
+
+
+class TestGroupedQuantileMAD:
+    def test_p90_lower_quantile_convention(self, spark):
+        """n=10 values 1..10: p90 = ceil(0.9*10)=9th element = 9; n=11 →
+        ceil(9.9)=10th element."""
+        from polars_view_spark.operators.scale import grouped_exact_quantile
+
+        d10 = spark.range(1, 11).selectExpr("'a' AS g", "CAST(id AS DOUBLE) AS v")
+        [r] = grouped_exact_quantile(d10, "g", "v", 900_000, "p90").collect()
+        assert (r["p90"], r["n_rows"]) == (9.0, 10)
+        d11 = spark.range(1, 12).selectExpr("'a' AS g", "CAST(id AS DOUBLE) AS v")
+        [r] = grouped_exact_quantile(d11, "g", "v", 900_000, "p90").collect()
+        assert (r["p90"], r["n_rows"]) == (10.0, 11)
+
+    def test_mad_hand_case(self, spark):
+        """[1,2,3,4,100]: median 3, |v-3| = [2,1,0,1,97] → MAD 1 — the
+        outlier that would wreck σ leaves MAD untouched."""
+        from polars_view_spark.operators.scale import grouped_mad
+
+        df = spark.createDataFrame(
+            [("a", v) for v in (1.0, 2.0, 3.0, 4.0, 100.0)], "g string, v double"
+        )
+        [r] = grouped_mad(df, "g", "v").collect()
+        assert (r["median"], r["mad"], r["n_rows"]) == (3.0, 1.0, 5)
+
+    def test_mad_no_global_window(self, spark):
+        """Both passes use group-partitioned windows; the medians join is
+        the only join and it is on the group key."""
+        from polars_view_spark.operators.scale import grouped_mad
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        plan = (
+            grouped_mad(df, "g", "v")._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "partitionBy=[]" not in plan.replace(" ", "")
+        assert "CartesianProduct" not in plan
