@@ -10461,3 +10461,66 @@ register(
     """,
     tables=("events",),
 )(_x_grouped_mad)
+
+
+def _x_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified z-score outlier screen (operators/scale.py:
+    robust_outliers): |v − median| > 5.189·MAD per event_type — the
+    50%-breakdown-point alternative to e_anomaly_zscore's mean/σ, which
+    one extreme value can blind.  Medians/MADs are exact data elements,
+    deviations exact doubles, counts exact integers — no rounding in the
+    whole trajectory."""
+    from polars_view_spark.operators.scale import robust_outliers
+
+    t = load_tables(spark, sf_dir, "events")
+    return robust_outliers(t["events"], "event_type", "value")
+
+
+register(
+    "x_robust_outliers",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type AS g, value AS v, count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM pts
+    ),
+    med AS (SELECT g, MIN(v) AS median FROM cum WHERE cum * 2 >= n GROUP BY g),
+    dev AS (
+      SELECT e.event_type AS g, abs(e.value - m.median) AS d
+      FROM events e JOIN med m ON m.g = e.event_type
+      WHERE e.value IS NOT NULL
+    ),
+    dpts AS (SELECT g, d, count(*) AS c FROM dev GROUP BY 1, 2),
+    dcum AS (
+      SELECT g, d, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM dpts
+    ),
+    mad AS (SELECT g, MIN(d) AS mad FROM dcum WHERE cum * 2 >= n GROUP BY g),
+    fl AS (
+      SELECT e.event_type AS g,
+             abs(e.value - m.median) AS dev,
+             abs(e.value - m.median) * 1000 > 5189 * a.mad AS is_out
+      FROM events e
+      JOIN med m ON m.g = e.event_type
+      JOIN mad a ON a.g = e.event_type
+      WHERE e.value IS NOT NULL
+    )
+    SELECT g AS event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS outlier_ppm,
+           MAX(dev) AS max_abs_dev
+    FROM fl GROUP BY g ORDER BY g
+    """,
+    tables=("events",),
+)(_x_robust_outliers)

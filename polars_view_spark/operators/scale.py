@@ -781,3 +781,68 @@ def grouped_mad(
         )
         .orderBy(group_col)
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_thousandths: int = 5189,
+) -> DataFrame:
+    """Robust per-group outlier screen — the heavy-tail-safe twin of the
+    mean/σ z-score (``e_anomaly_zscore``): a row is an outlier when its
+    absolute deviation from the group MEDIAN exceeds ``k`` MADs, the
+    modified z-score rule (Iglewicz & Hoaglin: |0.6745·(v−med)/MAD| >
+    3.5 ⇔ |v−med| > 5.189·MAD — the default ``k_thousandths=5189``).
+    Mean/σ screens fail exactly when screening matters most: one extreme
+    value inflates σ until nothing is anomalous; median/MAD have a 50%
+    breakdown point.
+
+    Emits one row per group: ``(group, n_rows, n_outliers, outlier_ppm,
+    max_abs_dev)`` — exact integers plus exact-double deviations (v and
+    the medians are data elements, so the subtraction is the same
+    binary64 in any engine; no rounding needed anywhere).
+
+    Scale shape: :func:`grouped_mad` provides (median, MAD) per group
+    (distinct-value shuffles only); the group-cardinality stats frame
+    joins back on the group key (AQE broadcast when small) and the flag
+    pass is a pure projection + one final rollup.  Degenerate groups
+    (MAD = 0, over half the mass on one value) flag every off-median row
+    — deterministic, and the honest reading of a spike distribution."""
+    stats = grouped_mad(df, group_col, value_col).select(
+        group_col,
+        F.col("median").alias("__med"),
+        F.col("mad").alias("__mad"),
+    )
+    flagged = (
+        df.filter(F.col(value_col).isNotNull())
+        .join(stats, group_col)
+        .select(
+            group_col,
+            F.abs(F.col(value_col) - F.col("__med")).alias("__dev"),
+            (
+                F.abs(F.col(value_col) - F.col("__med")) * F.lit(1000)
+                > F.lit(int(k_thousandths)) * F.col("__mad")
+            ).alias("__out"),
+        )
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("__out"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("__dev").alias("max_abs_dev"),
+        )
+        .select(
+            group_col,
+            "n_rows",
+            "n_outliers",
+            F.expr("CAST(n_outliers * 1000000L DIV n_rows AS BIGINT)").alias(
+                "outlier_ppm"
+            ),
+            "max_abs_dev",
+        )
+        .orderBy(group_col)
+    )

@@ -923,3 +923,30 @@ class TestGroupedQuantileMAD:
         )
         assert "partitionBy=[]" not in plan.replace(" ", "")
         assert "CartesianProduct" not in plan
+
+
+class TestRobustOutliers:
+    def test_sigma_blind_mad_sees(self, spark):
+        """[1,2,3,4,100]: mean/σ z-scores put 100 at z≈2.0 (below the
+        classic 3σ cut — σ inflated by the outlier itself) while the
+        modified z-score flags it (dev 97 > 5.189·MAD=5.189); the inliers
+        stay clean."""
+        from polars_view_spark.operators.scale import robust_outliers
+
+        df = spark.createDataFrame(
+            [("a", v) for v in (1.0, 2.0, 3.0, 4.0, 100.0)], "g string, v double"
+        )
+        [r] = robust_outliers(df, "g", "v").collect()
+        assert (r["n_rows"], r["n_outliers"], r["max_abs_dev"]) == (5, 1, 97.0)
+        assert r["outlier_ppm"] == 200000
+
+    def test_degenerate_mad_zero(self, spark):
+        """Over half the mass on one value → MAD 0 → every off-median row
+        flags (deterministic; the honest reading of a spike)."""
+        from polars_view_spark.operators.scale import robust_outliers
+
+        df = spark.createDataFrame(
+            [("a", v) for v in (5.0, 5.0, 5.0, 7.0, 9.0)], "g string, v double"
+        )
+        [r] = robust_outliers(df, "g", "v").collect()
+        assert (r["n_outliers"], r["max_abs_dev"]) == (2, 4.0)
