@@ -10524,3 +10524,42 @@ register(
     """,
     tables=("events",),
 )(_x_robust_outliers)
+
+
+def _e_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct users per day
+    (operators/events.py:rolling_distinct_users): the non-window-additive
+    COUNT(DISTINCT) made distributed by the bounded explode — (user, day)
+    pairs dedup ONCE, each pair covers its 7 report days, re-dedup,
+    count.  Shuffles touch collapsed pairs (≤7×), never re-scan raw
+    events per day; dense day spine so empty days emit 0."""
+    from polars_view_spark.operators.events import rolling_distinct_users
+
+    t = load_tables(spark, sf_dir, "events")
+    return rolling_distinct_users(t["events"], window_days=7)
+
+
+register(
+    "e_rolling_distinct_users",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL
+    ),
+    covered AS (
+      SELECT DISTINCT u, d + CAST(x AS INT) AS rd
+      FROM pairs, range(7) t(x)
+    ),
+    counts AS (SELECT rd, CAST(count(*) AS BIGINT) AS n_users FROM covered GROUP BY 1),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM pairs),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS report_day
+      FROM b
+    )
+    SELECT s.report_day, COALESCE(c.n_users, 0) AS n_users
+    FROM spine s LEFT JOIN counts c ON c.rd = s.report_day
+    ORDER BY s.report_day
+    """,
+    tables=("events",),
+)(_e_rolling_distinct_users)

@@ -363,3 +363,56 @@ def event_transitions(
             "share_ppm"
         ),
     ).orderBy("from_type", "to_type")
+
+
+def rolling_distinct_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact trailing-N-day distinct users per day (rolling WAU/MAU) —
+    the metric naive SQL cannot window: COUNT(DISTINCT) is not additive,
+    so a sliding-frame window either rescans N days of raw rows per day
+    or approximates with sketches.  The exact distributed form: dedup to
+    ``(user, active_day)`` once, EXPLODE each pair to the ``window_days``
+    report days it covers (day .. day+N−1), re-dedup ``(user,
+    report_day)``, count — a bounded ×N blowup of the already-collapsed
+    pairs frame, never of the raw events.
+
+    Report days span only the observed range (no trailing tail past the
+    last event); a day with no active users in its window appears with
+    count 0 via the generated day spine, so the output shape is a dense
+    daily series.
+
+    Scale shape: shuffles touch (a) the (user, day) dedup — distinct
+    pairs, not events, (b) the exploded pairs — ≤ N× that, (c) the final
+    per-day rollup.  Nothing is ever N-day-rescanned and no state grows
+    with the user count."""
+    day = F.to_date(F.col(ts_col))
+    pairs = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("u"), day.alias("d"))
+        .distinct()
+    )
+    covered = pairs.select(
+        "u",
+        F.explode(
+            F.expr(f"sequence(d, date_add(d, {int(window_days) - 1}))")
+        ).alias("rd"),
+    ).distinct()
+    counts = covered.groupBy("rd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    bounds = pairs.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("report_day")
+    )
+    return (
+        spine.join(counts, spine.report_day == counts.rd, "left")
+        .select(
+            "report_day",
+            F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+        )
+        .orderBy("report_day")
+    )

@@ -950,3 +950,51 @@ class TestRobustOutliers:
         )
         [r] = robust_outliers(df, "g", "v").collect()
         assert (r["n_outliers"], r["max_abs_dev"]) == (2, 4.0)
+
+
+class TestRollingDistinctUsers:
+    def test_hand_case_window_and_dense_spine(self, spark):
+        """User 1 active Jan 1 & Jan 10, user 2 active Jan 2: the
+        trailing-7-day count peaks at 2 on Jan 2 (both users' windows
+        overlap), drops to 1 when user 1's first window expires (Jan 8
+        still covers Jan 2's activity for user 2), hits 0 on Jan 9 (no
+        activity in [Jan 3, Jan 9]), and returns to 1 on Jan 10 — and
+        every day in [Jan 1, Jan 10] appears (dense spine)."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.events import rolling_distinct_users
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00", 1, "view"),
+                (2, "2024-01-10 10:00:00", 1, "view"),
+                (3, "2024-01-02 10:00:00", 2, "view"),
+            ],
+            "event_id long, ts string, user_id long, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            str(r["report_day"]): r["n_users"]
+            for r in rolling_distinct_users(df, window_days=7).collect()
+        }
+        assert len(got) == 10  # dense Jan 1 .. Jan 10
+        assert got["2024-01-01"] == 1
+        assert got["2024-01-02"] == 2
+        assert got["2024-01-07"] == 2   # day1+6 still covers user 1
+        assert got["2024-01-08"] == 1   # user 1's window expired
+        assert got["2024-01-09"] == 0   # nobody active in trailing 7
+        assert got["2024-01-10"] == 1
+
+    def test_explode_bounded_no_event_rescan(self, spark):
+        """The ×N explode applies to the deduped (user, day) pairs: the
+        same user active 100× in one day contributes exactly window_days
+        covered rows, and no plan node rescans raw events per day."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.events import rolling_distinct_users
+
+        rows = [(i, "2024-01-01 00:00:%02d" % (i % 60), 1, "view") for i in range(100)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = rolling_distinct_users(df, window_days=7).collect()
+        assert [r["n_users"] for r in out] == [1]  # one observed day, count 1
