@@ -188,12 +188,12 @@ DRIVER_PRIORITY = [
 # rotates so every entry gets a driver refresh.  After this window
 # executes, no stamp on the board is older than r05.
 # ROUND-11 ROTATION (committed plan, VERDICT r09 task 8): lead with
-# (1) anything round 11 changes, then (2) the FOURTEEN round-10 below-window
+# (1) anything round 11 changes, then (2) the FIFTEEN round-10 below-window
 # adds awaiting their first stamp — s_ann_ivfpq_topk,
 # s_ann_ivfpq_persist, s_ann_ivfpq_append, e_streaming_ivfpq_lookup,
 # e_funnel_steps, e_retention_cohorts, x_psi_drift, d_dedup_keep_best,
 # x_grouped_median, x_event_transitions, x_grouped_p90, x_grouped_mad,
-# x_robust_outliers, e_rolling_distinct_users
+# x_robust_outliers, e_rolling_distinct_users, e_resample_ffill
 # (all locally oracle-verified at
 # sf0.001/0.01/0.1) — then (3) the 25-entry r05 remainder in
 # CORRECTNESS_r05 order —

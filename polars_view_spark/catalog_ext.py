@@ -10563,3 +10563,52 @@ register(
     """,
     tables=("events",),
 )(_e_rolling_distinct_users)
+
+
+def _e_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample + forward fill
+    (operators/events.py:resample_ffill): every (type, hour) of the
+    observed range appears (quiet hours n=0), filled_sum carries the
+    last observed hourly sum forward per type — the gap-filling twin of
+    e_tumbling_agg, whose sparse output is exactly what dashboards and
+    join-on-time consumers cannot use directly."""
+    from polars_view_spark.operators.events import resample_ffill
+
+    t = load_tables(spark, sf_dir, "events")
+    return resample_ffill(t["events"])
+
+
+register(
+    "e_resample_ffill",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type AS t, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value) + 1e-6, 2) AS sum_value
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events WHERE ts IS NOT NULL
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+    ),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    spine AS (SELECT t, h FROM types, hours),
+    j AS (
+      SELECT s.t, s.h, COALESCE(a.n_events, 0) AS n_events, a.sum_value
+      FROM spine s LEFT JOIN agg a ON a.t = s.t AND a.h = s.h
+    )
+    SELECT t AS event_type,
+           strftime(h, '%Y-%m-%d %H:%M') AS bucket_hour,
+           CAST(n_events AS BIGINT) AS n_events,
+           last_value(sum_value IGNORE NULLS)
+             OVER (PARTITION BY t ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_sum
+    FROM j ORDER BY event_type, bucket_hour
+    """,
+    tables=("events",),
+)(_e_resample_ffill)

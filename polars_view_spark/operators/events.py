@@ -416,3 +416,59 @@ def rolling_distinct_users(
         )
         .orderBy("report_day")
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense hourly resample with forward fill — the gap-filling
+    companion of :func:`tumbling_agg`, which emits only non-empty
+    buckets: every (type, hour) cell of the observed time range appears,
+    quiet hours carry ``n_events = 0``, and ``filled_sum`` carries the
+    last observed hourly sum forward (the dashboard/sensor convention;
+    hours before a type's first observation stay NULL — fabricating a
+    reading there would be a lie).
+
+    Scale shape: the hourly aggregate is the only row-volume shuffle
+    (map-side combined onto (type, hour)); the spine is tiny-by-
+    construction — distinct types × the hour sequence from a one-row
+    bounds aggregate, both broadcast — and the forward fill is a
+    TYPE-partitioned ``last(ignorenulls)`` window (hours per type, never
+    a global order)."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    agg = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(type_col).alias("t"), hour.alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(value_col) + F.lit(1e-6), 2).alias("sum_value"),
+        )
+    )
+    bounds = events.filter(F.col(ts_col).isNotNull()).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    types = events.select(F.col(type_col).alias("t")).distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    w = (
+        Window.partitionBy("t")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(agg, ["t", "h"], "left")
+        .withColumn("filled_sum", F.last("sum_value", ignorenulls=True).over(w))
+        .select(
+            F.col("t").alias(type_col),
+            F.date_format("h", "yyyy-MM-dd HH:mm").alias("bucket_hour"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            "filled_sum",
+        )
+        .orderBy(type_col, "bucket_hour")
+    )

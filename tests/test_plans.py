@@ -825,6 +825,11 @@ CATALOG_BNLJ_ALLOW: dict[str, str] = {
     "x_psi_drift": "both BNLJs broadcast ONE-ROW aggregates (the reference "
     "min/max edges and the sample totals) into scalar projections; the "
     "k-row bucket spine joins hash-side — scale.py:psi_drift docstring",
+    "e_resample_ffill": "the BNLJ is the SPINE construction: distinct event "
+    "types (domain-enum-sized) x the hour sequence exploded from a ONE-ROW "
+    "bounds aggregate (calendar-sized, grows with the observed time range, "
+    "never with row volume) — events.py:resample_ffill docstring; the agg "
+    "join onto the spine is a hash join",
     "x_equidepth_histogram": "BNLJ broadcasts the ONE-ROW total-count "
     "aggregate into the rank-to-bucket projection — "
     "scale.py:equidepth_histogram docstring",

@@ -998,3 +998,35 @@ class TestRollingDistinctUsers:
         ).withColumn("ts", F.to_timestamp("ts"))
         out = rolling_distinct_users(df, window_days=7).collect()
         assert [r["n_users"] for r in out] == [1]  # one observed day, count 1
+
+
+class TestResampleFfill:
+    def test_gap_fill_and_leading_null(self, spark):
+        """Type 'a' observed hours 0 and 3: hours 1-2 appear with n=0 and
+        carry hour 0's sum; type 'b' first observed hour 2: its hours 0-1
+        stay NULL (no fabricated readings before first observation)."""
+        from pyspark.sql import functions as F
+
+        from polars_view_spark.operators.events import resample_ffill
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:10:00", 1, "a", 10.0),
+                (2, "2024-01-01 03:10:00", 1, "a", 30.0),
+                (3, "2024-01-01 02:10:00", 2, "b", 99.0),
+            ],
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            (r["event_type"], r["bucket_hour"]): (r["n_events"], r["filled_sum"])
+            for r in resample_ffill(df).collect()
+        }
+        assert len(got) == 8  # 2 types x 4 hours
+        assert got[("a", "2024-01-01 00:00")] == (1, 10.0)
+        assert got[("a", "2024-01-01 01:00")] == (0, 10.0)   # gap filled
+        assert got[("a", "2024-01-01 02:00")] == (0, 10.0)
+        assert got[("a", "2024-01-01 03:00")] == (1, 30.0)
+        assert got[("b", "2024-01-01 00:00")] == (0, None)   # leading null
+        assert got[("b", "2024-01-01 01:00")] == (0, None)
+        assert got[("b", "2024-01-01 02:00")] == (1, 99.0)
+        assert got[("b", "2024-01-01 03:00")] == (0, 99.0)
