@@ -1030,3 +1030,161 @@ class TestResampleFfill:
         assert got[("b", "2024-01-01 01:00")] == (0, None)
         assert got[("b", "2024-01-01 02:00")] == (1, 99.0)
         assert got[("b", "2024-01-01 03:00")] == (0, 99.0)
+
+
+class TestPythonReferenceFuzz:
+    """Seeded-random parity of the round-10 analytics operators against
+    brute-force pure-Python references.  The DuckDB oracles share each
+    operator's FORMULATION (both engines run the same SQL idea), so a
+    formulation bug can pass the cross-engine hash — exactly how the
+    grouped-median (n+1)/2 upper-median slip almost shipped.  These
+    references are written independently (sort the list, walk it), so a
+    shared-formulation error cannot hide."""
+
+    def _rand_events(self, spark, seed, n=300, users=20, days=12):
+        import random
+
+        rng = random.Random(seed)
+        types = ["view", "click", "purchase", "error", "signup"]
+        rows = [
+            (
+                i,
+                "2024-01-%02d %02d:%02d:00"
+                % (rng.randint(1, days), rng.randint(0, 23), rng.randint(0, 59)),
+                rng.randint(1, users),
+                rng.choice(types),
+                round(rng.uniform(0, 50), 2),
+            )
+            for i in range(n)
+        ]
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        return rows, df
+
+    def test_funnel_vs_bruteforce(self, spark):
+        from polars_view_spark.operators.events import funnel_steps
+
+        rows, df = self._rand_events(spark, seed=7)
+        steps = ("view", "click", "purchase")
+        by_user = {}
+        for eid, ts, uid, et, _v in rows:
+            by_user.setdefault(uid, []).append((ts, eid, et))
+        counts = [0, 0, 0]
+        for evs in by_user.values():
+            evs.sort()
+            t = [None, None, None]
+            for ts, _eid, et in evs:
+                for i, s in enumerate(steps):
+                    if et != s:
+                        continue
+                    if i == 0 or (t[i - 1] is not None and ts > t[i - 1]):
+                        if t[i] is None or ts < t[i]:
+                            t[i] = ts
+            for i in range(3):
+                if t[i] is not None:
+                    counts[i] += 1
+        got = {r["step"]: r["n_users"] for r in funnel_steps(df, steps=steps).collect()}
+        assert got == {1: counts[0], 2: counts[1], 3: counts[2]}
+
+    def test_rolling_distinct_vs_bruteforce(self, spark):
+        import datetime
+
+        from polars_view_spark.operators.events import rolling_distinct_users
+
+        rows, df = self._rand_events(spark, seed=11)
+        active = {}
+        for _eid, ts, uid, _et, _v in rows:
+            d = datetime.date.fromisoformat(ts[:10])
+            active.setdefault(uid, set()).add(d)
+        lo = min(min(s) for s in active.values())
+        hi = max(max(s) for s in active.values())
+        want = {}
+        d = lo
+        while d <= hi:
+            want[str(d)] = sum(
+                1
+                for s in active.values()
+                if any((d - datetime.timedelta(days=k)) in s for k in range(7))
+            )
+            d += datetime.timedelta(days=1)
+        got = {
+            str(r["report_day"]): r["n_users"]
+            for r in rolling_distinct_users(df, window_days=7).collect()
+        }
+        assert got == want
+
+    def test_transitions_vs_bruteforce(self, spark):
+        from collections import Counter
+
+        from polars_view_spark.operators.events import event_transitions
+
+        rows, df = self._rand_events(spark, seed=13)
+        by_user = {}
+        for eid, ts, uid, et, _v in rows:
+            by_user.setdefault(uid, []).append((ts, eid, et))
+        pairs = Counter()
+        for evs in by_user.values():
+            evs.sort()
+            for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+                pairs[(a, b)] += 1
+        from_tot = Counter()
+        for (a, _b), n in pairs.items():
+            from_tot[a] += n
+        got = {
+            (r["from_type"], r["to_type"]): (r["n"], r["share_ppm"])
+            for r in event_transitions(df).collect()
+        }
+        want = {
+            (a, b): (n, n * 1_000_000 // from_tot[a]) for (a, b), n in pairs.items()
+        }
+        assert got == want
+
+    def test_quantiles_and_outliers_vs_bruteforce(self, spark):
+        from polars_view_spark.operators.scale import (
+            grouped_exact_quantile,
+            grouped_mad,
+            robust_outliers,
+        )
+
+        rows, df = self._rand_events(spark, seed=17)
+        by_type = {}
+        for _eid, _ts, _uid, et, v in rows:
+            by_type.setdefault(et, []).append(v)
+
+        def lower_q(vals, q_ppm):
+            vals = sorted(vals)
+            n = len(vals)
+            # smallest rank r (1-based) with r*1e6 >= q_ppm*n
+            r = -(-q_ppm * n // 1_000_000)  # ceil
+            return vals[max(r, 1) - 1]
+
+        for q_ppm, col in ((500_000, "quantile"), (900_000, "quantile")):
+            got = {
+                r["event_type"]: r[col]
+                for r in grouped_exact_quantile(df, "event_type", "value", q_ppm).collect()
+            }
+            want = {t: lower_q(vs, q_ppm) for t, vs in by_type.items()}
+            assert got == want, f"q_ppm={q_ppm}"
+
+        got_mad = {
+            r["event_type"]: (r["median"], r["mad"])
+            for r in grouped_mad(df, "event_type", "value").collect()
+        }
+        for t, vs in by_type.items():
+            med = lower_q(vs, 500_000)
+            mad = lower_q([abs(v - med) for v in vs], 500_000)
+            assert got_mad[t] == (med, mad), t
+
+        got_out = {
+            r["event_type"]: r["n_outliers"]
+            for r in robust_outliers(df, "event_type", "value").collect()
+        }
+        for t, vs in by_type.items():
+            med = lower_q(vs, 500_000)
+            mad = lower_q([abs(v - med) for v in vs], 500_000)
+            n_out = sum(1 for v in vs if abs(v - med) * 1000 > 5189 * mad)
+            assert got_out[t] == n_out, t
