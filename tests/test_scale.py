@@ -1188,3 +1188,66 @@ class TestPythonReferenceFuzz:
             mad = lower_q([abs(v - med) for v in vs], 500_000)
             n_out = sum(1 for v in vs if abs(v - med) * 1000 > 5189 * mad)
             assert got_out[t] == n_out, t
+
+    def test_retention_vs_bruteforce(self, spark):
+        import datetime
+
+        from polars_view_spark.operators.events import retention_cohorts
+
+        rows, df = self._rand_events(spark, seed=19)
+        first = {}
+        active = {}
+        for _eid, ts, uid, _et, _v in rows:
+            d = datetime.date.fromisoformat(ts[:10])
+            wk = d - datetime.timedelta(days=d.weekday())  # Monday start
+            active.setdefault(uid, set()).add(wk)
+            if uid not in first or wk < first[uid]:
+                first[uid] = wk
+        want = {}
+        for uid, wks in active.items():
+            cw = first[uid]
+            for wk in wks:
+                key = (str(cw), (wk - cw).days // 7)
+                want[key] = want.get(key, 0) + 1
+        got = {
+            (str(r["cohort_week"]), r["week_offset"]): r["n_active_users"]
+            for r in retention_cohorts(df).collect()
+        }
+        assert got == want
+
+    def test_resample_vs_bruteforce(self, spark):
+        import datetime
+
+        from polars_view_spark.operators.events import resample_ffill
+
+        rows, df = self._rand_events(spark, seed=23)
+        agg = {}
+        for _eid, ts, _uid, et, v in rows:
+            h = ts[:13] + ":00"
+            key = (et, h)
+            n, s = agg.get(key, (0, 0.0))
+            agg[key] = (n + 1, s + v)
+        hours = sorted({h for (_t, h) in agg})
+        lo = datetime.datetime.fromisoformat(hours[0])
+        hi = datetime.datetime.fromisoformat(hours[-1])
+        types = sorted({t for (t, _h) in agg})
+        spine = []
+        cur = lo
+        while cur <= hi:
+            spine.append(cur.strftime("%Y-%m-%d %H:%M"))
+            cur += datetime.timedelta(hours=1)
+        want = {}
+        for t in types:
+            carry = None
+            for h in spine:
+                if (t, h) in agg:
+                    n, s = agg[(t, h)]
+                    carry = round(s + 1e-6, 2)
+                    want[(t, h)] = (n, carry)
+                else:
+                    want[(t, h)] = (0, carry)
+        got = {
+            (r["event_type"], r["bucket_hour"]): (r["n_events"], r["filled_sum"])
+            for r in resample_ffill(df).collect()
+        }
+        assert got == want
