@@ -3326,26 +3326,26 @@ register(
 def _e_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event ↔ the user's latest order at-or-before the
     event (operators/events.py:asof_join, union-merge plan — one shuffle,
-    no inequality-join blowup).  The right side is first deduplicated to
-    one row per (custkey, orderdate) so both engines' as-of tie-breaks
-    agree."""
-    from polars_view_spark.operators.dedup import dedup_exact
+    no inequality-join blowup).  The (custkey, orderdate) duplicate rule —
+    highest ``o_orderkey`` wins — is folded into the merge window as a
+    tiebreak ordering instead of a separate dedup pass: round-10
+    optimization, removes the dedup window's full exchange over orders
+    (guide §2.4 — both operations are keyed by custkey; the previous
+    dedup_exact shuffled by (custkey, orderdate) first).  Equivalence:
+    among right rows sharing (key, ts) the one sorting last by orderkey
+    is exactly the row the old keep-max dedup kept."""
     from polars_view_spark.operators.events import asof_join
 
     t = load_tables(spark, sf_dir, "events", "orders")
-    orders1 = dedup_exact(
-        t["orders"].withColumn("neg_key", -F.col("o_orderkey")),
-        ["o_custkey", "o_orderdate"],
-        "neg_key",
-    ).drop("neg_key")
     out = asof_join(
         t["events"].select("event_id", "user_id", "ts"),
-        orders1,
+        t["orders"].select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
         left_key="user_id",
         right_key="o_custkey",
         left_ts="ts",
         right_ts="o_orderdate",
         right_value_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak_cols=("o_orderkey",),
     )
     return out.select(
         "event_id",
@@ -5410,10 +5410,14 @@ MMR_N_CANDIDATES = 20
 
 def _s_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification (operators/similarity.py:mmr_rerank): greedy
-    λ-trade-off rerank of the exact-cosine top-20, unrolled into k
-    Catalyst-planned steps over bounded candidate tables — the oracle
-    unrolls the identical greedy chain in SQL, so every step's argmax,
-    tiebreak and objective arithmetic is value-hash gated."""
+    λ-trade-off rerank of the exact-cosine top-20.  Every float —
+    relevance, pair sims, and the rounded objective surface — is computed
+    by the ENGINE; the greedy argmax/tiebreak chain runs per query in one
+    Arrow-batched grouped kernel that only compares and copies those
+    engine doubles (round-10 optimization: the previous k-step unrolled
+    chain paid k-1 sequential job barriers).  The oracle unrolls the
+    identical greedy chain in SQL, so every step's argmax, tiebreak and
+    objective arithmetic stays value-hash gated."""
     from polars_view_spark.operators.similarity import mmr_rerank
 
     t = load_tables(spark, sf_dir, "embeddings")

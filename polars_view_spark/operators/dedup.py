@@ -348,23 +348,48 @@ def minhash_build_index(
     sh = shingle_table(corpus, id_col, text_col).cache()
     try:
         sigs = minhash_signatures(corpus, id_col, text_col, shingles=sh)
+        # The first write (signatures) runs ALONE: it is the job that
+        # fills the shingle cache, and racing the other writes against it
+        # would tokenize the corpus 2-4x concurrently before the cache
+        # materializes.  The remaining three datasets are independent
+        # functions of the now-cached shingles, so they run as CONCURRENT
+        # jobs from a small thread pool (optimization guide §2.6): each
+        # write's task tail back-fills the executors the others free,
+        # instead of three sequential job barriers.  Job descriptions are
+        # thread-local, so each write stays labelled in the UI.
         sigs.write.mode("overwrite").parquet(f"{path}/signatures")
-        sh.write.mode("overwrite").parquet(f"{path}/shingles")
-        # per-doc shingle-set sizes, persisted so the query-side verify
-        # joins a tiny (doc, sz) table instead of re-aggregating the
-        # corpus shingle stream per call
-        sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz")).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/sizes")
-        # band rows + corpus bucket size (see docstring).  Derived from
-        # the in-memory sigs frame (recompute off the cached shingles is
-        # one aggregate) — NOT a read-back of the just-overwritten
-        # signatures path, which raced a stale file listing into a
-        # FILE_NOT_EXIST under overwrite-in-place (observed once in CI)
-        bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
-        _with_bucket_size(_band_rows(sigs), bucket_cols).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/bands")
+
+        def _write_shingles() -> None:
+            sh.write.mode("overwrite").parquet(f"{path}/shingles")
+
+        def _write_sizes() -> None:
+            # per-doc shingle-set sizes, persisted so the query-side verify
+            # joins a tiny (doc, sz) table instead of re-aggregating the
+            # corpus shingle stream per call
+            sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz")).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/sizes")
+
+        def _write_bands() -> None:
+            # band rows + corpus bucket size (see docstring).  Derived from
+            # the in-memory sigs frame (recompute off the cached shingles is
+            # one aggregate) — NOT a read-back of the just-overwritten
+            # signatures path, which raced a stale file listing into a
+            # FILE_NOT_EXIST under overwrite-in-place (observed once in CI)
+            bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
+            _with_bucket_size(_band_rows(sigs), bucket_cols).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/bands")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(fn)
+                for fn in (_write_shingles, _write_sizes, _write_bands)
+            ]
+            for fut in futures:
+                fut.result()  # re-raise the first failure
     finally:
         # release even when a write throws — retries must not accumulate
         # pinned copies of the (3× corpus text) shingle cache

@@ -96,6 +96,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_value_cols: list[str],
+    right_tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` and matching key.  Left rows with no earlier
@@ -105,6 +106,18 @@ def asof_join(
     O(n log n) per partition, no inequality-join blowup.  Tie rule: a right
     row at exactly ``left_ts`` IS visible (<=), implemented by sorting right
     rows before left rows at equal timestamps.
+
+    ``right_tiebreak_cols``: when several right rows share the same
+    ``(key, right_ts)``, the one sorting LAST by these columns (ascending)
+    wins — which lets a caller fold a keep-max dedup of the right side
+    into the merge window instead of paying a separate exchange + window
+    pass for it (optimization guide §2.4: operations keyed the same way
+    should share one partitioning).  ``asof_join(events,
+    dedup_exact(orders, [k, d], -key), ...)`` ≡ ``asof_join(events,
+    orders, ..., right_tiebreak_cols=("key",))`` with one fewer shuffle.
+    With the default ``()``, duplicate-(key, ts) right rows are carried in
+    an engine-determined order — exactly the previous behavior; pass the
+    tiebreak (or pre-dedup) when duplicates are possible.
     """
     lt = left.select(
         F.col(left_key).alias("__key"),
@@ -112,6 +125,10 @@ def asof_join(
         F.lit(1).alias("__is_left"),
         F.struct(*left.columns).alias("__left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{c}")
+            for c in right_tiebreak_cols
+        ],
     )
     rt = right.select(
         F.col(right_key).alias("__key"),
@@ -119,13 +136,21 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(lt.schema["__left"].dataType).alias("__left"),
         *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        *[F.col(c).alias(f"__tb_{c}") for c in right_tiebreak_cols],
     )
     merged = lt.unionByName(rt)
     # right rows (is_left=0) sort before left rows at the same timestamp →
-    # last(ignorenulls) over the running frame sees them (<= semantics)
+    # last(ignorenulls) over the running frame sees them (<= semantics);
+    # tiebreak columns order duplicate-(key, ts) right rows so the winner
+    # is deterministic (left rows carry NULL tiebreaks — their relative
+    # order among themselves cannot affect any carry)
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__is_left").asc(),
+            *[F.col(f"__tb_{c}").asc_nulls_first() for c in right_tiebreak_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(

@@ -1341,33 +1341,48 @@ def mmr_rerank(
     Output: ``(query_id, doc_id, mmr_step, relevance, objective)`` —
     ``objective`` is NULL for step 1 (pure relevance seed).
 
-    ``materialize=False`` skips every ``localCheckpoint`` so plan audits
-    can see the full lineage (checkpoints truncate it to ExistingRDD
-    scans); leave it True for execution — see the comment below.
+    ``materialize`` is retained for API compatibility but is now a no-op:
+    the greedy chain no longer re-reads any intermediate, so there is
+    nothing to pin (see below).
     """
     lt, rt = lambda_tenths, 10 - lambda_tenths
 
-    def _pin(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint() if materialize else df
-
-    # localCheckpoint the bounded tables the greedy steps re-read
-    # (candidates: n_queries × n_candidates rows; pair sims: × n_candidates
-    # more; each step's pick: n_queries rows): without the first two,
-    # every unrolled step re-plans the full corpus scan through the
-    # union/anti-join lineage — measured 23.8 s → ~6 s at sf0.1 (the
-    # connected_components lineage-truncation discipline; the residual is
-    # k fixed stage barriers, see SCALE.md).  Without the per-step pick
-    # pin the `selected` lineage grows ~3^k (each step references it in
-    # the maxsim join, the anti-join, and the union).
-    cand = _pin(
-        brute_force_topk(
-            corpus, queries, id_col=id_col, vec_col=vec_col, k=n_candidates
-        ).select(
-            "query_id",
-            F.col("neighbor_id").alias("doc"),
-            F.col("score").alias("rel"),
-            "rank",
-        )
+    # Two implementation generations, kept honest by the same value-hash
+    # oracle (catalog entry s_mmr_rerank):
+    #
+    # 1. The greedy loop UNROLLED into k bounded DataFrame steps (maxsim
+    #    aggregate + anti-join + window pick per step), each step's pick
+    #    localCheckpoint-pinned so lineage stayed flat.  Correct, and every
+    #    scoring operation stayed in Spark SQL — but the unrolled chain is
+    #    k-1 SEQUENTIAL job barriers over tables of n_queries×n_candidates
+    #    rows: measured ~2.6 s at sf0.1 of which the actual math is
+    #    microseconds (the fixed multi-stage barrier cost SCALE.md
+    #    documents), and the same k barriers would serialize at 100 TB even
+    #    though everything after candidate generation is corpus-size-
+    #    independent.
+    #
+    # 2. This shape (optimization guide §4.2: Spark distributes; bounded
+    #    per-group iteration belongs in one Arrow batch): Spark still
+    #    computes EVERY float — candidate relevances (brute_force_topk),
+    #    the pairwise sims, and the rounded objective each candidate WOULD
+    #    have for each possible maxsim value (obj(d,s) = round((λ·rel_d −
+    #    (1−λ)·sim(d,s))/10, 6), computed per (d,s) pair — the candidate's
+    #    maxsim at any step is by definition ONE OF its sim values, so the
+    #    full objective surface is enumerable up front at the same
+    #    O(n_candidates²) cost the old per-step rounding paid).  The
+    #    cogrouped kernel then runs the k-step greedy per query with ZERO
+    #    float arithmetic in Python — it only COMPARES and COPIES
+    #    Spark-computed doubles (argmax by (objective desc, doc asc),
+    #    incremental maxsim maintenance), so there is no new float-parity
+    #    surface and the result is bit-identical by construction.  One job,
+    #    one shuffle per side, no checkpoints.
+    cand = brute_force_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=n_candidates
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc"),
+        F.col("score").alias("rel"),
+        "rank",
     )
     vecs = corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
     cv = cand.select("query_id", "doc").join(vecs, "doc")
@@ -1383,55 +1398,137 @@ def mmr_rerank(
             F.round(F.expr(cosine_sql("va", "vb")), 6).alias("sim"),
         )
     )
-    sims = _pin(sims)
-
-    selected = cand.filter(F.col("rank") == 1).select(
+    # the full (candidate, possible-maxsim) objective surface, rounded by
+    # the ENGINE — the kernel below never does float math
+    pairs = sims.join(
+        cand.select("query_id", F.col("doc").alias("da"), "rel"),
+        ["query_id", "da"],
+    ).select(
         "query_id",
-        "doc",
-        F.lit(1).cast("int").alias("mmr_step"),
-        F.col("rel").alias("relevance"),
-        F.lit(None).cast("double").alias("objective"),
+        "da",
+        "db",
+        "sim",
+        F.round(
+            (F.lit(lt) * F.col("rel") - F.lit(rt) * F.col("sim")) / F.lit(10.0),
+            6,
+        ).alias("obj"),
     )
-    for step in range(2, k + 1):
-        maxsim = (
-            sims.join(
-                selected.select("query_id", F.col("doc").alias("db")),
-                ["query_id", "db"],
-            )
-            .groupBy("query_id", "da")
-            .agg(F.max("sim").alias("maxsim"))
-            .select("query_id", F.col("da").alias("doc"), "maxsim")
+    # one grouped input for the kernel: candidate rows (kind 0) unioned
+    # with pair rows (kind 1).  A cogroup of cand with pairs would be the
+    # natural shape, but both sides descend from `cand` and the analyzer
+    # rejects cogroups over shared lineage as ambiguous self-joins; the
+    # union adds only n_candidates rows per query on top of the pair set.
+    doc_type = cand.schema["doc"].dataType
+    grouped_in = cand.select(
+        "query_id",
+        F.lit(0).alias("kind"),
+        F.col("doc").alias("da"),
+        F.lit(None).cast(doc_type).alias("db"),
+        "rel",
+        "rank",
+        F.lit(None).cast("double").alias("sim"),
+        F.lit(None).cast("double").alias("obj"),
+    ).unionByName(
+        pairs.select(
+            "query_id",
+            F.lit(1).alias("kind"),
+            "da",
+            "db",
+            F.lit(None).cast("double").alias("rel"),
+            F.lit(None).cast("int").alias("rank"),
+            "sim",
+            "obj",
         )
-        scored = (
-            cand.join(
-                selected.select("query_id", "doc"), ["query_id", "doc"], "left_anti"
-            )
-            .join(maxsim, ["query_id", "doc"])
-            .withColumn(
-                "objective",
-                F.round(
-                    (F.lit(lt) * F.col("rel") - F.lit(rt) * F.col("maxsim"))
-                    / F.lit(10.0),
-                    6,
-                ),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("objective").desc(), F.col("doc").asc()
-        )
-        pick = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "doc",
-                F.lit(step).cast("int").alias("mmr_step"),
-                F.col("rel").alias("relevance"),
-                "objective",
-            )
-        )
-        selected = selected.unionByName(_pin(pick))
+    )
 
+    id_t = dict(cand.dtypes)["query_id"]
+    doc_t = dict(cand.dtypes)["doc"]
+    out_schema = (
+        f"query_id {id_t}, doc {doc_t}, mmr_step int, "
+        "relevance double, objective double"
+    )
+    k_steps = k
+
+    def _greedy(in_pdf):
+        import math
+
+        import pandas as pd
+
+        def _gt(x, y):
+            # Spark's numeric ordering: NaN compares greater than any
+            # other double (and equal to itself)
+            if math.isnan(x):
+                return not math.isnan(y)
+            if math.isnan(y):
+                return False
+            return x > y
+
+        cand_pdf = in_pdf[in_pdf["kind"] == 0]
+        pairs_pdf = in_pdf[in_pdf["kind"] == 1]
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(
+                columns=["query_id", "doc", "mmr_step", "relevance", "objective"]
+            )
+        qid = cand_pdf["query_id"].iloc[0]
+        rel = dict(zip(cand_pdf["da"], cand_pdf["rel"]))
+        seed = cand_pdf.loc[cand_pdf["rank"] == 1, "da"].iloc[0]
+        # sim/obj lookup keyed (candidate, other): maxsim updates compare
+        # sim values; objectives are copied, never computed
+        sim_to = {}
+        obj_of = {}
+        db_vals = pairs_pdf["db"]
+        if db_vals.dtype.kind == "f" and cand_pdf["da"].dtype.kind in "iu":
+            # the union pads db with NULLs on candidate rows, which promotes
+            # the whole column to float64; restore the id dtype so lookup
+            # keys compare exactly against the int ids selected from `da`
+            db_vals = db_vals.astype(cand_pdf["da"].dtype)
+        for da, db, s, o in zip(
+            pairs_pdf["da"], db_vals, pairs_pdf["sim"], pairs_pdf["obj"]
+        ):
+            sim_to[(da, db)] = s
+            obj_of[(da, db)] = o
+        out_doc = [seed]
+        out_step = [1]
+        out_rel = [rel[seed]]
+        out_obj = [None]
+        remaining = sorted(d for d in rel if d != seed)
+        # cur[d] = (maxsim, obj at that maxsim) vs the selected set so far
+        cur = {}
+        last = seed
+        for step in range(2, k_steps + 1):
+            best_doc = None
+            best_obj = None
+            for d in remaining:
+                s = sim_to.get((d, last))
+                if s is not None:
+                    prev = cur.get(d)
+                    if prev is None or _gt(s, prev[0]):
+                        cur[d] = (s, obj_of[(d, last)])
+                entry = cur.get(d)
+                if entry is None:
+                    continue  # no sim row vs any selected doc (cannot pair)
+                o = entry[1]
+                if best_obj is None or _gt(o, best_obj):
+                    best_obj, best_doc = o, d
+            if best_doc is None:
+                break
+            out_doc.append(best_doc)
+            out_step.append(step)
+            out_rel.append(rel[best_doc])
+            out_obj.append(best_obj)
+            remaining.remove(best_doc)
+            last = best_doc
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(out_doc),
+                "doc": out_doc,
+                "mmr_step": out_step,
+                "relevance": out_rel,
+                "objective": out_obj,
+            }
+        )
+
+    selected = grouped_in.groupBy("query_id").applyInPandas(_greedy, out_schema)
     return selected.select(
         "query_id", F.col("doc").alias("doc_id"), "mmr_step", "relevance", "objective"
     )
