@@ -167,7 +167,12 @@ def ivf_topk(
     # per-query n_probe nearest centroids (centroids are tiny — broadcast math)
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     spark = corpus.sparkSession
-    centers_df = spark.createDataFrame(centers, "cell int, center array<double>")
+    # one slice: k tiny rows must not fan out across defaultParallelism
+    # Python slices (see _kmeans_fit / save_classifier)
+    centers_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(centers, numSlices=1),
+        "cell int, center array<double>",
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -226,9 +231,22 @@ def _seed_centroids(
     quantized_int_rows)`` — the int rows are the engine-evaluated values
     of the literal arrays, for the vectorized assignment UDF.
     """
+    # engine-evaluated quantization (never Python round — SQL round is
+    # half-away-from-zero, Python's is half-even), riding the SAME collect
+    # job as the seed rows themselves.  An earlier generation collected the
+    # raw float vectors and re-evaluated them as a single
+    # max_seeds × dim literal-cast expression on a 1-row frame: identical
+    # values (float repr round-trips exactly), but analyzing the ~3.5k-node
+    # literal tree cost a measured ~0.7 s PER OPERATOR CALL at
+    # max_seeds=64, dim=64 — more than the corpus assignment scan itself
+    # (round-10 optimization; the whole IVF/PQ family pays this helper
+    # once or twice per query).
     seed_rows = (
         corpus.filter((F.col(id_col) % seed_mod) == 0)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("sv"))
+        .select(
+            F.col(id_col).alias("cell"),
+            F.expr(_quantize_sql(vec_col, scale)).alias("qv"),
+        )
         .orderBy("cell")
         .limit(max_seeds)
         .collect()
@@ -236,24 +254,13 @@ def _seed_centroids(
     if not seed_rows:
         raise ValueError(f"no seed centroids: no {id_col} % {seed_mod} == 0 rows")
     cells = [int(r["cell"]) for r in seed_rows]
+    seed_ints = [[int(x) for x in r["qv"]] for r in seed_rows]
+    # literal form kept for API compatibility: exact integer literals now,
+    # since quantization already happened in-engine
     seed_arrays = [
-        "array("
-        + ", ".join(
-            f"CAST(round(CAST({float(x)!r} AS DOUBLE) * {scale}) AS BIGINT)" for x in r["sv"]
-        )
-        + ")"
-        for r in seed_rows
+        "array(" + ", ".join(f"{v}L" for v in vec) + ")" for vec in seed_ints
     ]
-    # engine-evaluated quantization of the seed literals (never Python
-    # round — SQL round is half-away-from-zero, Python's is half-even),
-    # done ONCE here so per-frame assignment adds no extra driver job
-    spark = corpus.sparkSession
-    seed_ints = (
-        spark.range(1)
-        .select(F.expr("array(" + ", ".join(seed_arrays) + ")").alias("s"))
-        .collect()[0]["s"]
-    )
-    return cells, seed_arrays, [[int(x) for x in v] for v in seed_ints]
+    return cells, seed_arrays, seed_ints
 
 
 def _with_sorted_cells(
@@ -1153,11 +1160,6 @@ def _kmeans_fit(
     × iterations) behind kmeans_clusters and kmeans_assignments: returns
     the pinned quantized frame, the Arrow argmin assigner closed over the
     FINAL centroids, and the centroid dict."""
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
-        raise ValueError("kmeans: empty input")
-    dim = int(dim_row["d"])
-
     q = df.select(
         F.col(id_col).alias("vid"),
         F.expr(
@@ -1167,9 +1169,14 @@ def _kmeans_fit(
     ).localCheckpoint(eager=True)
 
     init_rows = q.orderBy("vid").limit(k).collect()
+    if not init_rows:
+        raise ValueError("kmeans: empty input")
     centroids: dict[int, list[int]] = {
         cid: [int(x) for x in r["v"]] for cid, r in enumerate(init_rows)
     }
+    # vector width from the init collect — a separate dim-probe job would
+    # pay one more scan for a value these rows already carry
+    dim = len(init_rows[0]["v"])
 
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -1281,8 +1288,13 @@ def kmeans_clusters(
         )
     )
     spark = df.sparkSession
+    # ONE slice up front (same rationale as save_classifier): a plain
+    # createDataFrame fans k rows across defaultParallelism Python slices,
+    # paying ~32 Python-worker roundtrips to evaluate a 4-row frame
     cent_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in sorted(centroids.items())],
+        spark.sparkContext.parallelize(
+            [(cid, vec) for cid, vec in sorted(centroids.items())], numSlices=1
+        ),
         "cid INT, c ARRAY<BIGINT>",
     ).withColumn(
         "centroid_norm",
