@@ -3492,7 +3492,10 @@ def _e_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "events")
     buckets = spark.createDataFrame(
-        [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1e18, "high")],
+        spark.sparkContext.parallelize(
+            [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1e18, "high")],
+            numSlices=1,
+        ),
         "lo double, hi double, band string",
     )
     out = range_join(t["events"], buckets, "value")
@@ -8481,9 +8484,13 @@ def _e_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-(100 + 10 * i + k), sent_ts, -1, et, 0.0, "")
             for k, et in enumerate(("click", "error"))
         ]
-        spark.createDataFrame(rows, ev.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(stage, f"f{i}"))
+        # one slice up front: createDataFrame fans rows across
+        # defaultParallelism Python slices and coalesce(1) would evaluate
+        # all of them sequentially inside the single write task (the
+        # measured ~5 s save_classifier anti-pattern)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, numSlices=1), ev.schema
+        ).write.mode("overwrite").parquet(os.path.join(stage, f"f{i}"))
     import glob as _glob
     import time as _time
 

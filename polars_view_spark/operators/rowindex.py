@@ -94,7 +94,12 @@ def add_row_index(df: DataFrame, name: str = "Row Number", offset: int = 1) -> D
         return empty.select(resolved, *df.columns)
 
     spark = df.sparkSession
-    offset_df = spark.createDataFrame(offsets, schema=f"{_PID} long, {_OFFSET} long")
+    # one slice: a per-partition offset table is N tiny rows — a plain
+    # createDataFrame fans it across defaultParallelism Python slices
+    offset_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(offsets, numSlices=1),
+        schema=f"{_PID} long, {_OFFSET} long",
+    )
     # LEFT join + null check: if the persisted lineage were ever recomputed
     # with different partition ids, the unmatched rows surface as an error
     # (raise_error below) instead of vanishing through an inner join.

@@ -169,7 +169,11 @@ def retention_vacuum(
         if not is_kept:
             fs.delete(ppath, True)
         audit.append((value, is_kept))
-    return spark.createDataFrame(audit, f"{partition_col} string, kept boolean")
+    # one slice: the audit is a handful of rows (see rowindex/_kmeans_fit)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(audit, numSlices=1),
+        f"{partition_col} string, kept boolean",
+    )
 
 
 def evolve_partitioning(
