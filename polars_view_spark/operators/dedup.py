@@ -225,7 +225,14 @@ def minhash_lsh_pairs(
     for r in range(MINHASH_BAND_ROWS):
         join_cond = join_cond & (F.col(f"l.v{r}") == F.col(f"r.v{r}"))
     candidates = (
-        left.join(right, join_cond)
+        # MERGE hint, same rationale as simhash_near_dup_pairs: a broadcast
+        # build side re-runs the band reshape + cap window (a second shuffle
+        # of the band table) because a BroadcastExchange can never reuse the
+        # probe side's shuffle; sort-merge makes both sides one canonical
+        # subtree over the cap window's band-key hashpartitioning, computed
+        # once and reused — and a corpus-scale band table could never
+        # broadcast anyway.
+        left.join(right.hint("merge"), join_cond)
         .select(F.col("l.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
         .distinct()
         .cache()  # reused by intersection + left-join in the verify stage
@@ -346,17 +353,22 @@ def minhash_build_index(
     come exclusively from it, so absent rows silently lose recall.
     """
     sh = shingle_table(corpus, id_col, text_col).cache()
+    # sigs cached too: TWO writes consume it (signatures, bands), and
+    # without the pin the bands write re-runs the 64-minimum aggregate
+    # over the full shingle stream — the most expensive reduction in the
+    # build — instead of re-reading kilobytes of signature rows.
+    sigs = minhash_signatures(corpus, id_col, text_col, shingles=sh).cache()
     try:
-        sigs = minhash_signatures(corpus, id_col, text_col, shingles=sh)
         # The first write (signatures) runs ALONE: it is the job that
-        # fills the shingle cache, and racing the other writes against it
-        # would tokenize the corpus 2-4x concurrently before the cache
-        # materializes.  The remaining three datasets are independent
-        # functions of the now-cached shingles, so they run as CONCURRENT
-        # jobs from a small thread pool (optimization guide §2.6): each
-        # write's task tail back-fills the executors the others free,
-        # instead of three sequential job barriers.  Job descriptions are
-        # thread-local, so each write stays labelled in the UI.
+        # fills the shingle and signature caches, and racing the other
+        # writes against it would tokenize the corpus 2-4x concurrently
+        # before the caches materialize.  The remaining three datasets are
+        # independent functions of the now-cached frames, so they run as
+        # CONCURRENT jobs from a small thread pool (optimization guide
+        # §2.6): each write's task tail back-fills the executors the
+        # others free, instead of three sequential job barriers.  Job
+        # descriptions are thread-local, so each write stays labelled in
+        # the UI.
         sigs.write.mode("overwrite").parquet(f"{path}/signatures")
 
         def _write_shingles() -> None:
@@ -394,6 +406,7 @@ def minhash_build_index(
         # release even when a write throws — retries must not accumulate
         # pinned copies of the (3× corpus text) shingle cache
         sh.unpersist()
+        sigs.unpersist()
 
 
 def minhash_append_index(
@@ -1199,9 +1212,17 @@ def simhash_near_dup_pairs(
     ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
     bands = _cap_buckets(bands, ["band", "bval"], max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
+    # MERGE hint: left to its estimates the planner broadcasts one side of
+    # this self-join, and the broadcast build side cannot reuse the other
+    # side's shuffle — the whole fingerprint pipeline (scan → shingle
+    # explode → hash → aggregate → cap window) runs TWICE.  Forcing
+    # sort-merge makes both sides the same canonical subtree over the cap
+    # window's (band, bval) hashpartitioning, so ReuseExchange computes it
+    # once; at corpus scale a corpus-wide band table could never broadcast
+    # anyway, so this is also the only shape that exists at 100 TB.
     cand = (
         a.join(
-            b,
+            b.hint("merge"),
             on=[
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.bval") == F.col("b.bval"),

@@ -1209,3 +1209,21 @@ def test_winsorize_broadcasts_bounds(spark, cat):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_self_join_reuses_band_pipeline(spark, cat):
+    # r10 optimization: the band-bucket self-join must be sort-merge, not
+    # broadcast — a broadcast build side cannot reuse the probe side's
+    # shuffle, so the whole fingerprint pipeline (shingle explode → hash →
+    # aggregate → cap window) would compute TWICE.  As sort-merge, both
+    # sides are the same canonical subtree over the cap window's
+    # (band, bval) hashpartitioning and the runtime reuses one exchange.
+    # (Also the only join that exists at corpus scale — a corpus-wide band
+    # table never fits a broadcast.)
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_tables(spark, SF, "documents")["documents"]
+    plan = plan_of(simhash_near_dup_pairs(docs, "doc_id", "text"))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
