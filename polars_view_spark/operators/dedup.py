@@ -194,10 +194,11 @@ def minhash_lsh_pairs(
     case cost at a measured recall trade-off (pinned in tests).  Real data
     here peaks at bucket size 15 (sf0.1), far under the default 64.
 
-    The intermediate caches (shingles, signatures, candidates) are scoped
-    to this call: the verified result is eagerly pinned (it is tiny — only
-    the surviving pairs) and the inputs are unpersisted before returning,
-    so repeated invocations don't accumulate executor storage.
+    The intermediate materializations (shingle/candidate caches, the
+    signature checkpoint) are scoped to this call: the verified result is
+    eagerly pinned (it is tiny — only the surviving pairs) and the caches
+    are unpersisted before returning, so repeated invocations don't
+    accumulate executor storage (checkpointed RDDs are released on GC).
 
     Measured floor (sf0.1, 5 000 docs, local[32], r03 per-stage sweep):
     ~2.4 s median, of which shingle tokenize+explode+md5 ≈ 60 % (260 k
@@ -216,7 +217,17 @@ def minhash_lsh_pairs(
     """
     own_sh = shingles is None
     sh = shingle_table(df, id_col, text_col).cache() if own_sh else shingles
-    sigs = minhash_signatures(df, id_col, text_col, shingles=sh).cache()
+    # localCheckpoint, NOT cache(): both self-join sides consume the band
+    # reshape of sigs, and a cache()'s InMemoryTableScan inside that
+    # subtree defeats AQE's exchange-reuse canonicalization — the MERGE
+    # hint below then computes the band shuffle TWICE anyway.  The
+    # ExistingRDD leaf a checkpoint leaves canonicalizes equal on both
+    # sides, so the runtime reuses one exchange (measured on the r10
+    # idle box; same finding as minhash_query_index).  The eager job also
+    # fills the shingle cache the verify stage reads.
+    sigs = minhash_signatures(df, id_col, text_col, shingles=sh).localCheckpoint(
+        eager=True
+    )
     bands = _band_table(sigs, max_bucket_size)
 
     left = bands.alias("l")
@@ -245,7 +256,7 @@ def minhash_lsh_pairs(
     # pin the (tiny) result, then release the big intermediates (a
     # caller-provided shingle table is the caller's to release)
     result = result.localCheckpoint(eager=True)
-    for c in (candidates, sigs) + ((sh,) if own_sh else ()):
+    for c in (candidates,) + ((sh,) if own_sh else ()):
         c.unpersist()
     return result
 
@@ -273,7 +284,11 @@ def minhash_lsh_pairs_incremental(
     """
     full = base.unionByName(new)
     sh = shingle_table(full, id_col, text_col).cache()
-    sigs = minhash_signatures(full, id_col, text_col, shingles=sh).cache()
+    # localCheckpoint, NOT cache() — enables exchange reuse across the two
+    # band-table consumers of the merge join below (see minhash_lsh_pairs)
+    sigs = minhash_signatures(full, id_col, text_col, shingles=sh).localCheckpoint(
+        eager=True
+    )
     bands = _band_table(sigs, max_bucket_size)
 
     new_ids = new.select(F.col(id_col).alias("doc"))
@@ -285,7 +300,20 @@ def minhash_lsh_pairs_incremental(
     for r in range(MINHASH_BAND_ROWS):
         cond = cond & (F.col(f"l.v{r}") == F.col(f"r.v{r}"))
     candidates = (
-        left.join(right, cond)
+        # MERGE hint, same rationale as minhash_lsh_pairs: both sides derive
+        # from the SAME band-table subtree (the batch side only adds a
+        # broadcast id join AFTER the cap window), and a BroadcastExchange
+        # of either side re-runs that subtree — a second full pass over the
+        # corpus band rows — because a broadcast can never reuse the probe
+        # side's shuffle.  Sort-merge keys on the cap window's band-key
+        # hashpartitioning, so the window exchange is computed once and
+        # ReusedExchange feeds the other side; the window's partition-key
+        # sort already satisfies the merge ordering, so no extra sort is
+        # paid either.  At corpus scale the batch side's subtree STILL
+        # contains the corpus-wide union+window, so broadcasting it would
+        # cost a full corpus pass — merge is the only shape that scans the
+        # corpus once.
+        left.join(right.hint("merge"), cond)
         .select(
             F.least(F.col("l.doc"), F.col("r.doc")).alias("doc1"),
             F.greatest(F.col("l.doc"), F.col("r.doc")).alias("doc2"),
@@ -299,7 +327,7 @@ def minhash_lsh_pairs_incremental(
         "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
     )
     result = result.localCheckpoint(eager=True)
-    for c in (candidates, sigs, sh):
+    for c in (candidates, sh):
         c.unpersist()
     return result
 
@@ -570,12 +598,13 @@ def minhash_query_index(
     text volume.
 
     Plan shape: corpus signatures scan → reshape to bands → union with
-    the new batch's bands → cap window → broadcast of the new batch's
-    band buckets into the union → candidate pairs → exact verify joining
-    the persisted corpus shingles unioned with the batch's own.  The
-    corpus is never self-joined and never re-shingled; nothing about the
-    query side scales with corpus CPU, only with its (columnar,
-    pruned-to-``doc, shingle``) bytes.
+    the new batch's (cached) bands → cap window → sort-merge candidate
+    join whose batch side re-uses the window's exchange (ReusedExchange —
+    ONE corpus band pass; see the merge-hint comment) → candidate pairs →
+    exact verify joining the persisted corpus shingles unioned with the
+    batch's own.  The corpus is never self-joined and never re-shingled;
+    nothing about the query side scales with corpus CPU, only with its
+    (columnar, pruned-to-``doc, shingle``) bytes.
 
     ``materialize=False`` skips the eager result checkpoint (which
     truncates lineage to ``Scan ExistingRDD`` and blinds plan-gate
@@ -597,9 +626,21 @@ def minhash_query_index(
 
     new_sh = shingle_table(new, id_col, text_col).cache()
     candidates = None
+    # localCheckpoint, deliberately NOT cache(): (a) uncheckpointed, every
+    # band branch re-runs the batch's minhash aggregate (n_bands ×
+    # consuming-subtree copies of the same Exchange+HashAggregate — the
+    # dominant query-side cost in the r10 idle-box profile); (b) a cache()
+    # would also run it once, BUT the InMemoryTableScan it plants inside
+    # the band-table subtree defeats AQE's exchange-reuse canonicalization,
+    # so the union+cap-window shuffle would still compute twice (measured:
+    # ReusedExchange absent with cache, present with checkpoint — the
+    # ExistingRDD leaf canonicalizes equal on both join sides).  The
+    # checkpointed frame is one row per batch doc — kilobytes.
+    new_sigs = minhash_signatures(new, id_col, text_col, shingles=new_sh).localCheckpoint(
+        eager=True
+    )
+    all_sh = None
     try:
-        new_sigs = minhash_signatures(new, id_col, text_col, shingles=new_sh)
-
         if include_batch_pairs:
             # same union the self-contained incremental path computes from
             # scratch — per-doc rows are identical, so downstream is identical
@@ -608,7 +649,14 @@ def minhash_query_index(
             bands = _band_table(sigs, max_bucket_size)
             new_ids = new.select(F.col(id_col).alias("doc"))
             left = bands.join(F.broadcast(new_ids), "doc").alias("l")
-            right = bands.alias("r")
+            # merge hint: same exchange-reuse rationale as the
+            # minhash_lsh_pairs / incremental self-joins — both sides are
+            # the SAME union+cap-window subtree (the left only adds a
+            # broadcast id join after the window), so sort-merge over the
+            # window's band-key hashpartitioning computes the corpus band
+            # pass ONCE and ReusedExchange feeds the other side, where a
+            # broadcast of either side would re-run the full union+window
+            right = bands.hint("merge").alias("r")
         else:
             # cap from corpus-only bucket sizes: batch contents must not be
             # able to tip a bucket over the cap, or verdicts would depend on
@@ -659,8 +707,14 @@ def minhash_query_index(
             .unionByName(candidates.select(F.col("doc2").alias("doc")))
             .distinct()
         )
-        all_sh = corpus_sh.unionByName(new_sh).join(
-            F.broadcast(cand_docs), "doc", "left_semi"
+        # cached: exact_jaccard_for_pairs consumes the shingle table twice
+        # (both join sides of the intersection count) — uncached, the
+        # corpus-shingles parquet scan + semi-join runs twice per query.
+        # Bounded: only candidate docs' shingles survive the semi-join.
+        all_sh = (
+            corpus_sh.unionByName(new_sh)
+            .join(F.broadcast(cand_docs), "doc", "left_semi")
+            .cache()
         )
         sizes = spark.read.parquet(f"{path}/sizes").unionByName(
             new_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
@@ -679,6 +733,8 @@ def minhash_query_index(
         if materialize:
             if candidates is not None:
                 candidates.unpersist()
+            if all_sh is not None:
+                all_sh.unpersist()
             new_sh.unpersist()
 
 
@@ -745,7 +801,7 @@ def ngram_jaccard_pairs(
 
     ``shingles`` shares a caller-owned cached shingle table (the caller
     caches/unpersists it); the block-joined copy this operator derives
-    is still cached and released locally.
+    is still materialized (checkpointed) locally.
 
     ``block_cols`` bound which docs may pair (same block only) — the
     baseline against which the LSH path is validated.
@@ -767,7 +823,14 @@ def ngram_jaccard_pairs(
                          "(zero-intersection pairs are pruned by design)")
     blocks = df.select(F.col(id_col).alias("doc"), *[F.col(c) for c in block_cols])
     base_sh = shingle_table(df, id_col, text_col) if shingles is None else shingles
-    sh = base_sh.join(blocks, "doc").cache()
+    # localCheckpoint, NOT cache(): the blocked shingle table feeds BOTH
+    # sides of the intersection self-join below, and both sides shuffle by
+    # the same (shingle, block) keys — over an ExistingRDD leaf the two
+    # exchanges canonicalize equal and AQE computes ONE shuffle
+    # (ReusedExchange), where a cache()'s InMemoryTableScan defeats that
+    # canonicalization and the shingle stream is shuffled twice (same
+    # finding as minhash_lsh_pairs, r10).
+    sh = base_sh.join(blocks, "doc").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     join_keys = ["shingle", *block_cols]
@@ -791,12 +854,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
     )
-    # same cache discipline as minhash_lsh_pairs: eagerly pin the (tiny)
-    # surviving-pairs result, then release the big shingle cache so
-    # repeated calls don't accumulate executor storage
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    # same discipline as minhash_lsh_pairs: eagerly pin the (tiny)
+    # surviving-pairs result (the blocked-shingle checkpoint is released
+    # when its RDD goes out of scope)
+    return out.localCheckpoint(eager=True)
 
 
 def dedup_eval(

@@ -58,8 +58,15 @@ def frequent_pairs(
     fi = items.join(frequent, "i").select("b", "i")
     a, b = fi.alias("a"), fi.alias("b")
     return (
+        # MERGE hint, same rationale as dedup.minhash_lsh_pairs: left to
+        # its estimates the planner broadcasts one side of this self-join,
+        # and a BroadcastExchange cannot reuse the probe side's shuffle —
+        # the whole distinct+prune pipeline would compute TWICE.  As
+        # sort-merge, both sides are the same canonical subtree shuffled
+        # by the basket key and AQE reuses one exchange (and at real scale
+        # a corpus-wide item table could never broadcast anyway).
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.b") == F.col("b.b")) & (F.col("a.i") < F.col("b.i")),
         )
         .groupBy(

@@ -255,9 +255,13 @@ def test_minhash_index_query_never_scans_corpus(spark, tmp_path):
     plan = plan_of(out)
     assert "corpus_src" not in plan, "query side re-scanned the corpus"
     assert "signatures" in plan and "shingles" in plan
-    # the new batch's band buckets reach the index via broadcast — the
-    # (large) index side is never shuffled for candidates
+    # the batch's ids/candidates still travel by broadcast (bounded sides)
     assert "BroadcastHashJoin" in plan
+    # r10 optimization: the candidates join is sort-merge so the batch
+    # side re-uses the union+cap-window exchange instead of re-running
+    # the corpus band pass under a BroadcastExchange (same rationale and
+    # gate as test_simhash_self_join_reuses_band_pipeline)
+    assert "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
 
 
@@ -1227,3 +1231,49 @@ def test_simhash_self_join_reuses_band_pipeline(spark, cat):
     plan = plan_of(simhash_near_dup_pairs(docs, "doc_id", "text"))
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_minhash_query_index_reuses_band_exchange(spark, tmp_path):
+    # r10 optimization, second pass: the union+cap-window band shuffle must
+    # compute ONCE per query, the other sort-merge side fed by a
+    # ReusedExchange.  Two ingredients, both load-bearing: the MERGE hint
+    # (a broadcast build side re-runs the whole subtree), and new_sigs
+    # being localCheckpoint-ed rather than cache()-d — an InMemoryTableScan
+    # inside the band subtree defeats AQE's exchange-reuse canonicalization
+    # and the corpus band pass silently doubles (measured on the r10 idle
+    # box: ReusedExchange absent with cache, present with checkpoint).
+    from pyspark.sql import functions as F
+
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_query_index,
+    )
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    idx = str(tmp_path / "mh_idx_reuse")
+    minhash_build_index(d.filter(F.col("doc_id") % 10 != 0), idx, "doc_id", "text")
+    out = minhash_query_index(
+        spark, d.filter(F.col("doc_id") % 10 == 0), idx, "doc_id", "text", 0.5,
+        materialize=False,
+    )
+    plan = plan_of(out, final=True)
+    assert "ReusedExchange" in plan, (
+        "band-table exchange not reused — the candidates join recomputes "
+        "the corpus band pass on its second side"
+    )
+
+
+def test_frequent_pairs_self_join_reuses_exchange(spark, cat):
+    # r10 optimization: the basket self-join must be sort-merge with the
+    # second side a ReusedExchange of the first — broadcast would re-run
+    # the distinct+prune pipeline, and a corpus-scale item table could
+    # never broadcast anyway (same gate as the simhash/minhash band joins)
+    from polars_view_spark.catalog import load_tables
+    from polars_view_spark.operators.mining import frequent_pairs
+
+    li = load_tables(spark, SF, "lineitem")["lineitem"]
+    out = frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    plan = plan_of(out, final=True)
+    assert "SortMergeJoin" in plan
+    assert "ReusedExchange" in plan
