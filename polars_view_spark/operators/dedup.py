@@ -71,7 +71,11 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, shingles: DataFrame | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingles: DataFrame | None = None,
+    include_size: bool = False,
 ) -> DataFrame:
     """One row per doc: ``doc, mh0..mh{k-1}`` MinHash signature.
 
@@ -79,6 +83,12 @@ def minhash_signatures(
     groupBy computing all k minima simultaneously (one shuffle, k aggregates
     share the hashed input).  Pass a precomputed (cached) ``shingles`` table
     to share the tokenize+shingle scan with other consumers.
+
+    ``include_size=True`` appends a ``__sz`` shingle-count column — the
+    per-doc set size rides the same groupBy, so an index build gets its
+    ``sizes`` dataset as a column slice of this frame instead of paying a
+    second full aggregate pass over the shingle stream (at corpus scale
+    that second pass re-reads the spilled shingle cache end to end).
     """
     sh = (shingles if shingles is not None else shingle_table(df, id_col, text_col)).withColumn(
         "h31", F.expr(f"{hex64_sql('shingle')} % {MINHASH_PRIME}")
@@ -87,6 +97,8 @@ def minhash_signatures(
         F.expr(minhash_sql("h31", a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
+    if include_size:
+        aggs.append(F.count(F.lit(1)).alias("__sz"))
     return sh.groupBy("doc").agg(*aggs)
 
 
@@ -381,11 +393,17 @@ def minhash_build_index(
     come exclusively from it, so absent rows silently lose recall.
     """
     sh = shingle_table(corpus, id_col, text_col).cache()
-    # sigs cached too: TWO writes consume it (signatures, bands), and
-    # without the pin the bands write re-runs the 64-minimum aggregate
+    # sigs cached too: THREE writes consume it (signatures, sizes, bands),
+    # and without the pin the bands write re-runs the 64-minimum aggregate
     # over the full shingle stream — the most expensive reduction in the
     # build — instead of re-reading kilobytes of signature rows.
-    sigs = minhash_signatures(corpus, id_col, text_col, shingles=sh).cache()
+    # include_size folds the per-doc shingle count into the SAME groupBy,
+    # so the sizes dataset below is a column slice of this frame — the
+    # old standalone sizes aggregate paid a second full pass over the
+    # (spilled-at-scale) shingle cache.
+    sigs = minhash_signatures(
+        corpus, id_col, text_col, shingles=sh, include_size=True
+    ).cache()
     try:
         # The first write (signatures) runs ALONE: it is the job that
         # fills the shingle and signature caches, and racing the other
@@ -397,7 +415,7 @@ def minhash_build_index(
         # others free, instead of three sequential job barriers.  Job
         # descriptions are thread-local, so each write stays labelled in
         # the UI.
-        sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+        sigs.drop("__sz").write.mode("overwrite").parquet(f"{path}/signatures")
 
         def _write_shingles() -> None:
             sh.write.mode("overwrite").parquet(f"{path}/shingles")
@@ -405,8 +423,9 @@ def minhash_build_index(
         def _write_sizes() -> None:
             # per-doc shingle-set sizes, persisted so the query-side verify
             # joins a tiny (doc, sz) table instead of re-aggregating the
-            # corpus shingle stream per call
-            sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz")).write.mode(
+            # corpus shingle stream per call; a slice of the cached sigs
+            # frame (see include_size above), no aggregate runs here
+            sigs.select("doc", F.col("__sz").alias("sz")).write.mode(
                 "overwrite"
             ).parquet(f"{path}/sizes")
 
@@ -514,10 +533,14 @@ def minhash_append_index(
         )
     sh = shingle_table(new_docs, id_col, text_col).cache()
     try:
-        sigs = minhash_signatures(new_docs, id_col, text_col, shingles=sh)
-        sigs.write.mode("append").parquet(f"{path}/signatures")
+        # include_size: sizes ride the signature groupBy (see
+        # minhash_build_index) instead of a second batch aggregate
+        sigs = minhash_signatures(
+            new_docs, id_col, text_col, shingles=sh, include_size=True
+        ).localCheckpoint(eager=True)
+        sigs.drop("__sz").write.mode("append").parquet(f"{path}/signatures")
         sh.write.mode("append").parquet(f"{path}/shingles")
-        sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz")).write.mode(
+        sigs.select("doc", F.col("__sz").alias("sz")).write.mode(
             "append"
         ).parquet(f"{path}/sizes")
         bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
