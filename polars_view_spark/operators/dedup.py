@@ -538,27 +538,55 @@ def minhash_append_index(
         sigs = minhash_signatures(
             new_docs, id_col, text_col, shingles=sh, include_size=True
         ).localCheckpoint(eager=True)
-        sigs.drop("__sz").write.mode("append").parquet(f"{path}/signatures")
-        sh.write.mode("append").parquet(f"{path}/shingles")
-        sigs.select("doc", F.col("__sz").alias("sz")).write.mode(
-            "append"
-        ).parquet(f"{path}/sizes")
         bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
         batch_bands = _band_rows(sigs)
         batch_keys = batch_bands.select(*bucket_cols).distinct()
-        # count ONLY the batch-touched buckets (semi-join to the small,
-        # broadcast batch key set before the aggregate — never a
-        # corpus-wide groupBy per append), and materialize BEFORE
-        # appending to the same path: reading and appending one dataset
-        # in a single job races the file listing.  Row counts ARE member
-        # counts (one bands row per (band, doc)).
-        existing = (
-            spark.read.parquet(f"{path}/bands")
-            .join(F.broadcast(batch_keys), bucket_cols, "left_semi")
-            .groupBy(*bucket_cols)
-            .agg(F.count(F.lit(1)).alias("__old"))
-            .localCheckpoint(eager=True)
-        )
+
+        # The sigs checkpoint above materialized everything the first
+        # three appends need (sh cache filled by the same job), and the
+        # existing-bucket probe only READS the bands dataset — so these
+        # four jobs are independent and run CONCURRENTLY (guide §2.6,
+        # same pattern as minhash_build_index); only the bands append
+        # must wait for the probe.  Appends stay non-transactional
+        # exactly as before — the id guard already refuses a blind
+        # re-run after a partial failure.
+        def _append_signatures() -> None:
+            sigs.drop("__sz").write.mode("append").parquet(f"{path}/signatures")
+
+        def _append_shingles() -> None:
+            sh.write.mode("append").parquet(f"{path}/shingles")
+
+        def _append_sizes() -> None:
+            sigs.select("doc", F.col("__sz").alias("sz")).write.mode(
+                "append"
+            ).parquet(f"{path}/sizes")
+
+        def _count_existing() -> DataFrame:
+            # count ONLY the batch-touched buckets (semi-join to the
+            # small, broadcast batch key set before the aggregate — never
+            # a corpus-wide groupBy per append), and materialize BEFORE
+            # appending to the same path: reading and appending one
+            # dataset in a single job races the file listing.  Row counts
+            # ARE member counts (one bands row per (band, doc)).
+            return (
+                spark.read.parquet(f"{path}/bands")
+                .join(F.broadcast(batch_keys), bucket_cols, "left_semi")
+                .groupBy(*bucket_cols)
+                .agg(F.count(F.lit(1)).alias("__old"))
+                .localCheckpoint(eager=True)
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(fn)
+                for fn in (_append_signatures, _append_shingles, _append_sizes)
+            ]
+            existing_fut = pool.submit(_count_existing)
+            for fut in futures:
+                fut.result()  # re-raise the first failure
+            existing = existing_fut.result()
         (
             _with_bucket_size(batch_bands, bucket_cols)
             .join(existing, bucket_cols, "left")
