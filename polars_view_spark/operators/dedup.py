@@ -206,11 +206,10 @@ def minhash_lsh_pairs(
     case cost at a measured recall trade-off (pinned in tests).  Real data
     here peaks at bucket size 15 (sf0.1), far under the default 64.
 
-    The intermediate materializations (shingle/candidate caches, the
-    signature checkpoint) are scoped to this call: the verified result is
-    eagerly pinned (it is tiny — only the surviving pairs) and the caches
-    are unpersisted before returning, so repeated invocations don't
-    accumulate executor storage (checkpointed RDDs are released on GC).
+    The intermediate caches (shingles, signatures, candidates) are scoped
+    to this call: the verified result is eagerly pinned (it is tiny — only
+    the surviving pairs) and the inputs are unpersisted before returning,
+    so repeated invocations don't accumulate executor storage.
 
     Measured floor (sf0.1, 5 000 docs, local[32], r03 per-stage sweep):
     ~2.4 s median, of which shingle tokenize+explode+md5 ≈ 60 % (260 k
@@ -229,17 +228,22 @@ def minhash_lsh_pairs(
     """
     own_sh = shingles is None
     sh = shingle_table(df, id_col, text_col).cache() if own_sh else shingles
-    # localCheckpoint, NOT cache(): both self-join sides consume the band
-    # reshape of sigs, and a cache()'s InMemoryTableScan inside that
-    # subtree defeats AQE's exchange-reuse canonicalization — the MERGE
-    # hint below then computes the band shuffle TWICE anyway.  The
-    # ExistingRDD leaf a checkpoint leaves canonicalizes equal on both
-    # sides, so the runtime reuses one exchange (measured on the r10
-    # idle box; same finding as minhash_query_index).  The eager job also
-    # fills the shingle cache the verify stage reads.
-    sigs = minhash_signatures(df, id_col, text_col, shingles=sh).localCheckpoint(
-        eager=True
-    )
+    # cache(), deliberately NOT localCheckpoint: an eager checkpoint here
+    # WOULD let AQE reuse the band exchange across the self-join's two
+    # sides (a cache's InMemoryTableScan defeats the reuse
+    # canonicalization), and it measured ~1 s faster at sf0.1 — but the
+    # checkpoint's own job serializes the full shingle+minhash aggregate
+    # into a standalone barrier that no longer pipelines into the
+    # candidates job, and on the 10× instance that barrier costs far more
+    # than the reuse saves: interleaved entry A/B measured 24.5–28.6 s
+    # checkpointed vs 15.1–17.5 s cached (3 rounds each).  The cache
+    # already deduplicates the EXPENSIVE half (the 64-minimum aggregate
+    # runs once); only the cheap reshape+window+exchange evaluates per
+    # side.  Contrast minhash_query_index, where the checkpointed frame
+    # is the BATCH-side aggregate (small at any scale) and the reuse
+    # saves a corpus-side union+window — there the same trade wins at
+    # both scales and the checkpoint stays.
+    sigs = minhash_signatures(df, id_col, text_col, shingles=sh).cache()
     bands = _band_table(sigs, max_bucket_size)
 
     left = bands.alias("l")
@@ -248,13 +252,16 @@ def minhash_lsh_pairs(
     for r in range(MINHASH_BAND_ROWS):
         join_cond = join_cond & (F.col(f"l.v{r}") == F.col(f"r.v{r}"))
     candidates = (
-        # MERGE hint, same rationale as simhash_near_dup_pairs: a broadcast
-        # build side re-runs the band reshape + cap window (a second shuffle
-        # of the band table) because a BroadcastExchange can never reuse the
-        # probe side's shuffle; sort-merge makes both sides one canonical
-        # subtree over the cap window's band-key hashpartitioning, computed
-        # once and reused — and a corpus-scale band table could never
-        # broadcast anyway.
+        # MERGE hint: a broadcast build side re-runs the band reshape +
+        # cap window (a second shuffle of the band table) because a
+        # BroadcastExchange can never reuse the probe side's shuffle —
+        # and a corpus-scale band table could never broadcast anyway, so
+        # sort-merge is the only join that exists at 100 TB.  (Note: with
+        # sigs CACHED, the two sort-merge sides do NOT collapse into one
+        # ReusedExchange — an InMemoryTableScan defeats AQE's reuse
+        # canonicalization, r10 finding — but both sides' reshape reads
+        # the cache, so only the cheap reshape+window+exchange evaluates
+        # per side, never the minhash aggregate.)
         left.join(right.hint("merge"), join_cond)
         .select(F.col("l.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
         .distinct()
@@ -268,7 +275,7 @@ def minhash_lsh_pairs(
     # pin the (tiny) result, then release the big intermediates (a
     # caller-provided shingle table is the caller's to release)
     result = result.localCheckpoint(eager=True)
-    for c in (candidates,) + ((sh,) if own_sh else ()):
+    for c in (candidates, sigs) + ((sh,) if own_sh else ()):
         c.unpersist()
     return result
 
