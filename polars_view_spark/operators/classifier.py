@@ -77,6 +77,13 @@ LR_NUM = 400
 LR_DEN = 1
 CLASSIFIER_DIM = 64
 CLASSIFIER_EPOCHS = 10
+#: loud ceiling on the trainer's bounded-sample contract (module
+#: docstring "Overflow bound"): the descent deliberately runs as ONE
+#: coalesce(1) Arrow task, which is the right shape for a ~10^6-row
+#: sample and a silent single-task crawl for anything bigger — past this
+#: the caller must downsample (x_group_sample / _x_stratified_sample),
+#: not wait.  The int64 fast path's own bound is of the same order.
+FIT_MAX_SAMPLE_ROWS = 4_000_000
 
 
 def _margin_sql(weights: list[int], dim: int) -> str:
@@ -173,6 +180,13 @@ def _fit_weights(
         F.sum("y").alias("np"), F.count(F.lit(1)).alias("n")
     ).first()
     assert counts is not None and counts["n"] > 0, "empty training frame"
+    if int(counts["n"]) > FIT_MAX_SAMPLE_ROWS:
+        raise ValueError(
+            f"training sample has {int(counts['n'])} rows, over the "
+            f"{FIT_MAX_SAMPLE_ROWS}-row bounded-sample contract — the "
+            f"descent runs as one task by design; downsample first "
+            f"(x_group_sample / stratified_sample)"
+        )
     n_pos = int(counts["np"])
     n_neg = int(counts["n"]) - n_pos
     assert n_pos > 0 and n_neg > 0, "label must have both classes"

@@ -145,17 +145,26 @@ def _band_rows(sigs: DataFrame) -> DataFrame:
     stream batched)."""
     k = len(MINHASH_COEFFS)
     n_bands = k // MINHASH_BAND_ROWS
-    band_rows = []
-    for band in range(n_bands):
-        cols = [
-            F.col(f"mh{band * MINHASH_BAND_ROWS + r}").alias(f"v{r}")
-            for r in range(MINHASH_BAND_ROWS)
-        ]
-        band_rows.append(sigs.select(F.lit(band).alias("band"), *cols, F.col("doc")))
-    bands = band_rows[0]
-    for b in band_rows[1:]:
-        bands = bands.unionByName(b)
-    return bands
+    # ONE pass via explode instead of an n_bands-way union of projections:
+    # the union shape scanned the signature source once PER BAND (4 parquet
+    # scans / cache reads / ExistingRDD traversals) and quadrupled the plan
+    # text for every consumer; inline_outer of a struct array yields the
+    # identical rows from a single scan (r11; row multiset unchanged —
+    # everything downstream is aggregates/joins).
+    structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            *[
+                F.col(f"mh{band * MINHASH_BAND_ROWS + r}").alias(f"v{r}")
+                for r in range(MINHASH_BAND_ROWS)
+            ],
+        )
+        for band in range(n_bands)
+    ]
+    exploded = sigs.select(F.inline(F.array(*structs)), F.col("doc"))
+    return exploded.select(
+        "band", *[f"v{r}" for r in range(MINHASH_BAND_ROWS)], "doc"
+    )
 
 
 def _band_table(sigs: DataFrame, max_bucket_size: int) -> DataFrame:
@@ -551,12 +560,18 @@ def minhash_append_index(
 
         # The sigs checkpoint above materialized everything the first
         # three appends need (sh cache filled by the same job), and the
-        # existing-bucket probe only READS the bands dataset — so these
-        # four jobs are independent and run CONCURRENTLY (guide §2.6,
-        # same pattern as minhash_build_index); only the bands append
-        # must wait for the probe.  Appends stay non-transactional
-        # exactly as before — the id guard already refuses a blind
-        # re-run after a partial failure.
+        # existing-bucket probe only READS the bands dataset.  Ordering
+        # (r11, ADVICE r10): the id-clash guard above probes ONLY the
+        # signatures dataset, so the partial-failure contract ("a blind
+        # re-run after a failed append is refused") holds only if
+        # signatures are ALWAYS the first dataset a partially-failed
+        # append has written — therefore the signatures append completes
+        # BEFORE the shingles/sizes appends launch (a fully concurrent
+        # launch could leave shingles+sizes written with signatures
+        # absent, and a re-run would then double-append them, silently
+        # corrupting every later Jaccard verdict).  The probe overlaps
+        # the signatures append (different dataset), and shingles/sizes
+        # overlap each other; only the bands append waits for the probe.
         def _append_signatures() -> None:
             sigs.drop("__sz").write.mode("append").parquet(f"{path}/signatures")
 
@@ -585,12 +600,12 @@ def minhash_append_index(
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            futures = [
-                pool.submit(fn)
-                for fn in (_append_signatures, _append_shingles, _append_sizes)
-            ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
             existing_fut = pool.submit(_count_existing)
+            pool.submit(_append_signatures).result()  # guard anchor: first
+            futures = [
+                pool.submit(fn) for fn in (_append_shingles, _append_sizes)
+            ]
             for fut in futures:
                 fut.result()  # re-raise the first failure
             existing = existing_fut.result()
@@ -694,8 +709,13 @@ def minhash_query_index(
     # ReusedExchange absent with cache, present with checkpoint — the
     # ExistingRDD leaf canonicalizes equal on both join sides).  The
     # checkpointed frame is one row per batch doc — kilobytes.
+    # eager=False (r11): the plan leaf (LogicalRDD) — which is what the
+    # exchange-reuse canonicalization needs — exists at planning time
+    # either way; lazy materialization folds the batch aggregate into the
+    # result job instead of paying a standalone job barrier per query
+    # (measured −0.3 s/query at sf0.1, ReusedExchange gate still green).
     new_sigs = minhash_signatures(new, id_col, text_col, shingles=new_sh).localCheckpoint(
-        eager=True
+        eager=False
     )
     all_sh = None
     try:
@@ -1129,12 +1149,19 @@ def connected_components(
     (documented above at minhash_lsh_pairs) + ~1.8 s CC (this note) +
     ~0.2 s anti join — all fixed overhead, no data-proportional residue.
     """
+    # eager=False (r11): the init-labels checkpoint below is the frame's
+    # first (and only) materializing consumer, so the lazy checkpoint
+    # folds the edge union into that job instead of paying a standalone
+    # barrier — safe because exactly ONE stage reads the RDD before its
+    # blocks exist (contrast `stepped`, which stays eager: its self-join
+    # reads it from two concurrent stages, and lazy persistence would
+    # compute the edge-join subtree twice at corpus scale).
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(
             pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if max_iterations <= 0:
         # guard up front: the for/else error path below formats the
@@ -1177,8 +1204,20 @@ def connected_components(
                 ).alias("__chg"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("__chg")).count()
+        # the convergence count rides the checkpoint job as an observed
+        # metric (r11, VERDICT r10 task 4): CollectMetrics accumulates
+        # per-task during the SAME job that materializes the checkpoint,
+        # so the per-round `changed` no longer costs a standalone count
+        # job re-reading the fresh checkpoint — one fewer job barrier per
+        # round, result byte-identical (the metric observes the identical
+        # __chg column the count used to filter on).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs, F.sum(F.col("__chg").cast("long")).alias("changed")
+        ).localCheckpoint(eager=True)
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels.drop("__chg")
         if changed == 0:
             break

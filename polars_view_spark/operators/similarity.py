@@ -1430,12 +1430,16 @@ def mmr_rerank(
     # natural shape, but both sides descend from `cand` and the analyzer
     # rejects cogroups over shared lineage as ambiguous self-joins; the
     # union adds only n_candidates rows per query on top of the pair set.
-    doc_type = cand.schema["doc"].dataType
     grouped_in = cand.select(
         "query_id",
         F.lit(0).alias("kind"),
         F.col("doc").alias("da"),
-        F.lit(None).cast(doc_type).alias("db"),
+        # pad db with the row's own da, NOT NULL: the kernel never reads
+        # db on kind-0 rows, and a NULL here would promote an integer id
+        # column to float64 in pandas — exact only below 2^53, silently
+        # corrupting sim/obj lookup keys for a larger id space (r11 fix;
+        # a null-free column keeps the Arrow→pandas dtype lossless)
+        F.col("doc").alias("db"),
         "rel",
         "rank",
         F.lit(None).cast("double").alias("sim"),
@@ -1488,12 +1492,15 @@ def mmr_rerank(
         # sim values; objectives are copied, never computed
         sim_to = {}
         obj_of = {}
+        # db is padded null-free (kind-0 rows carry their own da), so the
+        # Arrow→pandas conversion preserves the exact id dtype — ids
+        # beyond 2^53 stay lossless (pinned in
+        # test_mmr_rerank_huge_ids_lossless)
         db_vals = pairs_pdf["db"]
-        if db_vals.dtype.kind == "f" and cand_pdf["da"].dtype.kind in "iu":
-            # the union pads db with NULLs on candidate rows, which promotes
-            # the whole column to float64; restore the id dtype so lookup
-            # keys compare exactly against the int ids selected from `da`
-            db_vals = db_vals.astype(cand_pdf["da"].dtype)
+        assert db_vals.dtype == cand_pdf["da"].dtype, (
+            f"id dtype drifted across the union pad: "
+            f"{db_vals.dtype} vs {cand_pdf['da'].dtype}"
+        )
         for da, db, s, o in zip(
             pairs_pdf["da"], db_vals, pairs_pdf["sim"], pairs_pdf["obj"]
         ):

@@ -52,6 +52,18 @@ class TestQualityClassifier:
         with pytest.raises(AssertionError, match="both classes"):
             train_quality_classifier(docs, F.lit(True))
 
+    def test_oversized_sample_rejected(self, spark, monkeypatch):
+        """The bounded-sample contract fails LOUDLY past the ceiling
+        instead of degrading into one slow coalesce(1) task (VERDICT r10
+        task 7).  The ceiling is monkeypatched down so the test stays
+        cheap — the guard compares the same counts either way."""
+        from polars_view_spark.operators import classifier as mod
+
+        monkeypatch.setattr(mod, "FIT_MAX_SAMPLE_ROWS", 10)
+        docs = _planted(spark, n=20)
+        with pytest.raises(ValueError, match="bounded-sample contract"):
+            train_quality_classifier(docs, "is_ref", epochs=2)
+
     def test_null_text_dropped(self, spark):
         """NULL text produces no tokens → no feature row → absent from
         the scored frame (and from training), mirroring the oracle."""

@@ -795,6 +795,31 @@ class TestMmrRerank:
         assert picks[0] == rel_top3[0]  # step 1 = pure relevance seed
         assert 5 in picks  # diversity penalty promotes the orthogonal doc
 
+    def test_mmr_rerank_huge_ids_lossless(self, spark):
+        """Ids beyond 2^53 must survive the grouped-kernel round trip
+        exactly: the union pads db null-free so pandas keeps int64 — a
+        NULL pad would promote the column to float64, where 2^53+1 and
+        2^53+2 collapse to the same double and the kernel's sim/objective
+        lookups silently mis-pair (ADVICE r10)."""
+        from polars_view_spark.operators.similarity import mmr_rerank
+
+        base = 1 << 60  # far beyond float64's 2^53 integer range
+        rows = [(base + 0, [1.0, 0.0, 0.0])]
+        for i in range(1, 5):
+            rows.append((base + i, [0.8, 0.6, 0.001 * i]))
+        rows.append((base + 5, [0.75, -0.6614, 0.0]))
+        # consecutive huge ids differ by 1 — indistinguishable after a
+        # float64 round trip, distinct as int64
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.filter(f"vec_id = {base}")
+
+        mmr = mmr_rerank(emb, q, k=3, n_candidates=5).orderBy("mmr_step")
+        picks = [r["doc_id"] for r in mmr.collect()]
+        assert len(picks) == 3
+        assert all(p >= base for p in picks)
+        assert base + 5 in picks  # the orthogonal doc still promoted
+        assert len(set(picks)) == 3  # no collapsed/mis-paired ids
+
 
 class TestLeakageSafeSplit:
     def test_near_dup_clusters_never_straddle_splits(self, spark):
