@@ -333,6 +333,49 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 - scaling is additive info
             out["scaling_x10_error"] = str(ex)[:200]
 
+    if not partial and os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        # Streaming micro-bench block (VERDICT r10 task 2): the availableNow
+        # streaming operators were optimized in r10 (one-slice literal
+        # frames, shared index-lookup path) but no bench measured them —
+        # their wins were invisible to the driver.  This times a
+        # representative set END TO END (trigger → checkpointed sink →
+        # read-back), min-of-2 after a sf0.001 warm-up, and records them in
+        # a SIDE block like scaling_x10 — deliberately NOT added to
+        # `queries`/`value`, so the headline total stays round-over-round
+        # comparable (additions-only contract).
+        STREAMING = (
+            "e_streaming_tumbling",      # windowed aggregate, the baseline
+            "e_streaming_anomaly",       # sentinel/literal-frame family
+            "e_streaming_dedup",         # stateful dropDuplicates path
+            "e_streaming_upsert",        # foreachBatch merge-upsert
+            "e_streaming_outer_join",    # watermarked stream-stream join
+            "e_streaming_minhash_lookup",  # persisted MinHash index lookup
+            "e_streaming_ann_lookup",    # persisted IVF index lookup
+            "e_streaming_containment",   # containment screen vs index
+        )
+        streaming: dict[str, dict] = {}
+        for name in STREAMING:
+            if name not in cat:
+                continue
+            try:
+                cat[name].spark_fn(spark, "/root/testdata/sf0.001").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception:
+                pass
+            s_runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cat[name].spark_fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                s_runs.append(time.perf_counter() - t0)
+            streaming[name] = {
+                "min": round(min(s_runs), 4),
+                "max": round(max(s_runs), 4),
+            }
+        out["streaming"] = streaming
+
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
         import duckdb
 

@@ -170,6 +170,13 @@ def build_training_mix(
 
     quality = gopher_quality(docs).filter(F.col("passes_gopher"))
     deduped = dedup_exact(fingerprint(quality), ["fingerprint"], "doc_id")
+    # project to the columns the rest of the pipeline actually reads
+    # BEFORE the checkpoint (r11): a checkpoint is a pruning barrier, so
+    # unprojected it materializes the five Gopher stat columns (the
+    # expensive array_distinct/2-gram expressions) for every surviving
+    # row even though only the verdict filter consumed them — the
+    # contamination scan, mixture and packer need just these four
+    deduped = deduped.select("doc_id", "text", "lang", "source")
     if materialize_dedup:
         deduped = deduped.localCheckpoint(eager=False)
     # drop BOTH the flagged lookalikes AND the benchmark documents

@@ -1160,13 +1160,18 @@ def _kmeans_fit(
     × iterations) behind kmeans_clusters and kmeans_assignments: returns
     the pinned quantized frame, the Arrow argmin assigner closed over the
     FINAL centroids, and the centroid dict."""
+    # eager=False (r11): the init collect below is the frame's first
+    # consumer and materializes the RDD blocks itself — lazy folds the
+    # quantize pass into that job instead of paying a standalone barrier
+    # (single consuming stage at materialization time, so no concurrent
+    # double-compute; the iteration/member jobs then read the blocks)
     q = df.select(
         F.col(id_col).alias("vid"),
         F.expr(
             f"transform({vec_col}, x -> "
             f"CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
         ).alias("v"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     init_rows = q.orderBy("vid").limit(k).collect()
     if not init_rows:

@@ -29,6 +29,15 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 PUNCT_REGEX = r"[^A-Za-z0-9 \t\n\x0B\f\r]"  # \s spelled out: RE2's \s omits \x0B
 
+#: the ALLOWED set PUNCT_REGEX negates, as a Spark SQL string literal for
+#: ``translate`` (quality_score's regex-free punct count).  Escapes are
+#: Spark-SQL-parsed: \t/\n/\f/\r are the control chars; \x0B has no SQL
+#: escape so it rides as a unicode literal via Python chr(11).
+_PUNCT_ALLOWED_SQL = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    " \\t\\n" + chr(11) + "\\f\\r"
+)
+
 
 def _word_regex(words: tuple[str, ...]) -> str:
     return r"\b(" + "|".join(words) + r")\b"
@@ -94,7 +103,15 @@ def quality_score(df: DataFrame, text_col: str = "text") -> Column | DataFrame:
     division).
     """
     words = f"size(split(trim({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'))"
-    punct = f"size(regexp_extract_all({text_col}, '{_spark_sql_regex(PUNCT_REGEX)}', 0))"
+    # punct count = chars left after deleting every allowed char: translate
+    # single-passes the string with a char map where regexp_extract_all
+    # runs a full matcher and materializes a match array — measured 0.165 s
+    # → 0.089 s on the sf0.1 documents scan (r11), value-identical (both
+    # count code points outside the same 68-char set; PUNCT_REGEX is the
+    # negation of exactly this list, single-char class, so every match is
+    # one character).  The Spark side only; the DuckDB oracle keeps the
+    # regexp spelling of the same count.
+    punct = f"length(translate({text_col}, '{_PUNCT_ALLOWED_SQL}', ''))"
     chars = f"greatest(length({text_col}), 1)"
     stops = stopword_count_sql(text_col, "en")
     expr = (
