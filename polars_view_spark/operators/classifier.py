@@ -148,15 +148,28 @@ def train_quality_classifier(
         F.col(id_col).alias("doc"),
         F.coalesce(label.cast("int"), F.lit(0)).alias("y"),
     )
+    # the class counts ride the checkpoint job as observed metrics (r11):
+    # the trainer's standalone (sum(y), count) aggregate job re-read the
+    # fresh checkpoint for two numbers this job already streams past
+    from pyspark.sql import Observation
+
+    obs = Observation()
     feats = (
         hashed_doc_vectors(df, id_col=id_col, text_col=text_col, dim=dim)
         .select("doc", "vec")
         .join(labels, "doc")
+        .observe(
+            obs,
+            F.sum("y").alias("np"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .localCheckpoint(eager=True)
     )
+    m = obs.get
 
     weights = _fit_weights(
-        feats, dim, epochs, lr_num, lr_den, margin_cap, init_weights
+        feats, dim, epochs, lr_num, lr_den, margin_cap, init_weights,
+        counts=(int(m["np"] or 0), int(m["n"])),
     )
     scored = score_with_weights(feats, weights, dim).select(
         "doc", "margin", "pred", "y"
@@ -172,23 +185,32 @@ def _fit_weights(
     lr_den: int,
     margin_cap: int,
     init_weights: list[int] | None = None,
+    counts: tuple[int, int] | None = None,
 ) -> list[int]:
     """The descent loop over a pinned (doc, vec, y) frame — shared by the
     binary trainer and the one-vs-rest router (which fits k labels over
-    ONE feature frame)."""
-    counts = feats.agg(
-        F.sum("y").alias("np"), F.count(F.lit(1)).alias("n")
-    ).first()
-    assert counts is not None and counts["n"] > 0, "empty training frame"
-    if int(counts["n"]) > FIT_MAX_SAMPLE_ROWS:
+    ONE feature frame).
+
+    ``counts`` = (n_pos, n_total) lets a caller that already observed the
+    class balance on its checkpoint job (Dataset.observe) skip the
+    standalone aggregate job here; values must equal what the aggregate
+    would compute over ``feats``."""
+    if counts is None:
+        row = feats.agg(
+            F.sum("y").alias("np"), F.count(F.lit(1)).alias("n")
+        ).first()
+        assert row is not None, "empty training frame"
+        counts = (int(row["np"] or 0), int(row["n"]))
+    n_pos, n_total = counts
+    assert n_total > 0, "empty training frame"
+    if n_total > FIT_MAX_SAMPLE_ROWS:
         raise ValueError(
-            f"training sample has {int(counts['n'])} rows, over the "
+            f"training sample has {n_total} rows, over the "
             f"{FIT_MAX_SAMPLE_ROWS}-row bounded-sample contract — the "
             f"descent runs as one task by design; downsample first "
             f"(x_group_sample / stratified_sample)"
         )
-    n_pos = int(counts["np"])
-    n_neg = int(counts["n"]) - n_pos
+    n_neg = n_total - n_pos
     assert n_pos > 0 and n_neg > 0, "label must have both classes"
 
     if init_weights is None:
@@ -605,13 +627,30 @@ def train_topic_router(
             for k, (_n, lab) in enumerate(classes)
         ],
     )
-    feats = base.select("doc", "vec").join(labels, "doc").localCheckpoint(eager=True)
+    # ONE observe on the checkpoint job carries every class's positive
+    # count plus the total (r11) — previously each of the k fits paid its
+    # own aggregate job over the same pinned frame
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    feats = (
+        base.select("doc", "vec")
+        .join(labels, "doc")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(f"y{k}").alias(f"np{k}") for k in range(len(classes))],
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = obs.get
 
     models: dict[str, list[int]] = {}
     for k, (name, _lab) in enumerate(classes):
         cls_feats = feats.select("doc", "vec", F.col(f"y{k}").alias("y"))
         models[name] = _fit_weights(
-            cls_feats, dim, epochs, lr_num, lr_den, margin_cap
+            cls_feats, dim, epochs, lr_num, lr_den, margin_cap,
+            counts=(int(m[f"np{k}"] or 0), int(m["n"])),
         )
 
     # argmax via greatest() over (margin, reverse-class-priority, name)

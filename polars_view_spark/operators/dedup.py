@@ -1130,24 +1130,25 @@ def connected_components(
     crosses over.
 
     Measured floor (sf0.1 MinHash graph: 488 edges / 477 vertices,
-    local[32], r04 per-round sweep): the graph converges in 2 rounds
-    (round 1 settles every label — path halving reaches each component's
-    min immediately at this diameter; round 2 is the mandatory
-    zero-change confirmation, inherent to any fixed-point stop rule), at
-    ~0.7 s per round = three job barriers (``stepped`` checkpoint,
-    ``new_labels`` checkpoint, change count — the count reads the fresh
-    checkpoint, so it is the cheap one) plus ~0.4 s setup (edges + init
-    labels checkpoints).  Swapping the intra-round ``stepped`` checkpoint
-    for ``persist()`` measured at parity (2.1 s vs 2.0 s total: the cache
-    write rides the same job barrier), and batching the convergence check
-    every 2 rounds saves only the ~0.1 s count job while risking a wasted
-    full round — neither earns its complexity.  This per-round barrier
-    cost is a small-data artifact: at real scale each barrier amortizes
-    over TB-sized label shuffles, and the O(log diameter) round count is
-    exactly what makes the operator viable there.  Consequently
-    ``dedup_apply``'s ~4.6 s at sf0.1 decomposes as ~2.4 s MinHash floor
-    (documented above at minhash_lsh_pairs) + ~1.8 s CC (this note) +
-    ~0.2 s anti join — all fixed overhead, no data-proportional residue.
+    local[32], r04 per-round sweep; barrier structure re-cut in r11): the
+    graph converges in 2 rounds (round 1 settles every label — path
+    halving reaches each component's min immediately at this diameter;
+    round 2 is the mandatory zero-change confirmation, inherent to any
+    fixed-point stop rule).  Per round the barriers are now TWO jobs
+    (``stepped`` checkpoint + ``new_labels`` checkpoint): the convergence
+    count rides the ``new_labels`` job as an observed metric
+    (``Dataset.observe`` — the old standalone count job re-read the fresh
+    checkpoint purely to sum ``__chg``), and the ``edges`` setup
+    checkpoint is lazy (folded into the init-labels job, its first
+    consumer).  Swapping the intra-round ``stepped`` checkpoint for
+    ``persist()`` measured at parity in r04 (the cache write rides the
+    same job barrier), and ``stepped`` must stay EAGER: its self-join
+    reads it from two concurrent stages, so a lazily-persisted RDD would
+    compute the edge-join subtree twice at corpus scale.  The remaining
+    per-round barrier cost is a small-data artifact: at real scale each
+    barrier amortizes over TB-sized label shuffles, and the O(log
+    diameter) round count is exactly what makes the operator viable
+    there.
     """
     # eager=False (r11): the init-labels checkpoint below is the frame's
     # first (and only) materializing consumer, so the lazy checkpoint

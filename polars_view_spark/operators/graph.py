@@ -57,22 +57,36 @@ def pagerank(
     Returns ``(v, rank)`` with rank in micro-units.
     """
     w = F.col(weight_col) if weight_col else F.lit(1)
+    # lazy (r11): the nodes checkpoint below is the edge frame's first
+    # materializing consumer — one stage reads the RDD before its blocks
+    # exist, so the lazy checkpoint folds the edge projection into that
+    # job instead of paying a standalone barrier (same analysis as
+    # connected_components' edges)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    # the node count rides the checkpoint job as an observed metric
+    # (r11): the old standalone nodes.count() re-read the fresh
+    # checkpoint purely to count it — one fewer job barrier, same value
+    from pyspark.sql import Observation
+
+    obs = Observation()
     nodes = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
         .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()
+    n_nodes = int(obs.get["n"])
     if n_nodes == 0:
         raise ValueError("pagerank: empty graph")
     # checkpointed like e/nodes: otherwise every iteration's plan
     # re-executes this groupBy over the full edge list — an extra
-    # edge-list shuffle per iteration beyond the documented two
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint(eager=True)
+    # edge-list shuffle per iteration beyond the documented two.  Lazy
+    # (r11): its first materializing consumer is iteration 1's ranks
+    # checkpoint, where it feeds exactly one join stage.
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint(eager=False)
 
     # the update expression stays ENTIRELY in SQL, with (1.0 - d) written
     # out rather than pre-computed in Python: 1.0 - 0.85 and the literal

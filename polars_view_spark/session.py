@@ -49,6 +49,16 @@ def get_spark(app_name: str = "polars_view_spark", master: str | None = None) ->
         # scheduling latency), 100 TB intermediates still fan out fully —
         # measured ~30% off multi-join query latency at sf0.1
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # NOT set: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning.
+        # Measured r11 (plans/r11/ab_cached_coalesce_x10.json): letting AQE
+        # coalesce UNDER cache() materialization won ~20 % on the MinHash
+        # family at sf0.1 (kilobyte cached partitions stop scheduling
+        # 32-task waves) but LOST ~10 % control-adjusted at 10× —
+        # byte-based coalescing collapses a small-in-bytes cached frame to
+        # one partition ahead of CPU-amplifying consumers (band explode →
+        # window → self-join), serializing exactly the stages that must
+        # fan out at scale.  Same trade class as the r10 §9a checkpoint
+        # revert; scale wins.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
