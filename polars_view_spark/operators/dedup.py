@@ -387,8 +387,13 @@ def minhash_build_index(
       tokenize+shingle recompute of the corpus; ~3× the text in bytes —
       the classic index space-for-time trade, same as the IVF
       assignments dataset carrying its vectors.
-    - ``sizes``: per-doc shingle-set counts, so the verify's Jaccard
-      denominator never re-aggregates the corpus shingle stream.
+    - ``sizes``: per-doc shingle-set counts.  Still written (index-format
+      stability; a cheap column slice of the signature aggregate) but no
+      longer read by :func:`minhash_query_index` since r11 — the verify
+      derives denominators from its candidate-filtered shingle frame,
+      whose doc-level semi-join keeps complete per-doc sets, so the
+      aggregate touches cached candidate rows instead of this
+      corpus-sized table.
     - ``bands``: the long-form band rows annotated with their corpus
       bucket size (``__bsz``, the same window as ``_cap_buckets``) —
       the batch-invariant lookup mode's cap reads corpus state only, so
@@ -775,31 +780,36 @@ def minhash_query_index(
         )
 
         # verify touches only candidate docs: semi-join the shingle
-        # streams to the (small, broadcast) candidate id set, and take
-        # corpus set sizes from the persisted per-doc table — NO
-        # corpus-wide aggregate runs at query time, keeping the
-        # O(|new|) CPU claim honest (full counts make the pre-filter
-        # safe for the Jaccard denominator)
+        # streams to the (small, broadcast) candidate id set.  The
+        # semi-join is DOC-level, so every admitted doc keeps its COMPLETE
+        # shingle set — which makes the Jaccard denominators derivable
+        # from this same bounded frame (exact_jaccard_for_pairs' default
+        # sizes aggregate).  r11: the persisted ``sizes`` dataset is no
+        # longer read here — joining it meant scanning a corpus-sized
+        # per-doc table (twice, once per denominator side) where the
+        # candidate-only aggregate touches cached kilobytes; the dataset
+        # stays written for index-format stability and external readers.
+        # NO corpus-wide aggregate runs at query time either way (the
+        # default aggregate sees candidate docs only), keeping the
+        # O(|new|) CPU claim honest.
         cand_docs = (
             candidates.select(F.col("doc1").alias("doc"))
             .unionByName(candidates.select(F.col("doc2").alias("doc")))
             .distinct()
         )
-        # cached: exact_jaccard_for_pairs consumes the shingle table twice
-        # (both join sides of the intersection count) — uncached, the
-        # corpus-shingles parquet scan + semi-join runs twice per query.
-        # Bounded: only candidate docs' shingles survive the semi-join.
+        # cached: exact_jaccard_for_pairs consumes the shingle table three
+        # times (both join sides of the intersection count + the sizes
+        # aggregate) — uncached, the corpus-shingles parquet scan +
+        # semi-join would run per consumer.  Bounded: only candidate
+        # docs' shingles survive the semi-join.
         all_sh = (
             corpus_sh.unionByName(new_sh)
             .join(F.broadcast(cand_docs), "doc", "left_semi")
             .cache()
         )
-        sizes = spark.read.parquet(f"{path}/sizes").unionByName(
-            new_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-        )
         # first arg is unused when a shingle table is supplied
         verified = exact_jaccard_for_pairs(
-            new, candidates, id_col, text_col, shingles=all_sh, sizes=sizes
+            new, candidates, id_col, text_col, shingles=all_sh
         )
         result = verified.filter(F.col("jaccard") >= jaccard_threshold).select(
             "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
