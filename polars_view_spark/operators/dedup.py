@@ -22,6 +22,21 @@ paths):
 Everything is expressed with JVM-side ``F.expr`` chains built from
 functions/texthash.py so the DuckDB oracles (catalog_ext.py) replicate the
 exact arithmetic.
+
+``localCheckpoint`` lifecycle note (ADVICE r10): checkpointed
+intermediates that are not explicitly unpersisted (``sigs`` in the
+incremental/append paths, blocked shingles in ``ngram_jaccard_pairs``)
+are released when the driver GCs the RDD reference and the
+ContextCleaner runs — deterministic-enough for the repeated-call
+patterns the tests exercise, but a long-lived driver hammering these
+operators inherits that latency; the eagerly-pinned RESULT checkpoints
+are tiny (surviving pairs only).  Fault-tolerance trade-off, also by
+design: a local checkpoint truncates lineage, so an executor loss
+mid-job fails the query instead of recomputing — acceptable in the
+single-JVM driver environment; a cluster deployment that needs
+mid-query executor-loss recovery should swap the corpus-scale
+checkpoints (NOT the exchange-reuse-critical batch-side ones) for
+``reliableCheckpoint`` or accept the retry.
 """
 
 from __future__ import annotations
