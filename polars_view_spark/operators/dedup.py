@@ -90,7 +90,6 @@ def minhash_signatures(
     id_col: str,
     text_col: str,
     shingles: DataFrame | None = None,
-    include_size: bool = False,
 ) -> DataFrame:
     """One row per doc: ``doc, mh0..mh{k-1}`` MinHash signature.
 
@@ -98,12 +97,6 @@ def minhash_signatures(
     groupBy computing all k minima simultaneously (one shuffle, k aggregates
     share the hashed input).  Pass a precomputed (cached) ``shingles`` table
     to share the tokenize+shingle scan with other consumers.
-
-    ``include_size=True`` appends a ``__sz`` shingle-count column — the
-    per-doc set size rides the same groupBy, so an index build gets its
-    ``sizes`` dataset as a column slice of this frame instead of paying a
-    second full aggregate pass over the shingle stream (at corpus scale
-    that second pass re-reads the spilled shingle cache end to end).
     """
     sh = (shingles if shingles is not None else shingle_table(df, id_col, text_col)).withColumn(
         "h31", F.expr(f"{hex64_sql('shingle')} % {MINHASH_PRIME}")
@@ -112,8 +105,6 @@ def minhash_signatures(
         F.expr(minhash_sql("h31", a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    if include_size:
-        aggs.append(F.count(F.lit(1)).alias("__sz"))
     return sh.groupBy("doc").agg(*aggs)
 
 
@@ -390,7 +381,7 @@ def minhash_build_index(
     (operators/similarity.py:400,454): one offline indexing job, many
     cheap query jobs that never recompute corpus-side state.
 
-    Four parquet datasets under ``path``:
+    Three parquet datasets under ``path``:
 
     - ``signatures``: one row per corpus doc, ``doc, mh0..mh{k-1}`` —
       the band table the union-mode candidate join needs is a pure
@@ -402,13 +393,14 @@ def minhash_build_index(
       tokenize+shingle recompute of the corpus; ~3× the text in bytes —
       the classic index space-for-time trade, same as the IVF
       assignments dataset carrying its vectors.
-    - ``sizes``: per-doc shingle-set counts.  Still written (index-format
-      stability; a cheap column slice of the signature aggregate) but no
-      longer read by :func:`minhash_query_index` since r11 — the verify
-      derives denominators from its candidate-filtered shingle frame,
-      whose doc-level semi-join keeps complete per-doc sets, so the
-      aggregate touches cached candidate rows instead of this
-      corpus-sized table.
+    - (``sizes`` — REMOVED in r11.  The per-doc shingle-count dataset
+      existed for the verify's Jaccard denominators, but the verify's
+      shingle frame is semi-joined to candidate docs at DOC level, so
+      every admitted doc keeps its complete shingle set and the
+      denominators come exactly from a count over that cached,
+      candidate-bounded frame — the persisted table was a corpus-sized
+      write per build/append that nothing read.  A ``sizes`` directory
+      left by an older build is simply ignored.)
     - ``bands``: the long-form band rows annotated with their corpus
       bucket size (``__bsz``, the same window as ``_cap_buckets``) —
       the batch-invariant lookup mode's cap reads corpus state only, so
@@ -420,7 +412,7 @@ def minhash_build_index(
 
     Appending documents: every dataset is a per-doc function EXCEPT the
     ``__bsz`` annotation, so an append job adds the new docs' rows to
-    all four datasets (band rows are per-doc too); pre-existing rows'
+    all three datasets (band rows are per-doc too); pre-existing rows'
     ``__bsz`` goes stale-LOW, which only ADMITS a since-grown hot
     bucket (extra verified candidates — a cost regression, never a
     wrong or missed result, since verification is exact).  Refresh the
@@ -429,41 +421,26 @@ def minhash_build_index(
     come exclusively from it, so absent rows silently lose recall.
     """
     sh = shingle_table(corpus, id_col, text_col).cache()
-    # sigs cached too: THREE writes consume it (signatures, sizes, bands),
-    # and without the pin the bands write re-runs the 64-minimum aggregate
+    # sigs cached too: TWO writes consume it (signatures, bands), and
+    # without the pin the bands write re-runs the k-minimum aggregate
     # over the full shingle stream — the most expensive reduction in the
     # build — instead of re-reading kilobytes of signature rows.
-    # include_size folds the per-doc shingle count into the SAME groupBy,
-    # so the sizes dataset below is a column slice of this frame — the
-    # old standalone sizes aggregate paid a second full pass over the
-    # (spilled-at-scale) shingle cache.
-    sigs = minhash_signatures(
-        corpus, id_col, text_col, shingles=sh, include_size=True
-    ).cache()
+    sigs = minhash_signatures(corpus, id_col, text_col, shingles=sh).cache()
     try:
         # The first write (signatures) runs ALONE: it is the job that
         # fills the shingle and signature caches, and racing the other
         # writes against it would tokenize the corpus 2-4x concurrently
-        # before the caches materialize.  The remaining three datasets are
+        # before the caches materialize.  The remaining two datasets are
         # independent functions of the now-cached frames, so they run as
         # CONCURRENT jobs from a small thread pool (optimization guide
         # §2.6): each write's task tail back-fills the executors the
-        # others free, instead of three sequential job barriers.  Job
+        # others free, instead of sequential job barriers.  Job
         # descriptions are thread-local, so each write stays labelled in
         # the UI.
-        sigs.drop("__sz").write.mode("overwrite").parquet(f"{path}/signatures")
+        sigs.write.mode("overwrite").parquet(f"{path}/signatures")
 
         def _write_shingles() -> None:
             sh.write.mode("overwrite").parquet(f"{path}/shingles")
-
-        def _write_sizes() -> None:
-            # per-doc shingle-set sizes, persisted so the query-side verify
-            # joins a tiny (doc, sz) table instead of re-aggregating the
-            # corpus shingle stream per call; a slice of the cached sigs
-            # frame (see include_size above), no aggregate runs here
-            sigs.select("doc", F.col("__sz").alias("sz")).write.mode(
-                "overwrite"
-            ).parquet(f"{path}/sizes")
 
         def _write_bands() -> None:
             # band rows + corpus bucket size (see docstring).  Derived from
@@ -478,10 +455,9 @@ def minhash_build_index(
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=2) as pool:
             futures = [
-                pool.submit(fn)
-                for fn in (_write_shingles, _write_sizes, _write_bands)
+                pool.submit(fn) for fn in (_write_shingles, _write_bands)
             ]
             for fut in futures:
                 fut.result()  # re-raise the first failure
@@ -520,13 +496,13 @@ def minhash_append_index(
     Guards: ids already present in the index AND ids duplicated within
     the batch itself are REJECTED up front (the common
     retry-after-partial-failure, double-ingest, and overlapping-source
-    bugs would otherwise silently duplicate per-doc rows — doubling
-    shingle rows and sizes corrupts every later Jaccard verdict) — the
+    bugs would otherwise silently duplicate per-doc rows — doubled
+    shingle rows corrupt every later Jaccard verdict) — the
     index-side check reads only the ``doc`` column of the signatures
     dataset against the broadcast batch ids.  A legacy index without
     the ``bands`` dataset is rejected BEFORE any write (run
     :func:`minhash_refresh_bands` first) — failing on it mid-append
-    would leave a half-ingested batch.  The four appends are not
+    would leave a half-ingested batch.  The three appends are not
     transactional: if one fails midway, re-run AFTER removing the
     batch's rows (or rebuild) — the id guard will refuse a blind re-run
     that would double-append the datasets written before the failure.
@@ -569,39 +545,32 @@ def minhash_append_index(
         )
     sh = shingle_table(new_docs, id_col, text_col).cache()
     try:
-        # include_size: sizes ride the signature groupBy (see
-        # minhash_build_index) instead of a second batch aggregate
         sigs = minhash_signatures(
-            new_docs, id_col, text_col, shingles=sh, include_size=True
+            new_docs, id_col, text_col, shingles=sh
         ).localCheckpoint(eager=True)
         bucket_cols = ["band"] + [f"v{r}" for r in range(MINHASH_BAND_ROWS)]
         batch_bands = _band_rows(sigs)
         batch_keys = batch_bands.select(*bucket_cols).distinct()
 
         # The sigs checkpoint above materialized everything the first
-        # three appends need (sh cache filled by the same job), and the
+        # two appends need (sh cache filled by the same job), and the
         # existing-bucket probe only READS the bands dataset.  Ordering
         # (r11, ADVICE r10): the id-clash guard above probes ONLY the
         # signatures dataset, so the partial-failure contract ("a blind
         # re-run after a failed append is refused") holds only if
         # signatures are ALWAYS the first dataset a partially-failed
         # append has written — therefore the signatures append completes
-        # BEFORE the shingles/sizes appends launch (a fully concurrent
-        # launch could leave shingles+sizes written with signatures
-        # absent, and a re-run would then double-append them, silently
-        # corrupting every later Jaccard verdict).  The probe overlaps
-        # the signatures append (different dataset), and shingles/sizes
-        # overlap each other; only the bands append waits for the probe.
+        # BEFORE the shingles append launches (a fully concurrent launch
+        # could leave shingles written with signatures absent, and a
+        # re-run would then double-append them, silently corrupting
+        # every later Jaccard verdict).  The probe overlaps the
+        # signatures append (different dataset); only the bands append
+        # waits for the probe.
         def _append_signatures() -> None:
-            sigs.drop("__sz").write.mode("append").parquet(f"{path}/signatures")
+            sigs.write.mode("append").parquet(f"{path}/signatures")
 
         def _append_shingles() -> None:
             sh.write.mode("append").parquet(f"{path}/shingles")
-
-        def _append_sizes() -> None:
-            sigs.select("doc", F.col("__sz").alias("sz")).write.mode(
-                "append"
-            ).parquet(f"{path}/sizes")
 
         def _count_existing() -> DataFrame:
             # count ONLY the batch-touched buckets (semi-join to the
@@ -620,14 +589,10 @@ def minhash_append_index(
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=2) as pool:
             existing_fut = pool.submit(_count_existing)
             pool.submit(_append_signatures).result()  # guard anchor: first
-            futures = [
-                pool.submit(fn) for fn in (_append_shingles, _append_sizes)
-            ]
-            for fut in futures:
-                fut.result()  # re-raise the first failure
+            pool.submit(_append_shingles).result()
             existing = existing_fut.result()
         (
             _with_bucket_size(batch_bands, bucket_cols)
