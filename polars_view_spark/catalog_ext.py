@@ -6311,7 +6311,7 @@ def _d_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index APPEND + bands REFRESH — the full maintenance loop
     (operators/dedup.py:minhash_append_index / minhash_refresh_bands):
     the index is built from 80% of the corpus, the next 10% is APPENDED
-    (per-doc rows to all four datasets, no corpus re-read), the bands
+    (per-doc rows to all three datasets, no corpus re-read), the bands
     dataset is refreshed (restoring exact bucket sizes — without it the
     stale-low ``__bsz`` makes equality with the oracle data-DEPENDENT;
     with it, guaranteed), and the final 10% queries the grown index in

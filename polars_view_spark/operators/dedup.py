@@ -481,7 +481,7 @@ def minhash_append_index(
     rebuilding or re-reading the corpus text.
 
     Implements the append procedure the build docstring specifies:
-    per-doc rows land in all four datasets.  The appended band rows
+    per-doc rows land in all three datasets.  The appended band rows
     carry an at-append-time ``__bsz`` (batch-local bucket count + the
     bucket's existing persisted count — one aggregate over the NARROW
     bands dataset, no text-bearing dataset is touched); pre-existing
